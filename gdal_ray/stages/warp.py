@@ -1,0 +1,204 @@
+"""Stateful warp / tile-cut stages (SURVEY §2.4, §2.11).
+
+``WarpTileStage`` is the engine's core actor: for each image row it decodes
+the pixels, computes which WebMercator XYZ tiles at the target zoom the image
+touches (bit-exact ``PixelsToTile`` rule, gdal2tiles.py:461-466), and warps
+the image into each touched 256×256 tile grid, emitting one *contribution*
+row per (tile, image).  The transformer chain mirrors
+``GDALGenImgProjTransform`` (alg/gdaltransformer.cpp:3084):
+
+    dst(tile px) → tile geotransform → EPSG:3857 → src CRS → src gt⁻¹ → src px
+
+with the coarse-mesh approximation of ``GDALCreateApproxTransformer``
+(:4024) so only O(mesh) points go through the CRS math per tile.
+
+State held per actor (once, in __init__ / lazily cached): pyproj-style
+Transformer objects per (src, dst) CRS pair (ogr/ogrct.cpp:665 OGRProjCT
+caching) — pass the CLASS to ``map_batches(WarpTileStage, concurrency=N)``.
+
+Scale notes (100 TB design):
+  - contributions are emitted with an int64 ``tile_key`` so the downstream
+    composite groupby shuffles a single integer key;
+  - per-contribution payload is the warped 256×256×(bands) raw array +
+    validity bitmask, ~256 KB max — bounded regardless of source image size;
+  - oversized sources (>32 MP) should be flat_mapped into sub-window rows
+    upstream (explicit partition sizing, SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import codecs, mercator, proj, resample
+from ..core import geotransform as gtm
+
+TILE = 256
+
+
+def image_lonlat_bbox(gt, crs: str, w: int, h: int, densify: int = 11):
+    """Lon/lat bbox of an image footprint: transform a densified edge ring
+    (GDALSuggestedWarpOutput2 samples a 21×21 edge grid, gdaltransformer
+    .cpp:342 — we use the 4 edges at `densify` points each)."""
+    t = np.linspace(0.0, 1.0, densify)
+    ex = np.concatenate([t * w, np.full(densify, w), t[::-1] * w, np.zeros(densify)])
+    ey = np.concatenate([np.zeros(densify), t * h, np.full(densify, h), t[::-1] * h])
+    gx, gy = gtm.apply(gt, ex, ey)
+    tr = proj.get_transformer(crs, "EPSG:4326")
+    lon, lat = tr.transform(gx, gy)
+    return float(lon.min()), float(lat.min()), float(lon.max()), float(lat.max())
+
+
+def tile_range_for_bbox(lon_min, lat_min, lon_max, lat_max, zoom: int):
+    """TMS tile index range covering a lon/lat bbox at `zoom` — the
+    gdal2tiles plan step (generate_base_tiles :2801): PixelsToTile of the
+    mercator-pixel extent corners."""
+    lat_min = max(lat_min, -85.05112878)
+    lat_max = min(lat_max, 85.05112878)
+    mx0, my0 = mercator.latlon_to_meters(lat_min, lon_min)
+    mx1, my1 = mercator.latlon_to_meters(lat_max, lon_max)
+    px0, py0 = mercator.meters_to_pixels(mx0, my0, zoom)
+    px1, py1 = mercator.meters_to_pixels(mx1, my1, zoom)
+    tminx, tminy = mercator.pixels_to_tile(px0, py0)
+    tmaxx, tmaxy = mercator.pixels_to_tile(px1, py1)
+    n = (1 << zoom) - 1
+    return (int(np.clip(tminx, 0, n)), int(np.clip(tminy, 0, n)),
+            int(np.clip(tmaxx, 0, n)), int(np.clip(tmaxy, 0, n)))
+
+
+class WarpTileStage:
+    """Actor-pool stage: images → per-tile warped contributions.
+
+    Output columns: tile_key:int64, z/x/y:int32 (TMS), image_id:string,
+    rgb:binary (256*256*3 raw), mask:binary (256*256 validity 0/255),
+    caption passthrough.
+    """
+
+    def __init__(self, zoom: int, method: str = "bilinear", mesh_step: int = 16):
+        self.zoom = zoom
+        self.method = method
+        self.mesh_step = mesh_step
+        # proj.get_transformer caches per-process; touching it here makes the
+        # cost explicit per actor, not per batch
+        proj.get_transformer("EPSG:3857", "EPSG:4326")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        z = self.zoom
+        out = {"tile_key": [], "z": [], "x": [], "y": [], "image_id": [],
+               "rgb": [], "mask": [], "caption": []}
+        bts = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        gts = batch.column("geotransform").to_pylist()
+        crss = batch.column("crs").to_pylist()
+        ids = batch.column("image_id").to_pylist()
+        caps = (batch.column("caption").to_pylist()
+                if "caption" in batch.column_names else [""] * batch.num_rows)
+        nods = (batch.column("nodata").to_pylist()
+                if "nodata" in batch.column_names else [None] * batch.num_rows)
+        for i in range(batch.num_rows):
+            img = codecs.decode(bts[i], fmts[i])
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            elif img.shape[2] > 3:
+                img = img[:, :, :3]
+            gt = tuple(gts[i])
+            crs = crss[i]
+            h, w = img.shape[:2]
+            bbox = image_lonlat_bbox(gt, crs, w, h)
+            tminx, tminy, tmaxx, tmaxy = tile_range_for_bbox(*bbox, z)
+            inv_gt = gtm.invert(gt)
+            tr = proj.get_transformer("EPSG:3857", crs)
+
+            for ty in range(tminy, tmaxy + 1):
+                for tx in range(tminx, tmaxx + 1):
+                    bminx, bminy, bmaxx, bmaxy = mercator.tile_bounds(tx, ty, z)
+                    res = float(mercator.resolution(z))
+                    # tile gt: north-up, origin at tile top-left
+                    def dst_to_src(px, py, _bminx=float(bminx), _bmaxy=float(bmaxy),
+                                   _res=res, _tr=tr, _inv=inv_gt):
+                        mx = _bminx + px * _res
+                        my = _bmaxy - py * _res
+                        sx_geo, sy_geo = _tr.transform(mx, my)
+                        return gtm.apply(_inv, sx_geo, sy_geo)
+
+                    sx, sy = resample.dst_to_src_mesh(TILE, TILE, dst_to_src,
+                                                      self.mesh_step)
+                    vals, valid = resample.sample(img, sx, sy, method=self.method,
+                                                  nodata=nods[i])
+                    if not valid.any():
+                        continue
+                    rgb = np.clip(np.floor(vals + 0.5), 0, 255).astype(np.uint8)
+                    rgb[~valid] = 0
+                    out["tile_key"].append(int(mercator.tile_key(z, tx, ty)))
+                    out["z"].append(z); out["x"].append(tx); out["y"].append(ty)
+                    out["image_id"].append(ids[i])
+                    out["rgb"].append(rgb.tobytes())
+                    out["mask"].append((valid.astype(np.uint8) * 255).tobytes())
+                    out["caption"].append(caps[i])
+        return pa.table({
+            "tile_key": pa.array(out["tile_key"], pa.int64()),
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int32()),
+            "y": pa.array(out["y"], pa.int32()),
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "rgb": pa.array(out["rgb"], pa.binary()),
+            "mask": pa.array(out["mask"], pa.binary()),
+            "caption": pa.array(out["caption"], pa.string()),
+        })
+
+
+class ReprojectImageStage:
+    """gdalwarp as a standalone stage: reproject each image to dst_crs on a
+    north-up grid sized by the suggested-output rule (GDALSuggestedWarpOutput2
+    semantics: keep pixel count comparable, square pixels)."""
+
+    def __init__(self, dst_crs: str, method: str = "bilinear", mesh_step: int = 16):
+        self.dst_crs = dst_crs
+        self.method = method
+        self.mesh_step = mesh_step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, outs, ws, hs, gts_out = [], [], [], [], []
+        bts = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        gts = batch.column("geotransform").to_pylist()
+        crss = batch.column("crs").to_pylist()
+        for i in range(batch.num_rows):
+            img = codecs.decode(bts[i], fmts[i])
+            gt = tuple(gts[i])
+            h, w = img.shape[:2]
+            # densified edge ring -> dst bbox
+            t = np.linspace(0.0, 1.0, 11)
+            ex = np.concatenate([t * w, np.full(11, w), t[::-1] * w, np.zeros(11)])
+            ey = np.concatenate([np.zeros(11), t * h, np.full(11, h), t[::-1] * h])
+            gx, gy = gtm.apply(gt, ex, ey)
+            tr_fwd = proj.get_transformer(crss[i], self.dst_crs)
+            dx, dy = tr_fwd.transform(gx, gy)
+            minx, maxx = float(dx.min()), float(dx.max())
+            miny, maxy = float(dy.min()), float(dy.max())
+            dst_w = w
+            dst_h = max(1, int(round(dst_w * (maxy - miny) / max(maxx - minx, 1e-300))))
+            res_x = (maxx - minx) / dst_w
+            res_y = (maxy - miny) / dst_h
+            dst_gt = (minx, res_x, 0.0, maxy, 0.0, -res_y)
+            inv_gt = gtm.invert(gt)
+            tr_back = proj.get_transformer(self.dst_crs, crss[i])
+
+            def dst_to_src(px, py):
+                mx, my = gtm.apply(dst_gt, px, py)
+                sxg, syg = tr_back.transform(mx, my)
+                return gtm.apply(inv_gt, sxg, syg)
+
+            out = resample.warp(img, dst_w, dst_h, dst_to_src, method=self.method,
+                                mesh_step=self.mesh_step)
+            ids.append(batch.column("image_id")[i].as_py())
+            outs.append(codecs.encode(out, "png"))
+            ws.append(dst_w); hs.append(dst_h)
+            gts_out.append(list(dst_gt))
+        return pa.table({
+            "image_id": ids, "bytes": pa.array(outs, pa.binary()),
+            "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["png"] * len(ids)),
+            "geotransform": pa.array(gts_out, pa.list_(pa.float64(), 6)),
+            "crs": pa.array([self.dst_crs] * len(ids)),
+        })
