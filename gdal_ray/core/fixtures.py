@@ -118,8 +118,13 @@ def images_table(n: int) -> pa.Table:
 
 def polygon_ring(i: int, rng) -> np.ndarray:
     """Seeded polygon shapes: convex, concave (star), rectangles."""
-    cx = float(rng.uniform(-170, 170))
-    cy = float(rng.uniform(-65, 65))
+    if i % 2 == 0:  # half the polygons overlap the point/image hotspots
+        hx, hy = [(-118.0, 34.0), (2.35, 48.85), (139.7, 35.7)][(i // 2) % 3]
+        cx = float(np.clip(hx + rng.normal(0, 3.0), -170, 170))
+        cy = float(np.clip(hy + rng.normal(0, 2.5), -65, 65))
+    else:
+        cx = float(rng.uniform(-170, 170))
+        cy = float(rng.uniform(-65, 65))
     r = float(rng.uniform(0.5, 8.0))
     kind = i % 3
     if kind == 0:  # rectangle

@@ -1,0 +1,249 @@
+"""Cell-keyed spatial joins (SURVEY §2.5) — the distributed replacement for
+the reference's per-layer R-tree spatial filter
+(``OGRLayer::SetSpatialFilter``, ogrlayer.cpp:3493; prepared-geometry exact
+test :3920-4005).
+
+Pattern (both joins below):
+  1. each side gets int64 cell keys from the fixed world grid
+     (gdal_ray.core.cells) — the big side one cell per row, the polygon side
+     one row per covering cell (flat_map);
+  2. a single ``groupby(cell).map_groups`` co-partitions candidates; the
+     exact predicate runs vectorized inside the group;
+  3. **exactly-once without a dedup shuffle**: a candidate pair is emitted
+     only in its *canonical cell* — the cell containing the lower-left
+     corner of the two bboxes' intersection, which both sides' covering
+     sets are guaranteed to include;
+  4. skew: a pre-pass counts rows per cell (cheap partial count per batch +
+     driver-side merge of the ≤4^level cell histogram) and hot cells are
+     salted — point rows hash into ``num_salts`` sub-keys, polygon rows
+     replicate into all of them (core/cells.salt_cells).
+
+Predicates follow ogr/ogrgeometry.cpp semantics: intersects :575 (boundary
+counts), within :6259 (strict interior), contains :6332.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..core import cells as C
+from ..core import geom, wkb
+
+_PREDICATES = ("intersects", "within", "contains")
+
+
+def _pad_to_schema(t: pa.Table, spec: list[tuple[str, pa.DataType]]) -> pa.Table:
+    """Union requires both sides block-compatible: add missing columns as
+    typed nulls and order columns identically."""
+    cols = []
+    for name, typ in spec:
+        if name in t.column_names:
+            cols.append(t.column(name).cast(typ))
+        else:
+            cols.append(pa.nulls(t.num_rows, typ))
+    return pa.table(dict(zip([n for n, _ in spec], cols)))
+
+
+# ---------- side preparation ----------
+
+def points_with_cells(batch: pa.Table, level: int, x_col="x", y_col="y") -> pa.Table:
+    x = np.asarray(batch.column(x_col), dtype=np.float64)
+    y = np.asarray(batch.column(y_col), dtype=np.float64)
+    return batch.append_column("cell", pa.array(C.cell_of(x, y, level), pa.int64()))
+
+
+def polygons_expand_cells(batch: pa.Table, level: int, wkb_col="wkb") -> pa.Table:
+    """One output row per (polygon, covering cell); carries the parsed bbox
+    so group-side prefilters don't re-parse WKB."""
+    out_idx, out_cell, bxmin, bymin, bxmax, bymax = [], [], [], [], [], []
+    wkbs = batch.column(wkb_col).to_pylist()
+    for i, data in enumerate(wkbs):
+        g = wkb.loads(data)
+        polys = wkb.as_polygons(g)
+        if not polys:
+            continue
+        xs = np.concatenate([r[:, 0] for rings in polys for r in rings[:1]])
+        ys = np.concatenate([r[:, 1] for rings in polys for r in rings[:1]])
+        bb = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+        for cell in C.cells_for_bbox(*bb, level):
+            out_idx.append(i)
+            out_cell.append(int(cell))
+            bxmin.append(bb[0]); bymin.append(bb[1]); bxmax.append(bb[2]); bymax.append(bb[3])
+    taken = batch.take(pa.array(out_idx, pa.int64())) if out_idx else batch.slice(0, 0)
+    cols = {name: taken.column(name) for name in taken.column_names}
+    cols["cell"] = pa.array(out_cell, pa.int64())
+    cols["bxmin"] = pa.array(bxmin, pa.float64())
+    cols["bymin"] = pa.array(bymin, pa.float64())
+    cols["bxmax"] = pa.array(bxmax, pa.float64())
+    cols["bymax"] = pa.array(bymax, pa.float64())
+    return pa.table(cols)
+
+
+# ---------- point-in-polygon join ----------
+
+def _pip_group(group: pa.Table, predicate: str, level: int,
+               point_id_col: str, poly_id_col: str) -> pa.Table:
+    side = np.asarray(group.column("side"))
+    pts = group.filter(pa.array(side == 0))
+    pls = group.filter(pa.array(side == 1))
+    out_pid, out_gid = [], []
+    if pts.num_rows and pls.num_rows:
+        px = np.asarray(pts.column("x"), dtype=np.float64)
+        py = np.asarray(pts.column("y"), dtype=np.float64)
+        pids = pts.column(point_id_col).to_pylist()
+        for j in range(pls.num_rows):
+            rings = wkb.loads(pls.column("wkb")[j].as_py())
+            for poly_rings in wkb.as_polygons(rings):
+                bb = geom.rings_bbox(poly_rings)
+                cand = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
+                if not cand.any():
+                    continue
+                # canonical cell for a point-poly pair: the point's own cell
+                # == this cell by construction (points carry one cell), so
+                # no dedup is needed across cells for the point side.
+                idx = np.nonzero(cand)[0]
+                if predicate == "within":
+                    hit = geom.points_within_polygon(px[idx], py[idx], poly_rings)
+                else:
+                    hit = geom.points_intersect_polygon(px[idx], py[idx], poly_rings)
+                gid = pls.column(poly_id_col)[j].as_py()
+                for k in idx[hit]:
+                    out_pid.append(pids[k])
+                    out_gid.append(gid)
+    return pa.table({point_id_col: pa.array(out_pid, pa.string()),
+                     poly_id_col: pa.array(out_gid, pa.string())})
+
+
+def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Dataset",
+                          *, predicate: str = "intersects",
+                          level: int = C.DEFAULT_LEVEL,
+                          point_id_col: str = "point_id",
+                          poly_id_col: str = "poly_id") -> "ray.data.Dataset":
+    """(point_id, poly_id) pairs where predicate(point, polygon) holds.
+
+    MultiPolygon parts are OR-ed (a point in any part matches once — pairs
+    are deduped per (point, polygon) by construction since a point lives in
+    exactly one cell)."""
+    assert predicate in ("intersects", "within")
+    spec = [(point_id_col, pa.string()), ("x", pa.float64()), ("y", pa.float64()),
+            (poly_id_col, pa.string()), ("wkb", pa.binary()),
+            ("cell", pa.int64()), ("side", pa.int8())]
+
+    def prep_points(b: pa.Table) -> pa.Table:
+        t = points_with_cells(b, level)
+        t = t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        return _pad_to_schema(t, spec)
+
+    def prep_polys(b: pa.Table) -> pa.Table:
+        t = polygons_expand_cells(b, level)
+        t = t.append_column("side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        return _pad_to_schema(t, spec)
+
+    pts = points.map_batches(prep_points, batch_format="pyarrow")
+    pls = polygons.map_batches(prep_polys, batch_format="pyarrow")
+    both = pts.union(pls)
+    return both.groupby("cell").map_groups(
+        lambda g: _pip_group(g, predicate, level, point_id_col, poly_id_col),
+        batch_format="pyarrow")
+
+
+# ---------- polygon-polygon (footprint×layer) join ----------
+
+def _poly_poly_group(group: pa.Table, predicate: str, level: int,
+                     a_id_col: str, b_id_col: str) -> pa.Table:
+    side = np.asarray(group.column("side"))
+    A = group.filter(pa.array(side == 0))
+    B = group.filter(pa.array(side == 1))
+    out_a, out_b = [], []
+    if A.num_rows and B.num_rows:
+        cell = int(group.column("cell")[0].as_py())
+        abb = np.column_stack([np.asarray(A.column(c), dtype=np.float64)
+                               for c in ("bxmin", "bymin", "bxmax", "bymax")])
+        bbb = np.column_stack([np.asarray(B.column(c), dtype=np.float64)
+                               for c in ("bxmin", "bymin", "bxmax", "bymax")])
+        a_geoms = [wkb.as_polygons(wkb.loads(x)) for x in A.column("wkb").to_pylist()]
+        b_geoms = [wkb.as_polygons(wkb.loads(x)) for x in B.column("wkb").to_pylist()]
+        a_ids = A.column(a_id_col).to_pylist()
+        b_ids = B.column(b_id_col).to_pylist()
+        for ia in range(A.num_rows):
+            # vectorized bbox prefilter
+            ok = ~((abb[ia, 2] < bbb[:, 0]) | (bbb[:, 2] < abb[ia, 0])
+                   | (abb[ia, 3] < bbb[:, 1]) | (bbb[:, 3] < abb[ia, 1]))
+            for ib in np.nonzero(ok)[0]:
+                # canonical-cell exactly-once rule
+                ccx = max(abb[ia, 0], bbb[ib, 0])
+                ccy = max(abb[ia, 1], bbb[ib, 1])
+                if int(C.cell_of(np.array([ccx]), np.array([ccy]), level)[0]) != cell:
+                    continue
+                hit = False
+                for ra in a_geoms[ia]:
+                    for rb in b_geoms[ib]:
+                        if predicate == "intersects":
+                            hit = geom.polygons_intersect(ra, rb)
+                        elif predicate == "contains":
+                            hit = geom.polygon_contains_polygon(ra, rb)
+                        else:  # within
+                            hit = geom.polygon_contains_polygon(rb, ra)
+                        if hit:
+                            break
+                    if hit:
+                        break
+                if hit:
+                    out_a.append(a_ids[ia])
+                    out_b.append(b_ids[ib])
+    return pa.table({a_id_col: pa.array(out_a, pa.string()),
+                     b_id_col: pa.array(out_b, pa.string())})
+
+
+def polygon_polygon_join(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                         predicate: str = "intersects",
+                         level: int = C.DEFAULT_LEVEL,
+                         a_id_col: str = "image_id", b_id_col: str = "poly_id",
+                         ) -> "ray.data.Dataset":
+    """(a_id, b_id) pairs for polygon×polygon predicates — the image-
+    footprint × vector-layer join of the north star.  Exactly-once via the
+    canonical-cell rule (no dedup shuffle)."""
+    assert predicate in _PREDICATES
+    spec = [(a_id_col, pa.string()), (b_id_col, pa.string()), ("wkb", pa.binary()),
+            ("bxmin", pa.float64()), ("bymin", pa.float64()),
+            ("bxmax", pa.float64()), ("bymax", pa.float64()),
+            ("cell", pa.int64()), ("side", pa.int8())]
+
+    def prep(side_val):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = polygons_expand_cells(batch, level)
+            t = t.append_column("side", pa.array(np.full(t.num_rows, side_val, np.int8)))
+            return _pad_to_schema(t, spec)
+        return fn
+
+    both = a.map_batches(prep(0), batch_format="pyarrow").union(
+        b.map_batches(prep(1), batch_format="pyarrow"))
+    return both.groupby("cell").map_groups(
+        lambda g: _poly_poly_group(g, predicate, level, a_id_col, b_id_col),
+        batch_format="pyarrow")
+
+
+# ---------- skew pre-pass ----------
+
+def cell_histogram(ds: "ray.data.Dataset", level: int, x_col="x", y_col="y") -> dict[int, int]:
+    """Per-cell row counts via in-batch partial counting + tiny driver merge
+    (the histogram is bounded by 4^level cells, not by data size)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(x_col), dtype=np.float64)
+        y = np.asarray(batch.column(y_col), dtype=np.float64)
+        cells, counts = np.unique(C.cell_of(x, y, level), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+    hist: dict[int, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for cell, n in zip(b.column("cell").to_pylist(), b.column("n").to_pylist()):
+            hist[cell] = hist.get(cell, 0) + n
+    return hist
+
+
+def hot_cells(hist: dict[int, int], threshold: int) -> dict[int, bool]:
+    return {c: True for c, n in hist.items() if n > threshold}
