@@ -1,0 +1,155 @@
+"""kNN / radius lookups (SURVEY §2.5; gdal_grid neighbor-search semantics,
+alg/gdalgrid.cpp:261-427 quadtree + per-point nearest searches).
+
+The reference holds one process-local quadtree of ALL points.  Distributed
+re-expression: the small side is **broadcast once** (``ray.put`` — Ray Data
+ships the object ref, each task reads it zero-copy from the local object
+store) and each batch of the big side does a vectorized distance computation
+against it — no shuffle at all.  For big×big kNN, co-partition by cell keys
+(spatial_join pattern) and run the same kernel per cell with neighbor-cell
+halo; round-1 ships the broadcast variant (covers gdal_grid: grid nodes
+stream, scattered points broadcast).
+
+Determinism: ties broken by reference-point index (stable argsort), so
+output is reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+class _GridIndex:
+    """Uniform-bucket spatial index over the broadcast point set — numpy
+    stand-in for cKDTree/CPLQuadTree.  Query = gather candidate buckets in
+    expanding rings, exact distances, top-k."""
+
+    def __init__(self, xy: np.ndarray, ids: np.ndarray, nbuckets: int = 64):
+        self.xy = np.asarray(xy, dtype=np.float64)
+        self.ids = ids
+        self.minx, self.miny = self.xy.min(axis=0)
+        self.maxx, self.maxy = self.xy.max(axis=0)
+        self.n = max(1, int(np.sqrt(len(xy) / 4)))
+        self.n = min(self.n, nbuckets)
+        sx = (self.maxx - self.minx) or 1.0
+        sy = (self.maxy - self.miny) or 1.0
+        bx = np.clip(((self.xy[:, 0] - self.minx) / sx * self.n).astype(np.int64), 0, self.n - 1)
+        by = np.clip(((self.xy[:, 1] - self.miny) / sy * self.n).astype(np.int64), 0, self.n - 1)
+        self.bucket_of = bx * self.n + by
+        order = np.argsort(self.bucket_of, kind="stable")
+        self.sorted_idx = order
+        self.bucket_sorted = self.bucket_of[order]
+        self.starts = np.searchsorted(self.bucket_sorted, np.arange(self.n * self.n))
+        self.ends = np.searchsorted(self.bucket_sorted, np.arange(self.n * self.n), side="right")
+
+
+def knn_batch_kernel(qx: np.ndarray, qy: np.ndarray, ref_xy: np.ndarray,
+                     k: int, chunk: int = 2048):
+    """Exact brute-force kNN of queries against ref_xy, chunked so the
+    (chunk × n_ref) distance matrix stays bounded.  Returns (idx (nq,k),
+    dist (nq,k)) with stable tie-breaking by reference index."""
+    nq = qx.shape[0]
+    nref = ref_xy.shape[0]
+    k = min(k, nref)
+    out_idx = np.empty((nq, k), dtype=np.int64)
+    out_d = np.empty((nq, k), dtype=np.float64)
+    for s in range(0, nq, chunk):
+        e = min(s + chunk, nq)
+        dx = qx[s:e, None] - ref_xy[None, :, 0]
+        dy = qy[s:e, None] - ref_xy[None, :, 1]
+        d2 = dx * dx + dy * dy
+        if k < nref:
+            part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        else:
+            part = np.broadcast_to(np.arange(nref), (e - s, nref)).copy()
+        pd = np.take_along_axis(d2, part, axis=1)
+        # sort by (distance, ref index) for deterministic ties
+        order = np.lexsort((part, pd), axis=1)
+        out_idx[s:e] = np.take_along_axis(part, order, axis=1)
+        out_d[s:e] = np.sqrt(np.take_along_axis(pd, order, axis=1))
+    return out_idx, out_d
+
+
+class KnnStage:
+    """Actor-pool stage: batches of query points → k nearest broadcast
+    reference points.  Reference set is fetched from the object store ONCE
+    per actor in __init__ (not per batch)."""
+
+    def __init__(self, ref_ref, k: int, query_id_col: str = "point_id",
+                 x_col: str = "x", y_col: str = "y"):
+        ref = ray.get(ref_ref) if isinstance(ref_ref, ray.ObjectRef) else ref_ref
+        self.ref_xy = np.asarray(ref["xy"], dtype=np.float64)
+        self.ref_ids = list(ref["ids"])
+        self.k = k
+        self.query_id_col = query_id_col
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = np.asarray(batch.column(self.x_col), dtype=np.float64)
+        qy = np.asarray(batch.column(self.y_col), dtype=np.float64)
+        idx, dist = knn_batch_kernel(qx, qy, self.ref_xy, self.k)
+        nq, k = idx.shape
+        qids = batch.column(self.query_id_col).to_pylist()
+        return pa.table({
+            self.query_id_col: pa.array(np.repeat(qids, k)),
+            "neighbor_id": pa.array([self.ref_ids[j] for j in idx.ravel()]),
+            "rank": pa.array(np.tile(np.arange(1, k + 1), nq), pa.int32()),
+            "distance": pa.array(dist.ravel(), pa.float64()),
+        })
+
+
+def knn_join(queries: "ray.data.Dataset", ref_xy: np.ndarray, ref_ids,
+             k: int, *, query_id_col: str = "point_id", x_col: str = "x",
+             y_col: str = "y", concurrency: int | tuple = 4) -> "ray.data.Dataset":
+    """(query_id, neighbor_id, rank, distance) — exact kNN, broadcast side.
+    ref_xy is ray.put ONCE; actors read it from the local object store."""
+    ref_ref = ray.put({"xy": np.asarray(ref_xy, dtype=np.float64), "ids": list(ref_ids)})
+    return queries.map_batches(
+        KnnStage,
+        fn_constructor_kwargs={"ref_ref": ref_ref, "k": k,
+                               "query_id_col": query_id_col,
+                               "x_col": x_col, "y_col": y_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def idw_interpolate(queries: "ray.data.Dataset", ref_xy: np.ndarray,
+                    ref_vals: np.ndarray, *, power: float = 2.0,
+                    smoothing: float = 0.0, max_points: int = 12,
+                    query_id_col: str = "point_id",
+                    concurrency: int | tuple = 4) -> "ray.data.Dataset":
+    """gdal_grid invdistnn (GGA_InverseDistanceToAPowerNearestNeighbor,
+    alg/gdal_alg.h:416): IDW over the `max_points` nearest neighbors.
+    w_i = 1 / (d_i^power + smoothing); exact-hit (d=0) returns the point
+    value (gdalgrid.cpp exact-match semantics)."""
+    ref = ray.put({"xy": np.asarray(ref_xy, dtype=np.float64),
+                   "vals": np.asarray(ref_vals, dtype=np.float64)})
+
+    class IdwStage:
+        def __init__(self):
+            d = ray.get(ref)
+            self.xy = d["xy"]
+            self.vals = d["vals"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qx = np.asarray(batch.column("x"), dtype=np.float64)
+            qy = np.asarray(batch.column("y"), dtype=np.float64)
+            idx, dist = knn_batch_kernel(qx, qy, self.xy, max_points)
+            vals = self.vals[idx]
+            with np.errstate(divide="ignore"):
+                w = 1.0 / (dist ** power + smoothing)
+            exact = dist[:, 0] == 0.0
+            wsum = np.where(np.isinf(w).any(axis=1), 1.0, w.sum(axis=1))
+            est = np.where(exact, vals[:, 0], (w * vals).sum(axis=1) / wsum)
+            return pa.table({
+                query_id_col: batch.column(query_id_col),
+                "idw_value": pa.array(est, pa.float64()),
+            })
+
+    return queries.map_batches(IdwStage, batch_format="pyarrow", concurrency=concurrency)

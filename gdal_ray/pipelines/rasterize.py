@@ -1,0 +1,131 @@
+"""Rasterize: burn vector geometries into tiles (GDALRasterizeGeometries,
+alg/gdalrasterize.cpp; scanline core alg/llrasterize.cpp).
+
+Semantics implemented:
+  - default pixel-center even-odd fill (a pixel is burned iff its center is
+    inside the polygon — GDAL's non-ALL_TOUCHED rule);
+  - MERGE_ALG = REPLACE (later burn wins) or ADD (values accumulate)
+    (gdalrasterize.cpp:820);
+  - deterministic burn order = geometry id order (REPLACE ties).
+
+Ray shape: polygons flat_map to covering (z,x,y) tiles → salted-capable
+``groupby(tile_key).map_groups`` burns every polygon of the group onto the
+256×256 grid → tile rows.  This is the OPTIM=RASTER chunking of the
+reference (per-chunk loop over intersecting geometries,
+gdalrasterize.cpp:933) with tiles as chunks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..core import geom, mercator, wkb
+
+TILE = 256
+
+
+def _burn_group(group: pa.Table, merge_alg: str, dtype) -> pa.Table:
+    z = group.column("z")[0].as_py()
+    x = group.column("x")[0].as_py()
+    y = group.column("y")[0].as_py()
+    bminx, bminy, bmaxx, bmaxy = (float(v) for v in mercator.tile_bounds(x, y, z))
+    res = float(mercator.resolution(z))
+    # pixel-center mercator coords (row 0 = top)
+    cx = bminx + (np.arange(TILE) + 0.5) * res
+    cy = bmaxy - (np.arange(TILE) + 0.5) * res
+    gx, gy = np.meshgrid(cx, cy)
+    lat, lon = mercator.meters_to_latlon(gx.ravel(), gy.ravel())
+    grid = np.zeros(TILE * TILE, dtype=np.float64)
+    hitmask = np.zeros(TILE * TILE, dtype=bool)
+    order = np.argsort(np.asarray(group.column("geom_id").to_pylist(), dtype=object),
+                       kind="stable")
+    wkbs = group.column("wkb").to_pylist()
+    burns = group.column("burn").to_pylist()
+    for j in order:
+        inside = np.zeros(TILE * TILE, dtype=bool)
+        for rings in wkb.as_polygons(wkb.loads(wkbs[j])):
+            bb = geom.rings_bbox(rings)
+            cand = ((lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3]))
+            if not cand.any():
+                continue
+            ci = np.nonzero(cand)[0]
+            parity = np.zeros(ci.shape[0], dtype=np.int64)
+            for ring in rings:
+                parity += geom.points_in_ring(lon[ci], lat[ci], ring).astype(np.int64)
+            inside[ci[(parity % 2).astype(bool)]] = True
+        if merge_alg == "add":
+            grid[inside] += burns[j]
+        else:
+            grid[inside] = burns[j]
+        hitmask |= inside
+    info = np.iinfo(dtype) if np.issubdtype(np.dtype(dtype), np.integer) else None
+    if info is not None:
+        grid = np.clip(grid, info.min, info.max)
+    return pa.table({
+        "tile_key": pa.array([group.column("tile_key")[0].as_py()], pa.int64()),
+        "z": pa.array([z], pa.int32()),
+        "x": pa.array([x], pa.int32()),
+        "y": pa.array([y], pa.int32()),
+        "data": pa.array([grid.astype(dtype).tobytes()], pa.binary()),
+        "burned_px": pa.array([int(hitmask.sum())], pa.int64()),
+    })
+
+
+def rasterize(polygons: "ray.data.Dataset", zoom: int, *,
+              burn_col: str | None = None, burn_value: float = 255.0,
+              merge_alg: str = "replace", id_col: str = "poly_id",
+              dtype=np.uint8) -> "ray.data.Dataset":
+    """polygons(id, wkb[, burn_col]) → tile rasters at `zoom`.
+
+    Output: (tile_key, z, x, y, data=raw dtype TILE², burned_px).
+    Tiles nobody touches are never materialized (sparse by construction)."""
+    assert merge_alg in ("replace", "add")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = {"tile_key": [], "z": [], "x": [], "y": [], "geom_id": [],
+               "wkb": [], "burn": []}
+        wkbs = batch.column("wkb").to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        burns = (batch.column(burn_col).to_pylist() if burn_col
+                 else [burn_value] * batch.num_rows)
+        for i in range(batch.num_rows):
+            g = wkb.loads(wkbs[i])
+            polys = wkb.as_polygons(g)
+            if not polys:
+                continue
+            xs = np.concatenate([rings[0][:, 0] for rings in polys])
+            ys = np.concatenate([rings[0][:, 1] for rings in polys])
+            lat0 = max(float(ys.min()), -85.05112878)
+            lat1 = min(float(ys.max()), 85.05112878)
+            if lat0 > lat1:
+                continue
+            mx0, my0 = mercator.latlon_to_meters(lat0, float(xs.min()))
+            mx1, my1 = mercator.latlon_to_meters(lat1, float(xs.max()))
+            px0, py0 = mercator.meters_to_pixels(mx0, my0, zoom)
+            px1, py1 = mercator.meters_to_pixels(mx1, my1, zoom)
+            tx0, ty0 = mercator.pixels_to_tile(px0, py0)
+            tx1, ty1 = mercator.pixels_to_tile(px1, py1)
+            n = (1 << zoom) - 1
+            for ty in range(max(int(ty0), 0), min(int(ty1), n) + 1):
+                for tx in range(max(int(tx0), 0), min(int(tx1), n) + 1):
+                    out["tile_key"].append(int(mercator.tile_key(zoom, tx, ty)))
+                    out["z"].append(zoom); out["x"].append(tx); out["y"].append(ty)
+                    out["geom_id"].append(ids[i])
+                    out["wkb"].append(wkbs[i])
+                    out["burn"].append(float(burns[i]))
+        return pa.table({
+            "tile_key": pa.array(out["tile_key"], pa.int64()),
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int32()),
+            "y": pa.array(out["y"], pa.int32()),
+            "geom_id": pa.array(out["geom_id"], pa.string()),
+            "wkb": pa.array(out["wkb"], pa.binary()),
+            "burn": pa.array(out["burn"], pa.float64()),
+        })
+
+    contribs = polygons.map_batches(expand, batch_format="pyarrow")
+    return contribs.groupby("tile_key").map_groups(
+        lambda g: _burn_group(g, merge_alg, dtype), batch_format="pyarrow")
