@@ -1,0 +1,126 @@
+"""Text analysis stages for training-data pipelines: language-ID, quality
+scoring, token counting, fingerprinting — all stateless vectorized
+``map_batches`` over the documents table.
+
+Definitions are fixed and simple so DuckDB oracle SQL can reproduce the
+token/quality metrics exactly (driver correctness gate); langid uses a
+deterministic stopword/character heuristic (rows-only checkable)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# compiled ONCE at module import (per worker process) — the regex-compile
+# analogue of the reference's per-worker cached state
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\sA-Za-z0-9]")
+_WORD_RE = re.compile(r"[A-Za-z]+")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "on", "as"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "est", "pour", "que", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf", "ein", "eine", "nicht"},
+}
+
+
+def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish subtoken count (regex pieces).
+
+    n_ws_tokens matches DuckDB `len(string_split(trim(text), ' '))` ONLY for
+    single-space text, so the SQL-matched definition here is:
+      n_ws_tokens  = number of maximal whitespace-separated pieces
+      n_chars      = UTF-8 character count
+    """
+    texts = batch.column(text_col).to_pylist()
+    n_ws = [len(t.split()) for t in texts]
+    n_re = [len(_TOKEN_RE.findall(t)) for t in texts]
+    n_ch = [len(t) for t in texts]
+    out = {c: batch.column(c) for c in batch.column_names if c != text_col}
+    out["n_ws_tokens"] = pa.array(n_ws, pa.int64())
+    out["n_re_tokens"] = pa.array(n_re, pa.int64())
+    out["n_chars_calc"] = pa.array(n_ch, pa.int64())
+    return pa.table(out)
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features (Gopher/C4-style rules, simplified):
+    mean word length, alpha ratio, punct ratio, stopword ratio, plus a
+    0-1 composite.  All ratios are exact rational arithmetic → SQL-matchable
+    after fixed rounding."""
+    texts = batch.column(text_col).to_pylist()
+    rows = {"mean_word_len": [], "alpha_ratio": [], "punct_ratio": [],
+            "stopword_ratio": [], "quality": []}
+    for t in texts:
+        n = len(t)
+        words = _WORD_RE.findall(t)
+        n_alpha = sum(c.isalpha() for c in t)
+        n_punct = sum(c in ".,;:!?'\"()-" for c in t)
+        toks = [w.lower() for w in t.split()]
+        n_stop = sum(tok.strip(".,;:!?'\"()-").lower() in _STOPWORDS["en"] for tok in toks)
+        mwl = (sum(len(w) for w in words) / len(words)) if words else 0.0
+        ar = n_alpha / n if n else 0.0
+        pr = n_punct / n if n else 0.0
+        sr = n_stop / len(toks) if toks else 0.0
+        q = 0.0
+        if 3.0 <= mwl <= 10.0:
+            q += 0.4
+        if ar >= 0.6:
+            q += 0.3
+        if sr >= 0.05:
+            q += 0.3
+        rows["mean_word_len"].append(round(mwl, 6))
+        rows["alpha_ratio"].append(round(ar, 6))
+        rows["punct_ratio"].append(round(pr, 6))
+        rows["stopword_ratio"].append(round(sr, 6))
+        rows["quality"].append(round(q, 6))
+    out = {c: batch.column(c) for c in batch.column_names if c != text_col}
+    for k, v in rows.items():
+        out[k] = pa.array(v, pa.float64())
+    return pa.table(out)
+
+
+def detect_language(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic stopword-vote language ID over {en, es, fr, de},
+    'und' (undetermined) on ties/empty — an n-gram-heuristic stand-in for a
+    fasttext model; the actor-pool plumbing is what a model-backed stage
+    would reuse."""
+    texts = batch.column(text_col).to_pylist()
+    langs = []
+    for t in texts:
+        toks = [w.strip(".,;:!?'\"()-").lower() for w in t.split()]
+        votes = {lang: sum(tok in sw for tok in toks) for lang, sw in _STOPWORDS.items()}
+        best = max(votes.items(), key=lambda kv: (kv[1], kv[0]))
+        second = sorted(votes.values())[-2] if len(votes) > 1 else 0
+        langs.append(best[0] if best[1] > 0 and best[1] > second else "und")
+    out = {c: batch.column(c) for c in batch.column_names if c != text_col}
+    out["lang_pred"] = pa.array(langs, pa.string())
+    return pa.table(out)
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: min rolling-hash over each
+    window of word 3-grams, XOR-combined — a compact dedup/similarity key."""
+    from .dedup import _hash_bytes_to_u64, _splitmix
+    texts = batch.column(text_col).to_pylist()
+    fps = []
+    for t in texts:
+        toks = t.lower().split()
+        if len(toks) < 3:
+            fps.append(0)
+            continue
+        # Python's builtin hash() is per-process salted — NOT usable here;
+        # deterministic content hash instead (same value on every worker)
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        h3 = _splitmix(_hash_bytes_to_u64(grams))
+        if len(h3) >= window:
+            mins = np.lib.stride_tricks.sliding_window_view(h3, window).min(axis=1)
+        else:
+            mins = h3
+        fps.append(int(np.bitwise_xor.reduce(np.unique(mins))) - (1 << 63))
+    out = {c: batch.column(c) for c in batch.column_names if c != text_col}
+    out["fingerprint"] = pa.array(fps, pa.int64())
+    return pa.table(out)

@@ -1,0 +1,76 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Image decode is REAL for png/raw (core.codecs) and a clearly-marked
+deterministic stub for jpeg/webp (no libjpeg/libwebp in this container —
+swap core.codecs._lossy_* for real bindings on a cluster).  Audio/video
+decode is stubbed with ``NotImplementedError``; the Ray-side plumbing
+(schema, actor signature, batch sizing) is real and tested.
+
+Batch-size guidance: payloads here are O(100 KB)/row, so stages default to
+small batches (32) to keep batch × concurrency within worker heaps — the
+"large binary payloads need small batches" rule from the scale checklist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import codecs
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → per-image features (mean/std per band,
+    16-bin luminance histogram, 64-bit average-hash) — the shape a model
+    embedding stage would take (model load would go here in __init__)."""
+
+    def __init__(self):
+        # real model-backed variant would load weights here, once per actor
+        self.hist_bins = np.linspace(0, 256, 17)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"image_id": batch.column("image_id").to_pylist(),
+               "mean": [], "std": [], "hist": [], "ahash": []}
+        bts = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        for i in range(batch.num_rows):
+            img = codecs.decode(bts[i], fmts[i])
+            g = img if img.ndim == 2 else img.mean(axis=2)
+            out["mean"].append(float(g.mean()))
+            out["std"].append(float(g.std()))
+            out["hist"].append(np.histogram(g, bins=self.hist_bins)[0].astype(np.int64).tolist())
+            # 8×8 average hash (the classic phash-lite)
+            from ..core.resample import resize
+            small = resize(g.astype(np.float64), 8, 8, method="average")
+            bits = (small > small.mean()).ravel()
+            out["ahash"].append(int((bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()) - (1 << 63))
+        return pa.table({"image_id": pa.array(out["image_id"]),
+                         "mean": pa.array(out["mean"], pa.float64()),
+                         "std": pa.array(out["std"], pa.float64()),
+                         "hist": pa.array(out["hist"], pa.list_(pa.int64(), 16)),
+                         "ahash": pa.array(out["ahash"], pa.int64())})
+
+
+class AudioDecodeStage:
+    """STUB: audio decode requires codec libs absent from this container.
+    The schema contract is (audio_id, bytes, sample_rate) → (audio_id,
+    duration_s, rms).  Raises NotImplementedError on real payloads."""
+
+    def __init__(self, sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decode stub: install an audio codec and replace this "
+            "stage body; the actor/batch plumbing is the deliverable here")
+
+
+class VideoFrameSampleStage:
+    """STUB: video frame sampling (1 frame / n seconds).  Contract:
+    (video_id, bytes, fps) → (video_id, frame_idx, frame_png)."""
+
+    def __init__(self, every_n_seconds: float = 1.0):
+        self.every = every_n_seconds
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError("video decode stub — see AudioDecodeStage")

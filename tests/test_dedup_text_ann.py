@@ -1,0 +1,200 @@
+"""Dedup / text-analysis / similarity-search pipelines vs brute-force
+oracles on the driver-provided documents + embeddings tables."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gdal_ray.pipelines import ann as ANN
+from gdal_ray.pipelines import dedup as DD
+from gdal_ray.pipelines import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    # append exact duplicates + near duplicates for dedup coverage
+    n = t.num_rows
+    texts = t.column("text").to_pylist()
+    extra_text = [texts[0], texts[1], texts[2] + " extra tail words here"]
+    extra = pa.table({
+        "doc_id": pa.array([10_000, 10_001, 10_002], pa.int64()),
+        "text": pa.array(extra_text),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["dup"] * 3),
+        "n_chars": pa.array([len(x) for x in extra_text], pa.int64()),
+    })
+    return pa.concat_tables([t, extra])
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup(ray_session, docs_tbl):
+    import ray
+    out = DD.exact_dedup(ray.data.from_arrow(docs_tbl)).take_all()
+    got = sorted(r["doc_id"] for r in out)
+    # oracle: min doc_id per text
+    by_text = {}
+    for did, text in zip(docs_tbl.column("doc_id").to_pylist(),
+                         docs_tbl.column("text").to_pylist()):
+        by_text[text] = min(by_text.get(text, did), did)
+    assert got == sorted(by_text.values())
+    assert len(got) < docs_tbl.num_rows  # the injected dups collapsed
+
+
+def test_minhash_lsh_driver_oracle(docs_tbl):
+    pairs = DD.minhash_lsh_verified_pairs(docs_tbl, threshold=0.6)
+    ids = {(a, b) for a, b, _ in pairs}
+    # injected exact dups must be found
+    texts = docs_tbl.column("text").to_pylist()
+    d0 = docs_tbl.column("doc_id").to_pylist()[0]
+    assert (d0, 10_000) in ids
+    # near-dup (prefix + tail) should be found at 0.6
+    assert any(b == 10_002 for _, b in ids)
+    # verify precision: every reported pair truly >= threshold by jaccard
+    for a, b, j in pairs:
+        assert j >= 0.6
+
+
+def test_minhash_lsh_distributed_matches_driver(ray_session, docs_tbl):
+    import ray
+    got = DD.minhash_lsh_pairs(ray.data.from_arrow(docs_tbl), threshold=0.6).take_all()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    expect = {(a, b) for a, b, _ in DD.minhash_lsh_verified_pairs(docs_tbl, threshold=0.6)}
+    # distributed variant uses signature-estimate verification; candidate
+    # sets identical, verification may differ slightly near threshold —
+    # exact dup pairs must always be present, no pair may be duplicated
+    assert len(got) == len(got_pairs)
+    d0 = docs_tbl.column("doc_id").to_pylist()[0]
+    assert (d0, 10_000) in got_pairs
+    assert got_pairs >= {p for p in expect if p[1] in (10_000, 10_001)}
+
+
+def test_simhash_pairs(ray_session, docs_tbl):
+    import ray
+    out = DD.simhash_pairs(ray.data.from_arrow(docs_tbl), max_hamming=3).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    # exactly-once
+    assert len(out) == len(pairs)
+    # exact duplicates have hamming 0 and must appear
+    d0 = docs_tbl.column("doc_id").to_pylist()[0]
+    d1 = docs_tbl.column("doc_id").to_pylist()[1]
+    assert pairs[(d0, 10_000)] == 0
+    assert pairs[(d1, 10_001)] == 0
+    # oracle: brute-force simhash hamming over all pairs
+    ids = docs_tbl.column("doc_id").to_pylist()
+    hs = {i: DD.simhash64(t) for i, t in zip(ids, docs_tbl.column("text").to_pylist())}
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((ids[i], ids[j]))
+            if a == b:
+                continue
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 3:
+                expect[(a, b)] = d
+    assert pairs == expect
+
+
+def test_embedding_neardup(ray_session, emb_tbl):
+    import ray
+    # add a near-identical vector for a guaranteed hit
+    v0 = np.array(emb_tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    extra = pa.table({
+        "vec_id": pa.array([99_999], pa.int64()),
+        "embedding": pa.array([(v0 + 1e-6).tolist()],
+                              emb_tbl.schema.field("embedding").type),
+        "label": pa.array([0], pa.int32()),
+    })
+    tbl = pa.concat_tables([emb_tbl, extra])
+    out = DD.embedding_neardup_pairs(ray.data.from_arrow(tbl), threshold=0.999).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    v0_id = emb_tbl.column("vec_id")[0].as_py()
+    assert (v0_id, 99_999) in pairs
+    for r in out:
+        assert r["cosine"] >= 0.999
+
+
+def test_token_and_quality(docs_tbl):
+    out = TX.token_count(docs_tbl.slice(0, 50))
+    for i in range(50):
+        t = docs_tbl.column("text")[i].as_py()
+        assert out.column("n_ws_tokens")[i].as_py() == len(t.split())
+        assert out.column("n_chars_calc")[i].as_py() == len(t)
+    q = TX.quality_score(docs_tbl.slice(0, 20))
+    for c in ("mean_word_len", "alpha_ratio", "quality"):
+        assert c in q.column_names
+    ar = q.column("alpha_ratio").to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in ar)
+
+
+def test_langid_deterministic(docs_tbl):
+    out1 = TX.detect_language(docs_tbl.slice(0, 100))
+    out2 = TX.detect_language(docs_tbl.slice(0, 100))
+    assert out1.column("lang_pred").to_pylist() == out2.column("lang_pred").to_pylist()
+    en = TX.detect_language(pa.table({"doc_id": [1], "text": ["the cat is on the mat and it was good"]}))
+    assert en.column("lang_pred")[0].as_py() == "en"
+
+
+def test_fingerprint_stable_and_discriminative(docs_tbl):
+    a = TX.fingerprint(docs_tbl.slice(0, 30))
+    b = TX.fingerprint(docs_tbl.slice(0, 30))
+    assert a.column("fingerprint").to_pylist() == b.column("fingerprint").to_pylist()
+    fps = a.column("fingerprint").to_pylist()
+    assert len(set(fps)) > 25  # near-unique on distinct docs
+
+
+def test_brute_force_topk_matches_oracle(ray_session, emb_tbl):
+    import ray
+    Q = np.array(emb_tbl.column("embedding").to_pylist()[:5], dtype=np.float64)
+    qids = [f"q{i}" for i in range(5)]
+    out = ANN.brute_force_topk(ray.data.from_arrow(emb_tbl), Q, qids, k=10,
+                               concurrency=2).take_all()
+    V = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = emb_tbl.column("vec_id").to_pylist()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Vn @ Qn.T
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r[ "vec_id"], r["cosine"]))
+    for qi, qid in enumerate(qids):
+        col = S[:, qi]
+        expect = sorted(range(len(ids)), key=lambda j: (-col[j], ids[j]))[:10]
+        got = [g[1] for g in sorted(by_q[qid])]
+        assert got == [ids[j] for j in expect]
+
+
+def test_ivf_topk_recall(ray_session, emb_tbl):
+    import ray
+    Q = np.array(emb_tbl.column("embedding").to_pylist()[:3], dtype=np.float64)
+    qids = [f"q{i}" for i in range(3)]
+    exact = ANN.brute_force_topk(ray.data.from_arrow(emb_tbl), Q, qids, k=5).take_all()
+    approx = ANN.ivf_topk(ray.data.from_arrow(emb_tbl), Q, qids, k=5,
+                          n_centroids=8, nprobe=4).take_all()
+    ex = {}
+    ap = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.6  # nprobe=4/8 buckets
+
+
+def test_image_feature_stage(ray_session):
+    import ray
+    from gdal_ray.core import fixtures
+    from gdal_ray.stages.multimodal import ImageFeatureStage
+    ds = ray.data.from_arrow(fixtures.images_table(8))
+    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                         batch_size=4, concurrency=1).take_all()
+    assert len(out) == 8
+    assert all(0 <= r["mean"] <= 255 for r in out)
+    assert all(sum(r["hist"]) > 0 for r in out)
