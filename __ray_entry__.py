@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship decode→warp→tile→PIP-join pipeline on a
+deterministic synthetic image catalog sized from sf0.001.  ``queries()``
+exposes one callable per implemented operator family (SURVEY.md §2);
+``oracle_sql()`` holds the matching DuckDB SQL (same column names — the
+driver compares row counts, schemas and order-insensitive value hashes).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +17,153 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on a synthetic catalog: images → warp → base tiles
+    at z=9 → composite; returns the tile dataset (z, x, y, png, checksum)."""
+    import ray.data
+
+    from gdal_ray.core import fixtures
+    from gdal_ray.pipelines import tiling
+
+    images = ray.data.from_arrow(fixtures.images_table(96))
+    tiles = tiling.base_tiles(images, zoom=9, concurrency=2, batch_size=16)
+    return tiles
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gdal_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _geo_rasterize(sf_dir: str):
+        """Rasterize nation-derived rects at z=5; per-tile burned pixel
+        counts (rows-only driver check; exact oracle in pytest)."""
+        import ray.data
+
+        from gdal_ray.pipelines.rasterize import rasterize
+        rects = R._read(sf_dir, "nation").map_batches(R._nation_rects,
+                                                      batch_format="pyarrow")
+        out = rasterize(rects, zoom=5, burn_value=1.0, merge_alg="add",
+                        id_col="poly_id")
+        return out.select_columns(["z", "x", "y", "burned_px"])
+
+    def _geo_polygonize(sf_dir: str):
+        """Polygonize a deterministic quantized catalog (rows-only check;
+        exact component oracle in pytest)."""
+        import numpy as np
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.polygonize import polygonize
+        from gdal_ray.stages.raster import reclassify_fn
+        images = ray.data.from_arrow(fixtures.images_table(24))
+        # quantize to 4 levels so components are meaty
+        lut = {v: (v // 64) * 64 for v in range(256)}
+        quant = images.map_batches(reclassify_fn(lut), batch_format="pyarrow")
+        return quant.map_batches(polygonize, batch_format="pyarrow") \
+                    .select_columns(["image_id", "value", "pix_count"])
+
+    def _tile_pyramid_summary(sf_dir: str):
+        """Flagship tiling summary (rows-only): per-zoom tile counts across
+        a 3-level pyramid over the synthetic catalog."""
+        import pyarrow as pa
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines import tiling
+        images = ray.data.from_arrow(fixtures.images_table(48))
+        levels = tiling.tile_pyramid(images, max_zoom=8, min_zoom=6, concurrency=2)
+        rows = []
+        for lv in levels:
+            t = pa.concat_tables(list(lv.select_columns(["z", "x", "y", "checksum"])
+                                      .iter_batches(batch_format="pyarrow")))
+            rows.append(pa.table({
+                "z": pa.array([t.column("z")[0].as_py() if t.num_rows else -1], pa.int32()),
+                "n_tiles": pa.array([t.num_rows], pa.int64()),
+                "checksum_sum": pa.array([int(pa.compute.sum(t.column("checksum")).as_py() or 0)], pa.int64()),
+            }))
+        return pa.concat_tables(rows)
+
+    def _footprint_join(sf_dir: str):
+        """Image-footprint × polygon-layer intersects join (rows-only;
+        brute-force-verified in pytest)."""
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines import spatial_join as SJ
+        from gdal_ray.stages.footprint import footprints
+        images = ray.data.from_arrow(fixtures.images_table(64))
+        fps = images.map_batches(footprints, batch_format="pyarrow")
+        polys = ray.data.from_arrow(fixtures.polygons_table(48))
+        return SJ.polygon_polygon_join(fps, polys, predicate="intersects",
+                                       a_id_col="image_id", b_id_col="poly_id")
+
+    def _minhash_neardup(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.pipelines.dedup import minhash_lsh_pairs
+        docs = R._read(sf_dir, "documents")
+        return minhash_lsh_pairs(docs, threshold=0.7)
+
+    def _simhash_neardup(sf_dir: str):
+        from gdal_ray.pipelines.dedup import simhash_pairs
+        return simhash_pairs(R._read(sf_dir, "documents"), max_hamming=3)
+
+    def _langid(sf_dir: str):
+        from gdal_ray.pipelines.text import detect_language
+        ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return ds.map_batches(detect_language, batch_format="pyarrow")
+
+    return {
+        # relational parity (exact SQL oracles)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q_segment_revenue": R.q_segment_revenue,
+        "q_topk_orders": R.q_topk_orders,
+        "q_distinct_brands": R.q_distinct_brands,
+        "q_filter_project": R.q_filter_project,
+        "q_nation_revenue": R.q_nation_revenue,
+        "q_event_stats": R.q_event_stats,
+        "q_union_concat": R.q_union_concat,
+        "q_semi_anti": R.q_semi_anti,
+        "q_string_funcs": R.q_string_funcs,
+        # geospatial engine paths with SQL oracles
+        "geo_tile_assign": R.geo_tile_assign,
+        "geo_pip_join": R.geo_pip_join,
+        "geo_knn": R.geo_knn,
+        "geo_zonal_points": R.geo_zonal_points,
+        # training-data ops with SQL oracles
+        "dedup_exact_docs": R.dedup_exact_docs,
+        "text_token_stats": R.text_token_stats,
+        "text_alpha_ratio": R.text_alpha_ratio,
+        "ann_topk": R.ann_topk,
+        # non-SQL-expressible (rows-only driver check, pytest oracles)
+        "tile_pyramid_summary": _tile_pyramid_summary,
+        "footprint_join": _footprint_join,
+        "geo_rasterize": _geo_rasterize,
+        "geo_polygonize": _geo_polygonize,
+        "dedup_minhash": _minhash_neardup,
+        "dedup_simhash": _simhash_neardup,
+        "text_langid": _langid,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gdal_ray.pipelines import relational as R
+
+    return {
+        "q1_pricing_summary": R.SQL_Q1,
+        "q_segment_revenue": R.SQL_SEGMENT_REVENUE,
+        "q_topk_orders": R.SQL_TOPK_ORDERS,
+        "q_distinct_brands": R.SQL_DISTINCT_BRANDS,
+        "q_filter_project": R.SQL_FILTER_PROJECT,
+        "q_nation_revenue": R.SQL_NATION_REVENUE,
+        "q_event_stats": R.SQL_EVENT_STATS,
+        "q_union_concat": R.SQL_UNION_CONCAT,
+        "q_semi_anti": R.SQL_SEMI_ANTI,
+        "q_string_funcs": R.SQL_STRING_FUNCS,
+        "geo_tile_assign": R.SQL_GEO_TILE_ASSIGN,
+        "geo_pip_join": R.SQL_GEO_PIP_JOIN,
+        "geo_knn": R.SQL_GEO_KNN,
+        "geo_zonal_points": R.SQL_GEO_ZONAL,
+        "dedup_exact_docs": R.SQL_DEDUP_EXACT,
+        "text_token_stats": R.SQL_TEXT_TOKEN,
+        "text_alpha_ratio": R.SQL_TEXT_ALPHA,
+        "ann_topk": R.SQL_ANN_TOPK,
+    }

@@ -1,0 +1,155 @@
+"""Benchmark harness (driver contract).
+
+Headline metric: images/sec end-to-end (decode → warp → tile composite →
+PIP join) over a deterministic synthetic image catalog (BASELINE.json
+input_hint schema), plus per-query timings for representative queries()
+entries over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline pipeline in TWO fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# catalog sized to keep the bench a few minutes: images are the expensive
+# rows (decode+warp ~10² tiles of math each)
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000"))
+ZOOM = 9
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+
+
+def gen_images(n: int):
+    """Distributed synthetic catalog: generation itself is a map_batches
+    over a range — no driver-side materialization."""
+    import ray.data
+
+    from gdal_ray.core.fixtures import images_batch
+
+    def fn(batch):
+        import numpy as np
+        return images_batch(np.asarray(batch["id"]))
+
+    return ray.data.range(n).map_batches(fn, batch_format="numpy", batch_size=64)
+
+
+def headline(num_cpus: int, n_images: int) -> dict:
+    """decode → warp → composite tiles at z=9 → footprint PIP join."""
+    import ray
+
+    from gdal_ray.core import fixtures
+    from gdal_ray.pipelines import spatial_join as SJ
+    from gdal_ray.pipelines import tiling
+    from gdal_ray.stages.footprint import footprints
+
+    _init_ray(num_cpus)
+    import ray.data
+    t0 = time.time()
+    images = gen_images(n_images).materialize()  # exclude synth cost from timing? keep: it's 'decode input'
+    t_gen = time.time() - t0
+
+    conc = max(2, num_cpus - 2)
+    t1 = time.time()
+    tiles = tiling.base_tiles(images, zoom=ZOOM, concurrency=conc, batch_size=16)
+    n_tiles = tiles.count()
+    t_tiles = time.time() - t1
+
+    t2 = time.time()
+    fps = images.map_batches(footprints, batch_format="pyarrow")
+    polys = ray.data.from_arrow(fixtures.polygons_table(200))
+    join = SJ.polygon_polygon_join(fps, polys, predicate="intersects",
+                                   a_id_col="image_id", b_id_col="poly_id")
+    n_pairs = join.count()
+    t_join = time.time() - t2
+
+    wall = time.time() - t1  # decode→warp→tile + join (post-ingest)
+    return {"n_images": n_images, "n_tiles": n_tiles, "n_pairs": n_pairs,
+            "t_generate": round(t_gen, 3), "t_tiles": round(t_tiles, 3),
+            "t_join": round(t_join, 3), "wall": round(wall, 3),
+            "images_per_sec": round(n_images / wall, 3)}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as em
+    qs = em.queries()
+    picks = ["q1_pricing_summary", "q_nation_revenue", "geo_tile_assign",
+             "geo_pip_join", "geo_knn", "dedup_exact_docs", "ann_topk",
+             "dedup_minhash"]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        try:
+            import ray.data
+            n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        except Exception:
+            n = -1
+        out[name] = round(time.time() - t0, 3)
+        sys.stderr.write(f"[bench] {name}: {out[name]}s ({n} rows)\n")
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            code = (
+                "import json,sys; sys.path.insert(0,'.'); "
+                "from bench import headline; "
+                f"print('RESULT'+json.dumps(headline({ncpu}, {N_IMAGES})))"
+            )
+            env = dict(os.environ)
+            p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                               text=True, cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT")]
+            if not line:
+                sys.stderr.write(p.stdout + p.stderr)
+                raise SystemExit(f"scaling run at {ncpu} cpus failed")
+            results[ncpu] = json.loads(line[-1][len("RESULT"):])
+        tput8 = results[8]["images_per_sec"]
+        tput32 = results[32]["images_per_sec"]
+        eff = tput32 / (4.0 * tput8)
+        print(json.dumps({
+            "metric": "scaling_efficiency", "value": round(eff, 4), "unit": "ratio",
+            "throughput_n": {"num_cpus": 8, "images_per_sec": tput8},
+            "throughput_4n": {"num_cpus": 32, "images_per_sec": tput32},
+            "detail": results,
+        }))
+        return
+
+    _init_ray(NUM_CPUS)
+    h = headline(NUM_CPUS, N_IMAGES)
+    q = run_queries(SF_DIR)
+    print(json.dumps({
+        "metric": "images_per_sec",
+        "value": h["images_per_sec"],
+        "unit": "sec",
+        "queries": q,
+        "headline": h,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,694 @@
+"""Relational operator suite (SURVEY §2.5-2.9) + driver-gate queries.
+
+The reference's OGR SQL engine (ogr/ogr_gensql.cpp, swq_op_general.cpp)
+evaluates SELECT/WHERE/JOIN/GROUP BY/ORDER BY/LIMIT/DISTINCT over layer
+iterators single-threaded.  Here each construct maps to the Ray Data
+primitive (filter → map_batches+pc.filter, join → ds.join hash join,
+GROUP BY → groupby().aggregate() partial+final, ORDER BY k LIMIT n →
+sort().limit()), all streaming over Arrow blocks.
+
+Each ``q_*`` function returns a Ray Dataset whose columns match the
+``SQL_*`` oracle string next to it byte-for-name; computed doubles are
+rounded to fixed decimals on BOTH sides so the driver's value-hash
+comparison is robust to summation-order ulp drift.
+
+The geo_* queries derive coordinates from the TPC-H integer keys with pure
+(integer-first) arithmetic reproduced in the SQL oracle, then run the REAL
+engine machinery (cell joins, kNN stage, mercator math) on the derived
+geometry — so the driver gate exercises the same code paths the imagery
+pipelines use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..core import mercator, wkb
+from . import knn as KNN
+from . import spatial_join as SJ
+
+def _join_partitions() -> int:
+    """Hash-join fan-out sized to the running cluster: Ray Data's join
+    spawns one aggregator actor per partition, so the count must fit the
+    CPU budget (16 partitions in a 4-CPU test session deadlocks the
+    streaming executor).  At real cluster scale this returns the large
+    fan-out the shuffle wants."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(64, cpus // 2))
+
+
+
+
+
+def _read(sf_dir: str, name: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    """DuckDB-compatible rounding: ties away from zero (DuckDB round()),
+    NOT banker's rounding — required for value-hash parity on boundary
+    values like 0.8203125."""
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pc.round(t.column(col), ndigits=nd,
+                                         round_mode="half_towards_infinity"))
+
+
+# =====================================================================
+# Relational parity queries
+# =====================================================================
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter + multi-key groupby + 5 aggregates."""
+    ds = _read(sf_dir, "lineitem")
+
+    # money columns are 2-decimal fixed-point: aggregate in scaled int64 so
+    # the sum is EXACT and independent of partition/summation order — the
+    # distributed-sum-vs-oracle determinism rule (floats drift across the
+    # rounding boundary otherwise)
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b.column("l_shipdate"),
+                             pa.scalar(np.datetime64("1998-09-02", "us")))
+        b = b.filter(keep)
+        qty_c = np.round(np.asarray(b.column("l_quantity")) * 100).astype(np.int64)
+        ep_c = np.round(np.asarray(b.column("l_extendedprice")) * 100).astype(np.int64)
+        disc_c = np.round(np.asarray(b.column("l_discount")) * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty_c": pa.array(qty_c, pa.int64()),
+            "ep_c": pa.array(ep_c, pa.int64()),
+            "disc_price_cc": pa.array(ep_c * (100 - disc_c), pa.int64()),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty_c"), Sum("ep_c"), Sum("disc_price_cc"), Count()))
+
+    def finish(b: pa.Table) -> pa.Table:
+        qty = np.asarray(b.column("sum(qty_c)"), dtype=np.int64)
+        cnt = np.asarray(b.column("count()"), dtype=np.int64)
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": pa.array(qty / 100.0, pa.float64()),
+            "sum_base_price": pa.array(np.asarray(b.column("sum(ep_c)"), dtype=np.int64) / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(np.asarray(b.column("sum(disc_price_cc)"), dtype=np.int64) / 10000.0, pa.float64()),
+            "avg_qty": pa.array(qty / 100.0 / cnt, pa.float64()),
+            "count_order": b.column("count()"),
+        })
+        for c, nd in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 4)):
+            t = _round_col(t, c, nd)
+        return t
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer (hash join) + groupby segment."""
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "price_c": pa.array(np.round(np.asarray(b.column("o_totalprice")) * 100).astype(np.int64)),
+        })
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    j = orders.join(cust, join_type="inner", num_partitions=_join_partitions(),
+                    on=("o_custkey",), right_on=("c_custkey",))
+    agg = j.groupby("c_mktsegment").aggregate(Sum("price_c"), Count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "total_price": pa.array(np.asarray(b.column("sum(price_c)"), dtype=np.int64) / 100.0, pa.float64()),
+            "n_orders": b.column("count()"),
+        })
+        return _round_col(t, "total_price", 2)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """ORDER BY … LIMIT (ogr_gensql.cpp:2218 CreateOrderByIndex analog)."""
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(lambda b: _round_col(b, "o_totalprice", 2),
+                           batch_format="pyarrow")
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_brands(sf_dir: str):
+    """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_gensql.cpp:705) = groupby
+    with no aggregates — a pure key shuffle."""
+    agg = _read(sf_dir, "part").select_columns(["p_brand"]).groupby("p_brand").aggregate(Count())
+    return agg.select_columns(["p_brand"])
+
+
+SQL_DISTINCT_BRANDS = "SELECT DISTINCT p_brand FROM part"
+
+
+def q_filter_project(sf_dir: str):
+    """-where + -select + computed field (ogr2ogr_lib.cpp:7707,7729)."""
+    ds = _read(sf_dir, "lineitem")
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b.column("l_quantity"), pa.scalar(45.0)),
+                       pc.less(b.column("l_discount"), pa.scalar(0.05)))
+        b = b.filter(keep)
+        revenue = pc.round(pc.multiply(b.column("l_extendedprice"),
+                                       pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+                           ndigits=2)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "revenue": revenue,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """3-way join + groupby (lineitem ⋈ orders ⋈ customer ⋈ nation)."""
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        ep_c = np.round(np.asarray(b.column("l_extendedprice")) * 100).astype(np.int64)
+        disc_c = np.round(np.asarray(b.column("l_discount")) * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev_cc": pa.array(ep_c * (100 - disc_c), pa.int64()),
+        })
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation").select_columns(["n_nationkey", "n_name"])
+    j = (li.join(orders, join_type="inner", num_partitions=_join_partitions(),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+           .join(cust, join_type="inner", num_partitions=_join_partitions(),
+                 on=("o_custkey",), right_on=("c_custkey",))
+           .join(nation, join_type="inner", num_partitions=_join_partitions(),
+                 on=("c_nationkey",), right_on=("n_nationkey",)))
+    agg = j.groupby("n_name").aggregate(Sum("rev_cc"), Count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "n_name": b.column("n_name"),
+            "revenue": pa.array(np.asarray(b.column("sum(rev_cc)"), dtype=np.int64) / 10000.0, pa.float64()),
+            "n_items": b.column("count()"),
+        })
+        return _round_col(t, "revenue", 2)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_event_stats(sf_dir: str):
+    """events groupby with min/max/mean — the band-statistics aggregate
+    shape (partial+final)."""
+    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+
+    def micro(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value": b.column("value"),
+            "value_u": pa.array(np.round(np.asarray(b.column("value")) * 1e6).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(micro, batch_format="pyarrow").groupby("event_type") \
+            .aggregate(Count(), Sum("value_u"), Min("value"), Max("value"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": b.column("count()"),
+            "sum_value": pa.array(np.asarray(b.column("sum(value_u)"), dtype=np.int64) / 1e6, pa.float64()),
+            "min_value": b.column("min(value)"),
+            "max_value": b.column("max(value)"),
+        })
+        t = _round_col(t, "sum_value", 4)
+        t = _round_col(t, "min_value", 6)
+        return _round_col(t, "max_value", 6)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_STATS = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_union_concat(sf_dir: str):
+    """union-all of two filtered layers (OGRUnionLayer / vector concat)."""
+    o = _read(sf_dir, "orders")
+    hi = o.filter(expr="o_totalprice > 400000.0")
+    lo = o.filter(expr="o_totalprice < 10000.0")
+    u = hi.union(lo).select_columns(["o_orderkey", "o_orderstatus"])
+    return u
+
+
+SQL_UNION_CONCAT = """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000.0
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice < 10000.0
+"""
+
+
+def q_semi_anti(sf_dir: str):
+    """customers with no orders (anti-join via left join + null filter —
+    the SQL NOT IN idiom, SURVEY §2.5 semi/anti)."""
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders").filter(expr="o_totalprice > 300000.0") \
+        .groupby("o_custkey").aggregate(Count())
+    j = cust.join(orders, join_type="left_outer", num_partitions=_join_partitions(),
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.is_null(b.column("count()"))
+        return pa.table({"c_custkey": b.filter(keep).column("c_custkey")})
+
+    return j.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SEMI_ANTI = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""
+
+
+def q_string_funcs(sf_dir: str):
+    """CONCAT/SUBSTR/LIKE/CAST of the OGR SQL function set
+    (swq_op_registrar.cpp:28-62) via pyarrow.compute."""
+    ds = _read(sf_dir, "part")
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.match_like(b.column("p_type"), "%M%")
+        b = b.filter(keep)
+        label = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(b.column("p_brand"), 0, 5),
+            pc.cast(b.column("p_size"), pa.string()), "#")
+        return pa.table({
+            "p_partkey": b.column("p_partkey"),
+            "label": label,
+            "upper_name": pc.utf8_upper(b.column("p_name")),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       substr(p_brand, 1, 5) || '#' || CAST(p_size AS VARCHAR) AS label,
+       upper(p_name) AS upper_name
+FROM part WHERE p_type LIKE '%M%'
+"""
+
+
+# =====================================================================
+# Geo queries over key-derived coordinates (engine machinery + SQL oracle)
+# =====================================================================
+# Derivations are integer-modulo first, one final division — bit-identical
+# in numpy and DuckDB.  Offsets (.05 / .017) keep points off cell/zone
+# boundaries so floor/BETWEEN edge semantics can't diverge.
+
+def _cust_points(b: pa.Table) -> pa.Table:
+    k = np.asarray(b.column("c_custkey"), dtype=np.int64)
+    x = ((k * 37) % 3600) / 10.0 - 180.0 + 0.05
+    y = ((k * 91) % 1700) / 10.0 - 85.0 + 0.05
+    return pa.table({"point_id": pa.array([f"c{v:08d}" for v in k]),
+                     "ckey": pa.array(k, pa.int64()),
+                     "x": pa.array(x, pa.float64()),
+                     "y": pa.array(y, pa.float64())})
+
+
+def _nation_rects(b: pa.Table) -> pa.Table:
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    xmin = ((k * 29) % 300) - 160.0 + 0.017
+    ymin = ((k * 53) % 140) - 75.0 + 0.017
+    xmax = xmin + 12.0 + (k % 7)
+    ymax = ymin + 8.0 + (k % 5)
+    wkbs = [wkb.box(a, b2, c, d) for a, b2, c, d in zip(xmin, ymin, xmax, ymax)]
+    return pa.table({"poly_id": pa.array([f"n{v:04d}" for v in k]),
+                     "nkey": pa.array(k, pa.int64()),
+                     "wkb": pa.array(wkbs, pa.binary())})
+
+
+def geo_tile_assign(sf_dir: str):
+    """XYZ tile assignment at z=8 for lineitem-derived lon/lat + per-tile
+    counts — the gdal2tiles PixelsToTile math as a groupby key."""
+    Z = 8
+    ds = _read(sf_dir, "lineitem").select_columns(["l_partkey", "l_suppkey"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        lon = ((pk * 17 + sk * 7) % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((pk * 13 + sk * 29) % 1600) / 10.0 - 80.0 + 0.05
+        mx, my = mercator.latlon_to_meters(lat, lon)
+        px, py = mercator.meters_to_pixels(mx, my, Z)
+        tx, ty_tms = mercator.pixels_to_tile(px, py)
+        _, ty = mercator.tms_to_xyz(tx, ty_tms, Z)
+        return pa.table({"z": pa.array(np.full(len(tx), Z, np.int64)),
+                         "x": pa.array(tx, pa.int64()),
+                         "y": pa.array(ty, pa.int64())})
+
+    agg = ds.map_batches(fn, batch_format="pyarrow").groupby(["z", "x", "y"]) \
+            .aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table({"z": b.column("z"), "x": b.column("x"),
+                            "y": b.column("y"), "n": b.column("count()")}),
+        batch_format="pyarrow")
+
+
+SQL_GEO_TILE_ASSIGN = """
+WITH pts AS (
+  SELECT ((l_partkey * 17 + l_suppkey * 7) % 3600) / 10.0 - 180.0 + 0.05 AS lon,
+         ((l_partkey * 13 + l_suppkey * 29) % 1600) / 10.0 - 80.0 + 0.05 AS lat
+  FROM lineitem
+), tiles AS (
+  SELECT 8 AS z,
+         CAST(ceil((lon * 20037508.342789244 / 180.0 + 20037508.342789244)
+              / (2 * pi() * 6378137 / 256 / 256.0) / 256.0) AS BIGINT) - 1 AS x,
+         255 - (CAST(ceil((ln(tan((90 + lat) * pi() / 360.0)) / (pi() / 180.0)
+              * 20037508.342789244 / 180.0 + 20037508.342789244)
+              / (2 * pi() * 6378137 / 256 / 256.0) / 256.0) AS BIGINT) - 1) AS y
+  FROM pts
+)
+SELECT z, x, y, count(*) AS n FROM tiles GROUP BY z, x, y
+"""
+
+
+def geo_pip_join(sf_dir: str):
+    """Point-in-polygon join through the REAL cell-join machinery (WKB
+    rects so the oracle is a BETWEEN join)."""
+    pts = _read(sf_dir, "customer").map_batches(_cust_points, batch_format="pyarrow")
+    pls = _read(sf_dir, "nation").map_batches(_nation_rects, batch_format="pyarrow")
+    pairs = SJ.point_in_polygon_join(pts, pls, predicate="intersects")
+
+    def to_keys(b: pa.Table) -> pa.Table:
+        ck = [int(s[1:]) for s in b.column("point_id").to_pylist()]
+        nk = [int(s[1:]) for s in b.column("poly_id").to_pylist()]
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "n_nationkey": pa.array(nk, pa.int64())})
+
+    return pairs.map_batches(to_keys, batch_format="pyarrow")
+
+
+SQL_GEO_PIP_JOIN = """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS x,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS y
+  FROM customer
+), rects AS (
+  SELECT n_nationkey,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 AS xmin,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 AS ymin,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 + 12.0 + (n_nationkey % 7) AS xmax,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 + 8.0 + (n_nationkey % 5) AS ymax
+  FROM nation
+)
+SELECT c_custkey, n_nationkey
+FROM pts JOIN rects
+  ON x BETWEEN xmin AND xmax AND y BETWEEN ymin AND ymax
+"""
+
+
+def geo_knn(sf_dir: str):
+    """3 nearest customer-points per supplier-point via the broadcast kNN
+    stage; oracle = windowed cross join."""
+    cust = _read(sf_dir, "customer").map_batches(_cust_points, batch_format="pyarrow")
+    sup_tbl = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+        .map_batches(lambda b: pa.table({
+            "point_id": pa.array([f"s{int(v):06d}" for v in np.asarray(b.column('s_suppkey'))]),
+            "skey": b.column("s_suppkey"),
+            "x": pa.array((((np.asarray(b.column('s_suppkey'), dtype=np.int64)) * 41) % 3600) / 10.0 - 180.0 + 0.03, pa.float64()),
+            "y": pa.array((((np.asarray(b.column('s_suppkey'), dtype=np.int64)) * 67) % 1700) / 10.0 - 85.0 + 0.03, pa.float64()),
+        }), batch_format="pyarrow")
+    # broadcast side must be ordered by id so kernel tie-break == (d, id)
+    ctab = pa.concat_tables([b for b in cust.iter_batches(batch_format="pyarrow")])
+    order = pc.sort_indices(ctab.column("ckey"))
+    ctab = ctab.take(order)
+    ref_xy = np.column_stack([np.asarray(ctab.column("x")), np.asarray(ctab.column("y"))])
+    ref_ids = [int(v) for v in ctab.column("ckey").to_pylist()]
+    out = KNN.knn_join(sup_tbl, ref_xy, ref_ids, k=3, concurrency=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sk = [int(s[1:]) for s in b.column("point_id").to_pylist()]
+        return pa.table({"s_suppkey": pa.array(sk, pa.int64()),
+                         "c_custkey": pa.array([int(v) for v in b.column("neighbor_id").to_pylist()], pa.int64()),
+                         "rank": pc.cast(b.column("rank"), pa.int64()),
+                         "dist": pc.round(b.column("distance"), ndigits=6)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GEO_KNN = """
+WITH cust AS (
+  SELECT c_custkey,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS x,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS y
+  FROM customer
+), sup AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.03 AS x,
+         ((s_suppkey * 67) % 1700) / 10.0 - 85.0 + 0.03 AS y
+  FROM supplier
+), ranked AS (
+  SELECT s_suppkey, c_custkey,
+         sqrt((sup.x - cust.x) * (sup.x - cust.x)
+              + (sup.y - cust.y) * (sup.y - cust.y)) AS d,
+         row_number() OVER (PARTITION BY s_suppkey
+             ORDER BY (sup.x - cust.x) * (sup.x - cust.x)
+                      + (sup.y - cust.y) * (sup.y - cust.y), c_custkey) AS rank
+  FROM sup CROSS JOIN cust
+)
+SELECT s_suppkey, c_custkey, rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 3
+"""
+
+
+def geo_zonal_points(sf_dir: str):
+    """Zonal aggregate of point values per rect zone — cell join + final
+    groupby (the alg/zonal.cpp partial+final shape on vector points)."""
+    def li_points(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b.column("l_orderkey"), dtype=np.int64)
+        ln = np.asarray(b.column("l_linenumber"), dtype=np.int64)
+        k = ok * 10 + ln
+        x = ((k * 19) % 3600) / 10.0 - 180.0 + 0.041
+        y = ((k * 73) % 1700) / 10.0 - 85.0 + 0.041
+        return pa.table({"point_id": pa.array([f"l{v:010d}" for v in k]),
+                         "x": pa.array(x, pa.float64()),
+                         "y": pa.array(y, pa.float64()),
+                         "value": b.column("l_quantity")})
+
+    pts = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"]) \
+        .map_batches(li_points, batch_format="pyarrow")
+    pls = _read(sf_dir, "nation").map_batches(_nation_rects, batch_format="pyarrow")
+
+    # the cell-join CARRIES the value column through (carry_cols) — no
+    # back-join by key, which both saves a shuffle and stays correct when
+    # the derived key is not unique (every input row counts once)
+    pairs = SJ.point_in_polygon_join(pts, pls, predicate="intersects",
+                                     carry_cols=("value",))
+
+    def attach(b: pa.Table) -> pa.Table:
+        nk = [int(s[1:]) for s in b.column("poly_id").to_pylist()]
+        return pa.table({
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "value": b.column("value"),
+            "value_c": pa.array(np.round(np.asarray(b.column("value")) * 100).astype(np.int64)),
+        })
+
+    j = pairs.map_batches(attach, batch_format="pyarrow")
+    agg = j.groupby("n_nationkey").aggregate(Count(), Sum("value_c"), Min("value"), Max("value"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table({"n_nationkey": b.column("n_nationkey"),
+                      "n_points": b.column("count()"),
+                      "sum_value": pa.array(np.asarray(b.column("sum(value_c)"), dtype=np.int64) / 100.0, pa.float64()),
+                      "min_value": b.column("min(value)"),
+                      "max_value": b.column("max(value)")})
+        return _round_col(t, "sum_value", 2)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GEO_ZONAL = """
+WITH pts AS (
+  SELECT (l_orderkey * 10 + l_linenumber) AS k, l_quantity AS value,
+         (((l_orderkey * 10 + l_linenumber) * 19) % 3600) / 10.0 - 180.0 + 0.041 AS x,
+         (((l_orderkey * 10 + l_linenumber) * 73) % 1700) / 10.0 - 85.0 + 0.041 AS y
+  FROM lineitem
+), rects AS (
+  SELECT n_nationkey,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 AS xmin,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 AS ymin,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 + 12.0 + (n_nationkey % 7) AS xmax,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 + 8.0 + (n_nationkey % 5) AS ymax
+  FROM nation
+)
+SELECT n_nationkey, count(*) AS n_points,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM pts JOIN rects
+  ON x BETWEEN xmin AND xmax AND y BETWEEN ymin AND ymax
+GROUP BY n_nationkey
+"""
+
+
+# =====================================================================
+# Training-data queries with SQL oracles
+# =====================================================================
+
+def dedup_exact_docs(sf_dir: str):
+    from .dedup import exact_dedup
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def text_token_stats(sf_dir: str):
+    from .text import token_count
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = ds.map_batches(lambda b: token_count(b), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_ws_tokens", "n_chars_calc"])
+
+
+SQL_TEXT_TOKEN = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_ws_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def text_alpha_ratio(sf_dir: str):
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        ar = []
+        for t in texts:
+            n = len(t)
+            # [A-Za-z] only, to match the SQL regexp exactly (Python
+            # isalpha() also counts unicode letters — NOT used here);
+            # half-away-from-zero rounding = DuckDB round(), NOT Python's
+            # banker's round (0.8203125 must go to 0.820313)
+            n_alpha = sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t)
+            ar.append(float(np.floor(n_alpha / n * 1e6 + 0.5) / 1e6) if n else 0.0)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "alpha_ratio": pa.array(ar, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TEXT_ALPHA = """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text), 6) END AS alpha_ratio
+FROM documents
+"""
+
+
+def ann_topk(sf_dir: str):
+    """Exact cosine top-5 for the first 3 embedding rows as queries."""
+    from .ann import brute_force_topk
+    emb = _read(sf_dir, "embeddings")
+    head = emb.sort("vec_id").limit(3).take_all()
+    Q = np.array([r["embedding"] for r in head], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in head]
+    out = brute_force_topk(emb, Q, qids, k=5, concurrency=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": pc.cast(b.column("query_id"), pa.int64()),
+            "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+            "cosine": pc.round(b.column("cosine"), ndigits=6),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+FROM scored WHERE rank <= 5
+"""

@@ -86,11 +86,12 @@ def polygons_expand_cells(batch: pa.Table, level: int, wkb_col="wkb") -> pa.Tabl
 # ---------- point-in-polygon join ----------
 
 def _pip_group(group: pa.Table, predicate: str, level: int,
-               point_id_col: str, poly_id_col: str) -> pa.Table:
+               point_id_col: str, poly_id_col: str,
+               carry_cols: tuple = ()) -> pa.Table:
     side = np.asarray(group.column("side"))
     pts = group.filter(pa.array(side == 0))
     pls = group.filter(pa.array(side == 1))
-    out_pid, out_gid = [], []
+    out_pid, out_gid, out_rows = [], [], []
     if pts.num_rows and pls.num_rows:
         px = np.asarray(pts.column("x"), dtype=np.float64)
         py = np.asarray(pts.column("y"), dtype=np.float64)
@@ -114,24 +115,34 @@ def _pip_group(group: pa.Table, predicate: str, level: int,
                 for k in idx[hit]:
                     out_pid.append(pids[k])
                     out_gid.append(gid)
-    return pa.table({point_id_col: pa.array(out_pid, pa.string()),
-                     poly_id_col: pa.array(out_gid, pa.string())})
+                    out_rows.append(int(k))
+    cols = {point_id_col: pa.array(out_pid, pa.string()),
+            poly_id_col: pa.array(out_gid, pa.string())}
+    # carry point-side columns through the join (avoids re-joining values
+    # back by key — keys need not be unique, a row is a row)
+    for c in carry_cols:
+        cols[c] = pts.column(c).take(pa.array(out_rows, pa.int64())) \
+            if out_rows else pts.column(c).slice(0, 0)
+    return pa.table(cols)
 
 
 def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Dataset",
                           *, predicate: str = "intersects",
                           level: int = C.DEFAULT_LEVEL,
                           point_id_col: str = "point_id",
-                          poly_id_col: str = "poly_id") -> "ray.data.Dataset":
+                          poly_id_col: str = "poly_id",
+                          carry_cols: tuple = ()) -> "ray.data.Dataset":
     """(point_id, poly_id) pairs where predicate(point, polygon) holds.
 
     MultiPolygon parts are OR-ed (a point in any part matches once — pairs
     are deduped per (point, polygon) by construction since a point lives in
     exactly one cell)."""
     assert predicate in ("intersects", "within")
+    carry = dict(carry_cols) if isinstance(carry_cols, dict) else {c: pa.float64() for c in carry_cols}
     spec = [(point_id_col, pa.string()), ("x", pa.float64()), ("y", pa.float64()),
             (poly_id_col, pa.string()), ("wkb", pa.binary()),
-            ("cell", pa.int64()), ("side", pa.int8())]
+            ("cell", pa.int64()), ("side", pa.int8())] \
+        + [(c, t) for c, t in carry.items()]
 
     def prep_points(b: pa.Table) -> pa.Table:
         t = points_with_cells(b, level)
@@ -147,7 +158,8 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
     pls = polygons.map_batches(prep_polys, batch_format="pyarrow")
     both = pts.union(pls)
     return both.groupby("cell").map_groups(
-        lambda g: _pip_group(g, predicate, level, point_id_col, poly_id_col),
+        lambda g: _pip_group(g, predicate, level, point_id_col, poly_id_col,
+                             tuple(carry.keys())),
         batch_format="pyarrow")
 
 

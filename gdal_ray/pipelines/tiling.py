@@ -163,3 +163,56 @@ def write_tiles(tiles: "ray.data.Dataset", out_dir: str) -> None:
     """Partitioned parquet sink: hive-partitioned by z (resumable units);
     (z,x,y,png,checksum) rows — the MBTiles-style (z,x,y)->blob table."""
     tiles.write_parquet(out_dir, partition_cols=["z"])
+
+
+def write_tiles_resumable(tiles: "ray.data.Dataset", out_dir: str,
+                          run_id: str = "run0", superblock_bits: int = 4) -> int:
+    """Checkpointed sink (north_rule): tiles are partitioned by
+    (z, x >> superblock_bits) — spatially-local superblocks — and each
+    partition writes one parquet file THEN commits a manifest row
+    (partition id, tile-key range, row count, lineage id).
+
+    A restarted run reads the manifest and skips finished partitions
+    (the anti-join replacement for gdal2tiles' file-stat --resume,
+    gdal2tiles.py:1492).  Returns the number of rows written this run.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(out_dir)
+    done = store.finished_partitions()
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch.column("z"), dtype=np.int64)
+        x = np.asarray(batch.column("x"), dtype=np.int64)
+        return batch.append_column(
+            "part_id", pa.array((z << 32) | (x >> superblock_bits), pa.int64()))
+
+    def write_group(group: pa.Table) -> pa.Table:
+        pid = f"{group.column('part_id')[0].as_py():016x}"
+        if pid in done:
+            return pa.table({"part_id": pa.array([pid]),
+                             "rows_written": pa.array([0], pa.int64()),
+                             "skipped": pa.array([True])})
+        data = group.drop_columns(["part_id"])
+        path = os.path.join(out_dir, f"tiles-{pid}.parquet")
+        tmp = path + f".tmp-{run_id}"
+        pq.write_table(data, tmp)
+        os.replace(tmp, path)
+        keys = np.asarray(group.column("tile_key"), dtype=np.int64)
+        store.commit_partition(pid, int(keys.min()), int(keys.max()),
+                               group.num_rows, run_id)
+        return pa.table({"part_id": pa.array([pid]),
+                         "rows_written": pa.array([group.num_rows], pa.int64()),
+                         "skipped": pa.array([False])})
+
+    os.makedirs(out_dir, exist_ok=True)
+    report = tiles.map_batches(part_key, batch_format="pyarrow") \
+                  .groupby("part_id").map_groups(write_group, batch_format="pyarrow")
+    total = 0
+    for b in report.iter_batches(batch_format="pyarrow"):
+        total += int(np.sum(np.asarray(b.column("rows_written"))))
+    return total
