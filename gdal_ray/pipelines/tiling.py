@@ -39,23 +39,29 @@ from ..stages.warp import TILE, WarpTileStage
 def composite_group(group: pa.Table) -> pa.Table:
     """First-valid-wins composite of contributions for ONE tile (tie-broken
     by image_id order so output is deterministic regardless of arrival
-    order), then PNG encode.  Runs inside groupby().map_groups."""
+    order), then PNG encode.  Contributions are sub-windows (wx0, wy0, ww,
+    wh) — only the tile region each image touches ships through the
+    shuffle.  Runs inside groupby().map_groups."""
     order = np.argsort(np.asarray(group.column("image_id").to_pylist(), dtype=object), kind="stable")
-    rgb_acc = np.zeros((TILE * TILE, 3), dtype=np.uint8)
-    mask_acc = np.zeros(TILE * TILE, dtype=bool)
+    rgb_acc = np.zeros((TILE, TILE, 3), dtype=np.uint8)
+    mask_acc = np.zeros((TILE, TILE), dtype=bool)
     rgbs = group.column("rgb").to_pylist()
     masks = group.column("mask").to_pylist()
+    wx0s = group.column("wx0").to_pylist()
+    wy0s = group.column("wy0").to_pylist()
+    wws = group.column("ww").to_pylist()
+    whs = group.column("wh").to_pylist()
     for j in order:
-        m = np.frombuffer(masks[j], dtype=np.uint8) > 0
-        take = m & ~mask_acc
+        x0, y0, ww, wh = wx0s[j], wy0s[j], wws[j], whs[j]
+        m = np.frombuffer(masks[j], dtype=np.uint8).reshape(wh, ww) > 0
+        sub_acc = mask_acc[y0:y0 + wh, x0:x0 + ww]
+        take = m & ~sub_acc
         if take.any():
-            rgb = np.frombuffer(rgbs[j], dtype=np.uint8).reshape(TILE * TILE, 3)
-            rgb_acc[take] = rgb[take]
-            mask_acc |= take
-        if mask_acc.all():
-            break
-    rgba = np.concatenate([rgb_acc, (mask_acc.astype(np.uint8) * 255)[:, None]],
-                          axis=1).reshape(TILE, TILE, 4)
+            rgb = np.frombuffer(rgbs[j], dtype=np.uint8).reshape(wh, ww, 3)
+            rgb_acc[y0:y0 + wh, x0:x0 + ww][take] = rgb[take]
+            mask_acc[y0:y0 + wh, x0:x0 + ww] |= take
+    rgba = np.concatenate([rgb_acc, (mask_acc.astype(np.uint8) * 255)[:, :, None]],
+                          axis=2)
     png = codecs.encode_png(rgba)
     z = group.column("z")[0].as_py()
     x = group.column("x")[0].as_py()

@@ -85,6 +85,7 @@ class WarpTileStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         z = self.zoom
         out = {"tile_key": [], "z": [], "x": [], "y": [], "image_id": [],
+               "wx0": [], "wy0": [], "ww": [], "wh": [],
                "rgb": [], "mask": [], "caption": []}
         bts = batch.column("bytes").to_pylist()
         fmts = batch.column("fmt").to_pylist()
@@ -95,6 +96,7 @@ class WarpTileStage:
                 if "caption" in batch.column_names else [""] * batch.num_rows)
         nods = (batch.column("nodata").to_pylist()
                 if "nodata" in batch.column_names else [None] * batch.num_rows)
+        res = float(mercator.resolution(z))
         for i in range(batch.num_rows):
             img = codecs.decode(bts[i], fmts[i])
             if img.ndim == 2:
@@ -108,20 +110,36 @@ class WarpTileStage:
             tminx, tminy, tmaxx, tmaxy = tile_range_for_bbox(*bbox, z)
             inv_gt = gtm.invert(gt)
             tr = proj.get_transformer("EPSG:3857", crs)
+            # image bbox in mercator meters — the footprint window inside
+            # each tile; warping the full 256² when the image covers a few
+            # percent of the tile would waste ~50× the kernel work
+            lat0 = max(bbox[1], -85.05112878)
+            lat1 = min(bbox[3], 85.05112878)
+            imx0, imy0 = (float(v) for v in mercator.latlon_to_meters(lat0, bbox[0]))
+            imx1, imy1 = (float(v) for v in mercator.latlon_to_meters(lat1, bbox[2]))
+            MARGIN = 3  # kernel radius (≤3) + rounding slack
 
             for ty in range(tminy, tmaxy + 1):
                 for tx in range(tminx, tmaxx + 1):
-                    bminx, bminy, bmaxx, bmaxy = mercator.tile_bounds(tx, ty, z)
-                    res = float(mercator.resolution(z))
-                    # tile gt: north-up, origin at tile top-left
-                    def dst_to_src(px, py, _bminx=float(bminx), _bmaxy=float(bmaxy),
-                                   _res=res, _tr=tr, _inv=inv_gt):
-                        mx = _bminx + px * _res
-                        my = _bmaxy - py * _res
+                    bminx, bminy, bmaxx, bmaxy = (float(v) for v in
+                                                  mercator.tile_bounds(tx, ty, z))
+                    wx0 = max(0, int(np.floor((imx0 - bminx) / res)) - MARGIN)
+                    wx1 = min(TILE, int(np.ceil((imx1 - bminx) / res)) + MARGIN)
+                    wy0 = max(0, int(np.floor((bmaxy - imy1) / res)) - MARGIN)
+                    wy1 = min(TILE, int(np.ceil((bmaxy - imy0) / res)) + MARGIN)
+                    ww = wx1 - wx0
+                    wh = wy1 - wy0
+                    if ww <= 0 or wh <= 0:
+                        continue
+
+                    def dst_to_src(px, py, _ox=float(wx0), _oy=float(wy0),
+                                   _bminx=bminx, _bmaxy=bmaxy, _tr=tr, _inv=inv_gt):
+                        mx = _bminx + (px + _ox) * res
+                        my = _bmaxy - (py + _oy) * res
                         sx_geo, sy_geo = _tr.transform(mx, my)
                         return gtm.apply(_inv, sx_geo, sy_geo)
 
-                    sx, sy = resample.dst_to_src_mesh(TILE, TILE, dst_to_src,
+                    sx, sy = resample.dst_to_src_mesh(ww, wh, dst_to_src,
                                                       self.mesh_step)
                     vals, valid = resample.sample(img, sx, sy, method=self.method,
                                                   nodata=nods[i])
@@ -132,7 +150,9 @@ class WarpTileStage:
                     out["tile_key"].append(int(mercator.tile_key(z, tx, ty)))
                     out["z"].append(z); out["x"].append(tx); out["y"].append(ty)
                     out["image_id"].append(ids[i])
-                    out["rgb"].append(rgb.tobytes())
+                    out["wx0"].append(wx0); out["wy0"].append(wy0)
+                    out["ww"].append(ww); out["wh"].append(wh)
+                    out["rgb"].append(np.ascontiguousarray(rgb).tobytes())
                     out["mask"].append((valid.astype(np.uint8) * 255).tobytes())
                     out["caption"].append(caps[i])
         return pa.table({
@@ -141,6 +161,10 @@ class WarpTileStage:
             "x": pa.array(out["x"], pa.int32()),
             "y": pa.array(out["y"], pa.int32()),
             "image_id": pa.array(out["image_id"], pa.string()),
+            "wx0": pa.array(out["wx0"], pa.int32()),
+            "wy0": pa.array(out["wy0"], pa.int32()),
+            "ww": pa.array(out["ww"], pa.int32()),
+            "wh": pa.array(out["wh"], pa.int32()),
             "rgb": pa.array(out["rgb"], pa.binary()),
             "mask": pa.array(out["mask"], pa.binary()),
             "caption": pa.array(out["caption"], pa.string()),

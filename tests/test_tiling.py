@@ -77,9 +77,13 @@ def test_warp_stage_emits_valid_contributions():
     assert out.num_rows >= 5  # every image covers ≥1 tile
     ids = set(out.column("image_id").to_pylist())
     assert ids == {f"img0000000{j}" for j in range(5)}
-    # contribution payloads are full tiles
-    assert all(len(b) == TILE * TILE * 3 for b in out.column("rgb").to_pylist())
-    assert all(len(b) == TILE * TILE for b in out.column("mask").to_pylist())
+    # contribution payloads are sub-windows sized (ww × wh)
+    for j in range(out.num_rows):
+        ww = out.column("ww")[j].as_py()
+        wh = out.column("wh")[j].as_py()
+        assert 0 < ww <= TILE and 0 < wh <= TILE
+        assert len(out.column("rgb")[j].as_py()) == ww * wh * 3
+        assert len(out.column("mask")[j].as_py()) == ww * wh
     # tile ids match the oracle set
     for i in range(5):
         rows = [(out.column("z")[j].as_py(), out.column("x")[j].as_py(), out.column("y")[j].as_py())
@@ -115,6 +119,10 @@ def test_composite_first_wins_deterministic():
         "x": pa.array([1, 1], pa.int32()),
         "y": pa.array([2, 2], pa.int32()),
         "image_id": ["b", "a"],  # 'a' sorts first -> wins where valid
+        "wx0": pa.array([0, 0], pa.int32()),
+        "wy0": pa.array([0, 0], pa.int32()),
+        "ww": pa.array([TILE, TILE], pa.int32()),
+        "wh": pa.array([TILE, TILE], pa.int32()),
         "rgb": pa.array([rgb1.tobytes(), rgb2.tobytes()], pa.binary()),
         "mask": pa.array([m1.tobytes(), m2.tobytes()], pa.binary()),
         "caption": ["", ""],
