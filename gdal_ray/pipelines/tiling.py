@@ -129,17 +129,133 @@ def _parent_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("parent_key", pa.array(pk, pa.int64()))
 
 
+_EMPTY_TILES = pa.table({
+    "tile_key": pa.array([], pa.int64()), "z": pa.array([], pa.int32()),
+    "x": pa.array([], pa.int32()), "y": pa.array([], pa.int32()),
+    "png": pa.array([], pa.binary()), "checksum": pa.array([], pa.int32()),
+    "n_contrib": pa.array([], pa.int32())})
+
+
+def composite_singles(batch: pa.Table) -> pa.Table:
+    """Composite rows whose tile has exactly ONE contribution — no shuffle
+    needed, each row becomes a finished tile in place.  Vectorized: one
+    output table per input block, not per row."""
+    if batch.num_rows == 0:
+        return _EMPTY_TILES
+    rgbs = batch.column("rgb").to_pylist()
+    masks = batch.column("mask").to_pylist()
+    wx0s = batch.column("wx0").to_pylist()
+    wy0s = batch.column("wy0").to_pylist()
+    wws = batch.column("ww").to_pylist()
+    whs = batch.column("wh").to_pylist()
+    pngs, sums = [], []
+    for j in range(batch.num_rows):
+        x0, y0, ww, wh = wx0s[j], wy0s[j], wws[j], whs[j]
+        rgba = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+        m = np.frombuffer(masks[j], dtype=np.uint8).reshape(wh, ww) > 0
+        rgb = np.frombuffer(rgbs[j], dtype=np.uint8).reshape(wh, ww, 3)
+        sub = rgba[y0:y0 + wh, x0:x0 + ww]
+        sub[:, :, :3][m] = rgb[m]
+        sub[:, :, 3][m] = 255
+        pngs.append(codecs.encode_png(rgba))
+        sums.append(gdal_checksum(rgba[:, :, 0]))
+    return pa.table({
+        "tile_key": batch.column("tile_key"),
+        "z": batch.column("z"),
+        "x": batch.column("x"),
+        "y": batch.column("y"),
+        "png": pa.array(pngs, pa.binary()),
+        "checksum": pa.array(sums, pa.int32()),
+        "n_contrib": pa.array(np.ones(batch.num_rows, np.int32)),
+    })
+
+
 def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
-               concurrency: int | tuple = 4, batch_size: int = 16) -> "ray.data.Dataset":
-    """images dataset → composited base tiles at `zoom`."""
-    contribs = images.map_batches(
-        WarpTileStage,
-        fn_constructor_kwargs={"zoom": zoom, "method": method},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    return contribs.groupby("tile_key").map_groups(composite_group, batch_format="pyarrow")
+               concurrency: int | tuple | None = None, batch_size: int = 16,
+               use_actors: bool = False,
+               split_singles: bool = True) -> "ray.data.Dataset":
+    """images dataset → composited base tiles at `zoom`.
+
+    Scale design (the "minimize shuffles" rule, SURVEY §7):
+      - warp emits sub-window contributions (bounded payload);
+      - a key-only pre-pass counts contributions per tile (the shuffle moves
+        ONLY int64 keys — partial counts combine map-side);
+      - tiles with a single contributor (the vast majority on sparse data)
+        are composited IN PLACE by a map_batches — no data shuffle at all;
+      - only contested tiles go through the sort-shuffle + map_groups
+        composite, over a partition count sized to the cluster (each sort
+        reduce fetches P fragments, so P² fragment traffic is kept small).
+
+    ``use_actors=True`` runs the warp as an actor pool (the long-lived
+    cluster configuration); the default task mode relies on the same
+    per-process transformer cache (core.proj.get_transformer) that the
+    actor holds — state reuse is identical, but short-lived local runs skip
+    the pool spin-up cost.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    warp_kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    if use_actors:
+        conc = concurrency if concurrency is not None else (max(2, cpus // 2),) * 2
+        contribs = images.map_batches(
+            WarpTileStage, fn_constructor_kwargs={"zoom": zoom, "method": method},
+            concurrency=conc, **warp_kwargs)
+    else:
+        def warp_fn(batch: pa.Table) -> pa.Table:
+            return WarpTileStage(zoom=zoom, method=method)(batch)
+        contribs = images.map_batches(warp_fn, **warp_kwargs)
+
+    if not split_singles:
+        return contribs.groupby("tile_key").map_groups(composite_group,
+                                                       batch_format="pyarrow")
+
+    contribs = contribs.materialize()
+    # key-only count pre-pass (this is also the skew histogram: hot tiles
+    # are exactly the multi-contributor ones).  Per-block partial counts
+    # merge on the driver — the merged histogram is bounded by tile count,
+    # and NO shuffle of data rows happens (at multi-node scale this stays a
+    # tiny aggregate exchange)
+    def partial_counts(b: pa.Table) -> pa.Table:
+        k, c = np.unique(np.asarray(b.column("tile_key"), dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"k": pa.array(k), "c": pa.array(c)})
+
+    hist: dict = {}
+    for b in contribs.map_batches(partial_counts, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        for k, c in zip(b.column("k").to_pylist(), b.column("c").to_pylist()):
+            hist[k] = hist.get(k, 0) + c
+    multi = np.sort(np.array([k for k, c in hist.items() if c > 1], dtype=np.int64))
+    multi_ref = ray.put(multi)
+
+    def is_multi(batch: pa.Table) -> np.ndarray:
+        m = ray.get(multi_ref)
+        keys = np.asarray(batch.column("tile_key"), dtype=np.int64)
+        if m.size == 0:
+            return np.zeros(keys.size, dtype=bool)
+        pos = np.searchsorted(m, keys)
+        pos[pos >= m.size] = m.size - 1
+        return m[pos] == keys
+
+    def keep_singles(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~is_multi(batch)))
+
+    def keep_multis(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(is_multi(batch)))
+
+    singles = contribs.map_batches(keep_singles, batch_format="pyarrow") \
+        .map_batches(composite_singles, batch_format="pyarrow")
+    # cap sort fan-in: sort-reduce fragment traffic grows with P_in × P_out
+    # on a single node, so the contested (smaller) side shuffles over a
+    # bounded partition count.  Materialize the filtered side first — fusing
+    # filter+repartition+sort into one streaming execution makes the
+    # all-to-all fight the filter for resources.
+    contested_rows = contribs.map_batches(keep_multis, batch_format="pyarrow") \
+        .materialize()
+    contested = contested_rows.repartition(min(24, max(8, cpus))) \
+        .groupby("tile_key").map_groups(composite_group, batch_format="pyarrow")
+    return singles.union(contested)
 
 
 def overview_level(tiles: "ray.data.Dataset") -> "ray.data.Dataset":
