@@ -111,6 +111,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return ds.map_batches(detect_language, batch_format="pyarrow")
 
+    def _band_stats(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.raster_ops import band_statistics
+        return band_statistics(ray.data.from_arrow(fixtures.images_table(40)))
+
+    def _as_features(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.raster_ops import as_features
+        ds = ray.data.from_arrow(fixtures.images_table(12))
+        return ds.map_batches(lambda b: as_features(b, step=4), batch_format="pyarrow")
+
+    def _pixel_info(sf_dir: str):
+        import numpy as np
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.raster_ops import pixel_info
+        pts = fixtures.points_table(200)
+        ds = ray.data.from_arrow(fixtures.images_table(40))
+        return pixel_info(ds, lon=np.asarray(pts.column("x")),
+                          lat=np.asarray(pts.column("y")),
+                          point_ids=pts.column("point_id").to_pylist(),
+                          concurrency=2)
+
+    def _hillshade(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.raster import hillshade
+        ds = ray.data.from_arrow(fixtures.images_table(24))
+        return ds.map_batches(hillshade, batch_format="pyarrow") \
+                 .select_columns(["image_id", "fmt"])
+
+    def _translate(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.raster import translate
+        ds = ray.data.from_arrow(fixtures.images_table(24))
+        out = ds.map_batches(
+            lambda b: translate(b, scale=(0, 255, 10, 200), out_size=(32, 32),
+                                out_fmt="png"), batch_format="pyarrow")
+        return out.select_columns(["image_id", "w", "h", "fmt", "caption"])
+
+    def _vector_dissolve(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.vector import dissolve_collect
+        polys = ray.data.from_arrow(fixtures.polygons_table(64))
+        out = polys.groupby("category").map_groups(dissolve_collect,
+                                                   batch_format="pyarrow")
+        return out.select_columns(["category", "n_parts", "total_area"])
+
+    def _vector_sort(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.vector import hilbert_key
+        polys = ray.data.from_arrow(fixtures.polygons_table(64))
+        return polys.map_batches(hilbert_key, batch_format="pyarrow") \
+                    .sort("hilbert").select_columns(["poly_id", "hilbert"])
+
+    def _knn_idw(sf_dir: str):
+        import numpy as np
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.knn import idw_interpolate
+        pts = fixtures.points_table(500)
+        ref = fixtures.points_table(100)
+        ref_xy = np.column_stack([np.asarray(ref.column("x")), np.asarray(ref.column("y"))])
+        ref_v = np.asarray(ref.column("value"))
+        return idw_interpolate(ray.data.from_arrow(pts), ref_xy, ref_v,
+                               concurrency=2)
+
+    def _ann_ivf(sf_dir: str):
+        import numpy as np
+
+        from gdal_ray.pipelines.ann import ivf_topk
+        emb = R._read(sf_dir, "embeddings")
+        head = emb.sort("vec_id").limit(3).take_all()
+        Q = np.array([r["embedding"] for r in head], dtype=np.float64)
+        return ivf_topk(emb, Q, [int(r["vec_id"]) for r in head], k=5,
+                        n_centroids=8, nprobe=4, concurrency=2)
+
+    def _dedup_embedding(sf_dir: str):
+        """Embedding near-dup: the sf tables are random vectors (max pairwise
+        cosine ≈ 0.48 — no true near-dups), so the query injects
+        deterministic perturbed copies of the first 20 vectors; the operator
+        must find exactly those planted pairs (verified in pytest)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from gdal_ray.pipelines.dedup import embedding_neardup_pairs
+        emb = R._read(sf_dir, "embeddings")
+        head = emb.sort("vec_id").limit(20).take_all()
+        rng = np.random.default_rng(7)
+        vecs = [(np.asarray(r["embedding"], dtype=np.float64)
+                 + rng.normal(0, 1e-4, len(r["embedding"]))).tolist() for r in head]
+        planted = pa.table({
+            "vec_id": pa.array([int(r["vec_id"]) + 1_000_000 for r in head], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(head), pa.int32()),
+        })
+        both = emb.union(ray.data.from_arrow(planted))
+        return embedding_neardup_pairs(both, threshold=0.999)
+
+    def _text_quality(sf_dir: str):
+        from gdal_ray.pipelines.text import quality_score
+        ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return ds.map_batches(quality_score, batch_format="pyarrow")
+
+    def _text_fingerprint(sf_dir: str):
+        from gdal_ray.pipelines.text import fingerprint
+        ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return ds.map_batches(fingerprint, batch_format="pyarrow")
+
     return {
         # relational parity (exact SQL oracles)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -128,6 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_join": R.geo_pip_join,
         "geo_knn": R.geo_knn,
         "geo_zonal_points": R.geo_zonal_points,
+        "vector_centroid": R.vector_centroid,
+        "vector_clip": R.vector_clip,
+        "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
         "text_token_stats": R.text_token_stats,
@@ -140,7 +266,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygonize": _geo_polygonize,
         "dedup_minhash": _minhash_neardup,
         "dedup_simhash": _simhash_neardup,
+        "dedup_embedding": _dedup_embedding,
         "text_langid": _langid,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "raster_band_stats": _band_stats,
+        "raster_as_features": _as_features,
+        "raster_pixel_info": _pixel_info,
+        "raster_hillshade": _hillshade,
+        "raster_translate": _translate,
+        "vector_dissolve": _vector_dissolve,
+        "vector_sort_hilbert": _vector_sort,
+        "knn_idw": _knn_idw,
+        "ann_ivf": _ann_ivf,
     }
 
 
@@ -162,6 +300,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_join": R.SQL_GEO_PIP_JOIN,
         "geo_knn": R.SQL_GEO_KNN,
         "geo_zonal_points": R.SQL_GEO_ZONAL,
+        "vector_centroid": R.SQL_VECTOR_CENTROID,
+        "vector_clip": R.SQL_VECTOR_CLIP,
+        "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,
         "text_alpha_ratio": R.SQL_TEXT_ALPHA,

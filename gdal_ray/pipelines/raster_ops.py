@@ -1,0 +1,177 @@
+"""Raster pipeline operators beyond tiling (SURVEY §2.2/2.6/2.14):
+as-features, pixel-info (point sampling), global band statistics, and the
+events windowed aggregate (the streaming-analog groupby).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..core import codecs, proj
+from ..core import geotransform as gtm
+from ..core.resample import sample as resample_sample
+from ..stages.raster import decode_stats
+
+
+def as_features(batch: pa.Table, step: int = 1) -> pa.Table:
+    """gdal2xyz / `gdal raster as-features` (apps/gdalalg_raster_as_features
+    .h:29): explode each image into (x, y, value) pixel rows — the flat_map
+    that feeds pixel-level relational queries.  ``step`` decimates (the
+    bApproxOK sampling of ComputeStatistics)."""
+    ids, xs, ys, vals = [], [], [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    gts = batch.column("geotransform").to_pylist()
+    iids = batch.column("image_id").to_pylist()
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        band = img if img.ndim == 2 else img[:, :, 0]
+        h, w = band.shape
+        px, py = np.meshgrid(np.arange(0, w, step) + 0.5, np.arange(0, h, step) + 0.5)
+        gx, gy = gtm.apply(tuple(gts[i]), px.ravel(), py.ravel())
+        v = band[::step, ::step].ravel()
+        n = v.size
+        ids.extend([iids[i]] * n)
+        xs.append(gx); ys.append(gy); vals.append(v.astype(np.float64))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "x": pa.array(np.concatenate(xs) if xs else np.array([]), pa.float64()),
+        "y": pa.array(np.concatenate(ys) if ys else np.array([]), pa.float64()),
+        "value": pa.array(np.concatenate(vals) if vals else np.array([]), pa.float64()),
+    })
+
+
+def band_statistics(images: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Global band statistics over the whole catalog — the partial+final
+    pattern of GDALRasterBand::ComputeStatistics (gcore/gdalrasterband.cpp
+    :7126): per-image partials in map_batches, single global combine."""
+    partials = images.map_batches(decode_stats, batch_format="pyarrow")
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("all", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    agg = partials.map_batches(tag, batch_format="pyarrow").groupby("all") \
+        .aggregate(Sum("count"), Sum("vsum"), Sum("vsumsq"), Min("vmin"), Max("vmax"), Count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = float(b.column("sum(count)")[0].as_py())
+        s = float(b.column("sum(vsum)")[0].as_py())
+        ss = float(b.column("sum(vsumsq)")[0].as_py())
+        mean = s / n
+        var = max(0.0, ss / n - mean * mean)
+        return pa.table({
+            "n_pixels": pa.array([int(n)], pa.int64()),
+            "n_images": pa.array([b.column("count()")[0].as_py()], pa.int64()),
+            "vmin": pa.array([b.column("min(vmin)")[0].as_py()], pa.float64()),
+            "vmax": pa.array([b.column("max(vmax)")[0].as_py()], pa.float64()),
+            "mean": pa.array([mean], pa.float64()),
+            "std": pa.array([float(np.sqrt(var))], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+class PixelInfoStage:
+    """gdallocationinfo / InterpolateAtPoint (gcore/gdalrasterband.cpp
+    :11450): sample each image at broadcast query points that fall inside
+    its footprint.  Points broadcast once per actor/process."""
+
+    def __init__(self, points_ref, method: str = "bilinear"):
+        p = ray.get(points_ref) if isinstance(points_ref, ray.ObjectRef) else points_ref
+        self.lon = np.asarray(p["lon"], dtype=np.float64)
+        self.lat = np.asarray(p["lat"], dtype=np.float64)
+        self.pids = list(p["ids"])
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"point_id": [], "image_id": [], "value": []}
+        bts = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        gts = batch.column("geotransform").to_pylist()
+        crss = batch.column("crs").to_pylist()
+        ids = batch.column("image_id").to_pylist()
+        for i in range(batch.num_rows):
+            gt = tuple(gts[i])
+            tr = proj.get_transformer("EPSG:4326", crss[i])
+            gx, gy = tr.transform(self.lon, self.lat)
+            px, py = gtm.geo_to_pixel(gt, gx, gy)
+            img = None
+            w = batch.column("w")[i].as_py()
+            h = batch.column("h")[i].as_py()
+            inside = (px >= 0) & (px <= w) & (py >= 0) & (py <= h)
+            if not inside.any():
+                continue
+            img = codecs.decode(bts[i], fmts[i])
+            band = img if img.ndim == 2 else img[:, :, 0]
+            idx = np.nonzero(inside)[0]
+            vals, valid = resample_sample(band.astype(np.float64), px[idx], py[idx],
+                                          method=self.method)
+            for k, j in enumerate(idx):
+                if valid[k]:
+                    out["point_id"].append(self.pids[j])
+                    out["image_id"].append(ids[i])
+                    out["value"].append(float(vals[k]))
+        return pa.table({"point_id": pa.array(out["point_id"], pa.string()),
+                         "image_id": pa.array(out["image_id"], pa.string()),
+                         "value": pa.array(out["value"], pa.float64())})
+
+
+def pixel_info(images: "ray.data.Dataset", lon, lat, point_ids,
+               method: str = "bilinear", concurrency=2) -> "ray.data.Dataset":
+    ref = ray.put({"lon": np.asarray(lon, dtype=np.float64),
+                   "lat": np.asarray(lat, dtype=np.float64),
+                   "ids": list(point_ids)})
+    return images.map_batches(PixelInfoStage,
+                              fn_constructor_kwargs={"points_ref": ref,
+                                                     "method": method},
+                              batch_format="pyarrow", concurrency=concurrency)
+
+
+def events_hourly(sf_dir: str):
+    """Windowed aggregate over the events stream table: tumbling 1-hour
+    event-time windows (the batch analog of a streaming window — the
+    reference has no window machinery, SURVEY §2.10; large-scale training
+    telemetry needs it)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def window(b: pa.Table) -> pa.Table:
+        # window key as ISO string: timestamp unit (s vs us) varies across
+        # Arrow/pandas/DuckDB conversions and breaks value-hash comparison
+        hour = pc.strftime(pc.floor_temporal(b.column("ts"), unit="hour"),
+                           format="%Y-%m-%d %H:%M")
+        return pa.table({
+            "window_start": hour,
+            "event_type": b.column("event_type"),
+            "value_u": pa.array(np.round(np.asarray(b.column("value")) * 1e6).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(window, batch_format="pyarrow") \
+            .groupby(["window_start", "event_type"]) \
+            .aggregate(Count(), Sum("value_u"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b.column("window_start"),
+            "event_type": b.column("event_type"),
+            "n_events": b.column("count()"),
+            "sum_value": pc.round(
+                pc.divide(pc.cast(b.column("sum(value_u)"), pa.float64()), 1e6),
+                ndigits=4, round_mode="half_towards_infinity"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""

@@ -606,6 +606,78 @@ GROUP BY n_nationkey
 # Training-data queries with SQL oracles
 # =====================================================================
 
+def vector_centroid(sf_dir: str):
+    """Centroids of nation-derived rect polygons through the REAL WKB
+    centroid engine; oracle = rect midpoint arithmetic."""
+    from ..stages import vector as V
+    pls = _read(sf_dir, "nation").map_batches(_nation_rects, batch_format="pyarrow")
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = V.centroids(b)
+        return pa.table({
+            "n_nationkey": t.column("nkey"),
+            "cx": pc.round(t.column("cx"), ndigits=6, round_mode="half_towards_infinity"),
+            "cy": pc.round(t.column("cy"), ndigits=6, round_mode="half_towards_infinity"),
+        })
+
+    return pls.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_VECTOR_CENTROID = """
+SELECT n_nationkey,
+       round(((n_nationkey * 29) % 300) - 160.0 + 0.017 + (12.0 + (n_nationkey % 7)) / 2.0, 6) AS cx,
+       round(((n_nationkey * 53) % 140) - 75.0 + 0.017 + (8.0 + (n_nationkey % 5)) / 2.0, 6) AS cy
+FROM nation
+"""
+
+
+def vector_clip(sf_dir: str):
+    """Clip nation-rects to a window through the Sutherland-Hodgman engine;
+    oracle = rect-intersection arithmetic (area of rect ∩ window)."""
+    from ..stages import vector as V
+    W = (-100.0, -50.0, 60.0, 40.0)
+    pls = _read(sf_dir, "nation").map_batches(_nation_rects, batch_format="pyarrow")
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = V.clip_to_bbox(b, *W)
+        t = V.area_col(t)
+        return pa.table({
+            "n_nationkey": t.column("nkey"),
+            "clip_area": pc.round(t.column("area"), ndigits=6,
+                                  round_mode="half_towards_infinity"),
+        })
+
+    return pls.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_VECTOR_CLIP = """
+WITH rects AS (
+  SELECT n_nationkey,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 AS xmin,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 AS ymin,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 + 12.0 + (n_nationkey % 7) AS xmax,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 + 8.0 + (n_nationkey % 5) AS ymax
+  FROM nation
+), clipped AS (
+  SELECT n_nationkey,
+         greatest(xmin, -100.0) AS cxmin, least(xmax, 60.0) AS cxmax,
+         greatest(ymin, -50.0) AS cymin, least(ymax, 40.0) AS cymax
+  FROM rects
+)
+SELECT n_nationkey,
+       round((cxmax - cxmin) * (cymax - cymin), 6) AS clip_area
+FROM clipped WHERE cxmax > cxmin AND cymax > cymin
+"""
+
+
+def events_hourly_q(sf_dir: str):
+    from .raster_ops import events_hourly
+    return events_hourly(sf_dir)
+
+
+from .raster_ops import SQL_EVENTS_HOURLY as SQL_EVENTS_HOURLY_ORACLE  # noqa: E402
+
+
 def dedup_exact_docs(sf_dir: str):
     from .dedup import exact_dedup
     return exact_dedup(_read(sf_dir, "documents"))

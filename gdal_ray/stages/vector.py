@@ -1,0 +1,199 @@
+"""Vector geometry stages (SURVEY §2.2 vector maps, §2.14 vector list).
+
+Per-feature GEOS ops re-expressed as stateless ``map_batches`` over WKB
+binary columns, mirroring the reference's per-feature loops
+(``apps/gdalalg_vector_buffer.cpp`` etc., ``ogr/ogrgeometry.cpp``
+Buffer :4946 / Simplify :6775 / Centroid :6523 / ConvexHull :4446):
+
+  - geometry engine is gdal_ray.core.geom (pure numpy);
+  - each stage returns the input table with the geometry column replaced /
+    augmented — schema-stable so stages chain like `gdal vector pipeline`
+    steps;
+  - clip is exact Sutherland-Hodgman against a rect window (= ogr2ogr
+    -clipsrc with a bbox, the overwhelmingly common case); general
+    polygon×polygon boolean ops are the documented round-2 gap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import geom, hilbert, wkb
+
+
+def _map_polys(batch: pa.Table, fn, wkb_col: str = "wkb") -> pa.Table:
+    """Apply fn(rings_list)->rings_list to every polygon of every row."""
+    out = []
+    for data in batch.column(wkb_col).to_pylist():
+        g = wkb.loads(data)
+        polys = wkb.as_polygons(g)
+        new = [fn(rings) for rings in polys]
+        new = [r for r in new if r is not None]
+        if not new:
+            out.append(None)
+        elif len(new) == 1:
+            out.append(wkb.dumps({"type": "Polygon", "rings": new[0]}))
+        else:
+            out.append(wkb.dumps({"type": "MultiPolygon", "polys": new}))
+    i = batch.column_names.index(wkb_col)
+    return batch.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+
+def simplify(batch: pa.Table, tolerance: float, wkb_col: str = "wkb") -> pa.Table:
+    """Douglas-Peucker per ring (OGRGeometry::Simplify semantics)."""
+    return _map_polys(batch, lambda rings: [geom.simplify_ring(r, tolerance) for r in rings],
+                      wkb_col)
+
+
+def segmentize(batch: pa.Table, max_len: float, wkb_col: str = "wkb") -> pa.Table:
+    """Insert vertices so no segment exceeds max_len (gdal vector segmentize)."""
+    return _map_polys(batch, lambda rings: [geom.segmentize_line(r, max_len) for r in rings],
+                      wkb_col)
+
+
+def swap_xy(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    return _map_polys(batch, lambda rings: [r[:, ::-1].copy() for r in rings], wkb_col)
+
+
+def convex_hull(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """Hull of all vertices of each feature (OGRGeometry::ConvexHull)."""
+    out = []
+    for data in batch.column(wkb_col).to_pylist():
+        polys = wkb.as_polygons(wkb.loads(data))
+        pts = np.concatenate([r for rings in polys for r in rings], axis=0)
+        out.append(wkb.dumps({"type": "Polygon", "rings": [geom.convex_hull(pts)]}))
+    i = batch.column_names.index(wkb_col)
+    return batch.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+
+def buffer_points(batch: pa.Table, dist: float, quadsegs: int = 8,
+                  x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Point buffer → circle polygons (OGRGeometry::Buffer on points)."""
+    xs = np.asarray(batch.column(x_col), dtype=np.float64)
+    ys = np.asarray(batch.column(y_col), dtype=np.float64)
+    out = [wkb.dumps({"type": "Polygon",
+                      "rings": [geom.buffer_point(x, y, dist, quadsegs)]})
+           for x, y in zip(xs, ys)]
+    return batch.append_column("wkb", pa.array(out, pa.binary()))
+
+
+def centroids(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """Per-feature area-weighted centroid (ogrgeometry.cpp:6523); appends
+    cx, cy columns."""
+    cx, cy = [], []
+    for data in batch.column(wkb_col).to_pylist():
+        polys = wkb.as_polygons(wkb.loads(data))
+        # multipolygon: area-weighted combination of part centroids
+        sa = sx = sy = 0.0
+        for rings in polys:
+            a = geom.polygon_area(rings)
+            x, y = geom.polygon_centroid(rings)
+            sx += x * a; sy += y * a; sa += a
+        if sa > 0:
+            cx.append(sx / sa); cy.append(sy / sa)
+        else:
+            cx.append(float("nan")); cy.append(float("nan"))
+    t = batch.append_column("cx", pa.array(cx, pa.float64()))
+    return t.append_column("cy", pa.array(cy, pa.float64()))
+
+
+def area_col(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    out = []
+    for data in batch.column(wkb_col).to_pylist():
+        polys = wkb.as_polygons(wkb.loads(data))
+        out.append(sum(geom.polygon_area(rings) for rings in polys))
+    return batch.append_column("area", pa.array(out, pa.float64()))
+
+
+def _clip_ring_halfplane(ring: np.ndarray, axis: int, bound: float, keep_leq: bool):
+    """Sutherland-Hodgman clip of one closed ring against one half-plane."""
+    pts = ring[:-1]
+    n = len(pts)
+    out = []
+    for i in range(n):
+        cur = pts[i]
+        nxt = pts[(i + 1) % n]
+        cin = (cur[axis] <= bound) if keep_leq else (cur[axis] >= bound)
+        nin = (nxt[axis] <= bound) if keep_leq else (nxt[axis] >= bound)
+        if cin:
+            out.append(cur)
+        if cin != nin:
+            t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
+            out.append(cur + t * (nxt - cur))
+    if len(out) < 3:
+        return None
+    out.append(out[0])
+    return np.asarray(out, dtype=np.float64)
+
+
+def clip_ring_bbox(ring: np.ndarray, minx, miny, maxx, maxy):
+    """Exact polygon ∩ rectangle (Sutherland-Hodgman; ring must be a shell —
+    holes are clipped independently by callers)."""
+    r = ring
+    for axis, bound, keep_leq in ((0, maxx, True), (0, minx, False),
+                                  (1, maxy, True), (1, miny, False)):
+        r = _clip_ring_halfplane(r, axis, bound, keep_leq)
+        if r is None:
+            return None
+    return r
+
+
+def clip_to_bbox(batch: pa.Table, minx: float, miny: float, maxx: float,
+                 maxy: float, wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector clip with a bbox window (ogr2ogr -spat/-clipsrc rect):
+    exact Sutherland-Hodgman on shells; holes clipped the same way.
+    Features fully outside drop out (row filter)."""
+    keep_idx, out = [], []
+    for i, data in enumerate(batch.column(wkb_col).to_pylist()):
+        polys = wkb.as_polygons(wkb.loads(data))
+        new_polys = []
+        for rings in polys:
+            shell = clip_ring_bbox(rings[0], minx, miny, maxx, maxy)
+            if shell is None:
+                continue
+            holes = []
+            for h in rings[1:]:
+                hc = clip_ring_bbox(h, minx, miny, maxx, maxy)
+                if hc is not None:
+                    holes.append(hc)
+            new_polys.append([shell] + holes)
+        if new_polys:
+            keep_idx.append(i)
+            if len(new_polys) == 1:
+                out.append(wkb.dumps({"type": "Polygon", "rings": new_polys[0]}))
+            else:
+                out.append(wkb.dumps({"type": "MultiPolygon", "polys": new_polys}))
+    kept = batch.take(pa.array(keep_idx, pa.int64()))
+    i = kept.column_names.index(wkb_col)
+    return kept.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+
+def hilbert_key(batch: pa.Table, wkb_col: str = "wkb", order: int = 16) -> pa.Table:
+    """gdal vector sort: Hilbert code of feature centroid
+    (apps/gdalalg_vector_sort.cpp:362, alg/hilbert.cpp:80) — downstream
+    ``ds.sort('hilbert')`` gives the spatial write order."""
+    t = centroids(batch, wkb_col)
+    key = hilbert.hilbert_key_lonlat(np.asarray(t.column("cx")),
+                                     np.asarray(t.column("cy")), order)
+    return t.append_column("hilbert", pa.array(key, pa.int64()))
+
+
+def dissolve_collect(group: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector dissolve (apps/gdalalg_vector_dissolve.h): merge all
+    features of one group key into one multi-part feature.
+
+    ROUND-1 SEMANTICS: parts are COLLECTED into a MultiPolygon (the
+    reference's multipart-merge path); boolean UnaryUnion of overlapping
+    parts is the documented gap (needs the polygon-clipping engine).
+    Emits summed |area| of parts and the part count."""
+    polys = []
+    for data in group.column(wkb_col).to_pylist():
+        polys.extend(wkb.as_polygons(wkb.loads(data)))
+    area = sum(geom.polygon_area(rings) for rings in polys)
+    key_cols = [c for c in group.column_names if c not in (wkb_col,)]
+    first = {c: [group.column(c)[0].as_py()] for c in key_cols if c in ("category",)}
+    first["wkb"] = [wkb.dumps({"type": "MultiPolygon", "polys": polys})]
+    first["n_parts"] = [len(polys)]
+    first["total_area"] = [area]
+    return pa.table(first)
