@@ -234,6 +234,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return ds.map_batches(fingerprint, batch_format="pyarrow")
 
+    def _raster_calc(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.raster2 import calc
+        ds = ray.data.from_arrow(fixtures.images_table(24))
+        return ds.map_batches(lambda b: calc(b, "(A + B) / 2"),
+                              batch_format="pyarrow") \
+                 .select_columns(["image_id", "fmt"])
+
+    def _raster_sieve(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.raster import reclassify_fn
+        from gdal_ray.stages.raster2 import sieve
+        ds = ray.data.from_arrow(fixtures.images_table(12))
+        lut = {v: (v // 64) * 64 for v in range(256)}
+        return ds.map_batches(reclassify_fn(lut), batch_format="pyarrow") \
+                 .map_batches(lambda b: sieve(b, threshold=3), batch_format="pyarrow") \
+                 .select_columns(["image_id"])
+
+    def _raster_proximity(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.raster import proximity
+        ds = ray.data.from_arrow(fixtures.images_table(8))
+        return ds.map_batches(lambda b: proximity(b, target_value=255),
+                              batch_format="pyarrow")
+
+    def _raster_reproject(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.warp import ReprojectImageStage
+        ds = ray.data.from_arrow(fixtures.images_table(24))
+        return ds.map_batches(ReprojectImageStage,
+                              fn_constructor_kwargs={"dst_crs": "EPSG:3857"},
+                              batch_format="pyarrow", concurrency=2) \
+                 .select_columns(["image_id", "w", "h", "crs"])
+
+    def _image_features(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.multimodal import ImageFeatureStage
+        ds = ray.data.from_arrow(fixtures.images_table(24))
+        return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                              batch_size=8, concurrency=2) \
+                 .select_columns(["image_id", "mean", "std", "ahash"])
+
     return {
         # relational parity (exact SQL oracles)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -279,6 +331,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_sort_hilbert": _vector_sort,
         "knn_idw": _knn_idw,
         "ann_ivf": _ann_ivf,
+        "raster_calc": _raster_calc,
+        "raster_sieve": _raster_sieve,
+        "raster_proximity": _raster_proximity,
+        "raster_reproject": _raster_reproject,
+        "image_features": _image_features,
     }
 
 

