@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -111,68 +112,117 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.7,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5, id_col: str = "doc_id",
                       text_col: str = "text") -> "ray.data.Dataset":
-    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+    """Near-duplicate pairs (id_a < id_b, sig-estimated jaccard ≥ threshold).
 
-    map_batches computes signatures once per doc and emits `bands` bucket
-    rows; groupby(bucket) compares only in-bucket candidates with EXACT
-    shingle Jaccard (so LSH affects recall only, never precision); a pair
-    seen in several buckets is emitted only in its lowest matching band
-    (exactly-once without dedup shuffle)."""
+    Scale shape (what moves where):
+      1. one signature row per DOC (id + 8·num_hashes bytes) — computed once,
+         materialized, and broadcast as a dense matrix for verification
+         (50k docs ≈ 25 MB; shard the matrix per cell at larger scales);
+      2. bucket rows are (id, bucket, band) INTEGERS only — never the sig —
+         so the LSH exchange is ~24 bytes/row;
+      3. singleton buckets (the overwhelming majority) are dropped BEFORE
+         the shuffle (shuffle_utils.filter_multi_keys);
+      4. candidate pairs are verified VECTORIZED against the broadcast sig
+         matrix: first-matching-band rule (exactly-once) + full-signature
+         agreement ≥ threshold.
+    Requires integer doc ids (the documents table contract)."""
     rows_per_band = num_hashes // bands
 
     def sig_batch(b: pa.Table) -> pa.Table:
-        ids, buckets, bandix, sigs = [], [], [], []
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        sigs = np.empty((len(ids), num_hashes), dtype=np.uint64)
         for i, text in enumerate(b.column(text_col).to_pylist()):
-            sh = shingle_hashes(text, shingle_k)
-            sig = minhash_signature(sh, num_hashes)
-            did = b.column(id_col)[i].as_py()
-            for band in range(bands):
-                seg = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                bh = int(_splitmix(np.bitwise_xor.reduce(seg) + np.uint64(band * 1315423911)))
-                ids.append(did)
-                buckets.append(np.int64(bh % (1 << 62)) + (np.int64(band) << 1))
-                bandix.append(band)
-                sigs.append(sig.astype(np.int64).tobytes())
-        return pa.table({id_col: ids, "bucket": pa.array(np.asarray(buckets, np.int64)),
-                         "band": pa.array(bandix, pa.int32()),
-                         "sig": pa.array(sigs, pa.binary())})
+            sigs[i] = minhash_signature(shingle_hashes(text, shingle_k), num_hashes)
+        return pa.table({id_col: pa.array(ids),
+                         "sig": pa.array([s.tobytes() for s in sigs], pa.binary())})
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        out_a, out_b, out_j = [], [], []
-        if n >= 2:
-            ids = g.column(id_col).to_pylist()
-            band = int(g.column("band")[0].as_py())
-            sigs = [np.frombuffer(s, dtype=np.int64).astype(np.uint64)
-                    for s in g.column("sig").to_pylist()]
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a, bb = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                    if a == bb:
-                        continue
-                    si, sj = sigs[i], sigs[j]
-                    # first-band rule: emit only if no EARLIER band also matches
-                    first = True
-                    for pb in range(band):
-                        s0 = si[pb * rows_per_band:(pb + 1) * rows_per_band]
-                        s1 = sj[pb * rows_per_band:(pb + 1) * rows_per_band]
-                        if np.array_equal(s0, s1):
-                            first = False
-                            break
-                    if not first:
-                        continue
-                    est = float((si == sj).mean())
-                    if est >= threshold * 0.5:  # cheap prefilter on sig agreement
-                        out_a.append(a); out_b.append(bb); out_j.append(est)
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
-                         "sig_jaccard": pa.array(out_j, pa.float64())})
+    def bucket_batch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        sigs = np.frombuffer(b"".join(b.column("sig").to_pylist()),
+                             dtype=np.uint64).reshape(n, num_hashes)
+        segs = sigs.reshape(n, bands, rows_per_band)
+        bh = np.bitwise_xor.reduce(segs, axis=2)  # (n, bands)
+        bh = _splitmix(bh + _splitmix(np.arange(bands, dtype=np.uint64))[None, :])
+        bucket = ((bh >> np.uint64(2)).astype(np.int64) << 4) | np.arange(bands, dtype=np.int64)[None, :]
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "bucket": pa.array(bucket.ravel()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        })
 
-    cand = docs.map_batches(sig_batch, batch_format="pyarrow") \
-               .groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    # exact verification pass: join candidate ids back to texts would be a
-    # shuffle; instead verify with the signature estimate when it is decisive
-    # and exact jaccard via a broadcast of candidate texts when it is not.
-    return cand.filter(lambda r: r["sig_jaccard"] >= threshold)
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        """(bucket, [ids]) rows → candidate (id_a < id_b, band) pairs,
+        vectorized — band is recovered from the bucket's low 4 bits."""
+        out_a, out_b, out_band = [], [], []
+        buckets = np.asarray(b.column("bucket"), dtype=np.int64)
+        for r, ids in enumerate(b.column(f"unique({id_col})").to_pylist()):
+            ids = np.sort(np.asarray(ids, dtype=np.int64))
+            n = ids.size
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.append(ids[ii]); out_b.append(ids[jj])
+            out_band.append(np.full(ii.size, buckets[r] & 0xF, dtype=np.int32))
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b)),
+                         "band": pa.array(np.concatenate(out_band))})
+
+    from ray.data.aggregate import Unique
+
+    from .shuffle_utils import filter_multi_keys
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    sigs_ds = docs.repartition(cpus * 2) \
+                  .map_batches(sig_batch, batch_format="pyarrow").materialize()
+    # broadcast sig matrix, sorted by id for searchsorted lookup
+    sig_rows = sigs_ds.take_all()
+    all_ids = np.array([r[id_col] for r in sig_rows], dtype=np.int64)
+    order = np.argsort(all_ids)
+    mat = np.frombuffer(b"".join(sig_rows[i]["sig"] for i in order),
+                        dtype=np.uint64).reshape(len(order), num_hashes)
+    sig_ref = ray.put({"ids": all_ids[order], "mat": mat})
+
+    buckets = sigs_ds.map_batches(bucket_batch, batch_format="pyarrow")
+    # Unique aggregate collects member ids per bucket with per-BLOCK
+    # vectorized combines (no per-group Python call — 10⁴ map_groups
+    # invocations cost seconds; this costs none)
+    # bucket-size cap: buckets larger than 64 members are band-hash
+    # degeneracies (short/empty docs) whose O(n²) candidates verification
+    # would reject wholesale; true duplicates still collide in other bands
+    cand = filter_multi_keys(buckets, "bucket", max_count=64) \
+        .groupby("bucket").aggregate(Unique(id_col)) \
+        .map_batches(explode_pairs, batch_format="pyarrow")
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sig_jaccard": pa.array([], pa.float64())})
+        lk = ray.get(sig_ref)
+        ia = np.searchsorted(lk["ids"], np.asarray(b.column("id_a"), dtype=np.int64))
+        ib = np.searchsorted(lk["ids"], np.asarray(b.column("id_b"), dtype=np.int64))
+        sa = lk["mat"][ia]  # (m, H)
+        sb = lk["mat"][ib]
+        eq = sa == sb  # (m, H)
+        band = np.asarray(b.column("band"), dtype=np.int64)
+        band_eq = eq.reshape(len(ia), bands, rows_per_band).all(axis=2)  # (m, bands)
+        first_band = np.argmax(band_eq, axis=1)
+        est = eq.mean(axis=1)
+        keep = (first_band == band) & (est >= threshold)
+        return pa.table({
+            "id_a": pa.array(np.asarray(b.column("id_a"), dtype=np.int64)[keep]),
+            "id_b": pa.array(np.asarray(b.column("id_b"), dtype=np.int64)[keep]),
+            "sig_jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_lsh_verified_pairs(docs_tbl: pa.Table, *, threshold: float = 0.7,
@@ -258,8 +308,15 @@ def simhash_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3,
         return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
                          "hamming": pa.array(out_d, pa.int32())})
 
-    return docs.map_batches(sh_batch, batch_format="pyarrow") \
-               .groupby("bval").map_groups(block_pairs, batch_format="pyarrow")
+    from .shuffle_utils import filter_multi_keys
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    rows = docs.repartition(cpus * 2) \
+               .map_batches(sh_batch, batch_format="pyarrow").materialize()
+    return filter_multi_keys(rows, "bval") \
+        .groupby("bval").map_groups(block_pairs, batch_format="pyarrow")
 
 
 # ---------- embedding cosine near-dup ----------

@@ -215,35 +215,68 @@ FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
 
 
 def q_nation_revenue(sf_dir: str):
-    """3-way join + groupby (lineitem ⋈ orders ⋈ customer ⋈ nation)."""
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount"])
+    """lineitem ⋈ orders ⋈ customer ⋈ nation as a BROADCAST map-side join +
+    in-batch partial aggregation (np.bincount) + tiny final groupby.
 
-    def rev(b: pa.Table) -> pa.Table:
-        ep_c = np.round(np.asarray(b.column("l_extendedprice")) * 100).astype(np.int64)
-        disc_c = np.round(np.asarray(b.column("l_discount")) * 100).astype(np.int64)
+    The dimension chain (orders→customer→nation) is composed ONCE on the
+    driver into a sorted orderkey → nation-index array and ray.put — the
+    fact table never shuffles.  The reference's nested-loop join
+    (ogr_gensql.cpp:1541) becomes a vectorized searchsorted per batch.
+    At scales where orders outgrows broadcast (~10⁸ rows), swap the first
+    hop for ds.join — the aggregation shape is unchanged."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ckey = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    cnat = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    corder = np.argsort(ckey)
+    ckey_s, cnat_s = ckey[corder], cnat[corder]
+    nkey = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
+    names = nation.column("n_name").to_pylist()
+    norder = np.argsort(nkey)
+    nkey_s = nkey[norder]
+    names_s = [names[i] for i in norder]
+    okey = np.asarray(orders.column("o_orderkey"), dtype=np.int64)
+    ocust = np.asarray(orders.column("o_custkey"), dtype=np.int64)
+    oorder = np.argsort(okey)
+    okey_s = okey[oorder]
+    # compose: order -> cust -> nation-index
+    nat_of_cust = np.searchsorted(nkey_s, cnat_s)
+    onat = nat_of_cust[np.searchsorted(ckey_s, ocust[oorder])]
+    lookup = ray.put({"okey": okey_s, "onat": onat, "names": names_s})
+
+    def partial(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup)
+        keys = np.asarray(b.column("l_orderkey"), dtype=np.int64)
+        pos = np.searchsorted(lk["okey"], keys)
+        pos_c = np.clip(pos, 0, lk["okey"].size - 1)
+        hit = lk["okey"][pos_c] == keys
+        nat = lk["onat"][pos_c[hit]]
+        ep_c = np.round(np.asarray(b.column("l_extendedprice"))[hit] * 100).astype(np.int64)
+        disc_c = np.round(np.asarray(b.column("l_discount"))[hit] * 100).astype(np.int64)
+        rev_cc = ep_c * (100 - disc_c)
+        nnat = len(lk["names"])
+        cnt = np.bincount(nat, minlength=nnat)
+        rev = np.bincount(nat, weights=rev_cc.astype(np.float64), minlength=nnat).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
         return pa.table({
-            "l_orderkey": b.column("l_orderkey"),
-            "rev_cc": pa.array(ep_c * (100 - disc_c), pa.int64()),
+            "n_name": pa.array([lk["names"][i] for i in nz], pa.string()),
+            "rev_cc": pa.array(rev[nz], pa.int64()),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
         })
 
-    li = li.map_batches(rev, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"])
-    nation = _read(sf_dir, "nation").select_columns(["n_nationkey", "n_name"])
-    j = (li.join(orders, join_type="inner", num_partitions=_join_partitions(),
-                 on=("l_orderkey",), right_on=("o_orderkey",))
-           .join(cust, join_type="inner", num_partitions=_join_partitions(),
-                 on=("o_custkey",), right_on=("c_custkey",))
-           .join(nation, join_type="inner", num_partitions=_join_partitions(),
-                 on=("c_nationkey",), right_on=("n_nationkey",)))
-    agg = j.groupby("n_name").aggregate(Sum("rev_cc"), Count())
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+            .groupby("n_name").aggregate(Sum("rev_cc"), Sum("n"))
 
     def finish(b: pa.Table) -> pa.Table:
         t = pa.table({
             "n_name": b.column("n_name"),
             "revenue": pa.array(np.asarray(b.column("sum(rev_cc)"), dtype=np.int64) / 10000.0, pa.float64()),
-            "n_items": b.column("count()"),
+            "n_items": b.column("sum(n)"),
         })
         return _round_col(t, "revenue", 2)
 

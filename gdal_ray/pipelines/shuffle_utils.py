@@ -1,0 +1,65 @@
+"""Shared shuffle-minimization helpers.
+
+``filter_multi_keys``: the singleton-elimination pattern used by tile
+compositing and LSH bucketing — a key-only count pre-pass (per-block
+partial counts, driver-merged histogram) decides which keys have ≥2 rows;
+only those rows enter the groupby shuffle.  For LSH-style workloads the
+multi fraction is tiny, so this removes ~all of the per-group map_groups
+overhead (50 µs × 10⁶ singleton groups is real money)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def multi_key_array(ds: "ray.data.Dataset", key_col: str,
+                    max_count: int | None = None) -> np.ndarray:
+    """Sorted array of keys that occur on ≥2 rows (driver-merged histogram;
+    bounded by distinct-key count).  ``max_count`` drops degenerate hot keys
+    (LSH mega-buckets from trivial/short documents explode quadratically in
+    candidate pairs and are pure noise — the standard bucket-size cap)."""
+    def partial(b: pa.Table) -> pa.Table:
+        k, c = np.unique(np.asarray(b.column(key_col), dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"k": pa.array(k), "c": pa.array(c)})
+
+    ks, cs = [], []
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        ks.append(np.asarray(b.column("k"), dtype=np.int64))
+        cs.append(np.asarray(b.column("c"), dtype=np.int64))
+    if not ks:
+        return np.array([], dtype=np.int64)
+    # vectorized merge: sort keys, segment-sum counts (no Python dict loop —
+    # the histogram can be millions of entries)
+    k = np.concatenate(ks)
+    c = np.concatenate(cs)
+    order = np.argsort(k, kind="stable")
+    k, c = k[order], c[order]
+    uniq, start = np.unique(k, return_index=True)
+    total = np.add.reduceat(c, start)
+    keep = total > 1
+    if max_count is not None:
+        keep &= total <= max_count
+    return uniq[keep]
+
+
+def filter_multi_keys(ds: "ray.data.Dataset", key_col: str,
+                      max_count: int | None = None) -> "ray.data.Dataset":
+    """Rows whose key occurs ≥2 times (anywhere in the dataset)."""
+    multi = multi_key_array(ds, key_col, max_count)
+    ref = ray.put(multi)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = np.asarray(b.column(key_col), dtype=np.int64)
+        if m.size == 0:
+            return b.slice(0, 0)
+        pos = np.clip(np.searchsorted(m, keys), 0, m.size - 1)
+        return b.filter(pa.array(m[pos] == keys))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
