@@ -234,6 +234,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return ds.map_batches(fingerprint, batch_format="pyarrow")
 
+    def _dedup_phash(sf_dir: str):
+        """phash hamming near-dup: random 64-bit hashes have ~32-bit pairwise
+        distance, so (as with embeddings) the query plants perturbed copies
+        of the first 10 hashes (≤3 bit flips) that the operator must find."""
+        import pyarrow as pa
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.catalog import phash_neardup_pairs
+        base = fixtures.images_table(256).select(["image_id", "phash"])
+        ph = base.column("phash").to_pylist()[:10]
+        planted = pa.table({
+            "image_id": pa.array([f"dup{i:02d}" for i in range(10)]),
+            "phash": pa.array([p ^ (0b1 << (i % 60)) ^ (0b1 << ((i * 7) % 60))
+                               for i, p in enumerate(ph)], pa.int64()),
+        })
+        ds = ray.data.from_arrow(pa.concat_tables([base, planted]))
+        return phash_neardup_pairs(ds, max_hamming=3)
+
+    def _raster_tindex(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.catalog import build_tile_index
+        ds = ray.data.from_arrow(fixtures.images_table(48))
+        return build_tile_index(ds).select_columns(
+            ["image_id", "minx", "miny", "maxx", "maxy"])
+
     def _raster_calc(sf_dir: str):
         import ray.data
 
@@ -331,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_sort_hilbert": _vector_sort,
         "knn_idw": _knn_idw,
         "ann_ivf": _ann_ivf,
+        "dedup_phash": _dedup_phash,
+        "raster_tindex": _raster_tindex,
         "raster_calc": _raster_calc,
         "raster_sieve": _raster_sieve,
         "raster_proximity": _raster_proximity,

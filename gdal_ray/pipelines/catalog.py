@@ -1,0 +1,139 @@
+"""Catalog / sink utilities: tile index, hive-partitioned vector write,
+Hilbert-ordered tile layout, phash near-dup.
+
+  - build_tile_index: `gdal raster index` / gdaltindex (apps/gdaltindex_lib
+    .cpp) — one footprint polygon + metadata row per raster: the "catalog"
+    table that drives mosaic reads and PIP joins.
+  - write_partitioned: `gdal vector partition` (apps/gdalalg_vector_partition
+    .cpp:30-167) — hive-partitioned parquet by field values; nulls land in
+    ``__HIVE_DEFAULT_PARTITION__`` exactly like the reference.
+  - write_tiles_hilbert: COG-style spatial layout (frmts/gtiff/cogdriver.cpp
+    ordered tile writes; alg/hilbert.cpp): sort tiles by Hilbert code of the
+    tile center before writing so byte-adjacent rows are map-adjacent.
+  - phash_neardup_pairs: near-duplicate images by perceptual-hash hamming
+    distance ≤ t (SURVEY §2.8 — the extension the phash column exists for),
+    same pigeonhole block-bucket design as simhash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..core import hilbert, mercator
+from ..stages.footprint import footprints
+from .shuffle_utils import filter_multi_keys
+
+
+def build_tile_index(images: "ray.data.Dataset") -> "ray.data.Dataset":
+    """images → catalog rows (image_id, wkb footprint, lon/lat bbox)."""
+    def fn(b: pa.Table) -> pa.Table:
+        fp = footprints(b)
+        from ..core import geom, wkb
+        bbs = [geom.rings_bbox(wkb.as_polygons(wkb.loads(w))[0])
+               for w in fp.column("wkb").to_pylist()]
+        return pa.table({
+            "image_id": fp.column("image_id"),
+            "wkb": fp.column("wkb"),
+            "minx": pa.array([b_[0] for b_ in bbs], pa.float64()),
+            "miny": pa.array([b_[1] for b_ in bbs], pa.float64()),
+            "maxx": pa.array([b_[2] for b_ in bbs], pa.float64()),
+            "maxy": pa.array([b_[3] for b_ in bbs], pa.float64()),
+        })
+
+    return images.map_batches(fn, batch_format="pyarrow")
+
+
+def write_partitioned(ds: "ray.data.Dataset", out_dir: str,
+                      partition_cols: list[str]) -> None:
+    """Hive-partitioned parquet (gdal vector partition field-scheme); Ray's
+    writer uses the same `col=value` directory layout, with nulls mapped to
+    __HIVE_DEFAULT_PARTITION__ first (reference null marker,
+    gdalalg_vector_partition.cpp:98)."""
+    import pyarrow.compute as pc
+
+    def fill_nulls(b: pa.Table) -> pa.Table:
+        for c in partition_cols:
+            col = b.column(c)
+            if col.null_count:
+                b = b.set_column(b.column_names.index(c), c,
+                                 pc.fill_null(col, "__HIVE_DEFAULT_PARTITION__"))
+        return b
+
+    ds.map_batches(fill_nulls, batch_format="pyarrow") \
+      .write_parquet(out_dir, partition_cols=partition_cols)
+
+
+def write_tiles_hilbert(tiles: "ray.data.Dataset", out_dir: str,
+                        order: int = 14) -> None:
+    """Spatially-ordered tile sink: sort by Hilbert code of the tile center
+    (the `gdal vector sort` / COG layout rule) then write."""
+    def key(b: pa.Table) -> pa.Table:
+        z = np.asarray(b.column("z"), dtype=np.int64)
+        x = np.asarray(b.column("x"), dtype=np.float64)
+        y = np.asarray(b.column("y"), dtype=np.float64)
+        mminx, mminy, mmaxx, mmaxy = mercator.tile_bounds(x, y, z)
+        cx = (np.asarray(mminx) + np.asarray(mmaxx)) / 2.0
+        cy = (np.asarray(mminy) + np.asarray(mmaxy)) / 2.0
+        n = np.int64(1) << order
+        gx = np.clip(((cx + mercator.ORIGIN_SHIFT) / (2 * mercator.ORIGIN_SHIFT) * n).astype(np.int64), 0, n - 1)
+        gy = np.clip(((cy + mercator.ORIGIN_SHIFT) / (2 * mercator.ORIGIN_SHIFT) * n).astype(np.int64), 0, n - 1)
+        return b.append_column("hkey", pa.array(hilbert.hilbert_d(gx, gy, order), pa.int64()))
+
+    tiles.map_batches(key, batch_format="pyarrow").sort("hkey") \
+        .write_parquet(out_dir)
+
+
+def phash_neardup_pairs(images: "ray.data.Dataset", *, max_hamming: int = 3,
+                        id_col: str = "image_id", phash_col: str = "phash",
+                        ) -> "ray.data.Dataset":
+    """Image pairs whose 64-bit perceptual hashes differ by ≤ max_hamming
+    bits.  Pigeonhole bucketing on (max_hamming+1) 16-bit blocks; verify by
+    exact popcount; exactly-once by first-matching-block."""
+    nblocks = max_hamming + 1
+    bits = 64 // nblocks
+
+    def expand(b: pa.Table) -> pa.Table:
+        signed = np.asarray(b.column(phash_col), dtype=np.int64)
+        ph = signed.view(np.uint64)  # two's-complement reinterpretation
+        blocks = np.arange(nblocks, dtype=np.int64)
+        vals = ((ph[:, None] >> (blocks * bits).astype(np.uint64)[None, :])
+                & np.uint64((1 << bits) - 1)).astype(np.int64)
+        bval = (blocks[None, :] << 60) | vals
+        ids = b.column(id_col).to_pylist()
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, nblocks)),
+            "bval": pa.array(bval.ravel(), pa.int64()),
+            "phash_u": pa.array(np.repeat(signed, nblocks), pa.int64()),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        n = g.num_rows
+        if n >= 2:
+            ids = g.column(id_col).to_pylist()
+            blk = int(g.column("bval")[0].as_py()) >> 60
+            ph = np.asarray(g.column("phash_u"), dtype=np.int64).view(np.uint64)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if ids[i] == ids[j]:
+                        continue
+                    x = int(ph[i]) ^ int(ph[j])
+                    d = bin(x).count("1")
+                    if d > max_hamming:
+                        continue
+                    first = next(pb for pb in range(nblocks)
+                                 if (x >> (pb * bits)) & ((1 << bits) - 1) == 0)
+                    if first == blk:
+                        a, b2 = sorted((ids[i], ids[j]))
+                        out_a.append(a); out_b.append(b2); out_d.append(d)
+        return pa.table({"id_a": pa.array(out_a, pa.string()),
+                         "id_b": pa.array(out_b, pa.string()),
+                         "hamming": pa.array(out_d, pa.int32())})
+
+    rows = images.map_batches(expand, batch_format="pyarrow").materialize()
+    return filter_multi_keys(rows, "bval") \
+        .groupby("bval").map_groups(pairs, batch_format="pyarrow")
