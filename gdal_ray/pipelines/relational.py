@@ -195,13 +195,17 @@ def q_filter_project(sf_dir: str):
         keep = pc.and_(pc.greater(b.column("l_quantity"), pa.scalar(45.0)),
                        pc.less(b.column("l_discount"), pa.scalar(0.05)))
         b = b.filter(keep)
-        revenue = pc.round(pc.multiply(b.column("l_extendedprice"),
-                                       pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
-                           ndigits=2)
+        # price×(1-discount) is an exact 4-decimal rational; decimal ties
+        # (.XX50) round differently through a float path than through
+        # DuckDB's decimal-aware round — do the rounding in integer cents²
+        ep_c = np.round(np.asarray(b.column("l_extendedprice")) * 100).astype(np.int64)
+        disc_c = np.round(np.asarray(b.column("l_discount")) * 100).astype(np.int64)
+        cc = ep_c * (100 - disc_c)
+        revenue = ((cc + 50) // 100) / 100.0  # half-up on exact integers
         return pa.table({
             "l_orderkey": b.column("l_orderkey"),
             "l_linenumber": b.column("l_linenumber"),
-            "revenue": revenue,
+            "revenue": pa.array(revenue, pa.float64()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -209,7 +213,8 @@ def q_filter_project(sf_dir: str):
 
 SQL_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+       ((CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
 FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
 """
 

@@ -131,13 +131,58 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
                           level: int = C.DEFAULT_LEVEL,
                           point_id_col: str = "point_id",
                           poly_id_col: str = "poly_id",
-                          carry_cols: tuple = ()) -> "ray.data.Dataset":
+                          carry_cols: tuple = (),
+                          salt: int = 0,
+                          hot_threshold: int | None = None) -> "ray.data.Dataset":
     """(point_id, poly_id) pairs where predicate(point, polygon) holds.
 
     MultiPolygon parts are OR-ed (a point in any part matches once — pairs
     are deduped per (point, polygon) by construction since a point lives in
-    exactly one cell)."""
+    exactly one cell).
+
+    Skew handling (``salt`` > 1): a cheap count pre-pass flags hot cells
+    (> ``hot_threshold`` points, default 8× the mean); point rows in hot
+    cells hash into `salt` sub-keys while polygon rows replicate into all of
+    them — each (point, polygon) pair still meets in exactly one group, so
+    exactness is untouched while the hottest group shrinks by `salt`×."""
     assert predicate in ("intersects", "within")
+
+    hot_ref = None
+    if salt > 1:
+        hist = cell_histogram(points, level)
+        thr = hot_threshold if hot_threshold is not None else \
+            max(64, int(8 * (sum(hist.values()) / max(1, len(hist)))))
+        hot = np.sort(np.array([c for c, n in hist.items() if n > thr],
+                               dtype=np.int64))
+        hot_ref = ray.put(hot)
+
+    def _apply_salt(t: pa.Table, replicate: bool) -> pa.Table:
+        """Point side: one salted key per row.  Polygon side: replicate hot-
+        cell rows across all salts."""
+        cells = np.asarray(t.column("cell"), dtype=np.int64)
+        hot = ray.get(hot_ref)
+        pos = np.clip(np.searchsorted(hot, cells), 0, max(0, hot.size - 1))
+        is_hot = (hot[pos] == cells) if hot.size else np.zeros(cells.size, bool)
+        base = cells * np.int64(salt)
+        if not replicate:
+            # deterministic row hash (cell + stable row index within batch)
+            h = (cells + np.arange(cells.size, dtype=np.int64) * np.int64(2654435761)) % salt
+            key = base + np.where(is_hot, h, 0)
+            return t.set_column(t.column_names.index("cell"), "cell", pa.array(key))
+        # replicate hot rows across salts
+        idx = []
+        keys = []
+        for i in range(t.num_rows):
+            if is_hot[i]:
+                for s in range(salt):
+                    idx.append(i)
+                    keys.append(int(base[i]) + s)
+            else:
+                idx.append(i)
+                keys.append(int(base[i]))
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.set_column(out.column_names.index("cell"), "cell",
+                              pa.array(np.asarray(keys, np.int64)))
     carry = dict(carry_cols) if isinstance(carry_cols, dict) else {c: pa.float64() for c in carry_cols}
     spec = [(point_id_col, pa.string()), ("x", pa.float64()), ("y", pa.float64()),
             (poly_id_col, pa.string()), ("wkb", pa.binary()),
@@ -146,11 +191,15 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
 
     def prep_points(b: pa.Table) -> pa.Table:
         t = points_with_cells(b, level)
+        if hot_ref is not None:
+            t = _apply_salt(t, replicate=False)
         t = t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
         return _pad_to_schema(t, spec)
 
     def prep_polys(b: pa.Table) -> pa.Table:
         t = polygons_expand_cells(b, level)
+        if hot_ref is not None:
+            t = _apply_salt(t, replicate=True)
         t = t.append_column("side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
         return _pad_to_schema(t, spec)
 

@@ -10,7 +10,9 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
