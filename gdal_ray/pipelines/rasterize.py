@@ -27,7 +27,39 @@ from ..core import geom, mercator, wkb
 TILE = 256
 
 
-def _burn_group(group: pa.Table, merge_alg: str, dtype) -> pa.Table:
+def _supercover_cells(ring_px: np.ndarray, size: int = TILE) -> np.ndarray:
+    """Boolean (size, size) mask of grid cells crossed by the ring's edges —
+    Amanatides-Woo grid traversal (the ALL_TOUCHED edge rule,
+    alg/gdalrasterize.cpp:796 GDALdllImageLineAllTouched)."""
+    mask = np.zeros((size, size), dtype=bool)
+    for k in range(len(ring_px) - 1):
+        x0, y0 = ring_px[k]
+        x1, y1 = ring_px[k + 1]
+        cx, cy = int(np.floor(x0)), int(np.floor(y0))
+        ex, ey = int(np.floor(x1)), int(np.floor(y1))
+        dx, dy = x1 - x0, y1 - y0
+        sx = 1 if dx > 0 else -1
+        sy = 1 if dy > 0 else -1
+        tmx = ((cx + (sx > 0)) - x0) / dx if dx != 0 else np.inf
+        tmy = ((cy + (sy > 0)) - y0) / dy if dy != 0 else np.inf
+        tdx = abs(1.0 / dx) if dx != 0 else np.inf
+        tdy = abs(1.0 / dy) if dy != 0 else np.inf
+        for _ in range(4 * size):
+            if 0 <= cx < size and 0 <= cy < size:
+                mask[cy, cx] = True
+            if cx == ex and cy == ey:
+                break
+            if tmx < tmy:
+                cx += sx
+                tmx += tdx
+            else:
+                cy += sy
+                tmy += tdy
+    return mask
+
+
+def _burn_group(group: pa.Table, merge_alg: str, dtype,
+                all_touched: bool = False) -> pa.Table:
     z = group.column("z")[0].as_py()
     x = group.column("x")[0].as_py()
     y = group.column("y")[0].as_py()
@@ -49,13 +81,20 @@ def _burn_group(group: pa.Table, merge_alg: str, dtype) -> pa.Table:
         for rings in wkb.as_polygons(wkb.loads(wkbs[j])):
             bb = geom.rings_bbox(rings)
             cand = ((lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3]))
-            if not cand.any():
-                continue
-            ci = np.nonzero(cand)[0]
-            parity = np.zeros(ci.shape[0], dtype=np.int64)
-            for ring in rings:
-                parity += geom.points_in_ring(lon[ci], lat[ci], ring).astype(np.int64)
-            inside[ci[(parity % 2).astype(bool)]] = True
+            if cand.any():
+                ci = np.nonzero(cand)[0]
+                parity = np.zeros(ci.shape[0], dtype=np.int64)
+                for ring in rings:
+                    parity += geom.points_in_ring(lon[ci], lat[ci], ring).astype(np.int64)
+                inside[ci[(parity % 2).astype(bool)]] = True
+            if all_touched:
+                # edge supercover in tile-pixel space
+                for ring in rings:
+                    la = np.clip(ring[:, 1], -85.05112878, 85.05112878)
+                    rmx, rmy = mercator.latlon_to_meters(la, ring[:, 0])
+                    px = (np.asarray(rmx) - bminx) / res
+                    py = (bmaxy - np.asarray(rmy)) / res
+                    inside |= _supercover_cells(np.column_stack([px, py])).ravel()
         if merge_alg == "add":
             grid[inside] += burns[j]
         else:
@@ -77,7 +116,7 @@ def _burn_group(group: pa.Table, merge_alg: str, dtype) -> pa.Table:
 def rasterize(polygons: "ray.data.Dataset", zoom: int, *,
               burn_col: str | None = None, burn_value: float = 255.0,
               merge_alg: str = "replace", id_col: str = "poly_id",
-              dtype=np.uint8) -> "ray.data.Dataset":
+              dtype=np.uint8, all_touched: bool = False) -> "ray.data.Dataset":
     """polygons(id, wkb[, burn_col]) → tile rasters at `zoom`.
 
     Output: (tile_key, z, x, y, data=raw dtype TILE², burned_px).
@@ -128,4 +167,5 @@ def rasterize(polygons: "ray.data.Dataset", zoom: int, *,
 
     contribs = polygons.map_batches(expand, batch_format="pyarrow")
     return contribs.groupby("tile_key").map_groups(
-        lambda g: _burn_group(g, merge_alg, dtype), batch_format="pyarrow")
+        lambda g: _burn_group(g, merge_alg, dtype, all_touched),
+        batch_format="pyarrow")

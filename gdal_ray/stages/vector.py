@@ -179,6 +179,69 @@ def hilbert_key(batch: pa.Table, wkb_col: str = "wkb", order: int = 16) -> pa.Ta
     return t.append_column("hilbert", pa.array(key, pa.int64()))
 
 
+def check_geometry(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector check-geometry: validity report per feature.
+    Checks: parseable WKB, ring closure, ≥4 points per ring, no duplicate
+    consecutive vertices, no self-intersection of the shell (proper
+    crossings only — shared endpoints of adjacent segments are legal)."""
+    ok, reasons = [], []
+    for data in batch.column(wkb_col).to_pylist():
+        reason = ""
+        try:
+            polys = wkb.as_polygons(wkb.loads(data))
+            for rings in polys:
+                for ring in rings:
+                    if len(ring) < 4:
+                        reason = "ring has < 4 points"
+                        break
+                    if not np.allclose(ring[0], ring[-1]):
+                        reason = "ring not closed"
+                        break
+                    d = np.abs(np.diff(ring, axis=0)).sum(axis=1)
+                    if (d == 0).any():
+                        reason = "duplicate consecutive vertices"
+                        break
+                if reason:
+                    break
+                shell = rings[0]
+                a1, a2 = shell[:-1], shell[1:]
+                n = len(a1)
+                if n > 3:
+                    cross = geom._segments_cross(a1, a2, a1, a2)
+                    # mask self and adjacent (incl. wraparound) pairs
+                    i = np.arange(n)
+                    adj = (np.abs(i[:, None] - i[None, :]) <= 1) | \
+                          (np.abs(i[:, None] - i[None, :]) == n - 1)
+                    if (cross & ~adj).any():
+                        reason = "self-intersection"
+        except Exception:
+            reason = "unparseable wkb"
+        ok.append(reason == "")
+        reasons.append(reason)
+    t = batch.append_column("is_valid", pa.array(ok, pa.bool_()))
+    return t.append_column("invalid_reason", pa.array(reasons, pa.string()))
+
+
+def make_valid_lite(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector make-valid (lite): close unclosed rings, drop duplicate
+    consecutive vertices, drop degenerate (<4 pt) rings.  Full GEOS
+    MakeValid node-splitting is the documented gap."""
+    def fix(rings):
+        out = []
+        for ring in rings:
+            r = ring
+            if not np.allclose(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            keep = np.ones(len(r), dtype=bool)
+            keep[1:] = np.abs(np.diff(r, axis=0)).sum(axis=1) > 0
+            r = r[keep]
+            if len(r) >= 4:
+                out.append(r)
+        return out if out else None
+
+    return _map_polys(batch, fix, wkb_col)
+
+
 def dissolve_collect(group: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     """gdal vector dissolve (apps/gdalalg_vector_dissolve.h): merge all
     features of one group key into one multi-part feature.
