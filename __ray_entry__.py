@@ -262,6 +262,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return build_tile_index(ds).select_columns(
             ["image_id", "minx", "miny", "maxx", "maxy"])
 
+    def _raster_aspect(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.dem import aspect
+        ds = ray.data.from_arrow(fixtures.images_table(16))
+        return ds.map_batches(aspect, batch_format="pyarrow") \
+                 .select_columns(["image_id", "fmt"])
+
+    def _raster_neighbors(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.dem import neighbors
+        ds = ray.data.from_arrow(fixtures.images_table(16))
+        return ds.map_batches(lambda b: neighbors(b, stat="median", size=3),
+                              batch_format="pyarrow") \
+                 .select_columns(["image_id", "fmt"])
+
+    def _rgb_to_palette(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.palette import rgb_to_palette
+        ds = ray.data.from_arrow(fixtures.images_table(16))
+        indexed, pal = rgb_to_palette(ds, n_colors=32)
+        return indexed.select_columns(["image_id", "fmt"])
+
+    def _vector_check_geometry(sf_dir: str):
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.stages.vector import check_geometry
+        polys = ray.data.from_arrow(fixtures.polygons_table(64))
+        return polys.map_batches(check_geometry, batch_format="pyarrow") \
+                    .select_columns(["poly_id", "is_valid", "invalid_reason"])
+
     def _raster_calc(sf_dir: str):
         import ray.data
 
@@ -366,6 +403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_proximity": _raster_proximity,
         "raster_reproject": _raster_reproject,
         "image_features": _image_features,
+        "raster_aspect": _raster_aspect,
+        "raster_neighbors": _raster_neighbors,
+        "rgb_to_palette": _rgb_to_palette,
+        "vector_check_geometry": _vector_check_geometry,
     }
 
 
