@@ -119,6 +119,65 @@ def knn_join(queries: "ray.data.Dataset", ref_xy: np.ndarray, ref_ids,
     )
 
 
+def grid_metrics(queries: "ray.data.Dataset", ref_xy: np.ndarray,
+                 ref_vals: np.ndarray, *, radius: float,
+                 metrics: tuple = ("count", "minimum", "maximum", "range",
+                                   "average", "average_distance"),
+                 query_id_col: str = "point_id",
+                 concurrency: int | tuple = 2) -> "ray.data.Dataset":
+    """gdal_grid data-metrics + moving-average + nearest in one pass
+    (GDALGridAlgorithm set, alg/gdal_alg.h:402-417): per query node, the
+    scattered points within `radius` feed count/min/max/range/average/
+    average-distance; `nearest` is the value of the closest point
+    (unbounded).  Broadcast point set; vectorized per batch."""
+    ref = ray.put({"xy": np.asarray(ref_xy, dtype=np.float64),
+                   "vals": np.asarray(ref_vals, dtype=np.float64)})
+
+    class MetricsStage:
+        def __init__(self):
+            d = ray.get(ref)
+            self.xy = d["xy"]
+            self.vals = d["vals"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qx = np.asarray(batch.column("x"), dtype=np.float64)
+            qy = np.asarray(batch.column("y"), dtype=np.float64)
+            out = {query_id_col: batch.column(query_id_col)}
+            nq = qx.size
+            res = {m: np.full(nq, np.nan) for m in metrics}
+            nearest = np.full(nq, np.nan)
+            for s in range(0, nq, 1024):
+                e = min(s + 1024, nq)
+                dx = qx[s:e, None] - self.xy[None, :, 0]
+                dy = qy[s:e, None] - self.xy[None, :, 1]
+                d = np.hypot(dx, dy)
+                within = d <= radius
+                cnt = within.sum(axis=1)
+                vals = np.where(within, self.vals[None, :], np.nan)
+                with np.errstate(invalid="ignore"):
+                    if "count" in res:
+                        res["count"][s:e] = cnt
+                    if "minimum" in res:
+                        res["minimum"][s:e] = np.where(cnt > 0, np.nanmin(vals, axis=1), np.nan)
+                    if "maximum" in res:
+                        res["maximum"][s:e] = np.where(cnt > 0, np.nanmax(vals, axis=1), np.nan)
+                    if "range" in res:
+                        res["range"][s:e] = np.where(cnt > 0, np.nanmax(vals, axis=1) - np.nanmin(vals, axis=1), np.nan)
+                    if "average" in res:
+                        res["average"][s:e] = np.where(cnt > 0, np.nansum(vals, axis=1) / np.maximum(cnt, 1), np.nan)
+                    if "average_distance" in res:
+                        dd = np.where(within, d, np.nan)
+                        res["average_distance"][s:e] = np.where(cnt > 0, np.nansum(dd, axis=1) / np.maximum(cnt, 1), np.nan)
+                nearest[s:e] = self.vals[d.argmin(axis=1)]
+            for m in metrics:
+                out[m] = pa.array(res[m], pa.float64())
+            out["nearest"] = pa.array(nearest, pa.float64())
+            return pa.table(out)
+
+    return queries.map_batches(MetricsStage, batch_format="pyarrow",
+                               concurrency=concurrency)
+
+
 def idw_interpolate(queries: "ray.data.Dataset", ref_xy: np.ndarray,
                     ref_vals: np.ndarray, *, power: float = 2.0,
                     smoothing: float = 0.0, max_points: int = 12,

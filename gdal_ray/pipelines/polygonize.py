@@ -171,6 +171,49 @@ def polygonize(batch: pa.Table, *, connect8: bool = False,
                      "wkb": pa.array(out["wkb"], pa.binary())})
 
 
+def contour_lines(band: np.ndarray, gt, levels, *, tol: float = 1e-9
+                  ) -> list[tuple[float, np.ndarray]]:
+    """Merged iso-lines: marching-squares segments stitched into polylines
+    (the line-merge step of alg/contour.cpp's segment merger).  Endpoints
+    are matched on a quantized grid; open lines and closed rings both come
+    out as (level, (N,2) polyline) with rings closed explicitly."""
+    segs = contour_band(band, gt, levels)
+    out = []
+    by_level: dict = {}
+    for lv, xy in segs:
+        by_level.setdefault(lv, []).append(xy)
+    for lv, seglist in by_level.items():
+        def key(p):
+            return (round(float(p[0]) / tol), round(float(p[1]) / tol))
+        adj: dict = {}
+        for si, xy in enumerate(seglist):
+            adj.setdefault(key(xy[0]), []).append((si, 0))
+            adj.setdefault(key(xy[1]), []).append((si, 1))
+        used = [False] * len(seglist)
+        for start_si in range(len(seglist)):
+            if used[start_si]:
+                continue
+            # walk both directions from this segment
+            line = [seglist[start_si][0], seglist[start_si][1]]
+            used[start_si] = True
+            for end in (1, 0):
+                while True:
+                    k = key(line[-1 if end == 1 else 0])
+                    nxt = [(si, e) for si, e in adj.get(k, []) if not used[si]]
+                    if not nxt:
+                        break
+                    si, e = nxt[0]
+                    used[si] = True
+                    seg = seglist[si]
+                    new_pt = seg[1 - e]
+                    if end == 1:
+                        line.append(new_pt)
+                    else:
+                        line.insert(0, new_pt)
+            out.append((lv, np.asarray(line, dtype=np.float64)))
+    return out
+
+
 def contour_band(band: np.ndarray, gt, levels) -> list[tuple[float, np.ndarray]]:
     """Marching-squares iso-lines (GDALContourGenerateEx, alg/contour.cpp,
     alg/marching_squares/): returns (level, polyline) segments joined
@@ -204,6 +247,8 @@ def contour_band(band: np.ndarray, gt, levels) -> list[tuple[float, np.ndarray]]
                                 y + 0.5 + y0 + t * (y1 - y0)))
             if len(pts) >= 2:
                 p = np.asarray(pts[:2], dtype=np.float64)
+                if np.hypot(*(p[1] - p[0])) < 1e-12:
+                    continue  # level exactly through a cell corner
                 gx, gy = gtm.apply(gt, p[:, 0], p[:, 1])
                 segs_out.append((float(lv), np.column_stack([gx, gy])))
     return segs_out
