@@ -119,6 +119,117 @@ def knn_join(queries: "ray.data.Dataset", ref_xy: np.ndarray, ref_ids,
     )
 
 
+def knn_radius_cell_join(queries: "ray.data.Dataset", points: "ray.data.Dataset",
+                         *, radius: float, k: int,
+                         level: int | None = None,
+                         query_id_col: str = "point_id",
+                         point_id_col: str = "point_id",
+                         concurrency_unused=None) -> "ray.data.Dataset":
+    """BIG×BIG radius-bounded kNN — the scale path when neither side fits a
+    broadcast (SURVEY §2.5 'cell-join + local KDTree for big-big kNN').
+
+    Exactness argument: with cell size ≥ `radius` (level chosen so), every
+    point within `radius` of a query lies in the query's cell or one of its
+    8 neighbors.  The point side is replicated into its 3×3 neighborhood
+    (flat_map ×9 — bounded, and only the point side), queries carry one
+    cell, and a single ``groupby(cell)`` co-partitions; the in-group kernel
+    is the exact vectorized knn_batch_kernel filtered to ≤ radius.
+    Output: (query_id, neighbor_id, rank, distance ≤ radius), up to k rows
+    per query (fewer when the neighborhood is sparse)."""
+    import math
+
+    from ..core import cells as C
+    if level is None:
+        # largest level whose cell height (180/2^L degrees) still ≥ radius
+        level = max(1, min(12, int(math.floor(math.log2(180.0 / radius)))))
+
+    def prep_queries(b: pa.Table) -> pa.Table:
+        x = np.asarray(b.column("x"), dtype=np.float64)
+        y = np.asarray(b.column("y"), dtype=np.float64)
+        return pa.table({
+            "qid": b.column(query_id_col).cast(pa.string()),
+            "x": pa.array(x), "y": pa.array(y),
+            "cell": pa.array(C.cell_of(x, y, level), pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            "pid": pa.nulls(b.num_rows, pa.string()),
+        })
+
+    def prep_points(b: pa.Table) -> pa.Table:
+        x = np.asarray(b.column("x"), dtype=np.float64)
+        y = np.asarray(b.column("y"), dtype=np.float64)
+        cx, cy = C.cell_xy(x, y, level)
+        n = np.int64(1) << level
+        rows = {"qid": [], "x": [], "y": [], "cell": [], "pid": []}
+        pids = b.column(point_id_col).to_pylist()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nx = np.clip(cx + dx, 0, n - 1)
+                ny = np.clip(cy + dy, 0, n - 1)
+                keys = C.pack(nx, ny, level)
+                rows["qid"].extend([None] * len(x))
+                rows["x"].extend(x.tolist())
+                rows["y"].extend(y.tolist())
+                rows["cell"].extend(keys.tolist())
+                rows["pid"].extend(pids)
+        t = pa.table({
+            "qid": pa.array(rows["qid"], pa.string()),
+            "x": pa.array(rows["x"], pa.float64()),
+            "y": pa.array(rows["y"], pa.float64()),
+            "cell": pa.array(rows["cell"], pa.int64()),
+            "side": pa.array(np.ones(len(rows["x"]), np.int8)),
+            "pid": pa.array(rows["pid"], pa.string()),
+        })
+        # clipping can duplicate a (cell, point) at the grid border — dedupe
+        import pyarrow.compute as pc2
+        key = pc2.binary_join_element_wise(
+            pc2.cast(t.column("cell"), pa.string()), t.column("pid"), "|")
+        mask = np.zeros(t.num_rows, dtype=bool)
+        seen = set()
+        for i, kv in enumerate(key.to_pylist()):
+            if kv not in seen:
+                seen.add(kv)
+                mask[i] = True
+        return t.filter(pa.array(mask))
+
+    def group_knn(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("side"))
+        q = g.filter(pa.array(side == 0))
+        p = g.filter(pa.array(side == 1))
+        if q.num_rows == 0 or p.num_rows == 0:
+            return pa.table({query_id_col: pa.array([], pa.string()),
+                             "neighbor_id": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int32()),
+                             "distance": pa.array([], pa.float64())})
+        ref_ids = p.column("pid").to_pylist()
+        order = np.argsort(np.asarray(ref_ids, dtype=object), kind="stable")
+        ref_xy = np.column_stack([np.asarray(p.column("x"), dtype=np.float64)[order],
+                                  np.asarray(p.column("y"), dtype=np.float64)[order]])
+        ref_ids = [ref_ids[i] for i in order]
+        qx = np.asarray(q.column("x"), dtype=np.float64)
+        qy = np.asarray(q.column("y"), dtype=np.float64)
+        idx, dist = knn_batch_kernel(qx, qy, ref_xy, min(k, len(ref_ids)))
+        out = {query_id_col: [], "neighbor_id": [], "rank": [], "distance": []}
+        qids = q.column("qid").to_pylist()
+        for qi in range(len(qids)):
+            rank = 0
+            for j in range(idx.shape[1]):
+                if dist[qi, j] > radius:
+                    break
+                rank += 1
+                out[query_id_col].append(qids[qi])
+                out["neighbor_id"].append(ref_ids[idx[qi, j]])
+                out["rank"].append(rank)
+                out["distance"].append(float(dist[qi, j]))
+        return pa.table({query_id_col: pa.array(out[query_id_col], pa.string()),
+                         "neighbor_id": pa.array(out["neighbor_id"], pa.string()),
+                         "rank": pa.array(out["rank"], pa.int32()),
+                         "distance": pa.array(out["distance"], pa.float64())})
+
+    both = queries.map_batches(prep_queries, batch_format="pyarrow").union(
+        points.map_batches(prep_points, batch_format="pyarrow"))
+    return both.groupby("cell").map_groups(group_knn, batch_format="pyarrow")
+
+
 def grid_metrics(queries: "ray.data.Dataset", ref_xy: np.ndarray,
                  ref_vals: np.ndarray, *, radius: float,
                  metrics: tuple = ("count", "minimum", "maximum", "range",

@@ -171,6 +171,55 @@ class WarpTileStage:
         })
 
 
+def split_large_images(batch: pa.Table, max_pixels: int = 1 << 22,
+                       tile_px: int = 1024) -> pa.Table:
+    """flat_map oversized images into sub-window rows BEFORE warp (SURVEY §7
+    'very wide records': 100 MP rows blow block targets).  Each sub-window
+    gets an offset geotransform (pure affine shift — gt offset at (x0, y0)),
+    so downstream tile contributions compose identically to the unsplit
+    image; payloads stay ≤ tile_px² per row.  Rows under max_pixels pass
+    through untouched."""
+    out = {c: [] for c in batch.column_names}
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    gts = batch.column("geotransform").to_pylist()
+    for i in range(batch.num_rows):
+        w = batch.column("w")[i].as_py()
+        h = batch.column("h")[i].as_py()
+        if w * h <= max_pixels:
+            for c in batch.column_names:
+                out[c].append(batch.column(c)[i].as_py())
+            continue
+        img = codecs.decode(bts[i], fmts[i])
+        gt = tuple(gts[i])
+        for y0 in range(0, h, tile_px):
+            for x0 in range(0, w, tile_px):
+                sub = img[y0:y0 + tile_px, x0:x0 + tile_px]
+                sh, sw = sub.shape[:2]
+                ox, oy = gtm.apply(gt, x0, y0)
+                sub_gt = (float(ox), gt[1], gt[2], float(oy), gt[4], gt[5])
+                for c in batch.column_names:
+                    if c == "bytes":
+                        out[c].append(codecs.encode(np.ascontiguousarray(sub), "raw"))
+                    elif c == "fmt":
+                        out[c].append("raw")
+                    elif c == "w":
+                        out[c].append(sw)
+                    elif c == "h":
+                        out[c].append(sh)
+                    elif c == "geotransform":
+                        out[c].append(list(sub_gt))
+                    elif c == "image_id":
+                        out[c].append(f"{batch.column(c)[i].as_py()}#w{x0}_{y0}")
+                    else:
+                        out[c].append(batch.column(c)[i].as_py())
+    arrays = {}
+    for c in batch.column_names:
+        typ = batch.schema.field(c).type
+        arrays[c] = pa.array(out[c], typ)
+    return pa.table(arrays)
+
+
 class ReprojectImageStage:
     """gdalwarp as a standalone stage: reproject each image to dst_crs on a
     north-up grid sized by the suggested-output rule (GDALSuggestedWarpOutput2
