@@ -262,6 +262,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return build_tile_index(ds).select_columns(
             ["image_id", "minx", "miny", "maxx", "maxy"])
 
+    def _grid_metrics(sf_dir: str):
+        import numpy as np
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.knn import grid_metrics
+        pts = fixtures.points_table(400)
+        ref = fixtures.points_batch(np.arange(5000, 5200))
+        ref_xy = np.column_stack([np.asarray(ref.column("x")), np.asarray(ref.column("y"))])
+        return grid_metrics(ray.data.from_arrow(pts), ref_xy,
+                            np.asarray(ref.column("value")), radius=5.0,
+                            concurrency=2)
+
+    def _knn_bigbig(sf_dir: str):
+        import numpy as np
+        import ray.data
+
+        from gdal_ray.core import fixtures
+        from gdal_ray.pipelines.knn import knn_radius_cell_join
+        q = fixtures.points_table(200)
+        p = fixtures.points_batch(np.arange(3000, 4000))
+        return knn_radius_cell_join(ray.data.from_arrow(q),
+                                    ray.data.from_arrow(p), radius=2.0, k=3)
+
     def _raster_aspect(sf_dir: str):
         import ray.data
 
@@ -407,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_neighbors": _raster_neighbors,
         "rgb_to_palette": _rgb_to_palette,
         "vector_check_geometry": _vector_check_geometry,
+        "grid_metrics": _grid_metrics,
+        "knn_bigbig": _knn_bigbig,
     }
 
 
