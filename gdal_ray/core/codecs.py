@@ -81,6 +81,13 @@ def encode_png(img: np.ndarray, level: int = 6, filter_type: int = 0) -> bytes:
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     rows = raw.reshape(h, stride + 1)
     ftypes = rows[:, 0]
+    # fast paths for the filters our own encoder emits (0 = None, 2 = Up):
+    # the generic path below is a per-row Python loop — milliseconds per
+    # image, and decode sits on the warp hot path
+    if not ftypes.any():
+        return rows[:, 1:].copy()
+    if (ftypes == 2).all():
+        return np.cumsum(rows[:, 1:], axis=0, dtype=np.uint32).astype(np.uint8)
     data = rows[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     for y in range(h):
