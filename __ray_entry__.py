@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zonal_points": R.geo_zonal_points,
         "vector_centroid": R.vector_centroid,
         "vector_clip": R.vector_clip,
+        "layer_intersection": R.layer_intersection_rects,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -456,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_zonal_points": R.SQL_GEO_ZONAL,
         "vector_centroid": R.SQL_VECTOR_CENTROID,
         "vector_clip": R.SQL_VECTOR_CLIP,
+        "layer_intersection": R.SQL_LAYER_INTERSECTION,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -708,6 +708,68 @@ FROM clipped WHERE cxmax > cxmin AND cymax > cymin
 """
 
 
+def layer_intersection_rects(sf_dir: str):
+    """Layer algebra (Intersection) through the REAL cell-join overlay:
+    nation-derived rects × region-derived rects; oracle = rect-intersection
+    arithmetic (areas via greatest/least)."""
+    from .layer_algebra import layer_intersection
+
+    def region_rects(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("r_regionkey"), dtype=np.int64)
+        xmin = ((k * 67) % 280) - 150.0 + 0.013
+        ymin = ((k * 41) % 120) - 65.0 + 0.013
+        xmax = xmin + 25.0 + (k % 11)
+        ymax = ymin + 18.0 + (k % 9)
+        return pa.table({"b_id": pa.array([f"r{v:02d}" for v in k]),
+                         "wkb": pa.array([wkb.box(a, b2, c, d) for a, b2, c, d
+                                          in zip(xmin, ymin, xmax, ymax)], pa.binary())})
+
+    def nat_rects(b: pa.Table) -> pa.Table:
+        t = _nation_rects(b)
+        return pa.table({"a_id": t.column("poly_id"), "wkb": t.column("wkb")})
+
+    a = _read(sf_dir, "nation").map_batches(nat_rects, batch_format="pyarrow")
+    bds = _read(sf_dir, "region").map_batches(region_rects, batch_format="pyarrow")
+    out = layer_intersection(a, bds)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = [int(s[1:]) for s in b.column("a_id").to_pylist()]
+        rk = [int(s[1:]) for s in b.column("b_id").to_pylist()]
+        return pa.table({
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "r_regionkey": pa.array(rk, pa.int64()),
+            "piece_area": pc.round(b.column("piece_area"), ndigits=6,
+                                   round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LAYER_INTERSECTION = """
+WITH a AS (
+  SELECT n_nationkey,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 AS xmin,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 AS ymin,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 + 12.0 + (n_nationkey % 7) AS xmax,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 + 8.0 + (n_nationkey % 5) AS ymax
+  FROM nation
+), b AS (
+  SELECT r_regionkey,
+         ((r_regionkey * 67) % 280) - 150.0 + 0.013 AS xmin,
+         ((r_regionkey * 41) % 120) - 65.0 + 0.013 AS ymin,
+         ((r_regionkey * 67) % 280) - 150.0 + 0.013 + 25.0 + (r_regionkey % 11) AS xmax,
+         ((r_regionkey * 41) % 120) - 65.0 + 0.013 + 18.0 + (r_regionkey % 9) AS ymax
+  FROM region
+)
+SELECT n_nationkey, r_regionkey,
+       round((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+             * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)), 6) AS piece_area
+FROM a JOIN b
+  ON least(a.xmax, b.xmax) > greatest(a.xmin, b.xmin)
+ AND least(a.ymax, b.ymax) > greatest(a.ymin, b.ymin)
+"""
+
+
 def events_hourly_q(sf_dir: str):
     from .raster_ops import events_hourly
     return events_hourly(sf_dir)

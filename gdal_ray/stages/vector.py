@@ -139,6 +139,57 @@ def clip_ring_bbox(ring: np.ndarray, minx, miny, maxx, maxy):
     return r
 
 
+def _clip_ring_halfplane_general(ring: np.ndarray, p: np.ndarray, q: np.ndarray):
+    """Sutherland-Hodgman clip of one closed ring against the half-plane on
+    the LEFT of directed edge p→q (CCW convex clipper interiors)."""
+    pts = ring[:-1]
+    n = len(pts)
+    d = q - p
+    out = []
+    def side(v):
+        return d[0] * (v[1] - p[1]) - d[1] * (v[0] - p[0])
+    for i in range(n):
+        cur = pts[i]
+        nxt = pts[(i + 1) % n]
+        cin = side(cur) >= 0
+        nin = side(nxt) >= 0
+        if cin:
+            out.append(cur)
+        if cin != nin:
+            sc, sn = side(cur), side(nxt)
+            t = sc / (sc - sn)
+            out.append(cur + t * (nxt - cur))
+    if len(out) < 3:
+        return None
+    out.append(out[0])
+    return np.asarray(out, dtype=np.float64)
+
+
+def clip_to_convex(rings, clip_ring: np.ndarray):
+    """Polygon (shell+holes) ∩ convex polygon — exact Sutherland-Hodgman
+    against each clipper edge.  Clipper ring may be CW or CCW (normalized
+    internally).  Returns a rings-list or None."""
+    cr = clip_ring
+    area2 = float(np.sum(cr[:-1, 0] * cr[1:, 1] - cr[1:, 0] * cr[:-1, 1]))
+    if area2 < 0:
+        cr = cr[::-1].copy()
+    shell = rings[0]
+    for i in range(len(cr) - 1):
+        shell = _clip_ring_halfplane_general(shell, cr[i], cr[i + 1])
+        if shell is None:
+            return None
+    holes = []
+    for h in rings[1:]:
+        hc = h
+        for i in range(len(cr) - 1):
+            hc = _clip_ring_halfplane_general(hc, cr[i], cr[i + 1])
+            if hc is None:
+                break
+        if hc is not None:
+            holes.append(hc)
+    return [shell] + holes
+
+
 def clip_to_bbox(batch: pa.Table, minx: float, miny: float, maxx: float,
                  maxy: float, wkb_col: str = "wkb") -> pa.Table:
     """gdal vector clip with a bbox window (ogr2ogr -spat/-clipsrc rect):

@@ -1,0 +1,86 @@
+"""Layer intersection vs closed-form / brute-force oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.core import fixtures, geom, wkb
+from gdal_ray.pipelines.layer_algebra import layer_intersection
+from gdal_ray.stages.vector import clip_to_convex
+
+
+def test_clip_to_convex_triangle():
+    square = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    tri = np.array([[5, -5], [15, 5], [5, 15], [5, -5]], dtype=float)
+    out = clip_to_convex([square], tri)
+    assert out is not None
+    # intersection of square with the right-pointing triangle: area by grid
+    xs, ys = np.meshgrid(np.linspace(0, 10, 400), np.linspace(0, 10, 400))
+    in_tri = geom.points_in_ring(xs.ravel(), ys.ravel(), tri)
+    expect = in_tri.mean() * 100.0
+    assert abs(geom.polygon_area(out) - expect) < 0.3
+    # clipper orientation independence
+    out2 = clip_to_convex([square], tri[::-1].copy())
+    assert abs(geom.polygon_area(out2) - geom.polygon_area(out)) < 1e-9
+
+
+def test_clip_to_convex_with_hole():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float)
+    clip = np.array([[2, 2], [12, 2], [12, 8], [2, 8], [2, 2]], dtype=float)
+    out = clip_to_convex([outer, hole], clip)
+    # area = (8×6) − (2×2 hole fully inside clip) = 48 − 4
+    assert abs(geom.polygon_area(out) - 44.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_layer_intersection_rect_oracle():
+    import ray
+    # layer a: 6 rects; layer b: 3 overlapping rects (convex)
+    def rect_tbl(specs, idc):
+        return pa.table({
+            idc: pa.array([s[0] for s in specs]),
+            "wkb": pa.array([wkb.box(*s[1]) for s in specs], pa.binary()),
+        })
+    a = rect_tbl([("a0", (0, 0, 10, 10)), ("a1", (20, 0, 30, 10)),
+                  ("a2", (-50, -50, -40, -40)), ("a3", (5, 5, 25, 8)),
+                  ("a4", (100, 60, 110, 70)), ("a5", (0.5, 0.5, 1.5, 1.5))], "a_id")
+    b = rect_tbl([("b0", (5, 5, 22, 22)), ("b1", (-45, -45, -42, -41)),
+                  ("b2", (105, 65, 120, 80))], "b_id")
+    out = layer_intersection(ray.data.from_arrow(a), ray.data.from_arrow(b)).take_all()
+    got = {(r["a_id"], r["b_id"]): r["piece_area"] for r in out}
+    # rect∩rect closed-form oracle
+    specs_a = dict(a0=(0, 0, 10, 10), a1=(20, 0, 30, 10), a2=(-50, -50, -40, -40),
+                   a3=(5, 5, 25, 8), a4=(100, 60, 110, 70), a5=(0.5, 0.5, 1.5, 1.5))
+    specs_b = dict(b0=(5, 5, 22, 22), b1=(-45, -45, -42, -41), b2=(105, 65, 120, 80))
+    expect = {}
+    for ak, (ax0, ay0, ax1, ay1) in specs_a.items():
+        for bk, (bx0, by0, bx1, by1) in specs_b.items():
+            w = min(ax1, bx1) - max(ax0, bx0)
+            h = min(ay1, by1) - max(ay0, by0)
+            if w > 0 and h > 0:
+                expect[(ak, bk)] = w * h
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9
+    # exactly-once even for pairs spanning many cells
+    assert len(out) == len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_layer_intersection_concave_subject():
+    """Subject layer may be concave (stars from fixtures); clip layer convex
+    rect — piece areas match a Monte-Carlo oracle."""
+    import ray
+    polys = fixtures.polygons_table(9)  # includes concave stars
+    rect = pa.table({"b_id": ["w"], "wkb": pa.array([wkb.box(-180, -70, 180, 70)], pa.binary())})
+    out = layer_intersection(
+        ray.data.from_arrow(pa.table({"a_id": polys.column("poly_id"),
+                                      "wkb": polys.column("wkb")})),
+        ray.data.from_arrow(rect)).take_all()
+    assert len(out) >= 7  # nearly all polygons intersect the big window
+    for r in out:
+        rings = wkb.as_polygons(wkb.loads(polys.column("wkb")[
+            polys.column("poly_id").to_pylist().index(r["a_id"])].as_py()))[0]
+        full = geom.polygon_area(rings)
+        assert r["piece_area"] <= full + 1e-9
