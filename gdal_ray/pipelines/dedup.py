@@ -30,6 +30,8 @@ import ray.data
 
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)
+# byte-popcount lookup table (numpy<2 has no bitwise_count)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _splitmix(x: np.ndarray) -> np.ndarray:
@@ -114,17 +116,18 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.7,
                       text_col: str = "text") -> "ray.data.Dataset":
     """Near-duplicate pairs (id_a < id_b, sig-estimated jaccard ≥ threshold).
 
-    Scale shape (what moves where):
+    Scale shape (what moves where) — NOTHING is materialized on the driver:
       1. one signature row per DOC (id + 8·num_hashes bytes) — computed once,
-         materialized, and broadcast as a dense matrix for verification
-         (50k docs ≈ 25 MB; shard the matrix per cell at larger scales);
-      2. bucket rows are (id, bucket, band) INTEGERS only — never the sig —
-         so the LSH exchange is ~24 bytes/row;
-      3. singleton buckets (the overwhelming majority) are dropped BEFORE
-         the shuffle (shuffle_utils.filter_multi_keys);
-      4. candidate pairs are verified VECTORIZED against the broadcast sig
-         matrix: first-matching-band rule (exactly-once) + full-signature
-         agreement ≥ threshold.
+         materialized in the (spillable, distributed) object store;
+      2. a key-only pre-pass shuffles (id, bucket) INTEGER rows (~16 B/row)
+         through a distributed count to find multi-member buckets; only that
+         SMALL multi-bucket key set reaches the driver / broadcast;
+      3. signatures ship through the exchange ONLY for rows landing in a
+         multi bucket (the tiny near-dup candidate minority);
+      4. verification is IN-GROUP: each bucket group holds its members' full
+         sigs, so pairwise agreement, the first-matching-band exactly-once
+         rule, and the ≥ threshold cut all run vectorized with no broadcast
+         matrix and no second shuffle.
     Requires integer doc ids (the documents table contract)."""
     rows_per_band = num_hashes // bands
 
@@ -136,93 +139,88 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.7,
         return pa.table({id_col: pa.array(ids),
                          "sig": pa.array([s.tobytes() for s in sigs], pa.binary())})
 
-    def bucket_batch(b: pa.Table) -> pa.Table:
+    def _buckets_of(b: pa.Table) -> np.ndarray:
+        """(n, bands) int64 bucket keys; band index in the low 4 bits."""
         n = b.num_rows
         sigs = np.frombuffer(b"".join(b.column("sig").to_pylist()),
                              dtype=np.uint64).reshape(n, num_hashes)
         segs = sigs.reshape(n, bands, rows_per_band)
         bh = np.bitwise_xor.reduce(segs, axis=2)  # (n, bands)
         bh = _splitmix(bh + _splitmix(np.arange(bands, dtype=np.uint64))[None, :])
-        bucket = ((bh >> np.uint64(2)).astype(np.int64) << 4) | np.arange(bands, dtype=np.int64)[None, :]
+        return ((bh >> np.uint64(2)).astype(np.int64) << 4) \
+            | np.arange(bands, dtype=np.int64)[None, :]
+
+    def bucket_int_batch(b: pa.Table) -> pa.Table:
+        bucket = _buckets_of(b)
         ids = np.asarray(b.column(id_col), dtype=np.int64)
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands)),
             "bucket": pa.array(bucket.ravel()),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
         })
 
-    def explode_pairs(b: pa.Table) -> pa.Table:
-        """(bucket, [ids]) rows → candidate (id_a < id_b, band) pairs,
-        vectorized — band is recovered from the bucket's low 4 bits."""
-        out_a, out_b, out_band = [], [], []
-        buckets = np.asarray(b.column("bucket"), dtype=np.int64)
-        for r, ids in enumerate(b.column(f"unique({id_col})").to_pylist()):
-            ids = np.sort(np.asarray(ids, dtype=np.int64))
-            n = ids.size
-            if n < 2:
-                continue
-            ii, jj = np.triu_indices(n, k=1)
-            out_a.append(ids[ii]); out_b.append(ids[jj])
-            out_band.append(np.full(ii.size, buckets[r] & 0xF, dtype=np.int32))
-        if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "band": pa.array([], pa.int32())})
-        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
-                         "id_b": pa.array(np.concatenate(out_b)),
-                         "band": pa.array(np.concatenate(out_band))})
-
-    from ray.data.aggregate import Unique
-
-    from .shuffle_utils import filter_multi_keys
+    from .shuffle_utils import multi_key_array
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
     sigs_ds = docs.repartition(cpus * 2) \
                   .map_batches(sig_batch, batch_format="pyarrow").materialize()
-    # broadcast sig matrix, sorted by id for searchsorted lookup
-    sig_rows = sigs_ds.take_all()
-    all_ids = np.array([r[id_col] for r in sig_rows], dtype=np.int64)
-    order = np.argsort(all_ids)
-    mat = np.frombuffer(b"".join(sig_rows[i]["sig"] for i in order),
-                        dtype=np.uint64).reshape(len(order), num_hashes)
-    sig_ref = ray.put({"ids": all_ids[order], "mat": mat})
 
-    buckets = sigs_ds.map_batches(bucket_batch, batch_format="pyarrow")
-    # Unique aggregate collects member ids per bucket with per-BLOCK
-    # vectorized combines (no per-group Python call — 10⁴ map_groups
-    # invocations cost seconds; this costs none)
     # bucket-size cap: buckets larger than 64 members are band-hash
-    # degeneracies (short/empty docs) whose O(n²) candidates verification
+    # degeneracies (short/empty docs) whose O(n²) candidate verification
     # would reject wholesale; true duplicates still collide in other bands
-    cand = filter_multi_keys(buckets, "bucket", max_count=64) \
-        .groupby("bucket").aggregate(Unique(id_col)) \
-        .map_batches(explode_pairs, batch_format="pyarrow")
+    multi = multi_key_array(sigs_ds.map_batches(bucket_int_batch,
+                                                batch_format="pyarrow"),
+                            "bucket", max_count=64)
+    multi_ref = ray.put(multi)
 
-    def verify(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "sig_jaccard": pa.array([], pa.float64())})
-        lk = ray.get(sig_ref)
-        ia = np.searchsorted(lk["ids"], np.asarray(b.column("id_a"), dtype=np.int64))
-        ib = np.searchsorted(lk["ids"], np.asarray(b.column("id_b"), dtype=np.int64))
-        sa = lk["mat"][ia]  # (m, H)
-        sb = lk["mat"][ib]
-        eq = sa == sb  # (m, H)
-        band = np.asarray(b.column("band"), dtype=np.int64)
-        band_eq = eq.reshape(len(ia), bands, rows_per_band).all(axis=2)  # (m, bands)
-        first_band = np.argmax(band_eq, axis=1)
+    def bucket_sig_batch(b: pa.Table) -> pa.Table:
+        """(bucket, id, sig) rows ONLY for multi-member buckets — sig bytes
+        enter the shuffle solely for candidate rows."""
+        m = ray.get(multi_ref)
+        bucket = _buckets_of(b).ravel()
+        if m.size == 0:
+            keep = np.zeros(bucket.size, dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(m, bucket), 0, m.size - 1)
+            keep = m[pos] == bucket
+        ids = np.repeat(np.asarray(b.column(id_col), dtype=np.int64), bands)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64), bands)
+        kept = np.nonzero(keep)[0]
+        return pa.table({
+            id_col: pa.array(ids[kept]),
+            "bucket": pa.array(bucket[kept]),
+            "sig": b.column("sig").take(pa.array(row[kept], pa.int64())),
+        })
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "sig_jaccard": pa.array([], pa.float64())})
+        m = g.num_rows
+        if m < 2:
+            return empty
+        band = int(g.column("bucket")[0].as_py()) & 0xF
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.frombuffer(b"".join(g.column("sig").to_pylist()),
+                            dtype=np.uint64).reshape(m, num_hashes)[order]
+        ii, jj = np.triu_indices(m, k=1)
+        eq = mat[ii] == mat[jj]                     # (p, H)
         est = eq.mean(axis=1)
+        band_eq = eq.reshape(ii.size, bands, rows_per_band).all(axis=2)
+        first_band = np.argmax(band_eq, axis=1)     # exactly-once rule
         keep = (first_band == band) & (est >= threshold)
         return pa.table({
-            "id_a": pa.array(np.asarray(b.column("id_a"), dtype=np.int64)[keep]),
-            "id_b": pa.array(np.asarray(b.column("id_b"), dtype=np.int64)[keep]),
+            "id_a": pa.array(ids[ii[keep]]),
+            "id_b": pa.array(ids[jj[keep]]),
             "sig_jaccard": pa.array(est[keep], pa.float64()),
         })
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return sigs_ds.map_batches(bucket_sig_batch, batch_format="pyarrow") \
+                  .groupby("bucket").map_groups(verify_group,
+                                                batch_format="pyarrow")
 
 
 def minhash_lsh_verified_pairs(docs_tbl: pa.Table, *, threshold: float = 0.7,
@@ -281,32 +279,29 @@ def simhash_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3,
                          "simhash": pa.array(np.asarray(hashes, np.int64))})
 
     def block_pairs(g: pa.Table) -> pa.Table:
-        out_a, out_b, out_d = [], [], []
         n = g.num_rows
-        if n >= 2:
-            ids = g.column(id_col).to_pylist()
-            blk = int(g.column("block")[0].as_py())
-            hs = (np.asarray(g.column("simhash"), dtype=np.int64)
-                  .astype(np.uint64) + np.uint64(1 << 63))
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if ids[i] == ids[j]:
-                        continue
-                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                    if d > max_hamming:
-                        continue
-                    # first-matching-block rule
-                    x = int(hs[i]) ^ int(hs[j])
-                    first = None
-                    for pb in range(nblocks):
-                        if (x >> (pb * bits)) & ((1 << bits) - 1) == 0:
-                            first = pb
-                            break
-                    if first == blk:
-                        a, bb = sorted((ids[i], ids[j]))
-                        out_a.append(a); out_b.append(bb); out_d.append(d)
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
-                         "hamming": pa.array(out_d, pa.int32())})
+        if n < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        blk = int(g.column("block")[0].as_py())
+        hs = (np.asarray(g.column("simhash"), dtype=np.int64)
+              .astype(np.uint64) + np.uint64(1 << 63))
+        ii, jj = np.triu_indices(n, k=1)
+        x = hs[ii] ^ hs[jj]                               # (p,) xor words
+        d = _POPCNT8[x.view(np.uint8)].reshape(x.size, 8).sum(axis=1)
+        # first-matching-block rule, vectorized: block pb of the xor is zero
+        # iff the pair agrees on that whole block
+        shifts = (np.arange(nblocks, dtype=np.uint64) * np.uint64(bits))
+        mask = np.uint64((1 << bits) - 1)
+        block_eq = ((x[:, None] >> shifts[None, :]) & mask) == 0  # (p, nblocks)
+        first = np.argmax(block_eq, axis=1)
+        keep = (d <= max_hamming) & (first == blk) & (ids[ii] != ids[jj])
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b2 = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b2),
+                         "hamming": pa.array(d[keep].astype(np.int32))})
 
     from .shuffle_utils import filter_multi_keys
     try:

@@ -139,6 +139,12 @@ def knn_radius_cell_join(queries: "ray.data.Dataset", points: "ray.data.Dataset"
     import math
 
     from ..core import cells as C
+    if radius > 90.0:
+        # level-1 cells are 90° tall — beyond that the 3×3-halo exactness
+        # argument fails silently; the caller should broadcast instead.
+        raise ValueError(
+            f"radius={radius} exceeds the level-1 cell height (90°); "
+            "use the broadcast knn_join for unbounded searches")
     if level is None:
         # largest level whose cell height (180/2^L degrees) still ≥ radius
         level = max(1, min(12, int(math.floor(math.log2(180.0 / radius)))))
@@ -159,37 +165,28 @@ def knn_radius_cell_join(queries: "ray.data.Dataset", points: "ray.data.Dataset"
         y = np.asarray(b.column("y"), dtype=np.float64)
         cx, cy = C.cell_xy(x, y, level)
         n = np.int64(1) << level
-        rows = {"qid": [], "x": [], "y": [], "cell": [], "pid": []}
-        pids = b.column(point_id_col).to_pylist()
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                nx = np.clip(cx + dx, 0, n - 1)
-                ny = np.clip(cy + dy, 0, n - 1)
-                keys = C.pack(nx, ny, level)
-                rows["qid"].extend([None] * len(x))
-                rows["x"].extend(x.tolist())
-                rows["y"].extend(y.tolist())
-                rows["cell"].extend(keys.tolist())
-                rows["pid"].extend(pids)
-        t = pa.table({
-            "qid": pa.array(rows["qid"], pa.string()),
-            "x": pa.array(rows["x"], pa.float64()),
-            "y": pa.array(rows["y"], pa.float64()),
-            "cell": pa.array(rows["cell"], pa.int64()),
-            "side": pa.array(np.ones(len(rows["x"]), np.int8)),
-            "pid": pa.array(rows["pid"], pa.string()),
+        nr = x.size
+        # fully vectorized 3×3 replication: (9, nr) grids of cell keys
+        offs = np.array([(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                        dtype=np.int64)
+        nx = np.clip(cx[None, :] + offs[:, 0:1], 0, n - 1)
+        ny = np.clip(cy[None, :] + offs[:, 1:2], 0, n - 1)
+        nxr, nyr = nx.ravel(), ny.ravel()
+        keys = C.pack(nxr, nyr, level)
+        row_idx = np.tile(np.arange(nr, dtype=np.int64), 9)
+        # border clipping duplicates (row, cell) — dedupe on (row, nx, ny)
+        pair = (row_idx * n + nxr) * n + nyr
+        _, first = np.unique(pair, return_index=True)
+        keep = np.sort(first)
+        taken = b.take(pa.array(row_idx[keep], pa.int64()))
+        return pa.table({
+            "qid": pa.nulls(keep.size, pa.string()),
+            "x": pa.array(x[row_idx[keep]], pa.float64()),
+            "y": pa.array(y[row_idx[keep]], pa.float64()),
+            "cell": pa.array(keys[keep], pa.int64()),
+            "side": pa.array(np.ones(keep.size, np.int8)),
+            "pid": taken.column(point_id_col).cast(pa.string()),
         })
-        # clipping can duplicate a (cell, point) at the grid border — dedupe
-        import pyarrow.compute as pc2
-        key = pc2.binary_join_element_wise(
-            pc2.cast(t.column("cell"), pa.string()), t.column("pid"), "|")
-        mask = np.zeros(t.num_rows, dtype=bool)
-        seen = set()
-        for i, kv in enumerate(key.to_pylist()):
-            if kv not in seen:
-                seen.add(kv)
-                mask[i] = True
-        return t.filter(pa.array(mask))
 
     def group_knn(g: pa.Table) -> pa.Table:
         side = np.asarray(g.column("side"))

@@ -35,6 +35,35 @@ def _supercover_cells(ring_px: np.ndarray, size: int = TILE) -> np.ndarray:
     for k in range(len(ring_px) - 1):
         x0, y0 = ring_px[k]
         x1, y1 = ring_px[k + 1]
+        # Liang-Barsky clip to the (slightly padded) tile window so the walk
+        # starts AT the tile, not segment-lengths away — a fixed iteration cap
+        # from the unclipped start silently dropped edges entering from >4*size
+        # pixels out (multi-tile-spanning edges).
+        dxs, dys = x1 - x0, y1 - y0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in ((-dxs, x0 - (-1.0)), (dxs, (size + 1.0) - x0),
+                     (-dys, y0 - (-1.0)), (dys, (size + 1.0) - y0)):
+            if p == 0.0:
+                if q < 0.0:
+                    ok = False
+                    break
+            else:
+                r = q / p
+                if p < 0.0:
+                    if r > t1:
+                        ok = False
+                        break
+                    t0 = max(t0, r)
+                else:
+                    if r < t0:
+                        ok = False
+                        break
+                    t1 = min(t1, r)
+        if not ok:
+            continue
+        x0, y0, x1, y1 = (x0 + t0 * dxs, y0 + t0 * dys,
+                          x0 + t1 * dxs, y0 + t1 * dys)
         cx, cy = int(np.floor(x0)), int(np.floor(y0))
         ex, ey = int(np.floor(x1)), int(np.floor(y1))
         dx, dy = x1 - x0, y1 - y0

@@ -540,7 +540,8 @@ def geo_knn(sf_dir: str):
         return pa.table({"s_suppkey": pa.array(sk, pa.int64()),
                          "c_custkey": pa.array([int(v) for v in b.column("neighbor_id").to_pylist()], pa.int64()),
                          "rank": pc.cast(b.column("rank"), pa.int64()),
-                         "dist": pc.round(b.column("distance"), ndigits=6)})
+                         "dist": pc.round(b.column("distance"), ndigits=6,
+                                          round_mode="half_towards_infinity")})
 
     return out.map_batches(finish, batch_format="pyarrow")
 
@@ -844,7 +845,8 @@ def ann_topk(sf_dir: str):
             "query_id": pc.cast(b.column("query_id"), pa.int64()),
             "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
             "rank": pc.cast(b.column("rank"), pa.int64()),
-            "cosine": pc.round(b.column("cosine"), ndigits=6),
+            "cosine": pc.round(b.column("cosine"), ndigits=6,
+                               round_mode="half_towards_infinity"),
         })
 
     return out.map_batches(finish, batch_format="pyarrow")

@@ -18,34 +18,37 @@ import ray.data
 
 def multi_key_array(ds: "ray.data.Dataset", key_col: str,
                     max_count: int | None = None) -> np.ndarray:
-    """Sorted array of keys that occur on ≥2 rows (driver-merged histogram;
-    bounded by distinct-key count).  ``max_count`` drops degenerate hot keys
-    (LSH mega-buckets from trivial/short documents explode quadratically in
-    candidate pairs and are pure noise — the standard bucket-size cap)."""
+    """Sorted array of keys that occur on ≥2 rows.  ``max_count`` drops
+    degenerate hot keys (LSH mega-buckets from trivial/short documents
+    explode quadratically in candidate pairs and are pure noise — the
+    standard bucket-size cap).
+
+    Scale shape: per-block partial counts (vectorized) feed a DISTRIBUTED
+    ``groupby(k).sum`` — only 16-byte (key, count) rows shuffle — and the
+    singleton majority is filtered out *before* anything reaches the driver,
+    so the driver pull is bounded by the multi-key count (small by the
+    workload's premise), never by the distinct-key count."""
     def partial(b: pa.Table) -> pa.Table:
         k, c = np.unique(np.asarray(b.column(key_col), dtype=np.int64),
                          return_counts=True)
         return pa.table({"k": pa.array(k), "c": pa.array(c)})
 
-    ks, cs = [], []
-    for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
-        ks.append(np.asarray(b.column("k"), dtype=np.int64))
-        cs.append(np.asarray(b.column("c"), dtype=np.int64))
+    counted = ds.map_batches(partial, batch_format="pyarrow") \
+                .groupby("k").sum("c")
+
+    def keep_multi(b: pa.Table) -> pa.Table:
+        total = np.asarray(b.column("sum(c)"), dtype=np.int64)
+        mask = total > 1
+        if max_count is not None:
+            mask &= total <= max_count
+        return pa.table({"k": b.column("k").filter(pa.array(mask))})
+
+    ks = [np.asarray(b.column("k"), dtype=np.int64)
+          for b in counted.map_batches(keep_multi, batch_format="pyarrow")
+                          .iter_batches(batch_format="pyarrow")]
     if not ks:
         return np.array([], dtype=np.int64)
-    # vectorized merge: sort keys, segment-sum counts (no Python dict loop —
-    # the histogram can be millions of entries)
-    k = np.concatenate(ks)
-    c = np.concatenate(cs)
-    order = np.argsort(k, kind="stable")
-    k, c = k[order], c[order]
-    uniq, start = np.unique(k, return_index=True)
-    total = np.add.reduceat(c, start)
-    keep = total > 1
-    if max_count is not None:
-        keep &= total <= max_count
-    return uniq[keep]
+    return np.sort(np.concatenate(ks))
 
 
 def filter_multi_keys(ds: "ray.data.Dataset", key_col: str,

@@ -98,9 +98,13 @@ def _pip_group(group: pa.Table, predicate: str, level: int,
         pids = pts.column(point_id_col).to_pylist()
         for j in range(pls.num_rows):
             rings = wkb.loads(pls.column("wkb")[j].as_py())
+            # OR hits across MultiPolygon parts so a point on a boundary
+            # shared by two parts still matches this polygon exactly once.
+            hitmask = np.zeros(px.size, dtype=bool)
             for poly_rings in wkb.as_polygons(rings):
                 bb = geom.rings_bbox(poly_rings)
                 cand = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
+                cand &= ~hitmask
                 if not cand.any():
                     continue
                 # canonical cell for a point-poly pair: the point's own cell
@@ -111,11 +115,12 @@ def _pip_group(group: pa.Table, predicate: str, level: int,
                     hit = geom.points_within_polygon(px[idx], py[idx], poly_rings)
                 else:
                     hit = geom.points_intersect_polygon(px[idx], py[idx], poly_rings)
-                gid = pls.column(poly_id_col)[j].as_py()
-                for k in idx[hit]:
-                    out_pid.append(pids[k])
-                    out_gid.append(gid)
-                    out_rows.append(int(k))
+                hitmask[idx[hit]] = True
+            gid = pls.column(poly_id_col)[j].as_py()
+            for k in np.nonzero(hitmask)[0]:
+                out_pid.append(pids[k])
+                out_gid.append(gid)
+                out_rows.append(int(k))
     cols = {point_id_col: pa.array(out_pid, pa.string()),
             poly_id_col: pa.array(out_gid, pa.string())}
     # carry point-side columns through the join (avoids re-joining values
@@ -169,20 +174,18 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
             h = (cells + np.arange(cells.size, dtype=np.int64) * np.int64(2654435761)) % salt
             key = base + np.where(is_hot, h, 0)
             return t.set_column(t.column_names.index("cell"), "cell", pa.array(key))
-        # replicate hot rows across salts
-        idx = []
-        keys = []
-        for i in range(t.num_rows):
-            if is_hot[i]:
-                for s in range(salt):
-                    idx.append(i)
-                    keys.append(int(base[i]) + s)
-            else:
-                idx.append(i)
-                keys.append(int(base[i]))
+        # replicate hot rows across salts (vectorized np.repeat, no row loop)
+        reps = np.where(is_hot, salt, 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        offsets = np.zeros(idx.size, dtype=np.int64)
+        starts = np.cumsum(reps) - reps  # first output slot of each input row
+        hot_rows = np.nonzero(is_hot)[0]
+        for s in range(salt):
+            offsets[starts[hot_rows] + s] = s
+        keys = base[idx] + offsets
         out = t.take(pa.array(idx, pa.int64()))
         return out.set_column(out.column_names.index("cell"), "cell",
-                              pa.array(np.asarray(keys, np.int64)))
+                              pa.array(keys))
     carry = dict(carry_cols) if isinstance(carry_cols, dict) else {c: pa.float64() for c in carry_cols}
     spec = [(point_id_col, pa.string()), ("x", pa.float64()), ("y", pa.float64()),
             (poly_id_col, pa.string()), ("wkb", pa.binary()),

@@ -57,8 +57,11 @@ def aspect(batch: pa.Table, *, zero_for_flat: bool = True) -> pa.Table:
         az = np.rad2deg(np.arctan2(dzdy, -dzdx))
         asp = np.mod(90.0 - az, 360.0)
         flat = (dzdx == 0) & (dzdy == 0)
-        asp[flat] = 0.0 if zero_for_flat else 0.0
-        out.append(asp / 2.0)
+        scaled = asp / 2.0
+        # GDAL default (zero_for_flat=False) marks flat cells nodata — 255
+        # is out of the 0..180 scaled range, so it is unambiguous in uint8.
+        scaled[flat] = 0.0 if zero_for_flat else 255.0
+        out.append(scaled)
     return _emit(batch, out)
 
 
