@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -210,52 +211,93 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
         return contribs.groupby("tile_key").map_groups(composite_group,
                                                        batch_format="pyarrow")
 
-    contribs = contribs.materialize()
-    # key-only count pre-pass (this is also the skew histogram: hot tiles
-    # are exactly the multi-contributor ones).  Per-block partial counts
-    # merge on the driver — the merged histogram is bounded by tile count,
-    # and NO shuffle of data rows happens (at multi-node scale this stays a
-    # tiny aggregate exchange)
-    def partial_counts(b: pa.Table) -> pa.Table:
-        k, c = np.unique(np.asarray(b.column("tile_key"), dtype=np.int64),
-                         return_counts=True)
-        return pa.table({"k": pa.array(k), "c": pa.array(c)})
+    # ---- multi-contributor tile set from a METADATA-ONLY pre-pass ----
+    # Cover keys come from each image's geotransform bbox (no pixel decode),
+    # so this pass is ~free, and the count itself is a DISTRIBUTED
+    # groupby-sum of int64 keys (shuffle_utils.multi_key_array): neither the
+    # full contribution set nor the full histogram ever touches the driver —
+    # only the small multi-key set is pulled and broadcast.  The cover set
+    # is a superset of the warp's actual contributions (warp drops
+    # no-valid-pixel tiles), which only OVER-classifies some tiles as
+    # contested — composite_group handles 1-contribution groups exactly.
+    from ..stages.warp import image_lonlat_bbox, tile_range_for_bbox
+    from .shuffle_utils import multi_key_array
 
-    hist: dict = {}
-    for b in contribs.map_batches(partial_counts, batch_format="pyarrow") \
-                     .iter_batches(batch_format="pyarrow"):
-        for k, c in zip(b.column("k").to_pylist(), b.column("c").to_pylist()):
-            hist[k] = hist.get(k, 0) + c
-    multi = np.sort(np.array([k for k, c in hist.items() if c > 1], dtype=np.int64))
+    def cover_keys(b: pa.Table) -> pa.Table:
+        gts = b.column("geotransform").to_pylist()
+        crss = b.column("crs").to_pylist()
+        ws = b.column("w").to_pylist()
+        hs = b.column("h").to_pylist()
+        keys = []
+        for i in range(b.num_rows):
+            bbox = image_lonlat_bbox(tuple(gts[i]), crss[i], ws[i], hs[i])
+            tminx, tminy, tmaxx, tmaxy = tile_range_for_bbox(*bbox, zoom)
+            xs = np.arange(tminx, tmaxx + 1, dtype=np.int64)
+            ys = np.arange(tminy, tmaxy + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(xs, ys)
+            keys.append(mercator.tile_key(zoom, gx.ravel(), gy.ravel()))
+        k = np.concatenate(keys) if keys else np.array([], dtype=np.int64)
+        return pa.table({"tile_key": pa.array(k.astype(np.int64), pa.int64())})
+
+    meta_cols = [c for c in ("geotransform", "crs", "w", "h")
+                 if c in images.schema().names]
+    covers = images.select_columns(meta_cols) \
+                   .map_batches(cover_keys, batch_format="pyarrow")
+    multi = multi_key_array(covers, "tile_key")
     multi_ref = ray.put(multi)
 
-    def is_multi(batch: pa.Table) -> np.ndarray:
+    # ---- fused warp → route: singles composite IN the warp task ----
+    # The only materialization holds PNG-compressed finished tiles plus the
+    # contested minority's raw contributions — never the full raw
+    # contribution set.  (Two consumers need the routed rows, hence the one
+    # materialize; both read it without recompute.)
+    tile_cols = ["tile_key", "z", "x", "y", "png", "checksum", "n_contrib"]
+    contrib_cols = ["tile_key", "z", "x", "y", "image_id", "wx0", "wy0",
+                    "ww", "wh", "rgb", "mask", "caption"]
+    unified = [("tile_key", pa.int64()), ("z", pa.int32()), ("x", pa.int32()),
+               ("y", pa.int32()), ("is_done", pa.bool_()),
+               ("png", pa.binary()), ("checksum", pa.int32()),
+               ("n_contrib", pa.int32()), ("image_id", pa.string()),
+               ("wx0", pa.int32()), ("wy0", pa.int32()), ("ww", pa.int32()),
+               ("wh", pa.int32()), ("rgb", pa.binary()), ("mask", pa.binary()),
+               ("caption", pa.string())]
+
+    def _pad(t: pa.Table, done: bool) -> pa.Table:
+        cols = []
+        for name, typ in unified:
+            if name == "is_done":
+                cols.append(pa.array(np.full(t.num_rows, done)))
+            elif name in t.column_names:
+                cols.append(t.column(name).cast(typ))
+            else:
+                cols.append(pa.nulls(t.num_rows, typ))
+        return pa.table(dict(zip([n for n, _ in unified], cols)))
+
+    def route(batch: pa.Table) -> pa.Table:
         m = ray.get(multi_ref)
         keys = np.asarray(batch.column("tile_key"), dtype=np.int64)
         if m.size == 0:
-            return np.zeros(keys.size, dtype=bool)
-        pos = np.searchsorted(m, keys)
-        pos[pos >= m.size] = m.size - 1
-        return m[pos] == keys
+            is_multi = np.zeros(keys.size, dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(m, keys), 0, m.size - 1)
+            is_multi = m[pos] == keys
+        done = composite_singles(batch.filter(pa.array(~is_multi)))
+        return pa.concat_tables([_pad(done, True),
+                                 _pad(batch.filter(pa.array(is_multi)), False)])
 
-    def keep_singles(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(~is_multi(batch)))
-
-    def keep_multis(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(is_multi(batch)))
-
-    singles = contribs.map_batches(keep_singles, batch_format="pyarrow") \
-        .map_batches(composite_singles, batch_format="pyarrow")
+    routed = contribs.map_batches(route, batch_format="pyarrow").materialize()
+    finished = routed.map_batches(
+        lambda b: b.filter(b.column("is_done")).select(tile_cols),
+        batch_format="pyarrow")
     # cap sort fan-in: sort-reduce fragment traffic grows with P_in × P_out
     # on a single node, so the contested (smaller) side shuffles over a
-    # bounded partition count.  Materialize the filtered side first — fusing
-    # filter+repartition+sort into one streaming execution makes the
-    # all-to-all fight the filter for resources.
-    contested_rows = contribs.map_batches(keep_multis, batch_format="pyarrow") \
-        .materialize()
-    contested = contested_rows.repartition(min(24, max(8, cpus))) \
+    # bounded partition count.
+    contested = routed.map_batches(
+        lambda b: b.filter(pc.invert(b.column("is_done"))).select(contrib_cols),
+        batch_format="pyarrow") \
+        .repartition(min(24, max(8, cpus))) \
         .groupby("tile_key").map_groups(composite_group, batch_format="pyarrow")
-    return singles.union(contested)
+    return finished.union(contested)
 
 
 def overview_level(tiles: "ray.data.Dataset") -> "ray.data.Dataset":
