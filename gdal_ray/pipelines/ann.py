@@ -105,45 +105,106 @@ def train_centroids(emb: "ray.data.Dataset", n_centroids: int, *,
     return C
 
 
+def build_ivf_index(emb: "ray.data.Dataset", n_centroids: int, index_dir: str,
+                    *, vec_col: str = "embedding") -> np.ndarray:
+    """One-time IVF build: assign every vector to its nearest centroid and
+    shuffle-write a hive-partitioned parquet table (one directory per
+    centroid_id).  Queries then PHYSICALLY prune the read to probed
+    partitions — the scan is O(N · nprobe / C), not O(N).  Returns the
+    centroid matrix (also saved next to the index for reuse)."""
+    C = train_centroids(emb, n_centroids, vec_col=vec_col)
+    c_ref = ray.put(C)
+
+    def assign(b: pa.Table) -> pa.Table:
+        V = _normalize(np.array(b.column(vec_col).to_pylist(), dtype=np.float64))
+        cid = (V @ ray.get(c_ref).T).argmax(axis=1)
+        return b.append_column("centroid_id", pa.array(cid.astype(np.int64)))
+
+    emb.map_batches(assign, batch_format="pyarrow") \
+       .write_parquet(index_dir, partition_cols=["centroid_id"])
+    np.save(index_dir.rstrip("/") + ".centroids.npy", C)
+    return C
+
+
 def ivf_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray, query_ids,
              k: int, *, n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency: int | tuple = 4) -> "ray.data.Dataset":
+             concurrency: int | tuple = 4,
+             index_dir: str | None = None) -> "ray.data.Dataset":
     """IVF-bucketed approximate top-k: only vectors whose centroid is among
-    each query's nprobe closest are scanned for that query."""
-    C = train_centroids(emb, n_centroids, vec_col=vec_col)
+    each query's nprobe closest are scanned for that query.
+
+    The pruning is physical: the vector table is bucketed once into
+    hive-partitioned parquet (``build_ivf_index``) and the query pass reads
+    ONLY the probed partitions (partition-filter pushdown).  Scanned-row
+    count is logged so the prune factor is observable.  Pass ``index_dir``
+    to reuse a prebuilt index across query batches (the 100 TB shape:
+    build once, query many)."""
+    import sys
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        C = build_ivf_index(emb, n_centroids, index_dir, vec_col=vec_col)
+    else:
+        C = np.load(index_dir.rstrip("/") + ".centroids.npy")
+
     Qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    q_ref = ray.put({"vecs": Qn, "ids": list(query_ids), "C": C, "probe": probe})
+    probed = [int(v) for v in np.unique(probe)]
 
-    class IvfStage:
-        def __init__(self):
-            q = ray.get(q_ref)
-            self.Q = q["vecs"]; self.q_ids = q["ids"]
-            self.C = q["C"]; self.probe = q["probe"]
+    import pyarrow.dataset as pads
+    filt = pads.field("centroid_id").isin(probed)
+    # observable prune factor, from parquet metadata only (no data read)
+    d = pads.dataset(index_dir, partitioning="hive")
+    total = sum(f.count_rows() for f in d.get_fragments())
+    scanned = sum(f.count_rows() for f in d.get_fragments(filt))
+    print(f"[ivf_topk] scanning {scanned}/{total} rows "
+          f"({len(probed)}/{C.shape[0]} partitions)", file=sys.stderr)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            V = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
-            ids = batch.column(id_col).to_pylist()
-            assign = (V @ self.C.T).argmax(axis=1)
-            out = {"query_id": [], id_col: [], "cosine": []}
-            for qi, qid in enumerate(self.q_ids):
-                m = np.isin(assign, self.probe[qi])
-                if not m.any():
-                    continue
-                col = V[m] @ self.Q[qi]
-                sub = np.nonzero(m)[0]
-                kk = min(k, col.shape[0])
-                part = np.argpartition(-col, kk - 1)[:kk] if kk < col.shape[0] else np.arange(col.shape[0])
-                for j in part:
-                    out["query_id"].append(qid)
-                    out[id_col].append(ids[sub[j]])
-                    out["cosine"].append(float(col[j]))
-            return pa.table({"query_id": pa.array(out["query_id"]),
-                             id_col: pa.array(out[id_col]),
-                             "cosine": pa.array(out["cosine"], pa.float64())})
+    # physical prune: list ONLY the probed partition directories — files in
+    # unprobed buckets are never opened (path-level pushdown; Ray's filter=
+    # can't see hive fields at sampling time)
+    import os
+    from ray.data.datasource.partitioning import Partitioning
+    import glob
+    probe_paths = [f for c in probed for f in
+                   sorted(glob.glob(os.path.join(index_dir,
+                                                 f"centroid_id={c}", "*.parquet")))]
+    pruned = ray.data.read_parquet(probe_paths,
+                                   partitioning=Partitioning("hive", base_dir=index_dir))
+    q_ref = ray.put({"vecs": Qn, "ids": list(query_ids), "probe": probe})
 
-    partials = emb.map_batches(IvfStage, batch_format="pyarrow", concurrency=concurrency)
+    # task mode (not an actor pool): the only state is the broadcast query
+    # matrix, a zero-copy local object-store read per task — and a fused
+    # ReadParquet->actor-pool stage can deadlock the streaming executor
+    # when the pool consumes the whole CPU budget
+    def ivf_scan(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        Q, q_ids, probe_q = q["vecs"], q["ids"], q["probe"]
+        V = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = batch.column(id_col).to_pylist()
+        # assignment comes from the stored partition column — computed
+        # once at build time, never re-derived per batch
+        assign = np.asarray(batch.column("centroid_id").cast(pa.int64()))
+        out = {"query_id": [], id_col: [], "cosine": []}
+        for qi, qid in enumerate(q_ids):
+            m = np.isin(assign, probe_q[qi])
+            if not m.any():
+                continue
+            col = V[m] @ Q[qi]
+            sub = np.nonzero(m)[0]
+            kk = min(k, col.shape[0])
+            part = np.argpartition(-col, kk - 1)[:kk] if kk < col.shape[0] else np.arange(col.shape[0])
+            for j in part:
+                out["query_id"].append(qid)
+                out[id_col].append(ids[sub[j]])
+                out["cosine"].append(float(col[j]))
+        return pa.table({"query_id": pa.array(out["query_id"]),
+                         id_col: pa.array(out[id_col]),
+                         "cosine": pa.array(out["cosine"], pa.float64())})
+
+    partials = pruned.map_batches(ivf_scan, batch_format="pyarrow")
 
     def merge(g: pa.Table) -> pa.Table:
         cos = np.asarray(g.column("cosine"), dtype=np.float64)
