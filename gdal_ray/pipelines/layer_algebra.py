@@ -98,3 +98,244 @@ def layer_intersection(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
     return both.groupby("cell").map_groups(
         lambda g: _overlay_group(g, a_id_col, b_id_col, level),
         batch_format="pyarrow")
+
+
+# ---------- general boolean layer algebra (round 2) ----------
+#
+# OGRLayer::Union (ogrlayer.cpp:5804), SymDifference (:6341), Identity
+# (:6771), Update (:7189), Erase (:7847) — re-expressed on the boolean
+# overlay engine (core/overlay.py), with the reference's per-feature
+# loop-over-intersecting-method-features replaced by two exchanges:
+#
+#   1. the cell join (exactly-once canonical-cell rule) emits candidate
+#      (a, b) pair rows carrying both WKBs;
+#   2. a groupby(a_id) co-locates each input feature with ALL the method
+#      features it bbox-intersects (plus one bare row so features with no
+#      candidates still emit), and the in-group overlay computes
+#      A − union(B…) / A∩B pieces.
+#
+# Piece rows: (a_id, b_id, wkb, piece_area); the id of the absent side is
+# the sentinel "-" (never NULL — empty result sets must keep their schema
+# for the driver's hash compare).
+
+from ..core import overlay as OV
+
+
+def _poly_to_wkb(pieces) -> bytes | None:
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return wkb.dumps({"type": "Polygon", "rings": pieces[0]})
+    return wkb.dumps({"type": "MultiPolygon", "polys": pieces})
+
+
+def _candidate_pairs(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                     level: int, a_id_col: str, b_id_col: str
+                     ) -> "ray.data.Dataset":
+    """Exactly-once (a_id, b_id, a_wkb, b_wkb) rows for every bbox-
+    intersecting cross-layer pair (canonical-cell rule)."""
+    spec = [("fid", pa.string()), ("wkb", pa.binary()),
+            ("bxmin", pa.float64()), ("bymin", pa.float64()),
+            ("bxmax", pa.float64()), ("bymax", pa.float64()),
+            ("cell", pa.int64()), ("side", pa.int8())]
+
+    def prep(side_val, id_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = polygons_expand_cells(batch, level)
+            cols = {"fid": t.column(id_col).cast(pa.string())}
+            for name in ("wkb", "bxmin", "bymin", "bxmax", "bymax", "cell"):
+                cols[name] = t.column(name)
+            t = pa.table(cols)
+            t = t.append_column("side", pa.array(np.full(t.num_rows, side_val, np.int8)))
+            return _pad_to_schema(t, spec)
+        return fn
+
+    both = a.map_batches(prep(0, a_id_col), batch_format="pyarrow").union(
+        b.map_batches(prep(1, b_id_col), batch_format="pyarrow"))
+
+    def pair_group(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"))
+        A = group.filter(pa.array(side == 0))
+        B = group.filter(pa.array(side == 1))
+        out = {"a_id": [], "b_id": [], "a_wkb": [], "b_wkb": []}
+        if A.num_rows and B.num_rows:
+            cell = int(group.column("cell")[0].as_py())
+            abb = np.column_stack([np.asarray(A.column(c), dtype=np.float64)
+                                   for c in ("bxmin", "bymin", "bxmax", "bymax")])
+            bbb = np.column_stack([np.asarray(B.column(c), dtype=np.float64)
+                                   for c in ("bxmin", "bymin", "bxmax", "bymax")])
+            a_ids = A.column("fid").to_pylist()
+            b_ids = B.column("fid").to_pylist()
+            a_wkbs = A.column("wkb").to_pylist()
+            b_wkbs = B.column("wkb").to_pylist()
+            for ia in range(A.num_rows):
+                ok = ~((abb[ia, 2] < bbb[:, 0]) | (bbb[:, 2] < abb[ia, 0])
+                       | (abb[ia, 3] < bbb[:, 1]) | (bbb[:, 3] < abb[ia, 1]))
+                for ib in np.nonzero(ok)[0]:
+                    ccx = max(abb[ia, 0], bbb[ib, 0])
+                    ccy = max(abb[ia, 1], bbb[ib, 1])
+                    if int(C.cell_of(np.array([ccx]), np.array([ccy]),
+                                     level)[0]) != cell:
+                        continue
+                    out["a_id"].append(a_ids[ia])
+                    out["b_id"].append(b_ids[ib])
+                    out["a_wkb"].append(a_wkbs[ia])
+                    out["b_wkb"].append(b_wkbs[ib])
+        return pa.table({"a_id": pa.array(out["a_id"], pa.string()),
+                         "b_id": pa.array(out["b_id"], pa.string()),
+                         "a_wkb": pa.array(out["a_wkb"], pa.binary()),
+                         "b_wkb": pa.array(out["b_wkb"], pa.binary())})
+
+    return both.groupby("cell").map_groups(pair_group, batch_format="pyarrow")
+
+
+_PIECES_SCHEMA = pa.schema([("a_id", pa.string()), ("b_id", pa.string()),
+                            ("wkb", pa.binary()),
+                            ("piece_area", pa.float64())])
+
+
+def _empty_pieces() -> pa.Table:
+    return _PIECES_SCHEMA.empty_table()
+
+
+def layer_erase(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                level: int = C.DEFAULT_LEVEL,
+                a_id_col: str = "a_id", b_id_col: str = "b_id",
+                out_a_id: str | None = None) -> "ray.data.Dataset":
+    """OGRLayer::Erase (ogrlayer.cpp:7847): for every feature of ``a``,
+    the part NOT covered by any feature of ``b``.  Features of ``a`` with
+    no intersecting method feature pass through whole."""
+    pairs = _candidate_pairs(a, b, level=level, a_id_col=a_id_col,
+                             b_id_col=b_id_col)
+
+    def bare(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a_id": batch.column(a_id_col).cast(pa.string()),
+            "b_id": pa.nulls(batch.num_rows, pa.string()),
+            "a_wkb": batch.column("wkb"),
+            "b_wkb": pa.nulls(batch.num_rows, pa.binary())})
+
+    all_rows = pairs.union(a.map_batches(bare, batch_format="pyarrow"))
+
+    def erase_group(g: pa.Table) -> pa.Table:
+        a_id = g.column("a_id")[0].as_py()
+        a_wkb_v = next(x for x in g.column("a_wkb").to_pylist() if x is not None)
+        b_list = [x for x in g.column("b_wkb").to_pylist() if x is not None]
+        a_polys = wkb.as_polygons(wkb.loads(a_wkb_v))
+        b_polys = [p for x in b_list for p in wkb.as_polygons(wkb.loads(x))]
+        pieces = OV.overlay(a_polys, b_polys, "difference") if b_polys \
+            else a_polys
+        area = OV.area_of(pieces)
+        data = _poly_to_wkb(pieces)
+        if data is None or area <= 0:
+            return _empty_pieces()
+        return pa.table({"a_id": pa.array([a_id], pa.string()),
+                         "b_id": pa.array(["-"], pa.string()),
+                         "wkb": pa.array([data], pa.binary()),
+                         "piece_area": pa.array([area], pa.float64())})
+
+    return all_rows.groupby("a_id").map_groups(erase_group,
+                                               batch_format="pyarrow")
+
+
+def layer_intersection_pieces(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                              level: int = C.DEFAULT_LEVEL,
+                              a_id_col: str = "a_id", b_id_col: str = "b_id",
+                              ) -> "ray.data.Dataset":
+    """Pairwise A∩B pieces via the boolean engine (concave + holes OK) —
+    the general form of layer_intersection (OGRLayer::Intersection,
+    ogrlayer.cpp:5386)."""
+    pairs = _candidate_pairs(a, b, level=level, a_id_col=a_id_col,
+                             b_id_col=b_id_col)
+
+    def inter_batch(batch: pa.Table) -> pa.Table:
+        out = {"a_id": [], "b_id": [], "wkb": [], "piece_area": []}
+        for i in range(batch.num_rows):
+            a_polys = wkb.as_polygons(wkb.loads(batch.column("a_wkb")[i].as_py()))
+            b_polys = wkb.as_polygons(wkb.loads(batch.column("b_wkb")[i].as_py()))
+            pieces = OV.overlay(a_polys, b_polys, "intersection")
+            area = OV.area_of(pieces)
+            data = _poly_to_wkb(pieces)
+            if data is None or area <= 0:
+                continue
+            out["a_id"].append(batch.column("a_id")[i].as_py())
+            out["b_id"].append(batch.column("b_id")[i].as_py())
+            out["wkb"].append(data)
+            out["piece_area"].append(area)
+        return pa.table({"a_id": pa.array(out["a_id"], pa.string()),
+                         "b_id": pa.array(out["b_id"], pa.string()),
+                         "wkb": pa.array(out["wkb"], pa.binary()),
+                         "piece_area": pa.array(out["piece_area"], pa.float64())})
+
+    return pairs.map_batches(inter_batch, batch_format="pyarrow")
+
+
+def layer_union(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                level: int = C.DEFAULT_LEVEL,
+                a_id_col: str = "a_id", b_id_col: str = "b_id",
+                ) -> "ray.data.Dataset":
+    """OGRLayer::Union (ogrlayer.cpp:5804): A∩B pieces + A-not-B pieces +
+    B-not-A pieces (absent side id = '-')."""
+    inter = layer_intersection_pieces(a, b, level=level, a_id_col=a_id_col,
+                                      b_id_col=b_id_col)
+    a_rem = layer_erase(a, b, level=level, a_id_col=a_id_col, b_id_col=b_id_col)
+    b_rem = layer_erase(b, a, level=level, a_id_col=b_id_col, b_id_col=a_id_col)
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"a_id": batch.column("b_id"),
+                         "b_id": batch.column("a_id"),
+                         "wkb": batch.column("wkb"),
+                         "piece_area": batch.column("piece_area")})
+
+    return inter.union(a_rem).union(
+        b_rem.map_batches(swap, batch_format="pyarrow"))
+
+
+def layer_identity(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                   level: int = C.DEFAULT_LEVEL,
+                   a_id_col: str = "a_id", b_id_col: str = "b_id",
+                   ) -> "ray.data.Dataset":
+    """OGRLayer::Identity (ogrlayer.cpp:6771): A∩B pieces + A-not-B pieces
+    (input layer split by the method layer; method-only area excluded)."""
+    inter = layer_intersection_pieces(a, b, level=level, a_id_col=a_id_col,
+                                      b_id_col=b_id_col)
+    a_rem = layer_erase(a, b, level=level, a_id_col=a_id_col, b_id_col=b_id_col)
+    return inter.union(a_rem)
+
+
+def layer_symdifference(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                        level: int = C.DEFAULT_LEVEL,
+                        a_id_col: str = "a_id", b_id_col: str = "b_id",
+                        ) -> "ray.data.Dataset":
+    """OGRLayer::SymDifference (ogrlayer.cpp:6341): A-not-B + B-not-A."""
+    a_rem = layer_erase(a, b, level=level, a_id_col=a_id_col, b_id_col=b_id_col)
+    b_rem = layer_erase(b, a, level=level, a_id_col=b_id_col, b_id_col=a_id_col)
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"a_id": batch.column("b_id"),
+                         "b_id": batch.column("a_id"),
+                         "wkb": batch.column("wkb"),
+                         "piece_area": batch.column("piece_area")})
+
+    return a_rem.union(b_rem.map_batches(swap, batch_format="pyarrow"))
+
+
+def layer_update(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
+                 level: int = C.DEFAULT_LEVEL,
+                 a_id_col: str = "a_id", b_id_col: str = "b_id",
+                 ) -> "ray.data.Dataset":
+    """OGRLayer::Update (ogrlayer.cpp:7189): A-not-B pieces + every B
+    feature unchanged (B overwrites A where they overlap)."""
+    a_rem = layer_erase(a, b, level=level, a_id_col=a_id_col, b_id_col=b_id_col)
+
+    def b_pass(batch: pa.Table) -> pa.Table:
+        areas = [sum(geom.polygon_area(r) for r in
+                     wkb.as_polygons(wkb.loads(x)))
+                 for x in batch.column("wkb").to_pylist()]
+        return pa.table({
+            "a_id": pa.array(["-"] * batch.num_rows, pa.string()),
+            "b_id": batch.column(b_id_col).cast(pa.string()),
+            "wkb": batch.column("wkb"),
+            "piece_area": pa.array(areas, pa.float64())})
+
+    return a_rem.union(b.map_batches(b_pass, batch_format="pyarrow"))

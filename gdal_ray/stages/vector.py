@@ -311,3 +311,51 @@ def dissolve_collect(group: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     first["n_parts"] = [len(polys)]
     first["total_area"] = [area]
     return pa.table(first)
+
+
+def dissolve_union(group: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector dissolve with TRUE boolean union
+    (apps/gdalalg_vector_dissolve.h + OGRGeometry::UnaryUnion,
+    ogr/ogrgeometry.cpp:5648): all features of one group key are unioned
+    into one (multi)polygon — overlaps merged, shared borders removed.
+    Emits the union geometry, its exact area, and the part count."""
+    from ..core import overlay as OV
+    polys = []
+    for data in group.column(wkb_col).to_pylist():
+        polys.extend(wkb.as_polygons(wkb.loads(data)))
+    merged = OV.union_all(polys)
+    area = OV.area_of(merged)
+    key_cols = [c for c in group.column_names if c not in (wkb_col,)]
+    first = {c: [group.column(c)[0].as_py()] for c in key_cols if c in ("category",)}
+    if len(merged) == 1:
+        first["wkb"] = [wkb.dumps({"type": "Polygon", "rings": merged[0]})]
+    else:
+        first["wkb"] = [wkb.dumps({"type": "MultiPolygon", "polys": merged})]
+    first["n_parts"] = [len(merged)]
+    first["total_area"] = [area]
+    return pa.table(first)
+
+
+def make_valid_full(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector make-valid (full): GEOS-MakeValid 'linework' semantics
+    (ogr/ogrgeometry.cpp:4180) — self-intersecting rings are noded at
+    crossings and reassembled even-odd, so a bowtie becomes two polygons.
+    Runs the structural fixes of make_valid_lite first, then the overlay
+    engine on any feature check_geometry flags as self-intersecting."""
+    from ..core import overlay as OV
+    lite = make_valid_lite(batch, wkb_col)
+    out = []
+    for data in lite.column(wkb_col).to_pylist():
+        if data is None:
+            out.append(None)
+            continue
+        polys = wkb.as_polygons(wkb.loads(data))
+        fixed = OV.union_all(polys)
+        if not fixed:
+            out.append(None)
+        elif len(fixed) == 1:
+            out.append(wkb.dumps({"type": "Polygon", "rings": fixed[0]}))
+        else:
+            out.append(wkb.dumps({"type": "MultiPolygon", "polys": fixed}))
+    i = lite.column_names.index(wkb_col)
+    return lite.set_column(i, wkb_col, pa.array(out, pa.binary()))
