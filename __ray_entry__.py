@@ -159,16 +159,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 out_fmt="png"), batch_format="pyarrow")
         return out.select_columns(["image_id", "w", "h", "fmt", "caption"])
 
-    def _vector_dissolve(sf_dir: str):
-        import ray.data
-
-        from gdal_ray.core import fixtures
-        from gdal_ray.stages.vector import dissolve_collect
-        polys = ray.data.from_arrow(fixtures.polygons_table(64))
-        out = polys.groupby("category").map_groups(dissolve_collect,
-                                                   batch_format="pyarrow")
-        return out.select_columns(["category", "n_parts", "total_area"])
-
     def _vector_sort(sf_dir: str):
         import ray.data
 
@@ -395,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_centroid": R.vector_centroid,
         "vector_clip": R.vector_clip,
         "layer_intersection": R.layer_intersection_rects,
+        "layer_union": R.layer_union_rects,
+        "vector_dissolve": R.vector_dissolve_union_q,
+        "vector_makevalid": R.vector_makevalid_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -417,7 +410,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pixel_info": _pixel_info,
         "raster_hillshade": _hillshade,
         "raster_translate": _translate,
-        "vector_dissolve": _vector_dissolve,
         "vector_sort_hilbert": _vector_sort,
         "knn_idw": _knn_idw,
         "ann_ivf": _ann_ivf,
@@ -458,6 +450,9 @@ def oracle_sql() -> dict[str, str]:
         "vector_centroid": R.SQL_VECTOR_CENTROID,
         "vector_clip": R.SQL_VECTOR_CLIP,
         "layer_intersection": R.SQL_LAYER_INTERSECTION,
+        "layer_union": R.SQL_LAYER_UNION,
+        "vector_dissolve": R.SQL_VECTOR_DISSOLVE_UNION,
+        "vector_makevalid": R.SQL_VECTOR_MAKEVALID,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -866,3 +866,190 @@ WITH q AS (
 SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
 FROM scored WHERE rank <= 5
 """
+
+
+# ---------- round 2: boolean layer algebra queries ----------
+
+def _union_a_rects(b: pa.Table) -> pa.Table:
+    """Nation-derived A layer for layer_union: a 5x5 disjoint grid (pitch
+    60x25, widths <= 18, heights <= 12) so the SQL oracle's pairwise
+    inclusion-exclusion is exact (no A-A overlaps)."""
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    xmin = (k % 5) * 60.0 - 145.0 + 0.017
+    ymin = (k // 5) * 25.0 - 60.0 + 0.017
+    xmax = xmin + 12.0 + (k % 7)
+    ymax = ymin + 8.0 + (k % 5)
+    return pa.table({"a_id": pa.array([f"n{v:02d}" for v in k]),
+                     "wkb": pa.array([wkb.box(a, c, d, e) for a, c, d, e
+                                      in zip(xmin, ymin, xmax, ymax)],
+                                     pa.binary())})
+
+
+def _union_b_rects(b: pa.Table) -> pa.Table:
+    """Region-derived B layer: tall disjoint columns (pitch 60, width
+    <= 28) that each cross several A rows."""
+    k = np.asarray(b.column("r_regionkey"), dtype=np.int64)
+    xmin = k * 60.0 - 150.0 + 0.013
+    ymin = np.full(k.shape, -55.0 + 0.013)
+    xmax = xmin + 24.0 + k
+    ymax = ymin + 95.0 + k
+    return pa.table({"b_id": pa.array([f"r{v:02d}" for v in k]),
+                     "wkb": pa.array([wkb.box(a, c, d, e) for a, c, d, e
+                                      in zip(xmin, ymin, xmax, ymax)],
+                                     pa.binary())})
+
+
+def layer_union_rects(sf_dir: str):
+    """OGRLayer::Union through the boolean overlay engine: A∩B pieces plus
+    both remainders; absent-side key = -1.  Both layers are internally
+    disjoint by construction, so the SQL oracle computes every remainder
+    with one level of inclusion-exclusion."""
+    from .layer_algebra import layer_union
+
+    a = _read(sf_dir, "nation").map_batches(_union_a_rects, batch_format="pyarrow")
+    bds = _read(sf_dir, "region").map_batches(_union_b_rects, batch_format="pyarrow")
+    out = layer_union(a, bds)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = [int(s[1:]) if s != "-" else -1 for s in b.column("a_id").to_pylist()]
+        rk = [int(s[1:]) if s != "-" else -1 for s in b.column("b_id").to_pylist()]
+        return pa.table({
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "r_regionkey": pa.array(rk, pa.int64()),
+            "piece_area": pc.round(b.column("piece_area"), ndigits=6,
+                                   round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LAYER_UNION = """
+WITH a AS (
+  SELECT n_nationkey,
+         (n_nationkey % 5) * 60.0 - 145.0 + 0.017 AS xmin,
+         (n_nationkey // 5) * 25.0 - 60.0 + 0.017 AS ymin,
+         (n_nationkey % 5) * 60.0 - 145.0 + 0.017 + 12.0 + (n_nationkey % 7) AS xmax,
+         (n_nationkey // 5) * 25.0 - 60.0 + 0.017 + 8.0 + (n_nationkey % 5) AS ymax
+  FROM nation
+), b AS (
+  SELECT r_regionkey,
+         r_regionkey * 60.0 - 150.0 + 0.013 AS xmin,
+         -55.0 + 0.013 AS ymin,
+         r_regionkey * 60.0 - 150.0 + 0.013 + 24.0 + r_regionkey AS xmax,
+         -55.0 + 0.013 + 95.0 + r_regionkey AS ymax
+  FROM region
+), inter AS (
+  SELECT a.n_nationkey, b.r_regionkey,
+         (least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+         * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) AS piece_area
+  FROM a JOIN b
+    ON least(a.xmax, b.xmax) > greatest(a.xmin, b.xmin)
+   AND least(a.ymax, b.ymax) > greatest(a.ymin, b.ymin)
+), a_rem AS (
+  SELECT a.n_nationkey, -1 AS r_regionkey,
+         (a.xmax - a.xmin) * (a.ymax - a.ymin)
+         - coalesce((SELECT sum(i.piece_area) FROM inter i
+                     WHERE i.n_nationkey = a.n_nationkey), 0) AS piece_area
+  FROM a
+), b_rem AS (
+  SELECT -1 AS n_nationkey, b.r_regionkey,
+         (b.xmax - b.xmin) * (b.ymax - b.ymin)
+         - coalesce((SELECT sum(i.piece_area) FROM inter i
+                     WHERE i.r_regionkey = b.r_regionkey), 0) AS piece_area
+  FROM b
+)
+SELECT n_nationkey, r_regionkey, round(piece_area, 6) AS piece_area
+FROM (SELECT * FROM inter UNION ALL
+      SELECT * FROM a_rem WHERE piece_area > 1e-9 UNION ALL
+      SELECT * FROM b_rem WHERE piece_area > 1e-9)
+"""
+
+
+def vector_dissolve_union_q(sf_dir: str):
+    """Dissolve with TRUE boolean union: each nation's suppliers become a
+    chain of 1x1 rects at 0.8 pitch (consecutive ranks overlap by 0.2), so
+    the union area has the closed form 0.8*n + 0.2 — a collect-only
+    dissolve would report n*1.0 and fail the oracle."""
+    from ..stages.vector import dissolve_union
+
+    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey", "s_nationkey"])
+
+    def build_group(g: pa.Table) -> pa.Table:
+        n = int(g.column("s_nationkey")[0].as_py())
+        cnt = g.num_rows
+        rows = [wkb.box(0.8 * rank, float(n), 0.8 * rank + 1.0, float(n) + 1.0)
+                for rank in range(cnt)]
+        return pa.table({"category": pa.array([n] * cnt, pa.int64()),
+                         "wkb": pa.array(rows, pa.binary())})
+
+    polys = sup.groupby("s_nationkey").map_groups(build_group,
+                                                  batch_format="pyarrow")
+    out = polys.groupby("category").map_groups(dissolve_union,
+                                               batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_nationkey": pc.cast(b.column("category"), pa.int64()),
+            "n_parts": pc.cast(b.column("n_parts"), pa.int64()),
+            "union_area": pc.round(b.column("total_area"), ndigits=6,
+                                   round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VECTOR_DISSOLVE_UNION = """
+SELECT s_nationkey,
+       1 AS n_parts,
+       round(0.8 * count(*) + 0.2, 6) AS union_area
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+def vector_makevalid_q(sf_dir: str):
+    """MakeValid over part-derived bowtie rings: the self-intersecting ring
+    [0,0]-[w,h]-[w,0]-[0,h] splits into two triangles of total area w*h/2."""
+    from ..stages.vector import make_valid_full
+
+    def bowties(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("p_partkey"), dtype=np.int64)
+        w = 1.0 + (k % 5)
+        h = 1.0 + (k % 3)
+        out = []
+        for i in range(len(k)):
+            ring = np.array([[0.0, 0.0], [w[i], h[i]], [w[i], 0.0],
+                             [0.0, h[i]], [0.0, 0.0]])
+            out.append(wkb.dumps({"type": "Polygon", "rings": [ring]}))
+        return pa.table({"p_partkey": pa.array(k, pa.int64()),
+                         "wkb": pa.array(out, pa.binary())})
+
+    parts = _read(sf_dir, "part").select_columns(["p_partkey"]) \
+        .map_batches(lambda b: b.filter(pa.array(
+            np.asarray(b.column("p_partkey"), dtype=np.int64) % 10 == 3)),
+            batch_format="pyarrow")
+    fixed = parts.map_batches(bowties, batch_format="pyarrow") \
+                 .map_batches(make_valid_full, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..core import geom as G
+        nparts, areas = [], []
+        for data in b.column("wkb").to_pylist():
+            polys = wkb.as_polygons(wkb.loads(data))
+            nparts.append(len(polys))
+            areas.append(sum(G.polygon_area(r) for r in polys))
+        return pa.table({
+            "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+            "n_parts": pa.array(nparts, pa.int64()),
+            "valid_area": pc.round(pa.array(areas, pa.float64()), ndigits=6,
+                                   round_mode="half_towards_infinity"),
+        })
+
+    return fixed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VECTOR_MAKEVALID = """
+SELECT p_partkey, 2 AS n_parts,
+       round((1.0 + p_partkey % 5) * (1.0 + p_partkey % 3) / 2.0, 6) AS valid_area
+FROM part WHERE p_partkey % 10 = 3
+"""
