@@ -388,6 +388,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layer_union": R.layer_union_rects,
         "vector_dissolve": R.vector_dissolve_union_q,
         "vector_makevalid": R.vector_makevalid_q,
+        "knn_idw": R.knn_idw_q,
+        "grid_metrics": R.grid_metrics_q,
+        "knn_bigbig": R.knn_bigbig_q,
+        "dedup_phash": R.dedup_phash_q,
+        "raster_band_stats": R.raster_band_stats_q,
+        "raster_tindex": R.raster_tindex_q,
+        "raster_as_features": R.raster_as_features_q,
+        "raster_pixel_info": R.raster_pixel_info_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -405,16 +413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _langid,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
-        "raster_band_stats": _band_stats,
-        "raster_as_features": _as_features,
-        "raster_pixel_info": _pixel_info,
         "raster_hillshade": _hillshade,
         "raster_translate": _translate,
         "vector_sort_hilbert": _vector_sort,
-        "knn_idw": _knn_idw,
         "ann_ivf": _ann_ivf,
-        "dedup_phash": _dedup_phash,
-        "raster_tindex": _raster_tindex,
         "raster_calc": _raster_calc,
         "raster_sieve": _raster_sieve,
         "raster_proximity": _raster_proximity,
@@ -424,8 +426,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_neighbors": _raster_neighbors,
         "rgb_to_palette": _rgb_to_palette,
         "vector_check_geometry": _vector_check_geometry,
-        "grid_metrics": _grid_metrics,
-        "knn_bigbig": _knn_bigbig,
     }
 
 
@@ -453,6 +453,14 @@ def oracle_sql() -> dict[str, str]:
         "layer_union": R.SQL_LAYER_UNION,
         "vector_dissolve": R.SQL_VECTOR_DISSOLVE_UNION,
         "vector_makevalid": R.SQL_VECTOR_MAKEVALID,
+        "knn_idw": R.SQL_KNN_IDW,
+        "grid_metrics": R.SQL_GRID_METRICS,
+        "knn_bigbig": R.SQL_KNN_BIGBIG,
+        "dedup_phash": R.SQL_DEDUP_PHASH,
+        "raster_band_stats": R.SQL_RASTER_BAND_STATS,
+        "raster_tindex": R.SQL_RASTER_TINDEX,
+        "raster_as_features": R.SQL_RASTER_AS_FEATURES,
+        "raster_pixel_info": R.SQL_RASTER_PIXEL_INFO,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -1053,3 +1053,456 @@ SELECT p_partkey, 2 AS n_parts,
        round((1.0 + p_partkey % 5) * (1.0 + p_partkey % 3) / 2.0, 6) AS valid_area
 FROM part WHERE p_partkey % 10 = 3
 """
+
+
+# ---------- round 2: rows-only -> full-oracle conversions ----------
+#
+# The integer-derived-data trick of the geo_* family, extended to the
+# raster/knn/dedup surfaces: every input (points, values, phashes, raw
+# image pixels) is derived from table keys with arithmetic DuckDB can
+# replay exactly, so the driver's value-hash compare covers the whole
+# distributed path.
+
+def _sup_points(b: pa.Table) -> pa.Table:
+    k = np.asarray(b.column("s_suppkey"), dtype=np.int64)
+    return pa.table({
+        "point_id": pa.array([f"s{int(v):06d}" for v in k]),
+        "skey": pa.array(k, pa.int64()),
+        "x": pa.array(((k * 41) % 3600) / 10.0 - 180.0 + 0.03, pa.float64()),
+        "y": pa.array(((k * 67) % 1700) / 10.0 - 85.0 + 0.03, pa.float64()),
+    })
+
+
+def _cust_ref_table(sf_dir: str) -> pa.Table:
+    """Customer-derived reference points + values, ORDERED by custkey so the
+    kernel's index tie-break equals order-by-custkey in SQL."""
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    tabs = [b for b in cust.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(tabs)
+    k = np.asarray(t.column("c_custkey"), dtype=np.int64)
+    order = np.argsort(k)
+    k = k[order]
+    return pa.table({
+        "ckey": pa.array(k, pa.int64()),
+        "x": pa.array(((k * 37) % 3600) / 10.0 - 180.0 + 0.05, pa.float64()),
+        "y": pa.array(((k * 91) % 1700) / 10.0 - 85.0 + 0.05, pa.float64()),
+        "value": pa.array((k % 100) / 10.0, pa.float64()),
+    })
+
+
+def knn_idw_q(sf_dir: str):
+    """gdal_grid invdistnn over table-derived points: IDW of the 12 nearest
+    customer values at each supplier node."""
+    from .knn import idw_interpolate
+    ref = _cust_ref_table(sf_dir)
+    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+        .map_batches(_sup_points, batch_format="pyarrow")
+    out = idw_interpolate(sup, np.column_stack([np.asarray(ref.column("x")),
+                                                np.asarray(ref.column("y"))]),
+                          np.asarray(ref.column("value")), power=2.0,
+                          smoothing=0.0, max_points=12, concurrency=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sk = [int(s[1:]) for s in b.column("point_id").to_pylist()]
+        return pa.table({"s_suppkey": pa.array(sk, pa.int64()),
+                         "idw_value": pc.round(b.column("idw_value"), ndigits=6,
+                                               round_mode="half_towards_infinity")})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_KNN_IDW = """
+WITH sup AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.03 AS x,
+         ((s_suppkey * 67) % 1700) / 10.0 - 85.0 + 0.03 AS y
+  FROM supplier
+), cust AS (
+  SELECT c_custkey,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS x,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS y,
+         (c_custkey % 100) / 10.0 AS v
+  FROM customer
+), ranked AS (
+  SELECT s_suppkey, v,
+         power(sqrt((sup.x - cust.x) * (sup.x - cust.x)
+                    + (sup.y - cust.y) * (sup.y - cust.y)), 2.0) AS d2,
+         row_number() OVER (PARTITION BY s_suppkey
+             ORDER BY (sup.x - cust.x) * (sup.x - cust.x)
+                      + (sup.y - cust.y) * (sup.y - cust.y), c_custkey) AS rk
+  FROM sup CROSS JOIN cust
+)
+SELECT s_suppkey, round(sum(v / d2) / sum(1.0 / d2), 6) AS idw_value
+FROM ranked WHERE rk <= 12 GROUP BY s_suppkey
+"""
+
+
+def grid_metrics_q(sf_dir: str):
+    """gdal_grid data-metrics + moving-average + nearest over table-derived
+    points (radius 12°); empty neighborhoods emit -1 sentinels."""
+    from .knn import grid_metrics
+    ref = _cust_ref_table(sf_dir)
+    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+        .map_batches(_sup_points, batch_format="pyarrow")
+    out = grid_metrics(sup, np.column_stack([np.asarray(ref.column("x")),
+                                             np.asarray(ref.column("y"))]),
+                       np.asarray(ref.column("value")), radius=12.0,
+                       concurrency=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sk = [int(s[1:]) for s in b.column("point_id").to_pylist()]
+        cnt = np.nan_to_num(np.asarray(b.column("count"), dtype=np.float64),
+                            nan=0.0).astype(np.int64)
+        cols = {"s_suppkey": pa.array(sk, pa.int64()),
+                "n_within": pa.array(cnt, pa.int64())}
+        for src, dst in (("minimum", "vmin"), ("maximum", "vmax"),
+                         ("range", "vrange"), ("average", "vavg"),
+                         ("average_distance", "avg_dist"), ("nearest", "nearest_v")):
+            v = np.nan_to_num(np.asarray(b.column(src), dtype=np.float64),
+                              nan=-1.0)
+            cols[dst] = pc.round(pa.array(v, pa.float64()), ndigits=6,
+                                 round_mode="half_towards_infinity")
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GRID_METRICS = """
+WITH sup AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.03 AS x,
+         ((s_suppkey * 67) % 1700) / 10.0 - 85.0 + 0.03 AS y
+  FROM supplier
+), cust AS (
+  SELECT c_custkey,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS x,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS y,
+         (c_custkey % 100) / 10.0 AS v
+  FROM customer
+), pairs AS (
+  SELECT s_suppkey, c_custkey, v,
+         sqrt((sup.x - cust.x) * (sup.x - cust.x)
+              + (sup.y - cust.y) * (sup.y - cust.y)) AS d
+  FROM sup CROSS JOIN cust
+), near AS (
+  SELECT s_suppkey, v AS nearest_v,
+         row_number() OVER (PARTITION BY s_suppkey ORDER BY d, c_custkey) AS rk
+  FROM pairs
+), agg AS (
+  SELECT s_suppkey,
+         count(*) FILTER (WHERE d <= 12.0) AS n_within,
+         min(v) FILTER (WHERE d <= 12.0) AS vmin,
+         max(v) FILTER (WHERE d <= 12.0) AS vmax,
+         max(v) FILTER (WHERE d <= 12.0) - min(v) FILTER (WHERE d <= 12.0) AS vrange,
+         sum(v) FILTER (WHERE d <= 12.0) / count(*) FILTER (WHERE d <= 12.0) AS vavg,
+         sum(d) FILTER (WHERE d <= 12.0) / count(*) FILTER (WHERE d <= 12.0) AS avg_dist
+  FROM pairs GROUP BY s_suppkey
+)
+SELECT agg.s_suppkey, n_within,
+       round(coalesce(vmin, -1.0), 6) AS vmin,
+       round(coalesce(vmax, -1.0), 6) AS vmax,
+       round(coalesce(vrange, -1.0), 6) AS vrange,
+       round(coalesce(vavg, -1.0), 6) AS vavg,
+       round(coalesce(avg_dist, -1.0), 6) AS avg_dist,
+       round(near.nearest_v, 6) AS nearest_v
+FROM agg JOIN near ON agg.s_suppkey = near.s_suppkey AND near.rk = 1
+"""
+
+
+def knn_bigbig_q(sf_dir: str):
+    """BIG×BIG radius kNN (cell join + 3×3 halo) over table-derived points:
+    3 nearest customers within 4° of each supplier."""
+    from .knn import knn_radius_cell_join
+    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+        .map_batches(_sup_points, batch_format="pyarrow")
+
+    def cust_pts(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        return pa.table({
+            "point_id": pa.array([str(int(v)) for v in k]),
+            "x": pa.array(((k * 37) % 3600) / 10.0 - 180.0 + 0.05, pa.float64()),
+            "y": pa.array(((k * 91) % 1700) / 10.0 - 85.0 + 0.05, pa.float64()),
+        })
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+        .map_batches(cust_pts, batch_format="pyarrow")
+    out = knn_radius_cell_join(sup, cust, radius=4.0, k=3)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sk = [int(s[1:]) for s in b.column("point_id").to_pylist()]
+        return pa.table({
+            "s_suppkey": pa.array(sk, pa.int64()),
+            "c_custkey": pa.array([int(v) for v in
+                                   b.column("neighbor_id").to_pylist()],
+                                  pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+            "dist": pc.round(b.column("distance"), ndigits=6,
+                             round_mode="half_towards_infinity")})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_KNN_BIGBIG = """
+WITH sup AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.03 AS x,
+         ((s_suppkey * 67) % 1700) / 10.0 - 85.0 + 0.03 AS y
+  FROM supplier
+), cust AS (
+  SELECT c_custkey,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS x,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS y
+  FROM customer
+), ranked AS (
+  SELECT s_suppkey, c_custkey,
+         sqrt((sup.x - cust.x) * (sup.x - cust.x)
+              + (sup.y - cust.y) * (sup.y - cust.y)) AS d,
+         row_number() OVER (PARTITION BY s_suppkey
+             ORDER BY sqrt((sup.x - cust.x) * (sup.x - cust.x)
+                           + (sup.y - cust.y) * (sup.y - cust.y)),
+                      CAST(c_custkey AS VARCHAR)) AS rank
+  FROM sup CROSS JOIN cust
+)
+SELECT s_suppkey, c_custkey, rank, round(d, 6) AS dist
+FROM ranked WHERE rank <= 3 AND d <= 4.0
+"""
+
+
+def dedup_phash_q(sf_dir: str):
+    """phash hamming near-dup over customer-derived 62-bit hashes; every
+    custkey divisible by 97 carries a 1-bit-flipped copy of the previous
+    key's hash, so the expected pair set is exact integer arithmetic that
+    DuckDB replays with xor + bit_count."""
+    from .catalog import phash_neardup_pairs
+
+    def derive(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        h1 = (k * 48271) % 2147483647
+        h2 = (k * 16807) % 2147483647
+        ph = h1 + (h2 << 31)
+        km1 = k - 1
+        p1 = (km1 * 48271) % 2147483647
+        p2 = (km1 * 16807) % 2147483647
+        planted = (p1 + (p2 << 31)) ^ (np.int64(1) << (k % 60))
+        ph = np.where((k % 97 == 0) & (k > 0), planted, ph)
+        return pa.table({
+            "image_id": pa.array([f"{int(v):08d}" for v in k]),
+            "phash": pa.array(ph, pa.int64()),
+        })
+
+    imgs = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = phash_neardup_pairs(imgs, max_hamming=3)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key_a": pa.array([int(s) for s in b.column("id_a").to_pylist()],
+                              pa.int64()),
+            "key_b": pa.array([int(s) for s in b.column("id_b").to_pylist()],
+                              pa.int64()),
+            "hamming": pc.cast(b.column("hamming"), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DEDUP_PHASH = """
+WITH ph AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 97 = 0 AND c_custkey > 0 THEN
+           xor((((c_custkey - 1) * 48271) % 2147483647)
+               + ((((c_custkey - 1) * 16807) % 2147483647) << 31),
+               1::BIGINT << (c_custkey % 60))
+         ELSE ((c_custkey * 48271) % 2147483647)
+              + (((c_custkey * 16807) % 2147483647) << 31) END AS phash
+  FROM customer
+)
+SELECT a.k AS key_a, b.k AS key_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM ph a JOIN ph b ON a.k < b.k
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def _derived_images(b: pa.Table) -> pa.Table:
+    """Nation-derived 32×32 single-band raw images whose pixel values are
+    pure integer arithmetic — v(k) = (n*31 + k) % (97 + n%13) — so DuckDB
+    replays the raster content with generate_series.  Footprints are
+    disjoint 0.32°×0.32° boxes on a 10° grid."""
+    from ..core import codecs as CD
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts, gts = [], [], []
+    for n in k:
+        n = int(n)
+        v = (n * 31 + np.arange(1024, dtype=np.int64)) % (97 + n % 13)
+        img = v.astype(np.uint8).reshape(32, 32)
+        ids.append(f"img{n:02d}")
+        bts.append(CD.encode_raw(img))
+        x0 = (n % 5) * 10.0 + 0.05
+        y0 = (n // 5) * 10.0 + 0.05
+        gts.append([x0, 0.01, 0.0, y0, 0.0, -0.01])
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(np.full(len(ids), 32, np.int32)),
+        "h": pa.array(np.full(len(ids), 32, np.int32)),
+        "fmt": pa.array(["raw"] * len(ids)),
+        "caption": pa.array([""] * len(ids)),
+        "geotransform": pa.array(gts, pa.list_(pa.float64(), 6)),
+        "crs": pa.array(["EPSG:4326"] * len(ids)),
+        "nodata": pa.nulls(len(ids), pa.float64()),
+    })
+
+
+_SQL_DERIVED_PIXELS = """
+  SELECT n_nationkey AS n, g.k AS k,
+         (n_nationkey * 31 + g.k) % (97 + n_nationkey % 13) AS v
+  FROM nation, generate_series(0, 1023) g(k)
+"""
+
+
+def raster_band_stats_q(sf_dir: str):
+    """Global band statistics (partial+final ComputeStatistics shape) over
+    nation-derived raw rasters."""
+    import ray.data
+
+    from .raster_ops import band_statistics
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = band_statistics(imgs)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_pixels": pc.cast(b.column("n_pixels"), pa.int64()),
+            "n_images": pc.cast(b.column("n_images"), pa.int64()),
+            "vmin": pc.cast(b.column("vmin"), pa.float64()),
+            "vmax": pc.cast(b.column("vmax"), pa.float64()),
+            "mean": pc.round(b.column("mean"), ndigits=6,
+                             round_mode="half_towards_infinity"),
+            "std": pc.round(b.column("std"), ndigits=6,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_BAND_STATS = f"""
+WITH px AS ({_SQL_DERIVED_PIXELS})
+SELECT count(*) AS n_pixels,
+       count(DISTINCT n) AS n_images,
+       CAST(min(v) AS DOUBLE) AS vmin,
+       CAST(max(v) AS DOUBLE) AS vmax,
+       round(sum(v) * 1.0 / count(*), 6) AS mean,
+       round(sqrt(sum(v * v) * 1.0 / count(*)
+                  - (sum(v) * 1.0 / count(*)) * (sum(v) * 1.0 / count(*))), 6) AS std
+FROM px
+"""
+
+
+def raster_tindex_q(sf_dir: str):
+    """gdaltindex over the derived catalog: per-image lon/lat footprint
+    bbox, closed-form from the geotransform."""
+    from .catalog import build_tile_index
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = build_tile_index(imgs)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = [int(s[3:]) for s in b.column("image_id").to_pylist()]
+        cols = {"n_nationkey": pa.array(nk, pa.int64())}
+        for c in ("minx", "miny", "maxx", "maxy"):
+            cols[c] = pc.round(b.column(c), ndigits=6,
+                               round_mode="half_towards_infinity")
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_TINDEX = """
+SELECT n_nationkey,
+       round((n_nationkey % 5) * 10.0 + 0.05, 6) AS minx,
+       round((n_nationkey // 5) * 10.0 + 0.05 - 0.32, 6) AS miny,
+       round((n_nationkey % 5) * 10.0 + 0.05 + 0.32, 6) AS maxx,
+       round((n_nationkey // 5) * 10.0 + 0.05, 6) AS maxy
+FROM nation
+"""
+
+
+def raster_as_features_q(sf_dir: str):
+    """gdal2xyz / as-features with step=8 over the derived rasters: every
+    sampled pixel's (lon, lat, value) is integer arithmetic."""
+    from .raster_ops import as_features
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(lambda b: as_features(b, step=8),
+                           batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = [int(s[3:]) for s in b.column("image_id").to_pylist()]
+        # coordinates are exact milli-degrees by construction — snap the
+        # float-accumulated gt values back to integer/1000 so the double is
+        # bit-identical to DuckDB's single-division arithmetic
+        x = np.round(np.asarray(b.column("x"), dtype=np.float64) * 1000.0) / 1000.0
+        y = np.round(np.asarray(b.column("y"), dtype=np.float64) * 1000.0) / 1000.0
+        return pa.table({
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "value": pc.cast(b.column("value"), pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_AS_FEATURES = """
+WITH cells AS (
+  SELECT n_nationkey AS n, r.i AS i, c.j AS j
+  FROM nation, generate_series(0, 31, 8) r(i), generate_series(0, 31, 8) c(j)
+)
+SELECT n AS n_nationkey,
+       ((n % 5) * 10000 + j * 10 + 55) / 1000.0 AS x,
+       ((n // 5) * 10000 + 50 - i * 10 - 5) / 1000.0 AS y,
+       CAST((n * 31 + i * 32 + j) % (97 + n % 13) AS DOUBLE) AS value
+FROM cells
+"""
+
+
+def raster_pixel_info_q(sf_dir: str):
+    """gdallocationinfo / InterpolateAtPoint: supplier-derived points at
+    exact pixel centers of the derived rasters — bilinear at a center is
+    the pixel value itself, so the oracle is closed-form."""
+    from .raster_ops import pixel_info
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"])
+    st = pa.concat_tables(list(sup.iter_batches(batch_format="pyarrow")))
+    k = np.asarray(st.column("s_suppkey"), dtype=np.int64)
+    n = k % 25
+    j = k % 32
+    i = (k * 7) % 32
+    lon = (n % 5) * 10.0 + 0.05 + (j + 0.5) * 0.01
+    lat = (n // 5) * 10.0 + 0.05 - (i + 0.5) * 0.01
+    out = pixel_info(imgs, lon=lon, lat=lat,
+                     point_ids=[f"{int(v):06d}" for v in k], concurrency=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sk = [int(s) for s in b.column("point_id").to_pylist()]
+        nk = [int(s[3:]) for s in b.column("image_id").to_pylist()]
+        return pa.table({
+            "s_suppkey": pa.array(sk, pa.int64()),
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "value": pc.round(b.column("value"), ndigits=6,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_PIXEL_INFO = """
+SELECT s_suppkey,
+       s_suppkey % 25 AS n_nationkey,
+       round(CAST(((s_suppkey % 25) * 31 + ((s_suppkey * 7) % 32) * 32
+                   + (s_suppkey % 32)) % (97 + (s_suppkey % 25) % 13)
+                  AS DOUBLE), 6) AS value
+FROM supplier
+"""
