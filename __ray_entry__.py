@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tindex": R.raster_tindex_q,
         "raster_as_features": R.raster_as_features_q,
         "raster_pixel_info": R.raster_pixel_info_q,
+        "raster_hillshade": R.raster_hillshade_q,
+        "raster_aspect": R.raster_aspect_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -413,7 +415,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _langid,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
-        "raster_hillshade": _hillshade,
         "raster_translate": _translate,
         "vector_sort_hilbert": _vector_sort,
         "ann_ivf": _ann_ivf,
@@ -422,7 +423,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_proximity": _raster_proximity,
         "raster_reproject": _raster_reproject,
         "image_features": _image_features,
-        "raster_aspect": _raster_aspect,
         "raster_neighbors": _raster_neighbors,
         "rgb_to_palette": _rgb_to_palette,
         "vector_check_geometry": _vector_check_geometry,
@@ -461,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_tindex": R.SQL_RASTER_TINDEX,
         "raster_as_features": R.SQL_RASTER_AS_FEATURES,
         "raster_pixel_info": R.SQL_RASTER_PIXEL_INFO,
+        "raster_hillshade": R.SQL_RASTER_HILLSHADE,
+        "raster_aspect": R.SQL_RASTER_ASPECT,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -36,14 +36,37 @@ _LOSSY_Q = {"jpeg": 4, "webp": 3}  # quant step: max err q/2 → PSNR ≈ 47/49 
 
 # ---------- raw ----------
 
+# GDAL pixel-type lattice (gcore/gdal.h:47-67 GDALDataType), the subset
+# numpy can hold; GRW2 payloads carry the dtype code so int16/float32 DEMs
+# flow through the same bytes column as uint8 imagery.
+_DTYPE_CODES = {
+    np.dtype(np.uint8): 1, np.dtype(np.int8): 2,
+    np.dtype(np.uint16): 3, np.dtype(np.int16): 4,
+    np.dtype(np.uint32): 5, np.dtype(np.int32): 6,
+    np.dtype(np.float32): 7, np.dtype(np.float64): 8,
+}
+_CODE_DTYPES = {v: k for k, v in _DTYPE_CODES.items()}
+_RAW2_MAGIC = b"GRW2"
+
+
 def encode_raw(img: np.ndarray) -> bytes:
-    a = np.ascontiguousarray(img, dtype=np.uint8)
+    a = np.ascontiguousarray(img)
     h, w = a.shape[:2]
     b = a.shape[2] if a.ndim == 3 else 1
-    return _RAW_MAGIC + struct.pack("<III", h, w, b) + a.tobytes()
+    if a.dtype == np.uint8:
+        return _RAW_MAGIC + struct.pack("<III", h, w, b) + a.tobytes()
+    code = _DTYPE_CODES.get(a.dtype)
+    if code is None:
+        raise ValueError(f"unsupported raster dtype {a.dtype}")
+    return _RAW2_MAGIC + struct.pack("<IIII", h, w, b, code) + a.tobytes()
 
 
 def decode_raw(data: bytes) -> np.ndarray:
+    if data[:4] == _RAW2_MAGIC:
+        h, w, b, code = struct.unpack_from("<IIII", data, 4)
+        a = np.frombuffer(data, dtype=_CODE_DTYPES[code],
+                          offset=20).reshape(h, w, b)
+        return a[:, :, 0] if b == 1 else a
     assert data[:4] == _RAW_MAGIC, "not a raw payload"
     h, w, b = struct.unpack_from("<III", data, 4)
     a = np.frombuffer(data, dtype=np.uint8, offset=16).reshape(h, w, b)

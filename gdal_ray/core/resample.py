@@ -191,6 +191,8 @@ def resize(src: np.ndarray, out_w: int, out_h: int, method: str = "bilinear",
     fy = h / float(out_h)
     if method == "average":
         return _resize_average(a, out_w, out_h, nodata)
+    if method in _REDUCE_STATS:
+        return resize_reduce(a, out_w, out_h, method, nodata)
     px = (np.arange(out_w) + 0.5) * fx
     py = (np.arange(out_h) + 0.5) * fy
     sx, sy = np.meshgrid(px, py)
@@ -257,3 +259,83 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(peak * peak / mse)
+
+
+_REDUCE_STATS = ("mode", "min", "max", "median", "q1", "q3", "sum", "rms")
+
+
+def resize_reduce(a: np.ndarray, out_w: int, out_h: int, stat: str,
+                  nodata: float | None = None) -> np.ndarray:
+    """Non-kernel reduce resamplers (alg/gdalwarper.h:35-69 GRA_Mode/Min/
+    Max/Med/Q1/Q3/Sum/RMS; gdalwarpkernel.cpp:194-195 GWKAverageOrMode and
+    the sum-preserving GWKSumPreserving):
+
+      - order statistics (min/max/median/q1/q3) and mode are computed over
+        every source pixel with positive area overlap of the output cell;
+        mode ties break to the SMALLEST value (deterministic, matching the
+        first-seen rule under value-sorted scan);
+      - ``sum`` is area-weighted and SUM-PRESERVING: the total of the
+        output equals the total of the input for any factor;
+      - ``rms`` is sqrt of the area-weighted mean of squares.
+
+    Quartiles use the linear-interpolation definition (numpy default), and
+    integer outputs round half-up like the kernel path.
+    """
+    assert stat in _REDUCE_STATS, stat
+    x3 = _as_3d(a).astype(np.float64)
+    h, w, nb = x3.shape
+    fy, fx = h / out_h, w / out_w
+
+    def spans(n_in, n_out, f):
+        lo = np.arange(n_out) * f
+        hi = lo + f
+        i0 = np.floor(lo + 1e-12).astype(np.int64)
+        i1 = np.minimum(np.ceil(hi - 1e-12).astype(np.int64), n_in)
+        return lo, hi, i0, i1
+
+    ylo, yhi, y0, y1 = spans(h, out_h, fy)
+    xlo, xhi, x0, x1 = spans(w, out_w, fx)
+    out = np.empty((out_h, out_w, nb), dtype=np.float64)
+    for oy in range(out_h):
+        rows = slice(y0[oy], y1[oy])
+        wy = np.clip(np.minimum(yhi[oy], np.arange(y0[oy], y1[oy]) + 1.0)
+                     - np.maximum(ylo[oy], np.arange(y0[oy], y1[oy])), 0.0, None)
+        for ox in range(out_w):
+            cols = slice(x0[ox], x1[ox])
+            wx = np.clip(np.minimum(xhi[ox], np.arange(x0[ox], x1[ox]) + 1.0)
+                         - np.maximum(xlo[ox], np.arange(x0[ox], x1[ox])), 0.0, None)
+            wgt = np.outer(wy, wx)
+            blk = x3[rows, cols]          # (by, bx, nb)
+            for b in range(nb):
+                v = blk[:, :, b]
+                m = wgt > 0
+                if nodata is not None:
+                    m = m & (v != nodata)
+                if not m.any():
+                    out[oy, ox, b] = nodata if nodata is not None else 0.0
+                    continue
+                vv = v[m]
+                ww = wgt[m]
+                if stat == "min":
+                    out[oy, ox, b] = vv.min()
+                elif stat == "max":
+                    out[oy, ox, b] = vv.max()
+                elif stat == "median":
+                    out[oy, ox, b] = np.median(vv)
+                elif stat == "q1":
+                    out[oy, ox, b] = np.percentile(vv, 25)
+                elif stat == "q3":
+                    out[oy, ox, b] = np.percentile(vv, 75)
+                elif stat == "mode":
+                    uniq, cnt = np.unique(vv, return_counts=True)
+                    out[oy, ox, b] = uniq[np.argmax(cnt)]  # ties → smallest
+                elif stat == "sum":
+                    out[oy, ox, b] = float((vv * ww).sum())
+                else:  # rms
+                    out[oy, ox, b] = float(np.sqrt((vv * vv * ww).sum()
+                                                   / ww.sum()))
+    if np.issubdtype(a.dtype, np.integer):
+        info = np.iinfo(a.dtype)
+        out = np.clip(np.floor(out + 0.5), info.min, info.max)
+    out = out.astype(a.dtype)
+    return out[:, :, 0] if a.ndim == 2 else out

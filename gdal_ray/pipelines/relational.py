@@ -1506,3 +1506,107 @@ SELECT s_suppkey,
                   AS DOUBLE), 6) AS value
 FROM supplier
 """
+
+
+def _derived_dems(b: pa.Table) -> pa.Table:
+    """Nation-derived FLOAT32 plane DEMs (z = 100 + gx*j + gy*i) — the
+    multi-dtype raster path (GRW2 payloads; gcore/gdal.h type lattice).
+    Horn derivatives of a plane are constant on the interior, so hillshade
+    and aspect have closed forms DuckDB replays with its own trig."""
+    from ..core import codecs as CD
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts, gts = [], [], []
+    jj, ii = np.meshgrid(np.arange(16, dtype=np.float64),
+                         np.arange(16, dtype=np.float64))
+    for n in k:
+        n = int(n)
+        gx = (n % 7 - 3) * 0.5
+        gy = (n % 5 - 2) * 0.3
+        z = (100.0 + gx * jj + gy * ii).astype(np.float32)
+        ids.append(f"dem{n:02d}")
+        bts.append(CD.encode_raw(z))
+        gts.append([float((n % 5) * 100), 1.0, 0.0,
+                    float((n // 5) * 100), 0.0, -1.0])
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(np.full(len(ids), 16, np.int32)),
+        "h": pa.array(np.full(len(ids), 16, np.int32)),
+        "fmt": pa.array(["raw"] * len(ids)),
+        "caption": pa.array([""] * len(ids)),
+        "geotransform": pa.array(gts, pa.list_(pa.float64(), 6)),
+        "crs": pa.array(["EPSG:4326"] * len(ids)),
+        "nodata": pa.nulls(len(ids), pa.float64()),
+    })
+
+
+def _center_pixel(b: pa.Table, id_prefix: str, col: str) -> pa.Table:
+    from ..core import codecs as CD
+    nk, vals = [], []
+    for i in range(b.num_rows):
+        img = CD.decode(b.column("bytes")[i].as_py(), b.column("fmt")[i].as_py())
+        band = img if img.ndim == 2 else img[:, :, 0]
+        nk.append(int(b.column("image_id")[i].as_py()[len(id_prefix):]))
+        vals.append(int(band[8, 8]))
+    return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                     col: pa.array(vals, pa.int64())})
+
+
+def raster_hillshade_q(sf_dir: str):
+    """gdaldem hillshade over float32 plane DEMs; interior shade value is a
+    closed-form trig expression of the plane gradient."""
+    from ..stages.raster import hillshade
+    dems = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_dems, batch_format="pyarrow")
+    out = dems.map_batches(hillshade, batch_format="pyarrow")
+    return out.map_batches(lambda b: _center_pixel(b, "dem", "shade"),
+                           batch_format="pyarrow")
+
+
+SQL_RASTER_HILLSHADE = """
+WITH g AS (
+  SELECT n_nationkey,
+         (n_nationkey % 7 - 3) * 0.5 AS gx,
+         (n_nationkey % 5 - 2) * 0.3 AS gy
+  FROM nation
+), t AS (
+  SELECT n_nationkey,
+         atan(sqrt(gx * gx + gy * gy)) AS slope,
+         atan2(gy, -gx) AS aspect
+  FROM g
+)
+SELECT n_nationkey,
+       CAST(floor(least(greatest(
+         1.0 + 254.0 * (sin(radians(45.0)) * cos(slope)
+                        + cos(radians(45.0)) * sin(slope)
+                          * cos(radians(315.0) - pi() / 2.0 - aspect)),
+         1.0), 255.0)) AS BIGINT) AS shade
+FROM t
+"""
+
+
+def raster_aspect_q(sf_dir: str):
+    """gdaldem aspect over the same plane DEMs (output scaled deg/2 to fit
+    uint8); flat cells (zero gradient) report 0."""
+    from ..stages.dem import aspect
+    dems = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_dems, batch_format="pyarrow")
+    out = dems.map_batches(aspect, batch_format="pyarrow")
+    return out.map_batches(lambda b: _center_pixel(b, "dem", "aspect_half"),
+                           batch_format="pyarrow")
+
+
+SQL_RASTER_ASPECT = """
+WITH g AS (
+  SELECT n_nationkey,
+         (n_nationkey % 7 - 3) * 0.5 AS gx,
+         (n_nationkey % 5 - 2) * 0.3 AS gy
+  FROM nation
+)
+SELECT n_nationkey,
+       CASE WHEN gx = 0 AND gy = 0 THEN 0
+       ELSE CAST(floor(least(greatest(
+         ((90.0 - degrees(atan2(gy, -gx))) % 360.0 + 360.0) % 360.0 / 2.0,
+         0.0), 255.0)) AS BIGINT) END AS aspect_half
+FROM g
+"""
