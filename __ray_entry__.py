@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pixel_info": R.raster_pixel_info_q,
         "raster_hillshade": R.raster_hillshade_q,
         "raster_aspect": R.raster_aspect_q,
+        "geo_predicates": R.geo_predicates_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -463,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_pixel_info": R.SQL_RASTER_PIXEL_INFO,
         "raster_hillshade": R.SQL_RASTER_HILLSHADE,
         "raster_aspect": R.SQL_RASTER_ASPECT,
+        "geo_predicates": R.SQL_GEO_PREDICATES,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -358,3 +358,66 @@ def buffer_polygon_convex(rings, dist: float, quadsegs: int = 8) -> np.ndarray:
     for vx, vy in shell[:-1]:
         pts.append(buffer_point(vx, vy, dist, quadsegs)[:-1])
     return convex_hull(np.concatenate(pts, axis=0))
+
+
+# ---------- full binary predicate set (ogr/ogrgeometry.cpp:6006-6406) ----------
+#
+# Touches/Overlaps/Disjoint/Equals complete the GEOS predicate set beyond
+# intersects/within/contains.  Area predicates are decided from boundary
+# contact (polygons_intersect, which counts boundaries) plus the EXACT
+# interior intersection area from the boolean overlay engine — degenerate
+# (zero-area) intersections are dropped by the overlay, which is precisely
+# the interiors-do-not-intersect test DE-9IM needs.
+
+def _inter_area(rings_a, rings_b) -> float:
+    from . import overlay as _OV
+    return _OV.area_of(_OV.overlay([rings_a], [rings_b], "intersection"))
+
+
+def polygons_touch(rings_a, rings_b) -> bool:
+    """Boundaries meet but interiors do not (DE-9IM F***T****-family)."""
+    if not polygons_intersect(rings_a, rings_b):
+        return False
+    return _inter_area(rings_a, rings_b) <= 1e-12
+
+
+def polygons_disjoint(rings_a, rings_b) -> bool:
+    return not polygons_intersect(rings_a, rings_b)
+
+
+def polygons_overlap(rings_a, rings_b) -> bool:
+    """Interiors intersect, neither covers the other (same dimension)."""
+    ia = _inter_area(rings_a, rings_b)
+    if ia <= 1e-12:
+        return False
+    aa, ab = polygon_area(rings_a), polygon_area(rings_b)
+    rel = 1e-9 * max(aa, ab, 1e-12)
+    return ia < aa - rel and ia < ab - rel
+
+
+def polygons_equal(rings_a, rings_b) -> bool:
+    ia = _inter_area(rings_a, rings_b)
+    aa, ab = polygon_area(rings_a), polygon_area(rings_b)
+    rel = 1e-9 * max(aa, ab, 1e-12)
+    return abs(ia - aa) <= rel and abs(ia - ab) <= rel
+
+
+def polygon_relate(rings_a, rings_b) -> str:
+    """Named spatial relation of two polygons: one of disjoint / touches /
+    equals / contains / within / overlaps."""
+    if not polygons_intersect(rings_a, rings_b):
+        return "disjoint"
+    ia = _inter_area(rings_a, rings_b)
+    if ia <= 1e-12:
+        return "touches"
+    aa, ab = polygon_area(rings_a), polygon_area(rings_b)
+    rel = 1e-9 * max(aa, ab, 1e-12)
+    eq_a = abs(ia - aa) <= rel
+    eq_b = abs(ia - ab) <= rel
+    if eq_a and eq_b:
+        return "equals"
+    if eq_b:
+        return "contains"   # A covers B
+    if eq_a:
+        return "within"     # B covers A
+    return "overlaps"

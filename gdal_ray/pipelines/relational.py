@@ -1610,3 +1610,92 @@ SELECT n_nationkey,
          0.0), 255.0)) AS BIGINT) END AS aspect_half
 FROM g
 """
+
+
+def geo_predicates_q(sf_dir: str):
+    """Full binary predicate matrix (ogrgeometry.cpp:6006-6406 Touches /
+    Overlaps / Disjoint / Equals + contains/within) over nation×region
+    derived rects: the engine classifies every pair with the REAL geometry
+    predicates (boundary tests + overlay interior area); the oracle
+    replays the relations with integer rect arithmetic."""
+    from ..core import geom as G
+
+    def b_rects_tbl(b: pa.Table):
+        k = np.asarray(b.column("r_regionkey"), dtype=np.int64)
+        rows = []
+        for r in k:
+            r = int(r)
+            if r == 1:
+                bb = (32.0, 32.0, 40.0, 38.0)     # strictly inside A(6)
+            elif r == 2:
+                bb = (60.0, 60.0, 73.0, 70.0)     # exactly equals A(12)
+            else:
+                bb = (10.0 + r, r * 20.0, 25.0 + 2 * r, r * 20.0 + 9.0 + 2 * r)
+            rows.append((r, bb))
+        return rows
+
+    bt = pa.concat_tables(list(_read(sf_dir, "region")
+                               .select_columns(["r_regionkey"])
+                               .iter_batches(batch_format="pyarrow")))
+    b_list = b_rects_tbl(bt)
+    import ray
+    b_ref = ray.put([(r, wkb.as_polygons(wkb.loads(wkb.box(*bb)))[0])
+                     for r, bb in b_list])
+
+    def relate(batch: pa.Table) -> pa.Table:
+        bl = ray.get(b_ref)
+        k = np.asarray(batch.column("n_nationkey"), dtype=np.int64)
+        nk, rk, rel = [], [], []
+        for n in k:
+            n = int(n)
+            xmin = (n % 5) * 30.0
+            ymin = (n // 5) * 30.0
+            a = wkb.as_polygons(wkb.loads(wkb.box(
+                xmin, ymin, xmin + 10.0 + (n % 9), ymin + 10.0 + (n % 6))))[0]
+            for r, brings in bl:
+                nk.append(n)
+                rk.append(r)
+                rel.append(G.polygon_relate(a, brings))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "r_regionkey": pa.array(rk, pa.int64()),
+                         "relation": pa.array(rel, pa.string())})
+
+    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(relate, batch_format="pyarrow")
+
+
+SQL_GEO_PREDICATES = """
+WITH a AS (
+  SELECT n_nationkey AS n,
+         (n_nationkey % 5) * 30.0 AS xmin, (n_nationkey // 5) * 30.0 AS ymin,
+         (n_nationkey % 5) * 30.0 + 10.0 + (n_nationkey % 9) AS xmax,
+         (n_nationkey // 5) * 30.0 + 10.0 + (n_nationkey % 6) AS ymax
+  FROM nation
+), b AS (
+  SELECT r_regionkey AS r,
+         CASE r_regionkey WHEN 1 THEN 32.0 WHEN 2 THEN 60.0
+              ELSE 10.0 + r_regionkey END AS xmin,
+         CASE r_regionkey WHEN 1 THEN 32.0 WHEN 2 THEN 60.0
+              ELSE r_regionkey * 20.0 END AS ymin,
+         CASE r_regionkey WHEN 1 THEN 40.0 WHEN 2 THEN 73.0
+              ELSE 25.0 + 2 * r_regionkey END AS xmax,
+         CASE r_regionkey WHEN 1 THEN 38.0 WHEN 2 THEN 70.0
+              ELSE r_regionkey * 20.0 + 9.0 + 2 * r_regionkey END AS ymax
+  FROM region
+), pairs AS (
+  SELECT n, r,
+         least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin) AS iw,
+         least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin) AS ih,
+         (a.xmax - a.xmin) * (a.ymax - a.ymin) AS aa,
+         (b.xmax - b.xmin) * (b.ymax - b.ymin) AS ab
+  FROM a CROSS JOIN b
+)
+SELECT n AS n_nationkey, r AS r_regionkey,
+       CASE WHEN iw < 0 OR ih < 0 THEN 'disjoint'
+            WHEN iw = 0 OR ih = 0 THEN 'touches'
+            WHEN iw * ih = aa AND iw * ih = ab THEN 'equals'
+            WHEN iw * ih = ab THEN 'contains'
+            WHEN iw * ih = aa THEN 'within'
+            ELSE 'overlaps' END AS relation
+FROM pairs
+"""

@@ -33,7 +33,8 @@ import ray.data
 from ..core import cells as C
 from ..core import geom, wkb
 
-_PREDICATES = ("intersects", "within", "contains")
+_PREDICATES = ("intersects", "within", "contains", "touches",
+               "overlaps", "equals")
 
 
 def _pad_to_schema(t: pa.Table, spec: list[tuple[str, pa.DataType]]) -> pa.Table:
@@ -250,8 +251,14 @@ def _poly_poly_group(group: pa.Table, predicate: str, level: int,
                             hit = geom.polygons_intersect(ra, rb)
                         elif predicate == "contains":
                             hit = geom.polygon_contains_polygon(ra, rb)
-                        else:  # within
+                        elif predicate == "within":
                             hit = geom.polygon_contains_polygon(rb, ra)
+                        elif predicate == "touches":
+                            hit = geom.polygons_touch(ra, rb)
+                        elif predicate == "overlaps":
+                            hit = geom.polygons_overlap(ra, rb)
+                        else:  # equals
+                            hit = geom.polygons_equal(ra, rb)
                         if hit:
                             break
                     if hit:
