@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_hillshade": R.raster_hillshade_q,
         "raster_aspect": R.raster_aspect_q,
         "geo_predicates": R.geo_predicates_q,
+        "raster_gcp_warp": R.raster_gcp_warp_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -465,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_hillshade": R.SQL_RASTER_HILLSHADE,
         "raster_aspect": R.SQL_RASTER_ASPECT,
         "geo_predicates": R.SQL_GEO_PREDICATES,
+        "raster_gcp_warp": R.SQL_RASTER_GCP_WARP,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -1699,3 +1699,56 @@ SELECT n AS n_nationkey, r AS r_regionkey,
             ELSE 'overlaps' END AS relation
 FROM pairs
 """
+
+
+def raster_gcp_warp_q(sf_dir: str):
+    """Warp-by-GCP for ungeoreferenced imagery: the derived rasters carry a
+    3×3 GCP grid sampled from their (withheld) affine, the order-1
+    polynomial fit reproduces it exactly, and the identity-grid warp makes
+    every output pixel equal its source pixel — closed-form oracle."""
+    from ..core.gcp import gcps_from_affine
+    from ..stages.warp import GcpWarpStage
+
+    def strip_gt(b: pa.Table) -> pa.Table:
+        gts = b.column("geotransform").to_pylist()
+        gcps = [gcps_from_affine(tuple(g), 32, 32, n=3).ravel().tolist()
+                for g in gts]
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "bytes": b.column("bytes"),
+            "fmt": b.column("fmt"),
+            "gcps": pa.array(gcps, pa.list_(pa.float64())),
+        })
+
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow") \
+        .map_batches(strip_gt, batch_format="pyarrow")
+    out = imgs.map_batches(GcpWarpStage, fn_constructor_kwargs={
+        "order": 1, "method": "bilinear"}, batch_format="pyarrow",
+        concurrency=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..core import codecs as CD
+        nk, vals, x0s = [], [], []
+        for i in range(b.num_rows):
+            img = CD.decode(b.column("bytes")[i].as_py(), b.column("fmt")[i].as_py())
+            band = img if img.ndim == 2 else img[:, :, 0]
+            nk.append(int(b.column("image_id")[i].as_py()[3:]))
+            vals.append(int(band[8, 8]))
+            gt = b.column("geotransform")[i].as_py()
+            x0s.append(float(np.round(gt[0] * 1000.0) / 1000.0))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "out_w": pc.cast(b.column("w"), pa.int64()),
+                         "out_h": pc.cast(b.column("h"), pa.int64()),
+                         "x0": pa.array(x0s, pa.float64()),
+                         "center_v": pa.array(vals, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_GCP_WARP = """
+SELECT n_nationkey, 32 AS out_w, 32 AS out_h,
+       ((n_nationkey % 5) * 10000 + 50) / 1000.0 AS x0,
+       (n_nationkey * 31 + 8 * 32 + 8) % (97 + n_nationkey % 13) AS center_v
+FROM nation
+"""

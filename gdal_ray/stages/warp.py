@@ -275,3 +275,65 @@ class ReprojectImageStage:
             "geotransform": pa.array(gts_out, pa.list_(pa.float64(), 6)),
             "crs": pa.array([self.dst_crs] * len(ids)),
         })
+
+
+class GcpWarpStage:
+    """gdalwarp for UNGEOREFERENCED imagery: each row carries ground control
+    points (``gcps`` list column, flattened (pixel, line, geo_x, geo_y)
+    quadruples) instead of a geotransform; the stage fits an order-n
+    polynomial (or TPS with method='tps') per image
+    (alg/gdal_crs.cpp:358 / alg/gdal_tps.cpp:128) and warps to a north-up
+    grid sized by the suggested-output rule.  The fitted ``inverse`` is the
+    dst_to_src provider for the same mesh-approximated kernel path as the
+    CRS warp."""
+
+    def __init__(self, order: int = 1, method: str = "bilinear",
+                 transform: str = "polynomial", mesh_step: int = 16):
+        self.order = order
+        self.method = method
+        self.transform = transform
+        self.mesh_step = mesh_step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.gcp import GCPPolynomialTransform, TPSTransform
+        ids, outs, ws, hs, gts_out = [], [], [], [], []
+        bts = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        gcps_col = batch.column("gcps").to_pylist()
+        for i in range(batch.num_rows):
+            img = codecs.decode(bts[i], fmts[i])
+            h, w = img.shape[:2]
+            g = np.asarray(gcps_col[i], dtype=np.float64).reshape(-1, 4)
+            tr = (TPSTransform(g) if self.transform == "tps"
+                  else GCPPolynomialTransform(g, order=self.order))
+            # densified edge ring -> dst bbox (suggested-output rule)
+            t = np.linspace(0.0, 1.0, 11)
+            ex = np.concatenate([t * w, np.full(11, w), t[::-1] * w, np.zeros(11)])
+            ey = np.concatenate([np.zeros(11), t * h, np.full(11, h), t[::-1] * h])
+            dx, dy = tr.forward(ex, ey)
+            minx, maxx = float(dx.min()), float(dx.max())
+            miny, maxy = float(dy.min()), float(dy.max())
+            dst_w = w
+            dst_h = max(1, int(round(dst_w * (maxy - miny) / max(maxx - minx, 1e-300))))
+            res_x = (maxx - minx) / dst_w
+            res_y = (maxy - miny) / dst_h
+            dst_gt = (minx, res_x, 0.0, maxy, 0.0, -res_y)
+
+            def dst_to_src(px, py, _gt=dst_gt, _tr=tr):
+                from ..core import geotransform as _g
+                mx, my = _g.apply(_gt, px, py)
+                return _tr.inverse(mx, my)
+
+            out = resample.warp(img, dst_w, dst_h, dst_to_src,
+                                method=self.method, mesh_step=self.mesh_step)
+            ids.append(batch.column("image_id")[i].as_py())
+            outs.append(codecs.encode(np.ascontiguousarray(out), "raw"))
+            ws.append(dst_w); hs.append(dst_h)
+            gts_out.append(list(dst_gt))
+        return pa.table({
+            "image_id": ids, "bytes": pa.array(outs, pa.binary()),
+            "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["raw"] * len(ids)),
+            "geotransform": pa.array(gts_out, pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"] * len(ids)),
+        })

@@ -1,0 +1,115 @@
+"""GCP polynomial / TPS transform oracles (alg/gdal_crs.cpp:358,
+alg/gdal_tps.cpp:128): order-1 fits reproduce an affine exactly, TPS is
+exact at every GCP, and warp-by-GCP equals warp-by-geotransform."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.core import codecs
+from gdal_ray.core.gcp import (GCPPolynomialTransform, TPSTransform,
+                               gcps_from_affine)
+
+
+GT = (500.0, 2.0, 0.3, 800.0, -0.1, -1.5)
+
+
+def _affine(gt, px, py):
+    return gt[0] + px * gt[1] + py * gt[2], gt[3] + px * gt[4] + py * gt[5]
+
+
+def test_order1_reproduces_affine_exactly():
+    g = gcps_from_affine(GT, 64, 48, n=3)
+    tr = GCPPolynomialTransform(g, order=1)
+    px, py = np.meshgrid(np.linspace(0, 64, 7), np.linspace(0, 48, 5))
+    gx, gy = tr.forward(px, py)
+    ex, ey = _affine(GT, px, py)
+    np.testing.assert_allclose(gx, ex, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(gy, ey, rtol=0, atol=1e-9)
+    bx, by = tr.inverse(ex, ey)
+    np.testing.assert_allclose(bx, px, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(by, py, rtol=0, atol=1e-9)
+
+
+def test_order2_fits_quadratic_field():
+    rng = np.random.default_rng(5)
+    px = rng.uniform(0, 100, 40)
+    py = rng.uniform(0, 100, 40)
+    gx = 3.0 + 0.5 * px - 0.2 * py + 0.01 * px * py + 0.002 * px * px
+    gy = -7.0 + 0.1 * px + 0.9 * py - 0.003 * py * py
+    tr = GCPPolynomialTransform(np.column_stack([px, py, gx, gy]), order=2)
+    fx, fy = tr.forward(px, py)
+    np.testing.assert_allclose(fx, gx, rtol=1e-9)
+    np.testing.assert_allclose(fy, gy, rtol=1e-9)
+
+
+def test_order3_needs_ten_points():
+    with pytest.raises(ValueError):
+        GCPPolynomialTransform(np.zeros((9, 4)), order=3)
+
+
+def test_tps_exact_at_gcps_and_affine_reproduction():
+    rng = np.random.default_rng(9)
+    px = rng.uniform(0, 50, 12)
+    py = rng.uniform(0, 50, 12)
+    gx, gy = _affine(GT, px, py)
+    tr = TPSTransform(np.column_stack([px, py, gx, gy]))
+    fx, fy = tr.forward(px, py)
+    np.testing.assert_allclose(fx, gx, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(fy, gy, rtol=0, atol=1e-6)
+    # affine data -> radial weights vanish -> exact everywhere
+    qx, qy = np.meshgrid(np.linspace(5, 45, 4), np.linspace(5, 45, 4))
+    ex, ey = _affine(GT, qx, qy)
+    fx, fy = tr.forward(qx, qy)
+    np.testing.assert_allclose(fx, ex, rtol=0, atol=1e-6)
+
+
+def test_tps_bends_for_nonaffine_data():
+    px = np.array([0.0, 10.0, 0.0, 10.0, 5.0])
+    py = np.array([0.0, 0.0, 10.0, 10.0, 5.0])
+    gx = px.copy()
+    gy = py.copy()
+    gx[4] = 7.0  # displaced center pin
+    tr = TPSTransform(np.column_stack([px, py, gx, gy]))
+    fx, _ = tr.forward(np.array([5.0]), np.array([5.0]))
+    assert fx[0] == pytest.approx(7.0, abs=1e-6)
+    fx, _ = tr.forward(np.array([0.0]), np.array([0.0]))
+    assert fx[0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_gcp_warp_stage_matches_identity(ray_session):
+    from gdal_ray.stages.warp import GcpWarpStage
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    gt = (10.0, 0.01, 0.0, 20.0, 0.0, -0.01)
+    g = gcps_from_affine(gt, 32, 32, n=3)
+    t = pa.table({
+        "image_id": pa.array(["i0"]),
+        "bytes": pa.array([codecs.encode_raw(img)], pa.binary()),
+        "fmt": pa.array(["raw"]),
+        "gcps": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+    })
+    out = GcpWarpStage(order=1, method="bilinear")(t)
+    warped = codecs.decode(out.column("bytes")[0].as_py(), "raw")
+    assert warped.shape == (32, 32)
+    # identity-grid warp: output equals input
+    np.testing.assert_array_equal(warped, img)
+    gt_out = out.column("geotransform")[0].as_py()
+    assert gt_out[0] == pytest.approx(10.0, abs=1e-9)
+    assert gt_out[3] == pytest.approx(20.0, abs=1e-9)
+
+
+def test_gcp_warp_stage_tps(ray_session):
+    from gdal_ray.stages.warp import GcpWarpStage
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    gt = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)
+    g = gcps_from_affine(gt, 16, 16, n=3)
+    t = pa.table({
+        "image_id": pa.array(["i0"]),
+        "bytes": pa.array([codecs.encode_raw(img)], pa.binary()),
+        "fmt": pa.array(["raw"]),
+        "gcps": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+    })
+    out = GcpWarpStage(transform="tps", method="near")(t)
+    warped = codecs.decode(out.column("bytes")[0].as_py(), "raw")
+    np.testing.assert_array_equal(warped, img)
