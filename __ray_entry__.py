@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "footprint_join": _footprint_join,
         "geo_rasterize": _geo_rasterize,
         "geo_polygonize": _geo_polygonize,
+        "geo_polygonize_stitched": R.geo_polygonize_stitched_q,
         "dedup_minhash": _minhash_neardup,
         "dedup_simhash": _simhash_neardup,
         "dedup_embedding": _dedup_embedding,
@@ -467,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_aspect": R.SQL_RASTER_ASPECT,
         "geo_predicates": R.SQL_GEO_PREDICATES,
         "raster_gcp_warp": R.SQL_RASTER_GCP_WARP,
+        "geo_polygonize_stitched": R.SQL_GEO_POLYGONIZE_STITCHED,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -252,3 +252,136 @@ def contour_band(band: np.ndarray, gt, levels) -> list[tuple[float, np.ndarray]]
                 gx, gy = gtm.apply(gt, p[:, 0], p[:, 1])
                 segs_out.append((float(lv), np.column_stack([gx, gy])))
     return segs_out
+
+
+def polygonize_stitched(images, *, connect8: bool = False,
+                        use_nodata_mask: bool = True,
+                        max_pixels: int = 1 << 22, tile_px: int = 1024):
+    """Cross-tile polygonize: ``split_large_images ∘ polygonize ∘ stitch``
+    equals whole-image polygonize (alg/polygonize_polygonizer.cpp's
+    whole-raster ring assembly, re-expressed as a shuffle).
+
+    Shape: oversized images flat_map into sub-window rows (bounded
+    payloads), each row polygonizes independently, then ONE groupby on
+    (base image, value) unions the per-tile pieces with the boolean
+    overlay engine — pieces that share a cut edge merge back into the
+    whole-raster component set, and per-component pixel counts are
+    recovered exactly from the rectilinear area / pixel area.
+
+    4-connectivity is exact.  (8-connected components that touch only at
+    a corner ON a tile cut line would stay split — documented limit.)
+    """
+    import ray.data
+
+    from ..core import geom, overlay as OV
+    from ..stages.warp import split_large_images
+
+    OUT_SPEC = [("group_key", pa.string()), ("image_id", pa.string()),
+                ("value", pa.float64()), ("pix_count", pa.int64()),
+                ("wkb", pa.binary()), ("pixel_area", pa.float64()),
+                ("is_border", pa.bool_())]
+
+    def split(b: pa.Table) -> pa.Table:
+        return split_large_images(b, max_pixels=max_pixels, tile_px=tile_px)
+
+    def polys_with_area(b: pa.Table) -> pa.Table:
+        """Pieces tagged border/interior: only pieces whose bbox reaches
+        their tile's cut line can merge with a neighbor tile's piece, so
+        the interior majority NEVER enters the stitch shuffle."""
+        t = polygonize(b, connect8=connect8, use_nodata_mask=use_nodata_mask)
+        meta = {}
+        for i in range(b.num_rows):
+            gt = b.column("geotransform")[i].as_py()
+            w = b.column("w")[i].as_py()
+            h = b.column("h")[i].as_py()
+            xs = [gt[0], gt[0] + w * gt[1]]
+            ys = [gt[3], gt[3] + h * gt[5]]
+            meta[b.column("image_id")[i].as_py()] = (
+                gt, min(xs), min(ys), max(xs), max(ys))
+        cols = {n: [] for n, _ in OUT_SPEC}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            gt, txmin, tymin, txmax, tymax = meta[iid]
+            bid = iid.split("#w")[0]
+            rings = wkb.as_polygons(wkb.loads(t.column("wkb")[i].as_py()))[0]
+            bb = geom.rings_bbox(rings)
+            eps = 0.25 * min(abs(gt[1]), abs(gt[5]))
+            border = (bb[0] <= txmin + eps or bb[1] <= tymin + eps
+                      or bb[2] >= txmax - eps or bb[3] >= tymax - eps)
+            cols["group_key"].append(f"{bid}|{t.column('value')[i].as_py()}")
+            cols["image_id"].append(bid)
+            cols["value"].append(float(t.column("value")[i].as_py()))
+            cols["pix_count"].append(int(t.column("pix_count")[i].as_py()))
+            cols["wkb"].append(t.column("wkb")[i].as_py())
+            cols["pixel_area"].append(abs(gt[1] * gt[5]))
+            cols["is_border"].append(bool(border))
+        return pa.table({n: pa.array(cols[n], typ) for n, typ in OUT_SPEC})
+
+    pieces = images.map_batches(split, batch_format="pyarrow") \
+        .map_batches(polys_with_area, batch_format="pyarrow").materialize()
+
+    import pyarrow.compute as pc2
+
+    def passthrough(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc2.invert(b.column("is_border")))
+        return keep.select(["image_id", "value", "pix_count", "wkb"])
+
+    def stitch(g: pa.Table) -> pa.Table:
+        """Union ONLY bbox-connected clusters of border pieces — merges
+        happen along shared cut edges, so union-find on bbox contact keeps
+        each overlay invocation small."""
+        polys = [wkb.as_polygons(wkb.loads(x))
+                 for x in g.column("wkb").to_pylist()]
+        n = len(polys)
+        bbs = np.array([geom.rings_bbox(p[0]) for p in polys])
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        eps = 1e-9
+        for i in range(n):
+            touch = ~((bbs[i, 2] < bbs[:, 0] - eps) | (bbs[:, 2] < bbs[i, 0] - eps)
+                      | (bbs[i, 3] < bbs[:, 1] - eps) | (bbs[:, 3] < bbs[i, 1] - eps))
+            for j in np.nonzero(touch)[0]:
+                if j > i:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        clusters: dict[int, list[int]] = {}
+        for i in range(n):
+            clusters.setdefault(find(i), []).append(i)
+        pxa = float(g.column("pixel_area")[0].as_py())
+        iid = g.column("image_id")[0].as_py()
+        val = float(g.column("value")[0].as_py())
+        out = {"image_id": [], "value": [], "pix_count": [], "wkb": []}
+        for members in clusters.values():
+            if len(members) == 1:
+                i = members[0]
+                out["image_id"].append(iid)
+                out["value"].append(val)
+                out["pix_count"].append(int(g.column("pix_count")[i].as_py()))
+                out["wkb"].append(g.column("wkb")[i].as_py())
+                continue
+            flat = [p for i in members for p in polys[i]]
+            for rings in OV.union_all(flat):
+                area = geom.polygon_area(rings)
+                out["image_id"].append(iid)
+                out["value"].append(val)
+                out["pix_count"].append(int(round(area / pxa)))
+                out["wkb"].append(wkb.polygon(rings[0], rings[1:]))
+        return pa.table({"image_id": pa.array(out["image_id"], pa.string()),
+                         "value": pa.array(out["value"], pa.float64()),
+                         "pix_count": pa.array(out["pix_count"], pa.int64()),
+                         "wkb": pa.array(out["wkb"], pa.binary())})
+
+    border = pieces.map_batches(
+        lambda b: b.filter(b.column("is_border"))
+                   .select(["group_key", "image_id", "value", "pix_count",
+                            "wkb", "pixel_area"]),
+        batch_format="pyarrow") \
+        .groupby("group_key").map_groups(stitch, batch_format="pyarrow")
+    return pieces.map_batches(passthrough, batch_format="pyarrow").union(border)

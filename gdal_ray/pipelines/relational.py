@@ -1752,3 +1752,63 @@ SELECT n_nationkey, 32 AS out_w, 32 AS out_h,
        (n_nationkey * 31 + 8 * 32 + 8) % (97 + n_nationkey % 13) AS center_v
 FROM nation
 """
+
+
+def geo_polygonize_stitched_q(sf_dir: str):
+    """Cross-tile polygonize with a FULL oracle: nation-derived 64×64
+    rasters of diagonal stripes v = ((i+j+7n)//16) % 4 are split into 32px
+    sub-windows, polygonized per tile, and stitched back through the
+    boolean-union shuffle; every stripe is one 4-connected component whose
+    pixel count DuckDB recomputes from generate_series."""
+    import ray.data
+
+    from ..core import codecs as CD
+    from .polygonize import polygonize_stitched
+
+    def build(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ids, bts, gts = [], [], []
+        jj, ii = np.meshgrid(np.arange(64), np.arange(64))
+        for n in k:
+            n = int(n)
+            band = (((ii + jj + 7 * n) // 16) % 4).astype(np.uint8)
+            ids.append(f"str{n:02d}")
+            bts.append(CD.encode_raw(band))
+            gts.append([float(n), 0.01, 0.0, 0.0, 0.0, -0.01])
+        m = len(ids)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bts, pa.binary()),
+            "w": pa.array(np.full(m, 64, np.int32)),
+            "h": pa.array(np.full(m, 64, np.int32)),
+            "fmt": pa.array(["raw"] * m),
+            "caption": pa.array([""] * m),
+            "geotransform": pa.array(gts, pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"] * m),
+            "nodata": pa.nulls(m, pa.float64()),
+        })
+
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(build, batch_format="pyarrow")
+    out = polygonize_stitched(imgs, max_pixels=1024, tile_px=32)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = [int(s[3:]) for s in b.column("image_id").to_pylist()]
+        return pa.table({
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "value": pc.cast(b.column("value"), pa.int64()),
+            "pix_count": pc.cast(b.column("pix_count"), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GEO_POLYGONIZE_STITCHED = """
+WITH px AS (
+  SELECT n_nationkey AS n,
+         (r.i + c.j + 7 * n_nationkey) // 16 AS stripe
+  FROM nation, generate_series(0, 63) r(i), generate_series(0, 63) c(j)
+)
+SELECT n AS n_nationkey, stripe % 4 AS value, count(*) AS pix_count
+FROM px GROUP BY n, stripe
+"""

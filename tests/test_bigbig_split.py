@@ -97,3 +97,58 @@ def test_split_large_images_tile_equivalence():
         assert (np.abs(diff) <= 255).all()
         # overwhelming majority of pixels bit-identical
         assert (np.abs(diff) == 0).mean() > 0.97
+
+
+def test_polygonize_stitched_equals_unsplit(ray_session):
+    """split_large_images ∘ polygonize ∘ stitch == whole-image polygonize
+    (component multiset AND exact region equality per value)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_ray.core import codecs, geom, overlay as OV, wkb
+    from gdal_ray.pipelines.polygonize import polygonize, polygonize_stitched
+
+    rng = np.random.default_rng(21)
+    # blobby label image: threshold smooth noise into 3 values
+    f = rng.normal(0, 1, (48, 40))
+    for _ in range(6):  # cheap smoothing
+        f = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0)
+             + np.roll(f, 1, 1) + np.roll(f, -1, 1)) / 5.0
+    band = np.digitize(f, [-0.1, 0.1]).astype(np.uint8)
+    gt = [2.0, 0.5, 0.0, 9.0, 0.0, -0.5]
+    t = pa.table({
+        "image_id": pa.array(["img"]),
+        "bytes": pa.array([codecs.encode_raw(band)], pa.binary()),
+        "w": pa.array([40], pa.int32()), "h": pa.array([48], pa.int32()),
+        "fmt": pa.array(["raw"]),
+        "geotransform": pa.array([gt], pa.list_(pa.float64(), 6)),
+        "crs": pa.array(["EPSG:4326"]),
+        "nodata": pa.nulls(1, pa.float64()),
+    })
+    whole = polygonize(t)
+    ds = ray.data.from_arrow(t)
+    stitched = pa.concat_tables([b for b in
+        polygonize_stitched(ds, max_pixels=256, tile_px=16)
+        .iter_batches(batch_format="pyarrow")])
+
+    def comp_multiset(tbl):
+        return sorted((tbl.column("value")[i].as_py(),
+                       tbl.column("pix_count")[i].as_py())
+                      for i in range(tbl.num_rows))
+
+    assert comp_multiset(whole) == comp_multiset(stitched)
+
+    # exact region equality per value: symdifference area == 0
+    def regions(tbl):
+        out = {}
+        for i in range(tbl.num_rows):
+            v = tbl.column("value")[i].as_py()
+            out.setdefault(v, []).extend(
+                wkb.as_polygons(wkb.loads(tbl.column("wkb")[i].as_py())))
+        return out
+    rw, rs = regions(whole), regions(stitched)
+    assert set(rw) == set(rs)
+    for v in rw:
+        sym = OV.overlay(rw[v], rs[v], "symdifference")
+        assert OV.area_of(sym) < 1e-9
