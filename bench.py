@@ -120,11 +120,14 @@ def run_queries(sf_dir: str) -> dict:
 def main():
     if "--scaling" in sys.argv:
         results = {}
+        # scaling runs use >= 8000 images so per-run fixed costs (actor
+        # spin-up, shuffle setup) amortize and the ratio measures the engine
+        n_scale = max(N_IMAGES, 8000)
         for ncpu in (4, 16):
             code = (
                 "import json,sys; sys.path.insert(0,'.'); "
                 "from bench import headline; "
-                f"print('RESULT'+json.dumps(headline({ncpu}, {N_IMAGES})))"
+                f"print('RESULT'+json.dumps(headline({ncpu}, {n_scale})))"
             )
             env = dict(os.environ)
             p = subprocess.run([sys.executable, "-c", code], capture_output=True,

@@ -23,18 +23,42 @@ def multi_key_array(ds: "ray.data.Dataset", key_col: str,
     explode quadratically in candidate pairs and are pure noise — the
     standard bucket-size cap).
 
-    Scale shape: per-block partial counts (vectorized) feed a DISTRIBUTED
-    ``groupby(k).sum`` — only 16-byte (key, count) rows shuffle — and the
-    singleton majority is filtered out *before* anything reaches the driver,
-    so the driver pull is bounded by the multi-key count (small by the
-    workload's premise), never by the distinct-key count."""
+    Scale shape: per-block partial counts (vectorized) are materialized
+    (16-byte rows), their size is MEASURED, and the merge strategy follows
+    the measurement: small partial sets (≤ ``driver_limit`` rows ≈ 64 MB)
+    merge with one vectorized driver reduce — no shuffle round, no fixed
+    sort cost; larger sets go through a DISTRIBUTED ``groupby(k).sum``
+    whose singleton majority is filtered out before anything reaches the
+    driver.  Either way the returned multi-key set is small by the
+    workload's premise."""
+    driver_limit = 4_000_000
+
     def partial(b: pa.Table) -> pa.Table:
         k, c = np.unique(np.asarray(b.column(key_col), dtype=np.int64),
                          return_counts=True)
         return pa.table({"k": pa.array(k), "c": pa.array(c)})
 
-    counted = ds.map_batches(partial, batch_format="pyarrow") \
-                .groupby("k").sum("c")
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    if partials.count() <= driver_limit:
+        ks, cs = [], []
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            ks.append(np.asarray(b.column("k"), dtype=np.int64))
+            cs.append(np.asarray(b.column("c"), dtype=np.int64))
+        if not ks:
+            return np.array([], dtype=np.int64)
+        k = np.concatenate(ks)
+        c = np.concatenate(cs)
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        uniq, start = np.unique(k, return_index=True)
+        total = np.add.reduceat(c, start)
+        keep = total > 1
+        if max_count is not None:
+            keep &= total <= max_count
+        return uniq[keep]
+
+    counted = partials.groupby("k").sum("c")
 
     def keep_multi(b: pa.Table) -> pa.Table:
         total = np.asarray(b.column("sum(c)"), dtype=np.int64)

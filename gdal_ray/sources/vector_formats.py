@@ -1,0 +1,288 @@
+"""Vector format ingest: GeoJSON, ESRI Shapefile, GeoPackage → Ray Datasets
+with a standard (attributes…, wkb) schema — the engine's replacement for the
+reference's OGR driver zoo (``ogr/ogrsf_frmts/geojson``, ``shape``, ``gpkg``).
+
+Ray shape: file-level parallelism — each task reads ONE file (Shapefile
+sidecars are fetched by the same task) and emits its feature rows, so a
+directory of files streams with no driver-side parsing.  All parsers are
+pure stdlib/numpy against the PUBLIC format specs:
+
+  - GeoJSON: RFC 7946;
+  - Shapefile: ESRI Shapefile Technical Description (July 1998) — .shp
+    record structure + .dbf (dBASE III) attributes; outer rings CW, holes
+    CCW, hole-to-shell assignment by containment;
+  - GeoPackage: OGC 12-128r14 — the ``GP`` binary header (flags-driven
+    envelope size) in front of standard WKB, tables discovered through
+    ``gpkg_contents``; the sqlite payload is parsed with stdlib sqlite3
+    via ``Connection.deserialize`` so bytes from any filesystem work.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..core import geom, wkb
+
+
+# ---------- GeoJSON ----------
+
+def _geojson_geom_to_parsed(g: dict):
+    t = g["type"]
+    c = g.get("coordinates")
+    if t == "Point":
+        return {"type": "Point", "xy": np.asarray(c, dtype=np.float64)[:2]}
+    if t == "LineString":
+        return {"type": "LineString",
+                "xy": np.asarray(c, dtype=np.float64)[:, :2]}
+    if t == "Polygon":
+        return {"type": "Polygon",
+                "rings": [np.asarray(r, dtype=np.float64)[:, :2] for r in c]}
+    if t == "MultiPoint":
+        return {"type": "MultiPoint",
+                "xy": np.asarray(c, dtype=np.float64)[:, :2]}
+    if t == "MultiLineString":
+        return {"type": "MultiLineString",
+                "lines": [np.asarray(l, dtype=np.float64)[:, :2] for l in c]}
+    if t == "MultiPolygon":
+        return {"type": "MultiPolygon",
+                "polys": [[np.asarray(r, dtype=np.float64)[:, :2] for r in p]
+                          for p in c]}
+    if t == "GeometryCollection":
+        return {"type": "GeometryCollection",
+                "geoms": [_geojson_geom_to_parsed(s) for s in g["geometries"]]}
+    raise ValueError(f"unsupported GeoJSON geometry {t}")
+
+
+def parse_geojson_bytes(data: bytes) -> pa.Table:
+    doc = json.loads(data)
+    feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
+    props_keys: list[str] = []
+    for f in feats:
+        for k in (f.get("properties") or {}):
+            if k not in props_keys:
+                props_keys.append(k)
+    cols: dict = {k: [] for k in props_keys}
+    wkbs = []
+    for f in feats:
+        p = f.get("properties") or {}
+        for k in props_keys:
+            cols[k].append(p.get(k))
+        wkbs.append(wkb.dumps(_geojson_geom_to_parsed(f["geometry"])))
+    out = {k: pa.array(v) for k, v in cols.items()}
+    out["wkb"] = pa.array(wkbs, pa.binary())
+    return pa.table(out)
+
+
+def read_geojson(paths) -> "ray.data.Dataset":
+    """One task per .geojson file → feature rows (properties…, wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_geojson_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- Shapefile ----------
+
+def _rings_to_wkb(rings: list[np.ndarray]) -> bytes:
+    """Shapefile ring soup → Polygon/MultiPolygon: CW rings (negative
+    shoelace) are shells, CCW are holes, holes nest into the smallest
+    containing shell (ESRI spec ring-orientation rule)."""
+    shells, holes = [], []
+    for r in rings:
+        (shells if geom.ring_area(r) < 0 else holes).append(r)
+    if not shells:               # defensive: treat everything as shells
+        shells, holes = rings, []
+    polys = [[s] for s in sorted(shells, key=lambda s: abs(geom.ring_area(s)))]
+    for h in holes:
+        hx, hy = float(h[0, 0]), float(h[0, 1])
+        placed = False
+        for poly in polys:
+            if geom.points_in_ring(np.array([hx]), np.array([hy]), poly[0])[0]:
+                poly.append(h)
+                placed = True
+                break
+        if not placed:
+            polys.append([h])
+    if len(polys) == 1:
+        return wkb.dumps({"type": "Polygon", "rings": polys[0]})
+    return wkb.dumps({"type": "MultiPolygon", "polys": polys})
+
+
+def parse_shp_bytes(data: bytes) -> list[bytes]:
+    """.shp → list of WKB geometries (Point=1, PolyLine=3, Polygon=5,
+    + their M/Z variants by the same layouts)."""
+    (code,) = struct.unpack_from(">i", data, 0)
+    assert code == 9994, "not a shapefile"
+    out = []
+    off = 100
+    n = len(data)
+    while off + 8 <= n:
+        (_recno, clen) = struct.unpack_from(">ii", data, off)
+        off += 8
+        end = off + clen * 2
+        (stype,) = struct.unpack_from("<i", data, off)
+        base = stype % 10
+        if base == 1:    # Point
+            x, y = struct.unpack_from("<dd", data, off + 4)
+            out.append(wkb.point(x, y))
+        elif base in (3, 5):   # PolyLine / Polygon
+            nparts, npoints = struct.unpack_from("<ii", data, off + 36)
+            parts = np.frombuffer(data, dtype="<i4", count=nparts,
+                                  offset=off + 44)
+            pts = np.frombuffer(data, dtype="<f8", count=npoints * 2,
+                                offset=off + 44 + nparts * 4).reshape(-1, 2)
+            bounds = np.append(parts, npoints)
+            rings = [pts[bounds[i]:bounds[i + 1]].astype(np.float64)
+                     for i in range(nparts)]
+            if base == 5:
+                out.append(_rings_to_wkb(rings))
+            elif len(rings) == 1:
+                out.append(wkb.dumps({"type": "LineString", "xy": rings[0]}))
+            else:
+                out.append(wkb.dumps({"type": "MultiLineString",
+                                      "lines": rings}))
+        elif base == 0:  # Null shape
+            out.append(None)
+        else:
+            raise ValueError(f"unsupported shape type {stype}")
+        off = end
+    return out
+
+
+def parse_dbf_bytes(data: bytes) -> pa.Table:
+    """.dbf (dBASE III) attribute table."""
+    nrec, hsize, rsize = struct.unpack_from("<iHH", data, 4)
+    fields = []
+    off = 32
+    while data[off] != 0x0D:
+        name = data[off:off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(data[off + 11])
+        flen = data[off + 16]
+        fdec = data[off + 17]
+        fields.append((name, ftype, flen, fdec))
+        off += 32
+    cols: dict = {name: [] for name, *_ in fields}
+    for r in range(nrec):
+        ro = hsize + r * rsize
+        if data[ro:ro + 1] == b"*":   # deleted
+            continue
+        fo = ro + 1
+        for name, ftype, flen, fdec in fields:
+            raw = data[fo:fo + flen]
+            fo += flen
+            s = raw.decode("ascii", "replace").strip()
+            if ftype in ("N", "F"):
+                if not s:
+                    cols[name].append(None)
+                elif ftype == "N" and fdec == 0 and "." not in s:
+                    cols[name].append(int(s))
+                else:
+                    cols[name].append(float(s))
+            elif ftype == "L":
+                cols[name].append(s.upper() in ("T", "Y"))
+            else:
+                cols[name].append(s)
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+def read_shapefile(paths) -> "ray.data.Dataset":
+    """One task per .shp (its .dbf sidecar read by the same task) →
+    (attributes…, wkb) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                geoms = parse_shp_bytes(f.read())
+            dbf_path = p[:-4] + ".dbf"
+            try:
+                with open(dbf_path, "rb") as f:
+                    attrs = parse_dbf_bytes(f.read())
+            except FileNotFoundError:
+                attrs = pa.table({"fid": pa.array(range(len(geoms)),
+                                                  pa.int64())})
+            t = attrs.slice(0, len(geoms))
+            tabs.append(t.append_column("wkb", pa.array(geoms, pa.binary())))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GeoPackage ----------
+
+_GPKG_ENV_SIZE = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
+
+
+def gpkg_geom_to_wkb(blob: bytes) -> bytes | None:
+    """Strip the GeoPackage binary header (OGC 12-128r14 §2.1.3) and return
+    the standard WKB payload."""
+    if blob is None:
+        return None
+    assert blob[:2] == b"GP", "not a GPKG geometry"
+    flags = blob[3]
+    if flags & 0x20:     # empty-geometry flag
+        return None
+    env = _GPKG_ENV_SIZE[(flags >> 1) & 0x07]
+    return bytes(blob[8 + env:])
+
+
+def read_gpkg(paths, table: str | None = None) -> "ray.data.Dataset":
+    """One task per .gpkg file: feature tables discovered via
+    gpkg_contents (data_type='features'), geometry column via
+    gpkg_geometry_columns; rows come out as (attributes…, wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        import sqlite3
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                payload = f.read()
+            con = sqlite3.connect(":memory:")
+            con.deserialize(payload)
+            if table is not None:
+                names = [table]
+            else:
+                names = [r[0] for r in con.execute(
+                    "SELECT table_name FROM gpkg_contents "
+                    "WHERE data_type='features' ORDER BY table_name")]
+            for name in names:
+                (gcol,) = next(con.execute(
+                    "SELECT column_name FROM gpkg_geometry_columns "
+                    "WHERE table_name=?", (name,)))
+                cur = con.execute(f'SELECT * FROM "{name}"')
+                colnames = [d[0] for d in cur.description]
+                gi = colnames.index(gcol)
+                cols: dict = {c: [] for c in colnames if c != gcol}
+                wkbs = []
+                for row in cur:
+                    for ci, c in enumerate(colnames):
+                        if ci == gi:
+                            wkbs.append(gpkg_geom_to_wkb(row[ci]))
+                        else:
+                            cols[c].append(row[ci])
+                t = pa.table({c: pa.array(v) for c, v in cols.items()})
+                tabs.append(t.append_column("wkb", pa.array(wkbs, pa.binary())))
+            con.close()
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -195,3 +195,100 @@ def color_map(batch: pa.Table, ramp=((0, (0, 0, 255)), (128, (0, 255, 0)),
         ids.append(batch.column("image_id")[i].as_py())
     return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
                      "fmt": ["png"] * len(ids)})
+
+
+def nodata_to_alpha(batch: pa.Table) -> pa.Table:
+    """gdal raster nodata-to-alpha (apps/gdalalg_raster_blend.h area):
+    nodata pixels become alpha=0, everything else alpha=255; output RGBA
+    raw/png."""
+    ids, outs, fmts_o = [], [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    nods = (batch.column("nodata").to_pylist()
+            if "nodata" in batch.column_names else [None] * batch.num_rows)
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        rgb = img[:, :, :3]
+        nd = nods[i]
+        if nd is None:
+            alpha = np.full(rgb.shape[:2], 255, np.uint8)
+        else:
+            alpha = np.where((rgb == nd).all(axis=2), 0, 255).astype(np.uint8)
+        rgba = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        ids.append(batch.column("image_id")[i].as_py())
+        outs.append(codecs.encode_png(rgba))
+        fmts_o.append("png")
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": pa.array(fmts_o, pa.string())})
+
+
+def blend(batch: pa.Table, overlay_col: str = "overlay_bytes",
+          overlay_fmt_col: str = "overlay_fmt",
+          opacity: float = 0.5) -> pa.Table:
+    """gdal raster blend (apps/gdalalg_raster_blend.h:77): alpha-composite
+    an overlay onto each base image (source-over with constant opacity;
+    per-pixel overlay alpha honored when present)."""
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    obts = batch.column(overlay_col).to_pylist()
+    ofmts = batch.column(overlay_fmt_col).to_pylist()
+    for i in range(batch.num_rows):
+        base = codecs.decode(bts[i], fmts[i])
+        over = codecs.decode(obts[i], ofmts[i])
+        if base.ndim == 2:
+            base = np.stack([base] * 3, axis=-1)
+        base = base[:, :, :3].astype(np.float64)
+        if over.ndim == 2:
+            over = np.stack([over] * 3, axis=-1)
+        if over.shape[2] == 4:
+            oa = over[:, :, 3:4].astype(np.float64) / 255.0 * opacity
+        else:
+            oa = np.full(over.shape[:2] + (1,), opacity)
+        orgb = over[:, :, :3].astype(np.float64)
+        out = orgb * oa + base * (1.0 - oa)
+        ids.append(batch.column("image_id")[i].as_py())
+        outs.append(codecs.encode_png(
+            np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)))
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": pa.array(["png"] * len(ids), pa.string())})
+
+
+def raster_update(batch: pa.Table, patch_col: str = "patch_bytes",
+                  patch_fmt_col: str = "patch_fmt",
+                  patch_x_col: str = "patch_x", patch_y_col: str = "patch_y",
+                  ) -> pa.Table:
+    """gdal raster update (apps/gdalalg_raster_update.cpp): write a patch
+    raster into the base at a pixel offset (last-write-wins in-place
+    update, the existing-dataset mosaic path)."""
+    ids, outs, fmts_o = [], [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    pbts = batch.column(patch_col).to_pylist()
+    pfmts = batch.column(patch_fmt_col).to_pylist()
+    pxs = batch.column(patch_x_col).to_pylist()
+    pys = batch.column(patch_y_col).to_pylist()
+    for i in range(batch.num_rows):
+        base = codecs.decode(bts[i], fmts[i]).copy()
+        patch = codecs.decode(pbts[i], pfmts[i])
+        if base.ndim != patch.ndim:
+            if base.ndim == 2:
+                base = np.stack([base] * 3, axis=-1)
+            if patch.ndim == 2:
+                patch = np.stack([patch] * base.shape[2], axis=-1)
+        x0, y0 = int(pxs[i]), int(pys[i])
+        h, w = base.shape[:2]
+        ph, pw = patch.shape[:2]
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        dx0, dy0 = max(0, x0), max(0, y0)
+        cw = min(pw - sx0, w - dx0)
+        ch = min(ph - sy0, h - dy0)
+        if cw > 0 and ch > 0:
+            base[dy0:dy0 + ch, dx0:dx0 + cw] = patch[sy0:sy0 + ch, sx0:sx0 + cw]
+        ids.append(batch.column("image_id")[i].as_py())
+        outs.append(codecs.encode(np.ascontiguousarray(base), "raw"))
+        fmts_o.append("raw")
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": pa.array(fmts_o, pa.string())})

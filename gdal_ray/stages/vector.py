@@ -359,3 +359,110 @@ def make_valid_full(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
             out.append(wkb.dumps({"type": "MultiPolygon", "polys": fixed}))
     i = lite.column_names.index(wkb_col)
     return lite.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+
+def explode_collections(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector explode-collections
+    (apps/gdalalg_vector_explode_collections.cpp): one output row per
+    geometry part; single-part rows pass through; attributes replicate."""
+    idx, parts = [], []
+    for i, data in enumerate(batch.column(wkb_col).to_pylist()):
+        polys = wkb.as_polygons(wkb.loads(data))
+        if not polys:
+            continue
+        for rings in polys:
+            idx.append(i)
+            parts.append(wkb.dumps({"type": "Polygon", "rings": rings}))
+    taken = batch.take(pa.array(idx, pa.int64())) if idx else batch.slice(0, 0)
+    j = taken.column_names.index(wkb_col)
+    return taken.set_column(j, wkb_col, pa.array(parts, pa.binary()))
+
+
+def make_point(batch: pa.Table, x_col: str = "x", y_col: str = "y",
+               wkb_col: str = "wkb") -> pa.Table:
+    """gdal vector geom make-point: build point geometries from coordinate
+    columns (apps/gdalalg_vector_make_point semantics)."""
+    x = np.asarray(batch.column(x_col), dtype=np.float64)
+    y = np.asarray(batch.column(y_col), dtype=np.float64)
+    pts = [wkb.point(float(a), float(b)) for a, b in zip(x, y)]
+    return batch.append_column(wkb_col, pa.array(pts, pa.binary()))
+
+
+def collect_multipart(group: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """Inverse of explode: collect a group's parts into one MultiPolygon
+    (the 'combine' of ogr2ogr -dialect collect; no boolean union — see
+    dissolve_union for that)."""
+    polys = []
+    for data in group.column(wkb_col).to_pylist():
+        polys.extend(wkb.as_polygons(wkb.loads(data)))
+    key_cols = [c for c in group.column_names if c != wkb_col]
+    first = {c: [group.column(c)[0].as_py()] for c in key_cols}
+    first[wkb_col] = [wkb.dumps({"type": "MultiPolygon", "polys": polys})]
+    first["n_parts"] = [len(polys)]
+    return pa.table(first)
+
+
+def concave_hull(batch: pa.Table, ratio: float = 0.3,
+                 wkb_col: str = "wkb") -> pa.Table:
+    """ConcaveHull (ogr/ogrgeometry.cpp:4566, GEOS concave_hull
+    semantics): start from the convex hull and iteratively 'dig' the
+    longest hull edge toward the nearest interior vertex until every hull
+    edge is shorter than ratio × longest-diagonal.  Pure-numpy
+    chi-shape-style approximation; hull is guaranteed simple (a dig is
+    rejected if it would cross the current hull)."""
+    out = []
+    for data in batch.column(wkb_col).to_pylist():
+        polys = wkb.as_polygons(wkb.loads(data))
+        pts = np.vstack([r for rings in polys for r in rings[:1]])
+        pts = np.unique(pts, axis=0)
+        hull = geom.convex_hull(pts)
+        if len(hull) < 4:
+            out.append(data)
+            continue
+        diag = np.hypot(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]))
+        max_len = max(ratio * diag, 1e-12)
+        hull = hull[:-1]  # open ring
+        interior = {tuple(p) for p in pts} - {tuple(p) for p in hull}
+
+        def ring_is_simple(h):
+            r = np.vstack([h, h[:1]])
+            a1, a2 = r[:-1], r[1:]
+            n = len(a1)
+            cross = geom._segments_cross(a1, a2, a1, a2)
+            i = np.arange(n)
+            adj = (np.abs(i[:, None] - i[None, :]) <= 1) | \
+                  (np.abs(i[:, None] - i[None, :]) == n - 1)
+            return not (cross & ~adj).any()
+
+        while interior:
+            n = len(hull)
+            lens = np.hypot(*(np.roll(hull, -1, axis=0) - hull).T)
+            cand = np.array(sorted(interior))
+            dug = False
+            for ei in np.argsort(lens)[::-1]:
+                if lens[ei] <= max_len:
+                    break
+                a = hull[ei]
+                b = hull[(ei + 1) % n]
+                # candidates ordered by distance TO the edge; chi locality:
+                # only dig a point closer to the edge than the edge is long
+                d = geom.point_segment_distance(
+                    cand[:, 0], cand[:, 1], a[None, :], b[None, :])[:, 0]
+                for ci in np.argsort(d)[:5]:
+                    if d[ci] >= lens[ei]:
+                        break
+                    c = cand[ci]
+                    trial = np.insert(hull, (ei + 1) % n, c, axis=0)
+                    if ring_is_simple(trial):
+                        hull = trial
+                        interior.discard(tuple(c))
+                        dug = True
+                        break
+                if dug:
+                    break
+            if not dug:
+                break
+        ring = np.vstack([hull, hull[:1]])
+        out.append(wkb.dumps({"type": "Polygon", "rings": [ring]}))
+    i = batch.column_names.index(wkb_col)
+    return batch.set_column(i, wkb_col, pa.array(out, pa.binary()))
