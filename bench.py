@@ -61,6 +61,26 @@ def gen_images(n: int):
         .map_batches(fn, batch_format="numpy", batch_size=64)
 
 
+def warp_only(num_cpus: int, n_images: int) -> dict:
+    """Compute-bound scaling scenario: decode -> warp contributions only
+    (no composite/shuffle/encode) - isolates the kernel path."""
+    import pyarrow as pa
+
+    from gdal_ray.stages.warp import WarpTileStage
+
+    _init_ray(num_cpus)
+    images = gen_images(n_images).repartition(num_cpus * 4).materialize()
+    t0 = time.time()
+
+    def warp_fn(batch):
+        return WarpTileStage(zoom=ZOOM, method="bilinear")(batch)
+
+    n = images.map_batches(warp_fn, batch_format="pyarrow", batch_size=16).count()
+    dt = time.time() - t0
+    return {"n_images": n_images, "n_contribs": n, "wall": round(dt, 3),
+            "images_per_sec": round(n_images / dt, 3)}
+
+
 def headline(num_cpus: int, n_images: int) -> dict:
     """decode → warp → composite tiles at z=9 → footprint PIP join."""
     import ray
@@ -123,27 +143,31 @@ def main():
         # scaling runs use >= 8000 images so per-run fixed costs (actor
         # spin-up, shuffle setup) amortize and the ratio measures the engine
         n_scale = max(N_IMAGES, 8000)
-        for ncpu in (4, 16):
-            code = (
-                "import json,sys; sys.path.insert(0,'.'); "
-                "from bench import headline; "
-                f"print('RESULT'+json.dumps(headline({ncpu}, {n_scale})))"
-            )
-            env = dict(os.environ)
-            p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                               text=True, cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT")]
-            if not line:
-                sys.stderr.write(p.stdout + p.stderr)
-                raise SystemExit(f"scaling run at {ncpu} cpus failed")
-            results[ncpu] = json.loads(line[-1][len("RESULT"):])
-        tput8 = results[4]["images_per_sec"]
-        tput32 = results[16]["images_per_sec"]
-        eff = tput32 / (4.0 * tput8)
+        for fn_name in ("headline", "warp_only"):
+            results[fn_name] = {}
+            for ncpu in (4, 16):
+                code = (
+                    "import json,sys; sys.path.insert(0,'.'); "
+                    f"from bench import {fn_name}; "
+                    f"print('RESULT'+json.dumps({fn_name}({ncpu}, {n_scale})))"
+                )
+                env = dict(os.environ)
+                p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                                   text=True, cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+                line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT")]
+                if not line:
+                    sys.stderr.write(p.stdout + p.stderr)
+                    raise SystemExit(f"scaling run at {ncpu} cpus failed")
+                results[fn_name][ncpu] = json.loads(line[-1][len("RESULT"):])
+        effs = {k: round(v[16]["images_per_sec"] / (4.0 * v[4]["images_per_sec"]), 4)
+                for k, v in results.items()}
         print(json.dumps({
-            "metric": "scaling_efficiency", "value": round(eff, 4), "unit": "ratio",
-            "throughput_n": {"num_cpus": 4, "images_per_sec": tput8},
-            "throughput_4n": {"num_cpus": 16, "images_per_sec": tput32},
+            "metric": "scaling_efficiency", "value": effs["headline"], "unit": "ratio",
+            "throughput_n": {"num_cpus": 4,
+                             "images_per_sec": results["headline"][4]["images_per_sec"]},
+            "throughput_4n": {"num_cpus": 16,
+                              "images_per_sec": results["headline"][16]["images_per_sec"]},
+            "warp_phase_efficiency": effs["warp_only"],
             "detail": results,
         }))
         return

@@ -1,0 +1,205 @@
+"""Serialized pipeline spec + named-stage registry — the engine's analog of
+the reference's ``gdalg`` serialized-pipeline driver
+(frmts/gdalg/gdalgdriver.cpp) and ``gdal pipeline`` app
+(apps/gdalalg_pipeline.cpp): a pipeline is data, not code.
+
+A spec is JSON (or the ``"read … ! op … ! write …"`` one-liner the CLI
+uses) naming registered stages:
+
+    {"steps": [
+        {"op": "read_parquet", "path": "/data/images"},
+        {"op": "hillshade", "z_factor": 2.0},
+        {"op": "write_parquet", "path": "/out/shaded"}]}
+
+``run_pipeline`` resolves each step against the registry and chains them
+over one Ray Dataset.  Users extend the engine by registering their own
+stages (``@register("my-op")``) — the user-extension surface of SURVEY
+§2.13.  Stage callables take ``(dataset_or_None, **params)`` and return a
+Dataset (sources receive None; sinks return the input unchanged after
+writing).
+"""
+
+from __future__ import annotations
+
+import json
+import shlex
+
+import ray.data
+
+_REGISTRY: dict = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def registered_stages() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _batch_stage(fn, **fixed):
+    """Adapt a (pa.Table, **kw) -> pa.Table UDF into a pipeline stage."""
+    def stage(ds, **params):
+        kw = {**fixed, **params}
+        return ds.map_batches(lambda b: fn(b, **kw), batch_format="pyarrow")
+    return stage
+
+
+# ---------- sources ----------
+
+@register("read_parquet")
+def _read_parquet(ds, path: str, columns=None):
+    assert ds is None, "read_parquet must be the first step"
+    return ray.data.read_parquet(path, columns=columns)
+
+
+@register("read_geojson")
+def _read_geojson(ds, path):
+    from ..sources.vector_formats import read_geojson
+    assert ds is None
+    return read_geojson(path)
+
+
+@register("read_shapefile")
+def _read_shapefile(ds, path):
+    from ..sources.vector_formats import read_shapefile
+    assert ds is None
+    return read_shapefile(path)
+
+
+@register("read_gpkg")
+def _read_gpkg(ds, path, table=None):
+    from ..sources.vector_formats import read_gpkg
+    assert ds is None
+    return read_gpkg(path, table=table)
+
+
+# ---------- sinks ----------
+
+@register("write_parquet")
+def _write_parquet(ds, path: str, partition_cols=None):
+    if partition_cols:
+        ds.write_parquet(path, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(path)
+    return ds
+
+
+# ---------- relational ----------
+
+@register("select")
+def _select(ds, columns):
+    return ds.select_columns(list(columns))
+
+
+@register("limit")
+def _limit(ds, n: int):
+    return ds.limit(int(n))
+
+
+@register("sort")
+def _sort(ds, key, descending=False):
+    return ds.sort(key, descending=bool(descending))
+
+
+@register("repartition")
+def _repartition(ds, n: int):
+    return ds.repartition(int(n))
+
+
+# ---------- vector stages ----------
+
+def _register_vector():
+    from ..stages import vector as V
+    _REGISTRY["simplify"] = lambda ds, tolerance=0.0: ds.map_batches(
+        lambda b: V.simplify(b, float(tolerance)), batch_format="pyarrow")
+    _REGISTRY["segmentize"] = lambda ds, max_len: ds.map_batches(
+        lambda b: V.segmentize(b, float(max_len)), batch_format="pyarrow")
+    _REGISTRY["swap_xy"] = _batch_stage(V.swap_xy)
+    _REGISTRY["convex_hull"] = _batch_stage(V.convex_hull)
+    _REGISTRY["concave_hull"] = _batch_stage(V.concave_hull)
+    _REGISTRY["centroids"] = _batch_stage(V.centroids)
+    _REGISTRY["area"] = _batch_stage(V.area_col)
+    _REGISTRY["explode_collections"] = _batch_stage(V.explode_collections)
+    _REGISTRY["make_point"] = _batch_stage(V.make_point)
+    _REGISTRY["make_valid"] = _batch_stage(V.make_valid_full)
+    _REGISTRY["check_geometry"] = _batch_stage(V.check_geometry)
+    _REGISTRY["hilbert_key"] = _batch_stage(V.hilbert_key)
+    _REGISTRY["clip_bbox"] = lambda ds, minx, miny, maxx, maxy: ds.map_batches(
+        lambda b: V.clip_to_bbox(b, float(minx), float(miny), float(maxx),
+                                 float(maxy)), batch_format="pyarrow")
+
+
+# ---------- raster stages ----------
+
+def _register_raster():
+    from ..stages import dem as D
+    from ..stages import raster as R1
+    from ..stages import raster2 as R2
+    _REGISTRY["hillshade"] = lambda ds, **kw: ds.map_batches(
+        lambda b: R1.hillshade(b, **{k: float(v) for k, v in kw.items()}),
+        batch_format="pyarrow")
+    _REGISTRY["translate"] = lambda ds, **kw: ds.map_batches(
+        lambda b: R1.translate(b, **kw), batch_format="pyarrow")
+    _REGISTRY["aspect"] = _batch_stage(D.aspect)
+    _REGISTRY["tpi"] = _batch_stage(D.tpi)
+    _REGISTRY["tri"] = _batch_stage(D.tri)
+    _REGISTRY["calc"] = lambda ds, expr, **kw: ds.map_batches(
+        lambda b: R2.calc(b, expr, **kw), batch_format="pyarrow")
+    _REGISTRY["sieve"] = lambda ds, threshold=4: ds.map_batches(
+        lambda b: R2.sieve(b, threshold=int(threshold)),
+        batch_format="pyarrow")
+    _REGISTRY["fill_nodata"] = _batch_stage(R2.fill_nodata)
+    _REGISTRY["clean_collar"] = _batch_stage(R2.clean_collar)
+    _REGISTRY["color_map"] = _batch_stage(R2.color_map)
+    _REGISTRY["nodata_to_alpha"] = _batch_stage(R2.nodata_to_alpha)
+    _REGISTRY["blend"] = lambda ds, opacity=0.5: ds.map_batches(
+        lambda b: R2.blend(b, opacity=float(opacity)),
+        batch_format="pyarrow")
+    _REGISTRY["raster_update"] = _batch_stage(R2.raster_update)
+
+
+_register_vector()
+_register_raster()
+
+
+def parse_pipeline(text: str) -> dict:
+    """CLI one-liner → spec: steps separated by '!', each 'opname k=v …'
+    (the gdal pipeline grammar, apps/gdalalg_pipeline.cpp)."""
+    steps = []
+    for chunk in text.split("!"):
+        toks = shlex.split(chunk.strip())
+        if not toks:
+            continue
+        step: dict = {"op": toks[0]}
+        for t in toks[1:]:
+            k, _, v = t.partition("=")
+            try:
+                v = json.loads(v)
+            except (ValueError, json.JSONDecodeError):
+                # bare comma list: columns=[fid,area] (shell ate the quotes)
+                if v.startswith("[") and v.endswith("]"):
+                    v = [s.strip() for s in v[1:-1].split(",") if s.strip()]
+            step[k] = v
+        steps.append(step)
+    return {"steps": steps}
+
+
+def run_pipeline(spec) -> "ray.data.Dataset":
+    """Execute a serialized pipeline spec (dict, JSON string, or CLI
+    one-liner) and return the resulting Dataset."""
+    if isinstance(spec, str):
+        spec = parse_pipeline(spec) if "!" in spec or not spec.lstrip().startswith("{") \
+            else json.loads(spec)
+    ds = None
+    for step in spec["steps"]:
+        params = {k: v for k, v in step.items() if k != "op"}
+        op = step["op"]
+        if op not in _REGISTRY:
+            raise ValueError(f"unknown pipeline stage {op!r}; "
+                             f"registered: {registered_stages()}")
+        ds = _REGISTRY[op](ds, **params)
+    return ds

@@ -36,6 +36,12 @@ from ..core.checksum import checksum as gdal_checksum
 from ..core.resample import downsample2x
 from ..stages.warp import TILE, WarpTileStage
 
+# tile PNGs use fast deflate: level 1 costs ~2ms/tile vs ~11ms at level 6
+# for ~40% larger output - the right trade when encode CPU, not storage,
+# bounds pipeline throughput (gdal2tiles' default PNG writer is also
+# speed-biased)
+PNG_LEVEL = 1
+
 
 def composite_group(group: pa.Table) -> pa.Table:
     """First-valid-wins composite of contributions for ONE tile (tie-broken
@@ -63,7 +69,7 @@ def composite_group(group: pa.Table) -> pa.Table:
             mask_acc[y0:y0 + wh, x0:x0 + ww] |= take
     rgba = np.concatenate([rgb_acc, (mask_acc.astype(np.uint8) * 255)[:, :, None]],
                           axis=2)
-    png = codecs.encode_png(rgba)
+    png = codecs.encode_png(rgba, level=PNG_LEVEL)
     z = group.column("z")[0].as_py()
     x = group.column("x")[0].as_py()
     y = group.column("y")[0].as_py()
@@ -116,7 +122,7 @@ def overview_group(group: pa.Table) -> pa.Table:
         "z": pa.array([pz], pa.int32()),
         "x": pa.array([px], pa.int32()),
         "y": pa.array([py], pa.int32()),
-        "png": pa.array([codecs.encode_png(small)], pa.binary()),
+        "png": pa.array([codecs.encode_png(small, level=PNG_LEVEL)], pa.binary()),
         "checksum": pa.array([gdal_checksum(small[:, :, 0])], pa.int32()),
         "n_contrib": pa.array([group.num_rows], pa.int32()),
     })
@@ -158,7 +164,7 @@ def composite_singles(batch: pa.Table) -> pa.Table:
         sub = rgba[y0:y0 + wh, x0:x0 + ww]
         sub[:, :, :3][m] = rgb[m]
         sub[:, :, 3][m] = 255
-        pngs.append(codecs.encode_png(rgba))
+        pngs.append(codecs.encode_png(rgba, level=PNG_LEVEL))
         sums.append(gdal_checksum(rgba[:, :, 0]))
     return pa.table({
         "tile_key": batch.column("tile_key"),

@@ -1,0 +1,92 @@
+"""Serialized pipeline spec / stage registry (the gdalg analog,
+frmts/gdalg/gdalgdriver.cpp + apps/gdalalg_pipeline.cpp)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.core import geom, wkb
+from gdal_ray.pipelines.pipeline_spec import (parse_pipeline, register,
+                                              registered_stages, run_pipeline)
+
+
+def _polys_parquet(tmp_path):
+    import pyarrow.parquet as pq
+    rows = []
+    for i in range(8):
+        x0 = i * 5.0
+        ring = np.array([[x0, 0], [x0 + 3, 0], [x0 + 3, 2], [x0, 2], [x0, 0]])
+        rows.append(wkb.dumps({"type": "Polygon", "rings": [ring]}))
+    t = pa.table({"fid": pa.array(range(8), pa.int64()),
+                  "wkb": pa.array(rows, pa.binary())})
+    p = str(tmp_path / "polys.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_json_spec_runs_vector_chain(tmp_path, ray_session):
+    path = _polys_parquet(tmp_path)
+    spec = {"steps": [
+        {"op": "read_parquet", "path": path},
+        {"op": "centroids"},
+        {"op": "area"},
+        {"op": "select", "columns": ["fid", "cx", "cy", "area"]},
+        {"op": "sort", "key": "fid"},
+    ]}
+    rows = run_pipeline(spec).take_all()
+    assert len(rows) == 8
+    assert rows[0]["cx"] == pytest.approx(1.5)
+    assert rows[0]["area"] == pytest.approx(6.0)
+    assert rows[3]["cx"] == pytest.approx(15.0 + 1.5)
+
+
+def test_cli_grammar_and_json_string(tmp_path, ray_session):
+    path = _polys_parquet(tmp_path)
+    line = f"read_parquet path={path} ! area ! select columns=[\"fid\",\"area\"] ! limit n=3"
+    spec = parse_pipeline(line)
+    assert [s["op"] for s in spec["steps"]] == ["read_parquet", "area",
+                                               "select", "limit"]
+    rows = run_pipeline(line).take_all()
+    assert len(rows) == 3 and rows[0]["area"] == pytest.approx(6.0)
+    # same via a JSON string
+    rows2 = run_pipeline(json.dumps(spec)).take_all()
+    assert len(rows2) == 3
+
+
+def test_write_parquet_sink(tmp_path, ray_session):
+    path = _polys_parquet(tmp_path)
+    out = str(tmp_path / "out")
+    run_pipeline({"steps": [
+        {"op": "read_parquet", "path": path},
+        {"op": "area"},
+        {"op": "write_parquet", "path": out},
+    ]})
+    import ray.data
+    back = ray.data.read_parquet(out)
+    assert back.count() == 8
+
+
+def test_user_registered_stage(tmp_path, ray_session):
+    path = _polys_parquet(tmp_path)
+
+    @register("double_fid")
+    def _double(ds):
+        return ds.map_batches(
+            lambda b: b.set_column(b.column_names.index("fid"), "fid",
+                                   pa.compute.multiply(b.column("fid"), 2)),
+            batch_format="pyarrow")
+
+    assert "double_fid" in registered_stages()
+    rows = run_pipeline({"steps": [
+        {"op": "read_parquet", "path": path},
+        {"op": "double_fid"},
+        {"op": "sort", "key": "fid"},
+    ]}).take_all()
+    assert rows[-1]["fid"] == 14
+
+
+def test_unknown_stage_raises(ray_session):
+    with pytest.raises(ValueError, match="unknown pipeline stage"):
+        run_pipeline({"steps": [{"op": "nope"}]})
