@@ -43,6 +43,27 @@ from ..stages.warp import TILE, WarpTileStage
 PNG_LEVEL = 1
 
 
+def composite_bucket(group: pa.Table) -> pa.Table:
+    """Composite EVERY tile of one hash bucket in a single call.
+
+    ``groupby().map_groups`` costs ~1-5 ms of dispatch per GROUP; at a
+    realistic overlap density most tiles are contested, so grouping by a
+    bucket key (tile_key % NB) keeps the exchange co-located per tile
+    while amortizing the dispatch over ~hundreds of tiles per call — the
+    in-process per-tile loop below is the same work without the per-group
+    scheduling tax."""
+    keys = np.asarray(group.column("tile_key"), dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sorted_tbl = group.take(pa.array(order, pa.int64()))
+    skeys = keys[order]
+    bounds = np.flatnonzero(np.diff(skeys)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(skeys)]])
+    outs = [composite_group(sorted_tbl.slice(s, e - s))
+            for s, e in zip(starts, ends)]
+    return pa.concat_tables(outs) if outs else _EMPTY_TILES
+
+
 def composite_group(group: pa.Table) -> pa.Table:
     """First-valid-wins composite of contributions for ONE tile (tie-broken
     by image_id order so output is deterministic regardless of arrival
@@ -295,23 +316,77 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
     finished = routed.map_batches(
         lambda b: b.filter(b.column("is_done")).select(tile_cols),
         batch_format="pyarrow")
+    contested_rows = routed.map_batches(
+        lambda b: b.filter(pc.invert(b.column("is_done"))).select(contrib_cols),
+        batch_format="pyarrow")
+    # The metadata cover OVERESTIMATES contested tiles (warp drops
+    # no-valid-pixel tiles), and ``map_groups`` costs ~1-5 ms per GROUP —
+    # so an exact key-only second count over the contested MINORITY splits
+    # out the tiles that truly have one contribution and composites them in
+    # place; only genuinely multi-contributor tiles reach the shuffle.
+    from .shuffle_utils import multi_key_array as _mka
+    true_multi = _mka(contested_rows, "tile_key")
+    tm_ref = ray.put(true_multi)
+
+    def _truly(batch: pa.Table, want_multi: bool) -> pa.Table:
+        m = ray.get(tm_ref)
+        keys = np.asarray(batch.column("tile_key"), dtype=np.int64)
+        if m.size == 0:
+            mask = np.zeros(keys.size, dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(m, keys), 0, m.size - 1)
+            mask = m[pos] == keys
+        return batch.filter(pa.array(mask if want_multi else ~mask))
+
+    late_singles = contested_rows.map_batches(
+        lambda b: composite_singles(_truly(b, False)), batch_format="pyarrow")
     # cap sort fan-in: sort-reduce fragment traffic grows with P_in × P_out
     # on a single node, so the contested (smaller) side shuffles over a
     # bounded partition count.
-    contested = routed.map_batches(
-        lambda b: b.filter(pc.invert(b.column("is_done"))).select(contrib_cols),
-        batch_format="pyarrow") \
+    nb = np.int64(min(128, max(16, cpus * 4)))
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        t = _truly(batch, True)
+        keys = np.asarray(t.column("tile_key"), dtype=np.int64)
+        return t.append_column("bucket", pa.array(keys % nb, pa.int64()))
+
+    contested = contested_rows.map_batches(_bucket, batch_format="pyarrow") \
         .repartition(min(24, max(8, cpus))) \
-        .groupby("tile_key").map_groups(composite_group, batch_format="pyarrow")
-    return finished.union(contested)
+        .groupby("bucket").map_groups(composite_bucket, batch_format="pyarrow")
+    return finished.union(late_singles).union(contested)
+
+
+def overview_bucket(group: pa.Table) -> pa.Table:
+    """All parents of one hash bucket in a single map_groups call (≤4-row
+    parent groups pay ~ms-level dispatch each otherwise)."""
+    keys = np.asarray(group.column("parent_key"), dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sorted_tbl = group.take(pa.array(order, pa.int64()))
+    skeys = keys[order]
+    bounds = np.flatnonzero(np.diff(skeys)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(skeys)]])
+    outs = [overview_group(sorted_tbl.slice(s, e - s))
+            for s, e in zip(starts, ends)]
+    return pa.concat_tables(outs) if outs else _EMPTY_TILES
 
 
 def overview_level(tiles: "ray.data.Dataset") -> "ray.data.Dataset":
-    """One pyramid reduction step: tiles at z → tiles at z-1."""
+    """One pyramid reduction step: tiles at z → tiles at z-1 (bucketed
+    groupby — see overview_bucket)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nb = np.int64(min(128, max(16, cpus * 4)))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = _parent_key(batch)
+        pk = np.asarray(t.column("parent_key"), dtype=np.int64)
+        return t.append_column("bucket", pa.array(pk % nb, pa.int64()))
+
     return (tiles
-            .map_batches(_parent_key, batch_format="pyarrow")
-            .groupby("parent_key")
-            .map_groups(overview_group, batch_format="pyarrow"))
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(overview_bucket, batch_format="pyarrow"))
 
 
 def tile_pyramid(images: "ray.data.Dataset", max_zoom: int, min_zoom: int,
