@@ -25,6 +25,8 @@ overview groups are ≤4 rows by construction.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -41,6 +43,10 @@ from ..stages.warp import TILE, WarpTileStage
 # bounds pipeline throughput (gdal2tiles' default PNG writer is also
 # speed-biased)
 PNG_LEVEL = 1
+
+
+def _maybe_decompress(buf: bytes, comp) -> bytes:
+    return zlib.decompress(buf) if comp else buf
 
 
 def composite_bucket(group: pa.Table) -> pa.Table:
@@ -79,13 +85,17 @@ def composite_group(group: pa.Table) -> pa.Table:
     wy0s = group.column("wy0").to_pylist()
     wws = group.column("ww").to_pylist()
     whs = group.column("wh").to_pylist()
+    comps = (group.column("comp").to_pylist()
+             if "comp" in group.column_names else [0] * group.num_rows)
     for j in order:
         x0, y0, ww, wh = wx0s[j], wy0s[j], wws[j], whs[j]
-        m = np.frombuffer(masks[j], dtype=np.uint8).reshape(wh, ww) > 0
+        m = np.frombuffer(_maybe_decompress(masks[j], comps[j]),
+                          dtype=np.uint8).reshape(wh, ww) > 0
         sub_acc = mask_acc[y0:y0 + wh, x0:x0 + ww]
         take = m & ~sub_acc
         if take.any():
-            rgb = np.frombuffer(rgbs[j], dtype=np.uint8).reshape(wh, ww, 3)
+            rgb = np.frombuffer(_maybe_decompress(rgbs[j], comps[j]),
+                                dtype=np.uint8).reshape(wh, ww, 3)
             rgb_acc[y0:y0 + wh, x0:x0 + ww][take] = rgb[take]
             mask_acc[y0:y0 + wh, x0:x0 + ww] |= take
     rgba = np.concatenate([rgb_acc, (mask_acc.astype(np.uint8) * 255)[:, :, None]],
@@ -176,12 +186,16 @@ def composite_singles(batch: pa.Table) -> pa.Table:
     wy0s = batch.column("wy0").to_pylist()
     wws = batch.column("ww").to_pylist()
     whs = batch.column("wh").to_pylist()
+    comps = (batch.column("comp").to_pylist()
+             if "comp" in batch.column_names else [0] * batch.num_rows)
     pngs, sums = [], []
     for j in range(batch.num_rows):
         x0, y0, ww, wh = wx0s[j], wy0s[j], wws[j], whs[j]
         rgba = np.zeros((TILE, TILE, 4), dtype=np.uint8)
-        m = np.frombuffer(masks[j], dtype=np.uint8).reshape(wh, ww) > 0
-        rgb = np.frombuffer(rgbs[j], dtype=np.uint8).reshape(wh, ww, 3)
+        m = np.frombuffer(_maybe_decompress(masks[j], comps[j]),
+                          dtype=np.uint8).reshape(wh, ww) > 0
+        rgb = np.frombuffer(_maybe_decompress(rgbs[j], comps[j]),
+                            dtype=np.uint8).reshape(wh, ww, 3)
         sub = rgba[y0:y0 + wh, x0:x0 + ww]
         sub[:, :, :3][m] = rgb[m]
         sub[:, :, 3][m] = 255
@@ -280,14 +294,14 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
     # materialize; both read it without recompute.)
     tile_cols = ["tile_key", "z", "x", "y", "png", "checksum", "n_contrib"]
     contrib_cols = ["tile_key", "z", "x", "y", "image_id", "wx0", "wy0",
-                    "ww", "wh", "rgb", "mask", "caption"]
+                    "ww", "wh", "rgb", "mask", "caption", "comp"]
     unified = [("tile_key", pa.int64()), ("z", pa.int32()), ("x", pa.int32()),
                ("y", pa.int32()), ("is_done", pa.bool_()),
                ("png", pa.binary()), ("checksum", pa.int32()),
                ("n_contrib", pa.int32()), ("image_id", pa.string()),
                ("wx0", pa.int32()), ("wy0", pa.int32()), ("ww", pa.int32()),
                ("wh", pa.int32()), ("rgb", pa.binary()), ("mask", pa.binary()),
-               ("caption", pa.string())]
+               ("caption", pa.string()), ("comp", pa.int8())]
 
     def _pad(t: pa.Table, done: bool) -> pa.Table:
         cols = []
@@ -309,8 +323,21 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
             pos = np.clip(np.searchsorted(m, keys), 0, m.size - 1)
             is_multi = m[pos] == keys
         done = composite_singles(batch.filter(pa.array(~is_multi)))
-        return pa.concat_tables([_pad(done, True),
-                                 _pad(batch.filter(pa.array(is_multi)), False)])
+        contested = batch.filter(pa.array(is_multi))
+        # contested payloads ship through the shuffle + object store:
+        # zlib-1 cuts them ~3.5x for ~1.5 ms/row — trading shared-bus
+        # bandwidth for CPU, which is the resource that scales
+        rgb_c = [zlib.compress(v, 1) for v in contested.column("rgb").to_pylist()]
+        msk_c = [zlib.compress(v, 1) for v in contested.column("mask").to_pylist()]
+        contested = contested.set_column(
+            contested.column_names.index("rgb"), "rgb",
+            pa.array(rgb_c, pa.binary()))
+        contested = contested.set_column(
+            contested.column_names.index("mask"), "mask",
+            pa.array(msk_c, pa.binary()))
+        contested = contested.append_column(
+            "comp", pa.array(np.ones(contested.num_rows, np.int8)))
+        return pa.concat_tables([_pad(done, True), _pad(contested, False)])
 
     routed = contribs.map_batches(route, batch_format="pyarrow").materialize()
     finished = routed.map_batches(
