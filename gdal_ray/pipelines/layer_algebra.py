@@ -339,3 +339,90 @@ def layer_update(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
             "piece_area": pa.array(areas, pa.float64())})
 
     return a_rem.union(b.map_batches(b_pass, batch_format="pyarrow"))
+
+
+# ---------- coverage ops (apps/gdalalg_vector_clean_coverage.cpp area) ----------
+
+def check_coverage(layer: "ray.data.Dataset", *,
+                   level: int = C.DEFAULT_LEVEL,
+                   id_col: str = "fid") -> "ray.data.Dataset":
+    """gdal vector check-coverage: report pairwise OVERLAPS within one
+    polygon layer (a clean coverage has none — features only touch).
+    Output: (a_id, b_id, overlap_area) for every overlapping pair,
+    exactly-once via the canonical-cell rule."""
+    pairs = _candidate_pairs(layer, layer, level=level, a_id_col=id_col,
+                             b_id_col=id_col)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out = {"a_id": [], "b_id": [], "overlap_area": []}
+        for i in range(batch.num_rows):
+            a_id = batch.column("a_id")[i].as_py()
+            b_id = batch.column("b_id")[i].as_py()
+            if a_id >= b_id:     # self + symmetric dupes (same layer twice)
+                continue
+            a_polys = wkb.as_polygons(wkb.loads(batch.column("a_wkb")[i].as_py()))
+            b_polys = wkb.as_polygons(wkb.loads(batch.column("b_wkb")[i].as_py()))
+            area = OV.area_of(OV.overlay(a_polys, b_polys, "intersection"))
+            if area > 1e-12:
+                out["a_id"].append(a_id)
+                out["b_id"].append(b_id)
+                out["overlap_area"].append(area)
+        return pa.table({"a_id": pa.array(out["a_id"], pa.string()),
+                         "b_id": pa.array(out["b_id"], pa.string()),
+                         "overlap_area": pa.array(out["overlap_area"],
+                                                  pa.float64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def clean_coverage(layer: "ray.data.Dataset", *,
+                   level: int = C.DEFAULT_LEVEL,
+                   id_col: str = "fid") -> "ray.data.Dataset":
+    """gdal vector clean-coverage: remove overlaps so features only touch —
+    each overlap region is assigned to the feature with the SMALLER id
+    (deterministic priority rule; the reference's merge-longest-border
+    strategy needs identical adjacency information and slots in here).
+    Output: (fid, wkb, area) with every pairwise overlap removed."""
+    pairs = _candidate_pairs(layer, layer, level=level, a_id_col=id_col,
+                             b_id_col=id_col)
+
+    def bare(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a_id": batch.column(id_col).cast(pa.string()),
+            "b_id": pa.nulls(batch.num_rows, pa.string()),
+            "a_wkb": batch.column("wkb"),
+            "b_wkb": pa.nulls(batch.num_rows, pa.binary())})
+
+    def keep_lower_priority(batch: pa.Table) -> pa.Table:
+        """Keep only pairs where the OTHER feature wins the overlap (its id
+        is smaller) — those are subtracted from this feature."""
+        mask = []
+        for i in range(batch.num_rows):
+            a_id = batch.column("a_id")[i].as_py()
+            b_id = batch.column("b_id")[i].as_py()
+            mask.append(b_id < a_id)
+        return batch.filter(pa.array(mask))
+
+    all_rows = pairs.map_batches(keep_lower_priority, batch_format="pyarrow") \
+        .union(layer.map_batches(bare, batch_format="pyarrow"))
+
+    def clean_group(g: pa.Table) -> pa.Table:
+        fid = g.column("a_id")[0].as_py()
+        a_wkb_v = next(x for x in g.column("a_wkb").to_pylist() if x is not None)
+        winners = [x for x in g.column("b_wkb").to_pylist() if x is not None]
+        a_polys = wkb.as_polygons(wkb.loads(a_wkb_v))
+        w_polys = [p for x in winners for p in wkb.as_polygons(wkb.loads(x))]
+        pieces = OV.overlay(a_polys, w_polys, "difference") if w_polys \
+            else a_polys
+        area = OV.area_of(pieces)
+        data = _poly_to_wkb(pieces)
+        if data is None:
+            return pa.table({"fid": pa.array([], pa.string()),
+                             "wkb": pa.array([], pa.binary()),
+                             "area": pa.array([], pa.float64())})
+        return pa.table({"fid": pa.array([fid], pa.string()),
+                         "wkb": pa.array([data], pa.binary()),
+                         "area": pa.array([area], pa.float64())})
+
+    return all_rows.groupby("a_id").map_groups(clean_group,
+                                               batch_format="pyarrow")

@@ -183,3 +183,25 @@ def test_make_valid_full_pipeline(ray_session):
     keep = wkb.as_polygons(wkb.loads(out.column("wkb")[1].as_py()))
     assert len(keep) == 1
     assert geom.polygon_area(keep[0]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_check_and_clean_coverage(ray_session):
+    import ray.data
+
+    from gdal_ray.pipelines import layer_algebra as LA
+    # three rects: 1 overlaps 2; 3 disjoint
+    layer = ray.data.from_arrow(_poly_tbl([
+        ("f1", (0, 0, 2, 2)), ("f2", (1, 1, 3, 3)), ("f3", (10, 10, 11, 11))]))
+    bad = LA.check_coverage(layer).take_all()
+    assert len(bad) == 1
+    assert (bad[0]["a_id"], bad[0]["b_id"]) == ("f1", "f2")
+    assert bad[0]["overlap_area"] == pytest.approx(1.0, abs=1e-9)
+
+    cleaned = {r["fid"]: r for r in LA.clean_coverage(layer).take_all()}
+    assert cleaned["f1"]["area"] == pytest.approx(4.0, abs=1e-9)  # keeps overlap
+    assert cleaned["f2"]["area"] == pytest.approx(3.0, abs=1e-9)  # loses it
+    assert cleaned["f3"]["area"] == pytest.approx(1.0, abs=1e-9)
+    # post-clean: coverage is overlap-free
+    cleaned_ds = ray.data.from_items(
+        [{"fid": r["fid"], "wkb": r["wkb"]} for r in cleaned.values()])
+    assert LA.check_coverage(cleaned_ds).count() == 0
