@@ -469,6 +469,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_predicates": R.SQL_GEO_PREDICATES,
         "raster_gcp_warp": R.SQL_RASTER_GCP_WARP,
         "geo_polygonize_stitched": R.SQL_GEO_POLYGONIZE_STITCHED,
+        "text_langid": R.SQL_TEXT_LANGID,
+        "text_quality": R.SQL_TEXT_QUALITY,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

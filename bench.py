@@ -143,22 +143,30 @@ def main():
         # scaling runs use >= 8000 images so per-run fixed costs (actor
         # spin-up, shuffle setup) amortize and the ratio measures the engine
         n_scale = max(N_IMAGES, 8000)
+        # best-of-2 per configuration: single-run wall times on this box
+        # vary up to ~25% run-to-run, which would swamp the ratio
+        REPS = 2
         for fn_name in ("headline", "warp_only"):
             results[fn_name] = {}
             for ncpu in (4, 16):
-                code = (
-                    "import json,sys; sys.path.insert(0,'.'); "
-                    f"from bench import {fn_name}; "
-                    f"print('RESULT'+json.dumps({fn_name}({ncpu}, {n_scale})))"
-                )
-                env = dict(os.environ)
-                p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                                   text=True, cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
-                line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT")]
-                if not line:
-                    sys.stderr.write(p.stdout + p.stderr)
-                    raise SystemExit(f"scaling run at {ncpu} cpus failed")
-                results[fn_name][ncpu] = json.loads(line[-1][len("RESULT"):])
+                best = None
+                for _ in range(REPS):
+                    code = (
+                        "import json,sys; sys.path.insert(0,'.'); "
+                        f"from bench import {fn_name}; "
+                        f"print('RESULT'+json.dumps({fn_name}({ncpu}, {n_scale})))"
+                    )
+                    env = dict(os.environ)
+                    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                                       text=True, cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+                    line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT")]
+                    if not line:
+                        sys.stderr.write(p.stdout + p.stderr)
+                        raise SystemExit(f"scaling run at {ncpu} cpus failed")
+                    r = json.loads(line[-1][len("RESULT"):])
+                    if best is None or r["images_per_sec"] > best["images_per_sec"]:
+                        best = r
+                results[fn_name][ncpu] = best
         effs = {k: round(v[16]["images_per_sec"] / (4.0 * v[4]["images_per_sec"]), 4)
                 for k, v in results.items()}
         print(json.dumps({

@@ -1812,3 +1812,71 @@ WITH px AS (
 SELECT n AS n_nationkey, stripe % 4 AS value, count(*) AS pix_count
 FROM px GROUP BY n, stripe
 """
+
+
+SQL_TEXT_LANGID = r"""
+WITH toks AS (
+  SELECT doc_id,
+         [lower(trim(x, '.,;:!?''"()-')) for x in
+          string_split_regex(text, '\s+') if len(x) > 0] AS tk
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+         len(list_filter(tk, t -> list_contains(
+           ['the','and','of','to','in','is','that','it','for','was','with','on','as'], t))) AS en_c,
+         len(list_filter(tk, t -> list_contains(
+           ['el','la','de','que','y','en','un','una','los','las','por','con','para'], t))) AS es_c,
+         len(list_filter(tk, t -> list_contains(
+           ['le','la','de','et','les','des','un','une','du','est','pour','que','dans'], t))) AS fr_c,
+         len(list_filter(tk, t -> list_contains(
+           ['der','die','das','und','ist','von','den','mit','für','auf','ein','eine','nicht'], t))) AS de_c
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(en_c, es_c, fr_c, de_c) = 0 THEN 'und'
+            WHEN (en_c = greatest(en_c, es_c, fr_c, de_c))::int
+               + (es_c = greatest(en_c, es_c, fr_c, de_c))::int
+               + (fr_c = greatest(en_c, es_c, fr_c, de_c))::int
+               + (de_c = greatest(en_c, es_c, fr_c, de_c))::int > 1 THEN 'und'
+            WHEN en_c = greatest(en_c, es_c, fr_c, de_c) THEN 'en'
+            WHEN es_c = greatest(en_c, es_c, fr_c, de_c) THEN 'es'
+            WHEN fr_c = greatest(en_c, es_c, fr_c, de_c) THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM votes
+"""
+
+
+SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '\p{L}', '', 'g')) AS n_alpha,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS n_punct,
+         regexp_extract_all(text, '[A-Za-z]+') AS words,
+         [lower(trim(x, '.,;:!?''"()-')) for x in
+          string_split_regex(text, '\s+') if len(x) > 0] AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0 THEN
+           list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+         ELSE 0.0 END AS mwl,
+         CASE WHEN n > 0 THEN n_alpha * 1.0 / n ELSE 0.0 END AS ar,
+         CASE WHEN n > 0 THEN n_punct * 1.0 / n ELSE 0.0 END AS pr,
+         CASE WHEN len(tk) > 0 THEN
+           len(list_filter(tk, t -> list_contains(
+             ['the','and','of','to','in','is','that','it','for','was','with','on','as'], t)))
+           * 1.0 / len(tk)
+         ELSE 0.0 END AS sr
+  FROM f
+)
+SELECT doc_id,
+       round(mwl, 6) AS mean_word_len,
+       round(ar, 6) AS alpha_ratio,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stopword_ratio,
+       round((CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN ar >= 0.6 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN sr >= 0.05 THEN 0.3 ELSE 0.0 END), 6) AS quality
+FROM g
+"""

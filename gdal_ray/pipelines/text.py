@@ -54,6 +54,13 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     rows = {"mean_word_len": [], "alpha_ratio": [], "punct_ratio": [],
             "stopword_ratio": [], "quality": []}
+
+    def _r6(x: float) -> float:
+        # half-UP at 6 digits: ratios are exact rationals that can land on
+        # representable ties (e.g. 105/128), where Python round()'s
+        # half-even disagrees with DuckDB round()'s half-away
+        import math
+        return math.floor(x * 1e6 + 0.5) / 1e6
     for t in texts:
         n = len(t)
         words = _WORD_RE.findall(t)
@@ -72,11 +79,11 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
             q += 0.3
         if sr >= 0.05:
             q += 0.3
-        rows["mean_word_len"].append(round(mwl, 6))
-        rows["alpha_ratio"].append(round(ar, 6))
-        rows["punct_ratio"].append(round(pr, 6))
-        rows["stopword_ratio"].append(round(sr, 6))
-        rows["quality"].append(round(q, 6))
+        rows["mean_word_len"].append(_r6(mwl))
+        rows["alpha_ratio"].append(_r6(ar))
+        rows["punct_ratio"].append(_r6(pr))
+        rows["stopword_ratio"].append(_r6(sr))
+        rows["quality"].append(_r6(q))
     out = {c: batch.column(c) for c in batch.column_names if c != text_col}
     for k, v in rows.items():
         out[k] = pa.array(v, pa.float64())
