@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_aspect": R.raster_aspect_q,
         "geo_predicates": R.geo_predicates_q,
         "raster_gcp_warp": R.raster_gcp_warp_q,
+        "geo_rasterize_grid": R.geo_rasterize_grid_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygonize_stitched": R.SQL_GEO_POLYGONIZE_STITCHED,
         "text_langid": R.SQL_TEXT_LANGID,
         "text_quality": R.SQL_TEXT_QUALITY,
+        "geo_rasterize_grid": R.SQL_GEO_RASTERIZE_GRID,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

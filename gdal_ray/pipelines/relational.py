@@ -1880,3 +1880,78 @@ SELECT doc_id,
              + (CASE WHEN sr >= 0.05 THEN 0.3 ELSE 0.0 END), 6) AS quality
 FROM g
 """
+
+
+def geo_rasterize_grid_q(sf_dir: str):
+    """gdal_rasterize (pixel-center rule) with a FULL oracle: the disjoint
+    nation grid rects burn z=5 tiles; per-tile burned-pixel counts factor
+    into closed-form column x row center counts that DuckDB recomputes
+    from the web-mercator pixel formulas."""
+    import ray.data
+
+    from .rasterize import rasterize
+    rects = _read(sf_dir, "nation").map_batches(_union_a_rects,
+                                                batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table({"poly_id": b.column("a_id"),
+                                         "wkb": b.column("wkb")}),
+                     batch_format="pyarrow")
+    out = rasterize(rects, zoom=5, burn_value=1.0, merge_alg="add",
+                    id_col="poly_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.cast(b.column("x"), pa.int64()),
+            "y": pc.cast(b.column("y"), pa.int64()),
+            "burned_px": pc.cast(b.column("burned_px"), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GEO_RASTERIZE_GRID = """
+WITH rects AS (
+  SELECT n_nationkey,
+         (n_nationkey % 5) * 60.0 - 145.0 + 0.017 AS xmin,
+         (n_nationkey // 5) * 25.0 - 60.0 + 0.017 AS ymin,
+         (n_nationkey % 5) * 60.0 - 145.0 + 0.017 + 12.0 + (n_nationkey % 7) AS xmax,
+         (n_nationkey // 5) * 25.0 - 60.0 + 0.017 + 8.0 + (n_nationkey % 5) AS ymax
+  FROM nation
+), px AS (
+  -- global pixel coords at z=5 (2^(5+8) = 8192 px world)
+  SELECT n_nationkey,
+         (xmin + 180.0) / 360.0 * 8192.0 AS pxmin,
+         (xmax + 180.0) / 360.0 * 8192.0 AS pxmax,
+         8192.0 * (0.5 + ln(tan((90.0 + greatest(ymin, -85.05112878))
+                                * pi() / 360.0)) / (2.0 * pi())) AS pymin,
+         8192.0 * (0.5 + ln(tan((90.0 + least(ymax, 85.05112878))
+                                * pi() / 360.0)) / (2.0 * pi())) AS pymax
+  FROM rects
+), ranges AS (
+  -- PixelsToTile rule: ceil(p/256) - 1, clamped to the world
+  SELECT n_nationkey, pxmin, pxmax, pymin, pymax,
+         greatest(CAST(ceil(pxmin / 256.0) AS BIGINT) - 1, 0) AS tx0,
+         least(CAST(ceil(pxmax / 256.0) AS BIGINT) - 1, 31) AS tx1,
+         greatest(CAST(ceil(pymin / 256.0) AS BIGINT) - 1, 0) AS ty0,
+         least(CAST(ceil(pymax / 256.0) AS BIGINT) - 1, 31) AS ty1
+  FROM px
+), tiles AS (
+  SELECT r.n_nationkey, s.tx, t.ty, r.pxmin, r.pxmax, r.pymin, r.pymax
+  FROM ranges r, generate_series(0, 31) s(tx), generate_series(0, 31) t(ty)
+  WHERE s.tx BETWEEN r.tx0 AND r.tx1 AND t.ty BETWEEN r.ty0 AND r.ty1
+), counts AS (
+  -- pixel CENTERS j+0.5 strictly inside (pxmin, pxmax): j >= floor(lo)+1
+  -- after shifting by tile origin; closed form, no per-pixel enumeration
+  SELECT n_nationkey, tx, ty,
+         greatest(0::BIGINT,
+           least(CAST(ceil(pxmax - tx * 256 - 0.5) AS BIGINT) - 1, 255)
+           - greatest(CAST(floor(pxmin - tx * 256 - 0.5) AS BIGINT) + 1, 0)
+           + 1) AS ncols,
+         greatest(0::BIGINT,
+           least(CAST(ceil(pymax - ty * 256 - 0.5) AS BIGINT) - 1, 255)
+           - greatest(CAST(floor(pymin - ty * 256 - 0.5) AS BIGINT) + 1, 0)
+           + 1) AS nrows
+  FROM tiles
+)
+SELECT tx AS x, ty AS y, CAST(SUM(ncols * nrows) AS BIGINT) AS burned_px
+FROM counts GROUP BY tx, ty
+"""
