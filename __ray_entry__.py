@@ -285,16 +285,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(aspect, batch_format="pyarrow") \
                  .select_columns(["image_id", "fmt"])
 
-    def _raster_neighbors(sf_dir: str):
-        import ray.data
-
-        from gdal_ray.core import fixtures
-        from gdal_ray.stages.dem import neighbors
-        ds = ray.data.from_arrow(fixtures.images_table(16))
-        return ds.map_batches(lambda b: neighbors(b, stat="median", size=3),
-                              batch_format="pyarrow") \
-                 .select_columns(["image_id", "fmt"])
-
     def _rgb_to_palette(sf_dir: str):
         import ray.data
 
@@ -312,16 +302,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         polys = ray.data.from_arrow(fixtures.polygons_table(64))
         return polys.map_batches(check_geometry, batch_format="pyarrow") \
                     .select_columns(["poly_id", "is_valid", "invalid_reason"])
-
-    def _raster_calc(sf_dir: str):
-        import ray.data
-
-        from gdal_ray.core import fixtures
-        from gdal_ray.stages.raster2 import calc
-        ds = ray.data.from_arrow(fixtures.images_table(24))
-        return ds.map_batches(lambda b: calc(b, "(A + B) / 2"),
-                              batch_format="pyarrow") \
-                 .select_columns(["image_id", "fmt"])
 
     def _raster_sieve(sf_dir: str):
         import ray.data
@@ -401,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_predicates": R.geo_predicates_q,
         "raster_gcp_warp": R.raster_gcp_warp_q,
         "geo_rasterize_grid": R.geo_rasterize_grid_q,
+        "raster_calc": R.raster_calc_q,
+        "raster_neighbors": R.raster_neighbors_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -422,12 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_translate": _translate,
         "vector_sort_hilbert": _vector_sort,
         "ann_ivf": _ann_ivf,
-        "raster_calc": _raster_calc,
         "raster_sieve": _raster_sieve,
         "raster_proximity": _raster_proximity,
         "raster_reproject": _raster_reproject,
         "image_features": _image_features,
-        "raster_neighbors": _raster_neighbors,
         "rgb_to_palette": _rgb_to_palette,
         "vector_check_geometry": _vector_check_geometry,
     }
@@ -473,6 +453,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": R.SQL_TEXT_LANGID,
         "text_quality": R.SQL_TEXT_QUALITY,
         "geo_rasterize_grid": R.SQL_GEO_RASTERIZE_GRID,
+        "raster_calc": R.SQL_RASTER_CALC,
+        "raster_neighbors": R.SQL_RASTER_NEIGHBORS,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -1955,3 +1955,56 @@ WITH rects AS (
 SELECT tx AS x, ty AS y, CAST(SUM(ncols * nrows) AS BIGINT) AS burned_px
 FROM counts GROUP BY tx, ty
 """
+
+
+def raster_calc_q(sf_dir: str):
+    """Band algebra over the derived single-band rasters: the expression
+    where(A > T, 255, A * 2) applied per pixel, sampled at the center —
+    closed-form integer oracle.  (clip(x, 0, 255) then uint8 truncation,
+    so values stay exact.)"""
+    from ..stages.raster2 import calc
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(lambda b: calc(b, "where(A > 64, 255, A * 2)",
+                                          out_fmt="raw"),
+                           batch_format="pyarrow")
+    return out.map_batches(lambda b: _center_pixel(b, "img", "calc_v"),
+                           batch_format="pyarrow")
+
+
+SQL_RASTER_CALC = """
+WITH v AS (
+  SELECT n_nationkey,
+         (n_nationkey * 31 + 8 * 32 + 8) % (97 + n_nationkey % 13) AS center
+  FROM nation
+)
+SELECT n_nationkey,
+       CASE WHEN center > 64 THEN 255
+            ELSE least(center * 2, 255) END AS calc_v
+FROM v
+"""
+
+
+def raster_neighbors_q(sf_dir: str):
+    """Generic focal statistics (median, 3×3) over the derived rasters,
+    sampled at the interior center pixel — DuckDB recomputes the 9-value
+    median from the pixel formula."""
+    from ..stages.dem import neighbors
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(lambda b: neighbors(b, stat="median", size=3),
+                           batch_format="pyarrow")
+    return out.map_batches(lambda b: _center_pixel(b, "img", "med_v"),
+                           batch_format="pyarrow")
+
+
+SQL_RASTER_NEIGHBORS = """
+WITH win AS (
+  SELECT n_nationkey,
+         (n_nationkey * 31 + (7 + r.di) * 32 + (7 + c.dj))
+           % (97 + n_nationkey % 13) AS v
+  FROM nation, generate_series(0, 2) r(di), generate_series(0, 2) c(dj)
+)
+SELECT n_nationkey, CAST(median(v) AS BIGINT) AS med_v
+FROM win GROUP BY n_nationkey
+"""
