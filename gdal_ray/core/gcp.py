@@ -120,3 +120,98 @@ def gcps_from_affine(gt, w: int, h: int, n: int = 3) -> np.ndarray:
     gx = gt[0] + px * gt[1] + py * gt[2]
     gy = gt[3] + px * gt[4] + py * gt[5]
     return np.column_stack([px.ravel(), py.ravel(), gx.ravel(), gy.ravel()])
+
+
+class RPCTransform:
+    """Rational Polynomial Coefficient transform (GDALCreateRPCTransformer,
+    alg/gdaltransformer.cpp:2527 / gdal_rpc.cpp): the published RPC00B
+    model — normalized (lat, lon, height) through four 20-term cubic
+    polynomials gives normalized (line, sample); the inverse
+    (pixel → ground) iterates an affine-seeded Newton refinement exactly
+    like GDALRPCTransform's reverse mode.
+
+    ``coef`` keys: LINE_OFF/SCALE, SAMP_OFF/SCALE, LAT_OFF/SCALE,
+    LONG_OFF/SCALE, HEIGHT_OFF/SCALE, LINE_NUM_COEFF (20), LINE_DEN_COEFF,
+    SAMP_NUM_COEFF, SAMP_DEN_COEFF — the RPC00B field set."""
+
+    def __init__(self, coef: dict, height: float = 0.0):
+        self.c = coef
+        self.height = height
+
+    @staticmethod
+    def _terms(P, L, H):
+        """The 20 RPC00B polynomial terms in specification order."""
+        return np.stack([
+            np.ones_like(P), L, P, H, L * P, L * H, P * H, L * L, P * P,
+            H * H, P * L * H, L ** 3, L * P * P, L * H * H, L * L * P,
+            P ** 3, P * H * H, L * L * H, P * P * H, H ** 3], axis=-1)
+
+    def forward(self, lon, lat, height=None):
+        """(lon, lat[, h]) → (pixel, line)."""
+        c = self.c
+        h = self.height if height is None else height
+        P = (np.asarray(lat, np.float64) - c["LAT_OFF"]) / c["LAT_SCALE"]
+        L = (np.asarray(lon, np.float64) - c["LONG_OFF"]) / c["LONG_SCALE"]
+        H = (np.asarray(h, np.float64) - c["HEIGHT_OFF"]) / c["HEIGHT_SCALE"]
+        H = np.broadcast_to(H, P.shape)
+        t = self._terms(P, L, H)
+        line = (t @ np.asarray(c["LINE_NUM_COEFF"])) \
+            / (t @ np.asarray(c["LINE_DEN_COEFF"]))
+        samp = (t @ np.asarray(c["SAMP_NUM_COEFF"])) \
+            / (t @ np.asarray(c["SAMP_DEN_COEFF"]))
+        return (samp * c["SAMP_SCALE"] + c["SAMP_OFF"],
+                line * c["LINE_SCALE"] + c["LINE_OFF"])
+
+    def inverse(self, px, py, iters: int = 10):
+        """(pixel, line) → (lon, lat) at the fixed height — iterative
+        refinement with a numerically-differenced local affine, the
+        reverse-mode shape of gdal_rpc.cpp."""
+        c = self.c
+        lon = np.full(np.shape(px), float(c["LONG_OFF"]), np.float64)
+        lat = np.full(np.shape(py), float(c["LAT_OFF"]), np.float64)
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        d = 1e-7
+        for _ in range(iters):
+            fx, fy = self.forward(lon, lat)
+            ex, ey = px - fx, py - fy
+            if max(np.abs(ex).max(initial=0), np.abs(ey).max(initial=0)) < 1e-9:
+                break
+            fx1, fy1 = self.forward(lon + d, lat)
+            fx2, fy2 = self.forward(lon, lat + d)
+            a11, a21 = (fx1 - fx) / d, (fy1 - fy) / d
+            a12, a22 = (fx2 - fx) / d, (fy2 - fy) / d
+            det = a11 * a22 - a12 * a21
+            det = np.where(np.abs(det) < 1e-300, 1e-300, det)
+            lon = lon + (a22 * ex - a12 * ey) / det
+            lat = lat + (-a21 * ex + a11 * ey) / det
+        return lon, lat
+
+
+def rpc_from_affine(gt, *, lat0: float = 0.0, lon0: float = 0.0) -> dict:
+    """Degenerate RPC whose polynomials encode an affine pixel↔geo map —
+    the test harness for RPC-vs-affine equivalence (a real RPC00B set from
+    a vendor slots straight in)."""
+    inv_det = gt[1] * gt[5] - gt[2] * gt[4]
+    # pixel = inv(gt) applied to (lon, lat)
+    ia = (gt[5] / inv_det, -gt[2] / inv_det,
+          -gt[4] / inv_det, gt[1] / inv_det)
+    lon_s, lat_s = 10.0, 10.0
+    num_s = [0.0] * 20
+    num_l = [0.0] * 20
+    # samp = ia0*(lon-gt0) + ia1*(lat-gt3); normalized terms: 1, L, P
+    num_s[0] = ia[0] * (lon0 + 0 - gt[0]) + ia[1] * (lat0 - gt[3])
+    num_s[1] = ia[0] * lon_s
+    num_s[2] = ia[1] * lat_s
+    num_l[0] = ia[2] * (lon0 - gt[0]) + ia[3] * (lat0 - gt[3])
+    num_l[1] = ia[2] * lon_s
+    num_l[2] = ia[3] * lat_s
+    den = [1.0] + [0.0] * 19
+    return {
+        "LINE_OFF": 0.0, "LINE_SCALE": 1.0, "SAMP_OFF": 0.0,
+        "SAMP_SCALE": 1.0, "LAT_OFF": lat0, "LAT_SCALE": lat_s,
+        "LONG_OFF": lon0, "LONG_SCALE": lon_s, "HEIGHT_OFF": 0.0,
+        "HEIGHT_SCALE": 1.0, "LINE_NUM_COEFF": num_l,
+        "LINE_DEN_COEFF": den, "SAMP_NUM_COEFF": num_s,
+        "SAMP_DEN_COEFF": den,
+    }

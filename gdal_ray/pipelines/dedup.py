@@ -318,7 +318,8 @@ def simhash_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3,
 
 def embedding_neardup_pairs(emb: "ray.data.Dataset", *, threshold: float = 0.95,
                             num_planes: int = 16, id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> "ray.data.Dataset":
+                            vec_col: str = "embedding",
+                            max_bucket: int = 256) -> "ray.data.Dataset":
     """Pairs with cosine ≥ threshold via random-hyperplane LSH buckets +
     exact in-bucket verification (precision exact, recall ≈ LSH)."""
     def bucket_batch(b: pa.Table) -> pa.Table:
@@ -349,5 +350,7 @@ def embedding_neardup_pairs(emb: "ray.data.Dataset", *, threshold: float = 0.95,
         return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
                          "cosine": pa.array(out_c, pa.float64())})
 
-    return emb.map_batches(bucket_batch, batch_format="pyarrow") \
-              .groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    from .shuffle_utils import filter_multi_keys
+    rows = emb.map_batches(bucket_batch, batch_format="pyarrow")
+    return filter_multi_keys(rows, "bucket", max_count=max_bucket) \
+        .groupby("bucket").map_groups(verify, batch_format="pyarrow")

@@ -155,11 +155,7 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
 
     hot_ref = None
     if salt > 1:
-        hist = cell_histogram(points, level)
-        thr = hot_threshold if hot_threshold is not None else \
-            max(64, int(8 * (sum(hist.values()) / max(1, len(hist)))))
-        hot = np.sort(np.array([c for c, n in hist.items() if n > thr],
-                               dtype=np.int64))
+        hot = hot_cells_distributed(points, level, hot_threshold)
         hot_ref = ray.put(hot)
 
     def _apply_salt(t: pa.Table, replicate: bool) -> pa.Table:
@@ -325,3 +321,36 @@ def cell_histogram(ds: "ray.data.Dataset", level: int, x_col="x", y_col="y") -> 
 
 def hot_cells(hist: dict[int, int], threshold: int) -> dict[int, bool]:
     return {c: True for c, n in hist.items() if n > threshold}
+
+
+def hot_cells_distributed(ds: "ray.data.Dataset", level: int,
+                          hot_threshold: int | None = None,
+                          x_col="x", y_col="y") -> np.ndarray:
+    """Hot-cell set without a driver-side histogram: per-block partial
+    counts feed a distributed groupby-sum; the threshold (8× the mean
+    count, min 64) comes from two scalar aggregates; only the SMALL hot
+    set reaches the driver."""
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(x_col), dtype=np.float64)
+        y = np.asarray(batch.column(y_col), dtype=np.float64)
+        cells, counts = np.unique(C.cell_of(x, y, level), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    counted = ds.map_batches(partial, batch_format="pyarrow")                 .groupby("cell").sum("n").materialize()
+    if hot_threshold is None:
+        total = counted.sum("sum(n)")
+        ncells = max(1, counted.count())
+        hot_threshold = max(64, int(8 * (total / ncells)))
+    thr = hot_threshold
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        mask = np.asarray(b.column("sum(n)"), dtype=np.int64) > thr
+        return pa.table({"cell": b.column("cell").filter(pa.array(mask))})
+
+    hs = [np.asarray(b.column("cell"), dtype=np.int64)
+          for b in counted.map_batches(keep_hot, batch_format="pyarrow")
+                          .iter_batches(batch_format="pyarrow")]
+    if not hs:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(hs))

@@ -113,3 +113,32 @@ def test_gcp_warp_stage_tps(ray_session):
     out = GcpWarpStage(transform="tps", method="near")(t)
     warped = codecs.decode(out.column("bytes")[0].as_py(), "raw")
     np.testing.assert_array_equal(warped, img)
+
+
+def test_rpc_affine_equivalence_and_inverse():
+    from gdal_ray.core.gcp import RPCTransform, rpc_from_affine
+    gt = (10.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+    rpc = RPCTransform(rpc_from_affine(gt, lat0=50.0, lon0=10.0))
+    lon = np.array([10.05, 10.2, 10.31])
+    lat = np.array([49.9, 49.82, 49.75])
+    px, py = rpc.forward(lon, lat)
+    np.testing.assert_allclose(px, (lon - gt[0]) / gt[1], atol=1e-9)
+    np.testing.assert_allclose(py, (lat - gt[3]) / gt[5], atol=1e-9)
+    blon, blat = rpc.inverse(px, py)
+    np.testing.assert_allclose(blon, lon, atol=1e-9)
+    np.testing.assert_allclose(blat, lat, atol=1e-9)
+
+
+def test_rpc_nonlinear_inverse_converges():
+    from gdal_ray.core.gcp import RPCTransform, rpc_from_affine
+    c = rpc_from_affine((10.0, 0.01, 0.0, 50.0, 0.0, -0.01),
+                        lat0=50.0, lon0=10.0)
+    c["SAMP_NUM_COEFF"][7] = 0.05   # L² distortion term
+    c["LINE_NUM_COEFF"][8] = -0.03  # P² distortion term
+    rpc = RPCTransform(c)
+    lon = np.array([10.05, 10.2, 10.31])
+    lat = np.array([49.9, 49.82, 49.75])
+    px, py = rpc.forward(lon, lat)
+    blon, blat = rpc.inverse(px, py)
+    np.testing.assert_allclose(blon, lon, atol=1e-8)
+    np.testing.assert_allclose(blat, lat, atol=1e-8)
