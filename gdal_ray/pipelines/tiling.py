@@ -488,3 +488,90 @@ def write_tiles_resumable(tiles: "ray.data.Dataset", out_dir: str,
     for b in report.iter_batches(batch_format="pyarrow"):
         total += int(np.sum(np.asarray(b.column("rows_written"))))
     return total
+
+
+def mosaic_images(images: "ray.data.Dataset", *, resolution: float,
+                  nodata: float | None = None) -> "ray.data.Dataset":
+    """Standalone mosaic/stack op (gdalalg_raster_mosaic semantics:
+    first-non-nodata wins in deterministic image_id order) — the composite
+    of base_tiles exposed without the pyramid: images resample onto a
+    common north-up grid of cell size ``resolution`` (degrees), partitioned
+    into 256² output chunks keyed like tiles.
+
+    Output rows: (chunk_x, chunk_y, png, checksum, n_contrib) where chunk
+    (cx, cy) covers lon ∈ [cx·256·res, …), lat ∈ (…, cy·256·res] on the
+    global grid — a resumable, bounded-payload mosaic."""
+    import ray
+
+    from ..core import geotransform as gtm
+    from ..core.resample import sample as resample_sample
+
+    res = float(resolution)
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        out = {"tile_key": [], "z": [], "x": [], "y": [], "image_id": [],
+               "wx0": [], "wy0": [], "ww": [], "wh": [],
+               "rgb": [], "mask": [], "caption": []}
+        bts = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        gts = batch.column("geotransform").to_pylist()
+        ids = batch.column("image_id").to_pylist()
+        for i in range(batch.num_rows):
+            img = codecs.decode(bts[i], fmts[i])
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            img = img[:, :, :3]
+            gt = tuple(gts[i])
+            h, w = img.shape[:2]
+            xs = [gt[0], gt[0] + w * gt[1]]
+            ys = [gt[3], gt[3] + h * gt[5]]
+            minx, maxx = min(xs), max(xs)
+            miny, maxy = min(ys), max(ys)
+            c0 = int(np.floor(minx / (256 * res)))
+            c1 = int(np.floor(maxx / (256 * res)))
+            r0 = int(np.floor(miny / (256 * res)))
+            r1 = int(np.floor(maxy / (256 * res)))
+            inv = gtm.invert(gt)
+            for cy in range(r0, r1 + 1):
+                for cx in range(c0, c1 + 1):
+                    ox = cx * 256 * res
+                    oy = (cy + 1) * 256 * res  # top of chunk
+                    px = ox + (np.arange(256) + 0.5) * res
+                    py = oy - (np.arange(256) + 0.5) * res
+                    gx, gy = np.meshgrid(px, py)
+                    sx, sy = gtm.apply(inv, gx.ravel(), gy.ravel())
+                    vals, valid = resample_sample(
+                        img, sx.reshape(256, 256), sy.reshape(256, 256),
+                        method="bilinear", nodata=nodata)
+                    if not valid.any():
+                        continue
+                    rgb = np.clip(np.floor(vals + 0.5), 0, 255).astype(np.uint8)
+                    rgb[~valid] = 0
+                    out["tile_key"].append((int(cx) << 32) | (int(cy) & 0xFFFFFFFF))
+                    out["z"].append(0)
+                    out["x"].append(int(cx)); out["y"].append(int(cy))
+                    out["image_id"].append(ids[i])
+                    out["wx0"].append(0); out["wy0"].append(0)
+                    out["ww"].append(256); out["wh"].append(256)
+                    out["rgb"].append(np.ascontiguousarray(rgb).tobytes())
+                    out["mask"].append((valid.astype(np.uint8) * 255).tobytes())
+                    out["caption"].append("")
+        return pa.table({
+            "tile_key": pa.array(out["tile_key"], pa.int64()),
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int32()),
+            "y": pa.array(out["y"], pa.int32()),
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "wx0": pa.array(out["wx0"], pa.int32()),
+            "wy0": pa.array(out["wy0"], pa.int32()),
+            "ww": pa.array(out["ww"], pa.int32()),
+            "wh": pa.array(out["wh"], pa.int32()),
+            "rgb": pa.array(out["rgb"], pa.binary()),
+            "mask": pa.array(out["mask"], pa.binary()),
+            "caption": pa.array(out["caption"], pa.string()),
+        })
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    rows = images.map_batches(contribs, batch_format="pyarrow")
+    return rows.repartition(min(24, max(8, cpus))) \
+        .groupby("tile_key").map_groups(composite_group, batch_format="pyarrow")

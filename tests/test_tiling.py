@@ -185,3 +185,36 @@ def test_end_to_end_small_pyramid(tmp_path):
     import pyarrow.parquet as pq
     got = pq.read_table(str(tmp_path / "tiles"))
     assert got.num_rows == n_base
+
+
+def test_mosaic_images_first_wins(ray_session):
+    """Standalone mosaic: two overlapping images on a common grid,
+    first-non-nodata by image_id order, seams composited correctly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_ray.core import codecs
+    from gdal_ray.pipelines.tiling import mosaic_images
+
+    res = 0.01
+    def row(iid, x0, val):
+        img = np.full((128, 128, 3), val, np.uint8)
+        return {"image_id": iid, "bytes": codecs.encode_raw(img),
+                "fmt": "raw", "w": 128, "h": 128,
+                "geotransform": [x0, res, 0.0, 1.28, 0.0, -res],
+                "crs": "EPSG:4326", "caption": "", "nodata": None,
+                "phash": 0}
+    # a overlaps b on x in [0.64, 1.28); a (id "a") wins there
+    ds = ray.data.from_items([row("a", 0.0, 100), row("b", 0.64, 200)])
+    tiles = {(r["x"], r["y"]): r for r in
+             mosaic_images(ds, resolution=res).take_all()}
+    assert len(tiles) >= 1
+    t0 = tiles[(0, 0)]
+    img = codecs.decode_png(t0["png"])
+    # chunk (0,0) spans lat [0, 2.56); the 1.28-tall images fill rows 128+
+    assert img[200, 10, 0] == 100           # a-only region
+    assert img[200, 100, 0] == 100          # overlap: a (smaller id) wins
+    assert img[200, 150, 0] == 200          # b-only region
+    assert img[10, 10, 3] == 0              # empty top half transparent
+    assert t0["n_contrib"] == 2
