@@ -156,10 +156,18 @@ def _register_raster():
     _REGISTRY["clean_collar"] = _batch_stage(R2.clean_collar)
     _REGISTRY["color_map"] = _batch_stage(R2.color_map)
     _REGISTRY["nodata_to_alpha"] = _batch_stage(R2.nodata_to_alpha)
+    _REGISTRY["viewshed"] = lambda ds, obs_height=2.0: ds.map_batches(
+        lambda b: D.viewshed(b, obs_height=float(obs_height)),
+        batch_format="pyarrow")
     _REGISTRY["blend"] = lambda ds, opacity=0.5: ds.map_batches(
         lambda b: R2.blend(b, opacity=float(opacity)),
         batch_format="pyarrow")
     _REGISTRY["raster_update"] = _batch_stage(R2.raster_update)
+
+    from ..pipelines import tiling as T
+    _REGISTRY["mosaic"] = lambda ds, resolution, nodata=None: T.mosaic_images(
+        ds, resolution=float(resolution), nodata=nodata)
+    _REGISTRY["base_tiles"] = lambda ds, zoom: T.base_tiles(ds, int(zoom))
 
 
 _register_vector()
