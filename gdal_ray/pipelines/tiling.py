@@ -75,29 +75,58 @@ def composite_group(group: pa.Table) -> pa.Table:
     by image_id order so output is deterministic regardless of arrival
     order), then PNG encode.  Contributions are sub-windows (wx0, wy0, ww,
     wh) — only the tile region each image touches ships through the
-    shuffle.  Runs inside groupby().map_groups."""
-    order = np.argsort(np.asarray(group.column("image_id").to_pylist(), dtype=object), kind="stable")
-    rgb_acc = np.zeros((TILE, TILE, 3), dtype=np.uint8)
-    mask_acc = np.zeros((TILE, TILE), dtype=bool)
+    shuffle.  Runs inside groupby().map_groups.
+
+    Rows may be PLAIN contributions (one source image) or map-side PARTIAL
+    composites (``widx`` per-pixel winner index into ``src_ids``).  The
+    merge rule is per-pixel MIN source image_id — identical to sequential
+    first-valid-wins in id order, but associative, which is what makes the
+    map-side combine sound."""
     rgbs = group.column("rgb").to_pylist()
     masks = group.column("mask").to_pylist()
     wx0s = group.column("wx0").to_pylist()
     wy0s = group.column("wy0").to_pylist()
     wws = group.column("ww").to_pylist()
     whs = group.column("wh").to_pylist()
+    iids = group.column("image_id").to_pylist()
     comps = (group.column("comp").to_pylist()
              if "comp" in group.column_names else [0] * group.num_rows)
-    for j in order:
+    widxs = (group.column("widx").to_pylist()
+             if "widx" in group.column_names else [None] * group.num_rows)
+    srcs = (group.column("src_ids").to_pylist()
+            if "src_ids" in group.column_names else [None] * group.num_rows)
+    nsrcs = (group.column("n_src").to_pylist()
+             if "n_src" in group.column_names else [None] * group.num_rows)
+    maxlen = 1
+    for j in range(group.num_rows):
+        for s in (srcs[j] or [iids[j]]):
+            maxlen = max(maxlen, len(s))
+    rgb_acc = np.zeros((TILE, TILE, 3), dtype=np.uint8)
+    mask_acc = np.zeros((TILE, TILE), dtype=bool)
+    best_ids = np.full((TILE, TILE), "", dtype=f"<U{maxlen}")
+    n_contrib = 0
+    for j in range(group.num_rows):
         x0, y0, ww, wh = wx0s[j], wy0s[j], wws[j], whs[j]
         m = np.frombuffer(_maybe_decompress(masks[j], comps[j]),
                           dtype=np.uint8).reshape(wh, ww) > 0
-        sub_acc = mask_acc[y0:y0 + wh, x0:x0 + ww]
-        take = m & ~sub_acc
-        if take.any():
-            rgb = np.frombuffer(_maybe_decompress(rgbs[j], comps[j]),
-                                dtype=np.uint8).reshape(wh, ww, 3)
-            rgb_acc[y0:y0 + wh, x0:x0 + ww][take] = rgb[take]
-            mask_acc[y0:y0 + wh, x0:x0 + ww] |= take
+        rgb = np.frombuffer(_maybe_decompress(rgbs[j], comps[j]),
+                            dtype=np.uint8).reshape(wh, ww, 3)
+        if widxs[j] is not None:
+            w = np.frombuffer(_maybe_decompress(widxs[j], comps[j]),
+                              dtype=np.uint8).reshape(wh, ww)
+            ids_row = np.array(srcs[j], dtype=f"<U{maxlen}")
+            cand = ids_row[np.clip(w, 0, len(ids_row) - 1)]
+            n_contrib += int(nsrcs[j])
+        else:
+            cand = np.full((wh, ww), iids[j], dtype=f"<U{maxlen}")
+            n_contrib += 1
+        sub_mask = mask_acc[y0:y0 + wh, x0:x0 + ww]
+        sub_best = best_ids[y0:y0 + wh, x0:x0 + ww]
+        better = m & (~sub_mask | (cand < sub_best))
+        if better.any():
+            rgb_acc[y0:y0 + wh, x0:x0 + ww][better] = rgb[better]
+            sub_best[better] = cand[better]
+            mask_acc[y0:y0 + wh, x0:x0 + ww] |= better
     rgba = np.concatenate([rgb_acc, (mask_acc.astype(np.uint8) * 255)[:, :, None]],
                           axis=2)
     png = codecs.encode_png(rgba, level=PNG_LEVEL)
@@ -111,7 +140,7 @@ def composite_group(group: pa.Table) -> pa.Table:
         "y": pa.array([y], pa.int32()),
         "png": pa.array([png], pa.binary()),
         "checksum": pa.array([gdal_checksum(rgba[:, :, 0])], pa.int32()),
-        "n_contrib": pa.array([group.num_rows], pa.int32()),
+        "n_contrib": pa.array([n_contrib], pa.int32()),
     })
 
 
@@ -208,7 +237,10 @@ def composite_singles(batch: pa.Table) -> pa.Table:
         "y": batch.column("y"),
         "png": pa.array(pngs, pa.binary()),
         "checksum": pa.array(sums, pa.int32()),
-        "n_contrib": pa.array(np.ones(batch.num_rows, np.int32)),
+        "n_contrib": pa.array(
+            np.asarray(batch.column("n_src"), dtype=np.int32)
+            if "n_src" in batch.column_names
+            else np.ones(batch.num_rows, np.int32)),
     })
 
 
@@ -294,14 +326,17 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
     # materialize; both read it without recompute.)
     tile_cols = ["tile_key", "z", "x", "y", "png", "checksum", "n_contrib"]
     contrib_cols = ["tile_key", "z", "x", "y", "image_id", "wx0", "wy0",
-                    "ww", "wh", "rgb", "mask", "caption", "comp"]
+                    "ww", "wh", "rgb", "mask", "caption", "comp",
+                    "widx", "src_ids", "n_src"]
     unified = [("tile_key", pa.int64()), ("z", pa.int32()), ("x", pa.int32()),
                ("y", pa.int32()), ("is_done", pa.bool_()),
                ("png", pa.binary()), ("checksum", pa.int32()),
                ("n_contrib", pa.int32()), ("image_id", pa.string()),
                ("wx0", pa.int32()), ("wy0", pa.int32()), ("ww", pa.int32()),
                ("wh", pa.int32()), ("rgb", pa.binary()), ("mask", pa.binary()),
-               ("caption", pa.string()), ("comp", pa.int8())]
+               ("caption", pa.string()), ("comp", pa.int8()),
+               ("widx", pa.binary()), ("src_ids", pa.list_(pa.string())),
+               ("n_src", pa.int32())]
 
     def _pad(t: pa.Table, done: bool) -> pa.Table:
         cols = []
@@ -324,20 +359,115 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
             is_multi = m[pos] == keys
         done = composite_singles(batch.filter(pa.array(~is_multi)))
         contested = batch.filter(pa.array(is_multi))
-        # contested payloads ship through the shuffle + object store:
-        # zlib-1 cuts them ~3.5x for ~1.5 ms/row — trading shared-bus
-        # bandwidth for CPU, which is the resource that scales
-        rgb_c = [zlib.compress(v, 1) for v in contested.column("rgb").to_pylist()]
-        msk_c = [zlib.compress(v, 1) for v in contested.column("mask").to_pylist()]
-        contested = contested.set_column(
-            contested.column_names.index("rgb"), "rgb",
-            pa.array(rgb_c, pa.binary()))
-        contested = contested.set_column(
-            contested.column_names.index("mask"), "mask",
-            pa.array(msk_c, pa.binary()))
-        contested = contested.append_column(
-            "comp", pa.array(np.ones(contested.num_rows, np.int8)))
-        return pa.concat_tables([_pad(done, True), _pad(contested, False)])
+        # MAP-SIDE PARTIAL COMPOSITING (the combiner): same-tile
+        # contributions within this batch merge into ONE partial row
+        # carrying a per-pixel winner index (first-valid-wins is per-pixel
+        # MIN image_id, which is associative, so partials merge exactly in
+        # the reduce).  Payloads ship zlib-1 compressed — trading
+        # shared-bandwidth bytes for CPU, the resource that scales.
+        keys = np.asarray(contested.column("tile_key"), dtype=np.int64)
+        if np.unique(keys).size == keys.size:
+            # nothing to combine in this batch (spatially-shuffled input):
+            # skip the merge machinery, just compress the payloads
+            rgb_c = [zlib.compress(v, 1)
+                     for v in contested.column("rgb").to_pylist()]
+            msk_c = [zlib.compress(v, 1)
+                     for v in contested.column("mask").to_pylist()]
+            contested = contested.set_column(
+                contested.column_names.index("rgb"), "rgb",
+                pa.array(rgb_c, pa.binary()))
+            contested = contested.set_column(
+                contested.column_names.index("mask"), "mask",
+                pa.array(msk_c, pa.binary()))
+            contested = contested.append_column(
+                "comp", pa.array(np.ones(contested.num_rows, np.int8)))
+            contested = contested.append_column(
+                "n_src", pa.array(np.ones(contested.num_rows, np.int32)))
+            return pa.concat_tables([_pad(done, True), _pad(contested, False)])
+        iid_arr = np.asarray(contested.column("image_id").to_pylist(),
+                             dtype=object)
+        order = np.lexsort((iid_arr, keys))
+        ct = contested.take(pa.array(order, pa.int64()))
+        skeys = keys[order]
+        cuts = np.flatnonzero(np.diff(skeys)) + 1
+        starts = np.concatenate([[0], cuts]).astype(np.int64)
+        ends = np.concatenate([cuts, [len(skeys)]]).astype(np.int64)
+        out = {c: [] for c in contrib_cols}
+        g_rgb = ct.column("rgb").to_pylist()
+        g_msk = ct.column("mask").to_pylist()
+        g_iid = ct.column("image_id").to_pylist()
+        g_x0 = ct.column("wx0").to_pylist()
+        g_y0 = ct.column("wy0").to_pylist()
+        g_ww = ct.column("ww").to_pylist()
+        g_wh = ct.column("wh").to_pylist()
+        g_cap = ct.column("caption").to_pylist()
+        for s0, e0 in zip(starts, ends):
+            rows = range(s0, e0)
+            if e0 - s0 == 1:
+                j = s0
+                out["wx0"].append(g_x0[j]); out["wy0"].append(g_y0[j])
+                out["ww"].append(g_ww[j]); out["wh"].append(g_wh[j])
+                out["rgb"].append(zlib.compress(g_rgb[j], 1))
+                out["mask"].append(zlib.compress(g_msk[j], 1))
+                out["widx"].append(None)
+                out["src_ids"].append(None)
+                out["n_src"].append(1)
+                out["image_id"].append(g_iid[j])
+            else:
+                x0 = min(g_x0[j] for j in rows)
+                y0 = min(g_y0[j] for j in rows)
+                x1 = max(g_x0[j] + g_ww[j] for j in rows)
+                y1 = max(g_y0[j] + g_wh[j] for j in rows)
+                W, H = x1 - x0, y1 - y0
+                rgbM = np.zeros((H, W, 3), np.uint8)
+                widxM = np.full((H, W), 255, np.uint8)
+                validM = np.zeros((H, W), bool)
+                assert e0 - s0 < 255, "partial merge limited to 254 sources"
+                for k, j in enumerate(rows):   # rows sorted by id: first wins
+                    ox, oy = g_x0[j] - x0, g_y0[j] - y0
+                    m = np.frombuffer(g_msk[j], dtype=np.uint8) \
+                        .reshape(g_wh[j], g_ww[j]) > 0
+                    rgb = np.frombuffer(g_rgb[j], dtype=np.uint8) \
+                        .reshape(g_wh[j], g_ww[j], 3)
+                    subv = validM[oy:oy + g_wh[j], ox:ox + g_ww[j]]
+                    place = m & ~subv
+                    rgbM[oy:oy + g_wh[j], ox:ox + g_ww[j]][place] = rgb[place]
+                    widxM[oy:oy + g_wh[j], ox:ox + g_ww[j]][place] = k
+                    validM[oy:oy + g_wh[j], ox:ox + g_ww[j]] |= place
+                out["wx0"].append(x0); out["wy0"].append(y0)
+                out["ww"].append(W); out["wh"].append(H)
+                out["rgb"].append(zlib.compress(rgbM.tobytes(), 1))
+                out["mask"].append(zlib.compress(
+                    (validM.astype(np.uint8) * 255).tobytes(), 1))
+                out["widx"].append(zlib.compress(widxM.tobytes(), 1))
+                out["src_ids"].append([g_iid[j] for j in rows])
+                out["n_src"].append(e0 - s0)
+                out["image_id"].append(g_iid[s0])
+            out["tile_key"].append(int(skeys[s0]))
+            out["z"].append(ct.column("z")[s0].as_py())
+            out["x"].append(ct.column("x")[s0].as_py())
+            out["y"].append(ct.column("y")[s0].as_py())
+            out["caption"].append(g_cap[s0])
+            out["comp"].append(1)
+        merged = pa.table({
+            "tile_key": pa.array(out["tile_key"], pa.int64()),
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int32()),
+            "y": pa.array(out["y"], pa.int32()),
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "wx0": pa.array(out["wx0"], pa.int32()),
+            "wy0": pa.array(out["wy0"], pa.int32()),
+            "ww": pa.array(out["ww"], pa.int32()),
+            "wh": pa.array(out["wh"], pa.int32()),
+            "rgb": pa.array(out["rgb"], pa.binary()),
+            "mask": pa.array(out["mask"], pa.binary()),
+            "caption": pa.array(out["caption"], pa.string()),
+            "comp": pa.array(out["comp"], pa.int8()),
+            "widx": pa.array(out["widx"], pa.binary()),
+            "src_ids": pa.array(out["src_ids"], pa.list_(pa.string())),
+            "n_src": pa.array(out["n_src"], pa.int32()),
+        })
+        return pa.concat_tables([_pad(done, True), _pad(merged, False)])
 
     routed = contribs.map_batches(route, batch_format="pyarrow").materialize()
     finished = routed.map_batches(

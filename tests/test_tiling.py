@@ -218,3 +218,23 @@ def test_mosaic_images_first_wins(ray_session):
     assert img[200, 150, 0] == 200          # b-only region
     assert img[10, 10, 3] == 0              # empty top half transparent
     assert t0["n_contrib"] == 2
+
+
+def test_partial_composite_equals_plain_shuffle(ray_session):
+    """The map-side partial-compositing path (default) must be BIT-IDENTICAL
+    to the plain one-shuffle composite (split_singles=False): same tiles,
+    same checksums, same n_contrib — per-pixel min-image_id is associative."""
+    import numpy as np
+    import ray.data
+
+    from gdal_ray.core import fixtures
+    from gdal_ray.pipelines.tiling import base_tiles
+
+    images = ray.data.from_arrow(fixtures.images_table(48)).repartition(6)
+    fast = {r["tile_key"]: (r["checksum"], r["n_contrib"])
+            for r in base_tiles(images, zoom=7, batch_size=8).take_all()}
+    plain = {r["tile_key"]: (r["checksum"], r["n_contrib"])
+             for r in base_tiles(images, zoom=7, batch_size=8,
+                                 split_singles=False).take_all()}
+    assert fast == plain
+    assert len(fast) > 0
