@@ -81,20 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }))
         return pa.concat_tables(rows)
 
-    def _footprint_join(sf_dir: str):
-        """Image-footprint × polygon-layer intersects join (rows-only;
-        brute-force-verified in pytest)."""
-        import ray.data
-
-        from gdal_ray.core import fixtures
-        from gdal_ray.pipelines import spatial_join as SJ
-        from gdal_ray.stages.footprint import footprints
-        images = ray.data.from_arrow(fixtures.images_table(64))
-        fps = images.map_batches(footprints, batch_format="pyarrow")
-        polys = ray.data.from_arrow(fixtures.polygons_table(48))
-        return SJ.polygon_polygon_join(fps, polys, predicate="intersects",
-                                       a_id_col="image_id", b_id_col="poly_id")
-
     def _minhash_neardup(sf_dir: str):
         import ray.data
 
@@ -383,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_rasterize_grid": R.geo_rasterize_grid_q,
         "raster_calc": R.raster_calc_q,
         "raster_neighbors": R.raster_neighbors_q,
+        "footprint_join": R.footprint_join_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -391,7 +378,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": R.ann_topk,
         # non-SQL-expressible (rows-only driver check, pytest oracles)
         "tile_pyramid_summary": _tile_pyramid_summary,
-        "footprint_join": _footprint_join,
         "geo_rasterize": _geo_rasterize,
         "geo_polygonize": _geo_polygonize,
         "geo_polygonize_stitched": R.geo_polygonize_stitched_q,
@@ -455,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_rasterize_grid": R.SQL_GEO_RASTERIZE_GRID,
         "raster_calc": R.SQL_RASTER_CALC,
         "raster_neighbors": R.SQL_RASTER_NEIGHBORS,
+        "footprint_join": R.SQL_FOOTPRINT_JOIN,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

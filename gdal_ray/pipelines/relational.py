@@ -2008,3 +2008,67 @@ WITH win AS (
 SELECT n_nationkey, CAST(median(v) AS BIGINT) AS med_v
 FROM win GROUP BY n_nationkey
 """
+
+
+def footprint_join_q(sf_dir: str):
+    """Image-footprint × vector-layer intersects join through the REAL
+    cell-join path (footprints stage → canonical-cell polygon×polygon
+    join): derived 0.32° image footprints × region-derived rect layer;
+    oracle = rect-intersection arithmetic (north-up footprints ARE their
+    bboxes)."""
+    from ..pipelines import spatial_join as SJ
+    from ..stages.footprint import footprints
+
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    fps = imgs.map_batches(footprints, batch_format="pyarrow")
+
+    def b_rects(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("r_regionkey"), dtype=np.int64)
+        # columns crossing several image rows of the 10° grid
+        xmin = k * 10.0 + 0.2
+        ymin = np.full(k.shape, -0.1)
+        xmax = xmin + 0.05 + k * 0.1
+        ymax = ymin + 40.3
+        return pa.table({"poly_id": pa.array([f"r{v:02d}" for v in k]),
+                         "wkb": pa.array([wkb.box(a, c, d, e) for a, c, d, e
+                                          in zip(xmin, ymin, xmax, ymax)],
+                                         pa.binary())})
+
+    pls = _read(sf_dir, "region").map_batches(b_rects, batch_format="pyarrow")
+    out = SJ.polygon_polygon_join(fps, pls, predicate="intersects",
+                                  a_id_col="image_id", b_id_col="poly_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_nationkey": pa.array([int(s[3:]) for s in
+                                     b.column("image_id").to_pylist()],
+                                    pa.int64()),
+            "r_regionkey": pa.array([int(s[1:]) for s in
+                                     b.column("poly_id").to_pylist()],
+                                    pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FOOTPRINT_JOIN = """
+WITH img AS (
+  SELECT n_nationkey,
+         (n_nationkey % 5) * 10.0 + 0.05 AS xmin,
+         (n_nationkey // 5) * 10.0 + 0.05 - 0.32 AS ymin,
+         (n_nationkey % 5) * 10.0 + 0.05 + 0.32 AS xmax,
+         (n_nationkey // 5) * 10.0 + 0.05 AS ymax
+  FROM nation
+), lyr AS (
+  SELECT r_regionkey,
+         r_regionkey * 10.0 + 0.2 AS xmin, -0.1 AS ymin,
+         r_regionkey * 10.0 + 0.2 + 0.05 + r_regionkey * 0.1 AS xmax,
+         -0.1 + 40.3 AS ymax
+  FROM region
+)
+SELECT n_nationkey, r_regionkey
+FROM img JOIN lyr
+  ON least(img.xmax, lyr.xmax) >= greatest(img.xmin, lyr.xmin)
+ AND least(img.ymax, lyr.ymax) >= greatest(img.ymin, lyr.ymin)
+"""
