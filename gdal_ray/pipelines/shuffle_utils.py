@@ -90,3 +90,62 @@ def filter_multi_keys(ds: "ray.data.Dataset", key_col: str,
         return b.filter(pa.array(m[pos] == keys))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hot_keys_distributed(ds: "ray.data.Dataset", key_col: str,
+                         threshold: int | None = None) -> np.ndarray:
+    """Keys whose row count exceeds ``threshold`` (default 8× the mean,
+    min 64) — distributed count, only the small hot set reaches the
+    driver.  The generic form of the spatial joins' skew pre-pass."""
+    def partial(b: pa.Table) -> pa.Table:
+        k, c = np.unique(np.asarray(b.column(key_col), dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"k": pa.array(k), "c": pa.array(c)})
+
+    counted = ds.map_batches(partial, batch_format="pyarrow") \
+                .groupby("k").sum("c").materialize()
+    if threshold is None:
+        total = counted.sum("sum(c)")
+        ncells = max(1, counted.count())
+        threshold = max(64, int(8 * (total / ncells)))
+    thr = threshold
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = np.asarray(b.column("sum(c)"), dtype=np.int64) > thr
+        return pa.table({"k": b.column("k").filter(pa.array(mask))})
+
+    hs = [np.asarray(b.column("k"), dtype=np.int64)
+          for b in counted.map_batches(keep, batch_format="pyarrow")
+                          .iter_batches(batch_format="pyarrow")]
+    if not hs:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(hs))
+
+
+def salt_keys_batch(t: pa.Table, key_col: str, out_col: str,
+                    hot: np.ndarray, salt: int,
+                    replicate: bool) -> pa.Table:
+    """Exactness-preserving salt: non-replicating rows of a hot key hash
+    into ``salt`` sub-keys; replicating rows copy into all of them — every
+    cross-side pair still meets in exactly one group.  The original key
+    column is left intact (canonical-cell tests keep working)."""
+    keys = np.asarray(t.column(key_col), dtype=np.int64)
+    if hot.size == 0:
+        return t.append_column(out_col, pa.array(keys * np.int64(salt)))
+    pos = np.clip(np.searchsorted(hot, keys), 0, hot.size - 1)
+    is_hot = hot[pos] == keys
+    base = keys * np.int64(salt)
+    if not replicate:
+        h = (keys + np.arange(keys.size, dtype=np.int64)
+             * np.int64(2654435761)) % salt
+        return t.append_column(out_col, pa.array(
+            base + np.where(is_hot, h, 0)))
+    reps = np.where(is_hot, salt, 1).astype(np.int64)
+    idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+    offsets = np.zeros(idx.size, dtype=np.int64)
+    starts = np.cumsum(reps) - reps
+    hot_rows = np.nonzero(is_hot)[0]
+    for s in range(salt):
+        offsets[starts[hot_rows] + s] = s
+    out = t.take(pa.array(idx, pa.int64()))
+    return out.append_column(out_col, pa.array(base[idx] + offsets))

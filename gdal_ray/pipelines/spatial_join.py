@@ -275,19 +275,41 @@ def polygon_polygon_join(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
                          predicate: str = "intersects",
                          level: int = C.DEFAULT_LEVEL,
                          a_id_col: str = "image_id", b_id_col: str = "poly_id",
-                         ) -> "ray.data.Dataset":
+                         salt: int = 0,
+                         hot_threshold: int | None = None) -> "ray.data.Dataset":
     """(a_id, b_id) pairs for polygon×polygon predicates — the image-
     footprint × vector-layer join of the north star.  Exactly-once via the
-    canonical-cell rule (no dedup shuffle)."""
+    canonical-cell rule (no dedup shuffle).
+
+    Skew (``salt`` > 1): a distributed count flags hot cells on the A
+    side; A rows of a hot cell hash into `salt` sub-keys, B rows of that
+    cell replicate into all of them — each (a, b) pair still meets in
+    exactly one group (A is in one sub-key), so the canonical-cell test
+    (which keeps reading the ORIGINAL cell column) is untouched while the
+    hottest group shrinks by `salt`×."""
     assert predicate in _PREDICATES
     spec = [(a_id_col, pa.string()), (b_id_col, pa.string()), ("wkb", pa.binary()),
             ("bxmin", pa.float64()), ("bymin", pa.float64()),
             ("bxmax", pa.float64()), ("bymax", pa.float64()),
-            ("cell", pa.int64()), ("side", pa.int8())]
+            ("cell", pa.int64()), ("side", pa.int8()), ("skey", pa.int64())]
+
+    hot_ref = None
+    if salt > 1:
+        from .shuffle_utils import hot_keys_distributed
+        a_cells = a.map_batches(
+            lambda batch: polygons_expand_cells(batch, level).select(["cell"]),
+            batch_format="pyarrow")
+        hot_ref = ray.put(hot_keys_distributed(a_cells, "cell", hot_threshold))
 
     def prep(side_val):
         def fn(batch: pa.Table) -> pa.Table:
+            from .shuffle_utils import salt_keys_batch
             t = polygons_expand_cells(batch, level)
+            if hot_ref is not None:
+                t = salt_keys_batch(t, "cell", "skey", ray.get(hot_ref),
+                                    salt, replicate=(side_val == 1))
+            else:
+                t = t.append_column("skey", t.column("cell"))
             t = t.append_column("side", pa.array(np.full(t.num_rows, side_val, np.int8)))
             return _pad_to_schema(t, spec)
         return fn
@@ -296,7 +318,7 @@ def polygon_polygon_join(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
         b.map_batches(prep(1), batch_format="pyarrow"))
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     both = both.repartition(min(24, max(8, cpus)))
-    return both.groupby("cell").map_groups(
+    return both.groupby("skey").map_groups(
         lambda g: _poly_poly_group(g, predicate, level, a_id_col, b_id_col),
         batch_format="pyarrow")
 

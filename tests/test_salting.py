@@ -43,3 +43,40 @@ def test_salting_splits_hot_cells():
     out = SJ.point_in_polygon_join(ds, ray.data.from_arrow(pls), salt=8,
                                    hot_threshold=50)
     out.take_all()  # must execute without error
+
+
+def test_poly_poly_join_salting_exactness(ray_session):
+    """Salted polygon×polygon join returns EXACTLY the unsalted pair set on
+    a skewed layer (hundreds of footprints piled into one cell)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_ray.core import wkb
+    from gdal_ray.pipelines.spatial_join import polygon_polygon_join
+
+    rng = np.random.default_rng(17)
+    # A: 300 small rects crammed into one ~2.8° cell (level-7 hot cell)
+    a_rows = []
+    for i in range(300):
+        x0 = 10.0 + rng.uniform(0, 2.0)
+        y0 = 40.0 + rng.uniform(0, 2.0)
+        a_rows.append((f"a{i:03d}", wkb.box(x0, y0, x0 + 0.2, y0 + 0.2)))
+    # B: 40 rects over the same area
+    b_rows = []
+    for i in range(40):
+        x0 = 10.0 + rng.uniform(0, 2.2)
+        y0 = 40.0 + rng.uniform(0, 2.2)
+        b_rows.append((f"b{i:02d}", wkb.box(x0, y0, x0 + 0.4, y0 + 0.4)))
+    A = ray.data.from_arrow(pa.table({
+        "image_id": pa.array([r[0] for r in a_rows]),
+        "wkb": pa.array([r[1] for r in a_rows], pa.binary())}))
+    B = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array([r[0] for r in b_rows]),
+        "wkb": pa.array([r[1] for r in b_rows], pa.binary())}))
+    plain = {(r["image_id"], r["poly_id"]) for r in
+             polygon_polygon_join(A, B).take_all()}
+    salted = {(r["image_id"], r["poly_id"]) for r in
+              polygon_polygon_join(A, B, salt=8, hot_threshold=50).take_all()}
+    assert len(plain) > 100
+    assert salted == plain
