@@ -60,27 +60,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return quant.map_batches(polygonize, batch_format="pyarrow") \
                     .select_columns(["image_id", "value", "pix_count"])
 
-    def _tile_pyramid_summary(sf_dir: str):
-        """Flagship tiling summary (rows-only): per-zoom tile counts across
-        a 3-level pyramid over the synthetic catalog."""
-        import pyarrow as pa
-        import ray.data
-
-        from gdal_ray.core import fixtures
-        from gdal_ray.pipelines import tiling
-        images = ray.data.from_arrow(fixtures.images_table(48))
-        levels = tiling.tile_pyramid(images, max_zoom=8, min_zoom=6, concurrency=2)
-        rows = []
-        for lv in levels:
-            t = pa.concat_tables(list(lv.select_columns(["z", "x", "y", "checksum"])
-                                      .iter_batches(batch_format="pyarrow")))
-            rows.append(pa.table({
-                "z": pa.array([t.column("z")[0].as_py() if t.num_rows else -1], pa.int32()),
-                "n_tiles": pa.array([t.num_rows], pa.int64()),
-                "checksum_sum": pa.array([int(pa.compute.sum(t.column("checksum")).as_py() or 0)], pa.int64()),
-            }))
-        return pa.concat_tables(rows)
-
     def _minhash_neardup(sf_dir: str):
         import ray.data
 
@@ -370,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_calc": R.raster_calc_q,
         "raster_neighbors": R.raster_neighbors_q,
         "footprint_join": R.footprint_join_q,
+        "tile_pyramid_summary": R.tile_pyramid_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -377,7 +357,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_alpha_ratio": R.text_alpha_ratio,
         "ann_topk": R.ann_topk,
         # non-SQL-expressible (rows-only driver check, pytest oracles)
-        "tile_pyramid_summary": _tile_pyramid_summary,
         "geo_rasterize": _geo_rasterize,
         "geo_polygonize": _geo_polygonize,
         "geo_polygonize_stitched": R.geo_polygonize_stitched_q,
@@ -442,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_calc": R.SQL_RASTER_CALC,
         "raster_neighbors": R.SQL_RASTER_NEIGHBORS,
         "footprint_join": R.SQL_FOOTPRINT_JOIN,
+        "tile_pyramid_summary": R.SQL_TILE_PYRAMID,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

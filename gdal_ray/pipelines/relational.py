@@ -2072,3 +2072,58 @@ FROM img JOIN lyr
   ON least(img.xmax, lyr.xmax) >= greatest(img.xmin, lyr.xmin)
  AND least(img.ymax, lyr.ymax) >= greatest(img.ymin, lyr.ymin)
 """
+
+
+def tile_pyramid_q(sf_dir: str):
+    """Flagship pyramid over the derived rasters with a FULL oracle:
+    per-level tile counts; DuckDB recomputes base-tile membership from the
+    web-mercator pixel-center formulas and parent counts by integer
+    halving."""
+    import ray.data
+
+    from .tiling import tile_pyramid
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    levels = tile_pyramid(imgs, max_zoom=5, min_zoom=3, concurrency=2)
+    zs, ns = [], []
+    for lv in levels:
+        rows = lv.select_columns(["z"]).take_all()
+        zs.append(int(rows[0]["z"]) if rows else -1)
+        ns.append(len(rows))
+    return pa.table({"z": pa.array(zs, pa.int64()),
+                     "n_tiles": pa.array(ns, pa.int64())})
+
+
+SQL_TILE_PYRAMID = """
+WITH img AS (
+  SELECT n_nationkey,
+         (n_nationkey % 5) * 10.0 + 0.05 AS xmin,
+         (n_nationkey // 5) * 10.0 + 0.05 - 0.32 AS ymin,
+         (n_nationkey % 5) * 10.0 + 0.05 + 0.32 AS xmax,
+         (n_nationkey // 5) * 10.0 + 0.05 AS ymax
+  FROM nation
+), px AS (
+  SELECT n_nationkey,
+         (xmin + 180.0) / 360.0 * 8192.0 AS pxmin,
+         (xmax + 180.0) / 360.0 * 8192.0 AS pxmax,
+         8192.0 * (0.5 + ln(tan((90.0 + ymin) * pi() / 360.0)) / (2.0 * pi())) AS pymin,
+         8192.0 * (0.5 + ln(tan((90.0 + ymax) * pi() / 360.0)) / (2.0 * pi())) AS pymax
+  FROM img
+), base AS (
+  SELECT DISTINCT s.tx, t.ty
+  FROM px, generate_series(0, 31) s(tx), generate_series(0, 31) t(ty)
+  WHERE s.tx BETWEEN greatest(CAST(ceil(pxmin / 256.0) AS BIGINT) - 1, 0)
+                 AND least(CAST(ceil(pxmax / 256.0) AS BIGINT) - 1, 31)
+    AND t.ty BETWEEN greatest(CAST(ceil(pymin / 256.0) AS BIGINT) - 1, 0)
+                 AND least(CAST(ceil(pymax / 256.0) AS BIGINT) - 1, 31)
+    AND least(CAST(ceil(pxmax - s.tx * 256 - 0.5) AS BIGINT) - 1, 255)
+        >= greatest(CAST(floor(pxmin - s.tx * 256 - 0.5) AS BIGINT) + 1, 0)
+    AND least(CAST(ceil(pymax - t.ty * 256 - 0.5) AS BIGINT) - 1, 255)
+        >= greatest(CAST(floor(pymin - t.ty * 256 - 0.5) AS BIGINT) + 1, 0)
+)
+SELECT 5 AS z, count(*) AS n_tiles FROM base
+UNION ALL
+SELECT 4, count(*) FROM (SELECT DISTINCT tx // 2, ty // 2 FROM base)
+UNION ALL
+SELECT 3, count(*) FROM (SELECT DISTINCT tx // 4, ty // 4 FROM base)
+"""
