@@ -259,15 +259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         indexed, pal = rgb_to_palette(ds, n_colors=32)
         return indexed.select_columns(["image_id", "fmt"])
 
-    def _vector_check_geometry(sf_dir: str):
-        import ray.data
-
-        from gdal_ray.core import fixtures
-        from gdal_ray.stages.vector import check_geometry
-        polys = ray.data.from_arrow(fixtures.polygons_table(64))
-        return polys.map_batches(check_geometry, batch_format="pyarrow") \
-                    .select_columns(["poly_id", "is_valid", "invalid_reason"])
-
     def _raster_sieve(sf_dir: str):
         import ray.data
 
@@ -350,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_neighbors": R.raster_neighbors_q,
         "footprint_join": R.footprint_join_q,
         "tile_pyramid_summary": R.tile_pyramid_q,
+        "vector_check_geometry": R.vector_check_geometry_q,
         "events_hourly": R.events_hourly_q,
         # training-data ops with SQL oracles
         "dedup_exact_docs": R.dedup_exact_docs,
@@ -374,7 +366,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_reproject": _raster_reproject,
         "image_features": _image_features,
         "rgb_to_palette": _rgb_to_palette,
-        "vector_check_geometry": _vector_check_geometry,
     }
 
 
@@ -422,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_neighbors": R.SQL_RASTER_NEIGHBORS,
         "footprint_join": R.SQL_FOOTPRINT_JOIN,
         "tile_pyramid_summary": R.SQL_TILE_PYRAMID,
+        "vector_check_geometry": R.SQL_VECTOR_CHECK_GEOMETRY,
         "events_hourly": R.SQL_EVENTS_HOURLY_ORACLE,
         "dedup_exact_docs": R.SQL_DEDUP_EXACT,
         "text_token_stats": R.SQL_TEXT_TOKEN,

@@ -2127,3 +2127,57 @@ SELECT 4, count(*) FROM (SELECT DISTINCT tx // 2, ty // 2 FROM base)
 UNION ALL
 SELECT 3, count(*) FROM (SELECT DISTINCT tx // 4, ty // 4 FROM base)
 """
+
+
+def vector_check_geometry_q(sf_dir: str):
+    """check-geometry over part-derived features with known defects:
+    p%4==0 → bowtie (self-intersection), 1 → valid rect, 2 → duplicate
+    consecutive vertices, 3 → unclosed ring.  The validity verdict and
+    reason string are closed-form in the key."""
+    from ..stages.vector import check_geometry
+
+    def build(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("p_partkey"), dtype=np.int64)
+        out = []
+        for v in k:
+            v = int(v)
+            m = v % 4
+            if m == 0:     # bowtie
+                ring = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]],
+                                dtype=np.float64)
+            elif m == 1:   # valid rect
+                ring = np.array([[0, 0], [3, 0], [3, 2], [0, 2], [0, 0]],
+                                dtype=np.float64)
+            elif m == 2:   # duplicate consecutive vertex
+                ring = np.array([[0, 0], [3, 0], [3, 0], [3, 2], [0, 2],
+                                 [0, 0]], dtype=np.float64)
+            else:          # unclosed ring
+                ring = np.array([[0, 0], [3, 0], [3, 2], [0, 2]],
+                                dtype=np.float64)
+            out.append(wkb.dumps({"type": "Polygon", "rings": [ring]}))
+        return pa.table({"p_partkey": pa.array(k, pa.int64()),
+                         "wkb": pa.array(out, pa.binary())})
+
+    parts = _read(sf_dir, "part").select_columns(["p_partkey"]) \
+        .map_batches(lambda b: b.filter(pa.array(
+            np.asarray(b.column("p_partkey"), dtype=np.int64) % 10 < 4)),
+            batch_format="pyarrow")
+    out = parts.map_batches(build, batch_format="pyarrow") \
+        .map_batches(check_geometry, batch_format="pyarrow")
+    return out.map_batches(lambda b: pa.table({
+        "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+        "is_valid": b.column("is_valid"),
+        "invalid_reason": b.column("invalid_reason"),
+    }), batch_format="pyarrow")
+
+
+SQL_VECTOR_CHECK_GEOMETRY = """
+SELECT p_partkey,
+       (p_partkey % 4 = 1) AS is_valid,
+       CASE p_partkey % 4
+         WHEN 0 THEN 'self-intersection'
+         WHEN 1 THEN ''
+         WHEN 2 THEN 'duplicate consecutive vertices'
+         ELSE 'ring not closed' END AS invalid_reason
+FROM part WHERE p_partkey % 10 < 4
+"""
