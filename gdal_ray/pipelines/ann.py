@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from gdal_ray.core.arrow_utils import list_column_to_ndarray
+
 
 def _normalize(V: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(V, axis=1, keepdims=True)
@@ -29,30 +31,28 @@ class _TopkStage:
     def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
         self.Q = _normalize(np.asarray(q["vecs"], dtype=np.float64))
-        self.q_ids = list(q["ids"])
+        self.q_ids = pa.array(list(q["ids"]))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        V = _normalize(np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
-        ids = batch.column(self.id_col).to_pylist()
+        V = _normalize(list_column_to_ndarray(batch.column(self.vec_col)))
+        n = V.shape[0]
+        nq = len(self.q_ids)
         S = V @ self.Q.T  # (n, q)
-        k = min(self.k, S.shape[0])
-        out = {"query_id": [], self.id_col: [], "cosine": []}
-        for qi, qid in enumerate(self.q_ids):
-            col = S[:, qi]
-            if k < col.shape[0]:
-                part = np.argpartition(-col, k - 1)[:k]
-            else:
-                part = np.arange(col.shape[0])
-            for j in part:
-                out["query_id"].append(qid)
-                out[self.id_col].append(ids[j])
-                out["cosine"].append(float(col[j]))
-        return pa.table({"query_id": pa.array(out["query_id"]),
-                         self.id_col: pa.array(out[self.id_col]),
-                         "cosine": pa.array(out["cosine"], pa.float64())})
+        k = min(self.k, n)
+        if k < n:
+            idx = np.argpartition(-S, k - 1, axis=0)[:k]      # (k, q)
+        else:
+            idx = np.tile(np.arange(n)[:, None], (1, nq))
+        rows = idx.T.ravel()                                  # query-major
+        qidx = np.repeat(np.arange(nq, dtype=np.int64), k)
+        cos = S[rows, qidx]
+        return pa.table({"query_id": self.q_ids.take(pa.array(qidx)),
+                         self.id_col: batch.column(self.id_col).take(
+                             pa.array(rows, pa.int64())),
+                         "cosine": pa.array(cos, pa.float64())})
 
 
 def brute_force_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray,
@@ -116,7 +116,7 @@ def build_ivf_index(emb: "ray.data.Dataset", n_centroids: int, index_dir: str,
     c_ref = ray.put(C)
 
     def assign(b: pa.Table) -> pa.Table:
-        V = _normalize(np.array(b.column(vec_col).to_pylist(), dtype=np.float64))
+        V = _normalize(list_column_to_ndarray(b.column(vec_col)))
         cid = (V @ ray.get(c_ref).T).argmax(axis=1)
         return b.append_column("centroid_id", pa.array(cid.astype(np.int64)))
 
@@ -144,6 +144,9 @@ def ivf_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray, query_ids,
     import tempfile
 
     if index_dir is None:
+        # ad-hoc index; the returned Dataset reads from it lazily, so it
+        # cannot be deleted here — it lives under /tmp for the session.
+        # Pass index_dir explicitly to own (and reuse) the index.
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
         C = build_ivf_index(emb, n_centroids, index_dir, vec_col=vec_col)
     else:
@@ -171,6 +174,14 @@ def ivf_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray, query_ids,
     probe_paths = [f for c in probed for f in
                    sorted(glob.glob(os.path.join(index_dir,
                                                  f"centroid_id={c}", "*.parquet")))]
+    if not probe_paths:
+        # every probed centroid partition is empty (k-means can yield empty
+        # clusters) — read_parquet([]) raises, so short-circuit
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array(list(query_ids)).take(pa.array([], pa.int64())),
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "cosine": pa.array([], pa.float64())}))
     pruned = ray.data.read_parquet(probe_paths,
                                    partitioning=Partitioning("hive", base_dir=index_dir))
     q_ref = ray.put({"vecs": Qn, "ids": list(query_ids), "probe": probe})
@@ -182,12 +193,11 @@ def ivf_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray, query_ids,
     def ivf_scan(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         Q, q_ids, probe_q = q["vecs"], q["ids"], q["probe"]
-        V = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
-        ids = batch.column(id_col).to_pylist()
+        V = _normalize(list_column_to_ndarray(batch.column(vec_col)))
         # assignment comes from the stored partition column — computed
         # once at build time, never re-derived per batch
         assign = np.asarray(batch.column("centroid_id").cast(pa.int64()))
-        out = {"query_id": [], id_col: [], "cosine": []}
+        qid_take, row_take, cos_parts = [], [], []
         for qi, qid in enumerate(q_ids):
             m = np.isin(assign, probe_q[qi])
             if not m.any():
@@ -196,13 +206,18 @@ def ivf_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray, query_ids,
             sub = np.nonzero(m)[0]
             kk = min(k, col.shape[0])
             part = np.argpartition(-col, kk - 1)[:kk] if kk < col.shape[0] else np.arange(col.shape[0])
-            for j in part:
-                out["query_id"].append(qid)
-                out[id_col].append(ids[sub[j]])
-                out["cosine"].append(float(col[j]))
-        return pa.table({"query_id": pa.array(out["query_id"]),
-                         id_col: pa.array(out[id_col]),
-                         "cosine": pa.array(out["cosine"], pa.float64())})
+            qid_take.append(np.full(part.size, qi, dtype=np.int64))
+            row_take.append(sub[part])
+            cos_parts.append(col[part])
+        if not row_take:
+            return pa.table({"query_id": pa.array([], pa.array(list(q_ids)).type),
+                             id_col: batch.column(id_col).take(pa.array([], pa.int64())),
+                             "cosine": pa.array([], pa.float64())})
+        qidx = np.concatenate(qid_take)
+        return pa.table({"query_id": pa.array(list(q_ids)).take(pa.array(qidx)),
+                         id_col: batch.column(id_col).take(
+                             pa.array(np.concatenate(row_take), pa.int64())),
+                         "cosine": pa.array(np.concatenate(cos_parts), pa.float64())})
 
     partials = pruned.map_batches(ivf_scan, batch_format="pyarrow")
 

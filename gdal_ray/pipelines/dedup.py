@@ -264,19 +264,21 @@ def simhash_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3,
     bits = 64 // nblocks
 
     def sh_batch(b: pa.Table) -> pa.Table:
-        ids, blocks, vals, hashes = [], [], [], []
-        for i, text in enumerate(b.column(text_col).to_pylist()):
-            h = simhash64(text)
-            did = b.column(id_col)[i].as_py()
-            for blk in range(nblocks):
-                v = (h >> (blk * bits)) & ((1 << bits) - 1)
-                ids.append(did)
-                blocks.append(blk)
-                vals.append(np.int64((blk << 60) | v))
-                hashes.append(np.int64(h - (1 << 63)))
-        return pa.table({id_col: ids, "block": pa.array(blocks, pa.int32()),
-                         "bval": pa.array(np.asarray(vals, np.int64)),
-                         "simhash": pa.array(np.asarray(hashes, np.int64))})
+        texts = b.column(text_col).to_pylist()
+        n = len(texts)
+        hs = np.fromiter((simhash64(t) for t in texts), dtype=np.uint64,
+                         count=n)
+        blk = np.tile(np.arange(nblocks, dtype=np.uint64), n)      # (n*B,)
+        hrep = np.repeat(hs, nblocks)
+        v = (hrep >> (blk * np.uint64(bits))) & np.uint64((1 << bits) - 1)
+        bval = ((blk << np.uint64(60)) | v).astype(np.int64)
+        row = np.repeat(np.arange(n, dtype=np.int64), nblocks)
+        return pa.table({
+            id_col: b.column(id_col).take(pa.array(row)),
+            "block": pa.array(blk.astype(np.int32)),
+            "bval": pa.array(bval),
+            "simhash": pa.array((hrep - np.uint64(1 << 63)).view(np.int64)),
+        })
 
     def block_pairs(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -316,39 +318,76 @@ def simhash_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3,
 
 # ---------- embedding cosine near-dup ----------
 
+def _lsh_plane_codes(Vn: np.ndarray, dim: int, bands: int,
+                     planes_per_band: int) -> np.ndarray:
+    """(n, bands) int64 per-band hyperplane sign codes.  Planes come from a
+    FIXED seed so every task (and in-group recomputation) agrees."""
+    rng = np.random.default_rng(12345)
+    planes = rng.standard_normal((dim, bands * planes_per_band))
+    signs = (Vn @ planes) >= 0
+    codes = signs.reshape(-1, bands, planes_per_band)
+    return (codes.astype(np.int64)
+            << np.arange(planes_per_band, dtype=np.int64)).sum(axis=2)
+
+
 def embedding_neardup_pairs(emb: "ray.data.Dataset", *, threshold: float = 0.95,
-                            num_planes: int = 16, id_col: str = "vec_id",
-                            vec_col: str = "embedding",
+                            bands: int = 8, planes_per_band: int = 8,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
                             max_bucket: int = 256) -> "ray.data.Dataset":
-    """Pairs with cosine ≥ threshold via random-hyperplane LSH buckets +
-    exact in-bucket verification (precision exact, recall ≈ LSH)."""
+    """Pairs with cosine ≥ threshold via BANDED random-hyperplane LSH +
+    exact in-bucket verification (precision exact; recall = 1-(1-p^r)^B with
+    p = 1 - θ/π — ≈0.99 at cosine 0.95 for B=8, r=8).
+
+    First-matching-band rule keeps each pair exactly-once: a pair found in
+    band b is emitted only if b is the FIRST band whose codes agree (band
+    codes are recomputed in-group from the vectors — planes are seed-fixed,
+    so no extra columns ship through the shuffle)."""
+    from gdal_ray.core.arrow_utils import list_column_to_ndarray
+
     def bucket_batch(b: pa.Table) -> pa.Table:
-        vecs = np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
-        dim = vecs.shape[1]
-        rng = np.random.default_rng(12345)  # FIXED planes — same on every task
-        planes = rng.standard_normal((dim, num_planes))
-        signs = (vecs @ planes) >= 0
-        code = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
-        return pa.table({id_col: b.column(id_col), "bucket": pa.array(code, pa.int64()),
-                         "vec": pa.array([v.tobytes() for v in vecs], pa.binary())})
+        vecs = list_column_to_ndarray(b.column(vec_col))
+        n, dim = vecs.shape
+        codes = _lsh_plane_codes(vecs, dim, bands, planes_per_band)
+        # bucket key: splitmix(code + band salt), band index in low bits
+        bh = _splitmix(codes.astype(np.uint64)
+                       + _splitmix(np.arange(1, bands + 1, dtype=np.uint64))[None, :])
+        bucket = ((bh >> np.uint64(8)).astype(np.int64) << 4) \
+            | np.arange(bands, dtype=np.int64)[None, :]
+        return pa.table({
+            id_col: b.column(id_col).take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))),
+            "bucket": pa.array(bucket.ravel()),
+            "vec": pa.array([v.tobytes() for v in
+                             np.repeat(vecs, bands, axis=0)], pa.binary()),
+        })
 
     def verify(g: pa.Table) -> pa.Table:
-        out_a, out_b, out_c = [], [], []
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
         n = g.num_rows
-        if n >= 2:
-            ids = g.column(id_col).to_pylist()
-            V = np.stack([np.frombuffer(x, dtype=np.float64)
-                          for x in g.column("vec").to_pylist()])
-            norms = np.linalg.norm(V, axis=1)
-            norms[norms == 0] = 1.0
-            Vn = V / norms[:, None]
-            S = Vn @ Vn.T
-            ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                a, b2 = sorted((ids[i], ids[j]))
-                out_a.append(a); out_b.append(b2); out_c.append(float(S[i, j]))
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
-                         "cosine": pa.array(out_c, pa.float64())})
+        if n < 2:
+            return empty
+        band = int(g.column("bucket")[0].as_py()) & 0xF
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.frombuffer(b"".join(g.column("vec").to_pylist()),
+                          dtype=np.float64).reshape(n, -1)[order]
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        S = Vn @ Vn.T
+        codes = _lsh_plane_codes(V, V.shape[1], bands, planes_per_band)
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        if ii.size == 0:
+            return empty
+        agree = codes[ii] == codes[jj]              # (p, bands)
+        first = np.argmax(agree, axis=1)
+        keep = agree[:, band] & (first == band) & (ids[ii] != ids[jj])
+        return pa.table({"id_a": pa.array(ids[ii[keep]]),
+                         "id_b": pa.array(ids[jj[keep]]),
+                         "cosine": pa.array(S[ii[keep], jj[keep]], pa.float64())})
 
     from .shuffle_utils import filter_multi_keys
     rows = emb.map_batches(bucket_batch, batch_format="pyarrow")

@@ -401,7 +401,16 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
         g_ww = ct.column("ww").to_pylist()
         g_wh = ct.column("wh").to_pylist()
         g_cap = ct.column("caption").to_pylist()
+        # per-pixel min-image_id merge is associative, so a tile with more
+        # contributions than widx's uint8 range splits into ≤254-source
+        # partial chunks that the reduce merges exactly
+        chunked = []
         for s0, e0 in zip(starts, ends):
+            while e0 - s0 > 254:
+                chunked.append((s0, s0 + 254))
+                s0 += 254
+            chunked.append((s0, e0))
+        for s0, e0 in chunked:
             rows = range(s0, e0)
             if e0 - s0 == 1:
                 j = s0
@@ -422,7 +431,6 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
                 rgbM = np.zeros((H, W, 3), np.uint8)
                 widxM = np.full((H, W), 255, np.uint8)
                 validM = np.zeros((H, W), bool)
-                assert e0 - s0 < 255, "partial merge limited to 254 sources"
                 for k, j in enumerate(rows):   # rows sorted by id: first wins
                     ox, oy = g_x0[j] - x0, g_y0[j] - y0
                     m = np.frombuffer(g_msk[j], dtype=np.uint8) \

@@ -178,7 +178,11 @@ def parse_dbf_bytes(data: bytes) -> pa.Table:
     cols: dict = {name: [] for name, *_ in fields}
     for r in range(nrec):
         ro = hsize + r * rsize
-        if data[ro:ro + 1] == b"*":   # deleted
+        if data[ro:ro + 1] == b"*":
+            # deleted record: emit an all-null attribute row so attrs stay
+            # 1:1 with the .shp record stream (which has no delete flag)
+            for name, *_ in fields:
+                cols[name].append(None)
             continue
         fo = ro + 1
         for name, ftype, flen, fdec in fields:
@@ -237,7 +241,9 @@ def gpkg_geom_to_wkb(blob: bytes) -> bytes | None:
         return None
     assert blob[:2] == b"GP", "not a GPKG geometry"
     flags = blob[3]
-    if flags & 0x20:     # empty-geometry flag
+    if flags & 0x20:     # ExtendedGeoPackageBinary (OGC 12-128r14 §2.1.4)
+        raise ValueError("extended GPKG geometry blobs are not supported")
+    if flags & 0x10:     # empty-geometry flag (bit 4)
         return None
     env = _GPKG_ENV_SIZE[(flags >> 1) & 0x07]
     return bytes(blob[8 + env:])

@@ -121,6 +121,35 @@ def test_embedding_neardup(ray_session, emb_tbl):
         assert r["cosine"] >= 0.999
 
 
+def test_embedding_neardup_banded_recall_095(ray_session):
+    """Banded hyperplane LSH (B=8 bands × r=8 planes) vs brute force at
+    threshold 0.95: recall ≥ 0.9 on planted near-dup pairs, exact precision,
+    exactly-once emission."""
+    import ray
+    rng = np.random.default_rng(7)
+    dim, n_base, n_pairs = 32, 300, 40
+    base = rng.standard_normal((n_base, dim))
+    # planted near-dups: small perturbations → cosine just above 0.95
+    mates = base[:n_pairs] + 0.18 * rng.standard_normal((n_pairs, dim))
+    V = np.vstack([base, mates])
+    ids = list(range(len(V)))
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in V],
+                                          pa.list_(pa.float64()))})
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    ii, jj = np.nonzero(np.triu(S >= 0.95, k=1))
+    expect = {(int(a), int(b)) for a, b in zip(ii, jj)}
+    assert len(expect) >= 20  # the planting actually produced pairs
+    out = DD.embedding_neardup_pairs(ray.data.from_arrow(tbl),
+                                     threshold=0.95).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(got) == len(out)          # exactly-once
+    assert got <= expect                 # exact precision (verified in-bucket)
+    recall = len(got & expect) / len(expect)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
 def test_token_and_quality(docs_tbl):
     out = TX.token_count(docs_tbl.slice(0, 50))
     for i in range(50):
