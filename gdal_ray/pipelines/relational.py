@@ -2181,3 +2181,602 @@ SELECT p_partkey,
          ELSE 'ring not closed' END AS invalid_reason
 FROM part WHERE p_partkey % 10 < 4
 """
+
+
+# ======================================================================
+# ---------- round 3: oracle conversions for previously rows-only ops ----
+# ======================================================================
+#
+# Recipe (CLAUDE.md "oracle-izing the non-SQL surfaces"): derive EVERY
+# input from table keys with integer arithmetic so DuckDB can replay the
+# content with generate_series; plant exact duplicates so candidate sets
+# collapse to closed form; end each float chain with one round/floor.
+
+
+def _synth_corpus(b: pa.Table) -> pa.Table:
+    """Nation-derived dedup corpus: per key n, one 60-word doc (vocabulary
+    w0000..w4095 chosen by splitmix of disjoint index ranges, so distinct
+    docs share ~no shingles) + an EXACT copy at doc_id n+1000.  The only
+    near-dup pairs are the planted copies — closed-form for SQL."""
+    from .dedup import _splitmix
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, texts = [], []
+    for n in k:
+        n = int(n)
+        w = _splitmix(np.arange(n * 60 + 1, n * 60 + 61, dtype=np.uint64)) % 4096
+        text = " ".join(f"w{int(v):04d}" for v in w)
+        ids.extend([n, n + 1000])
+        texts.extend([text, text])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def dedup_minhash_q(sf_dir: str):
+    """MinHash-LSH near-dup over the planted corpus: exact copies have
+    identical signatures, so est-jaccard is exactly 1.0 and every planted
+    pair (n, n+1000) — and nothing else — survives the 0.7 threshold."""
+    from .dedup import minhash_lsh_pairs
+    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_synth_corpus, batch_format="pyarrow")
+    out = minhash_lsh_pairs(docs, threshold=0.7)
+    return out.map_batches(lambda b: pa.table({
+        "id_a": pc.cast(b.column("id_a"), pa.int64()),
+        "id_b": pc.cast(b.column("id_b"), pa.int64()),
+        "sig_jaccard": pc.cast(b.column("sig_jaccard"), pa.float64()),
+    }), batch_format="pyarrow")
+
+
+SQL_DEDUP_MINHASH = """
+SELECT n_nationkey AS id_a, n_nationkey + 1000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS sig_jaccard
+FROM nation
+"""
+
+
+def dedup_simhash_q(sf_dir: str):
+    """SimHash near-dup over the planted corpus: copies have hamming 0."""
+    from .dedup import simhash_pairs
+    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_synth_corpus, batch_format="pyarrow")
+    out = simhash_pairs(docs, max_hamming=3)
+    return out.map_batches(lambda b: pa.table({
+        "id_a": pc.cast(b.column("id_a"), pa.int64()),
+        "id_b": pc.cast(b.column("id_b"), pa.int64()),
+        "hamming": pc.cast(b.column("hamming"), pa.int64()),
+    }), batch_format="pyarrow")
+
+
+SQL_DEDUP_SIMHASH = """
+SELECT n_nationkey AS id_a, n_nationkey + 1000 AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM nation
+"""
+
+
+def dedup_embedding_q(sf_dir: str):
+    """Embedding cosine near-dup with EXACT planted copies (vec_id + 10^6):
+    identical vectors land in every LSH band together and give cosine
+    round6 = 1.0; random base vectors max out near 0.48, far below 0.999."""
+    import ray.data
+
+    from .dedup import embedding_neardup_pairs
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    head = emb.sort("vec_id").limit(20).take_all()
+    planted = pa.table({
+        "vec_id": pa.array([int(r["vec_id"]) + 1_000_000 for r in head], pa.int64()),
+        "embedding": pa.array([list(r["embedding"]) for r in head],
+                              pa.list_(pa.float32())),
+    })
+    both = emb.union(ray.data.from_arrow(planted))
+    out = embedding_neardup_pairs(both, threshold=0.999)
+    return out.map_batches(lambda b: pa.table({
+        "id_a": pc.cast(b.column("id_a"), pa.int64()),
+        "id_b": pc.cast(b.column("id_b"), pa.int64()),
+        "cosine": pc.round(b.column("cosine"), ndigits=6,
+                           round_mode="half_towards_infinity"),
+    }), batch_format="pyarrow")
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings
+WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+"""
+
+
+def ann_ivf_q(sf_dir: str):
+    """IVF top-k with nprobe = n_centroids (exhaustive probe): exercises the
+    full index-build → hive-partitioned write → path-pruned read → in-bucket
+    scan machinery while staying EXACT, so the brute-force SQL oracle
+    applies (partial-probe recall is pinned separately in pytest)."""
+    from .ann import ivf_topk
+    emb = _read(sf_dir, "embeddings")
+    head = emb.sort("vec_id").limit(4).take_all()
+    Q = np.array([r["embedding"] for r in head], dtype=np.float64)
+    out = ivf_topk(emb, Q, [int(r["vec_id"]) for r in head], k=4,
+                   n_centroids=8, nprobe=8)
+    return out.map_batches(lambda b: pa.table({
+        "query_id": pc.cast(b.column("query_id"), pa.int64()),
+        "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+        "rank": pc.cast(b.column("rank"), pa.int64()),
+        "cosine": pc.round(b.column("cosine"), ndigits=6,
+                           round_mode="half_towards_infinity"),
+    }), batch_format="pyarrow")
+
+
+SQL_ANN_IVF = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 4
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+FROM scored WHERE rank <= 4
+"""
+
+
+def _explode_raw_px(b: pa.Table) -> pa.Table:
+    """(image_id 'imgNN', bytes raw) → per-pixel rows (n, k, v)."""
+    from ..core import codecs as CD
+    ns, ks, vs = [], [], []
+    for i in range(b.num_rows):
+        img = CD.decode(b.column("bytes")[i].as_py(), "raw")
+        band = img if img.ndim == 2 else img[:, :, 0]
+        n = int(b.column("image_id")[i].as_py()[3:])
+        flat = band.ravel().astype(np.int64)
+        ns.append(np.full(flat.size, n, np.int64))
+        ks.append(np.arange(flat.size, dtype=np.int64))
+        vs.append(flat)
+    z = np.array([], np.int64)
+    return pa.table({"n": pa.array(np.concatenate(ns) if ns else z),
+                     "k": pa.array(np.concatenate(ks) if ks else z),
+                     "v": pa.array(np.concatenate(vs) if vs else z)})
+
+
+def raster_translate_q(sf_dir: str):
+    """gdal_translate -scale -outsize (nearest) over the derived rasters,
+    checked PER PIXEL: scale maps v∈[0,108] → floor(10 + v/108*190), and
+    16×16 nearest picks src pixel (2i+1, 2j+1)."""
+    from ..stages.raster import translate
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(
+        lambda b: translate(b, scale=(0, 108, 10, 200), out_size=(16, 16),
+                            resample="near", out_fmt="raw"),
+        batch_format="pyarrow")
+    return out.map_batches(_explode_raw_px, batch_format="pyarrow")
+
+
+SQL_RASTER_TRANSLATE = f"""
+WITH px AS ({_SQL_DERIVED_PIXELS}),
+sc AS (
+  SELECT n, k,
+         CAST(floor(least(greatest(10.0 + (v / 108.0) * 190.0, 0.0), 255.0))
+              AS BIGINT) AS sv
+  FROM px
+)
+SELECT sc.n AS n, gi.i * 16 + gj.j AS k, sc.sv AS v
+FROM sc, generate_series(0, 15) gi(i), generate_series(0, 15) gj(j)
+WHERE sc.k = (2 * gi.i + 1) * 32 + (2 * gj.j + 1)
+"""
+
+
+def _sieve_images(b: pa.Table) -> pa.Table:
+    """32×32 rasters for the sieve oracle: constant base B(n), five isolated
+    1-px specks (size < threshold → absorbed into the base) and one 2×2
+    block (size ≥ threshold → survives).  Sieve result is closed-form."""
+    from ..core import codecs as CD
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts = [], []
+    for n in k:
+        n = int(n)
+        base = 20 + (n * 7) % 50
+        img = np.full((32, 32), base, np.uint8)
+        for i in range(5):
+            img[2 + 4 * i, (n + 5 * i) % 28 + 2] = base + 30
+        img[26:28, 26:28] = base + 60
+        ids.append(f"img{n:02d}")
+        bts.append(CD.encode_raw(img))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(np.full(len(ids), 32, np.int32)),
+        "h": pa.array(np.full(len(ids), 32, np.int32)),
+        "fmt": pa.array(["raw"] * len(ids)),
+    })
+
+
+def raster_sieve_q(sf_dir: str):
+    """GDALSieveFilter: specks below threshold merge into the base; the 2×2
+    block survives → px_sum = 1024·B + 4·60 exactly."""
+    from ..core import codecs as CD
+    from ..stages.raster2 import sieve
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_sieve_images, batch_format="pyarrow")
+    out = imgs.map_batches(lambda b: sieve(b, threshold=3),
+                           batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ns, sums = [], []
+        for i in range(b.num_rows):
+            img = CD.decode(b.column("bytes")[i].as_py(), "png")
+            ns.append(int(b.column("image_id")[i].as_py()[3:]))
+            sums.append(int(img.astype(np.int64).sum()))
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "px_sum": pa.array(sums, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_SIEVE = """
+SELECT n_nationkey AS n,
+       CAST(1024 * (20 + (n_nationkey * 7) % 50) + 240 AS BIGINT) AS px_sum
+FROM nation
+"""
+
+
+def _prox_images(b: pa.Table) -> pa.Table:
+    """32×32 rasters with exactly ONE target pixel (value 255) at
+    (n % 32, (n*7) % 32); all other values < 109 so the target set is
+    unambiguous and the exact EDT is closed-form per pixel."""
+    from ..core import codecs as CD
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts = [], []
+    for n in k:
+        n = int(n)
+        v = ((n * 31 + np.arange(1024, dtype=np.int64)) % 97).astype(np.uint8)
+        img = v.reshape(32, 32)
+        img[n % 32, (n * 7) % 32] = 255
+        ids.append(f"img{n:02d}")
+        bts.append(CD.encode_raw(img))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(np.full(len(ids), 32, np.int32)),
+        "h": pa.array(np.full(len(ids), 32, np.int32)),
+        "fmt": pa.array(["raw"] * len(ids)),
+    })
+
+
+def raster_proximity_q(sf_dir: str):
+    """GDALComputeProximity with the EXACT Euclidean distance transform,
+    checked per pixel against sqrt((r-tr)² + (c-tc)²)·1000 floored."""
+    from ..stages.raster import proximity_rows
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_prox_images, batch_format="pyarrow")
+    out = imgs.map_batches(lambda b: proximity_rows(b, target_value=255),
+                           batch_format="pyarrow")
+    return out.map_batches(lambda b: pa.table({
+        "n": pa.array([int(s[3:]) for s in b.column("image_id").to_pylist()],
+                      pa.int64()),
+        "k": pc.cast(b.column("k"), pa.int64()),
+        "dist_mm": pc.cast(b.column("dist_mm"), pa.int64()),
+    }), batch_format="pyarrow")
+
+
+SQL_RASTER_PROXIMITY = """
+SELECT n_nationkey AS n, g.k AS k,
+       CAST(floor(sqrt(CAST((g.k // 32 - n_nationkey % 32)
+                            * (g.k // 32 - n_nationkey % 32)
+                          + (g.k % 32 - (n_nationkey * 7) % 32)
+                            * (g.k % 32 - (n_nationkey * 7) % 32) AS DOUBLE))
+                  * 1000.0) AS BIGINT) AS dist_mm
+FROM nation, generate_series(0, 1023) g(k)
+"""
+
+
+def raster_reproject_q(sf_dir: str):
+    """gdalwarp EPSG:4326 → EPSG:3857 on the derived catalog: the suggested
+    output grid (w, h, origin) is closed-form from the spherical-mercator
+    forward formulas, which DuckDB replays with the same libm ops."""
+    from ..stages.warp import ReprojectImageStage
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(ReprojectImageStage,
+                           fn_constructor_kwargs={"dst_crs": "EPSG:3857"},
+                           batch_format="pyarrow", concurrency=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        gts = b.column("geotransform").to_pylist()
+        return pa.table({
+            "n": pa.array([int(s[3:]) for s in b.column("image_id").to_pylist()],
+                          pa.int64()),
+            "w": pc.cast(b.column("w"), pa.int64()),
+            "h": pc.cast(b.column("h"), pa.int64()),
+            "crs": b.column("crs"),
+            "minx": pa.array([np.floor(g[0] * 1e6 + 0.5) / 1e6 for g in gts],
+                             pa.float64()),
+            "maxy": pa.array([np.floor(g[3] * 1e6 + 0.5) / 1e6 for g in gts],
+                             pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_REPROJECT = """
+WITH b AS (
+  SELECT n_nationkey AS n,
+         (n_nationkey % 5) * 10.0 + 0.05 AS x0,
+         (n_nationkey // 5) * 10.0 + 0.05 AS y0
+  FROM nation
+), m AS (
+  SELECT n,
+         (x0 * (pi() * 6378137.0)) / 180.0 AS minx,
+         ((x0 + 0.32) * (pi() * 6378137.0)) / 180.0 AS maxx,
+         ln(tan(((90.0 + (y0 - 0.32)) * pi()) / 360.0)) / (pi() / 180.0)
+             * (pi() * 6378137.0) / 180.0 AS miny,
+         ln(tan(((90.0 + y0) * pi()) / 360.0)) / (pi() / 180.0)
+             * (pi() * 6378137.0) / 180.0 AS maxy
+  FROM b
+)
+SELECT n, CAST(32 AS BIGINT) AS w,
+       CAST(round(32.0 * (maxy - miny) / (maxx - minx), 0) AS BIGINT) AS h,
+       'EPSG:3857' AS crs,
+       round(minx, 6) AS minx, round(maxy, 6) AS maxy
+FROM m
+"""
+
+
+def image_features_q(sf_dir: str):
+    """ImageFeatureStage (actor pool) over the derived rasters: mean/std are
+    exact rationals; the 8×8 average-hash uses exact dyadic block means, so
+    every bit comparison is reproducible in SQL integer arithmetic."""
+    from ..stages.multimodal import ImageFeatureStage
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                           batch_size=8, concurrency=2)
+    return out.map_batches(lambda b: pa.table({
+        "n": pa.array([int(s[3:]) for s in b.column("image_id").to_pylist()],
+                      pa.int64()),
+        "mean": pc.round(b.column("mean"), ndigits=6,
+                         round_mode="half_towards_infinity"),
+        "std": pc.round(b.column("std"), ndigits=6,
+                        round_mode="half_towards_infinity"),
+        "ahash": pc.cast(b.column("ahash"), pa.int64()),
+    }), batch_format="pyarrow")
+
+
+SQL_IMAGE_FEATURES = f"""
+WITH px AS ({_SQL_DERIVED_PIXELS}),
+st AS (
+  SELECT n, round(sum(v) * 1.0 / 1024, 6) AS mean,
+         round(sqrt(sum(v * v) * 1.0 / 1024
+                    - (sum(v) * 1.0 / 1024) * (sum(v) * 1.0 / 1024)), 6) AS std
+  FROM px GROUP BY n
+), blocks AS (
+  SELECT n, (k // 32) // 4 AS bi, (k % 32) // 4 AS bj, sum(v) / 16.0 AS small
+  FROM px GROUP BY n, (k // 32) // 4, (k % 32) // 4
+), bmean AS (
+  SELECT n, sum(small) / 64.0 AS m FROM blocks GROUP BY n
+), ah AS (
+  SELECT b.n,
+         CAST(sum(CASE WHEN b.small > bm.m
+                       THEN CAST(1 AS HUGEINT) << (b.bi * 8 + b.bj)
+                       ELSE CAST(0 AS HUGEINT) END)
+              - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS ahash
+  FROM blocks b JOIN bmean bm ON b.n = bm.n GROUP BY b.n
+)
+SELECT st.n, st.mean, st.std, ah.ahash FROM st JOIN ah ON st.n = ah.n
+"""
+
+
+def _palette_images(b: pa.Table) -> pa.Table:
+    """32×32 RGB rasters drawing from 8 exact colors (index c = (k//(n+1))%8,
+    channels c·28+6 / c·25+10 / c·30+2): median-cut with n_colors=32 resolves
+    every color to its own box, so the palette and the reconstruction are
+    closed-form (5-bit box center = 8·(v>>3)+4)."""
+    from ..core import codecs as CD
+    kk = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts = [], []
+    karr = np.arange(1024, dtype=np.int64)
+    for n in kk:
+        n = int(n)
+        c = (karr // (n + 1)) % 8
+        img = np.stack([(c * 28 + 6), (c * 25 + 10), (c * 30 + 2)],
+                       axis=-1).astype(np.uint8).reshape(32, 32, 3)
+        ids.append(f"img{n:02d}")
+        bts.append(CD.encode_raw(img))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(np.full(len(ids), 32, np.int32)),
+        "h": pa.array(np.full(len(ids), 32, np.int32)),
+        "fmt": pa.array(["raw"] * len(ids)),
+    })
+
+
+def rgb_to_palette_q(sf_dir: str):
+    """Global median-cut palette + per-image palettization, verified by the
+    channel sums of the RECONSTRUCTED (palette-mapped) images."""
+    import ray
+
+    from ..core import codecs as CD
+    from ..stages.palette import rgb_to_palette
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_palette_images, batch_format="pyarrow")
+    indexed, pal = rgb_to_palette(imgs, n_colors=32)
+    pal_ref = ray.put(np.asarray(pal, dtype=np.int64))
+
+    def finish(b: pa.Table) -> pa.Table:
+        p = ray.get(pal_ref)
+        ns, sr, sg, sb = [], [], [], []
+        for i in range(b.num_rows):
+            idx = CD.decode(b.column("bytes")[i].as_py(), "raw")
+            rec = p[idx.ravel()]
+            ns.append(int(b.column("image_id")[i].as_py()[3:]))
+            sr.append(int(rec[:, 0].sum()))
+            sg.append(int(rec[:, 1].sum()))
+            sb.append(int(rec[:, 2].sum()))
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "sum_r": pa.array(sr, pa.int64()),
+                         "sum_g": pa.array(sg, pa.int64()),
+                         "sum_b": pa.array(sb, pa.int64())})
+
+    return indexed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RGB_TO_PALETTE = """
+WITH px AS (
+  SELECT n_nationkey AS n, ((g.k // (n_nationkey + 1)) % 8) AS c
+  FROM nation, generate_series(0, 1023) g(k)
+)
+SELECT n,
+       CAST(sum(((c * 28 + 6) // 8) * 8 + 4) AS BIGINT) AS sum_r,
+       CAST(sum(((c * 25 + 10) // 8) * 8 + 4) AS BIGINT) AS sum_g,
+       CAST(sum(((c * 30 + 2) // 8) * 8 + 4) AS BIGINT) AS sum_b
+FROM px GROUP BY n
+"""
+
+
+def vector_sort_hilbert_q(sf_dir: str):
+    """gdal vector sort: Hilbert code of rect centroids — DuckDB replays the
+    Hamilton xy→d loop with a 16-step recursive CTE over bit ops."""
+    from ..stages.vector import hilbert_key
+    rects = _read(sf_dir, "nation").map_batches(_nation_rects,
+                                                batch_format="pyarrow")
+    out = rects.map_batches(hilbert_key, batch_format="pyarrow") \
+               .sort("hilbert")
+    return out.map_batches(lambda b: pa.table({
+        "n": pc.cast(b.column("nkey"), pa.int64()),
+        "hilbert": pc.cast(b.column("hilbert"), pa.int64()),
+    }), batch_format="pyarrow")
+
+
+SQL_VECTOR_SORT_HILBERT = """
+WITH RECURSIVE pts AS (
+  SELECT n_nationkey AS id,
+         ((CAST(n_nationkey AS DOUBLE) * 29) % 300) - 160.0 + 0.017
+             + (12.0 + (n_nationkey % 7)) / 2.0 AS cx,
+         ((CAST(n_nationkey AS DOUBLE) * 53) % 140) - 75.0 + 0.017
+             + (8.0 + (n_nationkey % 5)) / 2.0 AS cy
+  FROM nation
+), grid AS (
+  SELECT id,
+         least(greatest(CAST(floor((cx + 180.0) / 360.0 * 65536.0) AS BIGINT),
+                        0), 65535) AS gx,
+         least(greatest(CAST(floor((cy + 90.0) / 180.0 * 65536.0) AS BIGINT),
+                        0), 65535) AS gy
+  FROM pts
+), it AS (
+  SELECT id, gx AS x, gy AS y, CAST(0 AS BIGINT) AS d,
+         CAST(32768 AS BIGINT) AS s
+  FROM grid
+  UNION ALL
+  SELECT id,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+              ELSE y END AS y,
+         d + s * s * xor(3 * rx, ry) AS d,
+         s // 2 AS s
+  FROM (SELECT id, x, y, d, s,
+               CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM it WHERE s > 0) t
+)
+SELECT id AS n, d AS hilbert FROM it WHERE s = 0
+"""
+
+
+def geo_rasterize_q(sf_dir: str):
+    """gdal_rasterize merge=ADD over the (overlapping) nation rects at z=5:
+    per-tile SUM of burned values factors into closed-form center counts
+    per polygon — additive, so overlaps need no inclusion-exclusion."""
+    from ..core import codecs as CD  # noqa: F401  (decode below)
+    from .rasterize import rasterize
+    rects = _read(sf_dir, "nation").map_batches(_nation_rects,
+                                                batch_format="pyarrow")
+    out = rasterize(rects, zoom=5, burn_value=1.0, merge_alg="add",
+                    id_col="poly_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        xs, ys, sums = [], [], []
+        for i in range(b.num_rows):
+            grid = np.frombuffer(b.column("data")[i].as_py(), dtype=np.uint8)
+            xs.append(int(b.column("x")[i].as_py()))
+            ys.append(int(b.column("y")[i].as_py()))
+            sums.append(int(grid.astype(np.int64).sum()))
+        return pa.table({"x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "px_sum": pa.array(sums, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GEO_RASTERIZE = """
+WITH rects AS (
+  SELECT n_nationkey,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 AS xmin,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 AS ymin,
+         ((n_nationkey * 29) % 300) - 160.0 + 0.017 + 12.0 + (n_nationkey % 7) AS xmax,
+         ((n_nationkey * 53) % 140) - 75.0 + 0.017 + 8.0 + (n_nationkey % 5) AS ymax
+  FROM nation
+), px AS (
+  SELECT n_nationkey,
+         (xmin + 180.0) / 360.0 * 8192.0 AS pxmin,
+         (xmax + 180.0) / 360.0 * 8192.0 AS pxmax,
+         8192.0 * (0.5 + ln(tan((90.0 + greatest(ymin, -85.05112878))
+                                * pi() / 360.0)) / (2.0 * pi())) AS pymin,
+         8192.0 * (0.5 + ln(tan((90.0 + least(ymax, 85.05112878))
+                                * pi() / 360.0)) / (2.0 * pi())) AS pymax
+  FROM rects
+), ranges AS (
+  SELECT n_nationkey, pxmin, pxmax, pymin, pymax,
+         greatest(CAST(ceil(pxmin / 256.0) AS BIGINT) - 1, 0) AS tx0,
+         least(CAST(ceil(pxmax / 256.0) AS BIGINT) - 1, 31) AS tx1,
+         greatest(CAST(ceil(pymin / 256.0) AS BIGINT) - 1, 0) AS ty0,
+         least(CAST(ceil(pymax / 256.0) AS BIGINT) - 1, 31) AS ty1
+  FROM px
+), tiles AS (
+  SELECT r.n_nationkey, s.tx, t.ty, r.pxmin, r.pxmax, r.pymin, r.pymax
+  FROM ranges r, generate_series(0, 31) s(tx), generate_series(0, 31) t(ty)
+  WHERE s.tx BETWEEN r.tx0 AND r.tx1 AND t.ty BETWEEN r.ty0 AND r.ty1
+), counts AS (
+  SELECT n_nationkey, tx, ty,
+         greatest(0::BIGINT,
+           least(CAST(ceil(pxmax - tx * 256 - 0.5) AS BIGINT) - 1, 255)
+           - greatest(CAST(floor(pxmin - tx * 256 - 0.5) AS BIGINT) + 1, 0)
+           + 1) AS ncols,
+         greatest(0::BIGINT,
+           least(CAST(ceil(pymax - ty * 256 - 0.5) AS BIGINT) - 1, 255)
+           - greatest(CAST(floor(pymin - ty * 256 - 0.5) AS BIGINT) + 1, 0)
+           + 1) AS nrows
+  FROM tiles
+)
+SELECT tx AS x, ty AS y, CAST(SUM(ncols * nrows) AS BIGINT) AS px_sum
+FROM counts GROUP BY tx, ty
+"""
+
+
+def geo_polygonize_q(sf_dir: str):
+    """Per-image polygonize over the derived rasters quantized to 16-value
+    levels: with v(k) = (n·31+k) mod m and m ∈ [97,109], vertical neighbors
+    ALWAYS differ by ≥2 levels, so every component is a horizontal run —
+    grouped in SQL by the run key k - (v mod 16)."""
+    from ..stages.raster import reclassify_fn
+    from .polygonize import polygonize
+    lut = {v: (v // 16) * 16 for v in range(256)}
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(reclassify_fn(lut), batch_format="pyarrow") \
+              .map_batches(polygonize, batch_format="pyarrow")
+    return out.map_batches(lambda b: pa.table({
+        "n": pa.array([int(s[3:]) for s in b.column("image_id").to_pylist()],
+                      pa.int64()),
+        "value": pc.cast(b.column("value"), pa.int64()),
+        "pix_count": pc.cast(b.column("pix_count"), pa.int64()),
+    }), batch_format="pyarrow")
+
+
+SQL_GEO_POLYGONIZE = f"""
+WITH px AS ({_SQL_DERIVED_PIXELS})
+SELECT n, (v // 16) * 16 AS value, CAST(COUNT(*) AS BIGINT) AS pix_count
+FROM px
+GROUP BY n, k // 32, k - (v % 16), (v // 16) * 16
+"""

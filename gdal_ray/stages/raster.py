@@ -142,10 +142,73 @@ def slope_deg(batch: pa.Table) -> pa.Table:
                      "mean_slope": pa.array(means, pa.float64())})
 
 
-def proximity(batch: pa.Table, *, target_value: int = 255) -> pa.Table:
+def exact_edt(target: np.ndarray, *, max_chunk_px: int = 1 << 22) -> np.ndarray:
+    """EXACT Euclidean distance transform of a boolean target mask
+    (GDALComputeProximity semantics, alg/gdalproximity.cpp — which
+    propagates nearest-target coordinates, i.e. true Euclidean distance).
+
+    Two stages, both vectorized:
+      1. per-column 1D distance g[y,x] = min over target rows t in column x
+         of |y - t|  (two minimum.accumulate passes);
+      2. per-row lower envelope D[y,x] = min_j sqrt((x-j)^2 + g[y,j]^2),
+         evaluated as a broadcast min over j, chunked so the (rows, w, w)
+         intermediate stays under ``max_chunk_px`` floats.
+    O(h·w²) ops — exact, and fast for tile-sized rasters; feed tiles (the
+    engine's unit of work), not whole mosaics."""
+    t = np.asarray(target, dtype=bool)
+    h, w = t.shape
+    BIG = np.float64(1e12)
+    # stage 1: vertical 1D distances via the run-min trick per column
+    idx = np.arange(h, dtype=np.float64)[:, None]
+    col = np.where(t, 0.0, BIG)
+    # fwd[y] = min_{t<=y} col[t] + (y-t);  bwd[y] = min_{t>=y} col[t] + (t-y)
+    fwd = idx + np.minimum.accumulate(col - idx, axis=0)
+    bwd = np.minimum.accumulate((col + idx)[::-1], axis=0)[::-1] - idx
+    g = np.minimum(fwd, bwd)          # (h, w) vertical distances (or BIG)
+    g2 = g * g
+    xs = np.arange(w, dtype=np.float64)
+    dx2 = (xs[:, None] - xs[None, :]) ** 2          # (w_out, w_src)
+    rows_per_chunk = max(1, max_chunk_px // (w * w))
+    out = np.empty((h, w), dtype=np.float64)
+    for y0 in range(0, h, rows_per_chunk):
+        y1 = min(h, y0 + rows_per_chunk)
+        # (rows, w_out, w_src) -> min over source column j
+        out[y0:y1] = (g2[y0:y1, None, :] + dx2[None, :, :]).min(axis=2)
+    return np.sqrt(out)
+
+
+def proximity_rows(batch: pa.Table, *, target_value: int = 255) -> pa.Table:
+    """Per-pixel EXACT proximity rows (image_id, k, dist_mm) —
+    dist_mm = floor(euclidean_distance_px * 1000), closed-form checkable."""
+    ids, ks, ds = [], [], []
+    for i, img, _ in _iter_images(batch):
+        a = img if img.ndim == 2 else img[:, :, 0]
+        d = exact_edt(a == target_value)
+        n = d.size
+        ids.extend([batch.column("image_id")[i].as_py()] * n)
+        ks.append(np.arange(n, dtype=np.int64))
+        ds.append(np.floor(d.ravel() * 1000.0).astype(np.int64))
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "k": pa.array(np.concatenate(ks) if ks else
+                                   np.array([], np.int64)),
+                     "dist_mm": pa.array(np.concatenate(ds) if ds else
+                                         np.array([], np.int64))})
+
+
+def proximity(batch: pa.Table, *, target_value: int = 255,
+              exact: bool = True) -> pa.Table:
     """GDALComputeProximity (alg/gdalproximity.cpp): per-pixel distance to
-    nearest target pixel.  Two-pass chamfer transform (3-4 metric scaled),
-    adequate numpy stand-in for the exact EDT; per-image map_batches."""
+    nearest target pixel.  ``exact=True`` (default) computes the true
+    Euclidean distance (``exact_edt``); ``exact=False`` keeps the cheaper
+    two-pass 3-4 chamfer approximation for very wide rasters."""
+    if exact:
+        ids, outs = [], []
+        for i, img, _ in _iter_images(batch):
+            a = img if img.ndim == 2 else img[:, :, 0]
+            d = exact_edt(a == target_value)
+            outs.append(codecs.encode(np.clip(d, 0, 255).astype(np.uint8), "png"))
+            ids.append(batch.column("image_id")[i].as_py())
+        return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary())})
     ids, outs = [], []
     for i, img, fmt in _iter_images(batch):
         a = img if img.ndim == 2 else img[:, :, 0]
@@ -156,9 +219,10 @@ def proximity(batch: pa.Table, *, target_value: int = 255) -> pa.Table:
         d = np.where(a == target_value, 0.0, INF)
 
         def _run_min(row):
-            # acc_x = min_{j<=x}(row_j + (x-j)) via a single minimum.accumulate
+            # min over j of row_j + |x-j| via two minimum.accumulate passes:
+            # fwd_x = min_{j<=x}(row_j + (x-j)); bwd_x = min_{j>=x}(row_j + (j-x))
             fwd = idx + np.minimum.accumulate(row - idx)
-            bwd = (idx[::-1] + np.minimum.accumulate(row[::-1] - idx[::-1]))[::-1]
+            bwd = np.minimum.accumulate((row + idx)[::-1])[::-1] - idx
             return np.minimum(fwd, bwd)
 
         for y in range(h):  # forward raster pass (rows vectorized)
