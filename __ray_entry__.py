@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygonize_stitched": R.geo_polygonize_stitched_q,
         "text_alpha_ratio": R.text_alpha_ratio,
         "text_langid": _langid,
+        "grid_linear": R.grid_linear_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -202,4 +203,5 @@ def oracle_sql() -> dict[str, str]:
         "vector_sort_hilbert": R.SQL_VECTOR_SORT_HILBERT,
         "geo_rasterize": R.SQL_GEO_RASTERIZE,
         "geo_polygonize": R.SQL_GEO_POLYGONIZE,
+        "grid_linear": R.SQL_GRID_LINEAR,
     }

@@ -45,19 +45,41 @@ def _init_ray(num_cpus: int):
 
 
 def gen_images(n: int):
-    """Distributed synthetic catalog: generation itself is a map_batches
-    over a range — no driver-side materialization."""
+    """Distributed synthetic catalog in HILBERT INGEST ORDER.
+
+    Real catalogs are written spatially clustered (ingest order / a
+    Hilbert-sorted manifest next to the data); replicating that here is what
+    lets map-side partial compositing merge same-tile contributions inside
+    each warp batch.  The ordering pass is metadata-only: (id, hilbert)
+    int64 pairs go through the sort — the pixel payloads are GENERATED
+    after the sort and never shuffle."""
+    import numpy as np
+    import ray
     import ray.data
 
-    from gdal_ray.core.fixtures import images_batch
+    from gdal_ray.core.fixtures import image_meta, images_batch
+    from gdal_ray.core.hilbert import hilbert_key_lonlat
+    from gdal_ray.stages.warp import image_lonlat_bbox
+
+    def key_fn(batch):
+        ids = np.asarray(batch["id"])
+        lons = np.empty(ids.size)
+        lats = np.empty(ids.size)
+        for j, i in enumerate(ids):
+            m = image_meta(int(i))
+            bb = image_lonlat_bbox(tuple(m["geotransform"]), m["crs"],
+                                   m["w"], m["h"])
+            lons[j] = (bb[0] + bb[2]) / 2.0
+            lats[j] = (bb[1] + bb[3]) / 2.0
+        return {"id": ids, "hkey": hilbert_key_lonlat(lons, lats).astype(np.int64)}
 
     def fn(batch):
-        import numpy as np
         return images_batch(np.asarray(batch["id"]))
 
-    import ray
     nblocks = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
-    return ray.data.range(n, override_num_blocks=nblocks) \
+    manifest = ray.data.range(n, override_num_blocks=nblocks) \
+        .map_batches(key_fn, batch_format="numpy")
+    return manifest.sort("hkey") \
         .map_batches(fn, batch_format="numpy", batch_size=64)
 
 
@@ -93,12 +115,14 @@ def headline(num_cpus: int, n_images: int) -> dict:
     _init_ray(num_cpus)
     import ray.data
     t0 = time.time()
-    # block count sized to ~4 waves per CPU for load balance
-    images = gen_images(n_images).repartition(num_cpus * 4).materialize()
+    # ~2 blocks per CPU: Hilbert-ordered ingest wants blocks big enough
+    # that a 64-image warp batch stays spatially contiguous (more map-side
+    # same-tile merging), while still giving every CPU two waves
+    images = gen_images(n_images).repartition(num_cpus * 2).materialize()
     t_gen = time.time() - t0
 
     t1 = time.time()
-    tiles = tiling.base_tiles(images, zoom=ZOOM, batch_size=16)
+    tiles = tiling.base_tiles(images, zoom=ZOOM, batch_size=64)
     n_tiles = tiles.count()
     t_tiles = time.time() - t1
 

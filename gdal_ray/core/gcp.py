@@ -215,3 +215,120 @@ def rpc_from_affine(gt, *, lat0: float = 0.0, lon0: float = 0.0) -> dict:
         "LINE_DEN_COEFF": den, "SAMP_NUM_COEFF": num_s,
         "SAMP_DEN_COEFF": den,
     }
+
+
+class GeolocTransform:
+    """Geolocation-array transform (alg/gdaltransformer.cpp:2569
+    GDALCreateGeoLocTransformer / alg/gdalgeoloc.cpp): a (gh, gw) pair of
+    arrays gives the geo (x, y) of sample nodes; node j maps to source
+    pixel ``pixel_offset + pixel_step * j`` (GEOLOCATION metadata domain).
+
+      forward(px, py): bilinear interpolation in the geoloc arrays;
+      inverse(gx, gy): nearest-node seed + Newton iteration on the local
+        bilinear Jacobian (the numpy analog of the reference's backmap +
+        refinement).
+    """
+
+    def __init__(self, geo_x: np.ndarray, geo_y: np.ndarray, *,
+                 pixel_offset: float = 0.5, line_offset: float = 0.5,
+                 pixel_step: float = 1.0, line_step: float = 1.0):
+        self.gx = np.asarray(geo_x, dtype=np.float64)
+        self.gy = np.asarray(geo_y, dtype=np.float64)
+        assert self.gx.shape == self.gy.shape and self.gx.ndim == 2
+        self.px_off = float(pixel_offset)
+        self.ln_off = float(line_offset)
+        self.px_step = float(pixel_step)
+        self.ln_step = float(line_step)
+
+    def _sample(self, fj: np.ndarray, fi: np.ndarray):
+        """Bilinear sample of (gx, gy) at fractional node coords (fj, fi)."""
+        gh, gw = self.gx.shape
+        fj = np.clip(fj, 0.0, gw - 1.0)
+        fi = np.clip(fi, 0.0, gh - 1.0)
+        j0 = np.clip(np.floor(fj).astype(np.int64), 0, gw - 2) if gw > 1 \
+            else np.zeros_like(fj, np.int64)
+        i0 = np.clip(np.floor(fi).astype(np.int64), 0, gh - 2) if gh > 1 \
+            else np.zeros_like(fi, np.int64)
+        tx = fj - j0
+        ty = fi - i0
+        j1 = np.minimum(j0 + 1, gw - 1)
+        i1 = np.minimum(i0 + 1, gh - 1)
+
+        def bil(a):
+            return (a[i0, j0] * (1 - tx) * (1 - ty) + a[i0, j1] * tx * (1 - ty)
+                    + a[i1, j0] * (1 - tx) * ty + a[i1, j1] * tx * ty)
+        return bil(self.gx), bil(self.gy)
+
+    def _node_coords(self, px, py):
+        fj = (np.asarray(px, np.float64) - self.px_off) / self.px_step
+        fi = (np.asarray(py, np.float64) - self.ln_off) / self.ln_step
+        return fj, fi
+
+    def forward(self, px, py):
+        fj, fi = self._node_coords(px, py)
+        return self._sample(fj, fi)
+
+    def inverse(self, gx, gy, *, iters: int = 12, node_chunk: int = 4096):
+        """Geo → pixel/line.  Seed: nearest geoloc node (chunked vectorized
+        scan — the backmap analog); refine: Newton on the bilinear surface
+        with a finite-difference Jacobian per iteration."""
+        shape = np.asarray(gx).shape
+        gx = np.asarray(gx, np.float64).ravel()
+        gy = np.asarray(gy, np.float64).ravel()
+        gh, gw = self.gx.shape
+        nodes_x = self.gx.ravel()
+        nodes_y = self.gy.ravel()
+        best = np.zeros(gx.size, np.int64)
+        bestd = np.full(gx.size, np.inf)
+        for s in range(0, nodes_x.size, node_chunk):
+            e = min(nodes_x.size, s + node_chunk)
+            d = (gx[:, None] - nodes_x[None, s:e]) ** 2 \
+                + (gy[:, None] - nodes_y[None, s:e]) ** 2
+            am = d.argmin(axis=1)
+            dv = d[np.arange(gx.size), am]
+            upd = dv < bestd
+            best[upd] = am[upd] + s
+            bestd[upd] = dv[upd]
+        fi = (best // gw).astype(np.float64)
+        fj = (best % gw).astype(np.float64)
+        h = 1e-4
+        for _ in range(iters):
+            x0, y0 = self._sample(fj, fi)
+            rx = gx - x0
+            ry = gy - y0
+            # finite-difference steps flip to backward at the clip boundary
+            # (a clipped forward step would zero the Jacobian there)
+            hj = np.where(fj + h > gw - 1.0, -h, h)
+            hi = np.where(fi + h > gh - 1.0, -h, h)
+            xj, yj = self._sample(fj + hj, fi)
+            xi, yi = self._sample(fj, fi + hi)
+            a = (xj - x0) / hj
+            b = (xi - x0) / hi
+            c = (yj - y0) / hj
+            d2 = (yi - y0) / hi
+            det = a * d2 - b * c
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            fj = fj + (d2 * rx - b * ry) / det
+            fi = fi + (-c * rx + a * ry) / det
+            fj = np.clip(fj, 0.0, gw - 1.0)
+            fi = np.clip(fi, 0.0, gh - 1.0)
+        return ((self.px_off + fj * self.px_step).reshape(shape),
+                (self.ln_off + fi * self.ln_step).reshape(shape))
+
+
+def geoloc_from_affine(gt, w: int, h: int, step: int = 4):
+    """Synthetic geoloc arrays sampling an affine transform at pixel centers
+    every `step` pixels (test/fixture helper)."""
+    from . import geotransform as gtm
+    # node lattice must COVER every pixel center (clipped bilinear would
+    # extrapolate as constant past the last node) — overshoot the edge
+    nj = int(np.ceil((w - 1.0) / step)) + 1
+    ni = int(np.ceil((h - 1.0) / step)) + 1
+    js = 0.5 + step * np.arange(nj, dtype=np.float64)
+    is_ = 0.5 + step * np.arange(ni, dtype=np.float64)
+    JJ, II = np.meshgrid(js, is_)
+    gx, gy = gtm.apply(tuple(gt), JJ.ravel(), II.ravel())
+    shape = II.shape
+    return (np.asarray(gx).reshape(shape), np.asarray(gy).reshape(shape),
+            dict(pixel_offset=0.5, line_offset=0.5, pixel_step=float(step),
+                 line_step=float(step)))

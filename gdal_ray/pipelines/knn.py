@@ -320,3 +320,44 @@ def idw_interpolate(queries: "ray.data.Dataset", ref_xy: np.ndarray,
             })
 
     return queries.map_batches(IdwStage, batch_format="pyarrow", concurrency=concurrency)
+
+
+def grid_linear(queries: "ray.data.Dataset", ref_xy: np.ndarray,
+                ref_vals: np.ndarray, *, query_id_col: str = "point_id",
+                concurrency: int | tuple = 4) -> "ray.data.Dataset":
+    """gdal_grid linear (GGA_Linear, alg/gdalgrid.cpp / alg/delaunay.c):
+    Delaunay-triangulate the reference points ONCE (driver side — the
+    reference set is the broadcast small side, like the IDW/kNN stages),
+    then barycentrically interpolate each query inside its triangle.
+    Queries outside the triangulation fall back to the nearest reference
+    value (GGA_Linear's nearest-neighbour fallback when a search radius is
+    set)."""
+    from ..core.delaunay import barycentric_interpolate, delaunay_triangulation
+    xy = np.asarray(ref_xy, dtype=np.float64)
+    tris = delaunay_triangulation(xy)
+    ref = ray.put({"xy": xy, "vals": np.asarray(ref_vals, dtype=np.float64),
+                   "tris": tris})
+
+    class LinearStage:
+        def __init__(self):
+            d = ray.get(ref)
+            self.xy = d["xy"]
+            self.vals = d["vals"]
+            self.tris = d["tris"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qx = np.asarray(batch.column("x"), dtype=np.float64)
+            qy = np.asarray(batch.column("y"), dtype=np.float64)
+            val, inside = barycentric_interpolate(self.tris, self.xy,
+                                                  self.vals, qx, qy)
+            if (~inside).any():
+                idx, _ = knn_batch_kernel(qx[~inside], qy[~inside], self.xy, 1)
+                val[~inside] = self.vals[idx[:, 0]]
+            return pa.table({
+                query_id_col: batch.column(query_id_col),
+                "linear_value": pa.array(val, pa.float64()),
+                "inside_tin": pa.array(inside),
+            })
+
+    return queries.map_batches(LinearStage, batch_format="pyarrow",
+                               concurrency=concurrency)

@@ -95,6 +95,24 @@ def _select(ds, columns):
     return ds.select_columns(list(columns))
 
 
+@register("filter")
+def _filter(ds, where: str):
+    """SQL WHERE filter (``-where`` analog, ogr/swq_op_general.cpp
+    semantics): parsed ONCE on the driver, evaluated vectorized per batch."""
+    from ..functions.expr import filter_table, parse_expr
+    ast = parse_expr(where)   # syntax errors fail fast, before execution
+    return ds.map_batches(lambda b: filter_table(b, ast),
+                          batch_format="pyarrow")
+
+
+@register("sql_select")
+def _sql_select(ds, exprs: str):
+    """SQL select list with computed fields: ``exprs="*, pop/area AS dens"``."""
+    from ..functions.expr import project_table
+    return ds.map_batches(lambda b: project_table(b, exprs),
+                          batch_format="pyarrow")
+
+
 @register("limit")
 def _limit(ds, n: int):
     return ds.limit(int(n))

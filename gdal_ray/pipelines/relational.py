@@ -2780,3 +2780,42 @@ SELECT n, (v // 16) * 16 AS value, CAST(COUNT(*) AS BIGINT) AS pix_count
 FROM px
 GROUP BY n, k // 32, k - (v % 16), (v // 16) * 16
 """
+
+
+def grid_linear_q(sf_dir: str):
+    """gdal_grid linear (TIN barycentric): 5×5 nation lattice with a LINEAR
+    value field — any Delaunay triangulation reproduces a linear function
+    exactly, so every interior query has a closed-form answer."""
+    from .knn import grid_linear
+    nat = _read(sf_dir, "nation").select_columns(["n_nationkey"]).take_all()
+    k = np.array([r["n_nationkey"] for r in nat], dtype=np.int64)
+    ref_xy = np.column_stack([(k % 5) * 10.0, (k // 5) * 10.0])
+    ref_v = 2.0 * ref_xy[:, 0] + 3.0 * ref_xy[:, 1] + 7.0
+
+    def pts(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        return pa.table({
+            "point_id": pa.array(c, pa.int64()),
+            "x": pa.array(1.0 + ((c * 13) % 380) / 10.0, pa.float64()),
+            "y": pa.array(1.0 + ((c * 29) % 380) / 10.0, pa.float64()),
+        })
+
+    queries = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+        .map_batches(pts, batch_format="pyarrow")
+    out = grid_linear(queries, ref_xy, ref_v, concurrency=2)
+    return out.map_batches(lambda b: pa.table({
+        "point_id": b.column("point_id"),
+        "linear_value": pc.round(b.column("linear_value"), ndigits=6,
+                                 round_mode="half_towards_infinity"),
+        "inside_tin": b.column("inside_tin"),
+    }), batch_format="pyarrow")
+
+
+SQL_GRID_LINEAR = """
+SELECT c_custkey AS point_id,
+       round(2.0 * (1.0 + ((c_custkey * 13) % 380) / 10.0)
+             + 3.0 * (1.0 + ((c_custkey * 29) % 380) / 10.0) + 7.0, 6)
+           AS linear_value,
+       TRUE AS inside_tin
+FROM customer
+"""

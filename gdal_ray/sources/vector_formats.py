@@ -292,3 +292,230 @@ def read_gpkg(paths, table: str | None = None) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- FlatGeobuf ----------
+#
+# Spec-conformant reader (https://flatgeobuf.org / ref
+# ogr/ogrsf_frmts/flatgeobuf/): magic + size-prefixed flatbuffer Header +
+# optional packed Hilbert R-tree + size-prefixed flatbuffer Features.
+# Flatbuffer access is a minimal pure-stdlib vtable walker — enough for the
+# Header/Column/Feature/Geometry tables the format uses.
+
+FGB_MAGIC = bytes([0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x01])
+
+_FGB_COLTYPES = ["byte", "ubyte", "bool", "short", "ushort", "int", "uint",
+                 "long", "ulong", "float", "double", "string", "json",
+                 "datetime", "binary"]
+
+
+class _FB:
+    """Minimal flatbuffer table reader (little-endian, per the public
+    flatbuffers internals: root uoffset → table → soffset → vtable)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.b = buf
+        self.t = pos + struct.unpack_from("<I", buf, pos)[0]
+        vt_off = struct.unpack_from("<i", buf, self.t)[0]
+        self.vt = self.t - vt_off
+        self.vt_size = struct.unpack_from("<H", buf, self.vt)[0]
+
+    @classmethod
+    def at_table(cls, buf, table_pos):
+        fb = cls.__new__(cls)
+        fb.b = buf
+        fb.t = table_pos
+        vt_off = struct.unpack_from("<i", buf, fb.t)[0]
+        fb.vt = fb.t - vt_off
+        fb.vt_size = struct.unpack_from("<H", buf, fb.vt)[0]
+        return fb
+
+    def _field(self, vt_slot: int) -> int:
+        """vtable slot (4, 6, 8, ...) → absolute position, or 0."""
+        if vt_slot + 2 > self.vt_size:
+            return 0
+        rel = struct.unpack_from("<H", self.b, self.vt + vt_slot)[0]
+        return self.t + rel if rel else 0
+
+    def scalar(self, vt_slot: int, fmt: str, default=0):
+        p = self._field(vt_slot)
+        return struct.unpack_from(fmt, self.b, p)[0] if p else default
+
+    def _indirect(self, vt_slot: int) -> int:
+        p = self._field(vt_slot)
+        if not p:
+            return 0
+        return p + struct.unpack_from("<I", self.b, p)[0]
+
+    def string(self, vt_slot: int):
+        v = self._indirect(vt_slot)
+        if not v:
+            return None
+        n = struct.unpack_from("<I", self.b, v)[0]
+        return self.b[v + 4:v + 4 + n].decode("utf-8")
+
+    def vector(self, vt_slot: int, fmt: str):
+        v = self._indirect(vt_slot)
+        if not v:
+            return None
+        n = struct.unpack_from("<I", self.b, v)[0]
+        return list(struct.unpack_from(f"<{n}{fmt}", self.b, v + 4))
+
+    def vector_np(self, vt_slot: int, dtype):
+        v = self._indirect(vt_slot)
+        if not v:
+            return None
+        n = struct.unpack_from("<I", self.b, v)[0]
+        return np.frombuffer(self.b, dtype=dtype, count=n, offset=v + 4)
+
+    def table_vector(self, vt_slot: int):
+        """Vector of table offsets → list of _FB."""
+        v = self._indirect(vt_slot)
+        if not v:
+            return []
+        n = struct.unpack_from("<I", self.b, v)[0]
+        out = []
+        for i in range(n):
+            p = v + 4 + 4 * i
+            out.append(_FB.at_table(self.b, p + struct.unpack_from("<I", self.b, p)[0]))
+        return out
+
+    def table(self, vt_slot: int):
+        v = self._indirect(vt_slot)
+        return _FB.at_table(self.b, v) if v else None
+
+
+def _fgb_index_size(num_items: int, node_size: int) -> int:
+    """Packed Hilbert R-tree byte size (packedrtree.h generateLevelBounds):
+    40-byte NodeItems, levels shrink by ceil(n/node_size)."""
+    if num_items == 0 or node_size == 0:
+        return 0
+    n = num_items
+    total = n
+    while n != 1:
+        n = -(-n // node_size)
+        total += n
+    return total * 40
+
+
+def _fgb_geometry_to_wkb(g: "_FB", gtype: int):
+    from ..core import wkb as W
+    if g is None:
+        return None
+    t = g.scalar(16, "<B", 0) or gtype   # Geometry.VT_TYPE = 16
+    xy = g.vector_np(6, "<f8")           # VT_XY = 6
+    ends = g.vector(4, "I")              # VT_ENDS = 4
+    if t == 1:    # Point
+        return W.point(float(xy[0]), float(xy[1]))
+    pts = xy.reshape(-1, 2).astype(np.float64) if xy is not None else None
+    if t == 2:    # LineString
+        return W.dumps({"type": "LineString", "xy": pts})
+    if t == 3:    # Polygon: ends = end vertex index (exclusive, doubled) per ring
+        bounds = [e // 2 for e in (ends or [len(pts)])]
+        rings, s = [], 0
+        for e in bounds:
+            rings.append(pts[s:e])
+            s = e
+        return W.polygon(rings[0], rings[1:])
+    if t == 4:    # MultiPoint
+        return W.dumps({"type": "MultiPoint", "xy": pts})
+    if t == 5:    # MultiLineString
+        bounds = [e // 2 for e in (ends or [len(pts)])]
+        lines, s = [], 0
+        for e in bounds:
+            lines.append(pts[s:e])
+            s = e
+        return W.dumps({"type": "MultiLineString", "lines": lines})
+    if t == 6:    # MultiPolygon: parts vector of Polygon geometries
+        polys = []
+        for part in g.table_vector(18):  # VT_PARTS = 18
+            pxy = part.vector_np(6, "<f8").reshape(-1, 2).astype(np.float64)
+            pends = part.vector(4, "I")
+            bounds = [e // 2 for e in (pends or [len(pxy)])]
+            rings, s = [], 0
+            for e in bounds:
+                rings.append(pxy[s:e])
+                s = e
+            polys.append(rings)
+        return W.dumps({"type": "MultiPolygon", "polys": polys})
+    raise ValueError(f"unsupported FlatGeobuf geometry type {t}")
+
+
+def parse_flatgeobuf_bytes(data: bytes) -> pa.Table:
+    """One .fgb payload → (attributes…, wkb) arrow table."""
+    assert data[:8] == FGB_MAGIC, "not a FlatGeobuf file"
+    pos = 8
+    hsize = struct.unpack_from("<I", data, pos)[0]
+    header = _FB(data, pos + 4)
+    pos += 4 + hsize
+    gtype = header.scalar(8, "<B", 0)            # VT_GEOMETRY_TYPE
+    feat_count = header.scalar(20, "<Q", 0)      # VT_FEATURES_COUNT
+    node_size = header.scalar(22, "<H", 16)      # VT_INDEX_NODE_SIZE
+    columns = []
+    for c in header.table_vector(18):            # VT_COLUMNS
+        columns.append((c.string(4), _FGB_COLTYPES[c.scalar(6, "<B", 0)]))
+    pos += _fgb_index_size(feat_count, node_size)
+
+    cols: dict = {name: [] for name, _ in columns}
+    wkbs = []
+    while pos < len(data):
+        fsize = struct.unpack_from("<I", data, pos)[0]
+        feat = _FB(data, pos + 4)
+        pos += 4 + fsize
+        wkbs.append(_fgb_geometry_to_wkb(feat.table(4), gtype))  # VT_GEOMETRY
+        props = feat.vector_np(6, np.uint8)                      # VT_PROPERTIES
+        vals: dict = {}
+        if props is not None:
+            raw = props.tobytes()
+            o = 0
+            while o + 2 <= len(raw):
+                ci = struct.unpack_from("<H", raw, o)[0]
+                o += 2
+                name, ctype = columns[ci]
+                if ctype in ("byte", "ubyte", "bool"):
+                    v = struct.unpack_from("<b" if ctype == "byte" else "<B", raw, o)[0]
+                    v = bool(v) if ctype == "bool" else v
+                    o += 1
+                elif ctype in ("short", "ushort"):
+                    v = struct.unpack_from("<h" if ctype == "short" else "<H", raw, o)[0]
+                    o += 2
+                elif ctype in ("int", "uint"):
+                    v = struct.unpack_from("<i" if ctype == "int" else "<I", raw, o)[0]
+                    o += 4
+                elif ctype in ("long", "ulong"):
+                    v = struct.unpack_from("<q" if ctype == "long" else "<Q", raw, o)[0]
+                    o += 8
+                elif ctype == "float":
+                    v = struct.unpack_from("<f", raw, o)[0]
+                    o += 4
+                elif ctype == "double":
+                    v = struct.unpack_from("<d", raw, o)[0]
+                    o += 8
+                else:   # string / json / datetime / binary: u32 len + bytes
+                    n = struct.unpack_from("<I", raw, o)[0]
+                    o += 4
+                    payload = raw[o:o + n]
+                    v = payload if ctype == "binary" else payload.decode("utf-8")
+                    o += n
+                vals[name] = v
+        for name, _ in columns:
+            cols[name].append(vals.get(name))
+    out = {k: pa.array(v) for k, v in cols.items()}
+    out["wkb"] = pa.array(wkbs, pa.binary())
+    return pa.table(out)
+
+
+def read_flatgeobuf(paths) -> "ray.data.Dataset":
+    """One task per .fgb file → (attributes…, wkb) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_flatgeobuf_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -337,3 +337,66 @@ class GcpWarpStage:
             "geotransform": pa.array(gts_out, pa.list_(pa.float64(), 6)),
             "crs": pa.array(["EPSG:4326"] * len(ids)),
         })
+
+
+class GeolocWarpStage:
+    """gdalwarp via GEOLOCATION arrays (alg/gdaltransformer.cpp:2569,
+    alg/gdalgeoloc.cpp): each row carries per-image geolocation arrays
+    (``geoloc_x`` / ``geoloc_y`` float64 binary payloads of shape
+    (geoloc_gh, geoloc_gw), node step ``geoloc_step`` pixels) instead of a
+    geotransform.  Forward is bilinear in the arrays; the warp's dst→src
+    provider is the Newton inverse — the 4th georeferencing alternative
+    next to GCP polynomial / TPS / RPC."""
+
+    def __init__(self, method: str = "bilinear", mesh_step: int = 16):
+        self.method = method
+        self.mesh_step = mesh_step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.gcp import GeolocTransform
+        ids, outs, ws, hs, gts_out = [], [], [], [], []
+        bts = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        gxs = batch.column("geoloc_x").to_pylist()
+        gys = batch.column("geoloc_y").to_pylist()
+        ghs = batch.column("geoloc_gh").to_pylist()
+        gws = batch.column("geoloc_gw").to_pylist()
+        steps = batch.column("geoloc_step").to_pylist()
+        for i in range(batch.num_rows):
+            img = codecs.decode(bts[i], fmts[i])
+            h, w = img.shape[:2]
+            gh, gw = int(ghs[i]), int(gws[i])
+            gx = np.frombuffer(gxs[i], dtype=np.float64).reshape(gh, gw)
+            gy = np.frombuffer(gys[i], dtype=np.float64).reshape(gh, gw)
+            tr = GeolocTransform(gx, gy, pixel_step=float(steps[i]),
+                                 line_step=float(steps[i]))
+            t = np.linspace(0.0, 1.0, 11)
+            ex = np.concatenate([t * w, np.full(11, w), t[::-1] * w, np.zeros(11)])
+            ey = np.concatenate([np.zeros(11), t * h, np.full(11, h), t[::-1] * h])
+            dx, dy = tr.forward(ex, ey)
+            minx, maxx = float(dx.min()), float(dx.max())
+            miny, maxy = float(dy.min()), float(dy.max())
+            dst_w = w
+            dst_h = max(1, int(round(dst_w * (maxy - miny) / max(maxx - minx, 1e-300))))
+            res_x = (maxx - minx) / dst_w
+            res_y = (maxy - miny) / dst_h
+            dst_gt = (minx, res_x, 0.0, maxy, 0.0, -res_y)
+
+            def dst_to_src(px, py, _gt=dst_gt, _tr=tr):
+                from ..core import geotransform as _g
+                mx, my = _g.apply(_gt, px, py)
+                return _tr.inverse(mx, my)
+
+            out = resample.warp(img, dst_w, dst_h, dst_to_src,
+                                method=self.method, mesh_step=self.mesh_step)
+            ids.append(batch.column("image_id")[i].as_py())
+            outs.append(codecs.encode(np.ascontiguousarray(out), "raw"))
+            ws.append(dst_w); hs.append(dst_h)
+            gts_out.append(list(dst_gt))
+        return pa.table({
+            "image_id": ids, "bytes": pa.array(outs, pa.binary()),
+            "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["raw"] * len(ids)),
+            "geotransform": pa.array(gts_out, pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"] * len(ids)),
+        })

@@ -142,3 +142,95 @@ def test_rpc_nonlinear_inverse_converges():
     blon, blat = rpc.inverse(px, py)
     np.testing.assert_allclose(blon, lon, atol=1e-8)
     np.testing.assert_allclose(blat, lat, atol=1e-8)
+
+
+# ---------- geolocation arrays (alg/gdaltransformer.cpp:2569) ----------
+
+def test_geoloc_forward_exact_on_affine():
+    """Bilinear interpolation of an affine field is exact everywhere."""
+    import numpy as np
+
+    from gdal_ray.core.gcp import GeolocTransform, geoloc_from_affine
+    from gdal_ray.core import geotransform as gtm
+    gt = (10.0, 0.25, 0.05, 50.0, -0.02, -0.5)
+    gx, gy, kw = geoloc_from_affine(gt, 64, 48, step=4)
+    tr = GeolocTransform(gx, gy, **kw)
+    rng = np.random.default_rng(2)
+    # stay inside the geoloc node hull: [0.5, 0.5+step*(n-1)]
+    px = 0.5 + rng.random(200) * (4 * (gx.shape[1] - 1))
+    py = 0.5 + rng.random(200) * (4 * (gx.shape[0] - 1))
+    ex, ey = gtm.apply(gt, px, py)
+    fx, fy = tr.forward(px, py)
+    assert np.abs(fx - ex).max() < 1e-9
+    assert np.abs(fy - ey).max() < 1e-9
+
+
+def test_geoloc_inverse_roundtrip_affine_and_curved():
+    import numpy as np
+
+    from gdal_ray.core.gcp import GeolocTransform, geoloc_from_affine
+    gt = (-5.0, 0.1, 0.0, 8.0, 0.0, -0.1)
+    gx, gy, kw = geoloc_from_affine(gt, 40, 40, step=4)
+    tr = GeolocTransform(gx, gy, **kw)
+    rng = np.random.default_rng(3)
+    px = 0.5 + rng.random(100) * 36
+    py = 0.5 + rng.random(100) * 36
+    fx, fy = tr.forward(px, py)
+    ix, iy = tr.inverse(fx, fy)
+    assert np.abs(ix - px).max() < 1e-6
+    assert np.abs(iy - py).max() < 1e-6
+    # curved grid (quadratic warp): roundtrip through Newton still converges
+    jj, ii = np.meshgrid(np.arange(10.0), np.arange(10.0))
+    cgx = jj + 0.002 * ii * ii
+    cgy = ii - 0.001 * jj * jj
+    ctr = GeolocTransform(cgx, cgy, pixel_step=4.0, line_step=4.0)
+    px = 0.5 + rng.random(50) * 34
+    py = 0.5 + rng.random(50) * 34
+    fx, fy = ctr.forward(px, py)
+    ix, iy = ctr.inverse(fx, fy)
+    fx2, fy2 = ctr.forward(ix, iy)
+    assert np.abs(fx2 - fx).max() < 1e-8
+    assert np.abs(fy2 - fy).max() < 1e-8
+
+
+def test_geoloc_warp_stage_matches_affine_warp(ray_session):
+    """GeolocWarpStage over geoloc arrays sampled from an affine transform
+    must reproduce the north-up warp of the same affine (same suggested
+    grid, allclose pixels)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_ray.core import codecs
+    from gdal_ray.core.gcp import geoloc_from_affine
+    from gdal_ray.stages.warp import GeolocWarpStage
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (40, 56), dtype=np.uint8)
+    gt = (100.0, 0.01, 0.0, 20.0, 0.0, -0.01)
+    gx, gy, kw = geoloc_from_affine(gt, 56, 40, step=4)
+    row = pa.table({
+        "image_id": ["g0"], "bytes": [codecs.encode_raw(img)], "fmt": ["raw"],
+        "geoloc_x": [gx.tobytes()], "geoloc_y": [gy.tobytes()],
+        "geoloc_gh": pa.array([gx.shape[0]], pa.int32()),
+        "geoloc_gw": pa.array([gx.shape[1]], pa.int32()),
+        "geoloc_step": pa.array([4.0], pa.float64()),
+    })
+    out = ray.data.from_arrow(row).map_batches(
+        GeolocWarpStage, batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert out["w"] == 56
+    got = codecs.decode(out["bytes"], "raw")
+    # oracle: direct affine warp to the same grid
+    from gdal_ray.core import geotransform as gtm
+    from gdal_ray.core import resample
+    inv = gtm.invert(gt)
+    dst_gt = tuple(out["geotransform"])
+
+    def dst_to_src(px, py):
+        mx, my = gtm.apply(dst_gt, px, py)
+        return gtm.apply(inv, mx, my)
+
+    expect = resample.warp(img, out["w"], out["h"], dst_to_src,
+                           method="bilinear", mesh_step=16)
+    valid = (got > 0) & (expect > 0)
+    diff = np.abs(got.astype(float) - expect.astype(float))[valid]
+    assert diff.mean() < 1.0 and np.percentile(diff, 99) <= 2.0

@@ -131,3 +131,145 @@ def test_gpkg_reader(tmp_path, ray_session):
     for r in rows:
         g = wkb.loads(r["wkb"])
         assert geom.polygon_area(g["rings"]) == pytest.approx(6.0)
+
+
+# ---------- FlatGeobuf ----------
+
+class _FgbBuf:
+    """Hand-built little-endian flatbuffer: parents are written at LOW
+    addresses, children after them, and every uoffset is patched to point
+    forward (the only direction uoffsets can encode)."""
+
+    def __init__(self):
+        self.b = bytearray()
+        self._pend = {}
+
+    def tell(self):
+        return len(self.b)
+
+    def raw(self, data: bytes):
+        self.b += data
+
+    def pack(self, fmt, *v):
+        import struct
+        self.b += struct.pack(fmt, *v)
+
+    def pad(self, align):
+        while len(self.b) % align:
+            self.b += b"\x00"
+
+    def uoff(self, key):
+        """Reserve a u32 uoffset slot to be patched later."""
+        self._pend[key] = self.tell()
+        self.pack("<I", 0)
+
+    def patch(self, key):
+        """Point the reserved slot at the current position."""
+        import struct
+        pos = self._pend.pop(key)
+        self.b[pos:pos + 4] = struct.pack("<I", self.tell() - pos)
+
+
+def _fgb_column(buf, name, ctype):
+    """Column table + vtable + name string; returns table position."""
+    tpos = buf.tell()
+    buf.pack("<i", -12)          # soffset: vtable sits 12 bytes after
+    buf.uoff(("cname", tpos))    # +4 VT_NAME
+    buf.pack("<B", ctype)        # +8 VT_TYPE
+    buf.pad(4)                   # table occupies 12 bytes
+    assert buf.tell() == tpos + 12
+    buf.pack("<4H", 8, 12, 4, 8)  # vtable: size 8, tsize 12, name@4, type@8
+    buf.patch(("cname", tpos))
+    buf.pack("<I", len(name))
+    buf.raw(name.encode())
+    buf.pad(4)
+    return tpos
+
+
+def _build_fgb(features):
+    """features: list of (x, y, name, pop) → a valid single-layer Point
+    FlatGeobuf payload with columns name:string, pop:long."""
+    import struct
+
+    from gdal_ray.sources.vector_formats import FGB_MAGIC
+
+    hdr = _FgbBuf()
+    hdr.pack("<I", 4)                      # root uoffset → table at 4
+    assert hdr.tell() == 4
+    hdr.pack("<i", -20)                    # soffset (vtable at 24)
+    hdr.pack("<Q", len(features))          # +4 VT_FEATURES_COUNT
+    hdr.uoff("cols")                       # +12 VT_COLUMNS
+    hdr.pack("<H", 0)                      # +16 VT_INDEX_NODE_SIZE
+    hdr.pack("<B", 1)                      # +18 VT_GEOMETRY_TYPE = Point
+    hdr.pad(4)                             # table size 20
+    assert hdr.tell() == 24
+    # vtable: slots 4..22 → size 24, table 20
+    hdr.pack("<12H", 24, 20, 0, 0, 18, 0, 0, 0, 0, 12, 4, 16)
+    hdr.patch("cols")
+    hdr.pack("<I", 2)                      # 2 columns
+    hdr.uoff("c0")
+    hdr.uoff("c1")
+    hdr.patch("c0")
+    _fgb_column(hdr, "name", 11)           # String
+    hdr.patch("c1")
+    _fgb_column(hdr, "pop", 7)             # Long
+    # NOTE: patch("c1") happens before writing col1 — patch both in order
+    header = bytes(hdr.b)
+
+    out = bytearray(FGB_MAGIC)
+    out += struct.pack("<I", len(header)) + header
+    for (x, y, name, pop) in features:
+        f = _FgbBuf()
+        f.pack("<I", 4)                    # root → Feature table at 4
+        f.pack("<i", -12)                  # soffset (vtable at 16)
+        f.uoff("geom")                     # +4 VT_GEOMETRY
+        f.uoff("props")                    # +8 VT_PROPERTIES
+        f.pad(4)
+        assert f.tell() == 16
+        f.pack("<4H", 8, 12, 4, 8)         # vtable
+        f.patch("geom")
+        gpos = f.tell()
+        f.pack("<i", -12)                  # Geometry soffset (vtable right after)
+        f.uoff("xy")                       # +4 VT_XY
+        f.pack("<B", 1)                    # +8 VT_TYPE = Point
+        f.pad(4)
+        assert f.tell() == gpos + 12
+        # Geometry vtable: slots 4..16 (ends,xy,z,m,t,tm,type)
+        f.pack("<9H", 18, 12, 0, 4, 0, 0, 0, 0, 8)
+        f.pad(4)
+        # xy vector: length word then 8-aligned doubles
+        while (f.tell() + 4) % 8:
+            f.raw(b"\x00")
+        f.patch("xy")
+        f.pack("<I", 2)
+        f.pack("<dd", x, y)
+        f.patch("props")
+        props = struct.pack("<HI", 0, len(name)) + name.encode() \
+            + struct.pack("<Hq", 1, pop)
+        f.pack("<I", len(props))
+        f.raw(props)
+        f.pad(4)
+        out += struct.pack("<I", len(f.b)) + bytes(f.b)
+    return bytes(out)
+
+
+def test_flatgeobuf_parse_bytes():
+    from gdal_ray.core import wkb
+    from gdal_ray.sources.vector_formats import parse_flatgeobuf_bytes
+    payload = _build_fgb([(1.5, 2.5, "alpha", 42), (-3.0, 7.25, "beta", -7)])
+    t = parse_flatgeobuf_bytes(payload)
+    assert t.column_names == ["name", "pop", "wkb"]
+    assert t.column("name").to_pylist() == ["alpha", "beta"]
+    assert t.column("pop").to_pylist() == [42, -7]
+    g0 = wkb.loads(t.column("wkb")[0].as_py())
+    assert g0["type"] == "Point"
+    assert tuple(np.asarray(g0["xy"]).ravel()[:2]) == (1.5, 2.5)
+
+
+def test_flatgeobuf_reader_pipeline(ray_session, tmp_path):
+    from gdal_ray.sources.vector_formats import read_flatgeobuf
+    p = tmp_path / "pts.fgb"
+    p.write_bytes(_build_fgb([(10.0, 20.0, "a", 1), (30.0, 40.0, "b", 2)]))
+    rows = read_flatgeobuf(str(p)).take_all()
+    assert len(rows) == 2
+    assert sorted(r["name"] for r in rows) == ["a", "b"]
