@@ -174,7 +174,14 @@ def decode_png(data: bytes) -> np.ndarray:
     return a[:, :, 0] if nb == 1 else a
 
 
-# ---------- lossy stubs ----------
+# ---------- lossy codecs ----------
+#
+# jpeg: REAL baseline JFIF (core/jpeg.py — pure-numpy T.81 encoder/decoder;
+# default quality 98 keeps the catalog's adversarial gradient+checker+noise
+# fixtures above the PSNR ≥ 40 dB pin).  Decode sniffs the SOI marker so
+# legacy GJPG stub payloads still decode.
+# webp: still the quantize stub (a real VP8 codec is out of scope without
+# libwebp; swap _lossy_* for bindings on a cluster).
 
 def _lossy_encode(img: np.ndarray, fmt: str) -> bytes:
     q = _LOSSY_Q[fmt]
@@ -203,6 +210,9 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return encode_raw(img)
     if fmt == "png":
         return encode_png(img)
+    if fmt == "jpeg":
+        from . import jpeg as _jpeg
+        return _jpeg.encode_jpeg(img, quality=98)
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -213,6 +223,11 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return decode_raw(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        if data[:2] == b"\xff\xd8":
+            from . import jpeg as _jpeg
+            return _jpeg.decode_jpeg(data)
+        return _lossy_decode(data, fmt)   # legacy GJPG stub payloads
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

@@ -1,0 +1,659 @@
+"""Real baseline JPEG (JFIF) codec — pure numpy/stdlib, no libjpeg.
+
+Implements ITU-T T.81 baseline sequential DCT:
+  encoder: RGB→YCbCr (JFIF), 8×8 forward DCT (exact matrix form),
+    Annex-K quantization tables scaled by quality, spec Annex-K Huffman
+    tables, 4:4:4 sampling, byte stuffing — output opens in any viewer;
+  decoder: DQT/DHT/SOF0/SOS/DRI parsing, canonical Huffman decode
+    (two-level lookup), dequant + vectorized IDCT over all blocks at once,
+    sampling factors (1,1) per component or (2,2) luma with (1,1) chroma
+    (4:2:0), restart markers.
+
+Constant tables below are the published JPEG-standard (Annex K) data —
+the same numbers every implementation ships (ref frmts/jpeg/libjpeg/
+jcparam.c carries them verbatim).
+
+The per-symbol entropy loops are Python (Huffman is sequential by nature);
+everything per-pixel — color transforms, DCT/IDCT, quantization,
+upsampling — is vectorized numpy over all blocks simultaneously.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------- spec constant tables (T.81 Annex K) ----------
+
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+BITS_DC_LUMA = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+VALS_DC_LUMA = list(range(12))
+BITS_DC_CHROMA = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+VALS_DC_CHROMA = list(range(12))
+
+BITS_AC_LUMA = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+VALS_AC_LUMA = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+BITS_AC_CHROMA = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+VALS_AC_CHROMA = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# zigzag order: ZIGZAG[i] = raster index of the i-th zigzag coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# orthonormal DCT-II matrix: D @ x applies the 1-D DCT along axis 0
+_k = np.arange(8)
+DCT_M = np.sqrt(2.0 / 8.0) * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0)
+DCT_M[0] *= 1.0 / np.sqrt(2.0)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _huff_codes(bits, vals):
+    """Canonical code assignment (T.81 Annex C): {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits, vals):
+    """Two-level decode tables: a 256-entry LUT of (symbol, length) for
+    codes ≤ 8 bits (covers almost every symbol of the standard tables), and
+    plain-python mincode/maxcode/valptr lists for the 9-16 bit tail
+    (T.81 F.2.2.3).  Python lists beat numpy scalar indexing ~10× in the
+    per-symbol loop."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    i = 0
+    lut = [None] * 256
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = i
+            mincode[length] = code
+            for _ in range(bits[length - 1]):
+                if length <= 8:
+                    base = code << (8 - length)
+                    for suffix in range(1 << (8 - length)):
+                        lut[base | suffix] = (vals[i], length)
+                code += 1
+                i += 1
+            maxcode[length] = code - 1
+        code <<= 1
+    return {"min": mincode, "max": maxcode, "valptr": valptr,
+            "vals": list(vals), "lut": lut}
+
+
+# ---------- bit IO ----------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)   # byte stuffing
+        self.acc &= (1 << self.nbits) - 1   # keep the accumulator small
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _split_entropy(data: bytes, pos: int) -> list[bytes]:
+    """De-stuff the entropy-coded data ONCE (0xFF00 → 0xFF) and split it at
+    restart markers; decoding then reads plain bytes with no per-byte
+    marker checks."""
+    segs = []
+    cur = bytearray()
+    n = len(data)
+    p = pos
+    while p < n:
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:       # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break                         # real marker (EOI / next scan)
+        cur.append(b)
+        p += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+class _SegReader:
+    """Bit reader over one de-stuffed entropy segment (MSB first);
+    refills 64 bits at a time via int.from_bytes."""
+    __slots__ = ("d", "n", "pos", "acc", "nbits")
+
+    def __init__(self, seg: bytes):
+        self.d = seg + b"\x00" * 16       # zero tail = padded 1-bits absent; safe
+        self.n = len(seg)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        p = self.pos
+        self.acc = (self.acc << 64) | int.from_bytes(self.d[p:p + 8], "big")
+        self.pos = p + 8
+        self.nbits += 64
+
+    def get(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.nbits < k:
+            self._fill()
+        self.nbits -= k
+        v = (self.acc >> self.nbits) & ((1 << k) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _decode_huff(br: _SegReader, tbl) -> int:
+    """8-bit LUT fast path (covers nearly all symbols of the standard
+    tables); canonical walk for 9-16 bit codes."""
+    if br.nbits < 16:
+        br._fill()
+    window = (br.acc >> (br.nbits - 8)) & 0xFF
+    e = tbl["lut"][window]
+    if e is not None:
+        sym, ln = e
+        br.nbits -= ln
+        br.acc &= (1 << br.nbits) - 1
+        return sym
+    maxc = tbl["max"]
+    for length in range(9, 17):
+        if br.nbits < length:
+            br._fill()
+        code = (br.acc >> (br.nbits - length)) & ((1 << length) - 1)
+        if code <= maxc[length]:
+            br.nbits -= length
+            br.acc &= (1 << br.nbits) - 1
+            return tbl["vals"][tbl["valptr"][length] + code - tbl["min"][length]]
+    raise ValueError("corrupt JPEG: huffman code overrun")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------- encoder ----------
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) spatial → (N, 8, 8) DCT coefficients (orthonormal)."""
+    return np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M, optimize=True)
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", DCT_M, coef, DCT_M, optimize=True)
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = plane.shape
+    bh = -(-h // 8)
+    bw = -(-w // 8)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1:h, :]          # edge replicate
+    padded[:, w:] = padded[:, w - 1:w]
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, bh, bw
+
+
+class _CompEnc:
+    """Streaming entropy state for one component: the nonzero AC positions
+    of ALL its blocks come from ONE vectorized pass; ``emit(bi)`` then
+    writes block bi's symbols (blocks must be emitted in order)."""
+
+    def __init__(self, zz: np.ndarray, dc_codes, ac_codes):
+        self.dcs = zz[:, 0].tolist()
+        ac = zz[:, 1:]
+        rows, cols = np.nonzero(ac)
+        self.vals = ac[rows, cols].tolist()
+        self.rows = rows.tolist()
+        self.cols = cols.tolist()
+        self.m = len(self.rows)
+        self.ptr = 0
+        self.pred = 0
+        self.dc_codes = dc_codes
+        self.ac_codes = ac_codes
+
+    def emit(self, bw_: _BitWriter, bi: int):
+        put = bw_.put
+        ac_codes = self.ac_codes
+        dc = self.dcs[bi]
+        diff = dc - self.pred
+        self.pred = dc
+        size = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        code, length = self.dc_codes[size]
+        put(code, length)
+        if size:
+            put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        prev = -1
+        rows, cols, vals = self.rows, self.cols, self.vals
+        ptr = self.ptr
+        zrl = ac_codes[0xF0]
+        while ptr < self.m and rows[ptr] == bi:
+            idx = cols[ptr]
+            v = vals[ptr]
+            ptr += 1
+            run = idx - prev - 1
+            prev = idx
+            while run > 15:
+                put(zrl[0], zrl[1])
+                run -= 16
+            size = v.bit_length() if v >= 0 else (-v).bit_length()
+            code, length = ac_codes[(run << 4) | size]
+            put(code, length)
+            put(v if v >= 0 else v + (1 << size) - 1, size)
+        self.ptr = ptr
+        if prev != 62:
+            eob = ac_codes[0x00]
+            put(eob[0], eob[1])
+
+
+def _dht_segment(cls: int, ident: int, bits, vals) -> bytes:
+    body = bytes([(cls << 4) | ident]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample: bool = False) -> bytes:
+    """Baseline JFIF encode: grayscale (1 component) or RGB YCbCr — 4:4:4
+    by default, 4:2:0 (luma 2×2, box-filtered chroma) with subsample=True."""
+    a = np.ascontiguousarray(img)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+    if gray:
+        planes = [a.astype(np.float64)]
+        subsample = False
+    else:
+        rgb = a[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # pad to even then 2×2 box filter the chroma planes
+            he, we = h + (h & 1), w + (w & 1)
+            def down(p):
+                q = np.empty((he, we))
+                q[:h, :w] = p
+                q[h:, :w] = p[h - 1:, :]
+                q[:, w:] = q[:, w - 1:w]
+                return q.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            planes = [y, down(cb), down(cr)]
+        else:
+            planes = [y, cb, cr]
+
+    dc_l = _huff_codes(BITS_DC_LUMA, VALS_DC_LUMA)
+    ac_l = _huff_codes(BITS_AC_LUMA, VALS_AC_LUMA)
+    dc_c = _huff_codes(BITS_DC_CHROMA, VALS_DC_CHROMA)
+    ac_c = _huff_codes(BITS_AC_CHROMA, VALS_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l[ZIGZAG].tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c[ZIGZAG].tolist())
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hv = 0x22 if (subsample and ci == 0) else 0x11
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof       # SOF0
+    out += _dht_segment(0, 0, BITS_DC_LUMA, VALS_DC_LUMA)
+    out += _dht_segment(1, 0, BITS_AC_LUMA, VALS_AC_LUMA)
+    if not gray:
+        out += _dht_segment(0, 1, BITS_DC_CHROMA, VALS_DC_CHROMA)
+        out += _dht_segment(1, 1, BITS_AC_CHROMA, VALS_AC_CHROMA)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos       # SOS
+
+    # interleaved MCU order: one block per component per MCU for 4:4:4,
+    # 4 luma + 1 cb + 1 cr for 4:2:0
+    comp_zz, comp_dims = [], []
+    for ci, plane in enumerate(planes):
+        if subsample and ci == 0:
+            # pad luma so the block grid is even (MCUs are 2×2 luma blocks)
+            ph, pw = plane.shape
+            eh, ew = -(-ph // 16) * 16, -(-pw // 16) * 16
+            pad = np.empty((eh, ew))
+            pad[:ph, :pw] = plane
+            pad[ph:, :pw] = plane[ph - 1:, :]
+            pad[:, pw:] = pad[:, pw - 1:pw]
+            plane = pad
+        blocks, bh, bw_n = _to_blocks(plane - 128.0)
+        coef = _fdct_blocks(blocks)
+        qt = qt_l if ci == 0 else qt_c
+        q = np.round(coef.reshape(-1, 64) / qt[None, :].astype(np.float64))
+        comp_zz.append(q[:, ZIGZAG].astype(np.int64))
+        comp_dims.append((bh, bw_n))
+    bw_ = _BitWriter()
+    if subsample and not gray:
+        # reorder luma blocks into MCU emission order so the streaming
+        # entropy state reads them sequentially
+        ybh, ybw = comp_dims[0]
+        mcuy, mcux = ybh // 2, ybw // 2
+        my, mx = np.divmod(np.arange(mcuy * mcux), mcux)
+        order = np.concatenate([((my * 2 + by) * ybw + mx * 2 + bx)[:, None]
+                                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1))],
+                               axis=1).ravel()
+        comp_zz[0] = comp_zz[0][order]
+    encs = [_CompEnc(comp_zz[ci], dc_l if ci == 0 else dc_c,
+                     ac_l if ci == 0 else ac_c) for ci in range(ncomp)]
+    if gray:
+        for bi in range(comp_zz[0].shape[0]):
+            encs[0].emit(bw_, bi)
+    elif not subsample:
+        for m in range(comp_zz[0].shape[0]):
+            for ci in range(3):
+                encs[ci].emit(bw_, m)
+    else:
+        nmcu = mcuy * mcux
+        yseq = 0
+        for m in range(nmcu):
+            for _ in range(4):
+                encs[0].emit(bw_, yseq)
+                yseq += 1
+            encs[1].emit(bw_, m)
+            encs[2].emit(bw_, m)
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"                                               # EOI
+    return bytes(out)
+
+
+# ---------- decoder ----------
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JFIF decode → (h, w) or (h, w, 3) uint8.
+    Supports 1 or 3 components with sampling 1×1 per component (4:4:4) or
+    luma 2×2 with 1×1 chroma (4:2:0), DRI restart intervals."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG (SOI missing)"
+    pos = 2
+    qts: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    comps: list = []
+    h = w = 0
+    restart_interval = 0
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:                       # DQT
+            o = 0
+            while o < len(body):
+                pq = body[o] >> 4
+                tq = body[o] & 0xF
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, o + 1).astype(np.int32)
+                    o += 65
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, o + 1).astype(np.int32)
+                    o += 129
+                qts[tq] = tbl                    # kept in zigzag order
+        elif marker == 0xC4:                     # DHT
+            o = 0
+            while o < len(body):
+                tc = body[o] >> 4
+                th = body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17:o + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decoder(bits, vals)
+                o += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+            _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential JPEG")
+        elif marker == 0xDD:                     # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:                     # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si:3 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"] = tt >> 4
+                comp["ta"] = tt & 0xF
+                scan.append(comp)
+            return _decode_scan(data, pos, scan, qts, huff_dc, huff_ac,
+                                h, w, restart_interval)
+        elif marker == 0xD9:
+            break
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data, pos, comps, qts, huff_dc, huff_ac, h, w,
+                 restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        c["pred"] = 0
+    segs = _split_entropy(data, pos)
+    br = _SegReader(segs[0])
+    seg_i = 0
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            br = _SegReader(segs[seg_i])
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dct = huff_dc[c["td"]]
+            act = huff_ac[c["ta"]]
+            ac_lut = act["lut"]
+            coef = c["coef"]
+            cbw = c["bw"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    s = _decode_huff(br, dct)
+                    if s:
+                        v = br.get(s)
+                        pred = c["pred"] + (v if v >= (1 << (s - 1))
+                                            else v - (1 << s) + 1)
+                    else:
+                        pred = c["pred"]
+                    c["pred"] = pred
+                    idxs = [0]
+                    vals = [pred]
+                    k = 1
+                    nbits = br.nbits
+                    acc = br.acc
+                    while k < 64:
+                        # inlined huffman fast path (8-bit LUT window)
+                        if nbits < 16:
+                            br.nbits = nbits
+                            br.acc = acc
+                            br._fill()
+                            nbits = br.nbits
+                            acc = br.acc
+                        e = ac_lut[(acc >> (nbits - 8)) & 0xFF]
+                        if e is not None:
+                            rs, ln = e
+                            nbits -= ln
+                            acc &= (1 << nbits) - 1
+                        else:
+                            br.nbits = nbits
+                            br.acc = acc
+                            rs = _decode_huff(br, act)
+                            nbits = br.nbits
+                            acc = br.acc
+                        s = rs & 0xF
+                        if s == 0:
+                            if rs == 0xF0:      # ZRL
+                                k += 16
+                                continue
+                            break               # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("corrupt JPEG: AC index overrun")
+                        if nbits < s:
+                            br.nbits = nbits
+                            br.acc = acc
+                            br._fill()
+                            nbits = br.nbits
+                            acc = br.acc
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        acc &= (1 << nbits) - 1
+                        idxs.append(k)
+                        vals.append(v if v >= (1 << (s - 1))
+                                    else v - (1 << s) + 1)
+                        k += 1
+                    br.nbits = nbits
+                    br.acc = acc
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    coef[row * cbw + col, idxs] = vals
+    planes = []
+    for c in comps:
+        qt = qts[c["tq"]].astype(np.float64)    # zigzag order
+        coef = c["coef"].astype(np.float64) * qt[None, :]
+        rast = np.zeros_like(coef)
+        rast[:, ZIGZAG] = coef                  # de-zigzag
+        blocks = _idct_blocks(rast.reshape(-1, 8, 8)) + 128.0
+        bh, bw_n = c["bh"], c["bw"]
+        plane = blocks.reshape(bh, bw_n, 8, 8).transpose(0, 2, 1, 3) \
+                      .reshape(bh * 8, bw_n * 8)
+        # upsample to full resolution if subsampled
+        ry = (vmax // c["v"])
+        rx = (hmax // c["h"])
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)

@@ -78,3 +78,90 @@ def test_dispatch_matches():
     for fmt in ("raw", "png", "jpeg", "webp"):
         np.testing.assert_array_equal(
             codecs.decode(codecs.encode(img, fmt), fmt).shape, img.shape)
+
+
+# ---------- real baseline JPEG (core/jpeg.py) ----------
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse else np.inf
+
+
+def _fixture_img(h, w, bands, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = np.clip(((xx * 255 // max(w - 1, 1)) + (yy * 255 // max(h - 1, 1))) // 2
+                + ((xx // 8 + yy // 8) % 2) * 40
+                + rng.integers(0, 25, (h, w)), 0, 255).astype(np.uint8)
+    if bands == 1:
+        return g
+    return np.stack([g, np.roll(g, w // 3, axis=1), 255 - g], axis=-1)
+
+
+def test_jpeg_is_real_jfif():
+    from gdal_ray.core.jpeg import encode_jpeg
+    payload = encode_jpeg(_fixture_img(64, 64, 3), 90)
+    assert payload[:2] == b"\xff\xd8"          # SOI
+    assert payload[2:4] == b"\xff\xe0"         # APP0
+    assert payload[6:11] == b"JFIF\x00"
+    assert payload[-2:] == b"\xff\xd9"         # EOI
+    assert b"\xff\xc0" in payload              # SOF0 baseline
+    assert b"\xff\xc4" in payload              # DHT
+    assert b"\xff\xdb" in payload              # DQT
+
+
+def test_jpeg_roundtrip_psnr_pin():
+    """The BASELINE lossy pin: PSNR >= 40 dB at catalog quality (98) on the
+    adversarial gradient+checker+noise fixture pattern."""
+    from gdal_ray.core.jpeg import decode_jpeg, encode_jpeg
+    for bands in (1, 3):
+        img = _fixture_img(120, 200, bands)
+        dec = decode_jpeg(encode_jpeg(img, 98))
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) >= 40.0, (bands, _psnr(img, dec))
+
+
+def test_jpeg_odd_and_tiny_sizes():
+    from gdal_ray.core.jpeg import decode_jpeg, encode_jpeg
+    for (h, w, b) in ((121, 203, 3), (8, 8, 1), (5, 7, 3), (16, 9, 1)):
+        img = _fixture_img(h, w, b, seed=h * w)
+        dec = decode_jpeg(encode_jpeg(img, 95))
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) >= 30.0
+
+
+def test_jpeg_420_subsampled_decode():
+    """4:2:0 (luma 2x2) exercises the decoder's sampling-factor path."""
+    from gdal_ray.core.jpeg import decode_jpeg, encode_jpeg
+    img = _fixture_img(121, 203, 3)
+    payload = encode_jpeg(img, 98, subsample=True)
+    dec = decode_jpeg(payload)
+    assert dec.shape == img.shape
+    assert _psnr(img, dec) >= 28.0
+    # smaller than 4:4:4 at the same quality
+    assert len(payload) < len(encode_jpeg(img, 98))
+
+
+def test_jpeg_codec_dispatch_and_legacy_stub():
+    from gdal_ray.core import codecs
+    img = _fixture_img(40, 40, 3)
+    payload = codecs.encode(img, "jpeg")
+    assert payload[:2] == b"\xff\xd8"          # dispatch produces real JFIF
+    dec = codecs.decode(payload, "jpeg")
+    assert _psnr(img, dec) >= 40.0
+    legacy = codecs._lossy_encode(img, "jpeg")  # old GJPG payloads
+    assert np.array_equal(codecs.decode(legacy, "jpeg"),
+                          codecs._lossy_decode(legacy, "jpeg"))
+
+
+def test_jpeg_catalog_fmt_path():
+    """The catalog's fmt='jpeg' rows flow through the real codec."""
+    from gdal_ray.core import codecs, fixtures
+    t = fixtures.images_table(24)
+    fmts = t.column("fmt").to_pylist()
+    i = fmts.index("jpeg")
+    data = t.column("bytes")[i].as_py()
+    assert data[:2] == b"\xff\xd8"
+    img = codecs.decode(data, "jpeg")
+    assert img.shape[0] == t.column("h")[i].as_py()
+    assert img.shape[1] == t.column("w")[i].as_py()
