@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_alpha_ratio": R.text_alpha_ratio,
         "text_langid": _langid,
         "grid_linear": R.grid_linear_q,
+        "dedup_ngram": R.dedup_ngram_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -204,4 +205,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_rasterize": R.SQL_GEO_RASTERIZE,
         "geo_polygonize": R.SQL_GEO_POLYGONIZE,
         "grid_linear": R.SQL_GRID_LINEAR,
+        "dedup_ngram": R.SQL_DEDUP_NGRAM,
     }

@@ -421,3 +421,45 @@ def polygon_relate(rings_a, rings_b) -> str:
     if eq_a:
         return "within"     # B covers A
     return "overlaps"
+
+
+def _edge_strip(p0, p1, dist: float) -> np.ndarray:
+    """Closed rectangle ring offset ±dist around segment p0→p1."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    d = p1 - p0
+    L = float(np.hypot(d[0], d[1]))
+    if L == 0.0:
+        return None
+    n = np.array([-d[1], d[0]]) / L * dist
+    ring = np.array([p0 + n, p1 + n, p1 - n, p0 - n, p0 + n])
+    return ring
+
+
+def buffer_polygon(rings, dist: float, quadsegs: int = 8):
+    """Round-join polygon buffer via the boolean overlay engine
+    (OGRGeometry::Buffer / GEOS OffsetCurve semantics,
+    ogr/ogrgeometry.cpp:4946): positive dist = union of the polygon with
+    per-edge strips and per-vertex discs over EVERY ring; negative dist =
+    the polygon minus the boundary's strip/disc union (erosion).  Exact up
+    to arc discretization (4·quadsegs points per circle), valid for concave
+    inputs and holes — superseding buffer_polygon_convex.
+
+    Returns a list of polygons ([rings] each) — buffers can split/merge."""
+    from . import overlay as _OV
+    r = abs(float(dist))
+    if r == 0.0:
+        return [list(rings)]
+    pieces = []
+    for ring in rings:
+        ring = np.asarray(ring, np.float64)
+        for i in range(len(ring) - 1):
+            strip = _edge_strip(ring[i], ring[i + 1], r)
+            if strip is not None:
+                pieces.append([strip])
+            pieces.append([buffer_point(ring[i, 0], ring[i, 1], r, quadsegs)])
+    boundary_buf = _OV.union_all(pieces)
+    if dist > 0:
+        return _OV.union_all([[np.asarray(rg, np.float64) for rg in rings]]
+                             + boundary_buf)
+    return _OV.overlay([list(rings)], boundary_buf, "difference")

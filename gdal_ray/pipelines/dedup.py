@@ -393,3 +393,116 @@ def embedding_neardup_pairs(emb: "ray.data.Dataset", *, threshold: float = 0.95,
     rows = emb.map_batches(bucket_batch, batch_format="pyarrow")
     return filter_multi_keys(rows, "bucket", max_count=max_bucket) \
         .groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+
+# ---------- exact n-gram Jaccard near-dup ----------
+
+def ngram_jaccard_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.8,
+                        shingle_k: int = 5, num_hashes: int = 64,
+                        bands: int = 16, id_col: str = "doc_id",
+                        text_col: str = "text") -> "ray.data.Dataset":
+    """Near-duplicate pairs by EXACT character-shingle Jaccard ≥ threshold.
+
+    Same scale shape as minhash_lsh_pairs (the LSH bands only GENERATE
+    candidates), but verification computes the true n-gram Jaccard from the
+    documents' shingle sets, co-shuffled ONLY for rows that land in a
+    multi-member bucket — so the emitted similarity is exact, not a
+    signature estimate.  Exactly-once via the first-matching-band rule over
+    minhash signatures (recomputed in-group from the shipped shingles)."""
+    rows_per_band = num_hashes // bands
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        sh_blobs, sigs = [], np.empty((len(ids), num_hashes), np.uint64)
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            sh = shingle_hashes(text, shingle_k)
+            sh_blobs.append(sh.tobytes())
+            sigs[i] = minhash_signature(sh, num_hashes)
+        return pa.table({id_col: pa.array(ids),
+                         "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                         "shingles": pa.array(sh_blobs, pa.binary())})
+
+    def _buckets_of(b: pa.Table) -> np.ndarray:
+        n = b.num_rows
+        sigs = np.frombuffer(b"".join(b.column("sig").to_pylist()),
+                             dtype=np.uint64).reshape(n, num_hashes)
+        segs = sigs.reshape(n, bands, rows_per_band)
+        bh = np.bitwise_xor.reduce(segs, axis=2)
+        bh = _splitmix(bh + _splitmix(np.arange(bands, dtype=np.uint64))[None, :])
+        return ((bh >> np.uint64(2)).astype(np.int64) << 4) \
+            | np.arange(bands, dtype=np.int64)[None, :]
+
+    def bucket_int_batch(b: pa.Table) -> pa.Table:
+        bucket = _buckets_of(b)
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        return pa.table({id_col: pa.array(np.repeat(ids, bands)),
+                         "bucket": pa.array(bucket.ravel())})
+
+    from .shuffle_utils import multi_key_array
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    sigs_ds = docs.repartition(cpus * 2) \
+                  .map_batches(sig_batch, batch_format="pyarrow").materialize()
+    multi = multi_key_array(sigs_ds.map_batches(bucket_int_batch,
+                                                batch_format="pyarrow"),
+                            "bucket", max_count=64)
+    multi_ref = ray.put(multi)
+
+    def bucket_payload_batch(b: pa.Table) -> pa.Table:
+        m = ray.get(multi_ref)
+        bucket = _buckets_of(b).ravel()
+        if m.size == 0:
+            keep = np.zeros(bucket.size, dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(m, bucket), 0, m.size - 1)
+            keep = m[pos] == bucket
+        ids = np.repeat(np.asarray(b.column(id_col), dtype=np.int64), bands)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64), bands)
+        kept = np.nonzero(keep)[0]
+        take = pa.array(row[kept], pa.int64())
+        return pa.table({
+            id_col: pa.array(ids[kept]),
+            "bucket": pa.array(bucket[kept]),
+            "sig": b.column("sig").take(take),
+            "shingles": b.column("shingles").take(take),
+        })
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        m = g.num_rows
+        if m < 2:
+            return empty
+        band = int(g.column("bucket")[0].as_py()) & 0xF
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        sigs = np.frombuffer(b"".join(g.column("sig").to_pylist()),
+                             dtype=np.uint64).reshape(m, num_hashes)[order]
+        sh = [np.frombuffer(g.column("shingles")[int(i)].as_py(), np.uint64)
+              for i in order]
+        ii, jj = np.triu_indices(m, k=1)
+        eq = sigs[ii] == sigs[jj]
+        band_eq = eq.reshape(ii.size, bands, rows_per_band).all(axis=2)
+        first_band = np.argmax(band_eq, axis=1)
+        out_a, out_b, out_j = [], [], []
+        for p in range(ii.size):
+            if not band_eq[p].any() or first_band[p] != band:
+                continue
+            if ids[ii[p]] == ids[jj[p]]:
+                continue
+            jc = jaccard(sh[ii[p]], sh[jj[p]])
+            if jc >= threshold:
+                out_a.append(int(ids[ii[p]]))
+                out_b.append(int(ids[jj[p]]))
+                out_j.append(jc)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return sigs_ds.map_batches(bucket_payload_batch, batch_format="pyarrow") \
+                  .groupby("bucket").map_groups(verify_group,
+                                                batch_format="pyarrow")

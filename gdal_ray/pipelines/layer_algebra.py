@@ -426,3 +426,49 @@ def clean_coverage(layer: "ray.data.Dataset", *,
 
     return all_rows.groupby("a_id").map_groups(clean_group,
                                                batch_format="pyarrow")
+
+
+def simplify_coverage(layer: "ray.data.Dataset", tolerance: float, *,
+                      id_col: str = "fid",
+                      partition_col: str | None = None) -> "ray.data.Dataset":
+    """gdal vector simplify-coverage (apps/gdalalg_vector_simplify_coverage
+    .cpp, GEOS CoverageSimplifier semantics): simplify shared boundaries
+    consistently on both sides so the coverage stays overlap/gap-free.
+
+    PARTITIONING ASSUMPTION (documented per the coverage-op contract):
+    topology is global, so faces that share an edge must be simplified in
+    the SAME group.  Pass ``partition_col`` naming a column that already
+    groups edge-connected faces (an admin region, a tile id from a prior
+    coverage partition step); with None the whole layer is one group —
+    correct at any size the group fits in a worker, which is the same
+    envelope the reference's in-memory GEOS pass has."""
+    import pyarrow as pa
+
+    from ..core import wkb as W
+    from ..core.coverage_simplify import simplify_coverage as _simp
+
+    def simp_group(g: pa.Table) -> pa.Table:
+        faces = {}
+        for i in range(g.num_rows):
+            fid = g.column(id_col)[i].as_py()
+            faces[fid] = W.as_polygons(W.loads(g.column("wkb")[i].as_py()))
+        out = _simp(faces, tolerance)
+        ids, wkbs = [], []
+        for fid, polys in out.items():
+            ids.append(fid)
+            if len(polys) == 1:
+                wkbs.append(W.dumps({"type": "Polygon", "rings": polys[0]}))
+            else:
+                wkbs.append(W.dumps({"type": "MultiPolygon", "polys": polys}))
+        return pa.table({id_col: pa.array(ids), "wkb": pa.array(wkbs, pa.binary())})
+
+    if partition_col is None:
+        key = "__cov_part"
+        work = layer.map_batches(
+            lambda b: b.append_column(key, pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        key = partition_col
+        work = layer
+    out = work.groupby(key).map_groups(simp_group, batch_format="pyarrow")
+    return out

@@ -77,6 +77,13 @@ def _read_gpkg(ds, path, table=None):
     return read_gpkg(path, table=table)
 
 
+@register("read_flatgeobuf")
+def _read_flatgeobuf(ds, path):
+    from ..sources.vector_formats import read_flatgeobuf
+    assert ds is None
+    return read_flatgeobuf(path)
+
+
 # ---------- sinks ----------
 
 @register("write_parquet")
@@ -144,11 +151,19 @@ def _register_vector():
     _REGISTRY["explode_collections"] = _batch_stage(V.explode_collections)
     _REGISTRY["make_point"] = _batch_stage(V.make_point)
     _REGISTRY["make_valid"] = _batch_stage(V.make_valid_full)
+    _REGISTRY["buffer"] = lambda ds, dist, quadsegs=8: ds.map_batches(
+        lambda b: V.buffer_polygons(b, float(dist), int(quadsegs)),
+        batch_format="pyarrow")
     _REGISTRY["check_geometry"] = _batch_stage(V.check_geometry)
     _REGISTRY["hilbert_key"] = _batch_stage(V.hilbert_key)
     _REGISTRY["clip_bbox"] = lambda ds, minx, miny, maxx, maxy: ds.map_batches(
         lambda b: V.clip_to_bbox(b, float(minx), float(miny), float(maxx),
                                  float(maxy)), batch_format="pyarrow")
+
+    from ..pipelines import layer_algebra as LA
+    _REGISTRY["simplify_coverage"] = \
+        lambda ds, tolerance, partition_col=None: LA.simplify_coverage(
+            ds, float(tolerance), partition_col=partition_col)
 
 
 # ---------- raster stages ----------
@@ -171,6 +186,12 @@ def _register_raster():
         lambda b: R2.sieve(b, threshold=int(threshold)),
         batch_format="pyarrow")
     _REGISTRY["fill_nodata"] = _batch_stage(R2.fill_nodata)
+    _REGISTRY["fill_nodata_idw"] = lambda ds, max_distance=100, \
+        smoothing_iterations=0: ds.map_batches(
+            lambda b: R2.fill_nodata_idw(
+                b, max_distance=int(max_distance),
+                smoothing_iterations=int(smoothing_iterations)),
+            batch_format="pyarrow")
     _REGISTRY["clean_collar"] = _batch_stage(R2.clean_collar)
     _REGISTRY["color_map"] = _batch_stage(R2.color_map)
     _REGISTRY["nodata_to_alpha"] = _batch_stage(R2.nodata_to_alpha)

@@ -2819,3 +2819,25 @@ SELECT c_custkey AS point_id,
        TRUE AS inside_tin
 FROM customer
 """
+
+
+def dedup_ngram_q(sf_dir: str):
+    """Exact n-gram Jaccard near-dup over the planted corpus: exact copies
+    have true shingle Jaccard exactly 1.0 (distinct docs share ~no
+    shingles), so the output is the closed-form planted pair set."""
+    from .dedup import ngram_jaccard_pairs
+    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_synth_corpus, batch_format="pyarrow")
+    out = ngram_jaccard_pairs(docs, threshold=0.8)
+    return out.map_batches(lambda b: pa.table({
+        "id_a": pc.cast(b.column("id_a"), pa.int64()),
+        "id_b": pc.cast(b.column("id_b"), pa.int64()),
+        "jaccard": pc.cast(b.column("jaccard"), pa.float64()),
+    }), batch_format="pyarrow")
+
+
+SQL_DEDUP_NGRAM = """
+SELECT n_nationkey AS id_a, n_nationkey + 1000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS jaccard
+FROM nation
+"""

@@ -466,3 +466,25 @@ def concave_hull(batch: pa.Table, ratio: float = 0.3,
         out.append(wkb.dumps({"type": "Polygon", "rings": [ring]}))
     i = batch.column_names.index(wkb_col)
     return batch.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+
+def buffer_polygons(batch: pa.Table, dist: float, quadsegs: int = 8,
+                    wkb_col: str = "wkb") -> pa.Table:
+    """Full round-join polygon buffer (OGRGeometry::Buffer,
+    ogr/ogrgeometry.cpp:4946): positive = dilation with round corners,
+    negative = erosion — exact up to arc discretization via the boolean
+    overlay engine (core.geom.buffer_polygon)."""
+    out = []
+    for data in batch.column(wkb_col).to_pylist():
+        polys = wkb.as_polygons(wkb.loads(data))
+        pieces = []
+        for rings in polys:
+            pieces.extend(geom.buffer_polygon(rings, dist, quadsegs))
+        if not pieces:
+            out.append(None)
+        elif len(pieces) == 1:
+            out.append(wkb.dumps({"type": "Polygon", "rings": pieces[0]}))
+        else:
+            out.append(wkb.dumps({"type": "MultiPolygon", "polys": pieces}))
+    i = batch.column_names.index(wkb_col)
+    return batch.set_column(i, wkb_col, pa.array(out, pa.binary()))

@@ -227,3 +227,19 @@ def test_image_feature_stage(ray_session):
     assert len(out) == 8
     assert all(0 <= r["mean"] <= 255 for r in out)
     assert all(sum(r["hist"]) > 0 for r in out)
+
+
+def test_ngram_jaccard_pairs(ray_session, docs_tbl):
+    """Exact n-gram Jaccard dedup: same candidates as minhash-LSH, but the
+    emitted similarity is the TRUE shingle Jaccard (brute-force oracle)."""
+    import ray
+
+    out = DD.ngram_jaccard_pairs(ray.data.from_arrow(docs_tbl),
+                                 threshold=0.6).take_all()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert len(got) == len(out)              # exactly-once
+    expect = {(a, b): j for a, b, j in
+              DD.minhash_lsh_verified_pairs(docs_tbl, threshold=0.6)}
+    assert got == pytest.approx(expect)      # identical pairs AND values
+    d0 = docs_tbl.column("doc_id").to_pylist()[0]
+    assert got[(d0, 10_000)] == 1.0          # exact dup -> jaccard exactly 1

@@ -84,3 +84,62 @@ def test_layer_intersection_concave_subject():
             polys.column("poly_id").to_pylist().index(r["a_id"])].as_py()))[0]
         full = geom.polygon_area(rings)
         assert r["piece_area"] <= full + 1e-9
+
+
+# ---------- simplify-coverage ----------
+
+def _densify_ring(ring, k=6):
+    out = []
+    for i in range(len(ring) - 1):
+        a = np.array(ring[i], float)
+        b = np.array(ring[i + 1], float)
+        for t in np.linspace(0, 1, k, endpoint=False):
+            out.append(a + t * (b - a))
+    out.append(np.array(ring[-1], float))
+    return np.array(out)
+
+
+def test_simplify_coverage_core_exact_on_collinear():
+    from gdal_ray.core.coverage_simplify import simplify_coverage
+    faces = {}
+    for gy in range(3):
+        for gx in range(3):
+            ring = [(gx, gy), (gx + 1, gy), (gx + 1, gy + 1), (gx, gy + 1),
+                    (gx, gy)]
+            faces[f"f{gx}{gy}"] = [[_densify_ring(ring)]]
+    out = simplify_coverage(faces, tolerance=1e-6)
+    for fid, polys in out.items():
+        assert len(polys[0][0]) == 5          # back to a plain square
+        a = polys[0][0]
+        s = 0.5 * abs(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1]))
+        assert abs(s - 1.0) < 1e-12           # area exactly preserved
+
+
+def test_simplify_coverage_op_stays_clean(ray_session):
+    """Post-simplify coverage passes check-coverage with zero overlaps and
+    loses no area (the VERDICT 'done' criterion)."""
+    import ray.data
+
+    from gdal_ray.core import wkb as W
+    from gdal_ray.pipelines.layer_algebra import check_coverage, simplify_coverage
+    rows = {"fid": [], "wkb": []}
+    for gy in range(2):
+        for gx in range(4):
+            ring = [(gx, gy), (gx + 1, gy), (gx + 1, gy + 1), (gx, gy + 1),
+                    (gx, gy)]
+            rows["fid"].append(f"c{gx}{gy}")
+            rows["wkb"].append(W.dumps({"type": "Polygon",
+                                        "rings": [_densify_ring(ring)]}))
+    layer = ray.data.from_arrow(pa.table({
+        "fid": pa.array(rows["fid"]), "wkb": pa.array(rows["wkb"], pa.binary())}))
+    simp = simplify_coverage(layer, tolerance=1e-6).materialize()
+    got = simp.take_all()
+    assert len(got) == 8
+    area = 0.0
+    for r in got:
+        for rings in W.as_polygons(W.loads(r["wkb"])):
+            a = rings[0]
+            area += 0.5 * abs(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1]))
+    assert abs(area - 8.0) < 1e-9
+    overlaps = check_coverage(simp).take_all()
+    assert overlaps == []

@@ -133,3 +133,39 @@ def test_tile_pipeline_deterministic_across_partitionings():
           tiling.base_tiles(b, zoom=9).take_all()}
     assert ta == tb
     assert len(ta) > 0
+
+
+def test_fill_nodata_idw_edge_semantics():
+    """Edge-IDW fill (alg/rasterfill.cpp shape): constant fields fill
+    exactly; a symmetric interior gap on a linear ramp recovers the ramp;
+    pixels beyond max_distance stay nodata."""
+    from gdal_ray.core import codecs
+    from gdal_ray.stages import raster2 as R2
+
+    # constant field with a hole
+    a = np.full((16, 16), 120, np.uint8)
+    a[5:9, 6:10] = 0
+    t = pa.table({"image_id": ["c"], "bytes": [codecs.encode_raw(a)],
+                  "fmt": ["raw"], "nodata": pa.array([0.0], pa.float64())})
+    out = codecs.decode(R2.fill_nodata_idw(t).column("bytes")[0].as_py(), "png")
+    assert (out == 120).all()
+
+    # horizontal ramp, one-column gap: IDW of left/right at equal distance
+    # reproduces the midpoint exactly; up/down also lie on the ramp
+    ramp = np.tile(np.arange(10, 10 + 32, dtype=np.uint8), (8, 1))
+    b = ramp.copy()
+    b[:, 16] = 0
+    t2 = pa.table({"image_id": ["r"], "bytes": [codecs.encode_raw(b)],
+                   "fmt": ["raw"], "nodata": pa.array([0.0], pa.float64())})
+    out2 = codecs.decode(R2.fill_nodata_idw(t2).column("bytes")[0].as_py(), "png")
+    assert (out2 == ramp).all()
+
+    # max_distance: far pixels stay unfilled (nodata)
+    c = np.full((8, 40), 200, np.uint8)
+    c[:, 5:35] = 0
+    t3 = pa.table({"image_id": ["m"], "bytes": [codecs.encode_raw(c)],
+                   "fmt": ["raw"], "nodata": pa.array([0.0], pa.float64())})
+    out3 = codecs.decode(R2.fill_nodata_idw(
+        t3, max_distance=3).column("bytes")[0].as_py(), "png")
+    assert (out3[:, 18:22] == 0).all()       # deep interior untouched
+    assert (out3[:, 5:8] == 200).all()       # near-edge filled

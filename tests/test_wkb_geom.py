@@ -156,3 +156,41 @@ def test_representative_point_concave():
 def test_buffer_point():
     ring = geom.buffer_point(0, 0, 5.0)
     assert abs(abs(geom.ring_area(ring)) - np.pi * 25) / (np.pi * 25) < 0.01
+
+
+def test_buffer_polygon_round_joins():
+    """Round-join buffer via the overlay engine: square dilation area
+    s² + 4sd + πd² (round corners), erosion (s-2d)² exact, concave-safe."""
+    from gdal_ray.core import overlay as OV
+    from gdal_ray.core.geom import buffer_polygon
+    sq = [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]
+    out = buffer_polygon(sq, 1.0, quadsegs=16)
+    a = OV.area_of(out)
+    expect = 100 + 40 + np.pi
+    assert abs(a - expect) / expect < 0.01
+    ero = buffer_polygon(sq, -2.0, quadsegs=16)
+    assert abs(OV.area_of(ero) - 36.0) < 0.4
+    # concave L: buffer area strictly grows, erosion strictly shrinks
+    L = [np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10],
+                   [0, 0]], float)]
+    grown = OV.area_of(buffer_polygon(L, 1.0, quadsegs=8))
+    base = OV.area_of([L])
+    shrunk = OV.area_of(buffer_polygon(L, -0.5, quadsegs=8))
+    assert grown > base > shrunk > 0
+
+
+def test_buffer_polygons_stage():
+    import pyarrow as pa
+
+    from gdal_ray.core import wkb as W
+    from gdal_ray.stages.vector import buffer_polygons
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    t = pa.table({"fid": ["a"],
+                  "wkb": pa.array([W.dumps({"type": "Polygon",
+                                            "rings": [ring]})], pa.binary())})
+    out = buffer_polygons(t, 0.5)
+    polys = W.as_polygons(W.loads(out.column("wkb")[0].as_py()))
+    from gdal_ray.core import overlay as OV
+    a = OV.area_of(polys)
+    expect = 16 + 4 * 4 * 0.5 + np.pi * 0.25
+    assert abs(a - expect) / expect < 0.02
