@@ -8,15 +8,16 @@ The reference delegates to libpng/libjpeg/libwebp drivers (``frmts/png``,
     8-bit gray / gray+alpha / RGB / RGBA, non-interlaced, all five scanline
     filters on decode, filter-0 or Paeth on encode.  Output opens in any PNG
     reader; lossless round-trip is bit-exact.
-  - ``jpeg`` / ``webp`` — **STUB lossy codecs** (the real DCT codecs need
-    libjpeg/libwebp which are not installed): a deterministic
-    quantize-then-deflate transform that (a) actually loses information,
-    (b) is deterministic, and (c) keeps PSNR ≥ 40 dB so the BASELINE lossy
-    pin is exercised end-to-end.  The Ray-side plumbing (schema, batch
-    shapes, actor signatures) is identical to what real codecs would use;
-    swap `_lossy_encode/_lossy_decode` for libjpeg bindings on a real
-    cluster.  Payloads are tagged with a magic header so they are never
-    mistaken for real JPEG/WebP files.
+  - ``jpeg`` — a REAL baseline JFIF codec (``core/jpeg.py``, pure-numpy
+    ITU-T T.81: Annex-K tables, 4:4:4 / 4:2:0, restart markers).  Catalog
+    quality 98 keeps the adversarial fixtures at PSNR ≥ 40 dB (the
+    BASELINE lossy pin).  Output opens in any viewer.
+  - ``webp`` — a REAL lossless WebP (VP8L) codec (``core/vp8l.py``,
+    spec-conformant RIFF/VP8L bitstream, canonical prefix codes,
+    literal-only encoder / full LZ77 decoder).  Lossless, so the PSNR pin
+    is trivially met; lossy VP8 would need libvpx-class machinery.
+  - Legacy quantize-stub payloads (GJPG/GWBP magics) from older catalogs
+    still decode via `_lossy_decode` (decode sniffs the real magics).
 
 All functions take/return ``(h, w)`` or ``(h, w, bands)`` uint8 arrays.
 """
@@ -174,14 +175,7 @@ def decode_png(data: bytes) -> np.ndarray:
     return a[:, :, 0] if nb == 1 else a
 
 
-# ---------- lossy codecs ----------
-#
-# jpeg: REAL baseline JFIF (core/jpeg.py — pure-numpy T.81 encoder/decoder;
-# default quality 98 keeps the catalog's adversarial gradient+checker+noise
-# fixtures above the PSNR ≥ 40 dB pin).  Decode sniffs the SOI marker so
-# legacy GJPG stub payloads still decode.
-# webp: still the quantize stub (a real VP8 codec is out of scope without
-# libwebp; swap _lossy_* for bindings on a cluster).
+# ---------- legacy lossy stubs (decode-compat only) ----------
 
 def _lossy_encode(img: np.ndarray, fmt: str) -> bytes:
     q = _LOSSY_Q[fmt]
@@ -213,6 +207,9 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         from . import jpeg as _jpeg
         return _jpeg.encode_jpeg(img, quality=98)
+    if fmt == "webp":
+        from . import vp8l as _vp8l
+        return _vp8l.encode_vp8l(img)
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -228,6 +225,11 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
             from . import jpeg as _jpeg
             return _jpeg.decode_jpeg(data)
         return _lossy_decode(data, fmt)   # legacy GJPG stub payloads
+    if fmt == "webp":
+        if data[:4] == b"RIFF":
+            from . import vp8l as _vp8l
+            return _vp8l.decode_vp8l(data)
+        return _lossy_decode(data, fmt)   # legacy GWBP stub payloads
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

@@ -192,32 +192,20 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
 
 
+import re as _re
+
+_SCAN_END = _re.compile(rb"\xff[^\x00\xd0-\xd7]", _re.DOTALL)
+_RST = _re.compile(rb"\xff[\xd0-\xd7]", _re.DOTALL)
+
+
 def _split_entropy(data: bytes, pos: int) -> list[bytes]:
     """De-stuff the entropy-coded data ONCE (0xFF00 → 0xFF) and split it at
-    restart markers; decoding then reads plain bytes with no per-byte
-    marker checks."""
-    segs = []
-    cur = bytearray()
-    n = len(data)
-    p = pos
-    while p < n:
-        b = data[p]
-        if b == 0xFF:
-            nxt = data[p + 1] if p + 1 < n else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:       # RSTn
-                segs.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break                         # real marker (EOI / next scan)
-        cur.append(b)
-        p += 1
-    segs.append(bytes(cur))
-    return segs
+    restart markers — all C-level (regex + bytes.replace), no per-byte
+    python loop."""
+    m = _SCAN_END.search(data, pos)
+    end = m.start() if m else len(data)
+    body = data[pos:end]
+    return [seg.replace(b"\xff\x00", b"\xff") for seg in _RST.split(body)]
 
 
 class _SegReader:

@@ -1,0 +1,555 @@
+"""Real lossless WebP (VP8L) codec — pure stdlib/numpy, no libwebp.
+
+Implements the public "WebP Lossless Bitstream Specification":
+  container: RIFF/WEBP/VP8L chunk;
+  header: 0x2F signature, 14-bit (w-1, h-1), alpha hint, version 0;
+  encoder: no transforms, no color cache, single huffman group —
+    per-channel canonical prefix codes (simple 1/2-symbol codes or
+    normal codes with RLE-coded code lengths), literal-only (no LZ77
+    backreferences emitted);
+  decoder: full literal + LZ77 backreference + distance-neighbor-map
+    support, simple and normal prefix codes, the spec's code-length
+    code with 16/17/18 repeats and the max-symbol short-circuit.
+
+Bit order is LSB-first within bytes (spec §"RIFF header"); prefix codes
+are read bit-by-bit MSB-of-code-first (spec tree-walk), so the encoder
+emits each canonical code from its most-significant bit down.
+
+The reference's webp driver (frmts/webp) delegates to libwebp; this is a
+from-scratch implementation against the published spec.
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+# spec: order in which code-length-code lengths are stored
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# spec: 120-entry distance neighbor map (dx, dy), dy in [0, 7]
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
+
+
+# ---------- LSB-first bit IO ----------
+
+class _LsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        """Append nbits of value, LSB first."""
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int):
+        """Emit a prefix code MSB-of-code first (spec tree-walk order)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _LsbReader:
+    __slots__ = ("d", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.d = data + b"\x00" * 8
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc |= self.d[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+    def peek8(self) -> int:
+        while self.nbits < 8:
+            self.acc |= self.d[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & 0xFF
+
+    def skip(self, n: int):
+        self.acc >>= n
+        self.nbits -= n
+
+
+# ---------- canonical prefix codes ----------
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (spec: deflate convention — shorter codes
+    first, ties by symbol order).  {symbol: (code, length)}."""
+    pairs = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes = {}
+    code = 0
+    prev_len = 0
+    for l, s in pairs:
+        code <<= (l - prev_len)
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+class _TreeDecoder:
+    """Bit-by-bit canonical prefix decode (mincode/maxcode walk)."""
+
+    def __init__(self, lengths: list[int]):
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        self.single = None
+        maxlen = max(l for l, _ in nz)
+        self.mincode = [0] * (maxlen + 1)
+        self.maxcode = [-1] * (maxlen + 1)
+        self.vals: list[list[int]] = [[] for _ in range(maxlen + 1)]
+        # 8-bit fast LUT over the RAW stream window: codes arrive MSB-of-
+        # code-first but the stream is LSB-first, so the key is the code's
+        # bit-reversal in the window's low bits
+        self.lut: list = [None] * 256
+        code = 0
+        prev_len = 0
+        for l, s in sorted(nz):
+            code <<= (l - prev_len)
+            if not self.vals[l]:
+                self.mincode[l] = code
+            self.vals[l].append(s)
+            self.maxcode[l] = code
+            if l <= 8:
+                rev = int(f"{code:0{l}b}"[::-1], 2)
+                for hi in range(1 << (8 - l)):
+                    self.lut[rev | (hi << l)] = (s, l)
+            code += 1
+            prev_len = l
+        self.maxlen = maxlen
+
+    def read(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        e = self.lut[br.peek8()]
+        if e is not None:
+            br.skip(e[1])
+            return e[0]
+        code = 0
+        for l in range(1, self.maxlen + 1):
+            code = (code << 1) | br.read(1)
+            if l > 8 and self.vals[l] and code <= self.maxcode[l]:
+                return self.vals[l][code - self.mincode[l]]
+        raise ValueError("corrupt VP8L: prefix code overrun")
+
+
+def _huff_lengths(freqs: np.ndarray, max_len: int = 15) -> list[int]:
+    """Huffman code lengths from frequencies, limited to max_len (deflate-
+    style overflow redistribution)."""
+    syms = np.nonzero(freqs)[0]
+    if len(syms) == 0:
+        return [0] * len(freqs)
+    if len(syms) == 1:
+        out = [0] * len(freqs)
+        out[int(syms[0])] = 1
+        return out
+    heap = [(int(freqs[s]), int(s), int(s)) for s in syms]
+    heapq.heapify(heap)
+    parent: dict = {}
+    nxt = len(freqs)
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        parent[n1] = nxt
+        parent[n2] = nxt
+        heapq.heappush(heap, (f1 + f2, nxt, nxt))
+        nxt += 1
+    depths = [0] * len(freqs)
+    for s in syms:
+        d = 0
+        n = int(s)
+        while n in parent:
+            n = parent[n]
+            d += 1
+        depths[int(s)] = d
+    # length-limit: clamp overlong codes to max_len, then restore the Kraft
+    # inequality (Σ 2^-d ≤ 1, integer arithmetic in units of 2^-max_len) by
+    # deepening the deepest still-extendable codes
+    if max(depths) > max_len:
+        depths = [min(d, max_len) if d else 0 for d in depths]
+        K = sum(1 << (max_len - d) for d in depths if d)
+        full = 1 << max_len
+        while K > full:
+            d_i = max(((d, i) for i, d in enumerate(depths)
+                       if 0 < d < max_len))
+            depths[d_i[1]] += 1
+            K -= 1 << (max_len - d_i[0] - 1)
+    return depths
+
+
+# ---------- prefix-code (de)serialization ----------
+
+def _write_code(bw: _LsbWriter, lengths: list[int]):
+    nz = [s for s, l in enumerate(lengths) if l > 0]
+    if len(nz) <= 2 and (not nz or max(nz) <= 255):
+        bw.write(1, 1)                        # simple code
+        n = max(1, len(nz))
+        syms = nz if nz else [0]
+        bw.write(n - 1, 1)
+        if syms[0] <= 1 and n == 1:
+            bw.write(0, 1)                    # first symbol in 1 bit
+            bw.write(syms[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        if n == 2:
+            bw.write(syms[1], 8)
+        return
+    bw.write(0, 1)                            # normal code
+    # code-length code over the RLE alphabet {0..18}
+    rle: list[tuple[int, int]] = []           # (symbol, extra)
+    i = 0
+    L = lengths
+    while i < len(L):
+        if L[i] == 0:
+            run = 1
+            while i + run < len(L) and L[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 11:
+                r = min(run, 138)
+                rle.append((18, r - 11))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                rle.append((17, r - 3))
+                run -= r
+            for _ in range(run):
+                rle.append((0, 0))
+        else:
+            v = L[i]
+            rle.append((v, 0))
+            i += 1
+            run = 0
+            while i < len(L) and L[i] == v:
+                run += 1
+                i += 1
+            while run >= 3:
+                r = min(run, 6)
+                rle.append((16, r - 3))
+                run -= r
+            for _ in range(run):
+                rle.append((v, 0))
+    clc_freq = np.zeros(19, np.int64)
+    for s, _ in rle:
+        clc_freq[s] += 1
+    clc_len = _huff_lengths(clc_freq, max_len=7)
+    # number of CLC lengths to store (trailing zeros in _CLC_ORDER skipped)
+    stored = 19
+    while stored > 4 and clc_len[_CLC_ORDER[stored - 1]] == 0:
+        stored -= 1
+    bw.write(stored - 4, 4)
+    for k in range(stored):
+        bw.write(clc_len[_CLC_ORDER[k]], 3)
+    bw.write(0, 1)                            # no max-symbol shortcut
+    clc_codes = _canonical_codes(clc_len)
+    for s, extra in rle:
+        c, l = clc_codes[s]
+        bw.write_code(c, l)
+        if s == 16:
+            bw.write(extra, 2)
+        elif s == 17:
+            bw.write(extra, 3)
+        elif s == 18:
+            bw.write(extra, 7)
+
+
+def _read_code(br: _LsbReader, alphabet_size: int) -> _TreeDecoder:
+    if br.read(1):                            # simple code
+        n = br.read(1) + 1
+        if br.read(1):
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        lengths = [0] * alphabet_size
+        if n == 1:
+            lengths[sym0] = 1
+            dec = _TreeDecoder(lengths)
+            dec.single = sym0
+            return dec
+        sym1 = br.read(8)
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _TreeDecoder(lengths)
+    stored = br.read(4) + 4
+    clc_len = [0] * 19
+    for k in range(stored):
+        clc_len[_CLC_ORDER[k]] = br.read(3)
+    clc = _TreeDecoder(clc_len)
+    if br.read(1):                            # max-symbol shortcut present
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+    return _TreeDecoder(lengths)
+
+
+# ---------- encode ----------
+
+def encode_vp8l(img: np.ndarray) -> bytes:
+    """Lossless WebP of an (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA
+    uint8 image — literal-only VP8L, one huffman group per channel."""
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    h, w = a.shape[:2]
+    if a.shape[2] == 3:
+        alpha = np.full((h, w), 255, np.uint8)
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    else:
+        r, g, b, alpha = a[:, :, 0], a[:, :, 1], a[:, :, 2], a[:, :, 3]
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)                         # VP8L signature
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if (alpha != 255).any() else 0, 1)
+    bw.write(0, 3)                            # version
+    # SUBTRACT_GREEN transform (spec type 2, no payload): gray images then
+    # spend ZERO bits on the r/b channels (single-symbol codes)
+    bw.write(1, 1)
+    bw.write(2, 2)
+    bw.write(0, 1)                            # no more transforms
+    bw.write(0, 1)                            # no color cache
+    bw.write(0, 1)                            # no meta huffman image
+    r = (r.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
+    b = (b.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
+    chans = [(g.ravel(), 280), (r.ravel(), 256), (b.ravel(), 256),
+             (alpha.ravel(), 256), (None, 40)]
+    codes = []
+    for data, size in chans:
+        freq = np.zeros(size, np.int64)
+        if data is not None:
+            bc = np.bincount(data, minlength=256)
+            freq[:len(bc)] = bc
+        else:
+            freq[0] = 1                       # unused distance code
+        lens = _huff_lengths(freq)
+        _write_code(bw, lens)
+        nz = [s for s, l in enumerate(lens) if l]
+        if len(nz) == 1:
+            # spec: a 1-symbol prefix code consumes ZERO bits per read
+            codes.append({nz[0]: (0, 0)})
+        else:
+            # pre-reverse: MSB-first code == LSB-first write of its reversal
+            codes.append({s: (int(f"{c:0{l}b}"[::-1], 2), l)
+                          for s, (c, l) in _canonical_codes(lens).items()})
+    gcode, rcode, bcode, acode, _ = codes
+    gl = g.ravel().tolist()
+    rl = r.ravel().tolist()
+    bl = b.ravel().tolist()
+    al = alpha.ravel().tolist()
+    w_ = bw.write
+    for i in range(h * w):
+        c, l = gcode[gl[i]]
+        w_(c, l)
+        c, l = rcode[rl[i]]
+        w_(c, l)
+        c, l = bcode[bl[i]]
+        w_(c, l)
+        c, l = acode[al[i]]
+        w_(c, l)
+    payload = bw.flush()
+    if len(payload) % 2:
+        payload += b"\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------- decode ----------
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """Decode a (simple, single-group) lossless WebP → (h, w, 3|4) uint8
+    (or (h, w) if the image is gray with opaque alpha)."""
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP", "not a WebP file"
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"VP8L":
+            payload = data[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    assert payload is not None, "no VP8L chunk (lossy VP8 not supported)"
+    br = _LsbReader(payload)
+    assert br.read(8) == 0x2F, "bad VP8L signature"
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                # alpha hint
+    assert br.read(3) == 0, "unknown VP8L version"
+    subtract_green = False
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 2:                        # SUBTRACT_GREEN (no payload)
+            subtract_green = True
+        else:
+            raise NotImplementedError(f"VP8L transform {ttype} not supported")
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        raise NotImplementedError("VP8L color cache not supported")
+    if br.read(1):
+        raise NotImplementedError("VP8L meta huffman not supported")
+    green = _read_code(br, 280 + (1 << cache_bits if cache_bits else 0))
+    red = _read_code(br, 256)
+    blue = _read_code(br, 256)
+    alpha = _read_code(br, 256)
+    dist = _read_code(br, 40)
+    n = h * w
+    # hot loop: python lists + inline LUT reads with local bit state
+    # (method-call-free fast path, same shape as the JPEG entropy loop)
+    rg: list = []
+    rr: list = []
+    rb: list = []
+    ra: list = []
+    chans = []
+    for dec, lst in ((red, rr), (blue, rb), (alpha, ra)):
+        chans.append((dec.single, getattr(dec, "lut", None), dec, lst))
+    g_single = green.single
+    g_lut = getattr(green, "lut", None)
+    d_bytes = br.d
+    acc = br.acc
+    nbits = br.nbits
+    pos = br.pos
+    while len(rg) < n:
+        if g_single is not None:
+            s = g_single
+        else:
+            while nbits < 8:
+                acc |= d_bytes[pos] << nbits
+                pos += 1
+                nbits += 8
+            e = g_lut[acc & 0xFF]
+            if e is not None:
+                acc >>= e[1]
+                nbits -= e[1]
+                s = e[0]
+            else:
+                br.acc, br.nbits, br.pos = acc, nbits, pos
+                s = green.read(br)
+                acc, nbits, pos = br.acc, br.nbits, br.pos
+        if s < 256:
+            rg.append(s)
+            for single, lut, dec, lst in chans:
+                if single is not None:
+                    lst.append(single)
+                    continue
+                while nbits < 8:
+                    acc |= d_bytes[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                e = lut[acc & 0xFF]
+                if e is not None:
+                    acc >>= e[1]
+                    nbits -= e[1]
+                    lst.append(e[0])
+                else:
+                    br.acc, br.nbits, br.pos = acc, nbits, pos
+                    lst.append(dec.read(br))
+                    acc, nbits, pos = br.acc, br.nbits, br.pos
+            continue
+        if s < 280:                           # LZ77 backreference
+            br.acc, br.nbits, br.pos = acc, nbits, pos
+            length = _lz_value(br, s - 256)
+            dcode = _lz_value(br, dist.read(br))
+            acc, nbits, pos = br.acc, br.nbits, br.pos
+            if dcode > 120:
+                d = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                d = dy * w + dx
+                if d < 1:
+                    d = 1
+            for _ in range(length):
+                rg.append(rg[-d])
+                rr.append(rr[-d])
+                rb.append(rb[-d])
+                ra.append(ra[-d])
+            continue
+        raise NotImplementedError("color-cache symbol without cache")
+    out = np.empty((n, 4), np.uint8)
+    out[:, 0] = rr[:n]
+    out[:, 1] = rg[:n]
+    out[:, 2] = rb[:n]
+    out[:, 3] = ra[:n]
+    if subtract_green:                        # inverse transform, vectorized
+        out[:, 0] += out[:, 1]
+        out[:, 2] += out[:, 1]
+    px = out.reshape(h, w, 4)
+    if (px[:, :, 3] == 255).all():
+        if (px[:, :, 0] == px[:, :, 1]).all() and (px[:, :, 1] == px[:, :, 2]).all():
+            return px[:, :, 0].copy()
+        return np.ascontiguousarray(px[:, :, [0, 1, 2]])
+    return np.ascontiguousarray(px)
+
+
+def _lz_value(br: _LsbReader, prefix: int) -> int:
+    """Spec LZ77 prefix decoding: prefix symbol → value."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.read(extra) + 1

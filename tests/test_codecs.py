@@ -60,15 +60,18 @@ def test_raw_roundtrip():
 
 
 @pytest.mark.parametrize("fmt", ["jpeg", "webp"])
-def test_lossy_stub_psnr_pin(fmt):
-    """The lossy stub must actually lose information but stay >= 40 dB —
-    the BASELINE.md lossy re-encode pin."""
+def test_lossy_psnr_pin(fmt):
+    """BASELINE.md re-encode pin: jpeg (real T.81, genuinely lossy) stays
+    >= 40 dB; webp (real VP8L) is LOSSLESS by construction."""
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
     out = codecs.decode(codecs.encode(img, fmt), fmt)
     assert out.shape == img.shape
-    assert not np.array_equal(out, img)  # genuinely lossy
-    assert psnr(img, out) >= 40.0
+    if fmt == "jpeg":
+        assert not np.array_equal(out, img)  # genuinely lossy
+        assert psnr(img, out) >= 40.0
+    else:
+        assert np.array_equal(out, img)      # VP8L is lossless
     # deterministic
     assert codecs.encode(img, fmt) == codecs.encode(img, fmt)
 
@@ -163,5 +166,102 @@ def test_jpeg_catalog_fmt_path():
     data = t.column("bytes")[i].as_py()
     assert data[:2] == b"\xff\xd8"
     img = codecs.decode(data, "jpeg")
+    assert img.shape[0] == t.column("h")[i].as_py()
+    assert img.shape[1] == t.column("w")[i].as_py()
+
+
+# ---------- real lossless WebP / VP8L (core/vp8l.py) ----------
+
+def test_vp8l_riff_structure():
+    import struct
+
+    from gdal_ray.core.vp8l import encode_vp8l
+    p = encode_vp8l(_fixture_img(32, 48, 3))
+    assert p[:4] == b"RIFF" and p[8:12] == b"WEBP" and p[12:16] == b"VP8L"
+    (riff_size,) = struct.unpack_from("<I", p, 4)
+    assert riff_size == len(p) - 8
+    assert p[20] == 0x2F                      # VP8L signature byte
+
+
+def test_vp8l_lossless_roundtrip():
+    from gdal_ray.core.vp8l import decode_vp8l, encode_vp8l
+    for shape in ((64, 64), (33, 47), (5, 7), (1, 9), (120, 200)):
+        for bands in (1, 3):
+            img = _fixture_img(*shape, bands, seed=shape[0] * 7 + bands)
+            dec = decode_vp8l(encode_vp8l(img))
+            assert np.array_equal(dec, img), (shape, bands)
+
+
+def test_vp8l_alpha_and_constant():
+    from gdal_ray.core.vp8l import decode_vp8l, encode_vp8l
+    rgb = _fixture_img(20, 30, 3)
+    rgba = np.dstack([rgb, (rgb[:, :, 0] // 2 + 10).astype(np.uint8)])
+    assert np.array_equal(decode_vp8l(encode_vp8l(rgba)), rgba)
+    const = np.full((16, 16), 42, np.uint8)
+    p = encode_vp8l(const)
+    assert len(p) < 64                        # 1-symbol codes: ~0 bits/px
+    assert np.array_equal(decode_vp8l(p), const)
+
+
+def test_vp8l_lz77_decode_path():
+    """The decoder's backreference path: hand-emit a stream with one
+    literal pixel then a length-4 distance-1 copy (spec LZ77 semantics)."""
+    from gdal_ray.core.vp8l import (_LsbWriter, _write_code, decode_vp8l)
+    import struct
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(5 - 1, 14)
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)      # no transforms
+    bw.write(0, 1)      # no cache
+    bw.write(0, 1)      # no meta huffman
+    # green code: two symbols {7, 259=256+3 → length prefix 3 (value 4)}
+    glens = [0] * 280
+    glens[7] = 1
+    glens[259] = 1
+    _write_code(bw, glens)
+    for v in (30, 90, 255):                   # r, b, a single-symbol codes
+        lens = [0] * 256
+        lens[v] = 1
+        _write_code(bw, lens)
+    dlens = [0] * 40
+    # distance prefix 1 → value 2 → neighbor-map[1] = (1, 0) → distance 1
+    dlens[1] = 1
+    _write_code(bw, dlens)
+    # pixel 0: literal green=7 (code '0'), r/b/a zero-bit singles
+    bw.write(0, 1)
+    # then symbol 259 (code '1'): prefix 3 → length 4, dist code single → 1
+    bw.write(1, 1)
+    payload = bw.flush()
+    data = (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+    out = decode_vp8l(data)
+    assert out.shape == (1, 5, 3)
+    assert (out[0, :, 0] == 30).all()         # red
+    assert (out[0, :, 1] == 7).all()          # green copied by the backref
+    assert (out[0, :, 2] == 90).all()
+
+
+def test_webp_codec_dispatch_and_legacy_stub():
+    from gdal_ray.core import codecs
+    img = _fixture_img(40, 40, 3)
+    payload = codecs.encode(img, "webp")
+    assert payload[:4] == b"RIFF"             # real WebP container
+    assert np.array_equal(codecs.decode(payload, "webp"), img)  # lossless
+    legacy = codecs._lossy_encode(img, "webp")
+    assert np.array_equal(codecs.decode(legacy, "webp"),
+                          codecs._lossy_decode(legacy, "webp"))
+
+
+def test_webp_catalog_fmt_path():
+    from gdal_ray.core import codecs, fixtures
+    t = fixtures.images_table(24)
+    fmts = t.column("fmt").to_pylist()
+    i = fmts.index("webp")
+    data = t.column("bytes")[i].as_py()
+    assert data[:4] == b"RIFF"
+    img = codecs.decode(data, "webp")
     assert img.shape[0] == t.column("h")[i].as_py()
     assert img.shape[1] == t.column("w")[i].as_py()
