@@ -9,8 +9,8 @@ driver compares row counts, schemas and order-insensitive value hashes).
 Ordering contract: every oracle-backed query sits in the FIRST 50 dict
 slots (round 2 showed the driver records the leading 50); the remaining
 oracle-backed queries follow, and the rows-only checks (documents-table
-near-dup candidates + winnowing fingerprints, whose candidate sets are
-not SQL-expressible) close the list.
+near-dup candidates + fingerprints over real text, whose candidate sets /
+utf-8 byte hashing are not SQL-expressible) close the list.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return ds.map_batches(quality_score, batch_format="pyarrow")
 
-    def _text_fingerprint(sf_dir: str):
+    def _text_fingerprint_docs(sf_dir: str):
         from gdal_ray.pipelines.text import fingerprint
         ds = R._read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return ds.map_batches(fingerprint, batch_format="pyarrow")
@@ -133,10 +133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _langid,
         "grid_linear": R.grid_linear_q,
         "dedup_ngram": R.dedup_ngram_q,
+        "text_fingerprint": R.text_fingerprint_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
-        "text_fingerprint": _text_fingerprint,
+        "text_fingerprint_docs": _text_fingerprint_docs,
     }
 
 
@@ -206,4 +207,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygonize": R.SQL_GEO_POLYGONIZE,
         "grid_linear": R.SQL_GRID_LINEAR,
         "dedup_ngram": R.SQL_DEDUP_NGRAM,
+        "text_fingerprint": R.SQL_TEXT_FINGERPRINT,
     }

@@ -2841,3 +2841,129 @@ SELECT n_nationkey AS id_a, n_nationkey + 1000 AS id_b,
        CAST(1.0 AS DOUBLE) AS jaccard
 FROM nation
 """
+
+
+# ---------- text_fingerprint oracle: winnowing hash in DuckDB HUGEINT ----
+
+_U64 = "18446744073709551616::HUGEINT"
+
+
+def _fp_tobig(x: str) -> str:
+    """uint64-as-HUGEINT → signed BIGINT (two's complement bridge)."""
+    return (f"CAST(({x}) - CASE WHEN ({x}) >= 9223372036854775808::HUGEINT "
+            f"THEN {_U64} ELSE 0::HUGEINT END AS BIGINT)")
+
+
+def _fp_tohuge(b: str) -> str:
+    return (f"(CAST(({b}) AS HUGEINT) + CASE WHEN ({b}) < 0 "
+            f"THEN {_U64} ELSE 0::HUGEINT END)")
+
+
+def _fp_xor64(a: str, b: str) -> str:
+    return _fp_tohuge(f"xor({_fp_tobig(a)}, {_fp_tobig(b)})")
+
+
+def _fp_mulmod(a: str, m: int) -> str:
+    """(a * m) mod 2^64 without int128 overflow: split a into 32-bit halves."""
+    return (f"(((({a}) % 4294967296::HUGEINT) * {m}::HUGEINT"
+            f" + (((({a}) // 4294967296::HUGEINT) * {m}::HUGEINT)"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {_U64})")
+
+
+def _fp_splitmix_steps(col_in: str, col_out: str, tag: str):
+    """CTE column steps applying dedup._splitmix to a HUGEINT uint64 col."""
+    return [
+        (f"{tag}_a", f"((({col_in}) + 11400714819323198485::HUGEINT) % {_U64})"),
+        (f"{tag}_x1", _fp_xor64(f"{tag}_a", f"({tag}_a // 1073741824::HUGEINT)")),
+        (f"{tag}_b", _fp_mulmod(f"{tag}_x1", 13787848793156543929)),
+        (f"{tag}_x2", _fp_xor64(f"{tag}_b", f"({tag}_b // 134217728::HUGEINT)")),
+        (f"{tag}_c", _fp_mulmod(f"{tag}_x2", 10723151780598845931)),
+        (col_out, _fp_xor64(f"{tag}_c", f"({tag}_c // 2147483648::HUGEINT)")),
+    ]
+
+
+def _fp_digit_bytes(v: str) -> list[str]:
+    """ASCII bytes of 'w' || lpad(v, 4, '0') as integer expressions."""
+    return [f"119", f"(48 + ({v}) // 1000)", f"(48 + (({v}) // 100) % 10)",
+            f"(48 + (({v}) // 10) % 10)", f"(48 + ({v}) % 10)"]
+
+
+def _build_sql_text_fingerprint() -> str:
+    """Winnowing fingerprint of the planted corpus, fully in SQL: word
+    values from splitmix(key), gram bytes packed to LE uint64 words by
+    integer arithmetic, dedup._hash_bytes_to_u64 + winnowing min-window +
+    XOR-reduce replayed with HUGEINT mod-2^64 arithmetic (CLAUDE.md
+    'oracle-izing' recipe, taken to its logical extreme)."""
+    sm1, sm2, sm3, sm17 = (10451216379200822465, 10905525725756348110,
+                           2092789425003139053, 9260656408219841379)
+    steps = _fp_splitmix_steps("x", "wv", "s")
+    chain = ["words_0 AS (SELECT n_nationkey AS doc, i.i AS wi, "
+             "CAST(n_nationkey * 60 + 1 + i.i AS HUGEINT) AS x "
+             "FROM nation, generate_series(0, 59) i(i))"]
+    prev = "words_0"
+    for k, (name, expr) in enumerate(steps):
+        nxt = f"words_{k + 1}"
+        chain.append(f"{nxt} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = nxt
+    chain.append(f"wvals AS (SELECT doc, wi, wv % 4096::HUGEINT AS v FROM {prev})")
+    # gram rows with three word values
+    chain.append(
+        "grams_0 AS (SELECT a.doc, a.wi AS gi, a.v AS v1, b.v AS v2, c.v AS v3 "
+        "FROM wvals a JOIN wvals b ON b.doc = a.doc AND b.wi = a.wi + 1 "
+        "JOIN wvals c ON c.doc = a.doc AND c.wi = a.wi + 2 WHERE a.wi <= 57)")
+    # pack 17 ASCII bytes + zero pad into 3 LE uint64 words
+    d1 = _fp_digit_bytes("v1")
+    d2 = _fp_digit_bytes("v2")
+    d3 = _fp_digit_bytes("v3")
+    bytes0 = d1 + ["32"] + [d2[0], d2[1]]
+    bytes1 = d2[2:] + ["32"] + [d3[0], d3[1], d3[2], d3[3]]
+    bytes2 = [d3[4]] + ["0"] * 7
+    def pack(bs):
+        return " + ".join(f"CAST({b} AS HUGEINT) * {1 << (8 * k)}::HUGEINT"
+                          for k, b in enumerate(bs))
+    chain.append(f"grams_1 AS (SELECT doc, gi, {pack(bytes0)} AS w0, "
+                 f"{pack(bytes1)} AS w1, {pack(bytes2)} AS w2 FROM grams_0)")
+    chain.append(
+        f"grams_2 AS (SELECT *, {_fp_xor64('w0', f'{sm1}::HUGEINT')} AS q0, "
+        f"{_fp_xor64('w1', f'{sm2}::HUGEINT')} AS q1, "
+        f"{_fp_xor64('w2', f'{sm3}::HUGEINT')} AS q2 FROM grams_1)")
+    prev = "grams_2"
+    k = 2
+    for col_in, col_out, tag in (("q0", "h0", "g0"), ("q1", "h1", "g1"),
+                                 ("q2", "h2", "g2")):
+        for name, expr in _fp_splitmix_steps(col_in, col_out, tag):
+            k += 1
+            chain.append(f"grams_{k} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = f"grams_{k}"
+    chain.append(
+        f"grams_h AS (SELECT *, "
+        f"{_fp_xor64(_fp_xor64('h0', 'h1'), _fp_xor64('h2', f'{sm17}::HUGEINT'))}"
+        f" AS hg FROM {prev})")
+    prev = "grams_h"
+    for name, expr in _fp_splitmix_steps("hg", "h3", "f"):
+        k += 1
+        chain.append(f"grams_{k} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"grams_{k}"
+    chain.append(
+        f"wins AS (SELECT g.doc, s.w AS win, min(g.h3) AS wmin "
+        f"FROM {prev} g, generate_series(0, 50) s(w) "
+        f"WHERE g.gi BETWEEN s.w AND s.w + 7 GROUP BY g.doc, s.w)")
+    chain.append("dmins AS (SELECT DISTINCT doc, wmin FROM wins)")
+    chain.append(
+        f"fp AS (SELECT doc, {_fp_tobig(_fp_tohuge('bit_xor(' + _fp_tobig('wmin') + ')') + ' - 9223372036854775808::HUGEINT')} "
+        f"AS fingerprint FROM dmins GROUP BY doc)")
+    return ("WITH " + ",\n".join(chain)
+            + "\nSELECT doc AS doc_id, fingerprint FROM fp "
+            "UNION ALL SELECT doc + 1000 AS doc_id, fingerprint FROM fp")
+
+
+SQL_TEXT_FINGERPRINT = _build_sql_text_fingerprint()
+
+
+def text_fingerprint_q(sf_dir: str):
+    """Winnowing fingerprint over the planted corpus — exact copies share
+    the fingerprint; DuckDB replays the full rolling-hash chain."""
+    from .text import fingerprint
+    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_synth_corpus, batch_format="pyarrow")
+    return docs.map_batches(fingerprint, batch_format="pyarrow")
