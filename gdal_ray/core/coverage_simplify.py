@@ -54,10 +54,17 @@ def _dp_keep(pts: np.ndarray, tol: float) -> np.ndarray:
     return keep
 
 
-def simplify_coverage(faces: dict, tolerance: float) -> dict:
+def simplify_coverage(faces: dict, tolerance: float,
+                      pinned: set | None = None) -> dict:
     """faces: {fid: [polys]} where each poly is a list of (n, 2) rings
     (first = shell, rest = holes; rings closed: first == last vertex).
-    Returns the same structure with shared-edge-consistent simplification."""
+    Returns the same structure with shared-edge-consistent simplification.
+
+    ``pinned`` fids keep EVERY vertex (used by the cell-partitioned scale
+    path for faces straddling partition borders: a pinned face simplifies
+    identically — i.e. not at all — in every group that sees it, so chains
+    it shares stay consistent across groups)."""
+    pinned = pinned or set()
     # ---- pass 1: degree of every snapped vertex in the segment graph ----
     seg_count: dict = {}
     for polys in faces.values():
@@ -129,6 +136,13 @@ def simplify_coverage(faces: dict, tolerance: float) -> dict:
                     mask = _dp_keep(pts, tolerance)
                     for k_i in np.nonzero(mask)[0]:
                         kept.add(keys[idxs[int(k_i)] % m])
+
+    # pinned faces force-keep all their vertices (scale-partition contract)
+    for fid in pinned:
+        for rings in faces.get(fid, []):
+            for ring in rings:
+                for p in np.asarray(ring, dtype=np.float64)[:-1]:
+                    kept.add(_key(p))
 
     # ---- pass 3: rebuild rings by filtering to the kept set ----
     out: dict = {}

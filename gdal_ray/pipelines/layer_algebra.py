@@ -430,29 +430,32 @@ def clean_coverage(layer: "ray.data.Dataset", *,
 
 def simplify_coverage(layer: "ray.data.Dataset", tolerance: float, *,
                       id_col: str = "fid",
-                      partition_col: str | None = None) -> "ray.data.Dataset":
+                      partition_col: str | None = None,
+                      level: int | None = None) -> "ray.data.Dataset":
     """gdal vector simplify-coverage (apps/gdalalg_vector_simplify_coverage
     .cpp, GEOS CoverageSimplifier semantics): simplify shared boundaries
     consistently on both sides so the coverage stays overlap/gap-free.
 
-    PARTITIONING ASSUMPTION (documented per the coverage-op contract):
-    topology is global, so faces that share an edge must be simplified in
-    the SAME group.  Pass ``partition_col`` naming a column that already
-    groups edge-connected faces (an admin region, a tile id from a prior
-    coverage partition step); with None the whole layer is one group —
-    correct at any size the group fits in a worker, which is the same
-    envelope the reference's in-memory GEOS pass has."""
+    Three partitioning modes (topology is global — faces sharing an edge
+    must see each other while deciding a chain):
+      - partition_col: a user column already grouping edge-connected faces
+        (admin region, tile id) — one group per value;
+      - level: CELL-PARTITIONED SCALE PATH — each face replicates to every
+        world-grid cell its (ε-expanded) bbox covers and is OWNED by the
+        minimum one; faces spanning >1 cell are PINNED (all vertices kept),
+        so any chain they share simplifies identically — i.e. not at all —
+        in every group, while fully-interior faces (whose edge-adjacent
+        neighbours provably co-occur in their owner group) simplify
+        normally.  Conservative near cell borders, exact everywhere else,
+        and no group ever needs more than a cell's neighbourhood.
+      - neither: one global group (the reference's in-memory GEOS
+        envelope)."""
     import pyarrow as pa
 
     from ..core import wkb as W
     from ..core.coverage_simplify import simplify_coverage as _simp
 
-    def simp_group(g: pa.Table) -> pa.Table:
-        faces = {}
-        for i in range(g.num_rows):
-            fid = g.column(id_col)[i].as_py()
-            faces[fid] = W.as_polygons(W.loads(g.column("wkb")[i].as_py()))
-        out = _simp(faces, tolerance)
+    def _emit(out: dict) -> pa.Table:
         ids, wkbs = [], []
         for fid, polys in out.items():
             ids.append(fid)
@@ -462,6 +465,57 @@ def simplify_coverage(layer: "ray.data.Dataset", tolerance: float, *,
                 wkbs.append(W.dumps({"type": "MultiPolygon", "polys": polys}))
         return pa.table({id_col: pa.array(ids), "wkb": pa.array(wkbs, pa.binary())})
 
+    if level is not None:
+        from ..core import cells as C
+
+        def expand(b: pa.Table) -> pa.Table:
+            eps = 1e-7    # border-touching faces must become multi-cell
+            out = {"cell": [], id_col: [], "wkb": [], "owner": [], "pinned": []}
+            for i in range(b.num_rows):
+                data = b.column("wkb")[i].as_py()
+                pts = np.concatenate([r for rings in
+                                      W.as_polygons(W.loads(data))
+                                      for r in rings])
+                cs = C.cells_for_bbox(float(pts[:, 0].min()) - eps,
+                                      float(pts[:, 1].min()) - eps,
+                                      float(pts[:, 0].max()) + eps,
+                                      float(pts[:, 1].max()) + eps, level)
+                owner = int(cs.min())
+                for c in cs.tolist():
+                    out["cell"].append(int(c))
+                    out[id_col].append(b.column(id_col)[i].as_py())
+                    out["wkb"].append(data)
+                    out["owner"].append(int(c) == owner)
+                    out["pinned"].append(len(cs) > 1)
+            return pa.table({
+                "cell": pa.array(out["cell"], pa.int64()),
+                id_col: pa.array(out[id_col]),
+                "wkb": pa.array(out["wkb"], pa.binary()),
+                "owner": pa.array(out["owner"]),
+                "pinned": pa.array(out["pinned"])})
+
+        def simp_cell(g: pa.Table) -> pa.Table:
+            faces, pinned, owners = {}, set(), set()
+            for i in range(g.num_rows):
+                fid = g.column(id_col)[i].as_py()
+                faces[fid] = W.as_polygons(W.loads(g.column("wkb")[i].as_py()))
+                if g.column("pinned")[i].as_py():
+                    pinned.add(fid)
+                if g.column("owner")[i].as_py():
+                    owners.add(fid)
+            out = _simp(faces, tolerance, pinned=pinned)
+            return _emit({f: p for f, p in out.items() if f in owners})
+
+        return layer.map_batches(expand, batch_format="pyarrow") \
+            .groupby("cell").map_groups(simp_cell, batch_format="pyarrow")
+
+    def simp_group(g: pa.Table) -> pa.Table:
+        faces = {}
+        for i in range(g.num_rows):
+            fid = g.column(id_col)[i].as_py()
+            faces[fid] = W.as_polygons(W.loads(g.column("wkb")[i].as_py()))
+        return _emit(_simp(faces, tolerance))
+
     if partition_col is None:
         key = "__cov_part"
         work = layer.map_batches(
@@ -470,5 +524,4 @@ def simplify_coverage(layer: "ray.data.Dataset", tolerance: float, *,
     else:
         key = partition_col
         work = layer
-    out = work.groupby(key).map_groups(simp_group, batch_format="pyarrow")
-    return out
+    return work.groupby(key).map_groups(simp_group, batch_format="pyarrow")

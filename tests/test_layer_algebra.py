@@ -143,3 +143,45 @@ def test_simplify_coverage_op_stays_clean(ray_session):
     assert abs(area - 8.0) < 1e-9
     overlaps = check_coverage(simp).take_all()
     assert overlaps == []
+
+
+def test_simplify_coverage_cell_partitioned(ray_session):
+    """Cell-partitioned scale path: interior faces simplify exactly like
+    the global pass; border-straddling faces are pinned (unchanged); the
+    result is still a clean coverage with the full area."""
+    import ray.data
+
+    from gdal_ray.core import wkb as W
+    from gdal_ray.pipelines.layer_algebra import check_coverage, simplify_coverage
+    # 6x1 strip of unit squares at y=3 (between the 1.40625-degree y-cell
+    # borders): it crosses the level-7 x-borders at 5.625 and 8.4375
+    # (pinned columns) while the other faces stay strictly interior
+    rows = {"fid": [], "wkb": []}
+    for gy0 in range(1):
+        for gx0 in range(6):
+            gx, gy = gx0 + 3, gy0 + 3
+            ring = [(gx, gy), (gx + 1, gy), (gx + 1, gy + 1), (gx, gy + 1),
+                    (gx, gy)]
+            rows["fid"].append(f"c{gx}{gy}")
+            rows["wkb"].append(W.dumps({"type": "Polygon",
+                                        "rings": [_densify_ring(ring)]}))
+    layer = ray.data.from_arrow(pa.table({
+        "fid": pa.array(rows["fid"]), "wkb": pa.array(rows["wkb"], pa.binary())}))
+    simp = simplify_coverage(layer, tolerance=1e-6, level=7).materialize()
+    got = {r["fid"]: r["wkb"] for r in simp.take_all()}
+    assert len(got) == 6                      # every face emitted exactly once
+    area = 0.0
+    pinned_ct = 0
+    for fid, data in got.items():
+        for rings in W.as_polygons(W.loads(data)):
+            a = rings[0]
+            area += 0.5 * abs(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1]))
+            if len(a) > 5:
+                pinned_ct += 1                # pinned faces keep densified verts
+    assert abs(area - 6.0) < 1e-9
+    # c33's only neighbour is interior -> fully simplified square; the
+    # pinned straddler columns keep every densified vertex
+    assert len(W.as_polygons(W.loads(got["c33"]))[0][0]) == 5
+    assert len(W.as_polygons(W.loads(got["c53"]))[0][0]) == 25
+    overlaps = check_coverage(simp).take_all()
+    assert overlaps == []
