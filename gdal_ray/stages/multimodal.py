@@ -52,17 +52,52 @@ class ImageFeatureStage:
 
 
 class AudioDecodeStage:
-    """STUB: audio decode requires codec libs absent from this container.
-    The schema contract is (audio_id, bytes, sample_rate) → (audio_id,
-    duration_s, rms).  Raises NotImplementedError on real payloads."""
+    """REAL for PCM WAV (stdlib ``wave`` — no codec libs needed): decodes
+    (audio_id, bytes) → (audio_id, sample_rate, n_samples, duration_s,
+    rms).  Compressed formats (mp3/ogg/flac) still raise
+    NotImplementedError — they need codec libs absent from this container;
+    the actor plumbing is identical."""
 
-    def __init__(self, sample_rate: int = 16000):
-        self.sample_rate = sample_rate
+    def __init__(self, target_sample_rate: int | None = None):
+        # a model-backed stage would load its resampler/model here
+        self.target_sample_rate = target_sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decode stub: install an audio codec and replace this "
-            "stage body; the actor/batch plumbing is the deliverable here")
+        import io
+        import wave
+        ids, srs, ns, durs, rms = [], [], [], [], []
+        for i in range(batch.num_rows):
+            data = batch.column("bytes")[i].as_py()
+            if not data.startswith(b"RIFF") or data[8:12] != b"WAVE":
+                raise NotImplementedError(
+                    "only PCM WAV decodes without codec libs; swap in "
+                    "audio bindings for compressed formats")
+            with wave.open(io.BytesIO(data)) as wf:
+                sr = wf.getframerate()
+                nch = wf.getnchannels()
+                width = wf.getsampwidth()
+                frames = wf.readframes(wf.getnframes())
+            if width == 2:
+                x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+            elif width == 1:
+                x = (np.frombuffer(frames, dtype=np.uint8)
+                     .astype(np.float64) - 128.0) / 128.0
+            else:
+                raise NotImplementedError(f"{8 * width}-bit WAV unsupported")
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)
+            ids.append(batch.column("audio_id")[i].as_py())
+            srs.append(sr)
+            ns.append(int(x.size))
+            durs.append(x.size / sr if sr else 0.0)
+            rms.append(float(np.sqrt((x * x).mean())) if x.size else 0.0)
+        return pa.table({
+            "audio_id": pa.array(ids),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+        })
 
 
 class VideoFrameSampleStage:

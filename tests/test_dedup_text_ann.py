@@ -243,3 +243,32 @@ def test_ngram_jaccard_pairs(ray_session, docs_tbl):
     assert got == pytest.approx(expect)      # identical pairs AND values
     d0 = docs_tbl.column("doc_id").to_pylist()[0]
     assert got[(d0, 10_000)] == 1.0          # exact dup -> jaccard exactly 1
+
+
+def test_audio_decode_stage_real_wav(ray_session):
+    """AudioDecodeStage decodes real PCM WAV payloads (stdlib wave):
+    a 440 Hz sine at 8 kHz has rms 1/sqrt(2) of its amplitude."""
+    import io
+    import struct
+    import wave
+
+    import ray.data
+
+    from gdal_ray.stages.multimodal import AudioDecodeStage
+    sr, secs = 8000, 0.5
+    t = np.arange(int(sr * secs)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    tbl = pa.table({"audio_id": pa.array(["a0"]),
+                    "bytes": pa.array([buf.getvalue()], pa.binary())})
+    out = ray.data.from_arrow(tbl).map_batches(
+        AudioDecodeStage, batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert out["sample_rate"] == sr
+    assert out["n_samples"] == int(sr * secs)
+    assert abs(out["duration_s"] - secs) < 1e-9
+    assert abs(out["rms"] - 0.5 / np.sqrt(2)) < 1e-3
