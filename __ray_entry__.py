@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- slots 1-50: every query here is hash-verified vs oracle_sql ----
         # relational parity
         "q1_pricing_summary": R.q1_pricing_summary,
-        "q_topk_orders": R.q_topk_orders,
         "q_filter_project": R.q_filter_project,
         "q_nation_revenue": R.q_nation_revenue,
         "q_union_concat": R.q_union_concat,
@@ -79,14 +78,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_join": R.geo_pip_join,
         "geo_knn": R.geo_knn,
         "geo_zonal_points": R.geo_zonal_points,
-        "vector_clip": R.vector_clip,
         "layer_intersection": R.layer_intersection_rects,
         "layer_union": R.layer_union_rects,
         "vector_dissolve": R.vector_dissolve_union_q,
         "vector_makevalid": R.vector_makevalid_q,
         "knn_idw": R.knn_idw_q,
         "grid_metrics": R.grid_metrics_q,
-        "knn_bigbig": R.knn_bigbig_q,
         "dedup_phash": R.dedup_phash_q,
         "raster_band_stats": R.raster_band_stats_q,
         "raster_tindex": R.raster_tindex_q,
@@ -120,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_sort_hilbert": R.vector_sort_hilbert_q,
         "geo_rasterize": R.geo_rasterize_q,
         "geo_polygonize": R.geo_polygonize_q,
+        "grid_linear": R.grid_linear_q,
+        "dedup_ngram": R.dedup_ngram_q,
+        "text_fingerprint": R.text_fingerprint_q,
         # ---- slot 50 ends here ----
         # oracle-backed overflow (families above already have a green row)
         "q_segment_revenue": R.q_segment_revenue,
@@ -131,9 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygonize_stitched": R.geo_polygonize_stitched_q,
         "text_alpha_ratio": R.text_alpha_ratio,
         "text_langid": _langid,
-        "grid_linear": R.grid_linear_q,
-        "dedup_ngram": R.dedup_ngram_q,
-        "text_fingerprint": R.text_fingerprint_q,
+        "q_topk_orders": R.q_topk_orders,
+        "vector_clip": R.vector_clip,
+        "knn_bigbig": R.knn_bigbig_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,

@@ -95,6 +95,22 @@ def _write_parquet(ds, path: str, partition_cols=None):
     return ds
 
 
+@register("tee")
+def _tee(ds, path: str):
+    """gdal pipeline `tee` (apps/gdalalg_pipeline.cpp): write a snapshot of
+    the stream mid-pipeline and keep flowing downstream unchanged."""
+    ds = ds.materialize()     # one compute pass feeds both consumers
+    ds.write_parquet(path)
+    return ds
+
+
+@register("materialize")
+def _materialize(ds):
+    """Pin the stream at this point (ray.data materialize): downstream
+    steps re-read blocks from the object store instead of recomputing."""
+    return ds.materialize()
+
+
 # ---------- relational ----------
 
 @register("select")

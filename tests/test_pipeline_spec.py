@@ -90,3 +90,20 @@ def test_user_registered_stage(tmp_path, ray_session):
 def test_unknown_stage_raises(ray_session):
     with pytest.raises(ValueError, match="unknown pipeline stage"):
         run_pipeline({"steps": [{"op": "nope"}]})
+
+
+def test_tee_and_materialize_stages(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gdal_ray.pipelines import pipeline_spec as PS
+    ds = ray.data.range(100).map_batches(
+        lambda b: {"id": b["id"], "v": b["id"] * 2}, batch_format="numpy")
+    tee_dir = str(tmp_path / "tee_out")
+    ds2 = PS._REGISTRY["tee"](ds, path=tee_dir)
+    ds3 = PS._REGISTRY["materialize"](ds2)
+    assert ds3.count() == 100                  # stream continues
+    snap = pq.read_table(tee_dir)              # snapshot landed on disk
+    assert snap.num_rows == 100
+    assert sorted(snap.column("v").to_pylist()) == sorted(
+        r["v"] for r in ds3.take_all())
