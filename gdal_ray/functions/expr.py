@@ -244,14 +244,18 @@ def _is_arr(x) -> bool:
 
 
 def _mod(a, b):
-    # pyarrow.compute has no modulo kernel — numpy fallback
+    # pyarrow.compute has no modulo kernel — numpy fallback.  SQL % takes
+    # the DIVIDEND's sign (C semantics, like DuckDB/swq): np.fmod, not
+    # np.mod (python-style divisor sign differs for negative inputs).
     if _is_arr(a) or _is_arr(b):
         av = np.asarray(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a) \
             if _is_arr(a) else a
         bv = np.asarray(b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b) \
             if _is_arr(b) else b
-        return pa.array(np.mod(av, bv))
-    return a % b
+        return pa.array(np.fmod(av, bv))
+    import math
+    return (math.fmod(a, b) if isinstance(a, float) or isinstance(b, float)
+            else int(math.fmod(a, b)))
 
 
 _CAST_TYPES = {"INTEGER": pa.int64(), "BIGINT": pa.int64(), "INT": pa.int64(),
