@@ -225,8 +225,28 @@ def _register_raster():
     _REGISTRY["base_tiles"] = lambda ds, zoom: T.base_tiles(ds, int(zoom))
 
 
+def _register_trainingdata():
+    from ..pipelines import dedup as DD
+    from ..pipelines import text as TX
+    _REGISTRY["exact_dedup"] = lambda ds, key_col="text", id_col="doc_id": \
+        DD.exact_dedup(ds, key_col=key_col, id_col=id_col)
+    _REGISTRY["minhash_pairs"] = lambda ds, threshold=0.7, **kw: \
+        DD.minhash_lsh_pairs(ds, threshold=float(threshold), **kw)
+    _REGISTRY["simhash_pairs"] = lambda ds, max_hamming=3: \
+        DD.simhash_pairs(ds, max_hamming=int(max_hamming))
+    _REGISTRY["ngram_jaccard_pairs"] = lambda ds, threshold=0.8: \
+        DD.ngram_jaccard_pairs(ds, threshold=float(threshold))
+    _REGISTRY["embedding_neardup"] = lambda ds, threshold=0.95: \
+        DD.embedding_neardup_pairs(ds, threshold=float(threshold))
+    _REGISTRY["langid"] = _batch_stage(TX.detect_language)
+    _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
+    _REGISTRY["token_count"] = _batch_stage(TX.token_count)
+    _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
+
+
 _register_vector()
 _register_raster()
+_register_trainingdata()
 
 
 def parse_pipeline(text: str) -> dict:

@@ -107,3 +107,25 @@ def test_tee_and_materialize_stages(ray_session, tmp_path):
     assert snap.num_rows == 100
     assert sorted(snap.column("v").to_pylist()) == sorted(
         r["v"] for r in ds3.take_all())
+
+
+def test_trainingdata_stages_registered(ray_session):
+    import ray.data
+
+    from gdal_ray.pipelines.pipeline_spec import registered_stages, run_pipeline
+    regs = registered_stages()
+    for name in ("exact_dedup", "minhash_pairs", "simhash_pairs",
+                 "ngram_jaccard_pairs", "embedding_neardup", "langid",
+                 "text_quality", "token_count", "fingerprint", "filter",
+                 "sql_select", "tee", "materialize", "buffer",
+                 "simplify_coverage", "read_flatgeobuf", "fill_nodata_idw"):
+        assert name in regs, name
+    # end-to-end: dedup a tiny corpus through the spec surface
+    import pyarrow as pa
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["same text", "same text", "other words"]),
+    }))
+    from gdal_ray.pipelines import pipeline_spec as PS
+    out = PS._REGISTRY["exact_dedup"](ds)
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 3]
