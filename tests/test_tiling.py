@@ -238,3 +238,57 @@ def test_partial_composite_equals_plain_shuffle(ray_session):
                                  split_singles=False).take_all()}
     assert fast == plain
     assert len(fast) > 0
+
+
+def test_partial_compositing_chunking_over_254_sources(ray_session):
+    """A tile receiving >254 contributions in ONE warp batch must split
+    into <=254-source partial chunks (uint8 widx limit) and still composite
+    bit-identically to the plain groupby path (per-pixel min-image_id is
+    associative across chunks)."""
+    import ray.data
+
+    from gdal_ray.core import codecs
+    from gdal_ray.pipelines import tiling
+
+    # 300 tiny images stacked on the SAME spot -> one contested tile with
+    # 300 contributions, all inside a single 300-row batch
+    n = 300
+    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+            "caption": [], "phash": [], "geotransform": [], "crs": [],
+            "nodata": []}
+    for i in range(n):
+        px = np.full((8, 8), 40 + (i % 200), np.uint8)
+        rows["image_id"].append(f"ovr{i:04d}")
+        rows["bytes"].append(codecs.encode_raw(px))
+        rows["w"].append(8)
+        rows["h"].append(8)
+        rows["fmt"].append("raw")
+        rows["caption"].append("")
+        rows["phash"].append(i)
+        rows["geotransform"].append([10.0, 0.01, 0.0, 10.0, 0.0, -0.01])
+        rows["crs"].append("EPSG:4326")
+        rows["nodata"].append(None)
+    tbl = pa.table({
+        "image_id": pa.array(rows["image_id"]),
+        "bytes": pa.array(rows["bytes"], pa.binary()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "fmt": pa.array(rows["fmt"]),
+        "caption": pa.array(rows["caption"]),
+        "phash": pa.array(rows["phash"], pa.int64()),
+        "geotransform": pa.array(rows["geotransform"], pa.list_(pa.float64(), 6)),
+        "crs": pa.array(rows["crs"]),
+        "nodata": pa.array(rows["nodata"], pa.float64()),
+    })
+    images = ray.data.from_arrow(tbl)
+    fast = {(r["z"], r["x"], r["y"]): (r["checksum"], r["png"], r["n_contrib"])
+            for r in tiling.base_tiles(images, zoom=9,
+                                       batch_size=n).take_all()}
+    plain = {(r["z"], r["x"], r["y"]): (r["checksum"], r["png"], r["n_contrib"])
+             for r in tiling.base_tiles(images, zoom=9, batch_size=n,
+                                        split_singles=False).take_all()}
+    assert set(fast) == set(plain) and len(fast) >= 1
+    for k in fast:
+        assert fast[k][2] == plain[k][2] == n     # every source counted
+        assert fast[k][0] == plain[k][0]          # checksum identical
+        assert fast[k][1] == plain[k][1]          # PNG bit-identical
