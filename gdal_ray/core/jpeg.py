@@ -481,6 +481,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:       # EOI carries no length field; reached only
+            break                # on truncated / scan-less streams
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2:pos + seglen]
         pos += seglen

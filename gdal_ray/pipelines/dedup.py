@@ -147,7 +147,7 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.7,
         segs = sigs.reshape(n, bands, rows_per_band)
         bh = np.bitwise_xor.reduce(segs, axis=2)  # (n, bands)
         bh = _splitmix(bh + _splitmix(np.arange(bands, dtype=np.uint64))[None, :])
-        return ((bh >> np.uint64(2)).astype(np.int64) << 4) \
+        return ((bh >> np.uint64(8)).astype(np.int64) << 4) \
             | np.arange(bands, dtype=np.int64)[None, :]
 
     def bucket_int_batch(b: pa.Table) -> pa.Table:
@@ -429,7 +429,7 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.8,
         segs = sigs.reshape(n, bands, rows_per_band)
         bh = np.bitwise_xor.reduce(segs, axis=2)
         bh = _splitmix(bh + _splitmix(np.arange(bands, dtype=np.uint64))[None, :])
-        return ((bh >> np.uint64(2)).astype(np.int64) << 4) \
+        return ((bh >> np.uint64(8)).astype(np.int64) << 4) \
             | np.arange(bands, dtype=np.int64)[None, :]
 
     def bucket_int_batch(b: pa.Table) -> pa.Table:

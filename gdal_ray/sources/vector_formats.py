@@ -410,8 +410,10 @@ def _fgb_geometry_to_wkb(g: "_FB", gtype: int):
     pts = xy.reshape(-1, 2).astype(np.float64) if xy is not None else None
     if t == 2:    # LineString
         return W.dumps({"type": "LineString", "xy": pts})
-    if t == 3:    # Polygon: ends = end vertex index (exclusive, doubled) per ring
-        bounds = [e // 2 for e in (ends or [len(pts)])]
+    if t == 3:    # Polygon: ends = cumulative POINT count (exclusive end vertex) per ring
+        # (geometrywriter.cpp pushes e += numPoints; geometryreader.cpp indexes
+        #  OGRRawPoint* + offset — values are vertex counts, NOT doubled coords.)
+        bounds = list(ends) if ends else [len(pts)]
         rings, s = [], 0
         for e in bounds:
             rings.append(pts[s:e])
@@ -419,8 +421,8 @@ def _fgb_geometry_to_wkb(g: "_FB", gtype: int):
         return W.polygon(rings[0], rings[1:])
     if t == 4:    # MultiPoint
         return W.dumps({"type": "MultiPoint", "xy": pts})
-    if t == 5:    # MultiLineString
-        bounds = [e // 2 for e in (ends or [len(pts)])]
+    if t == 5:    # MultiLineString: ends = cumulative point count per part
+        bounds = list(ends) if ends else [len(pts)]
         lines, s = [], 0
         for e in bounds:
             lines.append(pts[s:e])
@@ -431,7 +433,7 @@ def _fgb_geometry_to_wkb(g: "_FB", gtype: int):
         for part in g.table_vector(18):  # VT_PARTS = 18
             pxy = part.vector_np(6, "<f8").reshape(-1, 2).astype(np.float64)
             pends = part.vector(4, "I")
-            bounds = [e // 2 for e in (pends or [len(pxy)])]
+            bounds = list(pends) if pends else [len(pxy)]
             rings, s = [], 0
             for e in bounds:
                 rings.append(pxy[s:e])

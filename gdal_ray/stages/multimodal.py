@@ -1,10 +1,10 @@
 """Multimodal column stages: opaque binary payloads + typed metadata.
 
-Image decode is REAL for png/raw (core.codecs) and a clearly-marked
-deterministic stub for jpeg/webp (no libjpeg/libwebp in this container —
-swap core.codecs._lossy_* for real bindings on a cluster).  Audio/video
-decode is stubbed with ``NotImplementedError``; the Ray-side plumbing
-(schema, actor signature, batch sizing) is real and tested.
+Image decode is REAL for png/raw/jpeg/webp-lossless — pure-numpy codecs in
+core.codecs / core.jpeg (baseline T.81) / core.vp8l (lossless VP8L).  Audio
+decode is real for PCM WAV (stdlib ``wave``); compressed audio raises (no
+codec libs in this container).  Video frame sampling handles MJPEG-in-AVI
+via the JPEG core; other containers/codecs raise.
 
 Batch-size guidance: payloads here are O(100 KB)/row, so stages default to
 small batches (32) to keep batch × concurrency within worker heaps — the

@@ -253,6 +253,134 @@ def _build_fgb(features):
     return bytes(out)
 
 
+def _fgb_geom_table(f, xy, ends, gtype_byte=0, parts=None):
+    """Write one Geometry table (ends/xy/type/parts) at the current position;
+    returns its position. `ends` follows reference semantics: cumulative
+    POINT counts per ring/part (geometrywriter.cpp e += numPoints)."""
+    import struct
+    gpos = f.tell()
+    f.pack("<i", -20)                  # soffset (vtable at gpos+20)
+    f.uoff(("ends", gpos))             # +4  VT_ENDS
+    f.uoff(("xy", gpos))               # +8  VT_XY
+    f.uoff(("parts", gpos))            # +12 VT_PARTS
+    f.pack("<B", gtype_byte)           # +16 VT_TYPE
+    f.pad(4)
+    assert f.tell() == gpos + 20
+    # vtable slots 4..18: ends@4, xy@8, type@16 (when present), parts@12
+    f.pack("<10H", 20, 20, 4, 8, 0, 0, 0, 0, 16 if gtype_byte else 0, 12)
+    if parts:
+        f.patch(("parts", gpos))
+        f.pack("<I", len(parts))
+        ppos = []
+        for i in range(len(parts)):
+            ppos.append(f.tell())
+            f.pack("<I", 0)            # placeholder uoffset
+        sub = []
+        for i, (pxy, pends) in enumerate(parts):
+            loc = _fgb_geom_table(f, pxy, pends)
+            sub.append(loc)
+        for i, loc in enumerate(sub):
+            f.b[ppos[i]:ppos[i] + 4] = struct.pack("<I", loc - ppos[i])
+        f._pend.pop(("ends", gpos)); f._pend.pop(("xy", gpos))
+        # zero out unused ends/xy field slots in the vtable
+        f.b[gpos + 20 + 4:gpos + 20 + 8] = b"\x00\x00\x00\x00"
+        return gpos
+    f._pend.pop(("parts", gpos))
+    f.b[gpos + 20 + 18:gpos + 20 + 20] = b"\x00\x00"   # no parts slot
+    f.patch(("ends", gpos))
+    f.pack("<I", len(ends))
+    f.pack("<%dI" % len(ends), *ends)
+    while (f.tell() + 4) % 8:
+        f.raw(b"\x00")
+    f.patch(("xy", gpos))
+    flat = [c for pt in xy for c in pt]
+    f.pack("<I", len(flat))
+    f.pack("<%dd" % len(flat), *flat)
+    return gpos
+
+
+def _build_fgb_geoms(gtype, feats):
+    """Minimal no-column FGB: feats = list of (xy_points, ends) or, for
+    MultiPolygon, list of list-of-(xy, ends) parts."""
+    import struct
+
+    from gdal_ray.sources.vector_formats import FGB_MAGIC
+    hdr = _FgbBuf()
+    hdr.pack("<I", 4)
+    hdr.pack("<i", -20)
+    hdr.pack("<Q", len(feats))             # +4 VT_FEATURES_COUNT
+    hdr.pack("<I", 0)                      # +12 (no columns uoff — slot zeroed)
+    hdr.pack("<H", 0)                      # +16 VT_INDEX_NODE_SIZE
+    hdr.pack("<B", gtype)                  # +18 VT_GEOMETRY_TYPE
+    hdr.pad(4)
+    hdr.pack("<12H", 24, 20, 0, 0, 18, 0, 0, 0, 0, 0, 4, 16)
+    header = bytes(hdr.b)
+    out = bytearray(FGB_MAGIC)
+    out += struct.pack("<I", len(header)) + header
+    for feat in feats:
+        f = _FgbBuf()
+        f.pack("<I", 4)
+        f.pack("<i", -8)                   # Feature: soffset + geom uoff
+        f.uoff("geom")
+        f.pack("<3H", 8, 8, 4)             # vtable: geometry@4
+        f.pad(4)
+        f.patch("geom")
+        if gtype == 6:
+            _fgb_geom_table(f, None, None, gtype_byte=0, parts=feat)
+        else:
+            xy, ends = feat
+            _fgb_geom_table(f, xy, ends)
+        f.pad(4)
+        out += struct.pack("<I", len(f.b)) + bytes(f.b)
+    return bytes(out)
+
+
+def test_flatgeobuf_polygon_with_hole():
+    """ends are cumulative point counts (reference geometrywriter.cpp), not
+    doubled coordinate indices — a 5+5 two-ring polygon keeps its hole."""
+    from gdal_ray.core import wkb
+    from gdal_ray.sources.vector_formats import parse_flatgeobuf_bytes
+    shell = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    hole = [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]
+    payload = _build_fgb_geoms(3, [(shell + hole, [5, 10])])
+    t = parse_flatgeobuf_bytes(payload)
+    g = wkb.loads(t.column("wkb")[0].as_py())
+    assert g["type"] == "Polygon"
+    assert len(g["rings"]) == 2
+    assert np.asarray(g["rings"][0]).shape == (5, 2)
+    assert np.allclose(np.asarray(g["rings"][0]), shell)
+    assert np.allclose(np.asarray(g["rings"][1]), hole)
+
+
+def test_flatgeobuf_multilinestring():
+    from gdal_ray.core import wkb
+    from gdal_ray.sources.vector_formats import parse_flatgeobuf_bytes
+    a = [(0, 0), (1, 1), (2, 0)]
+    b = [(5, 5), (6, 6)]
+    payload = _build_fgb_geoms(5, [(a + b, [3, 5])])
+    t = parse_flatgeobuf_bytes(payload)
+    g = wkb.loads(t.column("wkb")[0].as_py())
+    assert g["type"] == "MultiLineString"
+    assert len(g["lines"]) == 2
+    assert np.allclose(np.asarray(g["lines"][0]), a)
+    assert np.allclose(np.asarray(g["lines"][1]), b)
+
+
+def test_flatgeobuf_multipolygon():
+    from gdal_ray.core import wkb
+    from gdal_ray.sources.vector_formats import parse_flatgeobuf_bytes
+    p1 = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    p2shell = [(10, 10), (20, 10), (20, 20), (10, 20), (10, 10)]
+    p2hole = [(12, 12), (14, 12), (14, 14), (12, 14), (12, 12)]
+    payload = _build_fgb_geoms(6, [[(p1, [5]), (p2shell + p2hole, [5, 10])]])
+    t = parse_flatgeobuf_bytes(payload)
+    g = wkb.loads(t.column("wkb")[0].as_py())
+    assert g["type"] == "MultiPolygon"
+    assert len(g["polys"]) == 2
+    assert len(g["polys"][0]) == 1 and len(g["polys"][1]) == 2
+    assert np.allclose(np.asarray(g["polys"][1][1]), p2hole)
+
+
 def test_flatgeobuf_parse_bytes():
     from gdal_ray.core import wkb
     from gdal_ray.sources.vector_formats import parse_flatgeobuf_bytes
