@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": R.dedup_embedding_q,
         "ann_ivf": R.ann_ivf_q,
         "raster_translate": R.raster_translate_q,
+        "raster_tiff": R.raster_tiff_q,
         "raster_sieve": R.raster_sieve_q,
         "raster_proximity": R.raster_proximity_q,
         "raster_reproject": R.raster_reproject_q,
@@ -119,9 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygonize": R.geo_polygonize_q,
         "grid_linear": R.grid_linear_q,
         "dedup_ngram": R.dedup_ngram_q,
-        "text_fingerprint": R.text_fingerprint_q,
         # ---- slot 50 ends here ----
         # oracle-backed overflow (families above already have a green row)
+        "text_fingerprint": R.text_fingerprint_q,
         "q_segment_revenue": R.q_segment_revenue,
         "q_distinct_brands": R.q_distinct_brands,
         "q_event_stats": R.q_event_stats,
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": R.SQL_DEDUP_EMBEDDING,
         "ann_ivf": R.SQL_ANN_IVF,
         "raster_translate": R.SQL_RASTER_TRANSLATE,
+        "raster_tiff": R.SQL_RASTER_TIFF,
         "raster_sieve": R.SQL_RASTER_SIEVE,
         "raster_proximity": R.SQL_RASTER_PROXIMITY,
         "raster_reproject": R.SQL_RASTER_REPROJECT,

