@@ -149,3 +149,54 @@ def salt_keys_batch(t: pa.Table, key_col: str, out_col: str,
         offsets[starts[hot_rows] + s] = s
     out = t.take(pa.array(idx, pa.int64()))
     return out.append_column(out_col, pa.array(base[idx] + offsets))
+
+
+# ---------- cluster/size-derived shuffle sizing ----------
+
+def _cluster_cpus(cpus: int | None = None) -> int:
+    if cpus is not None:
+        return int(cpus)
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 8))
+    return 8
+
+
+def shuffle_partitions(est_bytes: int | None = None, *,
+                       cpus: int | None = None,
+                       target_bytes: int = 256 << 20,
+                       lo: int = 8, cpu_frac: float = 0.75,
+                       hi_factor: int = 4) -> int:
+    """Partition count for a sort/repartition exchange, derived from the
+    CLUSTER size and (when the caller can estimate it cheaply) the data
+    size — never a constant measured on one box.
+
+    - floor: ``max(lo, 0.75·CPUs)`` — on a 32-CPU single node this is 24,
+      the measured sweet spot for Ray's sort-shuffle fixed cost (fragment
+      traffic grows ~P² per node), so single-node behavior is unchanged;
+      on a 256-node cluster the floor scales with the fleet.
+    - size term: ``est_bytes / target_bytes`` (~256 MB per partition)
+      raises the count beyond the CPU floor for big exchanges, capped at
+      ``hi_factor·CPUs`` so reduce tasks stay schedulable.
+    """
+    c = _cluster_cpus(cpus)
+    floor_p = max(lo, int(c * cpu_frac))
+    if est_bytes is None:
+        return floor_p
+    need = -(-int(est_bytes) // int(target_bytes))
+    return max(floor_p, min(need, max(floor_p, hi_factor * c)))
+
+
+def bucket_count(est_groups: int | None = None, *,
+                 cpus: int | None = None, per_cpu: int = 4,
+                 lo: int = 16) -> int:
+    """Hash-bucket count for bucketed ``groupby().map_groups`` stages
+    (composite/overview): ~4 buckets per CPU amortizes the ~1-5 ms
+    per-group dispatch while keeping buckets numerous enough to balance;
+    grows with the cluster instead of the old hard 128 cap.  When the
+    caller knows the group count, buckets never exceed it (empty buckets
+    are pure overhead)."""
+    c = _cluster_cpus(cpus)
+    n = max(lo, per_cpu * c)
+    if est_groups is not None and est_groups > 0:
+        n = min(n, max(1, int(est_groups)))
+    return n

@@ -206,11 +206,10 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
     pts = points.map_batches(prep_points, batch_format="pyarrow")
     pls = polygons.map_batches(prep_polys, batch_format="pyarrow")
     both = pts.union(pls)
-    # cap sort fan-in: reduce-side fragment traffic grows with P_in × P_out,
-    # and cell-join groups are small — a bounded partition count keeps the
-    # shuffle's fixed cost flat as CPUs grow
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    both = both.repartition(min(24, max(8, cpus)))
+    # sort fan-in sized to the cluster (reduce-side fragment traffic grows
+    # with P_in × P_out per node, so the count tracks CPUs, not a constant)
+    from .shuffle_utils import shuffle_partitions
+    both = both.repartition(shuffle_partitions())
     return both.groupby("cell").map_groups(
         lambda g: _pip_group(g, predicate, level, point_id_col, poly_id_col,
                              tuple(carry.keys())),
@@ -316,8 +315,8 @@ def polygon_polygon_join(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
 
     both = a.map_batches(prep(0), batch_format="pyarrow").union(
         b.map_batches(prep(1), batch_format="pyarrow"))
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    both = both.repartition(min(24, max(8, cpus)))
+    from .shuffle_utils import shuffle_partitions
+    both = both.repartition(shuffle_partitions())
     return both.groupby("skey").map_groups(
         lambda g: _poly_poly_group(g, predicate, level, a_id_col, b_id_col),
         batch_format="pyarrow")

@@ -505,10 +505,12 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
 
     late_singles = contested_rows.map_batches(
         lambda b: composite_singles(_truly(b, False)), batch_format="pyarrow")
-    # cap sort fan-in: sort-reduce fragment traffic grows with P_in × P_out
-    # on a single node, so the contested (smaller) side shuffles over a
-    # bounded partition count.
-    nb = np.int64(min(128, max(16, cpus * 4)))
+    # bucket + partition counts derived from the cluster AND the measured
+    # contested-tile count (true_multi) — ~128 KB/contested tile of zlib-1
+    # payload is the size estimate for the exchange
+    from .shuffle_utils import bucket_count, shuffle_partitions
+    nb = np.int64(bucket_count(est_groups=int(true_multi.size)))
+    nparts = shuffle_partitions(est_bytes=int(true_multi.size) * (128 << 10))
 
     def _bucket(batch: pa.Table) -> pa.Table:
         t = _truly(batch, True)
@@ -516,7 +518,7 @@ def base_tiles(images: "ray.data.Dataset", zoom: int, method: str = "bilinear",
         return t.append_column("bucket", pa.array(keys % nb, pa.int64()))
 
     contested = contested_rows.map_batches(_bucket, batch_format="pyarrow") \
-        .repartition(min(24, max(8, cpus))) \
+        .repartition(nparts) \
         .groupby("bucket").map_groups(composite_bucket, batch_format="pyarrow")
     return finished.union(late_singles).union(contested)
 
@@ -539,9 +541,8 @@ def overview_bucket(group: pa.Table) -> pa.Table:
 def overview_level(tiles: "ray.data.Dataset") -> "ray.data.Dataset":
     """One pyramid reduction step: tiles at z → tiles at z-1 (bucketed
     groupby — see overview_bucket)."""
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nb = np.int64(min(128, max(16, cpus * 4)))
+    from .shuffle_utils import bucket_count
+    nb = np.int64(bucket_count())
 
     def keyed(batch: pa.Table) -> pa.Table:
         t = _parent_key(batch)

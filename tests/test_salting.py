@@ -80,3 +80,24 @@ def test_poly_poly_join_salting_exactness(ray_session):
               polygon_polygon_join(A, B, salt=8, hot_threshold=50).take_all()}
     assert len(plain) > 100
     assert salted == plain
+
+
+def test_shuffle_sizing_scales_with_cluster():
+    """VERDICT r3 #1: partition/bucket counts must grow with the cluster,
+    not sit at a constant measured on one box."""
+    from gdal_ray.pipelines.shuffle_utils import shuffle_partitions, bucket_count
+
+    # single-node floor unchanged: 32 CPUs -> 24 partitions (0.75*CPUs)
+    assert shuffle_partitions(cpus=32) == 24
+    # a 256-node/8192-CPU cluster gets proportionally more partitions
+    assert shuffle_partitions(cpus=8192) == 6144
+    # size term raises the count past the CPU floor, capped at 4*CPUs
+    assert shuffle_partitions(est_bytes=100 << 30, cpus=32) == 128   # cap 4*32
+    assert shuffle_partitions(est_bytes=10 << 30, cpus=32) == 40     # 10G/256M
+    # tiny exchange stays at the floor
+    assert shuffle_partitions(est_bytes=1 << 20, cpus=32) == 24
+
+    assert bucket_count(cpus=32) == 128
+    assert bucket_count(cpus=8192) == 32768
+    # never more buckets than groups
+    assert bucket_count(est_groups=10, cpus=32) == 10
