@@ -710,7 +710,48 @@ def mosaic_images(images: "ray.data.Dataset", *, resolution: float,
             "caption": pa.array(out["caption"], pa.string()),
         })
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    rows = images.map_batches(contribs, batch_format="pyarrow")
-    return rows.repartition(min(24, max(8, cpus))) \
-        .groupby("tile_key").map_groups(composite_group, batch_format="pyarrow")
+    # Same singles/bucket routing as base_tiles (VERDICT r3 #2): tiles with
+    # ONE contribution composite in place with zero shuffle; only genuinely
+    # multi-contributor tiles shuffle, grouped by a hash bucket so the
+    # ~1-5 ms map_groups dispatch amortizes over many tiles per call.
+    from .shuffle_utils import bucket_count, multi_key_array, shuffle_partitions
+
+    def _compress(t: pa.Table) -> pa.Table:
+        rgb_c = [zlib.compress(v, 1) for v in t.column("rgb").to_pylist()]
+        msk_c = [zlib.compress(v, 1) for v in t.column("mask").to_pylist()]
+        t = t.set_column(t.column_names.index("rgb"), "rgb",
+                         pa.array(rgb_c, pa.binary()))
+        t = t.set_column(t.column_names.index("mask"), "mask",
+                         pa.array(msk_c, pa.binary()))
+        return t.append_column("comp",
+                               pa.array(np.ones(t.num_rows, np.int8)))
+
+    rows = images.map_batches(contribs, batch_format="pyarrow") \
+                 .map_batches(_compress, batch_format="pyarrow").materialize()
+    multi = multi_key_array(rows, "tile_key")
+    m_ref = ray.put(multi)
+
+    def _split(batch: pa.Table, want_multi: bool) -> pa.Table:
+        m = ray.get(m_ref)
+        keys = np.asarray(batch.column("tile_key"), dtype=np.int64)
+        if m.size == 0:
+            mask = np.zeros(keys.size, dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(m, keys), 0, m.size - 1)
+            mask = m[pos] == keys
+        return batch.filter(pa.array(mask if want_multi else ~mask))
+
+    singles = rows.map_batches(
+        lambda b: composite_singles(_split(b, False)), batch_format="pyarrow")
+    nb = np.int64(bucket_count(est_groups=int(multi.size)))
+    nparts = shuffle_partitions(est_bytes=int(multi.size) * (128 << 10))
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        t = _split(batch, True)
+        keys = np.asarray(t.column("tile_key"), dtype=np.int64)
+        return t.append_column("bucket", pa.array(keys % nb, pa.int64()))
+
+    contested = rows.map_batches(_bucket, batch_format="pyarrow") \
+        .repartition(nparts) \
+        .groupby("bucket").map_groups(composite_bucket, batch_format="pyarrow")
+    return singles.union(contested)

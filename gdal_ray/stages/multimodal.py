@@ -100,12 +100,117 @@ class AudioDecodeStage:
         })
 
 
-class VideoFrameSampleStage:
-    """STUB: video frame sampling (1 frame / n seconds).  Contract:
-    (video_id, bytes, fps) → (video_id, frame_idx, frame_png)."""
+# ---------- MJPEG-in-AVI (RIFF) — pure stdlib/numpy, no codec libs ----------
+# Container layout per the public AVI RIFF spec (reference: frmts/ AVI
+# handling is delegated to GDAL's raster drivers; the MJPEG frames reuse the
+# same baseline T.81 core as core/jpeg.py).
 
-    def __init__(self, every_n_seconds: float = 1.0):
-        self.every = every_n_seconds
+def build_mjpeg_avi(frames, fps: float = 10.0, quality: int = 90) -> bytes:
+    """Assemble an MJPEG AVI from a list of HxWx3 (or HxW) uint8 frames.
+    Deterministic (fixed JPEG tables) — used as the synthetic video fixture
+    and as a minimal video sink."""
+    import struct
+    from ..core import jpeg as _jpeg
+    assert frames, "need at least one frame"
+    h, w = frames[0].shape[:2]
+    jpegs = [_jpeg.encode_jpeg(np.ascontiguousarray(f, dtype=np.uint8),
+                               quality=quality) for f in frames]
+    scale, rate = 1000, int(round(fps * 1000))
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    maxsz = max(len(j) for j in jpegs)
+    avih = struct.pack("<14I", int(1e6 / fps), maxsz * int(fps), 0, 0x10,
+                       len(jpegs), 0, 1, maxsz, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII4h",
+            0, 0, 0, 0, scale, rate, 0, len(jpegs), maxsz, 0xFFFFFFFF, 0,
+            0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_items = [chunk(b"00dc", j) for j in jpegs]
+    movi = lst(b"movi", b"".join(movi_items))
+    # idx1: (fourcc, flags=KEYFRAME, offset from 'movi' fourcc, size)
+    idx, off = [], 4
+    for j, it in zip(jpegs, movi_items):
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += len(it)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_mjpeg_avi(data: bytes):
+    """Walk an AVI RIFF container → (fps, [jpeg_bytes per frame]).  Accepts
+    MJPG video streams ('00dc'/'00db' chunks); anything else raises."""
+    import struct
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI container (RIFF/'AVI ')")
+    fps, jpegs, handler = None, [], None
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal fps, handler
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body0, body1 = pos + 8, pos + 8 + size
+            if fourcc == b"LIST":
+                walk(buf, body0 + 4, body1)
+            elif fourcc == b"avih" and fps is None:
+                us = struct.unpack_from("<I", buf, body0)[0]
+                fps = 1e6 / us if us else None
+            elif fourcc == b"strh" and buf[body0:body0 + 4] == b"vids":
+                handler = buf[body0 + 4:body0 + 8]
+                scale, rate = struct.unpack_from("<II", buf, body0 + 20)
+                if scale:
+                    fps = rate / scale
+            elif fourcc in (b"00dc", b"00db"):
+                jpegs.append(buf[body0:body1])
+            pos = body1 + (size & 1)
+
+    walk(data, 12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00", None):
+        raise NotImplementedError(
+            f"AVI video handler {handler!r} needs codec libs; only MJPG "
+            "decodes pure-numpy")
+    for j in jpegs:
+        if j[:2] != b"\xff\xd8":
+            raise NotImplementedError("non-JPEG frame payload in AVI stream")
+    return (fps or 30.0), jpegs
+
+
+class VideoFrameSampleStage:
+    """Video frame sampling (1 frame / n seconds) over MJPEG-in-AVI binary
+    columns: (video_id, bytes) → (video_id, frame_idx, t_seconds,
+    frame_png).  Real decode via the pure-numpy T.81 JPEG core; other
+    containers/codecs raise NotImplementedError (no codec libs in this
+    container).  Actor-pool stage: construct once per actor."""
+
+    def __init__(self, every_n_seconds: float = 1.0, png_level: int = 1):
+        self.every = float(every_n_seconds)
+        self.png_level = png_level
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError("video decode stub — see AudioDecodeStage")
+        from ..core import jpeg as _jpeg
+        vids, idxs, ts, pngs = [], [], [], []
+        for i in range(batch.num_rows):
+            vid = batch.column("video_id")[i].as_py()
+            fps, jpegs = parse_mjpeg_avi(batch.column("bytes")[i].as_py())
+            stride = max(1, int(round(self.every * fps)))
+            for fi in range(0, len(jpegs), stride):
+                img = _jpeg.decode_jpeg(jpegs[fi])
+                vids.append(vid)
+                idxs.append(fi)
+                ts.append(fi / fps)
+                pngs.append(codecs.encode_png(img, level=self.png_level))
+        return pa.table({
+            "video_id": pa.array(vids),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "t_seconds": pa.array(ts, pa.float64()),
+            "frame_png": pa.array(pngs, pa.binary()),
+        })
