@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_sieve": R.raster_sieve_q,
         "raster_proximity": R.raster_proximity_q,
         "raster_reproject": R.raster_reproject_q,
+        "geo_project_lcc": R.geo_project_lcc_q,
         "image_features": R.image_features_q,
         "rgb_to_palette": R.rgb_to_palette_q,
         "vector_sort_hilbert": R.vector_sort_hilbert_q,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_sieve": R.SQL_RASTER_SIEVE,
         "raster_proximity": R.SQL_RASTER_PROXIMITY,
         "raster_reproject": R.SQL_RASTER_REPROJECT,
+        "geo_project_lcc": R.SQL_GEO_PROJECT_LCC,
         "image_features": R.SQL_IMAGE_FEATURES,
         "rgb_to_palette": R.SQL_RGB_TO_PALETTE,
         "vector_sort_hilbert": R.SQL_VECTOR_SORT_HILBERT,

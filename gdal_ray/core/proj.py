@@ -96,9 +96,254 @@ def tmerc_inverse(x, y, lon0_deg: float, k0: float = _K0_UTM,
     return lon0_deg + np.rad2deg(lam), np.rad2deg(phi)
 
 
+# ---------- conic + polar projections (Snyder closed forms) ----------
+# Lambert conformal conic (1SP/2SP), Albers equal-area conic, and polar
+# stereographic per Snyder, "Map Projections — A Working Manual" (USGS PP
+# 1395), eqs 15-*, 14-*, 21-* — the same closed forms PROJ's lcc/aea/stere
+# implement (reference delegates to PROJ via ogr/ogrct.cpp:665).
+
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "clrk66": (6378206.4, 1.0 / 294.978698214),
+    "sphere": (6370997.0, 0.0),
+}
+
+
+def _ell(desc):
+    a, f = desc.get("ellps", ELLIPSOIDS["WGS84"])
+    e2 = f * (2.0 - f)
+    return a, e2, np.sqrt(e2)
+
+
+def _m_snyder(phi, e):
+    return np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+
+
+def _t_snyder(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / \
+        ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+def _phi_from_t(t, e, iters: int = 12):
+    """Invert t(φ) by the standard fixed-point iteration (Snyder 7-9)."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return phi
+
+
+def _q_snyder(phi, e, e2):
+    s = np.sin(phi)
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+def _lcc_consts(desc):
+    a, e2, e = _ell(desc)
+    p1 = np.deg2rad(desc["lat_1"])
+    p2 = np.deg2rad(desc.get("lat_2", desc["lat_1"]))
+    p0 = np.deg2rad(desc["lat_0"])
+    m1, t1 = _m_snyder(p1, e), _t_snyder(p1, e)
+    if abs(p1 - p2) < 1e-12:
+        n = np.sin(p1)
+    else:
+        m2, t2 = _m_snyder(p2, e), _t_snyder(p2, e)
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = desc.get("k_0", 1.0) * m1 / (n * t1 ** n)
+    rho0 = a * F * _t_snyder(p0, e) ** n
+    return a, e, n, F, rho0
+
+
+def lcc_forward(lon, lat, desc):
+    a, e, n, F, rho0 = _lcc_consts(desc)
+    lam = np.deg2rad(np.asarray(lon, np.float64) - desc["lon_0"])
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    rho = a * F * _t_snyder(phi, e) ** n
+    th = n * lam
+    return (desc.get("x_0", 0.0) + rho * np.sin(th),
+            desc.get("y_0", 0.0) + rho0 - rho * np.cos(th))
+
+
+def lcc_inverse(x, y, desc):
+    a, e, n, F, rho0 = _lcc_consts(desc)
+    dx = np.asarray(x, np.float64) - desc.get("x_0", 0.0)
+    dy = rho0 - (np.asarray(y, np.float64) - desc.get("y_0", 0.0))
+    rho = np.sign(n) * np.sqrt(dx * dx + dy * dy)
+    t = (rho / (a * F)) ** (1.0 / n)
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    return (desc["lon_0"] + np.rad2deg(th / n),
+            np.rad2deg(_phi_from_t(t, e)))
+
+
+def _aea_consts(desc):
+    a, e2, e = _ell(desc)
+    p1 = np.deg2rad(desc["lat_1"])
+    p2 = np.deg2rad(desc.get("lat_2", desc["lat_1"]))
+    p0 = np.deg2rad(desc["lat_0"])
+    m1, q1 = _m_snyder(p1, e), _q_snyder(p1, e, e2)
+    if abs(p1 - p2) < 1e-12:
+        n = np.sin(p1)
+    else:
+        m2, q2 = _m_snyder(p2, e), _q_snyder(p2, e, e2)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * _q_snyder(p0, e, e2)) / n
+    return a, e, e2, n, C, rho0
+
+
+def aea_forward(lon, lat, desc):
+    a, e, e2, n, C, rho0 = _aea_consts(desc)
+    lam = np.deg2rad(np.asarray(lon, np.float64) - desc["lon_0"])
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    rho = a * np.sqrt(C - n * _q_snyder(phi, e, e2)) / n
+    th = n * lam
+    return (desc.get("x_0", 0.0) + rho * np.sin(th),
+            desc.get("y_0", 0.0) + rho0 - rho * np.cos(th))
+
+
+def aea_inverse(x, y, desc):
+    a, e, e2, n, C, rho0 = _aea_consts(desc)
+    dx = np.asarray(x, np.float64) - desc.get("x_0", 0.0)
+    dy = rho0 - (np.asarray(y, np.float64) - desc.get("y_0", 0.0))
+    rho = np.sqrt(dx * dx + dy * dy)
+    q = (C - (rho * n / a) ** 2) / n
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    # Snyder 3-16 iteration for φ from q
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(12):
+        s = np.sin(phi)
+        d = 1.0 - e2 * s * s
+        phi = phi + d * d / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2) - s / d
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+    return desc["lon_0"] + np.rad2deg(th / n), np.rad2deg(phi)
+
+
+def _ps_consts(desc):
+    a, e2, e = _ell(desc)
+    ts = np.deg2rad(abs(desc.get("lat_ts", 90.0)))
+    if abs(ts - np.pi / 2.0) < 1e-12:
+        # variant A: k0 at the pole (Snyder 21-33)
+        kf = 2.0 * desc.get("k_0", 1.0) / np.sqrt(
+            (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    else:
+        kf = _m_snyder(ts, e) / _t_snyder(ts, e)
+    return a, e, kf
+
+
+def stere_forward(lon, lat, desc):
+    a, e, kf = _ps_consts(desc)
+    south = desc.get("south", False)
+    lam = np.deg2rad(np.asarray(lon, np.float64) - desc["lon_0"])
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    if south:
+        phi, lam = -phi, -lam
+    rho = a * kf * _t_snyder(phi, e)
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if south:
+        x, y = -x, -y
+    return desc.get("x_0", 0.0) + x, desc.get("y_0", 0.0) + y
+
+
+def stere_inverse(x, y, desc):
+    a, e, kf = _ps_consts(desc)
+    south = desc.get("south", False)
+    dx = np.asarray(x, np.float64) - desc.get("x_0", 0.0)
+    dy = np.asarray(y, np.float64) - desc.get("y_0", 0.0)
+    if south:
+        dx, dy = -dx, -dy
+    rho = np.sqrt(dx * dx + dy * dy)
+    t = rho / (a * kf)
+    phi = _phi_from_t(t, e)
+    lam = np.arctan2(dx, -dy)
+    if south:
+        phi, lam = -phi, -lam
+    return desc["lon_0"] + np.rad2deg(lam), np.rad2deg(phi)
+
+
+# EPSG registrations for the conic/polar set (parameters per the EPSG
+# registry entries; ellipsoid per each CRS's datum)
+_EPSG_PARAMS = {
+    # RGF93 / Lambert-93 (France national grid)
+    2154: {"kind": "lcc", "lat_1": 49.0, "lat_2": 44.0, "lat_0": 46.5,
+           "lon_0": 3.0, "x_0": 700000.0, "y_0": 6600000.0,
+           "ellps": ELLIPSOIDS["GRS80"]},
+    # NAD83 / Conus Albers
+    5070: {"kind": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
+           "lon_0": -96.0, "x_0": 0.0, "y_0": 0.0,
+           "ellps": ELLIPSOIDS["GRS80"]},
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: {"kind": "stere", "lat_ts": 70.0, "lon_0": -45.0,
+           "x_0": 0.0, "y_0": 0.0, "south": False,
+           "ellps": ELLIPSOIDS["WGS84"]},
+    # WGS84 / Antarctic Polar Stereographic
+    3031: {"kind": "stere", "lat_ts": -71.0, "lon_0": 0.0,
+           "x_0": 0.0, "y_0": 0.0, "south": True,
+           "ellps": ELLIPSOIDS["WGS84"]},
+}
+
+
+def _parse_proj_string(crs: str):
+    """Minimal PROJ-string parser: '+proj=lcc +lat_1=.. +lat_2=.. +lat_0=..
+    +lon_0=.. +k_0=.. +x_0=.. +y_0=.. +ellps=GRS80 [+south]' for
+    lcc / aea / stere / tmerc / longlat."""
+    kv = {}
+    for tok in crs.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            kv[tok] = True
+    proj = kv.get("proj")
+    if proj not in ("lcc", "aea", "stere", "tmerc", "longlat"):
+        raise ValueError(f"unsupported +proj={proj!r}")
+    if proj == "longlat":
+        return {"kind": "geographic", "code": crs}
+    ell = ELLIPSOIDS.get(kv.get("ellps", "WGS84"))
+    if ell is None:
+        raise ValueError(f"unsupported ellipsoid {kv.get('ellps')!r}")
+    d = {"kind": proj, "code": crs, "ellps": ell,
+         "lon_0": float(kv.get("lon_0", 0.0)),
+         "x_0": float(kv.get("x_0", 0.0)),
+         "y_0": float(kv.get("y_0", 0.0))}
+    for k in ("lat_0", "lat_1", "lat_2", "lat_ts", "k_0"):
+        if k in kv:
+            d[k] = float(kv[k])
+    if proj == "stere":
+        lat0 = float(kv.get("lat_0", 90.0))
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            raise ValueError("only polar stereographic (lat_0=±90) supported")
+        d["south"] = lat0 < 0 or bool(kv.get("south"))
+        if "lat_ts" not in d:
+            d["lat_ts"] = 90.0
+    if proj in ("lcc", "aea"):
+        if "lat_1" not in d:
+            raise ValueError(f"+proj={proj} needs +lat_1")
+        d.setdefault("lat_0", d["lat_1"])
+    if proj == "tmerc":
+        d["kind"] = "tmerc_custom"
+        d.setdefault("k_0", 1.0)
+        d.setdefault("lat_0", 0.0)
+        if abs(d["lat_0"]) > 1e-9:
+            raise ValueError("tmerc with lat_0 != 0 unsupported")
+        if kv.get("ellps", "WGS84") not in ("WGS84", "GRS80"):
+            raise ValueError("tmerc series constants are WGS84/GRS80-only")
+    return d
+
+
 def parse_crs(crs: str):
-    """'EPSG:4326' | 'EPSG:3857' | 'EPSG:326xx'/'327xx' -> descriptor dict."""
-    crs = crs.strip().upper()
+    """'EPSG:4326' | 'EPSG:3857' | UTM | conic/polar EPSG codes | a PROJ
+    string ('+proj=lcc +lat_1=…') -> descriptor dict."""
+    crs = crs.strip()
+    if crs.startswith("+"):
+        return _parse_proj_string(crs)
+    crs = crs.upper()
     if not crs.startswith("EPSG:"):
         raise ValueError(f"unsupported CRS {crs!r}")
     code = int(crs[5:])
@@ -110,6 +355,8 @@ def parse_crs(crs: str):
         return {"kind": "utm", "code": code, "zone": code - 32600, "south": False}
     if 32701 <= code <= 32760:
         return {"kind": "utm", "code": code, "zone": code - 32700, "south": True}
+    if code in _EPSG_PARAMS:
+        return dict(_EPSG_PARAMS[code], code=code)
     raise ValueError(f"unsupported CRS {crs!r}")
 
 
@@ -124,6 +371,15 @@ def _to_lonlat(desc, x, y):
         lon0 = (desc["zone"] - 1) * 6 - 180 + 3
         fn = 10000000.0 if desc["south"] else 0.0
         return tmerc_inverse(x, y, lon0, fn=fn)
+    if k == "lcc":
+        return lcc_inverse(x, y, desc)
+    if k == "aea":
+        return aea_inverse(x, y, desc)
+    if k == "stere":
+        return stere_inverse(x, y, desc)
+    if k == "tmerc_custom":
+        return tmerc_inverse(x, y, desc["lon_0"], k0=desc["k_0"],
+                             fe=desc["x_0"], fn=desc["y_0"])
     raise AssertionError(k)
 
 
@@ -138,6 +394,15 @@ def _from_lonlat(desc, lon, lat):
         lon0 = (desc["zone"] - 1) * 6 - 180 + 3
         fn = 10000000.0 if desc["south"] else 0.0
         return tmerc_forward(lon, lat, lon0, fn=fn)
+    if k == "lcc":
+        return lcc_forward(lon, lat, desc)
+    if k == "aea":
+        return aea_forward(lon, lat, desc)
+    if k == "stere":
+        return stere_forward(lon, lat, desc)
+    if k == "tmerc_custom":
+        return tmerc_forward(lon, lat, desc["lon_0"], k0=desc["k_0"],
+                             fe=desc["x_0"], fn=desc["y_0"])
     raise AssertionError(k)
 
 

@@ -2522,6 +2522,67 @@ FROM m
 """
 
 
+def geo_project_lcc_q(sf_dir: str):
+    """Vector reproject through the Lambert-conformal-conic registry entry
+    (EPSG:2154, round-4 CRS breadth — reference: PROJ ``lcc`` via
+    ogr/ogrct.cpp:665): customer-derived lon/lat → Lambert-93 meters.
+    The oracle replays the identical Snyder closed form (same libm chain,
+    same op order) in DuckDB; both sides round half-up at 1 mm."""
+    from ..core.proj import get_transformer
+
+    def project(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        lon = ((k * 37) % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((k * 91) % 1700) / 10.0 - 85.0 + 0.05
+        x, y = get_transformer("EPSG:4326", "EPSG:2154").transform(lon, lat)
+        return pa.table({
+            "ckey": pa.array(k, pa.int64()),
+            "x_m": pa.array(np.floor(x * 1e3 + 0.5) / 1e3, pa.float64()),
+            "y_m": pa.array(np.floor(y * 1e3 + 0.5) / 1e3, pa.float64()),
+        })
+
+    return _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+        .map_batches(project, batch_format="pyarrow")
+
+
+SQL_GEO_PROJECT_LCC = """
+WITH c AS (
+  SELECT c_custkey AS ckey,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS lon,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS lat
+  FROM customer
+), e AS (
+  SELECT sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS ec
+), con AS (
+  SELECT ec,
+    cos(49.0*(pi()/180.0))/sqrt(1.0-(ec*sin(49.0*(pi()/180.0)))*(ec*sin(49.0*(pi()/180.0)))) AS m1,
+    cos(44.0*(pi()/180.0))/sqrt(1.0-(ec*sin(44.0*(pi()/180.0)))*(ec*sin(44.0*(pi()/180.0)))) AS m2,
+    tan(pi()/4.0 - (49.0*(pi()/180.0))/2.0)/pow((1.0-ec*sin(49.0*(pi()/180.0)))/(1.0+ec*sin(49.0*(pi()/180.0))), ec/2.0) AS t1,
+    tan(pi()/4.0 - (44.0*(pi()/180.0))/2.0)/pow((1.0-ec*sin(44.0*(pi()/180.0)))/(1.0+ec*sin(44.0*(pi()/180.0))), ec/2.0) AS t2,
+    tan(pi()/4.0 - (46.5*(pi()/180.0))/2.0)/pow((1.0-ec*sin(46.5*(pi()/180.0)))/(1.0+ec*sin(46.5*(pi()/180.0))), ec/2.0) AS t0
+  FROM e
+), con2 AS (
+  SELECT ec, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n, m1, t1, t0 FROM con
+), con3 AS (SELECT ec, n, 1.0*m1/(n*pow(t1,n)) AS F, t0 FROM con2
+), con4 AS (SELECT ec, n, F, 6378137.0*F*pow(t0,n) AS rho0 FROM con3
+), pt AS (
+  SELECT ckey, (lon-3.0)*(pi()/180.0) AS lam, lat*(pi()/180.0) AS phi FROM c
+), pr AS (
+  SELECT ckey, lam,
+    tan(pi()/4.0 - phi/2.0)/pow((1.0-ec*sin(phi))/(1.0+ec*sin(phi)), ec/2.0) AS tt,
+    ec, n, F, rho0 FROM pt, con4
+), xy AS (
+  SELECT ckey,
+    700000.0 + (6378137.0*F*pow(tt,n))*sin(n*lam) AS x,
+    6600000.0 + rho0 - (6378137.0*F*pow(tt,n))*cos(n*lam) AS y
+  FROM pr
+)
+SELECT ckey, floor(x*1000.0 + 0.5)/1000.0 AS x_m,
+       floor(y*1000.0 + 0.5)/1000.0 AS y_m
+FROM xy
+"""
+
+
 def image_features_q(sf_dir: str):
     """ImageFeatureStage (actor pool) over the derived rasters: mean/std are
     exact rationals; the 8×8 average-hash uses exact dyadic block means, so
