@@ -3,13 +3,17 @@
 Implements the public "WebP Lossless Bitstream Specification":
   container: RIFF/WEBP/VP8L chunk;
   header: 0x2F signature, 14-bit (w-1, h-1), alpha hint, version 0;
-  encoder: no transforms, no color cache, single huffman group —
+  encoder: SUBTRACT_GREEN only, no color cache, single huffman group —
     per-channel canonical prefix codes (simple 1/2-symbol codes or
     normal codes with RLE-coded code lengths), literal-only (no LZ77
     backreferences emitted);
-  decoder: full literal + LZ77 backreference + distance-neighbor-map
-    support, simple and normal prefix codes, the spec's code-length
-    code with 16/17/18 repeats and the max-symbol short-circuit.
+  decoder: SPEC-COMPLETE for the lossless stream — literal + LZ77 +
+    distance-neighbor map, color cache, meta huffman (entropy image),
+    and all four transforms (predictor 0-13, cross-color,
+    subtract-green, color-indexing with pixel bundling), with
+    recursively-decoded transform/entropy subimage streams; so foreign
+    lossless WebPs decode, not just this encoder's output.  Lossy VP8
+    remains out of scope (libvpx-class machinery).
 
 Bit order is LSB-first within bytes (spec §"RIFF header"); prefix codes
 are read bit-by-bit MSB-of-code-first (spec tree-walk), so the encoder
@@ -371,10 +375,26 @@ def encode_vp8l(img: np.ndarray) -> bytes:
     bw.write(1, 1)
     bw.write(2, 2)
     bw.write(0, 1)                            # no more transforms
-    bw.write(0, 1)                            # no color cache
-    bw.write(0, 1)                            # no meta huffman image
     r = (r.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
     b = (b.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
+    _write_literal_stream(bw, r, g, b, alpha, level0=True)
+    payload = bw.flush()
+    if len(payload) % 2:
+        payload += b"\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False):
+    """Emit one image stream (no cache, single group, literal-only pixels).
+    Only a level-0 (ARGB) stream carries the meta-huffman bit — subimage
+    streams (transform data / entropy image / palette) must omit it.
+    Reused by the main encoder and by transform-subimage writers in
+    tests."""
+    bw.write(0, 1)                            # no color cache
+    if level0:
+        bw.write(0, 1)                        # no meta huffman image
     chans = [(g.ravel(), 280), (r.ravel(), 256), (b.ravel(), 256),
              (alpha.ravel(), 256), (None, 40)]
     codes = []
@@ -401,7 +421,7 @@ def encode_vp8l(img: np.ndarray) -> bytes:
     bl = b.ravel().tolist()
     al = alpha.ravel().tolist()
     w_ = bw.write
-    for i in range(h * w):
+    for i in range(len(gl)):
         c, l = gcode[gl[i]]
         w_(c, l)
         c, l = rcode[rl[i]]
@@ -410,57 +430,19 @@ def encode_vp8l(img: np.ndarray) -> bytes:
         w_(c, l)
         c, l = acode[al[i]]
         w_(c, l)
-    payload = bw.flush()
-    if len(payload) % 2:
-        payload += b"\x00"
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    riff = b"WEBP" + chunk
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 # ---------- decode ----------
 
-def decode_vp8l(data: bytes) -> np.ndarray:
-    """Decode a (simple, single-group) lossless WebP → (h, w, 3|4) uint8
-    (or (h, w) if the image is gray with opaque alpha)."""
-    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP", "not a WebP file"
-    pos = 12
-    payload = None
-    while pos + 8 <= len(data):
-        tag = data[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        if tag == b"VP8L":
-            payload = data[pos + 8:pos + 8 + size]
-            break
-        pos += 8 + size + (size & 1)
-    assert payload is not None, "no VP8L chunk (lossy VP8 not supported)"
-    br = _LsbReader(payload)
-    assert br.read(8) == 0x2F, "bad VP8L signature"
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)                                # alpha hint
-    assert br.read(3) == 0, "unknown VP8L version"
-    subtract_green = False
-    while br.read(1):
-        ttype = br.read(2)
-        if ttype == 2:                        # SUBTRACT_GREEN (no payload)
-            subtract_green = True
-        else:
-            raise NotImplementedError(f"VP8L transform {ttype} not supported")
-    cache_bits = 0
-    if br.read(1):
-        cache_bits = br.read(4)
-        raise NotImplementedError("VP8L color cache not supported")
-    if br.read(1):
-        raise NotImplementedError("VP8L meta huffman not supported")
-    green = _read_code(br, 280 + (1 << cache_bits if cache_bits else 0))
-    red = _read_code(br, 256)
-    blue = _read_code(br, 256)
-    alpha = _read_code(br, 256)
-    dist = _read_code(br, 40)
-    n = h * w
-    # hot loop: python lists + inline LUT reads with local bit state
-    # (method-call-free fast path, same shape as the JPEG entropy loop)
+def _sub_size(x: int, bits: int) -> int:
+    return (x + (1 << bits) - 1) >> bits
+
+
+def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
+    """Hot loop for the common case (single huffman group, no color cache):
+    python lists + inline LUT reads with local bit state (method-call-free
+    fast path, same shape as the JPEG entropy loop)."""
+    green, red, blue, alpha, dist = trees
     rg: list = []
     rr: list = []
     rb: list = []
@@ -529,16 +511,296 @@ def decode_vp8l(data: bytes) -> np.ndarray:
                 rb.append(rb[-d])
                 ra.append(ra[-d])
             continue
-        raise NotImplementedError("color-cache symbol without cache")
-    out = np.empty((n, 4), np.uint8)
-    out[:, 0] = rr[:n]
-    out[:, 1] = rg[:n]
-    out[:, 2] = rb[:n]
-    out[:, 3] = ra[:n]
-    if subtract_green:                        # inverse transform, vectorized
-        out[:, 0] += out[:, 1]
-        out[:, 2] += out[:, 1]
-    px = out.reshape(h, w, 4)
+        raise ValueError("corrupt VP8L: cache symbol without color cache")
+    br.acc, br.nbits, br.pos = acc, nbits, pos
+    return rr, rg, rb, ra
+
+
+def _decode_general(br: _LsbReader, n: int, w: int, cache_bits: int,
+                    groups, gmeta):
+    """General pixel loop: color cache and/or multiple huffman groups."""
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cshift = 32 - cache_bits if cache_bits else 0
+    rg: list = []
+    rr: list = []
+    rb: list = []
+    ra: list = []
+    if gmeta is not None:
+        gbits, gidx = gmeta
+        gw = gidx.shape[1]
+        gidx_flat = gidx.ravel().tolist()
+    trees = groups[0]
+    i = 0
+    while i < n:
+        if gmeta is not None:
+            trees = groups[gidx_flat[(i // w >> gbits) * gw + ((i % w) >> gbits)]]
+        green, red, blue, alpha, dist = trees
+        s = green.read(br)
+        if s < 256:
+            r_ = red.read(br)
+            b_ = blue.read(br)
+            a_ = alpha.read(br)
+            rg.append(s)
+            rr.append(r_)
+            rb.append(b_)
+            ra.append(a_)
+            if cache is not None:
+                argb = (a_ << 24) | (r_ << 16) | (s << 8) | b_
+                cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> cshift] = argb
+            i += 1
+        elif s < 280:
+            length = _lz_value(br, s - 256)
+            dcode = _lz_value(br, dist.read(br))
+            if dcode > 120:
+                d = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                d = max(1, dy * w + dx)
+            for _ in range(length):
+                rg.append(rg[-d])
+                rr.append(rr[-d])
+                rb.append(rb[-d])
+                ra.append(ra[-d])
+                if cache is not None:
+                    argb = (ra[-1] << 24) | (rr[-1] << 16) | (rg[-1] << 8) | rb[-1]
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> cshift] = argb
+            i += length
+        else:
+            if cache is None or s - 280 >= len(cache):
+                raise ValueError("corrupt VP8L: bad color-cache symbol")
+            argb = cache[s - 280]
+            ra.append((argb >> 24) & 0xFF)
+            rr.append((argb >> 16) & 0xFF)
+            rg.append((argb >> 8) & 0xFF)
+            rb.append(argb & 0xFF)
+            i += 1
+    return rr, rg, rb, ra
+
+
+def _decode_stream(br: _LsbReader, w: int, h: int, level0: bool) -> np.ndarray:
+    """Decode one VP8L image stream → (h, w, 4) uint8 [r, g, b, a].
+
+    level0 (the ARGB image) may carry transforms and a meta-huffman
+    (entropy) image; subimage streams (transform data, entropy image,
+    palette) recurse here with level0=False — they may still use a color
+    cache, per the spec / libwebp's DecodeImageStream."""
+    transforms: list = []
+    cur_w = w
+    if level0:
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype == 2:                    # SUBTRACT_GREEN, no payload
+                transforms.append(("sub_green", None))
+            elif ttype == 0:                  # PREDICTOR
+                bits = br.read(3) + 2
+                pimg = _decode_stream(br, _sub_size(cur_w, bits),
+                                      _sub_size(h, bits), False)
+                transforms.append(("predictor", (bits, pimg)))
+            elif ttype == 1:                  # cross-color transform
+                bits = br.read(3) + 2
+                cimg = _decode_stream(br, _sub_size(cur_w, bits),
+                                      _sub_size(h, bits), False)
+                transforms.append(("color", (bits, cimg)))
+            else:                             # COLOR_INDEXING (palette)
+                psize = br.read(8) + 1
+                praw = _decode_stream(br, psize, 1, False)
+                # palette entries are component-wise delta-coded
+                pal = np.cumsum(praw[0].astype(np.int32), axis=0) \
+                    .astype(np.uint8)
+                wbits = 3 if psize <= 2 else 2 if psize <= 4 else \
+                    1 if psize <= 16 else 0
+                transforms.append(("palette", (wbits, pal, cur_w)))
+                cur_w = _sub_size(cur_w, wbits)
+    cache_bits = br.read(4) if br.read(1) else 0
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gmeta = None
+    n_groups = 1
+    if level0 and br.read(1):                 # meta huffman (entropy image)
+        gbits = br.read(3) + 2
+        himg = _decode_stream(br, _sub_size(cur_w, gbits),
+                              _sub_size(h, gbits), False)
+        gidx = (himg[:, :, 0].astype(np.int32) << 8) | himg[:, :, 1]
+        n_groups = int(gidx.max()) + 1
+        gmeta = (gbits, gidx)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((_read_code(br, 280 + cache_size),
+                       _read_code(br, 256), _read_code(br, 256),
+                       _read_code(br, 256), _read_code(br, 40)))
+    n = cur_w * h
+    if cache_bits == 0 and gmeta is None:
+        rr, rg, rb, ra = _decode_fast_single(br, n, cur_w, groups[0])
+    else:
+        rr, rg, rb, ra = _decode_general(br, n, cur_w, cache_bits,
+                                         groups, gmeta)
+    px = np.empty((n, 4), np.uint8)
+    px[:, 0] = rr[:n]
+    px[:, 1] = rg[:n]
+    px[:, 2] = rb[:n]
+    px[:, 3] = ra[:n]
+    px = px.reshape(h, cur_w, 4)
+    for kind, dat in reversed(transforms):
+        if kind == "sub_green":
+            px[:, :, 0] += px[:, :, 1]
+            px[:, :, 2] += px[:, :, 1]
+        elif kind == "color":
+            px = _inv_color_transform(px, *dat)
+        elif kind == "predictor":
+            px = _inv_predictor(px, *dat)
+        else:
+            px = _inv_palette(px, *dat)
+    return px
+
+
+def _inv_color_transform(px: np.ndarray, bits: int, cimg: np.ndarray
+                         ) -> np.ndarray:
+    """Inverse cross-color transform (spec: ColorTransformElement, deltas
+    are (int8(t) * int8(c)) >> 5).  Element packing: g2r = BLUE channel,
+    g2b = GREEN, r2b = RED of the color image pixel."""
+    h, w = px.shape[:2]
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    g2r = cimg[:, :, 2].astype(np.int8)[np.ix_(ys, xs)].astype(np.int32)
+    g2b = cimg[:, :, 1].astype(np.int8)[np.ix_(ys, xs)].astype(np.int32)
+    r2b = cimg[:, :, 0].astype(np.int8)[np.ix_(ys, xs)].astype(np.int32)
+    g = px[:, :, 1].astype(np.int8).astype(np.int32)
+    r = (px[:, :, 0].astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+    b = px[:, :, 2].astype(np.int32) + ((g2b * g) >> 5)
+    b = (b + ((r2b * r.astype(np.uint8).astype(np.int8).astype(np.int32)) >> 5)) & 0xFF
+    out = px.copy()
+    out[:, :, 0] = r.astype(np.uint8)
+    out[:, :, 2] = b.astype(np.uint8)
+    return out
+
+
+def _inv_palette(px: np.ndarray, wbits: int, pal: np.ndarray,
+                 orig_w: int) -> np.ndarray:
+    """Inverse color-indexing: unbundle packed indices from the green
+    channel (low bits = leftmost pixel), look up the palette (out-of-range
+    indices → transparent black, as libwebp)."""
+    h = px.shape[0]
+    bpp = 8 >> wbits
+    mask = (1 << bpp) - 1
+    packed = px[:, :, 1].astype(np.int32)
+    xs = np.arange(orig_w)
+    shifts = (xs % (1 << wbits)) * bpp if wbits else np.zeros(orig_w, np.int64)
+    idx = (packed[:, xs >> wbits] >> shifts[None, :]) & mask
+    lut = np.zeros((256, 4), np.uint8)
+    lut[:pal.shape[0]] = pal
+    return lut[idx.reshape(h, orig_w)]
+
+
+def _avg2(a, b):
+    return (a + b) >> 1
+
+
+def _inv_predictor(px: np.ndarray, bits: int, pimg: np.ndarray) -> np.ndarray:
+    """Inverse spatial prediction (spec predictors 0-13).  Row-vectorized
+    for the L-independent modes; per-pixel for modes that need the
+    just-decoded left neighbor.  TR of the rightmost column is the
+    leftmost pixel of the current row (contiguous-memory rule)."""
+    h, w = px.shape[:2]
+    res = px.astype(np.int32)
+    out = np.empty((h, w, 4), np.int32)
+    modes = pimg[:, :, 1]                     # green channel holds the mode
+    black = np.array([0, 0, 0, 255], np.int32)   # rgba order
+
+    # first row: (0,0) uses black, rest use L — sequential but trivial
+    out[0, 0] = (res[0, 0] + black) & 0xFF
+    for x in range(1, w):
+        out[0, x] = (res[0, x] + out[0, x - 1]) & 0xFF
+
+    for y in range(1, h):
+        out[y, 0] = (res[y, 0] + out[y - 1, 0]) & 0xFF   # first col: T
+        T = out[y - 1]
+        mrow = modes[y >> bits]
+        x = 1
+        while x < w:
+            mode = int(mrow[x >> bits])
+            xe = min(w, ((x >> bits) + 1) << bits)   # end of this tile span
+            if mode == 0:
+                out[y, x:xe] = (res[y, x:xe] + black) & 0xFF
+                x = xe
+            elif mode == 2:
+                out[y, x:xe] = (res[y, x:xe] + T[x:xe]) & 0xFF
+                x = xe
+            elif mode in (3, 4, 8, 9):
+                TL = T[x - 1:xe - 1]
+                if xe == w:                   # TR wrap for the last column
+                    TR = np.concatenate([T[x + 1:], out[y, 0:1]], axis=0)
+                else:
+                    TR = T[x + 1:xe + 1]
+                if mode == 3:
+                    p = TR
+                elif mode == 4:
+                    p = TL
+                elif mode == 8:
+                    p = _avg2(TL, T[x:xe])
+                else:
+                    p = _avg2(T[x:xe], TR)
+                out[y, x:xe] = (res[y, x:xe] + p) & 0xFF
+                x = xe
+            else:
+                # L-dependent modes: per-pixel
+                for xi in range(x, xe):
+                    L = out[y, xi - 1]
+                    Tc = T[xi]
+                    TLc = T[xi - 1]
+                    TRc = out[y, 0] if xi == w - 1 else T[xi + 1]
+                    if mode == 1:
+                        p = L
+                    elif mode == 5:
+                        p = _avg2(_avg2(L, TRc), Tc)
+                    elif mode == 6:
+                        p = _avg2(L, TLc)
+                    elif mode == 7:
+                        p = _avg2(L, Tc)
+                    elif mode == 10:
+                        p = _avg2(_avg2(L, TLc), _avg2(Tc, TRc))
+                    elif mode == 11:
+                        est = L + Tc - TLc
+                        pL = np.abs(est - L).sum()
+                        pT = np.abs(est - Tc).sum()
+                        p = L if pL < pT else Tc
+                    elif mode == 12:
+                        p = np.clip(L + Tc - TLc, 0, 255)
+                    elif mode == 13:
+                        a = _avg2(L, Tc)
+                        d = a - TLc
+                        # C-style truncation of (a - TL) / 2
+                        p = np.clip(a + np.sign(d) * (np.abs(d) >> 1),
+                                    0, 255)
+                    else:
+                        raise ValueError(f"bad predictor mode {mode}")
+                    out[y, xi] = (res[y, xi] + p) & 0xFF
+                x = xe
+    return out.astype(np.uint8)
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """Decode a lossless WebP → (h, w, 3|4) uint8 (or (h, w) if the image
+    is gray with opaque alpha).  Spec-complete for the lossless stream:
+    all four transforms, color cache, meta huffman, LZ77.  Lossy VP8
+    streams raise (libvpx-class machinery out of scope)."""
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP", "not a WebP file"
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"VP8L":
+            payload = data[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    assert payload is not None, "no VP8L chunk (lossy VP8 not supported)"
+    br = _LsbReader(payload)
+    assert br.read(8) == 0x2F, "bad VP8L signature"
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                # alpha hint
+    assert br.read(3) == 0, "unknown VP8L version"
+    px = _decode_stream(br, w, h, level0=True)
+    # rgba -> most compact honest representation
     if (px[:, :, 3] == 255).all():
         if (px[:, :, 0] == px[:, :, 1]).all() and (px[:, :, 1] == px[:, :, 2]).all():
             return px[:, :, 0].copy()

@@ -265,3 +265,282 @@ def test_webp_catalog_fmt_path():
     img = codecs.decode(data, "webp")
     assert img.shape[0] == t.column("h")[i].as_py()
     assert img.shape[1] == t.column("w")[i].as_py()
+
+
+# ---------- VP8L foreign-stream decode completeness (round 4) ----------
+# Hand-built spec-conformant streams exercising the transforms / color
+# cache / meta-huffman paths our own encoder never emits.
+
+def _vp8l_header(bw, w, h):
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _package(bw):
+    import struct
+    payload = bw.flush()
+    if len(payload) % 2:
+        payload += b"\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _avg2(a, b):
+    return (a + b) >> 1
+
+
+def _predict(out, y, x, w, mode):
+    """Forward predictor (mirrors spec inverse; neighbors = original px)."""
+    black = np.array([0, 0, 0, 255], np.int32)
+    if y == 0 and x == 0:
+        return black
+    if y == 0:
+        return out[0, x - 1]
+    if x == 0:
+        return out[y - 1, 0]
+    L = out[y, x - 1].astype(np.int32)
+    T = out[y - 1, x].astype(np.int32)
+    TL = out[y - 1, x - 1].astype(np.int32)
+    TR = (out[y, 0] if x == w - 1 else out[y - 1, x + 1]).astype(np.int32)
+    if mode == 0:
+        return black
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        est = L + T - TL
+        return L if np.abs(est - L).sum() < np.abs(est - T).sum() else T
+    if mode == 12:
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:
+        a = _avg2(L, T)
+        d = a - TL
+        return np.clip(a + np.sign(d) * (np.abs(d) >> 1), 0, 255)
+    raise AssertionError(mode)
+
+
+def test_vp8l_predictor_transform_decode():
+    from gdal_ray.core import vp8l as V
+    rng = np.random.default_rng(11)
+    w, h, bits = 16, 13, 2
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    img[:, :, 3] = rng.integers(200, 256, (h, w), dtype=np.uint8)
+    tw, th = (w + 3) // 4, (h + 3) // 4
+    modes = (np.arange(tw * th, dtype=np.uint8) % 14).reshape(th, tw)
+    res = np.empty_like(img)
+    for y in range(h):
+        for x in range(w):
+            p = _predict(img, y, x, w, int(modes[y >> bits, x >> bits]))
+            res[y, x] = (img[y, x].astype(np.int32) - p) & 0xFF
+    bw = V._LsbWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1); bw.write(0, 2)           # PREDICTOR transform
+    bw.write(bits - 2, 3)
+    z = np.zeros_like(modes)
+    a255 = np.full_like(modes, 255)
+    V._write_literal_stream(bw, z, modes, z, a255)   # predictor image
+    bw.write(0, 1)                           # no more transforms
+    V._write_literal_stream(bw, res[:, :, 0], res[:, :, 1],
+                            res[:, :, 2], res[:, :, 3], level0=True)
+    out = V.decode_vp8l(_package(bw))
+    assert np.array_equal(out, img)
+
+
+def test_vp8l_color_transform_decode():
+    from gdal_ray.core import vp8l as V
+    rng = np.random.default_rng(12)
+    w, h, bits = 12, 9, 2
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    tw, th = (w + 3) // 4, (h + 3) // 4
+    g2r = rng.integers(0, 256, (th, tw), dtype=np.uint8)
+    g2b = rng.integers(0, 256, (th, tw), dtype=np.uint8)
+    r2b = rng.integers(0, 256, (th, tw), dtype=np.uint8)
+
+    def delta(t, c):
+        return (int(np.int8(t)) * int(np.int8(c))) >> 5
+
+    res = img.copy()
+    for y in range(h):
+        for x in range(w):
+            ty, tx = y >> bits, x >> bits
+            r, g, b = (int(v) for v in img[y, x])
+            rr = (r - delta(g2r[ty, tx], g)) & 0xFF
+            bb = (b - delta(g2b[ty, tx], g) - delta(r2b[ty, tx], r)) & 0xFF
+            res[y, x] = (rr, g, bb)
+    bw = V._LsbWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1); bw.write(1, 2)           # cross-color transform
+    bw.write(bits - 2, 3)
+    a255 = np.full_like(g2r, 255)
+    # element packing: red ch = r2b, green = g2b, blue = g2r
+    V._write_literal_stream(bw, r2b, g2b, g2r, a255)
+    bw.write(0, 1)
+    a_img = np.full((h, w), 255, np.uint8)
+    V._write_literal_stream(bw, res[:, :, 0], res[:, :, 1], res[:, :, 2], a_img, level0=True)
+    out = V.decode_vp8l(_package(bw))
+    assert np.array_equal(out, img)
+
+
+def test_vp8l_palette_decode():
+    from gdal_ray.core import vp8l as V
+    rng = np.random.default_rng(13)
+    w, h = 23, 7
+    psize = 13                                # -> wbits=1, 2 px/byte
+    pal = rng.integers(0, 256, (psize, 4), dtype=np.uint8)
+    pal[:, 3] = 255
+    idx = rng.integers(0, psize, (h, w), dtype=np.uint8)
+    packed_w = (w + 1) // 2
+    packed = np.zeros((h, packed_w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            packed[y, x >> 1] |= idx[y, x] << ((x & 1) * 4)
+    deltas = np.diff(np.vstack([np.zeros((1, 4), np.int32),
+                                pal.astype(np.int32)]), axis=0).astype(np.uint8)
+    bw = V._LsbWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1); bw.write(3, 2)           # COLOR_INDEXING
+    bw.write(psize - 1, 8)
+    V._write_literal_stream(bw, deltas[None, :, 0], deltas[None, :, 1],
+                            deltas[None, :, 2], deltas[None, :, 3])
+    bw.write(0, 1)
+    z = np.zeros_like(packed)
+    a255 = np.full_like(packed, 255)
+    V._write_literal_stream(bw, z, packed, z, a255, level0=True)
+    out = V.decode_vp8l(_package(bw))
+    expect = pal[idx][:, :, :3] if (pal[:, 3] == 255).all() else pal[idx]
+    got = out if out.ndim == 3 else np.stack([out] * 3, axis=-1)
+    assert np.array_equal(got, expect)
+
+
+def test_vp8l_color_cache_decode():
+    from gdal_ray.core import vp8l as V
+    cb = 4
+    # pixels: A, B, A(cache hit), B(cache hit), A
+    A = (250, 10, 99, 255)                   # (r, g, b, a)
+    B = (1, 200, 42, 255)
+
+    def hash_(p):
+        argb = (p[3] << 24) | (p[0] << 16) | (p[1] << 8) | p[2]
+        return (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cb)
+
+    assert hash_(A) != hash_(B)
+    seq = ["litA", "litB", 280 + hash_(A), 280 + hash_(B), "litA"]
+    w, h = 5, 1
+    bw = V._LsbWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)                           # no transforms
+    bw.write(1, 1); bw.write(cb, 4)          # color cache
+    bw.write(0, 1)                           # no meta
+    gsize = 280 + (1 << cb)
+    gfreq = np.zeros(gsize, np.int64)
+    gfreq[A[1]] += 2; gfreq[B[1]] += 1
+    gfreq[280 + hash_(A)] += 1; gfreq[280 + hash_(B)] += 1
+    glens = V._huff_lengths(gfreq)
+    rfreq = np.zeros(256, np.int64); rfreq[A[0]] += 2; rfreq[B[0]] += 1
+    bfreq = np.zeros(256, np.int64); bfreq[A[2]] += 2; bfreq[B[2]] += 1
+    afreq = np.zeros(256, np.int64); afreq[255] = 1
+    dfreq = np.zeros(40, np.int64); dfreq[0] = 1
+    treecodes = []
+    for fr in (gfreq, rfreq, bfreq, afreq, dfreq):
+        lens = V._huff_lengths(fr)
+        V._write_code(bw, lens)
+        nz = [s for s, l in enumerate(lens) if l]
+        # spec: a 1-symbol prefix code consumes ZERO bits per read
+        treecodes.append({} if len(nz) == 1 else V._canonical_codes(lens))
+    gcode, rcode, bcode, acode, _ = treecodes
+
+    def emit(codes, s):
+        if s in codes:
+            c, l = codes[s]
+            bw.write_code(c, l)
+
+    for item in seq:
+        if item == "litA" or item == "litB":
+            p = A if item == "litA" else B
+            emit(gcode, p[1]); emit(rcode, p[0]); emit(bcode, p[2])
+            emit(acode, p[3])
+        else:
+            emit(gcode, item)
+    out = V.decode_vp8l(_package(bw))
+    expect = np.array([[A[:3], B[:3], A[:3], B[:3], A[:3]]], np.uint8)
+    assert np.array_equal(out, expect)
+
+
+def test_vp8l_meta_huffman_decode():
+    from gdal_ray.core import vp8l as V
+    w, h, gbits = 8, 4, 2
+    img = np.zeros((h, w, 4), np.uint8)
+    img[:, :4] = (200, 30, 40, 255)          # group 0 region
+    img[:, 4:] = (7, 77, 177, 255)           # group 1 region
+    bw = V._LsbWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)                           # no transforms
+    bw.write(0, 1)                           # no cache
+    bw.write(1, 1)                           # meta huffman present
+    bw.write(gbits - 2, 3)
+    ew, eh = (w + 3) // 4, (h + 3) // 4      # 2 x 1 entropy image
+    g_ent = np.array([[0, 1]], np.uint8)
+    z = np.zeros_like(g_ent)
+    a255 = np.full_like(g_ent, 255)
+    V._write_literal_stream(bw, z, g_ent, z, a255)
+    # two groups, each with single-symbol trees for its constant pixel
+    for px in ((200, 30, 40, 255), (7, 77, 177, 255)):
+        for size, sym in ((280, px[1]), (256, px[0]), (256, px[2]),
+                          (256, px[3]), (40, 0)):
+            fr = np.zeros(size, np.int64)
+            fr[sym] = 1
+            V._write_code(bw, V._huff_lengths(fr))
+    # single-symbol codes read zero bits -> no pixel payload at all
+    out = V.decode_vp8l(_package(bw))
+    assert np.array_equal(out, img[:, :, :3])
+
+
+def test_vp8l_combined_subgreen_predictor():
+    from gdal_ray.core import vp8l as V
+    rng = np.random.default_rng(14)
+    w, h, bits = 8, 8, 3                     # one tile, mode 7 everywhere
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    img[:, :, 3] = 255
+    # forward: subtract-green first, then predictor (stream order)
+    sg = img.copy()
+    sg[:, :, 0] = (img[:, :, 0].astype(np.int16) - img[:, :, 1]) & 0xFF
+    sg[:, :, 2] = (img[:, :, 2].astype(np.int16) - img[:, :, 1]) & 0xFF
+    res = np.empty_like(sg)
+    for y in range(h):
+        for x in range(w):
+            p = _predict(sg, y, x, w, 7)
+            res[y, x] = (sg[y, x].astype(np.int32) - p) & 0xFF
+    bw = V._LsbWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1); bw.write(2, 2)           # SUBTRACT_GREEN
+    bw.write(1, 1); bw.write(0, 2)           # PREDICTOR
+    bw.write(bits - 2, 3)
+    m7 = np.full((1, 1), 7, np.uint8)
+    z1 = np.zeros((1, 1), np.uint8)
+    V._write_literal_stream(bw, z1, m7, z1, np.full((1, 1), 255, np.uint8))
+    bw.write(0, 1)
+    V._write_literal_stream(bw, res[:, :, 0], res[:, :, 1],
+                            res[:, :, 2], res[:, :, 3], level0=True)
+    out = V.decode_vp8l(_package(bw))
+    assert np.array_equal(out, img[:, :, :3])
