@@ -1,13 +1,17 @@
 """Real baseline JPEG (JFIF) codec — pure numpy/stdlib, no libjpeg.
 
-Implements ITU-T T.81 baseline sequential DCT:
+Implements ITU-T T.81 baseline sequential AND progressive DCT:
   encoder: RGB→YCbCr (JFIF), 8×8 forward DCT (exact matrix form),
     Annex-K quantization tables scaled by quality, spec Annex-K Huffman
     tables, 4:4:4 sampling, byte stuffing — output opens in any viewer;
-  decoder: DQT/DHT/SOF0/SOS/DRI parsing, canonical Huffman decode
+    plus a progressive (SOF2) encoder with the standard libjpeg scan
+    script and per-scan optimized tables (encode_jpeg_progressive);
+  decoder: DQT/DHT/SOF0/1/SOS/DRI parsing, canonical Huffman decode
     (two-level lookup), dequant + vectorized IDCT over all blocks at once,
     sampling factors (1,1) per component or (2,2) luma with (1,1) chroma
-    (4:2:0), restart markers.
+    (4:2:0), restart markers; SOF2 progressive decode (T.81 G.2) with
+    spectral selection, successive approximation (DC+AC refinement,
+    EOBn runs, ZRL) — interleaved DC scans and non-interleaved AC scans.
 
 Constant tables below are the published JPEG-standard (Annex K) data —
 the same numbers every implementation ships (ref frmts/jpeg/libjpeg/
@@ -475,6 +479,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list = []
     h = w = 0
     restart_interval = 0
+    progressive = False
     while pos < len(data):
         assert data[pos] == 0xFF, "marker expected"
         marker = data[pos + 1]
@@ -514,9 +519,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:                     # SOF2 (progressive DCT)
+            progressive = True
+            _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+                # non-interleaved (single-component scan) block grid
+                comp_w = -(-(w * c["h"]) // hmax)
+                comp_h = -(-(h * c["v"]) // vmax)
+                c["cw"] = -(-comp_w // 8)
+                c["ch"] = -(-comp_h // 8)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG")
+            raise NotImplementedError("unsupported JPEG coding process")
         elif marker == 0xDD:                     # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                     # SOS
@@ -528,11 +553,156 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp["td"] = tt >> 4
                 comp["ta"] = tt & 0xF
                 scan.append(comp)
-            return _decode_scan(data, pos, scan, qts, huff_dc, huff_ac,
-                                h, w, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos, scan, qts, huff_dc, huff_ac,
+                                    h, w, restart_interval)
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos, scan, huff_dc, huff_ac, restart_interval,
+                ss, se, a >> 4, a & 0xF)
         elif marker == 0xD9:
             break
+    if progressive and comps and "coef" in comps[0]:
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _reconstruct(comps, qts, h, w, hmax, vmax)
     raise ValueError("no scan data found")
+
+
+def _decode_progressive_scan(data, pos, scan, huff_dc, huff_ac,
+                             restart_interval, ss, se, ah, al):
+    """One progressive scan (T.81 G.2): spectral selection [ss, se] at
+    successive-approximation bit position al (first pass ah=0, refinement
+    ah=al+1).  Coefficients accumulate into each component's zigzag-order
+    block array.  Returns the stream position of the next marker."""
+    segs = _split_entropy(data, pos)
+    m = _SCAN_END.search(data, pos)
+    newpos = m.start() if m else len(data)
+    br = _SegReader(segs[0])
+    seg_i = 0
+    ns = len(scan)
+
+    if ss == 0:                                # DC scan (may be interleaved)
+        assert se == 0, "DC scan must have Se=0"
+        for c in scan:
+            c["pred"] = 0
+        if ns > 1:
+            hmax = max(c["h"] for c in scan)
+            units = []                         # (comp, block_index) per MCU
+            mcux = scan[0]["bw"] // scan[0]["h"]
+            nmcu = mcux * (scan[0]["bh"] // scan[0]["v"])
+            unit_iter = range(nmcu)
+        else:
+            c = scan[0]
+            unit_iter = range(c["cw"] * c["ch"])
+        for u in unit_iter:
+            if restart_interval and u and u % restart_interval == 0:
+                seg_i += 1
+                br = _SegReader(segs[seg_i])
+                for c in scan:
+                    c["pred"] = 0
+            if ns > 1:
+                my, mx = divmod(u, mcux)
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                            _dc_unit(br, c, bi, huff_dc, ah, al)
+            else:
+                c = scan[0]
+                row, col = divmod(u, c["cw"])
+                _dc_unit(br, c, row * c["bw"] + col, huff_dc, ah, al)
+        return newpos
+
+    assert ns == 1, "progressive AC scan must be non-interleaved"
+    c = scan[0]
+    act = huff_ac[c["ta"]]
+    coef = c["coef"]
+    eobrun = 0
+    p1 = 1 << al
+    nblk = c["cw"] * c["ch"]
+    for u in range(nblk):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1
+            br = _SegReader(segs[seg_i])
+            eobrun = 0
+        row_i, col = divmod(u, c["cw"])
+        blk = coef[row_i * c["bw"] + col]
+        if ah == 0:                            # first pass
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:                 # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.get(r)
+                        break
+                    k += 16                    # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC index overrun")
+                blk[k] = _extend(br.get(s), s) << al
+                k += 1
+        else:                                  # refinement pass (G.1.2.3)
+            if eobrun > 0:
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    if v and br.get(1) and not (v & p1):
+                        blk[k] = v + p1 if v >= 0 else v - p1
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, act)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:                 # EOBn
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.get(r)
+                        break
+                else:
+                    newval = p1 if br.get(1) else -p1
+                while k <= se:
+                    v = int(blk[k])
+                    if v:
+                        if br.get(1) and not (v & p1):
+                            blk[k] = v + p1 if v >= 0 else v - p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+            if eobrun:
+                while k <= se:                 # trailing correction bits
+                    v = int(blk[k])
+                    if v and br.get(1) and not (v & p1):
+                        blk[k] = v + p1 if v >= 0 else v - p1
+                    k += 1
+                eobrun -= 1
+    return newpos
+
+
+def _dc_unit(br, c, bi, huff_dc, ah, al):
+    blk = c["coef"][bi]
+    if ah == 0:
+        s = _decode_huff(br, huff_dc[c["td"]])
+        diff = _extend(br.get(s), s) if s else 0
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+    else:
+        if br.get(1):
+            blk[0] = int(blk[0]) | (1 << al)
 
 
 def _decode_scan(data, pos, comps, qts, huff_dc, huff_ac, h, w,
@@ -624,6 +794,13 @@ def _decode_scan(data, pos, comps, qts, huff_dc, huff_ac, h, w,
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     coef[row * cbw + col, idxs] = vals
+    return _reconstruct(comps, qts, h, w, hmax, vmax)
+
+
+def _reconstruct(comps, qts, h, w, hmax, vmax):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    zigzag-order coefficient grids (shared by the sequential and
+    progressive paths)."""
     planes = []
     for c in comps:
         qt = qts[c["tq"]].astype(np.float64)    # zigzag order
@@ -647,3 +824,219 @@ def _decode_scan(data, pos, comps, qts, huff_dc, huff_ac, h, w,
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------- progressive encoder (T.81 G.1) ----------
+
+def _bits_vals_from_lengths(lens):
+    pairs = sorted((l, s) for s, l in enumerate(lens) if l)
+    bits = [0] * 16
+    vals = []
+    for l, s in pairs:
+        bits[l - 1] += 1
+        vals.append(s)
+    return bits, vals
+
+
+def _emit_dc_first(scan_zz, al, sym, bit):
+    preds = [0] * len(scan_zz)
+    for bi in range(scan_zz[0].shape[0]):
+        for ci, zz in enumerate(scan_zz):
+            v = int(zz[bi, 0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            sym(s)
+            if s:
+                bit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(scan_zz, al, bit):
+    for bi in range(scan_zz[0].shape[0]):
+        for zz in scan_zz:
+            bit((int(zz[bi, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(zz, ss, se, al, sym, bit):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            sym(n << 4)
+            if n:
+                bit(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for bi in range(zz.shape[0]):
+        row = zz[bi]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            v = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if v == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                sym(0xF0)
+                r -= 16
+            s = abs(v).bit_length()
+            sym((r << 4) | s)
+            bit(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(zz, ss, se, al, sym, bit):
+    """jcphuff-style refinement emission: correction bits for already-
+    significant coefficients buffer until the next symbol (or join the
+    pending EOB run)."""
+    eobrun = 0
+    pending: list = []
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            sym(n << 4)
+            if n:
+                bit(eobrun - (1 << n), n)
+            eobrun = 0
+        for bb in pending:
+            bit(bb, 1)
+        pending = []
+
+    for bi in range(zz.shape[0]):
+        row = zz[bi]
+        ks = list(range(ss, se + 1))
+        absv = [abs(int(row[k])) >> al for k in ks]
+        eob = 0
+        for i, k in enumerate(ks):
+            if absv[i] == 1:
+                eob = k
+        r = 0
+        br_bits: list = []
+        for i, k in enumerate(ks):
+            t = absv[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush()
+                sym(0xF0)
+                r -= 16
+                for bb in br_bits:
+                    bit(bb, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush()
+            sym((r << 4) | 1)
+            bit(1 if int(row[k]) >= 0 else 0, 1)
+            for bb in br_bits:
+                bit(bb, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            pending.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive JFIF encode (SOF2): gray or RGB 4:4:4 with the standard
+    libjpeg-style scan script (DC first at Al=1 + refine, spectral bands
+    1-5 / 6-63 at Al=2, successive-approximation refinements down to 0).
+    Per-scan optimized huffman tables (two-pass emission).  Same quantized
+    coefficients as the baseline encoder — decode output is bit-identical
+    to decoding the sequential stream."""
+    a = np.ascontiguousarray(img)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    ncomp = len(planes)
+    comp_zz = []
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw_n = _to_blocks(plane - 128.0)
+        coef = _fdct_blocks(blocks)
+        qt = qt_l if ci == 0 else qt_c
+        q = np.round(coef.reshape(-1, 64) / qt[None, :].astype(np.float64))
+        comp_zz.append(q[:, ZIGZAG].astype(np.int64))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l[ZIGZAG].tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c[ZIGZAG].tolist())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof       # SOF2
+
+    # libjpeg's standard progression script
+    if gray:
+        script = [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                  ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    else:
+        script = [([0, 1, 2], 0, 0, 0, 1),
+                  ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+                  ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                  ([0, 1, 2], 0, 0, 1, 0),
+                  ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+    for cis, ss, se, ah, al in script:
+        scan_zz = [comp_zz[ci] for ci in cis]
+
+        def run(sym, bit):
+            if ss == 0 and ah == 0:
+                _emit_dc_first(scan_zz, al, sym, bit)
+            elif ss == 0:
+                _emit_dc_refine(scan_zz, al, bit)
+            elif ah == 0:
+                _emit_ac_first(scan_zz[0], ss, se, al, sym, bit)
+            else:
+                _emit_ac_refine(scan_zz[0], ss, se, al, sym, bit)
+
+        freq = np.zeros(256, np.int64)
+        run(lambda s: freq.__setitem__(s, freq[s] + 1), lambda v, n: None)
+        need_table = freq.sum() > 0
+        if need_table:
+            from .vp8l import _huff_lengths    # generic length-limited builder
+            lens = _huff_lengths(freq, max_len=16)
+            bits_l, vals_l = _bits_vals_from_lengths(lens)
+            out += _dht_segment(0 if ss == 0 else 1, 0, bits_l, vals_l)
+            codes = _huff_codes(bits_l, vals_l)
+        bw_ = _BitWriter()
+        if need_table:
+            run(lambda s: bw_.put(*codes[s]), bw_.put)
+        else:
+            run(lambda s: None, bw_.put)
+        bw_.flush()
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -544,3 +544,34 @@ def test_vp8l_combined_subgreen_predictor():
                             res[:, :, 2], res[:, :, 3], level0=True)
     out = V.decode_vp8l(_package(bw))
     assert np.array_equal(out, img[:, :, :3])
+
+
+# ---------- progressive JPEG (round 4) ----------
+
+def test_progressive_jpeg_equals_baseline():
+    """Progressive stream carries the SAME quantized coefficients as the
+    baseline encoder → decode output must be bit-identical."""
+    from gdal_ray.core import jpeg as J
+    rng = np.random.default_rng(3)
+    for shape in [(16, 16), (24, 33), (40, 56, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=85))
+        prog_bytes = J.encode_jpeg_progressive(img, quality=85)
+        assert prog_bytes[2:4] != b"\xff\xc0" and b"\xff\xc2" in prog_bytes
+        assert np.array_equal(J.decode_jpeg(prog_bytes), base)
+
+
+def test_progressive_jpeg_psnr_and_smooth():
+    from gdal_ray.core import jpeg as J
+    x = np.linspace(0, 4 * np.pi, 96)
+    img = ((np.sin(x)[None, :] * np.cos(x)[:, None]) * 100 + 128).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=92))
+    mse = np.mean((out.astype(np.float64) - img) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 40
+    # rgb smooth gradient
+    g = np.linspace(0, 255, 48).astype(np.uint8)
+    rgb = np.stack([np.tile(g, (32, 1))] * 3, axis=-1)
+    out2 = J.decode_jpeg(J.encode_jpeg_progressive(rgb, quality=92))
+    assert out2.shape == rgb.shape
+    assert np.mean(np.abs(out2.astype(float) - rgb)) < 4
