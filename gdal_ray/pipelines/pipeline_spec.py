@@ -136,6 +136,21 @@ def _sql_select(ds, exprs: str):
                           batch_format="pyarrow")
 
 
+@register("sql")
+def _sql(ds, query: str, tables=None):
+    """Full single-statement SQL (the ``ogr_gensql.cpp`` surface in one
+    stage): SELECT with aggregates / GROUP BY / HAVING / single-key JOIN /
+    ORDER BY / LIMIT over the piped dataset (named ``input``) plus any
+    extra parquet tables (``tables={"name": path}``)."""
+    import ray.data
+
+    from ..functions.sql import run_sql
+    tbl = {"input": ds}
+    for name, path in (tables or {}).items():
+        tbl[name] = ray.data.read_parquet(path)
+    return run_sql(tbl, query)
+
+
 @register("limit")
 def _limit(ds, n: int):
     return ds.limit(int(n))

@@ -120,3 +120,64 @@ def test_pipeline_filter_stage(ray_session):
     rows = sorted(out.take_all(), key=lambda r: r["name"])
     assert [r["name"] for r in rows] == ["Alpha", "Argon"]
     assert [r["half"] for r in rows] == [1000, 750]
+
+
+# ---------- run_sql: the full gensql surface (round 4) ----------
+
+SF = "/root/testdata/sf0.001"
+
+_SQL_CASES = [
+    "SELECT n_name, n_regionkey FROM nation WHERE n_regionkey >= 2 ORDER BY n_name",
+    "SELECT c_mktsegment, COUNT(*) AS n, SUM(c_acctbal) AS s FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderpriority HAVING COUNT(*) > 10 ORDER BY o_orderpriority",
+    "SELECT r_name, COUNT(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    "SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx, COUNT(*) AS n FROM orders",
+    "SELECT AVG(c_acctbal) AS a, COUNT(c_acctbal) AS n FROM customer WHERE c_nationkey < 10",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 7",
+    "SELECT c_mktsegment, SUM(o_totalprice) AS rev FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 100000 GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sq, AVG(l_extendedprice) AS ap, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "SELECT UPPER(n_name) AS nm, n_nationkey + 100 AS k2 FROM nation WHERE n_name LIKE '%A%' ORDER BY nm",
+]
+
+
+@pytest.mark.parametrize("q", _SQL_CASES, ids=range(len(_SQL_CASES)))
+def test_run_sql_matches_duckdb(ray_session, q):
+    import ray.data
+
+    from gdal_ray.functions.sql import run_sql
+    names = ["nation", "region", "customer", "orders", "lineitem"]
+    tables = {t: ray.data.read_parquet(f"{SF}/{t}.parquet") for t in names}
+    got = run_sql(tables, q).to_pandas()
+    con = duckdb.connect()
+    for t in names:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(q).df()
+    g2, e2 = got[sorted(got.columns)], exp[sorted(exp.columns)]
+    if "ORDER BY" not in q:
+        g2 = g2.sort_values(list(g2.columns)).reset_index(drop=True)
+        e2 = e2.sort_values(list(e2.columns)).reset_index(drop=True)
+    else:
+        g2, e2 = g2.reset_index(drop=True), e2.reset_index(drop=True)
+    assert g2.shape == e2.shape
+    for c in g2.columns:
+        if np.issubdtype(g2[c].dtype, np.number):
+            np.testing.assert_allclose(g2[c].astype(float),
+                                       e2[c].astype(float), rtol=1e-12)
+        else:
+            assert (g2[c] == e2[c]).all()
+
+
+def test_sql_pipeline_stage(ray_session):
+    import ray.data
+
+    from gdal_ray.pipelines import pipeline_spec as PS
+    ds = ray.data.read_parquet(f"{SF}/nation.parquet")
+    out = PS._REGISTRY["sql"](
+        ds,
+        query="SELECT r_name, COUNT(*) AS n FROM input "
+              "JOIN region ON n_regionkey = r_regionkey "
+              "GROUP BY r_name ORDER BY r_name",
+        tables={"region": f"{SF}/region.parquet"})
+    rows = out.take_all()
+    assert len(rows) == 5 and sum(r["n"] for r in rows) == 25
