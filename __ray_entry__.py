@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_orders": R.q_topk_orders,
         "vector_clip": R.vector_clip,
         "knn_bigbig": R.knn_bigbig_q,
+        "vector_curves": R.vector_curves_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -212,4 +213,6 @@ def oracle_sql() -> dict[str, str]:
         "grid_linear": R.SQL_GRID_LINEAR,
         "dedup_ngram": R.SQL_DEDUP_NGRAM,
         "text_fingerprint": R.SQL_TEXT_FINGERPRINT,
+        # round-4 conversions
+        "vector_curves": R.SQL_VECTOR_CURVES,
     }

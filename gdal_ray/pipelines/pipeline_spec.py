@@ -53,6 +53,11 @@ def _batch_stage(fn, **fixed):
 @register("read_parquet")
 def _read_parquet(ds, path: str, columns=None):
     assert ds is None, "read_parquet must be the first step"
+    if path.startswith("/vsi"):
+        # VSI-style cloud/memory paths (reference: port/cpl_vsil_*.cpp) —
+        # resolve once, pass the Arrow filesystem through
+        from ..sources import vsi
+        return vsi.read_parquet(path, columns=columns)
     return ray.data.read_parquet(path, columns=columns)
 
 
@@ -88,10 +93,13 @@ def _read_flatgeobuf(ds, path):
 
 @register("write_parquet")
 def _write_parquet(ds, path: str, partition_cols=None):
-    if partition_cols:
-        ds.write_parquet(path, partition_cols=partition_cols)
+    kw = {"partition_cols": partition_cols} if partition_cols else {}
+    if path.startswith("/vsi"):
+        from ..sources import vsi
+        fs, rel = vsi.resolve(path)
+        ds.write_parquet(rel, filesystem=fs, **kw)
     else:
-        ds.write_parquet(path)
+        ds.write_parquet(path, **kw)
     return ds
 
 

@@ -3093,3 +3093,74 @@ SELECT n,
 FROM px
 GROUP BY n
 """
+
+
+# ---------- round 4: ISO curved WKB on the driver surface ----------
+
+def vector_curves_q(sf_dir: str):
+    """ISO-WKB curved geometries (SURVEY §2 full geometry set; reference
+    ogr/ogr_core.h wkbCircularString/CompoundCurve/CurvePolygon): per
+    nation, hand-assemble a full-circle CurvePolygon (SQL/MM p0==p2
+    convention) and a line+semicircle CompoundCurve in raw WKB, parse via
+    core.wkb (linearized at OGR's 4-degree step), and report linearized
+    segment counts, polygon area and curve length.  Oracle: closed forms —
+    a full circle strokes to exactly ceil(360/4)=90 chords (regular
+    90-gon, area .5*90*r^2*sin(2pi/90)); the semicircle to 45 chords of
+    length 2r*sin(pi/90).  Areas/lengths are emitted as half-up-rounded
+    1e-4 integers (libm trig bit-matches DuckDB under end-of-chain
+    rounding)."""
+    import struct
+
+    from ..core import wkb as W
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ns, csegs, areas, lsegs, lens_ = [], [], [], [], []
+        for n in b.column("n_nationkey").to_pylist():
+            r = float((n % 5) + 2)
+            cx, cy = float(3 * n), float(7 * (n % 3))
+
+            def arc3(p0, p1, p2):
+                return struct.pack("<BII", 1, 8, 3) + struct.pack(
+                    "<6d", *p0, *p1, *p2)
+
+            # full-circle CurvePolygon
+            ring = arc3((cx - r, cy), (cx + r, cy), (cx - r, cy))
+            cp = struct.pack("<BII", 1, 10, 1) + ring
+            poly = W.loads(cp)
+            ringxy = poly["rings"][0]
+            x, y = ringxy[:, 0], ringxy[:, 1]
+            area = 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+            # CompoundCurve: chord line + semicircle back over the top
+            ls = struct.pack("<BII", 1, 2, 2) + struct.pack(
+                "<4d", cx, cy, cx + 2 * r, cy)
+            arc = arc3((cx + 2 * r, cy), (cx + r, cy + r), (cx, cy))
+            cc = struct.pack("<BII", 1, 9, 2) + ls + arc
+            line = W.loads(cc)["xy"]
+            seglen = float(np.hypot(np.diff(line[:, 0]),
+                                    np.diff(line[:, 1])).sum())
+            ns.append(n)
+            csegs.append(len(ringxy) - 1)
+            areas.append(int(np.floor(area * 1e4 + 0.5)))
+            lsegs.append(len(line) - 1)
+            lens_.append(int(np.floor(seglen * 1e4 + 0.5)))
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "circle_segs": pa.array(csegs, pa.int64()),
+                         "area_e4": pa.array(areas, pa.int64()),
+                         "curve_segs": pa.array(lsegs, pa.int64()),
+                         "len_e4": pa.array(lens_, pa.int64())})
+
+    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(per_batch, batch_format="pyarrow")
+
+
+SQL_VECTOR_CURVES = """
+SELECT n_nationkey AS n,
+       CAST(90 AS BIGINT) AS circle_segs,
+       CAST(FLOOR(0.5 * 90 * r * r * SIN(2 * PI() / 90) * 1e4 + 0.5)
+            AS BIGINT) AS area_e4,
+       CAST(46 AS BIGINT) AS curve_segs,
+       CAST(FLOOR((2 * r + 45 * 2 * r * SIN(PI() / 90)) * 1e4 + 0.5)
+            AS BIGINT) AS len_e4
+FROM (SELECT n_nationkey, CAST((n_nationkey % 5) + 2 AS DOUBLE) AS r
+      FROM nation)
+"""

@@ -2,9 +2,10 @@
 
 Image decode is REAL for png/raw/jpeg/webp-lossless — pure-numpy codecs in
 core.codecs / core.jpeg (baseline T.81) / core.vp8l (lossless VP8L).  Audio
-decode is real for PCM WAV (stdlib ``wave``); compressed audio raises (no
-codec libs in this container).  Video frame sampling handles MJPEG-in-AVI
-via the JPEG core; other containers/codecs raise.
+decode is real for WAV — PCM/float/A-law/mu-law/IMA-ADPCM via core.audio;
+perceptual codecs (mp3/ogg/flac) raise (no codec libs in this container).
+Video frame sampling handles MJPEG-in-AVI via the JPEG core; other
+containers/codecs raise.
 
 Batch-size guidance: payloads here are O(100 KB)/row, so stages default to
 small batches (32) to keep batch × concurrency within worker heaps — the
@@ -52,9 +53,10 @@ class ImageFeatureStage:
 
 
 class AudioDecodeStage:
-    """REAL for PCM WAV (stdlib ``wave`` — no codec libs needed): decodes
-    (audio_id, bytes) → (audio_id, sample_rate, n_samples, duration_s,
-    rms).  Compressed formats (mp3/ogg/flac) still raise
+    """REAL WAV decode — PCM 8/16/24/32-bit, IEEE float, A-law, mu-law and
+    IMA-ADPCM (the common compressed WAV), all pure numpy via
+    ``core.audio``: (audio_id, bytes) → (audio_id, sample_rate, n_samples,
+    duration_s, rms).  Perceptual codecs (mp3/ogg/flac) still raise
     NotImplementedError — they need codec libs absent from this container;
     the actor plumbing is identical."""
 
@@ -63,29 +65,16 @@ class AudioDecodeStage:
         self.target_sample_rate = target_sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import io
-        import wave
+        from ..core.audio import decode_wav
         ids, srs, ns, durs, rms = [], [], [], [], []
         for i in range(batch.num_rows):
             data = batch.column("bytes")[i].as_py()
             if not data.startswith(b"RIFF") or data[8:12] != b"WAVE":
                 raise NotImplementedError(
-                    "only PCM WAV decodes without codec libs; swap in "
-                    "audio bindings for compressed formats")
-            with wave.open(io.BytesIO(data)) as wf:
-                sr = wf.getframerate()
-                nch = wf.getnchannels()
-                width = wf.getsampwidth()
-                frames = wf.readframes(wf.getnframes())
-            if width == 2:
-                x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
-            elif width == 1:
-                x = (np.frombuffer(frames, dtype=np.uint8)
-                     .astype(np.float64) - 128.0) / 128.0
-            else:
-                raise NotImplementedError(f"{8 * width}-bit WAV unsupported")
-            if nch > 1:
-                x = x.reshape(-1, nch).mean(axis=1)
+                    "only WAV containers decode without codec libs; swap "
+                    "in audio bindings for mp3/ogg/flac")
+            xs, sr = decode_wav(data)
+            x = xs.mean(axis=1) if xs.ndim == 2 and xs.shape[1] > 1 else xs.ravel()
             ids.append(batch.column("audio_id")[i].as_py())
             srs.append(sr)
             ns.append(int(x.size))

@@ -194,3 +194,160 @@ def test_buffer_polygons_stage():
     a = OV.area_of(polys)
     expect = 16 + 4 * 4 * 0.5 + np.pi * 0.25
     assert abs(a - expect) / expect < 0.02
+
+
+# ---------- ISO WKB breadth: Z/M, EWKB SRID, curved + surface types ----------
+
+def _wkb(code, body, bo="<"):
+    import struct
+    return struct.pack(bo + "BI" if bo == "<" else ">BI", 1 if bo == "<" else 0, code) + body
+
+
+def test_wkb_z_roundtrip_point_line():
+    g = {"type": "Point", "xy": np.array([1.5, 2.5]), "z": 7.25}
+    b = wkb.dumps(g)
+    # ISO code 1001 = PointZ
+    import struct
+    assert struct.unpack_from("<I", b, 1)[0] == 1001
+    p = wkb.loads(b)
+    assert p["z"] == 7.25 and tuple(p["xy"]) == (1.5, 2.5)
+
+    xy = np.array([[0, 0], [1, 1], [2, 0]], float)
+    z = np.array([10.0, 11.0, 12.0])
+    ln = wkb.loads(wkb.dumps({"type": "LineString", "xy": xy, "z": z}))
+    assert np.array_equal(ln["xy"], xy) and np.array_equal(ln["z"], z)
+
+
+def test_wkb_zm_and_m_roundtrip():
+    import struct
+    xy = np.array([[0, 0], [3, 4]], float)
+    g = {"type": "LineString", "xy": xy,
+         "z": np.array([1.0, 2.0]), "m": np.array([5.0, 6.0])}
+    b = wkb.dumps(g)
+    assert struct.unpack_from("<I", b, 1)[0] == 3002  # LineStringZM
+    p = wkb.loads(b)
+    assert np.array_equal(p["z"], g["z"]) and np.array_equal(p["m"], g["m"])
+    # M-only
+    bm = wkb.dumps({"type": "Point", "xy": np.array([9.0, 8.0]), "m": 0.5})
+    assert struct.unpack_from("<I", bm, 1)[0] == 2001
+    assert wkb.loads(bm)["m"] == 0.5 and "z" not in wkb.loads(bm)
+
+
+def test_wkb_polygon_z_roundtrip():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 0]], float)
+    z = [np.array([1.0, 2.0, 3.0, 1.0])]
+    p = wkb.loads(wkb.dumps({"type": "Polygon", "rings": [ring], "z": z}))
+    assert np.array_equal(p["rings"][0], ring)
+    assert np.array_equal(p["z"][0], z[0])
+
+
+def test_wkb_25d_flag_and_ewkb_srid():
+    """PostGIS-style 2.5D flag (0x80000000) and EWKB SRID flag (0x20000000)."""
+    import struct
+    body = struct.pack("<3d", 1.0, 2.0, 3.0)
+    g = wkb.loads(_wkb(0x80000001, body))
+    assert g["z"] == 3.0 and tuple(g["xy"]) == (1.0, 2.0)
+    # EWKB with SRID: flag + 4-byte srid before the coords
+    b = struct.pack("<BI", 1, 0x20000001) + struct.pack("<I", 4326) + struct.pack("<2d", 5.0, 6.0)
+    g2 = wkb.loads(b)
+    assert tuple(g2["xy"]) == (5.0, 6.0)
+
+
+def test_circularstring_semicircle_linearized():
+    import struct
+    # semicircle (0,0) -> (1,1) -> (2,0): center (1,0), r=1
+    pts = [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]
+    body = struct.pack("<I", 3) + b"".join(struct.pack("<2d", *p) for p in pts)
+    g = wkb.loads(_wkb(8, body))
+    assert g["type"] == "LineString"
+    xy = g["xy"]
+    # endpoints exact, all points on the circle, enough segments for 4 deg step
+    assert tuple(xy[0]) == pts[0] and tuple(xy[-1]) == pts[2]
+    r = np.hypot(xy[:, 0] - 1.0, xy[:, 1])
+    assert np.allclose(r, 1.0, atol=1e-9)
+    assert len(xy) >= 180 // 4  # 45+ points for a 180-degree sweep
+    # passes through the intermediate point's side (top half)
+    assert xy[:, 1].max() > 0.99
+
+
+def test_circularstring_collinear_and_cw():
+    import struct
+    # collinear -> straight polyline through the 3 points
+    pts = [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)]
+    body = struct.pack("<I", 3) + b"".join(struct.pack("<2d", *p) for p in pts)
+    g = wkb.loads(_wkb(8, body))
+    assert np.array_equal(g["xy"], np.array(pts))
+    # clockwise arc (through the BOTTOM): (0,0)->(1,-1)->(2,0)
+    pts = [(0.0, 0.0), (1.0, -1.0), (2.0, 0.0)]
+    body = struct.pack("<I", 3) + b"".join(struct.pack("<2d", *p) for p in pts)
+    xy = wkb.loads(_wkb(8, body))["xy"]
+    assert xy[:, 1].min() < -0.99 and xy[:, 1].max() <= 1e-9
+
+
+def test_compoundcurve_joint_dedup():
+    import struct
+    # CompoundCurve = LineString((0,0)->(2,0)) + arc (2,0)->(3,1)->(4,0)
+    ls = _wkb(2, struct.pack("<I", 2) + struct.pack("<4d", 0, 0, 2, 0))
+    arc = _wkb(8, struct.pack("<I", 3) + struct.pack("<6d", 2, 0, 3, 1, 4, 0))
+    cc = _wkb(9, struct.pack("<I", 2) + ls + arc)
+    g = wkb.loads(cc)
+    assert g["type"] == "LineString"
+    xy = g["xy"]
+    # no duplicated joint vertex at (2,0)
+    d = np.hypot(np.diff(xy[:, 0]), np.diff(xy[:, 1]))
+    assert (d > 1e-12).all()
+    assert tuple(xy[0]) == (0.0, 0.0) and tuple(xy[-1]) == (4.0, 0.0)
+
+
+def test_curvepolygon_full_circle_area():
+    import struct
+    # CurvePolygon with one full-circle CircularString ring r=2 @ (5,5)
+    pts = [(3.0, 5.0), (7.0, 5.0), (3.0, 5.0)]
+    ring = _wkb(8, struct.pack("<I", 3) + b"".join(struct.pack("<2d", *p) for p in pts))
+    cp = _wkb(10, struct.pack("<I", 1) + ring)
+    g = wkb.loads(cp)
+    assert g["type"] == "Polygon" and len(g["rings"]) == 1
+    r0 = g["rings"][0]
+    assert np.array_equal(r0[0], r0[-1])  # closed
+    area = abs(geom.ring_area(r0)) if hasattr(geom, "ring_area") else None
+    if area is None:
+        x, y = r0[:, 0], r0[:, 1]
+        area = 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    assert abs(area - np.pi * 4.0) / (np.pi * 4.0) < 0.005  # 4 deg step error
+
+
+def test_triangle_tin_polyhedral_normalize():
+    import struct
+    def tri(x0):
+        ring = struct.pack("<I", 4) + struct.pack(
+            "<8d", x0, 0, x0 + 1, 0, x0, 1, x0, 0)
+        return _wkb(17, struct.pack("<I", 1) + ring)
+    # Triangle -> Polygon
+    g = wkb.loads(tri(0))
+    assert g["type"] == "Polygon" and len(g["rings"][0]) == 4
+    # TIN(16) / PolyhedralSurface(15) -> MultiPolygon
+    for code in (15, 16):
+        ms = _wkb(code, struct.pack("<I", 2) + tri(0) + tri(5))
+        m = wkb.loads(ms)
+        assert m["type"] == "MultiPolygon" and len(m["polys"]) == 2
+
+
+def test_multicurve_multisurface_normalize():
+    import struct
+    ls = _wkb(2, struct.pack("<I", 2) + struct.pack("<4d", 0, 0, 1, 1))
+    arc = _wkb(8, struct.pack("<I", 3) + struct.pack("<6d", 0, 0, 1, 1, 2, 0))
+    mc = wkb.loads(_wkb(11, struct.pack("<I", 2) + ls + arc))
+    assert mc["type"] == "MultiLineString" and len(mc["lines"]) == 2
+    ring = _wkb(8, struct.pack("<I", 3) + struct.pack("<6d", 0., 0., 2., 0., 0., 0.))
+    cp = _wkb(10, struct.pack("<I", 1) + ring)
+    msf = wkb.loads(_wkb(12, struct.pack("<I", 1) + cp))
+    assert msf["type"] == "MultiPolygon" and len(msf["polys"]) == 1
+
+
+def test_wkb_z_big_endian():
+    import struct
+    body = struct.pack(">I", 2) + struct.pack(">6d", 0, 0, 9, 1, 1, 10)
+    b = struct.pack(">BI", 0, 1002) + body  # big-endian LineStringZ
+    g = wkb.loads(b)
+    assert np.array_equal(g["xy"], [[0, 0], [1, 1]])
+    assert np.array_equal(g["z"], [9.0, 10.0])
