@@ -24,6 +24,7 @@ upsampling — is vectorized numpy over all blocks simultaneously.
 
 from __future__ import annotations
 
+import functools as _functools
 import struct
 
 import numpy as np
@@ -168,7 +169,117 @@ def _huff_decoder(bits, vals):
             maxcode[length] = code - 1
         code <<= 1
     return {"min": mincode, "max": maxcode, "valptr": valptr,
-            "vals": list(vals), "lut": lut}
+            "vals": list(vals), "lut": lut,
+            "dbits": list(bits), "dvals": list(vals)}
+
+
+def _windows16(seg: bytes) -> tuple[np.ndarray, int]:
+    """w16[p] = the 16 bits of the (zero-padded) segment starting at bit
+    position p, MSB-first — padded long enough that value-bit reads at
+    p + code_len stay in bounds."""
+    n = len(seg) * 8
+    b = np.frombuffer(seg + b"\x00" * 8, np.uint8).astype(np.int32)
+    u24 = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+    p = np.arange(n + 33, dtype=np.int32)
+    return (u24[p >> 3] >> (8 - (p & 7))) & 0xFFFF, n
+
+
+@_functools.lru_cache(maxsize=16)
+def _ac_joint16(bits: tuple, vals: tuple) -> np.ndarray:
+    """65536-entry joint AC LUT over a 16-bit window, one gather decodes
+    code + appended value.  Packed int32:
+
+        (adv << 22) | (kind << 19) | (run << 15) | payload
+
+    kind 1 = coefficient, payload = value + 8192 (code_len + size ≤ 16);
+    kind 2 = EOB; kind 3 = ZRL; kind 4 = coefficient whose value bits spill
+    past the window (payload = size, adv = code_len only); 0 = invalid."""
+    arr = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            rs = vals[i]
+            run, size = rs >> 4, rs & 0xF
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if size == 0:
+                if rs == 0xF0:
+                    arr[lo:hi] = (length << 22) | (3 << 19) | 8192
+                elif rs == 0:
+                    arr[lo:hi] = (length << 22) | (2 << 19) | 8192
+            elif size > 10:
+                pass                                    # invalid in baseline
+            elif length + size <= 16:
+                free = 16 - length - size
+                v = (np.arange(lo, hi, dtype=np.int32) >> free) \
+                    & ((1 << size) - 1)
+                ext = np.where(v >= (1 << (size - 1)), v,
+                               v - (1 << size) + 1)
+                arr[lo:hi] = ((((length + size) << 22) | (1 << 19)
+                               | (run << 15)) + ext + 8192)
+            else:
+                arr[lo:hi] = ((length << 22) | (4 << 19) | (run << 15)
+                              | size)
+            code += 1
+            i += 1
+        code <<= 1
+    return arr
+
+
+@_functools.lru_cache(maxsize=16)
+def _dc_joint16(bits: tuple, vals: tuple) -> np.ndarray:
+    """DC analog of _ac_joint16: (adv << 15) | (ext_flag << 14) | payload;
+    payload = diff + 4096 inline, or size when the value bits spill past
+    the 16-bit window (ext_flag set).  0 = invalid window."""
+    arr = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            size = vals[i]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if size == 0:
+                arr[lo:hi] = (length << 15) | 4096
+            elif size <= 11 and length + size <= 16:
+                free = 16 - length - size
+                v = (np.arange(lo, hi, dtype=np.int32) >> free) \
+                    & ((1 << size) - 1)
+                ext = np.where(v >= (1 << (size - 1)), v,
+                               v - (1 << size) + 1)
+                arr[lo:hi] = (((length + size) << 15)) + ext + 4096
+            elif size <= 11:
+                arr[lo:hi] = (length << 15) | (1 << 14) | size
+            code += 1
+            i += 1
+        code <<= 1
+    return arr
+
+
+def _entry_tables(seg: bytes, comps, huff_dc, huff_ac):
+    """Whole-segment entropy precompute: ONE cached-LUT gather per table
+    plus a memcpy into array.array (no per-element boxing).  The sequential
+    MCU walk then needs no bit arithmetic: ``e = arr[p]; p += e >> shift``.
+    Returns (dc_arrays, ac_arrays, w16_array)."""
+    import array as _array
+
+    w16, n = _windows16(seg)
+    win = w16[:n]
+    w16a = _array.array("i", w16.tobytes())
+    dc_arrays: dict = {}
+    ac_arrays: dict = {}
+    for c in comps:
+        td, ta = c["td"], c["ta"]
+        if td not in dc_arrays:
+            t = huff_dc[td]
+            lut = _dc_joint16(tuple(t["dbits"]), tuple(t["dvals"]))
+            dc_arrays[td] = _array.array("i", np.take(lut, win).tobytes())
+        if ta not in ac_arrays:
+            t = huff_ac[ta]
+            lut = _ac_joint16(tuple(t["dbits"]), tuple(t["dvals"]))
+            ac_arrays[ta] = _array.array("i", np.take(lut, win).tobytes())
+    return dc_arrays, ac_arrays, w16a
 
 
 # ---------- bit IO ----------
@@ -717,83 +828,90 @@ def _decode_scan(data, pos, comps, qts, huff_dc, huff_ac, h, w,
         c["bh"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
         c["pred"] = 0
+        c["idxs"] = []       # flat (block*64 + zigzag_k) positions …
+        c["vals"] = []       # … and their values: ONE scatter at scan end
     segs = _split_entropy(data, pos)
-    br = _SegReader(segs[0])
+    dc_arrs, ac_arrs, w16a = _entry_tables(segs[0], comps, huff_dc, huff_ac)
+    for c in comps:
+        c["dcl"] = dc_arrs[c["td"]]
+        c["acl"] = ac_arrs[c["ta"]]
     seg_i = 0
-    for m in range(nmcu):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_i += 1
-            br = _SegReader(segs[seg_i])
+    p = 0
+    try:
+        for m in range(nmcu):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_i += 1
+                dc_arrs, ac_arrs, w16a = _entry_tables(segs[seg_i], comps,
+                                                       huff_dc, huff_ac)
+                p = 0
+                for c in comps:
+                    c["pred"] = 0
+                    c["dcl"] = dc_arrs[c["td"]]
+                    c["acl"] = ac_arrs[c["ta"]]
+            my, mx = divmod(m, mcux)
             for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            dct = huff_dc[c["td"]]
-            act = huff_ac[c["ta"]]
-            ac_lut = act["lut"]
-            coef = c["coef"]
-            cbw = c["bw"]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    s = _decode_huff(br, dct)
-                    if s:
-                        v = br.get(s)
-                        pred = c["pred"] + (v if v >= (1 << (s - 1))
-                                            else v - (1 << s) + 1)
-                    else:
-                        pred = c["pred"]
-                    c["pred"] = pred
-                    idxs = [0]
-                    vals = [pred]
-                    k = 1
-                    nbits = br.nbits
-                    acc = br.acc
-                    while k < 64:
-                        # inlined huffman fast path (8-bit LUT window)
-                        if nbits < 16:
-                            br.nbits = nbits
-                            br.acc = acc
-                            br._fill()
-                            nbits = br.nbits
-                            acc = br.acc
-                        e = ac_lut[(acc >> (nbits - 8)) & 0xFF]
-                        if e is not None:
-                            rs, ln = e
-                            nbits -= ln
-                            acc &= (1 << nbits) - 1
+                dcl = c["dcl"]
+                acl = c["acl"]
+                cbw = c["bw"]
+                idxs = c["idxs"]
+                vals = c["vals"]
+                pred = c["pred"]
+                for by in range(c["v"]):
+                    row = (my * c["v"] + by) * cbw + mx * c["h"]
+                    for bx in range(c["h"]):
+                        e = dcl[p]
+                        if not e:
+                            raise ValueError("corrupt JPEG: bad DC code")
+                        p += e >> 15
+                        if e & 0x4000:          # value bits past the window
+                            size = e & 0x3FFF
+                            v = (w16a[p] >> (16 - size)) \
+                                & ((1 << size) - 1)
+                            p += size
+                            pred += (v if v >= (1 << (size - 1))
+                                     else v - (1 << size) + 1)
                         else:
-                            br.nbits = nbits
-                            br.acc = acc
-                            rs = _decode_huff(br, act)
-                            nbits = br.nbits
-                            acc = br.acc
-                        s = rs & 0xF
-                        if s == 0:
-                            if rs == 0xF0:      # ZRL
+                            pred += (e & 0x3FFF) - 4096
+                        base = (row + bx) << 6
+                        idxs.append(base)
+                        vals.append(pred)
+                        k = 1
+                        while k < 64:
+                            e = acl[p]
+                            p += e >> 22
+                            kind = (e >> 19) & 7
+                            if kind == 1:
+                                k += (e >> 15) & 0xF
+                                if k > 63:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC index overrun")
+                                idxs.append(base + k)
+                                vals.append((e & 0x7FFF) - 8192)
+                                k += 1
+                            elif kind == 2:     # EOB
+                                break
+                            elif kind == 3:     # ZRL
                                 k += 16
-                                continue
-                            break               # EOB
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC index overrun")
-                        if nbits < s:
-                            br.nbits = nbits
-                            br.acc = acc
-                            br._fill()
-                            nbits = br.nbits
-                            acc = br.acc
-                        nbits -= s
-                        v = (acc >> nbits) & ((1 << s) - 1)
-                        acc &= (1 << nbits) - 1
-                        idxs.append(k)
-                        vals.append(v if v >= (1 << (s - 1))
-                                    else v - (1 << s) + 1)
-                        k += 1
-                    br.nbits = nbits
-                    br.acc = acc
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    coef[row * cbw + col, idxs] = vals
+                            elif kind == 4:     # value bits past the window
+                                k += (e >> 15) & 0xF
+                                if k > 63:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC index overrun")
+                                size = e & 0x7FFF
+                                v = (w16a[p] >> (16 - size)) \
+                                    & ((1 << size) - 1)
+                                p += size
+                                idxs.append(base + k)
+                                vals.append(v if v >= (1 << (size - 1))
+                                            else v - (1 << size) + 1)
+                                k += 1
+                            else:
+                                raise ValueError("corrupt JPEG: bad AC code")
+                c["pred"] = pred
+    except IndexError:
+        raise ValueError("corrupt JPEG: entropy stream overrun") from None
+    for c in comps:
+        c["coef"].reshape(-1)[c["idxs"]] = c["vals"]
     return _reconstruct(comps, qts, h, w, hmax, vmax)
 
 

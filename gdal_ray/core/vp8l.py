@@ -147,6 +147,8 @@ class _TreeDecoder:
         # code-first but the stream is LSB-first, so the key is the code's
         # bit-reversal in the window's low bits
         self.lut: list = [None] * 256
+        self._codes: list = []            # (length, symbol, code)
+        self._full = None
         code = 0
         prev_len = 0
         for l, s in sorted(nz):
@@ -155,6 +157,7 @@ class _TreeDecoder:
                 self.mincode[l] = code
             self.vals[l].append(s)
             self.maxcode[l] = code
+            self._codes.append((l, s, code))
             if l <= 8:
                 rev = int(f"{code:0{l}b}"[::-1], 2)
                 for hi in range(1 << (8 - l)):
@@ -162,6 +165,19 @@ class _TreeDecoder:
             code += 1
             prev_len = l
         self.maxlen = maxlen
+
+    def fulllut(self) -> np.ndarray:
+        """Full-depth numpy LUT over the low ``maxlen`` bits of the raw
+        LSB-first window: entry = (symbol << 5) | code_length, 0 = invalid.
+        Built lazily (only the positional fast path needs it)."""
+        if self._full is None:
+            arr = np.zeros(1 << self.maxlen, dtype=np.int32)
+            for l, s, code in self._codes:
+                rev = int(f"{code:0{l}b}"[::-1], 2)
+                arr[rev + (np.arange(1 << (self.maxlen - l),
+                                     dtype=np.int32) << l)] = (s << 5) | l
+            self._full = arr
+        return self._full
 
     def read(self, br: _LsbReader) -> int:
         if self.single is not None:
@@ -439,80 +455,130 @@ def _sub_size(x: int, bits: int) -> int:
 
 
 def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
-    """Hot loop for the common case (single huffman group, no color cache):
-    python lists + inline LUT reads with local bit state (method-call-free
-    fast path, same shape as the JPEG entropy loop)."""
+    """Hot loop for the common case (single huffman group, no color cache).
+
+    Positional precompute: for every BIT position of the remaining stream,
+    gather each tree's full-depth LUT entry over a 24-bit LSB-first window
+    (one vectorized numpy gather per tree + a memcpy into array.array).
+    The per-pixel walk is then pure list/array indexing — no bit
+    arithmetic, no method calls (same design as the JPEG scan decoder)."""
+    import array as _array
+
     green, red, blue, alpha, dist = trees
+    p0 = br.pos * 8 - br.nbits
+    base = p0 >> 3
+    # bound the positional precompute by the worst-case stream cost of n
+    # pixels (≤ 60 bits each), so small subimage streams don't pay
+    # whole-file gathers
+    end = min(len(br.d), base + (n * 64 + 1024 >> 3) + 16)
+    b = np.frombuffer(br.d[base:end], np.uint8).astype(np.int64)
+    u32 = b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
+    pp = np.arange(len(u32) * 8, dtype=np.int64)
+    w24 = ((u32[pp >> 3] >> (pp & 7)) & 0xFFFFFF).astype(np.int32)
+    w24a = _array.array("i", w24.tobytes())
+    p = p0 - base * 8
+
+    def _ent(tree):
+        if tree.single is not None:
+            return None
+        mask = (1 << tree.maxlen) - 1
+        return _array.array("i", np.take(tree.fulllut(), w24 & mask)
+                            .tobytes())
+
+    G = _ent(green)
+    R = _ent(red)
+    B = _ent(blue)
+    A = _ent(alpha)
+    D = _ent(dist)
+    g_single = green.single
+    r_single = red.single
+    b_single = blue.single
+    a_single = alpha.single
+    d_single = dist.single
     rg: list = []
     rr: list = []
     rb: list = []
     ra: list = []
-    chans = []
-    for dec, lst in ((red, rr), (blue, rb), (alpha, ra)):
-        chans.append((dec.single, getattr(dec, "lut", None), dec, lst))
-    g_single = green.single
-    g_lut = getattr(green, "lut", None)
-    d_bytes = br.d
-    acc = br.acc
-    nbits = br.nbits
-    pos = br.pos
-    while len(rg) < n:
-        if g_single is not None:
-            s = g_single
-        else:
-            while nbits < 8:
-                acc |= d_bytes[pos] << nbits
-                pos += 1
-                nbits += 8
-            e = g_lut[acc & 0xFF]
-            if e is not None:
-                acc >>= e[1]
-                nbits -= e[1]
-                s = e[0]
+    try:
+        while len(rg) < n:
+            if G is None:
+                s = g_single
             else:
-                br.acc, br.nbits, br.pos = acc, nbits, pos
-                s = green.read(br)
-                acc, nbits, pos = br.acc, br.nbits, br.pos
-        if s < 256:
-            rg.append(s)
-            for single, lut, dec, lst in chans:
-                if single is not None:
-                    lst.append(single)
-                    continue
-                while nbits < 8:
-                    acc |= d_bytes[pos] << nbits
-                    pos += 1
-                    nbits += 8
-                e = lut[acc & 0xFF]
-                if e is not None:
-                    acc >>= e[1]
-                    nbits -= e[1]
-                    lst.append(e[0])
+                e = G[p]
+                if not e:
+                    raise ValueError("corrupt VP8L: bad prefix code")
+                p += e & 31
+                s = e >> 5
+            if s < 256:
+                rg.append(s)
+                if R is None:
+                    rr.append(r_single)
                 else:
-                    br.acc, br.nbits, br.pos = acc, nbits, pos
-                    lst.append(dec.read(br))
-                    acc, nbits, pos = br.acc, br.nbits, br.pos
-            continue
-        if s < 280:                           # LZ77 backreference
-            br.acc, br.nbits, br.pos = acc, nbits, pos
-            length = _lz_value(br, s - 256)
-            dcode = _lz_value(br, dist.read(br))
-            acc, nbits, pos = br.acc, br.nbits, br.pos
-            if dcode > 120:
-                d = dcode - 120
-            else:
-                dx, dy = _DIST_MAP[dcode - 1]
-                d = dy * w + dx
-                if d < 1:
-                    d = 1
-            for _ in range(length):
-                rg.append(rg[-d])
-                rr.append(rr[-d])
-                rb.append(rb[-d])
-                ra.append(ra[-d])
-            continue
-        raise ValueError("corrupt VP8L: cache symbol without color cache")
-    br.acc, br.nbits, br.pos = acc, nbits, pos
+                    e = R[p]
+                    p += e & 31
+                    rr.append(e >> 5)
+                if B is None:
+                    rb.append(b_single)
+                else:
+                    e = B[p]
+                    p += e & 31
+                    rb.append(e >> 5)
+                if A is None:
+                    ra.append(a_single)
+                else:
+                    e = A[p]
+                    p += e & 31
+                    ra.append(e >> 5)
+                continue
+            if s < 280:                       # LZ77 backreference
+                prefix = s - 256
+                if prefix < 4:
+                    length = prefix + 1
+                else:
+                    eb = (prefix - 2) >> 1
+                    length = (((2 + (prefix & 1)) << eb)
+                              + (w24a[p] & ((1 << eb) - 1)) + 1)
+                    p += eb
+                if D is None:
+                    dprefix = d_single
+                else:
+                    e = D[p]
+                    p += e & 31
+                    dprefix = e >> 5
+                if dprefix < 4:
+                    dcode = dprefix + 1
+                else:
+                    eb = (dprefix - 2) >> 1
+                    dcode = (((2 + (dprefix & 1)) << eb)
+                             + (w24a[p] & ((1 << eb) - 1)) + 1)
+                    p += eb
+                if dcode > 120:
+                    d = dcode - 120
+                else:
+                    dx, dy = _DIST_MAP[dcode - 1]
+                    d = dy * w + dx
+                    if d < 1:
+                        d = 1
+                for _ in range(length):
+                    rg.append(rg[-d])
+                    rr.append(rr[-d])
+                    rb.append(rb[-d])
+                    ra.append(ra[-d])
+                continue
+            raise ValueError("corrupt VP8L: cache symbol without color cache")
+    except IndexError:
+        raise ValueError("corrupt VP8L: stream overrun") from None
+    # hand the bit-reader state back for whatever follows the pixel data
+    p += base * 8
+    byte, bit = p >> 3, p & 7
+    if bit:
+        br.pos = byte + 1
+        br.acc = br.d[byte] >> bit
+        br.nbits = 8 - bit
+    else:
+        br.pos = byte
+        br.acc = 0
+        br.nbits = 0
     return rr, rg, rb, ra
 
 
