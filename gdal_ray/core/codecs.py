@@ -210,6 +210,9 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "webp":
         from . import vp8l as _vp8l
         return _vp8l.encode_vp8l(img)
+    if fmt == "webp_lossy":
+        from . import vp8i as _vp8i
+        return _vp8i.encode_vp8i(img, quality=90)
     if fmt in ("tif", "tiff"):
         from . import tiff as _tiff
         return _tiff.encode_tiff(img)
@@ -228,11 +231,23 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
             from . import jpeg as _jpeg
             return _jpeg.decode_jpeg(data)
         return _lossy_decode(data, fmt)   # legacy GJPG stub payloads
-    if fmt == "webp":
+    if fmt in ("webp", "webp_lossy"):
         if data[:4] == b"RIFF":
-            from . import vp8l as _vp8l
-            return _vp8l.decode_vp8l(data)
-        return _lossy_decode(data, fmt)   # legacy GWBP stub payloads
+            fourcc = data[12:16]
+            if fourcc == b"VP8L":
+                from . import vp8l as _vp8l
+                return _vp8l.decode_vp8l(data)
+            if fourcc == b"VP8i":
+                from . import vp8i as _vp8i
+                return _vp8i.decode_vp8i(data)
+            if fourcc == b"VP8 ":
+                raise NotImplementedError(
+                    "interchange lossy VP8 needs RFC 6386's default "
+                    "probability/quantizer tables (unavailable offline); "
+                    "this engine decodes VP8L (lossless) and its own VP8i "
+                    "lossy streams — see core/vp8i.py docstring")
+            raise ValueError(f"unknown WEBP chunk {fourcc!r}")
+        return _lossy_decode(data, "webp")   # legacy GWBP stub payloads
     if fmt in ("tif", "tiff"):
         from . import tiff as _tiff
         return _tiff.decode_tiff(data)

@@ -575,3 +575,96 @@ def test_progressive_jpeg_psnr_and_smooth():
     out2 = J.decode_jpeg(J.encode_jpeg_progressive(rgb, quality=92))
     assert out2.shape == rgb.shape
     assert np.mean(np.abs(out2.astype(float) - rgb)) < 4
+
+
+# ---------- lossy VP8-toolset intra codec (core/vp8i.py, round 4) ----------
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def test_vp8i_bool_coder_roundtrip():
+    """RFC 6386 §7 boolean coder: encode→decode identity over random
+    (bit, prob) sequences, including extreme probabilities."""
+    from gdal_ray.core.vp8i import BoolDecoder, BoolEncoder
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, 4000).tolist()
+    probs = rng.integers(1, 255, 4000).tolist()
+    probs[:20] = [1, 254] * 10
+    be = BoolEncoder()
+    for b, p in zip(bits, probs):
+        be.put(b, p)
+    bd = BoolDecoder(be.flush())
+    assert [bd.get(p) for p in probs] == bits
+
+
+def test_vp8i_gray_psnr_and_rate():
+    """Quality knob is monotone in both size and PSNR; catalog quality
+    (90+) clears the 40 dB bar on luma content."""
+    from gdal_ray.core.vp8i import decode_vp8i, encode_vp8i
+    rng = np.random.default_rng(1)
+    img = np.clip(rng.integers(0, 25, (64, 64))
+                  + np.add.outer(np.arange(64), np.arange(64)),
+                  0, 255).astype(np.uint8)
+    prev_size, prev_psnr = 0, 0.0
+    for q in (50, 90, 98):
+        enc = encode_vp8i(img, quality=q)
+        dec = decode_vp8i(enc)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        p = _psnr(dec, img)
+        assert len(enc) > prev_size and p > prev_psnr
+        prev_size, prev_psnr = len(enc), p
+    assert prev_psnr >= 40.0
+
+
+def test_vp8i_prediction_modes_exact():
+    """V/H prediction reproduces axis-constant images exactly; TM handles
+    ramps; DC handles flats (→ all-skip MBs, tiny payload)."""
+    from gdal_ray.core.vp8i import decode_vp8i, encode_vp8i
+    stripes = np.tile((np.arange(64) % 16 * 16).astype(np.uint8), (64, 1))
+    for im in (stripes, stripes.T.copy()):
+        assert np.array_equal(decode_vp8i(encode_vp8i(im, 90)), im)
+    flat = np.full((48, 48), 77, np.uint8)
+    enc = encode_vp8i(flat, 90)
+    assert np.array_equal(decode_vp8i(enc), flat)
+    assert len(enc) < 600
+    ramp = np.add.outer(np.arange(64) * 2, np.arange(64) * 2) \
+        .astype(np.uint8)
+    assert _psnr(decode_vp8i(encode_vp8i(ramp, 90)), ramp) >= 40
+
+
+def test_vp8i_color_and_odd_sizes():
+    """4:2:0 color roundtrip on odd dimensions; luma PSNR ≥ 40 at catalog
+    quality (full-RGB PSNR is chroma-subsampling-bound by design)."""
+    from gdal_ray.core.vp8i import decode_vp8i, encode_vp8i
+    rng = np.random.default_rng(5)
+    base = np.clip(rng.integers(0, 25, (37, 53))
+                   + np.add.outer(np.arange(37), np.arange(53)),
+                   0, 255).astype(np.uint8)
+    img = np.stack([base, np.roll(base, 5, axis=1), 255 - base], axis=-1)
+    dec = decode_vp8i(encode_vp8i(img, quality=95))
+    assert dec.shape == img.shape
+    luma = lambda a: (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                      + 0.114 * a[:, :, 2])
+    assert _psnr(luma(dec), luma(img)) >= 40
+
+
+def test_vp8i_container_and_dispatch():
+    """RIFF/WEBP container with the private VP8i fourcc; codecs.decode
+    routes by fourcc and refuses foreign interchange VP8 with a clear
+    capability error (see core/vp8i.py docstring for why)."""
+    import struct
+
+    from gdal_ray.core import codecs
+    img = np.clip(np.add.outer(np.arange(32), np.arange(48)), 0,
+                  255).astype(np.uint8)
+    enc = codecs.encode(img, "webp_lossy")
+    assert enc[:4] == b"RIFF" and enc[8:12] == b"WEBP"
+    assert enc[12:16] == b"VP8i"
+    assert np.array_equal(codecs.decode(enc, "webp"),
+                          codecs.decode(enc, "webp_lossy"))
+    fake = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " \
+        + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        codecs.decode(fake, "webp")
