@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": R.ann_ivf_q,
         "raster_translate": R.raster_translate_q,
         "raster_tiff": R.raster_tiff_q,
+        "raster_webp_lossy": R.raster_webp_lossy_q,
         "raster_sieve": R.raster_sieve_q,
         "raster_proximity": R.raster_proximity_q,
         "raster_reproject": R.raster_reproject_q,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": R.SQL_ANN_IVF,
         "raster_translate": R.SQL_RASTER_TRANSLATE,
         "raster_tiff": R.SQL_RASTER_TIFF,
+        "raster_webp_lossy": R.SQL_RASTER_WEBP_LOSSY,
         "raster_sieve": R.SQL_RASTER_SIEVE,
         "raster_proximity": R.SQL_RASTER_PROXIMITY,
         "raster_reproject": R.SQL_RASTER_REPROJECT,

@@ -3164,3 +3164,63 @@ SELECT n_nationkey AS n,
 FROM (SELECT n_nationkey, CAST((n_nationkey % 5) + 2 AS DOUBLE) AS r
       FROM nation)
 """
+
+
+# ---------- round 4: lossy VP8i codec on the driver surface ----------
+
+def raster_webp_lossy_q(sf_dir: str):
+    """Lossy VP8i (core/vp8i.py) write→read on the driver surface.
+
+    Uses the codec's provable exact-representability class: a gray image
+    that is constant per 16×16 macroblock has constant residual blocks, so
+    only DC coefficients survive the 4×4 DCT; at quality 100 q_dc = 4
+    divides the DCT DC gain (4) exactly and the Y2 Walsh-Hadamard path is
+    exact integer arithmetic, so decode == source bit-for-bit for EVERY
+    such image (pinned for 60 keys in test_codecs.py).  The oracle replays
+    v(r,c) = (n*31 + (r//16)*7 + (c//16)*13) % 256 with generate_series and
+    computes the GDAL 11-prime checksum + pixel sum.
+    """
+    from ..core import checksum as CK
+    from ..core import codecs as CD
+    from ..core.vp8i import encode_vp8i
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ns, cks, sums, tagged = [], [], [], []
+        for n in ks:
+            n = int(n)
+            img = np.zeros((32, 48), np.uint8)
+            for i in range(2):
+                for j in range(3):
+                    img[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] = \
+                        (n * 31 + i * 7 + j * 13) % 256
+            enc = encode_vp8i(img, quality=100)
+            dec = CD.decode(enc, "webp_lossy")
+            ns.append(n)
+            cks.append(CK.checksum(dec))
+            sums.append(int(dec.astype(np.int64).sum()))
+            tagged.append(1 if enc[12:16] == b"VP8i" else 0)
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "cksum": pa.array(cks, pa.int64()),
+                         "px_sum": pa.array(sums, pa.int64()),
+                         "is_vp8i": pa.array(tagged, pa.int64())})
+
+    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(per_batch, batch_format="pyarrow")
+
+
+SQL_RASTER_WEBP_LOSSY = """
+WITH px AS (
+  SELECT n_nationkey AS n, g.k AS k,
+         (n_nationkey * 31 + ((g.k // 48) // 16) * 7
+          + ((g.k % 48) // 16) * 13) % 256 AS v
+  FROM nation, generate_series(0, 1535) g(k)
+)
+SELECT n,
+       CAST(SUM(v % ([7,11,13,17,19,23,29,31,37,41,43])[(k % 11) + 1])
+            % 65536 AS BIGINT) AS cksum,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(1 AS BIGINT) AS is_vp8i
+FROM px
+GROUP BY n
+"""

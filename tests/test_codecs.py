@@ -668,3 +668,20 @@ def test_vp8i_container_and_dispatch():
         + struct.pack("<I", 0)
     with pytest.raises(NotImplementedError):
         codecs.decode(fake, "webp")
+
+
+def test_vp8i_mb_constant_exact_class():
+    """The oracle-pinned exact-representability class: ANY gray image that
+    is constant per 16×16 macroblock decodes bit-exactly at quality 100
+    (constant residual → DC-only DCT; q_dc = 4 divides the DC gain; Y2
+    WHT path is exact integer arithmetic).  Backs the raster_webp_lossy
+    driver query."""
+    from gdal_ray.core.vp8i import decode_vp8i, encode_vp8i
+    for n in range(0, 60, 7):
+        img = np.zeros((32, 48), np.uint8)
+        for i in range(2):
+            for j in range(3):
+                img[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] = \
+                    (n * 31 + i * 7 + j * 13) % 256
+        assert np.array_equal(decode_vp8i(encode_vp8i(img, quality=100)),
+                              img)
