@@ -217,4 +217,9 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": R.SQL_TEXT_FINGERPRINT,
         # round-4 conversions
         "vector_curves": R.SQL_VECTOR_CURVES,
+        # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
+        # every remaining rows-only query is now SQL-oracle-backed (69/69)
+        "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,
+        "dedup_simhash_docs": R.SQL_DEDUP_SIMHASH_DOCS,
+        "text_fingerprint_docs": R.SQL_TEXT_FINGERPRINT_DOCS,
     }

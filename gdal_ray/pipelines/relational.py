@@ -3224,3 +3224,194 @@ SELECT n,
 FROM px
 GROUP BY n
 """
+
+
+# ---------- round 4: documents-table dedup/fingerprint oracles ----------
+#
+# The three remaining rows-only queries run over REAL documents.parquet
+# text.  The corpus is pure ASCII (ord(char) == utf-8 byte, verified by the
+# tests), so the whole hash stack — k-gram base-257 rolling hash →
+# splitmix64 → minhash/simhash/winnowing — replays in DuckDB with the same
+# HUGEINT mod-2^64 machinery as SQL_TEXT_FINGERPRINT.  Seeds/salts are
+# computed once here with dedup._splitmix and inlined as literals.
+
+def _docs_shingle_ctes(k: int, max_len: int = 2047) -> list[str]:
+    """CTE chain documents → shingles(doc, sh): lowercase, <k-char pad,
+    chars, k-gram polynomial (base 257, fits BIGINT), splitmix64, DISTINCT
+    (mirrors dedup.shingle_hashes exactly)."""
+    pows = [257 ** j for j in range(k)]
+    gram = " + ".join(f"lead(b,{j}) OVER w * {pows[j]}" if j else "b"
+                      for j in range(k))
+    chain = [
+        f"doc0 AS (SELECT doc_id AS doc, CASE WHEN length(text) < {k} "
+        f"THEN lower(text) || '{' ' * k}' ELSE lower(text) END AS t "
+        "FROM documents)",
+        "chars AS (SELECT doc, i.i AS i, "
+        "CAST(ord(substr(t, i.i + 1, 1)) AS BIGINT) AS b "
+        f"FROM doc0, generate_series(0, {max_len}) i(i) "
+        "WHERE i.i < length(t))",
+        f"grams AS (SELECT doc, i AS gi, {gram} AS g FROM chars "
+        "WINDOW w AS (PARTITION BY doc ORDER BY i) "
+        f"QUALIFY lead(b,{k - 1}) OVER w IS NOT NULL)",
+    ]
+    prev = "grams"
+    for j, (name, expr) in enumerate(
+            _fp_splitmix_steps("CAST(g AS HUGEINT)", "sh", "m")):
+        chain.append(f"shsm_{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"shsm_{j}"
+    chain.append(f"shingles AS (SELECT DISTINCT doc, sh FROM {prev})")
+    return chain
+
+
+def _build_sql_dedup_minhash_docs() -> str:
+    """dedup.minhash_lsh_pairs over documents, end to end: 64 xor-minhash
+    sigs, 16-band xor-fold + salted-splitmix buckets, the [2,64] bucket-size
+    window, pairwise signature agreement, and the first-fully-equal-band
+    exactly-once rule (argmax-defaults-to-0 included)."""
+    from .dedup import _splitmix
+    seeds = _splitmix(np.arange(1, 65, dtype=np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15))
+    salts = _splitmix(np.arange(16, dtype=np.uint64))
+    seed_vals = ", ".join(f"({j}, {int(seeds[j])}::HUGEINT)"
+                          for j in range(64))
+    salt_vals = ", ".join(f"({t}, {int(salts[t])}::HUGEINT)"
+                          for t in range(16))
+    chain = _docs_shingle_ctes(5)
+    chain += [
+        f"seeds(j, seed) AS (VALUES {seed_vals})",
+        f"salts(t, salt) AS (VALUES {salt_vals})",
+        f"sigs AS (SELECT doc, s.j, MIN({_fp_xor64('sh', 's.seed')}) AS v "
+        "FROM shingles, seeds s GROUP BY doc, s.j)",
+        f"bh AS (SELECT doc, j // 4 AS t, "
+        f"{_fp_tohuge(f'bit_xor({_fp_tobig(chr(118))})')} AS bhv "
+        "FROM sigs GROUP BY doc, j // 4)",
+        "bh1 AS (SELECT bh.doc, bh.t, (bhv + salt) % "
+        f"{_U64} AS x FROM bh JOIN salts ON salts.t = bh.t)",
+    ]
+    prev = "bh1"
+    for j, (name, expr) in enumerate(_fp_splitmix_steps("x", "bh2", "q")):
+        chain.append(f"bq_{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"bq_{j}"
+    chain += [
+        f"buckets AS (SELECT doc, t, CAST(bh2 // 256::HUGEINT AS BIGINT) "
+        f"* 16 + t AS bucket FROM {prev})",
+        "bsz AS (SELECT bucket, COUNT(*) AS c FROM buckets GROUP BY bucket)",
+        "cand AS (SELECT a.doc AS da, b.doc AS db, a.t FROM buckets a "
+        "JOIN buckets b ON b.bucket = a.bucket AND b.doc > a.doc "
+        "JOIN bsz ON bsz.bucket = a.bucket WHERE bsz.c BETWEEN 2 AND 64)",
+        "paireq AS (SELECT c.da, c.db, c.t, sa.j // 4 AS bb, "
+        "CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END AS e FROM cand c "
+        "JOIN sigs sa ON sa.doc = c.da "
+        "JOIN sigs sb ON sb.doc = c.db AND sb.j = sa.j)",
+        "bandeq AS (SELECT da, db, t, bb, SUM(e) AS beq FROM paireq "
+        "GROUP BY da, db, t, bb)",
+        "pairstat AS (SELECT da, db, t, SUM(beq) AS eqcnt, "
+        "COALESCE(MIN(CASE WHEN beq = 4 THEN bb END), 0) AS fb "
+        "FROM bandeq GROUP BY da, db, t)",
+    ]
+    return ("WITH " + ",\n".join(chain)
+            + "\nSELECT da AS id_a, db AS id_b, "
+            "CAST(eqcnt AS DOUBLE) / 64.0 AS sig_jaccard FROM pairstat "
+            "WHERE t = fb AND CAST(eqcnt AS DOUBLE) / 64.0 >= 0.7")
+
+
+def _build_sql_dedup_simhash_docs() -> str:
+    """dedup.simhash_pairs over documents: 4-gram shingles → 64-bit
+    majority-vote simhash → hamming ≤ 3 pairs.  The pipeline's pigeonhole
+    candidate generation is complete for its distance bound and its
+    first-matching-block rule keeps each pair exactly once, so the result
+    set equals the all-pairs form used here."""
+    pow2_vals = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    chain = _docs_shingle_ctes(4)
+    chain += [
+        "nsh AS (SELECT doc, COUNT(*) AS n FROM shingles GROUP BY doc)",
+        f"pow2(b, p) AS (VALUES {pow2_vals})",
+        "bitcnt AS (SELECT doc, pw.b AS b, pw.p AS p, "
+        "SUM(CAST((sh // pw.p) % 2 AS BIGINT)) AS cnt "
+        "FROM shingles, pow2 pw GROUP BY doc, pw.b, pw.p)",
+        "simh AS (SELECT bitcnt.doc, SUM(CASE WHEN 2 * cnt > n THEN p "
+        "ELSE 0::HUGEINT END) AS h FROM bitcnt "
+        "JOIN nsh ON nsh.doc = bitcnt.doc GROUP BY bitcnt.doc)",
+    ]
+    ham = f"bit_count(xor({_fp_tobig('a.h')}, {_fp_tobig('b.h')}))"
+    return ("WITH " + ",\n".join(chain)
+            + f"\nSELECT a.doc AS id_a, b.doc AS id_b, "
+            f"CAST({ham} AS INT) AS hamming "
+            f"FROM simh a JOIN simh b ON b.doc > a.doc WHERE {ham} <= 3")
+
+
+def _build_sql_text_fingerprint_docs() -> str:
+    """text.fingerprint over documents: word 3-grams, LE-uint64 byte
+    packing, _hash_bytes_to_u64 (position-salted splitmix + length fold),
+    one more splitmix, winnowing min over 8-gram windows, DISTINCT-XOR
+    reduce, −2^63 signed shift; <3-token docs → 0."""
+    from .dedup import _splitmix
+    posh = _splitmix(np.arange(1, 9, dtype=np.uint64))
+    posh_vals = ", ".join(f"({m}, {int(posh[m])}::HUGEINT)"
+                          for m in range(8))
+    chain = [
+        "toks0 AS (SELECT doc_id AS doc, i.i AS wi0, "
+        "list_extract(string_split(lower(text), ' '), i.i) AS tok "
+        "FROM documents, generate_series(1, 1024) i(i) "
+        "WHERE i.i <= len(string_split(lower(text), ' ')))",
+        "toks AS (SELECT doc, tok, row_number() OVER "
+        "(PARTITION BY doc ORDER BY wi0) - 1 AS wi FROM toks0 "
+        "WHERE tok <> '')",
+        "gramt AS (SELECT doc, wi AS gi, tok || ' ' || lead(tok,1) OVER w "
+        "|| ' ' || lead(tok,2) OVER w AS g FROM toks "
+        "WINDOW w AS (PARTITION BY doc ORDER BY wi) "
+        "QUALIFY lead(tok,2) OVER w IS NOT NULL)",
+        "gbytes AS (SELECT doc, gi, length(g) AS gl, i.i AS i, "
+        "CASE WHEN i.i < length(g) THEN "
+        "CAST(ord(substr(g, i.i + 1, 1)) AS BIGINT) ELSE 0 END AS b "
+        "FROM gramt, generate_series(0, 63) i(i) "
+        "WHERE i.i < 8 * ((length(g) + 7) // 8))",
+        "gwords0 AS (SELECT doc, gi, ANY_VALUE(gl) AS gl, i // 8 AS m, "
+        "CAST(SUM(b * (1::BIGINT << (8 * CAST(i % 8 AS INT)))) AS HUGEINT) "
+        "AS wv FROM gbytes GROUP BY doc, gi, i // 8)",
+        f"posh(m, ph) AS (VALUES {posh_vals})",
+        f"gwords1 AS (SELECT g.doc, g.gi, g.gl, g.m, "
+        f"{_fp_xor64('g.wv', 'p.ph')} AS q "
+        "FROM gwords0 g JOIN posh p ON p.m = g.m)",
+    ]
+    prev = "gwords1"
+    for j, (name, expr) in enumerate(_fp_splitmix_steps("q", "qh", "w")):
+        chain.append(f"gw_{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"gw_{j}"
+    chain.append(
+        f"ghx AS (SELECT doc, gi, ANY_VALUE(gl) AS gl, "
+        f"{_fp_tohuge('bit_xor(' + _fp_tobig('qh') + ')')} AS hx "
+        f"FROM {prev} GROUP BY doc, gi)")
+    prev = "ghx"
+    for j, (name, expr) in enumerate(
+            _fp_splitmix_steps("CAST(gl AS HUGEINT)", "lh", "l")):
+        chain.append(f"gl_{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"gl_{j}"
+    chain.append(f"gh64 AS (SELECT doc, gi, {_fp_xor64('hx', 'lh')} "
+                 f"AS h64 FROM {prev})")
+    prev = "gh64"
+    for j, (name, expr) in enumerate(_fp_splitmix_steps("h64", "h3", "f")):
+        chain.append(f"g3_{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"g3_{j}"
+    chain += [
+        f"h3t AS (SELECT doc, gi, h3 FROM {prev})",
+        "gcnt AS (SELECT doc, COUNT(*) AS n FROM h3t GROUP BY doc)",
+        "wins AS (SELECT g.doc, s.w, MIN(g.h3) AS wmin FROM h3t g "
+        "JOIN gcnt c ON c.doc = g.doc, generate_series(0, 1023) s(w) "
+        "WHERE (c.n >= 8 AND s.w <= c.n - 8 AND "
+        "g.gi BETWEEN s.w AND s.w + 7) OR (c.n < 8 AND s.w = g.gi) "
+        "GROUP BY g.doc, s.w)",
+        "dmins AS (SELECT DISTINCT doc, wmin FROM wins)",
+        f"fp AS (SELECT doc, "
+        f"{_fp_tobig(_fp_tohuge('bit_xor(' + _fp_tobig('wmin') + ')') + ' - 9223372036854775808::HUGEINT')} "
+        "AS fingerprint FROM dmins GROUP BY doc)",
+    ]
+    return ("WITH " + ",\n".join(chain)
+            + "\nSELECT d.doc_id, COALESCE(fp.fingerprint, 0) "
+            "AS fingerprint FROM documents d "
+            "LEFT JOIN fp ON fp.doc = d.doc_id")
+
+
+SQL_DEDUP_MINHASH_DOCS = _build_sql_dedup_minhash_docs()
+SQL_DEDUP_SIMHASH_DOCS = _build_sql_dedup_simhash_docs()
+SQL_TEXT_FINGERPRINT_DOCS = _build_sql_text_fingerprint_docs()
