@@ -368,9 +368,15 @@ def _read_code(br: _LsbReader, alphabet_size: int) -> _TreeDecoder:
 
 # ---------- encode ----------
 
-def encode_vp8l(img: np.ndarray) -> bytes:
+def encode_vp8l(img: np.ndarray, predictor: bool = False) -> bytes:
     """Lossless WebP of an (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA
-    uint8 image — literal-only VP8L, one huffman group per channel."""
+    uint8 image — literal-only VP8L, one huffman group per channel.
+
+    ``predictor=True`` additionally applies the spec's spatial-prediction
+    transform (type 0) with per-16×16-tile mode selection before
+    SUBTRACT_GREEN.  Mode choice is restricted to the L-independent
+    predictors {0, 2, 3, 4, 8, 9} so the decoder's row-vectorized inverse
+    stays on its fast path."""
     a = np.ascontiguousarray(img, dtype=np.uint8)
     if a.ndim == 2:
         a = np.stack([a, a, a], axis=-1)
@@ -386,6 +392,17 @@ def encode_vp8l(img: np.ndarray) -> bytes:
     bw.write(h - 1, 14)
     bw.write(1 if (alpha != 255).any() else 0, 1)
     bw.write(0, 3)                            # version
+    if predictor:
+        # PREDICTOR transform (spec type 0): stream lists it BEFORE
+        # SUBTRACT_GREEN so the decoder inverts sub-green first, then
+        # prediction — i.e. encode applies prediction first
+        bits = 4
+        r, g, b, alpha, pimg = _apply_predictor(r, g, b, alpha, bits)
+        bw.write(1, 1)
+        bw.write(0, 2)                        # type 0 = predictor
+        bw.write(bits - 2, 3)
+        _write_literal_stream(bw, pimg[:, :, 0], pimg[:, :, 1],
+                              pimg[:, :, 2], pimg[:, :, 3], level0=False)
     # SUBTRACT_GREEN transform (spec type 2, no payload): gray images then
     # spend ZERO bits on the r/b channels (single-symbol codes)
     bw.write(1, 1)
@@ -400,6 +417,61 @@ def encode_vp8l(img: np.ndarray) -> bytes:
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _apply_predictor(r, g, b, alpha, bits: int):
+    """Forward spatial prediction: per-tile best mode among the
+    L-independent predictors, residuals mod 256.  Predictions come from the
+    ORIGINAL pixels (lossless coding ⇒ decoded neighbours == originals),
+    with the spec's fixed edge rules: (0,0)←black, row 0←L, column 0←T,
+    and TR of the rightmost column wraps to the current row's first pixel.
+    Returns residual channels + the ARGB predictor image (mode in green)."""
+    h, w = r.shape
+    px = np.stack([r, g, b, alpha], axis=-1).astype(np.int32)   # rgba
+    T = np.empty_like(px)
+    T[1:] = px[:-1]
+    T[0] = 0
+    TL = np.empty_like(px)
+    TL[:, 1:] = T[:, :-1]
+    TL[:, 0] = 0
+    TR = np.empty_like(px)
+    TR[:, :-1] = T[:, 1:]
+    TR[1:, -1] = px[1:, 0]                    # contiguous-memory wrap rule
+    TR[0, -1] = 0
+    black = np.array([0, 0, 0, 255], np.int32)
+    cands = {0: np.broadcast_to(black, px.shape),
+             2: T, 3: TR, 4: TL,
+             8: (TL + T) >> 1, 9: (T + TR) >> 1}
+    th, tw = _sub_size(h, bits), _sub_size(w, bits)
+    hp, wp = th << bits, tw << bits
+    costs = np.empty((len(cands), th, tw), np.int64)
+    modes_list = sorted(cands)
+    for mi, mode in enumerate(modes_list):
+        res = (px - cands[mode]) & 0xFF
+        c = np.minimum(res, 256 - res).sum(axis=2)
+        cp = np.zeros((hp, wp), np.int64)
+        cp[:h, :w] = c
+        costs[mi] = cp.reshape(th, 1 << bits, tw, 1 << bits).sum(axis=(1, 3))
+    best = np.argmin(costs, axis=0)           # (th, tw) index into modes_list
+    mode_arr = np.asarray(modes_list, np.int32)[best]
+    pred = np.empty_like(px)
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    tile_mode = mode_arr[np.ix_(ys, xs)]      # (h, w)
+    for mode in modes_list:
+        m = tile_mode == mode
+        pred[m] = cands[mode][m]
+    # fixed edge rules override tile modes
+    pred[0, 0] = black
+    if w > 1:
+        pred[0, 1:] = px[0, :-1]              # row 0: L
+    if h > 1:
+        pred[1:, 0] = px[:-1, 0]              # column 0: T
+    res = ((px - pred) & 0xFF).astype(np.uint8)
+    pimg = np.zeros((th, tw, 4), np.uint8)
+    pimg[:, :, 1] = mode_arr.astype(np.uint8)
+    pimg[:, :, 3] = 255
+    return (res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3], pimg)
 
 
 def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False):

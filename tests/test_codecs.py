@@ -685,3 +685,27 @@ def test_vp8i_mb_constant_exact_class():
                     (n * 31 + i * 7 + j * 13) % 256
         assert np.array_equal(decode_vp8i(encode_vp8i(img, quality=100)),
                               img)
+
+
+def test_vp8l_encoder_predictor_transform():
+    """Encoder-side spatial-prediction transform (opt-in): per-tile mode
+    selection among the L-independent predictors, lossless roundtrip
+    through the decoder's transform path, and a real compression win on
+    smooth content."""
+    from gdal_ray.core.vp8l import decode_vp8l, encode_vp8l
+    rng = np.random.default_rng(3)
+    grad = np.clip(np.add.outer(np.arange(100), np.arange(130)), 0,
+                   255).astype(np.uint8)
+    cases = [grad,
+             np.stack([grad, (grad * 0.7).astype(np.uint8), 255 - grad],
+                      axis=-1),
+             rng.integers(0, 256, (33, 47, 4)).astype(np.uint8),
+             rng.integers(0, 256, (3, 5)).astype(np.uint8),
+             np.array([[7]], np.uint8),
+             rng.integers(0, 256, (16, 16)).astype(np.uint8),  # one tile
+             rng.integers(0, 256, (17, 33)).astype(np.uint8)]  # ragged
+    for im in cases:
+        enc = encode_vp8l(im, predictor=True)
+        assert np.array_equal(decode_vp8l(enc), im)
+    assert len(encode_vp8l(grad, predictor=True)) \
+        < len(encode_vp8l(grad)) // 4
