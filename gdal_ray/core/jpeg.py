@@ -423,17 +423,23 @@ class _CompEnc:
         self.dc_codes = dc_codes
         self.ac_codes = ac_codes
 
-    def emit(self, bw_: _BitWriter, bi: int):
-        put = bw_.put
+    def emit(self, cl: list, ll: list, bi: int):
+        """Append block bi's (code, nbits) pairs to the scan-wide symbol
+        lists — ONE vectorized bit-pack at scan end (_pack_entropy)
+        replaces per-symbol bit-writer calls."""
+        ca = cl.append
+        la = ll.append
         ac_codes = self.ac_codes
         dc = self.dcs[bi]
         diff = dc - self.pred
         self.pred = dc
         size = diff.bit_length() if diff >= 0 else (-diff).bit_length()
         code, length = self.dc_codes[size]
-        put(code, length)
+        ca(code)
+        la(length)
         if size:
-            put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            ca(diff if diff >= 0 else diff + (1 << size) - 1)
+            la(size)
         prev = -1
         rows, cols, vals = self.rows, self.cols, self.vals
         ptr = self.ptr
@@ -445,16 +451,74 @@ class _CompEnc:
             run = idx - prev - 1
             prev = idx
             while run > 15:
-                put(zrl[0], zrl[1])
+                ca(zrl[0])
+                la(zrl[1])
                 run -= 16
             size = v.bit_length() if v >= 0 else (-v).bit_length()
             code, length = ac_codes[(run << 4) | size]
-            put(code, length)
-            put(v if v >= 0 else v + (1 << size) - 1, size)
+            ca(code)
+            la(length)
+            ca(v if v >= 0 else v + (1 << size) - 1)
+            la(size)
         self.ptr = ptr
         if prev != 62:
             eob = ac_codes[0x00]
-            put(eob[0], eob[1])
+            ca(eob[0])
+            la(eob[1])
+
+
+def _or_scatter(vals: np.ndarray, idx: np.ndarray, n: int) -> np.ndarray:
+    """OR-reduce vals into an n-word array by (sorted) word index —
+    bitwise_or.reduceat beats np.bitwise_or.at by ~50×.  Groups are
+    restricted to boundaries that start in range — clamping out-of-range
+    boundaries instead would shift the LAST real group's end and silently
+    drop the final entry."""
+    w = np.zeros(n, np.uint64)
+    if vals.size == 0:
+        return w
+    b = np.searchsorted(idx, np.arange(n))
+    valid = b < vals.size
+    bv = b[valid]
+    r = np.bitwise_or.reduceat(vals, bv)
+    bbv = np.append(bv, vals.size)
+    r[bbv[1:] == bbv[:-1]] = 0                  # reduceat empty-group quirk
+    w[valid] = r
+    return w
+
+
+def _pack_entropy(codes: list, lens: list) -> bytes:
+    """Vectorized MSB-first packing of a whole entropy stream: cumsum bit
+    offsets, per-entry word placement with spill, OR-reduction into 64-bit
+    words, then byte stuffing (0xFF→0xFF00) and the 1-bit flush padding —
+    all C-level."""
+    c = np.asarray(codes, dtype=np.uint64)
+    ln = np.asarray(lens, dtype=np.uint64)
+    keep = ln > 0
+    c = c[keep]
+    ln = ln[keep]
+    if c.size == 0:
+        return b""
+    ends = np.cumsum(ln)
+    total = int(ends[-1])
+    offs = ends - ln
+    pad = (-total) % 8
+    if pad:                                     # flush pads with 1-bits
+        c = np.append(c, np.uint64((1 << pad) - 1))
+        ln = np.append(ln, np.uint64(pad))
+        offs = np.append(offs, np.uint64(total))
+        total += pad
+    nwords = total // 64 + 1
+    one = np.uint64(1)
+    aligned = (c & ((one << ln) - one)) << (np.uint64(64) - ln)
+    word = (offs >> np.uint64(6)).astype(np.int64)
+    shift = offs & np.uint64(63)
+    w = _or_scatter(aligned >> shift, word, nwords)
+    ovf = (shift + ln) > np.uint64(64)          # entry straddles two words
+    if ovf.any():
+        w |= _or_scatter(aligned[ovf] << (np.uint64(64) - shift[ovf]),
+                         word[ovf] + 1, nwords)
+    data = w.astype(">u8").tobytes()[: total // 8]
+    return data.replace(b"\xff", b"\xff\x00")
 
 
 def _dht_segment(cls: int, ident: int, bits, vals) -> bytes:
@@ -541,7 +605,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         q = np.round(coef.reshape(-1, 64) / qt[None, :].astype(np.float64))
         comp_zz.append(q[:, ZIGZAG].astype(np.int64))
         comp_dims.append((bh, bw_n))
-    bw_ = _BitWriter()
     if subsample and not gray:
         # reorder luma blocks into MCU emission order so the streaming
         # entropy state reads them sequentially
@@ -554,24 +617,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         comp_zz[0] = comp_zz[0][order]
     encs = [_CompEnc(comp_zz[ci], dc_l if ci == 0 else dc_c,
                      ac_l if ci == 0 else ac_c) for ci in range(ncomp)]
+    cl: list = []
+    ll: list = []
     if gray:
         for bi in range(comp_zz[0].shape[0]):
-            encs[0].emit(bw_, bi)
+            encs[0].emit(cl, ll, bi)
     elif not subsample:
         for m in range(comp_zz[0].shape[0]):
             for ci in range(3):
-                encs[ci].emit(bw_, m)
+                encs[ci].emit(cl, ll, m)
     else:
         nmcu = mcuy * mcux
         yseq = 0
         for m in range(nmcu):
             for _ in range(4):
-                encs[0].emit(bw_, yseq)
+                encs[0].emit(cl, ll, yseq)
                 yseq += 1
-            encs[1].emit(bw_, m)
-            encs[2].emit(bw_, m)
-    bw_.flush()
-    out += bw_.out
+            encs[1].emit(cl, ll, m)
+            encs[2].emit(cl, ll, m)
+    out += _pack_entropy(cl, ll)
     out += b"\xff\xd9"                                               # EOI
     return bytes(out)
 

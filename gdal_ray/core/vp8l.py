@@ -74,12 +74,63 @@ class _LsbWriter:
         for i in range(length - 1, -1, -1):
             self.write((code >> i) & 1, 1)
 
+    def write_many(self, codes, lens):
+        """Vectorized bulk append (LSB-first): cumsum bit offsets, word
+        placement with spill, OR-reduction — one numpy pass instead of a
+        per-symbol write() call (same design as jpeg._pack_entropy)."""
+        c = np.asarray(codes, dtype=np.uint64)
+        ln = np.asarray(lens, dtype=np.uint64)
+        keep = ln > 0
+        c = c[keep]
+        ln = ln[keep]
+        if c.size == 0:
+            return
+        if self.nbits:                          # pending bits lead the pack
+            c = np.concatenate([np.array([self.acc], np.uint64), c])
+            ln = np.concatenate([np.array([self.nbits], np.uint64), ln])
+        ends = np.cumsum(ln)
+        total = int(ends[-1])
+        offs = ends - ln
+        nwords = total // 64 + 1
+        one = np.uint64(1)
+        masked = c & ((one << ln) - one)
+        word = (offs >> np.uint64(6)).astype(np.int64)
+        shift = offs & np.uint64(63)
+        w = _or_scatter(masked << shift, word, nwords)
+        ovf = (shift + ln) > np.uint64(64)
+        if ovf.any():
+            w |= _or_scatter(masked[ovf] >> (np.uint64(64) - shift[ovf]),
+                             word[ovf] + 1, nwords)
+        data = w.astype("<u8").tobytes()
+        nfull = total // 8
+        self.out += data[:nfull]
+        self.nbits = total % 8
+        self.acc = data[nfull] & ((1 << self.nbits) - 1) if self.nbits else 0
+
     def flush(self) -> bytes:
         if self.nbits:
             self.out.append(self.acc & 0xFF)
             self.acc = 0
             self.nbits = 0
         return bytes(self.out)
+
+
+def _or_scatter(vals: np.ndarray, idx: np.ndarray, n: int) -> np.ndarray:
+    """OR-reduce vals into an n-word array by (sorted) word index.
+    Groups are restricted to boundaries that start in range — clamping
+    out-of-range boundaries instead would shift the LAST real group's end
+    and silently drop the final entry."""
+    w = np.zeros(n, np.uint64)
+    if vals.size == 0:
+        return w
+    b = np.searchsorted(idx, np.arange(n))
+    valid = b < vals.size
+    bv = b[valid]
+    r = np.bitwise_or.reduceat(vals, bv)
+    bbv = np.append(bv, vals.size)
+    r[bbv[1:] == bbv[:-1]] = 0                  # reduceat empty-group quirk
+    w[valid] = r
+    return w
 
 
 class _LsbReader:
@@ -504,20 +555,25 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False):
             codes.append({s: (int(f"{c:0{l}b}"[::-1], 2), l)
                           for s, (c, l) in _canonical_codes(lens).items()})
     gcode, rcode, bcode, acode, _ = codes
-    gl = g.ravel().tolist()
-    rl = r.ravel().tolist()
-    bl = b.ravel().tolist()
-    al = alpha.ravel().tolist()
-    w_ = bw.write
-    for i in range(len(gl)):
-        c, l = gcode[gl[i]]
-        w_(c, l)
-        c, l = rcode[rl[i]]
-        w_(c, l)
-        c, l = bcode[bl[i]]
-        w_(c, l)
-        c, l = acode[al[i]]
-        w_(c, l)
+
+    def lut(cd):
+        cl = np.zeros(256, np.uint64)
+        ll = np.zeros(256, np.uint64)
+        for s, (c, l) in cd.items():
+            if s < 256:
+                cl[s] = c
+                ll[s] = l
+        return cl, ll
+
+    # per-channel (code,len) via 256-entry LUT gathers, interleaved in
+    # g,r,b,a pixel order, then ONE vectorized bulk pack — zero-length
+    # entries (single-symbol channels) drop out inside write_many
+    parts = [(cl[d.ravel()], ll[d.ravel()])
+             for cd, d in ((gcode, g), (rcode, r), (bcode, b),
+                           (acode, alpha))
+             for cl, ll in (lut(cd),)]
+    bw.write_many(np.stack([p[0] for p in parts], axis=1).ravel(),
+                  np.stack([p[1] for p in parts], axis=1).ravel())
 
 
 # ---------- decode ----------

@@ -709,3 +709,42 @@ def test_vp8l_encoder_predictor_transform():
         assert np.array_equal(decode_vp8l(enc), im)
     assert len(encode_vp8l(grad, predictor=True)) \
         < len(encode_vp8l(grad)) // 4
+
+
+def test_vectorized_bit_packers_match_scalar_writers():
+    """jpeg._pack_entropy and vp8l._LsbWriter.write_many must be
+    bit-identical to the scalar writers — including word-aligned totals
+    (the reduceat boundary-clamp bug class) and pending-bit prefixes."""
+    from gdal_ray.core.jpeg import _BitWriter, _pack_entropy
+    from gdal_ray.core.vp8l import _LsbWriter
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        n = int(rng.integers(1, 60))
+        lens = rng.integers(0, 17, n)
+        codes = [int(rng.integers(0, 1 << max(l, 1))) for l in lens]
+        w1 = _BitWriter()
+        for c, l in zip(codes, lens):
+            if l:
+                w1.put(c, int(l))
+        w1.flush()
+        assert bytes(w1.out) == _pack_entropy(codes, lens.tolist())
+        w1 = _LsbWriter()
+        w2 = _LsbWriter()
+        pre = int(rng.integers(0, 8))
+        if pre:
+            v = int(rng.integers(0, 1 << pre))
+            w1.write(v, pre)
+            w2.write(v, pre)
+        for c, l in zip(codes, lens):
+            w1.write(int(c), int(l))
+        w2.write_many(np.asarray(codes, np.uint64), lens)
+        assert w1.flush() == w2.flush()
+    # exact multiple-of-64-bit totals
+    lens64 = np.full(16, 8)
+    codes64 = rng.integers(0, 256, 16).astype(np.uint64)
+    w1 = _LsbWriter()
+    for c in codes64:
+        w1.write(int(c), 8)
+    w2 = _LsbWriter()
+    w2.write_many(codes64, lens64)
+    assert w1.flush() == w2.flush()
