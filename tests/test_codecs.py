@@ -748,3 +748,41 @@ def test_vectorized_bit_packers_match_scalar_writers():
     w2 = _LsbWriter()
     w2.write_many(codes64, lens64)
     assert w1.flush() == w2.flush()
+
+
+def test_decoder_fuzz_no_hangs():
+    """Truncated / bit-flipped streams must either decode to garbage or
+    raise a clean error — never hang or die with an unexpected exception
+    class (positional decoders bound every walk by entry/array length)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from gdal_ray.core import codecs, fixtures, vp8i
+    allowed = (ValueError, AssertionError, NotImplementedError, IndexError,
+               KeyError, _struct.error, OverflowError, _zlib.error)
+    rng = np.random.default_rng(9)
+    src = fixtures.image_pixels(7, 64, 64, 3)
+    for fmt in ("png", "jpeg", "webp", "tif"):
+        enc = codecs.encode(src, fmt)
+        for trial in range(12):
+            if trial % 2 == 0:
+                data = enc[:int(rng.integers(20, len(enc)))]
+            else:
+                d = bytearray(enc)
+                for _ in range(3):
+                    d[int(rng.integers(20, len(enc)))] = \
+                        int(rng.integers(0, 256))
+                data = bytes(d)
+            try:
+                codecs.decode(data, fmt)
+            except allowed:
+                pass
+    enc = vp8i.encode_vp8i(src[:, :, 0], 90)
+    for _ in range(8):
+        d = bytearray(enc)
+        for _ in range(3):
+            d[int(rng.integers(10, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            vp8i.decode_vp8i(bytes(d))
+        except allowed:
+            pass
