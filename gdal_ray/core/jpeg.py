@@ -405,66 +405,89 @@ def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, bh, bw
 
 
-class _CompEnc:
-    """Streaming entropy state for one component: the nonzero AC positions
-    of ALL its blocks come from ONE vectorized pass; ``emit(bi)`` then
-    writes block bi's symbols (blocks must be emitted in order)."""
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length for non-negative values (frexp exponent —
+    exact for magnitudes < 2^53)."""
+    _, e = np.frexp(x.astype(np.float64))
+    return e.astype(np.int64)
 
-    def __init__(self, zz: np.ndarray, dc_codes, ac_codes):
-        self.dcs = zz[:, 0].tolist()
-        ac = zz[:, 1:]
-        rows, cols = np.nonzero(ac)
-        self.vals = ac[rows, cols].tolist()
-        self.rows = rows.tolist()
-        self.cols = cols.tolist()
-        self.m = len(self.rows)
-        self.ptr = 0
-        self.pred = 0
-        self.dc_codes = dc_codes
-        self.ac_codes = ac_codes
 
-    def emit(self, cl: list, ll: list, bi: int):
-        """Append block bi's (code, nbits) pairs to the scan-wide symbol
-        lists — ONE vectorized bit-pack at scan end (_pack_entropy)
-        replaces per-symbol bit-writer calls."""
-        ca = cl.append
-        la = ll.append
-        ac_codes = self.ac_codes
-        dc = self.dcs[bi]
-        diff = dc - self.pred
-        self.pred = dc
-        size = diff.bit_length() if diff >= 0 else (-diff).bit_length()
-        code, length = self.dc_codes[size]
-        ca(code)
-        la(length)
-        if size:
-            ca(diff if diff >= 0 else diff + (1 << size) - 1)
-            la(size)
-        prev = -1
-        rows, cols, vals = self.rows, self.cols, self.vals
-        ptr = self.ptr
-        zrl = ac_codes[0xF0]
-        while ptr < self.m and rows[ptr] == bi:
-            idx = cols[ptr]
-            v = vals[ptr]
-            ptr += 1
-            run = idx - prev - 1
-            prev = idx
-            while run > 15:
-                ca(zrl[0])
-                la(zrl[1])
-                run -= 16
-            size = v.bit_length() if v >= 0 else (-v).bit_length()
-            code, length = ac_codes[(run << 4) | size]
-            ca(code)
-            la(length)
-            ca(v if v >= 0 else v + (1 << size) - 1)
-            la(size)
-        self.ptr = ptr
-        if prev != 62:
-            eob = ac_codes[0x00]
-            ca(eob[0])
-            la(eob[1])
+def _code_luts(codes: dict, n: int):
+    cl = np.zeros(n, np.uint64)
+    ll = np.zeros(n, np.uint64)
+    for s, (c, l) in codes.items():
+        cl[s] = c
+        ll[s] = l
+    return cl, ll
+
+
+def _entropy_symbols(zz: np.ndarray, bseq: np.ndarray, dc_codes, ac_codes):
+    """Fully vectorized entropy-symbol generation for one component.
+
+    Produces (sort_key, code, nbits) arrays covering the component's whole
+    scan: DC size symbol + diff bits, zero-run/size AC symbols with ZRL
+    expansion and appended value bits, and per-block EOB.  ``bseq`` gives
+    each block's global emission sequence number; sorting the concatenated
+    per-component arrays by key yields the exact interleaved MCU order the
+    old per-symbol walk emitted.  Within-block key layout: DC sym 0, DC
+    bits 1, coefficient at zigzag column c → ZRLs at 2+8c+{0,1,2}, symbol
+    2+8c+4, value bits 2+8c+5, EOB at 2+8·63 (< the 520 block stride)."""
+    dccl, dcll = _code_luts(dc_codes, 16)
+    accl, acll = _code_luts(ac_codes, 256)
+    STRIDE = 520
+    keys = []
+    cods = []
+    lens = []
+    # DC: differential, size symbol then mapped diff bits
+    diff = np.diff(zz[:, 0], prepend=0)
+    size = _bitlen(np.abs(diff))
+    keys.append(bseq * STRIDE)
+    cods.append(dccl[size])
+    lens.append(dcll[size])
+    keys.append(bseq * STRIDE + 1)
+    cods.append(np.where(diff >= 0, diff,
+                         diff + (1 << size) - 1).astype(np.uint64))
+    lens.append(size.astype(np.uint64))
+    # AC: runs between nonzeros within each block
+    ac = zz[:, 1:]
+    rows, cols = np.nonzero(ac)
+    if rows.size:
+        v = ac[rows, cols]
+        first = np.ones(rows.size, bool)
+        first[1:] = rows[1:] != rows[:-1]
+        prevc = np.empty_like(cols)
+        prevc[1:] = cols[:-1]
+        run = np.where(first, cols, cols - prevc - 1)
+        zc = run >> 4                             # ZRL count (≤ 3)
+        sizev = _bitlen(np.abs(v))
+        base = bseq[rows] * STRIDE + 2 + cols * 8
+        keys.append(base + 4)
+        cods.append(accl[((run & 15) << 4) | sizev])
+        lens.append(acll[((run & 15) << 4) | sizev])
+        keys.append(base + 5)
+        cods.append(np.where(v >= 0, v, v + (1 << sizev) - 1)
+                    .astype(np.uint64))
+        lens.append(sizev.astype(np.uint64))
+        tot = int(zc.sum())
+        if tot:
+            rep = np.repeat(np.arange(rows.size), zc)
+            sub = np.arange(tot) - np.repeat(np.cumsum(zc) - zc, zc)
+            keys.append(base[rep] + sub)
+            cods.append(np.full(tot, accl[0xF0], np.uint64))
+            lens.append(np.full(tot, acll[0xF0], np.uint64))
+        # EOB for blocks whose last nonzero is not coefficient 63
+        lastmask = np.ones(rows.size, bool)
+        lastmask[:-1] = rows[1:] != rows[:-1]
+        lastcol = np.full(zz.shape[0], -1, np.int64)
+        lastcol[rows[lastmask]] = cols[lastmask]
+    else:
+        lastcol = np.full(zz.shape[0], -1, np.int64)
+    eob = np.nonzero(lastcol != 62)[0]
+    keys.append(bseq[eob] * STRIDE + 2 + 63 * 8)
+    cods.append(np.full(eob.size, accl[0x00], np.uint64))
+    lens.append(np.full(eob.size, acll[0x00], np.uint64))
+    return (np.concatenate(keys), np.concatenate(cods),
+            np.concatenate(lens))
 
 
 def _or_scatter(vals: np.ndarray, idx: np.ndarray, n: int) -> np.ndarray:
@@ -615,27 +638,32 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                                 for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1))],
                                axis=1).ravel()
         comp_zz[0] = comp_zz[0][order]
-    encs = [_CompEnc(comp_zz[ci], dc_l if ci == 0 else dc_c,
-                     ac_l if ci == 0 else ac_c) for ci in range(ncomp)]
-    cl: list = []
-    ll: list = []
+    # global block emission sequence per component (interleaved MCU order),
+    # then ONE vectorized symbol pass + stable key sort + bulk bit-pack
     if gray:
-        for bi in range(comp_zz[0].shape[0]):
-            encs[0].emit(cl, ll, bi)
+        bseqs = [np.arange(comp_zz[0].shape[0], dtype=np.int64)]
     elif not subsample:
-        for m in range(comp_zz[0].shape[0]):
-            for ci in range(3):
-                encs[ci].emit(cl, ll, m)
+        nb = comp_zz[0].shape[0]
+        bseqs = [np.arange(nb, dtype=np.int64) * 3 + ci for ci in range(3)]
     else:
-        nmcu = mcuy * mcux
-        yseq = 0
-        for m in range(nmcu):
-            for _ in range(4):
-                encs[0].emit(cl, ll, yseq)
-                yseq += 1
-            encs[1].emit(cl, ll, m)
-            encs[2].emit(cl, ll, m)
-    out += _pack_entropy(cl, ll)
+        ny = comp_zz[0].shape[0]
+        ar = np.arange(ny, dtype=np.int64)
+        nc = comp_zz[1].shape[0]
+        arc = np.arange(nc, dtype=np.int64)
+        bseqs = [(ar // 4) * 6 + ar % 4, arc * 6 + 4, arc * 6 + 5]
+    keys = []
+    cods = []
+    lns = []
+    for ci in range(ncomp):
+        k, c, l = _entropy_symbols(comp_zz[ci], bseqs[ci],
+                                   dc_l if ci == 0 else dc_c,
+                                   ac_l if ci == 0 else ac_c)
+        keys.append(k)
+        cods.append(c)
+        lns.append(l)
+    order = np.argsort(np.concatenate(keys), kind="stable")
+    out += _pack_entropy(np.concatenate(cods)[order],
+                         np.concatenate(lns)[order])
     out += b"\xff\xd9"                                               # EOI
     return bytes(out)
 
