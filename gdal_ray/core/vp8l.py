@@ -899,15 +899,46 @@ def _inv_predictor(px: np.ndarray, bits: int, pimg: np.ndarray) -> np.ndarray:
     modes = pimg[:, :, 1]                     # green channel holds the mode
     black = np.array([0, 0, 0, 255], np.int32)   # rgba order
 
-    # first row: (0,0) uses black, rest use L — sequential but trivial
-    out[0, 0] = (res[0, 0] + black) & 0xFF
-    for x in range(1, w):
-        out[0, x] = (res[0, x] + out[0, x - 1]) & 0xFF
+    # first row: (0,0) uses black, rest use L — running mod-256 prefix sum
+    out[0] = (np.cumsum(res[0], axis=0, dtype=np.int64) + black) & 0xFF
 
+    _FAST = (0, 2, 3, 4, 8, 9)                # L-independent predictors
+    mode_x_cache: dict = {}
     for y in range(1, h):
         out[y, 0] = (res[y, 0] + out[y - 1, 0]) & 0xFF   # first col: T
         T = out[y - 1]
         mrow = modes[y >> bits]
+        ty = y >> bits
+        if ty not in mode_x_cache:
+            mode_x_cache[ty] = np.asarray(mrow)[np.arange(1, w) >> bits]
+        mx = mode_x_cache[ty]
+        present = np.unique(mx)
+        if w > 1 and all(m in _FAST for m in present):
+            # whole-row vectorized path: every mode this row is
+            # L-independent, so predictions depend only on row y-1 (plus
+            # out[y,0], already written, for the rightmost TR)
+            Tm = T[1:]
+            TLm = T[:-1]
+            TRm = np.empty_like(Tm)
+            TRm[:-1] = T[2:]
+            TRm[-1] = out[y, 0]
+            pred = np.empty_like(Tm)
+            for m in present:
+                sel = mx == m
+                if m == 0:
+                    pred[sel] = black
+                elif m == 2:
+                    pred[sel] = Tm[sel]
+                elif m == 3:
+                    pred[sel] = TRm[sel]
+                elif m == 4:
+                    pred[sel] = TLm[sel]
+                elif m == 8:
+                    pred[sel] = _avg2(TLm[sel], Tm[sel])
+                else:
+                    pred[sel] = _avg2(Tm[sel], TRm[sel])
+            out[y, 1:] = (res[y, 1:] + pred) & 0xFF
+            continue
         x = 1
         while x < w:
             mode = int(mrow[x >> bits])
