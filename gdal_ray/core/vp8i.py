@@ -142,11 +142,11 @@ WH = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
 
 def fdct4(blocks: np.ndarray) -> np.ndarray:
     """(N,4,4) spatial → DCT coefficients (orthonormal, float)."""
-    return np.einsum("ij,njk,lk->nil", D4, blocks, D4, optimize=True)
+    return D4 @ blocks @ D4.T
 
 
 def idct4(coefs: np.ndarray) -> np.ndarray:
-    return np.einsum("ji,njk,kl->nil", D4, coefs, D4, optimize=True)
+    return D4.T @ coefs @ D4
 
 
 def fwht4(dc: np.ndarray) -> np.ndarray:
@@ -421,13 +421,13 @@ def encode_vp8i(img: np.ndarray, quality: int = 90) -> bytes:
     ru = np.zeros_like(up, np.uint8)
     rv = np.zeros_like(vp, np.uint8)
 
-    counts = np.zeros((N_PLANES, N_BANDS, N_CTX, N_NODES, 2), np.int64)
-    decisions: list = []            # (plane, band, ctx, node, bit)
-    stream: list = []               # interleaved ops, replayed at write time
+    decisions: list = []  # ((plane,band,ctx,node) flat index << 1) | bit
+    stream: list = []     # interleaved ops, replayed at write time
 
     def rec(plane, band, ctx, node, bit):
-        counts[plane, band, ctx, node, bit] += 1
-        decisions.append((plane, band, ctx, node, bit))
+        decisions.append(
+            (((((plane * N_BANDS + band) * N_CTX + ctx) * N_NODES + node)
+              << 1) | bit))
         stream.append(0)
 
     def extra(value, nbits):
@@ -521,41 +521,45 @@ def encode_vp8i(img: np.ndarray, quality: int = 90) -> bytes:
                 continue
             # Y2 block
             ctx0 = int(above_nz_y2[mx]) + int(left_nz_y2)
-            zz = [int(qy2.reshape(16)[ZZ4[i]]) for i in range(16)]
+            zz = qy2.reshape(16)[ZZ4].tolist()
             nz = _tokenize_block(zz, 1, 0, min(ctx0, 2), record)
             above_nz_y2[mx] = left_nz_y2 = 1 if nz else 0
             # 16 luma blocks (coefs 1..15)
+            qy_zz = qy.reshape(16, 16)[:, ZZ4].tolist()
             for b in range(16):
                 brow, bcol = b // 4, b % 4
                 ctx0 = int(above_nz_y[mx * 4 + bcol]) + int(left_nz_y[brow])
-                zz = [int(qy[b].reshape(16)[ZZ4[i]]) for i in range(16)]
-                nz = _tokenize_block(zz, 0, 1, min(ctx0, 2), record)
+                nz = _tokenize_block(qy_zz[b], 0, 1, min(ctx0, 2), record)
                 above_nz_y[mx * 4 + bcol] = left_nz_y[brow] = 1 if nz else 0
             # chroma blocks
             for (cmode, qc), above_c, left_c, off in (
                     (chroma[0], above_nz_u, left_nz_u, mx * 2),
                     (chroma[1], above_nz_v, left_nz_v, mx * 2)):
+                qc_zz = qc.reshape(4, 16)[:, ZZ4].tolist()
                 for b in range(4):
                     brow, bcol = b // 2, b % 2
                     ctx0 = int(above_c[off + bcol]) + int(left_c[brow])
-                    zz = [int(qc[b].reshape(16)[ZZ4[i]]) for i in range(16)]
-                    nz = _tokenize_block(zz, 2, 0, min(ctx0, 2), record)
+                    nz = _tokenize_block(qc_zz[b], 2, 0, min(ctx0, 2), record)
                     above_c[off + bcol] = left_c[brow] = 1 if nz else 0
 
     # per-frame probabilities from the measured decision counts
-    tot = counts.sum(axis=4)
-    probs = np.where(tot > 0,
-                     np.clip((counts[..., 0] * 255.0 //
-                              np.maximum(tot, 1)), 1, 255),
-                     128).astype(np.uint8)
+    nslots = N_PLANES * N_BANDS * N_CTX * N_NODES
+    dec_arr = np.asarray(decisions, dtype=np.int64)
+    counts = np.bincount(dec_arr, minlength=nslots * 2).reshape(nslots, 2)
+    tot = counts.sum(axis=1)
+    probs_flat = np.where(tot > 0,
+                          np.clip(counts[:, 0] * 255 //
+                                  np.maximum(tot, 1), 1, 255),
+                          128).astype(np.uint8)
+    probs = probs_flat.reshape(N_PLANES, N_BANDS, N_CTX, N_NODES)
+    prob_of = probs_flat.tolist()
 
     be = BoolEncoder()
-    di = iter(decisions)
-    pr = probs
+    di = iter(dec_arr.tolist())
     for op in stream:
         if op == 0:
-            plane, band, ctx, node, bit = next(di)
-            be.put(bit, int(pr[plane, band, ctx, node]))
+            d = next(di)
+            be.put(d & 1, prob_of[d >> 1])
         else:
             be.literal(op >> 6, op & 63)
     body = be.flush()
