@@ -419,7 +419,8 @@ def _read_code(br: _LsbReader, alphabet_size: int) -> _TreeDecoder:
 
 # ---------- encode ----------
 
-def encode_vp8l(img: np.ndarray, predictor: bool = False) -> bytes:
+def encode_vp8l(img: np.ndarray, predictor: bool = False,
+                palette: bool | str = "auto") -> bytes:
     """Lossless WebP of an (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA
     uint8 image — literal-only VP8L, one huffman group per channel.
 
@@ -427,7 +428,13 @@ def encode_vp8l(img: np.ndarray, predictor: bool = False) -> bytes:
     transform (type 0) with per-16×16-tile mode selection before
     SUBTRACT_GREEN.  Mode choice is restricted to the L-independent
     predictors {0, 2, 3, 4, 8, 9} so the decoder's row-vectorized inverse
-    stays on its fast path."""
+    stays on its fast path.
+
+    ``palette`` selects the COLOR_INDEXING transform (type 3): palette +
+    pixel-bundled indices (up to 8 px/byte) — the big win for masks and
+    flat map tiles.  ``"auto"`` (default) uses it when the image has ≤ 16
+    distinct colors (where it always wins); ``True`` forces it for any
+    image with ≤ 256 colors; ``False`` disables."""
     a = np.ascontiguousarray(img, dtype=np.uint8)
     if a.ndim == 2:
         a = np.stack([a, a, a], axis=-1)
@@ -443,6 +450,25 @@ def encode_vp8l(img: np.ndarray, predictor: bool = False) -> bytes:
     bw.write(h - 1, 14)
     bw.write(1 if (alpha != 255).any() else 0, 1)
     bw.write(0, 3)                            # version
+    if palette:
+        # palette pays when the image is genuinely multi-channel (a gray
+        # image already collapses to one coded channel via SUBTRACT_GREEN)
+        # and low-color; a 4k-pixel sampled unique() pre-check keeps the
+        # continuous-tone fast path from paying a full-image unique()
+        packed = ((alpha.astype(np.uint32) << 24)
+                  | (r.astype(np.uint32) << 16)
+                  | (g.astype(np.uint32) << 8) | b.astype(np.uint32))
+        flat = packed.ravel()
+        sample = flat[::max(1, flat.size // 4096)]
+        if np.unique(sample).size <= 256:
+            colors, inverse = np.unique(flat, return_inverse=True)
+            cr = (colors >> 16) & 0xFF
+            cg = (colors >> 8) & 0xFF
+            cb = colors & 0xFF
+            grayish = bool(((cr == cg) & (cg == cb)).all())
+            if colors.size <= 256 and (palette is True or not grayish):
+                return _encode_vp8l_palette(bw, colors,
+                                            inverse.reshape(h, w), w, h)
     if predictor:
         # PREDICTOR transform (spec type 0): stream lists it BEFORE
         # SUBTRACT_GREEN so the decoder inverts sub-green first, then
@@ -462,6 +488,44 @@ def encode_vp8l(img: np.ndarray, predictor: bool = False) -> bytes:
     r = (r.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
     b = (b.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
     _write_literal_stream(bw, r, g, b, alpha, level0=True)
+    payload = bw.flush()
+    if len(payload) % 2:
+        payload += b"\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _encode_vp8l_palette(bw: _LsbWriter, colors: np.ndarray,
+                         idx: np.ndarray, w: int, h: int) -> bytes:
+    """COLOR_INDEXING transform (spec type 3): component-delta-coded
+    palette subimage + indices pixel-bundled into the green channel
+    (8/4/2/1 px per packed pixel by palette size)."""
+    psize = colors.size
+    bw.write(1, 1)
+    bw.write(3, 2)                            # type 3 = color indexing
+    bw.write(psize - 1, 8)
+    pal = np.stack([(colors >> 16) & 0xFF, (colors >> 8) & 0xFF,
+                    colors & 0xFF, (colors >> 24) & 0xFF],
+                   axis=1).astype(np.int32)   # r, g, b, a
+    deltas = np.diff(pal, axis=0, prepend=np.zeros((1, 4), np.int32)) & 0xFF
+    deltas = deltas.astype(np.uint8)[None, :, :]     # (1, psize, 4)
+    _write_literal_stream(bw, deltas[:, :, 0], deltas[:, :, 1],
+                          deltas[:, :, 2], deltas[:, :, 3], level0=False)
+    bw.write(0, 1)                            # no more transforms
+    wbits = 3 if psize <= 2 else 2 if psize <= 4 else \
+        1 if psize <= 16 else 0
+    xs = 1 << wbits
+    bpp = 8 >> wbits
+    wp = _sub_size(w, wbits)
+    pad = np.zeros((h, wp * xs), idx.dtype)
+    pad[:, :w] = idx
+    shifts = (np.arange(xs) * bpp).astype(idx.dtype)
+    packed = (pad.reshape(h, wp, xs) << shifts[None, None, :]) \
+        .sum(axis=2).astype(np.uint8)
+    zero = np.zeros_like(packed)
+    _write_literal_stream(bw, zero, packed, zero,
+                          np.full_like(packed, 255), level0=True)
     payload = bw.flush()
     if len(payload) % 2:
         payload += b"\x00"

@@ -786,3 +786,32 @@ def test_decoder_fuzz_no_hangs():
             vp8i.decode_vp8i(bytes(d))
         except allowed:
             pass
+
+
+def test_vp8l_palette_encode():
+    """COLOR_INDEXING encode: lossless through the decoder's palette
+    inverse at every bundling width, auto-fires only for genuinely
+    multi-channel low-color images (~3× smaller), and leaves gray /
+    continuous-tone streams byte-identical to the non-palette path."""
+    from gdal_ray.core.vp8l import decode_vp8l, encode_vp8l
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    im = vals[rng.integers(0, 16, (128, 128))]
+    e_auto = encode_vp8l(im)
+    assert np.array_equal(decode_vp8l(e_auto), im)
+    assert len(e_auto) < len(encode_vp8l(im, palette=False)) // 2
+    for ncol, w in ((2, 17), (4, 33), (16, 63), (200, 31)):
+        img = (rng.integers(0, ncol, (21, w))
+               * (255 // max(ncol - 1, 1))).astype(np.uint8)
+        enc = encode_vp8l(img, palette=True)
+        assert np.array_equal(decode_vp8l(enc), img)
+    rgba = np.zeros((33, 47, 4), np.uint8)
+    rgba[..., 0] = rng.integers(0, 2, (33, 47)) * 200
+    rgba[..., 3] = np.where(rgba[..., 0] > 0, 255, 0)
+    rgba[..., 1] = 100
+    assert np.array_equal(decode_vp8l(encode_vp8l(rgba)), rgba)
+    gray = (rng.integers(0, 16, (64, 64)) * 17).astype(np.uint8)
+    assert encode_vp8l(gray) == encode_vp8l(gray, palette=False)
+    from gdal_ray.core import fixtures
+    fx = fixtures.image_pixels(4, 64, 64, 3)
+    assert encode_vp8l(fx) == encode_vp8l(fx, palette=False)
