@@ -420,7 +420,8 @@ def _read_code(br: _LsbReader, alphabet_size: int) -> _TreeDecoder:
 # ---------- encode ----------
 
 def encode_vp8l(img: np.ndarray, predictor: bool = False,
-                palette: bool | str = "auto") -> bytes:
+                palette: bool | str = "auto",
+                color: bool = False) -> bytes:
     """Lossless WebP of an (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA
     uint8 image — literal-only VP8L, one huffman group per channel.
 
@@ -480,6 +481,19 @@ def encode_vp8l(img: np.ndarray, predictor: bool = False,
         bw.write(bits - 2, 3)
         _write_literal_stream(bw, pimg[:, :, 0], pimg[:, :, 1],
                               pimg[:, :, 2], pimg[:, :, 3], level0=False)
+    if color and not (np.array_equal(r, g) and np.array_equal(g, b)):
+        # CROSS-COLOR transform (spec type 1), fitted per tile; skipped
+        # when the fit is all-zero (nothing to gain, save the header)
+        cbits = 4
+        r_enc, b_enc, cimg, used = _apply_color(r, g, b, cbits)
+        if used:
+            r, b = r_enc, b_enc
+            bw.write(1, 1)
+            bw.write(1, 2)                    # type 1 = cross-color
+            bw.write(cbits - 2, 3)
+            _write_literal_stream(bw, cimg[:, :, 0], cimg[:, :, 1],
+                                  cimg[:, :, 2], cimg[:, :, 3],
+                                  level0=False)
     # SUBTRACT_GREEN transform (spec type 2, no payload): gray images then
     # spend ZERO bits on the r/b channels (single-symbol codes)
     bw.write(1, 1)
@@ -532,6 +546,64 @@ def _encode_vp8l_palette(bw: _LsbWriter, colors: np.ndarray,
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _apply_color(r, g, b, bits: int):
+    """Forward cross-color transform fitted per tile so that AFTER the
+    following SUBTRACT_GREEN the residual channels concentrate near zero:
+    r' target is (r−g), modelled by g2r·int8(g)>>5; b' target is (b−g),
+    modelled jointly by g2b·int8(g)>>5 + r2b·int8(r)>>5 (2-var normal
+    equations).  Returns (r_enc, b_enc, cimg) with the spec's element
+    packing (g2r→blue, g2b→green, r2b→red)."""
+    h, w = r.shape
+    th, tw = _sub_size(h, bits), _sub_size(w, bits)
+    gs = g.astype(np.int8).astype(np.int32)
+    rs = r.astype(np.int8).astype(np.int32)
+    tr = (r.astype(np.int32) - g.astype(np.int32)).astype(np.int8) \
+        .astype(np.int32)
+    tb = (b.astype(np.int32) - g.astype(np.int32)).astype(np.int8) \
+        .astype(np.int32)
+
+    def tile_sum(x):
+        hp, wp = th << bits, tw << bits
+        p = np.zeros((hp, wp), np.int64)
+        p[:h, :w] = x
+        return p.reshape(th, 1 << bits, tw, 1 << bits).sum(axis=(1, 3))
+
+    # per-tile sums for the normal equations
+    sgg = tile_sum(gs * gs)
+    srr = tile_sum(rs * rs)
+    sgr = tile_sum(gs * rs)
+    sgt_r = tile_sum(gs * tr)
+    sgt_b = tile_sum(gs * tb)
+    srt_b = tile_sum(rs * tb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g2r = np.where(sgg > 0, np.round(32.0 * sgt_r / np.maximum(sgg, 1)),
+                       0)
+        det = sgg * srr - sgr * sgr
+        g2b = np.where(det != 0, np.round(
+            32.0 * (srr * sgt_b - sgr * srt_b) / np.where(det == 0, 1, det)),
+            0)
+        r2b = np.where(det != 0, np.round(
+            32.0 * (sgg * srt_b - sgr * sgt_b) / np.where(det == 0, 1, det)),
+            0)
+    g2r = np.clip(g2r, -128, 127).astype(np.int32)
+    g2b = np.clip(g2b, -128, 127).astype(np.int32)
+    r2b = np.clip(r2b, -128, 127).astype(np.int32)
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    ix = np.ix_(ys, xs)
+    d_r = (g2r[ix] * gs) >> 5
+    r_enc = (r.astype(np.int32) - d_r) & 0xFF
+    d_b = ((g2b[ix] * gs) >> 5) + ((r2b[ix] * rs) >> 5)
+    b_enc = (b.astype(np.int32) - d_b) & 0xFF
+    cimg = np.zeros((th, tw, 4), np.uint8)
+    cimg[:, :, 0] = (r2b & 0xFF).astype(np.uint8)
+    cimg[:, :, 1] = (g2b & 0xFF).astype(np.uint8)
+    cimg[:, :, 2] = (g2r & 0xFF).astype(np.uint8)
+    cimg[:, :, 3] = 255
+    used = bool(g2r.any() or g2b.any() or r2b.any())
+    return r_enc.astype(np.uint8), b_enc.astype(np.uint8), cimg, used
 
 
 def _apply_predictor(r, g, b, alpha, bits: int):

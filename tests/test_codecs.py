@@ -815,3 +815,20 @@ def test_vp8l_palette_encode():
     from gdal_ray.core import fixtures
     fx = fixtures.image_pixels(4, 64, 64, 3)
     assert encode_vp8l(fx) == encode_vp8l(fx, palette=False)
+
+
+def test_vp8l_color_transform_encode():
+    """Cross-color encode (opt-in): per-tile 2-var LSQ fit on int8 deltas,
+    lossless through the decoder's inverse, and combined with the
+    predictor it captures inter-channel residual correlation (fixture RGB
+    shrinks to ~56% of plain)."""
+    from gdal_ray.core import fixtures
+    from gdal_ray.core.vp8l import decode_vp8l, encode_vp8l
+    rng = np.random.default_rng(3)
+    for shape in ((33, 47, 4), (5, 7, 3), (1, 9, 3), (64, 64)):
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_vp8l(encode_vp8l(im, color=True)), im)
+    fx = fixtures.image_pixels(4, 128, 128, 3)
+    e2 = encode_vp8l(fx, predictor=True, color=True)
+    assert np.array_equal(decode_vp8l(e2), fx)
+    assert len(e2) < len(encode_vp8l(fx)) * 0.75
