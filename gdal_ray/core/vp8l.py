@@ -432,10 +432,18 @@ def encode_vp8l(img: np.ndarray, predictor: bool = False,
     stays on its fast path.
 
     ``palette`` selects the COLOR_INDEXING transform (type 3): palette +
-    pixel-bundled indices (up to 8 px/byte) — the big win for masks and
-    flat map tiles.  ``"auto"`` (default) uses it when the image has ≤ 16
-    distinct colors (where it always wins); ``True`` forces it for any
-    image with ≤ 256 colors; ``False`` disables."""
+    pixel-bundled indices (up to 8 px/byte) — the big win for low-color
+    map tiles.  ``"auto"`` (default) uses it for genuinely multi-channel
+    images with ≤ 256 distinct colors (gray images gain nothing —
+    SUBTRACT_GREEN already collapses them to one coded channel);
+    ``True`` forces it for any ≤ 256-color image; ``False`` disables.
+
+    ``color=True`` adds the CROSS-COLOR transform (type 1), fitted per
+    tile; most effective combined with ``predictor=True`` (residual
+    domain — fixture RGB drops to ~56% of plain).  The transforms stay
+    OFF by default because inverse-transform CPU outweighs the byte
+    savings on a single node; on a bandwidth-bound multi-node cluster
+    the trade flips — flip the flags at the catalog sink, not here."""
     a = np.ascontiguousarray(img, dtype=np.uint8)
     if a.ndim == 2:
         a = np.stack([a, a, a], axis=-1)
