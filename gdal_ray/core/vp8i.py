@@ -372,28 +372,81 @@ def _tokenize_block(coefs: list, plane: int, first: int, ctx0: int,
 
 def _detokenize_block(bd: BoolDecoder, probs, plane: int, first: int,
                       ctx0: int) -> list:
+    """Token-tree decode for one 4×4 block with the bool-decoder state
+    held in locals (the per-bool method-call overhead dominates decode
+    otherwise — same inlining treatment as the VP8L/JPEG hot loops)."""
     out = [0] * 16
     ctx = ctx0
     after_zero = False
     i = first
-    while i < 16:
-        tok = _decode_token(bd, probs[plane][_BAND[i]][ctx], after_zero)
-        if tok == EOB:
-            break
-        if tok == 0:
-            m = 0
-        elif tok <= 4:
-            m = tok
+    d = bd.d
+    value = bd.value
+    rng = bd.range
+    bit_count = bd.bit_count
+    pos = bd.pos
+    pl = probs[plane]
+
+    # local-state bool read (closure built once per block, not per token)
+    def _b(prob):
+        nonlocal value, rng, bit_count, pos
+        split = 1 + (((rng - 1) * prob) >> 8)
+        big = split << 8
+        if value >= big:
+            ret = 1
+            rng -= split
+            value -= big
         else:
-            c = tok - 5
-            m = _CAT_BASE[c] + bd.literal(_CAT_BITS[c])
+            ret = 0
+            rng = split
+        while rng < 128:
+            value = (value << 1) & 0xFFFF
+            rng <<= 1
+            bit_count += 1
+            if bit_count == 8:
+                bit_count = 0
+                value |= d[pos]
+                pos += 1
+        return ret
+
+    while i < 16:
+        pr = pl[_BAND[i]][ctx]
+        if not after_zero and not _b(pr[0]):
+            break                                  # EOB
+        if not _b(pr[1]):
+            tok = 0
+            m = 0
+        elif not _b(pr[2]):
+            tok, m = 1, 1
+        elif not _b(pr[3]):
+            if not _b(pr[4]):
+                tok, m = 2, 2
+            elif not _b(pr[5]):
+                tok, m = 3, 3
+            else:
+                tok, m = 4, 4
+        else:
+            if not _b(pr[6]):
+                c = 0 if not _b(pr[7]) else 1
+            elif not _b(pr[8]):
+                c = 2 if not _b(pr[9]) else 3
+            else:
+                c = 4 if not _b(pr[10]) else 5
+            tok = 5 + c
+            v = 0
+            for _ in range(_CAT_BITS[c]):
+                v = (v << 1) | _b(128)
+            m = _CAT_BASE[c] + v
         if m:
-            if bd.get(128):
+            if _b(128):
                 m = -m
         out[i] = m
         after_zero = tok == 0
-        ctx = 0 if m == 0 else (1 if abs(m) == 1 else 2)
+        ctx = 0 if m == 0 else (1 if (m if m > 0 else -m) == 1 else 2)
         i += 1
+    bd.value = value
+    bd.range = rng
+    bd.bit_count = bit_count
+    bd.pos = pos
     return out
 
 
@@ -555,13 +608,47 @@ def encode_vp8i(img: np.ndarray, quality: int = 90) -> bytes:
     prob_of = probs_flat.tolist()
 
     be = BoolEncoder()
+    out = be.out
+    bottom = 0
+    rng_ = 255
+    bit_count = 24
+
+    def _p(bit, prob):
+        nonlocal bottom, rng_, bit_count
+        split = 1 + (((rng_ - 1) * prob) >> 8)
+        if bit:
+            bottom += split
+            rng_ -= split
+        else:
+            rng_ = split
+        while rng_ < 128:
+            rng_ <<= 1
+            if bottom & 0x80000000:
+                j = len(out) - 1
+                while j >= 0 and out[j] == 0xFF:
+                    out[j] = 0
+                    j -= 1
+                if j >= 0:
+                    out[j] += 1
+            bottom = (bottom << 1) & 0xFFFFFFFF
+            bit_count -= 1
+            if bit_count == 0:
+                out.append((bottom >> 24) & 0xFF)
+                bottom &= 0xFFFFFF
+                bit_count = 8
+
     di = iter(dec_arr.tolist())
     for op in stream:
         if op == 0:
-            d = next(di)
-            be.put(d & 1, prob_of[d >> 1])
+            dd = next(di)
+            _p(dd & 1, prob_of[dd >> 1])
         else:
-            be.literal(op >> 6, op & 63)
+            v = op >> 6
+            for i in range((op & 63) - 1, -1, -1):
+                _p((v >> i) & 1, 128)
+    be.bottom = bottom
+    be.range = rng_
+    be.bit_count = bit_count
     body = be.flush()
 
     payload = struct.pack("<HHBB", w, h, qi, 1 if gray else 0) \
