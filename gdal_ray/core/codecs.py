@@ -207,6 +207,10 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         from . import jpeg as _jpeg
         return _jpeg.encode_jpeg(img, quality=98)
+    if fmt == "jpeg_420":
+        # 4:2:0 chroma-subsampled catalog option (decodes as fmt="jpeg")
+        from . import jpeg as _jpeg
+        return _jpeg.encode_jpeg(img, quality=98, subsample=True)
     if fmt == "webp":
         from . import vp8l as _vp8l
         return _vp8l.encode_vp8l(img)
@@ -226,11 +230,11 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return decode_raw(data)
     if fmt == "png":
         return decode_png(data)
-    if fmt == "jpeg":
+    if fmt in ("jpeg", "jpeg_420"):
         if data[:2] == b"\xff\xd8":
             from . import jpeg as _jpeg
             return _jpeg.decode_jpeg(data)
-        return _lossy_decode(data, fmt)   # legacy GJPG stub payloads
+        return _lossy_decode(data, "jpeg")   # legacy GJPG stub payloads
     if fmt in ("webp", "webp_lossy"):
         if data[:4] == b"RIFF":
             fourcc = data[12:16]

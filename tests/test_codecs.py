@@ -832,3 +832,25 @@ def test_vp8l_color_transform_encode():
     e2 = encode_vp8l(fx, predictor=True, color=True)
     assert np.array_equal(decode_vp8l(e2), fx)
     assert len(e2) < len(encode_vp8l(fx)) * 0.75
+
+
+def test_jpeg_420_dispatch_fmt():
+    """fmt='jpeg_420' encodes 4:2:0 through the dispatch (smaller than
+    4:4:4 at the same quality) and decodes via the plain jpeg path."""
+    from gdal_ray.core import codecs
+    img = _fixture_img(64, 96, 3)
+    e420 = codecs.encode(img, "jpeg_420")
+    e444 = codecs.encode(img, "jpeg")
+    assert len(e420) < len(e444)
+    out = codecs.decode(e420, "jpeg_420")
+    assert out.shape == img.shape
+    assert np.array_equal(out, codecs.decode(e420, "jpeg"))
+    # translate flows the new fmt through out_fmt
+    import pyarrow as pa
+
+    from gdal_ray.stages.raster import translate
+    t = pa.table({"image_id": ["a"], "bytes": [e444],
+                  "w": [96], "h": [64], "fmt": ["jpeg"]})
+    out_t = translate(t, out_fmt="jpeg_420")
+    assert codecs.decode(out_t["bytes"][0].as_py(), "jpeg_420").shape \
+        == img.shape
