@@ -509,7 +509,7 @@ def encode_vp8l(img: np.ndarray, predictor: bool = False,
     bw.write(0, 1)                            # no more transforms
     r = (r.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
     b = (b.astype(np.int16) - g.astype(np.int16)).astype(np.uint8)
-    _write_literal_stream(bw, r, g, b, alpha, level0=True)
+    _write_literal_stream(bw, r, g, b, alpha, level0=True, rle=True)
     payload = bw.flush()
     if len(payload) % 2:
         payload += b"\x00"
@@ -547,7 +547,7 @@ def _encode_vp8l_palette(bw: _LsbWriter, colors: np.ndarray,
         .sum(axis=2).astype(np.uint8)
     zero = np.zeros_like(packed)
     _write_literal_stream(bw, zero, packed, zero,
-                          np.full_like(packed, 255), level0=True)
+                          np.full_like(packed, 255), level0=True, rle=True)
     payload = bw.flush()
     if len(payload) % 2:
         payload += b"\x00"
@@ -669,25 +669,99 @@ def _apply_predictor(r, g, b, alpha, bits: int):
     return (res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3], pimg)
 
 
-def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False):
-    """Emit one image stream (no cache, single group, literal-only pixels).
+def _rle_runs(r, g, b, alpha, min_run: int = 4):
+    """Maximal runs of pixels identical to their predecessor (row-major,
+    all four channels), vectorized.  Returns (starts, lengths) of the
+    distance-1 LZ77 backreferences to emit — each capped at the spec's
+    4096 maximum — plus the boolean mask of pixels they cover."""
+    rf, gf, bf, af = (x.ravel() for x in (r, g, b, alpha))
+    n = rf.size
+    eq = np.zeros(n, bool)
+    eq[1:] = ((rf[1:] == rf[:-1]) & (gf[1:] == gf[:-1])
+              & (bf[1:] == bf[:-1]) & (af[1:] == af[:-1]))
+    d = np.diff(eq.astype(np.int8), prepend=0, append=0)
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]
+    lens = ends - starts
+    keep = lens >= min_run
+    starts, lens = starts[keep], lens[keep]
+    # split runs longer than the 4096 length cap
+    if lens.size and lens.max() > 4096:
+        ns, nl = [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            while ln > 4096:
+                ns.append(s)
+                nl.append(4096)
+                s += 4096
+                ln -= 4096
+            ns.append(s)
+            nl.append(ln)
+        starts = np.asarray(ns, np.int64)
+        lens = np.asarray(nl, np.int64)
+    covered = np.zeros(n, bool)
+    if starts.size:
+        marks = np.zeros(n + 1, np.int8)
+        marks[starts] += 1
+        marks[starts + lens] -= 1
+        covered = np.cumsum(marks[:-1]) > 0
+    return starts, lens, covered
+
+
+def _lz_prefix(values: np.ndarray):
+    """Inverse of _lz_value, vectorized: value → (prefix, extra, nbits)."""
+    u = values - 1
+    small = u < 4
+    eb = np.maximum(_bitlen_u(u) - 2, 0)
+    top2 = u >> eb
+    prefix = np.where(small, u, 2 * eb + 2 + (top2 - 2))
+    extra = np.where(small, 0, u - (top2 << eb))
+    nbits = np.where(small, 0, eb)
+    return prefix.astype(np.int64), extra.astype(np.int64), \
+        nbits.astype(np.int64)
+
+
+def _bitlen_u(x: np.ndarray) -> np.ndarray:
+    _, e = np.frexp(np.maximum(x, 0).astype(np.float64))
+    return e.astype(np.int64)
+
+
+def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
+                          rle=False):
+    """Emit one image stream (no cache, single group).  Pixels are
+    literals, plus — when ``rle`` — distance-1 LZ77 backreferences for
+    runs of identical pixels (vectorized run detection; when no runs
+    exist the output is byte-identical to the literal-only stream).
     Only a level-0 (ARGB) stream carries the meta-huffman bit — subimage
-    streams (transform data / entropy image / palette) must omit it.
-    Reused by the main encoder and by transform-subimage writers in
-    tests."""
+    streams (transform data / entropy image / palette) must omit it."""
     bw.write(0, 1)                            # no color cache
     if level0:
         bw.write(0, 1)                        # no meta huffman image
-    chans = [(g.ravel(), 280), (r.ravel(), 256), (b.ravel(), 256),
-             (alpha.ravel(), 256), (None, 40)]
+    if rle:
+        starts, rlens, covered = _rle_runs(r, g, b, alpha)
+    else:
+        starts = np.zeros(0, np.int64)
+        rlens = np.zeros(0, np.int64)
+        covered = np.zeros(r.size, bool)
+    lit = ~covered
+    lp, lex, lnb = _lz_prefix(rlens) if starts.size else \
+        (np.zeros(0, np.int64),) * 3
+    chans = [(g.ravel()[lit], 280), (r.ravel()[lit], 256),
+             (b.ravel()[lit], 256), (alpha.ravel()[lit], 256), (None, 40)]
     codes = []
-    for data, size in chans:
+    for ci, (data, size) in enumerate(chans):
         freq = np.zeros(size, np.int64)
         if data is not None:
             bc = np.bincount(data, minlength=256)
             freq[:len(bc)] = bc
+            if ci == 0 and starts.size:       # length prefixes live in green
+                freq[256:280] += np.bincount(lp, minlength=24)
         else:
-            freq[0] = 1                       # unused distance code
+            if starts.size:
+                # all backrefs are distance 1 = neighbor-map code 2
+                # (map entry (1,0)), whose LZ77 prefix symbol is 1
+                freq[1] = int(starts.size)
+            else:
+                freq[0] = 1                   # unused distance code
         lens = _huff_lengths(freq)
         _write_code(bw, lens)
         nz = [s for s, l in enumerate(lens) if l]
@@ -698,7 +772,11 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False):
             # pre-reverse: MSB-first code == LSB-first write of its reversal
             codes.append({s: (int(f"{c:0{l}b}"[::-1], 2), l)
                           for s, (c, l) in _canonical_codes(lens).items()})
-    gcode, rcode, bcode, acode, _ = codes
+    gcode, rcode, bcode, acode, dcode = codes
+    if starts.size:
+        _write_mixed_stream(bw, r, g, b, alpha, lit, starts, lp, lex, lnb,
+                            gcode, rcode, bcode, acode, dcode)
+        return
 
     def lut(cd):
         cl = np.zeros(256, np.uint64)
@@ -718,6 +796,42 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False):
              for cl, ll in (lut(cd),)]
     bw.write_many(np.stack([p[0] for p in parts], axis=1).ravel(),
                   np.stack([p[1] for p in parts], axis=1).ravel())
+
+
+def _write_mixed_stream(bw: _LsbWriter, r, g, b, alpha, lit, starts,
+                        lp, lex, lnb, gcode, rcode, bcode, acode, dcode):
+    """Literal + distance-1-backreference emission: entries carry
+    (8·flat_pixel_index + slot) sort keys, so one stable sort reproduces
+    stream order and write_many packs everything in one pass."""
+    def lut(cd, size):
+        cl = np.zeros(size, np.uint64)
+        ll = np.zeros(size, np.uint64)
+        for s, (c, l) in cd.items():
+            cl[s] = c
+            ll[s] = l
+        return cl, ll
+
+    gcl, gll = lut(gcode, 280)
+    rcl, rll = lut(rcode, 256)
+    bcl, bll = lut(bcode, 256)
+    acl, all_ = lut(acode, 256)
+    li = np.nonzero(lit)[0].astype(np.int64)
+    gv = g.ravel()[li]
+    rv = r.ravel()[li]
+    bv = b.ravel()[li]
+    av = alpha.ravel()[li]
+    gsym = 256 + lp
+    dc, dl = dcode[1]
+    keys = np.concatenate([li * 8 + 1, li * 8 + 2, li * 8 + 3, li * 8 + 4,
+                           starts * 8 + 1, starts * 8 + 2, starts * 8 + 3])
+    cods = np.concatenate([gcl[gv], rcl[rv], bcl[bv], acl[av],
+                           gcl[gsym], lex.astype(np.uint64),
+                           np.full(starts.size, dc, np.uint64)])
+    lens = np.concatenate([gll[gv], rll[rv], bll[bv], all_[av],
+                           gll[gsym], lnb.astype(np.uint64),
+                           np.full(starts.size, dl, np.uint64)])
+    order = np.argsort(keys, kind="stable")
+    bw.write_many(cods[order], lens[order])
 
 
 # ---------- decode ----------

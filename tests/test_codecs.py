@@ -854,3 +854,42 @@ def test_jpeg_420_dispatch_fmt():
     out_t = translate(t, out_fmt="jpeg_420")
     assert codecs.decode(out_t["bytes"][0].as_py(), "jpeg_420").shape \
         == img.shape
+
+
+def test_vp8l_rle_backreferences():
+    """Distance-1 LZ77 run encoding (on by default for main streams):
+    identical-pixel runs become backreferences through the decoder's LZ77
+    path — flat images collapse to tens of bytes, the 4096 length cap
+    splits long runs, and no-run images stay byte-identical to the
+    literal-only stream."""
+    from gdal_ray.core import fixtures
+    from gdal_ray.core.vp8l import (_rle_runs, decode_vp8l, encode_vp8l)
+    flat = np.zeros((100, 130), np.uint8)
+    flat[:50] = 200
+    flat[60:70, 20:90] = 55
+    e = encode_vp8l(flat, palette=False)
+    assert np.array_equal(decode_vp8l(e), flat)
+    assert len(e) < 200
+    big = np.full((80, 80), 9, np.uint8)          # 6400-px run > 4096 cap
+    eb = encode_vp8l(big, palette=False)
+    assert np.array_equal(decode_vp8l(eb), big)
+    assert len(eb) < 100
+    starts, lens, covered = _rle_runs(
+        big, big, big, np.full_like(big, 255))
+    assert lens.max() <= 4096 and int(lens.sum()) == covered.sum() == 6399
+    rgba = np.full((33, 47, 4), 128, np.uint8)
+    rgba[5] = (1, 2, 3, 4)
+    assert np.array_equal(decode_vp8l(encode_vp8l(rgba, palette=False)),
+                          rgba)
+    # predictor residual runs compound with the transform
+    grad = np.clip(np.add.outer(np.arange(64), np.arange(96)), 0,
+                   255).astype(np.uint8)
+    ep = encode_vp8l(grad, predictor=True)
+    assert np.array_equal(decode_vp8l(ep), grad)
+    assert len(ep) < 400
+    # no runs → byte-identical to the literal-only form (freqs unchanged)
+    noisy = fixtures.image_pixels(4, 48, 48, 3)
+    s2, _, cov = _rle_runs(noisy[:, :, 0], noisy[:, :, 1],
+                           noisy[:, :, 2], np.full((48, 48), 255, np.uint8))
+    assert s2.size == 0 and not cov.any()
+    assert np.array_equal(decode_vp8l(encode_vp8l(noisy)), noisy)
