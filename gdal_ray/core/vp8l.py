@@ -669,23 +669,16 @@ def _apply_predictor(r, g, b, alpha, bits: int):
     return (res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3], pimg)
 
 
-def _rle_runs(r, g, b, alpha, min_run: int = 4):
-    """Maximal runs of pixels identical to their predecessor (row-major,
-    all four channels), vectorized.  Returns (starts, lengths) of the
-    distance-1 LZ77 backreferences to emit — each capped at the spec's
-    4096 maximum — plus the boolean mask of pixels they cover."""
-    rf, gf, bf, af = (x.ravel() for x in (r, g, b, alpha))
-    n = rf.size
-    eq = np.zeros(n, bool)
-    eq[1:] = ((rf[1:] == rf[:-1]) & (gf[1:] == gf[:-1])
-              & (bf[1:] == bf[:-1]) & (af[1:] == af[:-1]))
+def _mask_runs(eq: np.ndarray, min_run: int):
+    """Maximal True-stretches of eq (≥ min_run), split at the spec's 4096
+    length cap.  Returns (starts, lengths, covered_mask)."""
+    n = eq.size
     d = np.diff(eq.astype(np.int8), prepend=0, append=0)
     starts = np.nonzero(d == 1)[0]
     ends = np.nonzero(d == -1)[0]
     lens = ends - starts
     keep = lens >= min_run
     starts, lens = starts[keep], lens[keep]
-    # split runs longer than the 4096 length cap
     if lens.size and lens.max() > 4096:
         ns, nl = [], []
         for s, ln in zip(starts.tolist(), lens.tolist()):
@@ -704,7 +697,29 @@ def _rle_runs(r, g, b, alpha, min_run: int = 4):
         marks[starts] += 1
         marks[starts + lens] -= 1
         covered = np.cumsum(marks[:-1]) > 0
-    return starts, lens, covered
+    return starts.astype(np.int64), lens.astype(np.int64), covered
+
+
+def _rle_runs(r, g, b, alpha, min_run: int = 4):
+    """Vectorized LZ77 run detection at the two distances the neighbor
+    map makes free: distance 1 (previous pixel) and distance w (pixel
+    above) — all four channels, row-major.  d=1 runs take priority; d=w
+    runs are detected over the remaining pixels.  Returns per-distance
+    (starts, lengths) plus the union coverage mask."""
+    w = r.shape[1]
+    rf, gf, bf, af = (x.ravel() for x in (r, g, b, alpha))
+    n = rf.size
+    eq1 = np.zeros(n, bool)
+    eq1[1:] = ((rf[1:] == rf[:-1]) & (gf[1:] == gf[:-1])
+               & (bf[1:] == bf[:-1]) & (af[1:] == af[:-1]))
+    s1, l1, cov = _mask_runs(eq1, min_run)
+    eqw = np.zeros(n, bool)
+    if n > w:
+        eqw[w:] = ((rf[w:] == rf[:-w]) & (gf[w:] == gf[:-w])
+                   & (bf[w:] == bf[:-w]) & (af[w:] == af[:-w]))
+    eqw &= ~cov
+    sw, lw, covw = _mask_runs(eqw, min_run)
+    return s1, l1, sw, lw, cov | covw
 
 
 def _lz_prefix(values: np.ndarray):
@@ -737,14 +752,23 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
     if level0:
         bw.write(0, 1)                        # no meta huffman image
     if rle:
-        starts, rlens, covered = _rle_runs(r, g, b, alpha)
+        s1, l1, sw, lw, covered = _rle_runs(r, g, b, alpha)
     else:
-        starts = np.zeros(0, np.int64)
-        rlens = np.zeros(0, np.int64)
+        s1 = l1 = sw = lw = np.zeros(0, np.int64)
         covered = np.zeros(r.size, bool)
+    nruns = s1.size + sw.size
     lit = ~covered
-    lp, lex, lnb = _lz_prefix(rlens) if starts.size else \
-        (np.zeros(0, np.int64),) * 3
+    # combined backref tables: starts, length-prefix decomposition, and
+    # the distance prefix symbol (d=1 → neighbor-map code 2 → prefix 1;
+    # d=w → code 1 → prefix 0)
+    starts = np.concatenate([s1, sw])
+    p1, e1_, b1_ = _lz_prefix(l1) if s1.size else (np.zeros(0, np.int64),) * 3
+    pw, ew_, bw_ = _lz_prefix(lw) if sw.size else (np.zeros(0, np.int64),) * 3
+    lp = np.concatenate([p1, pw])
+    lex = np.concatenate([e1_, ew_])
+    lnb = np.concatenate([b1_, bw_])
+    dsym = np.concatenate([np.full(s1.size, 1, np.int64),
+                           np.zeros(sw.size, np.int64)])
     chans = [(g.ravel()[lit], 280), (r.ravel()[lit], 256),
              (b.ravel()[lit], 256), (alpha.ravel()[lit], 256), (None, 40)]
     codes = []
@@ -753,13 +777,12 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
         if data is not None:
             bc = np.bincount(data, minlength=256)
             freq[:len(bc)] = bc
-            if ci == 0 and starts.size:       # length prefixes live in green
+            if ci == 0 and nruns:             # length prefixes live in green
                 freq[256:280] += np.bincount(lp, minlength=24)
         else:
-            if starts.size:
-                # all backrefs are distance 1 = neighbor-map code 2
-                # (map entry (1,0)), whose LZ77 prefix symbol is 1
-                freq[1] = int(starts.size)
+            if nruns:
+                freq[1] = int(s1.size)
+                freq[0] = int(sw.size)
             else:
                 freq[0] = 1                   # unused distance code
         lens = _huff_lengths(freq)
@@ -773,9 +796,9 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
             codes.append({s: (int(f"{c:0{l}b}"[::-1], 2), l)
                           for s, (c, l) in _canonical_codes(lens).items()})
     gcode, rcode, bcode, acode, dcode = codes
-    if starts.size:
+    if nruns:
         _write_mixed_stream(bw, r, g, b, alpha, lit, starts, lp, lex, lnb,
-                            gcode, rcode, bcode, acode, dcode)
+                            dsym, gcode, rcode, bcode, acode, dcode)
         return
 
     def lut(cd):
@@ -799,8 +822,9 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
 
 
 def _write_mixed_stream(bw: _LsbWriter, r, g, b, alpha, lit, starts,
-                        lp, lex, lnb, gcode, rcode, bcode, acode, dcode):
-    """Literal + distance-1-backreference emission: entries carry
+                        lp, lex, lnb, dsym, gcode, rcode, bcode, acode,
+                        dcode):
+    """Literal + backreference emission: entries carry
     (8·flat_pixel_index + slot) sort keys, so one stable sort reproduces
     stream order and write_many packs everything in one pass."""
     def lut(cd, size):
@@ -815,21 +839,19 @@ def _write_mixed_stream(bw: _LsbWriter, r, g, b, alpha, lit, starts,
     rcl, rll = lut(rcode, 256)
     bcl, bll = lut(bcode, 256)
     acl, all_ = lut(acode, 256)
+    dcl, dll = lut(dcode, 40)
     li = np.nonzero(lit)[0].astype(np.int64)
     gv = g.ravel()[li]
     rv = r.ravel()[li]
     bv = b.ravel()[li]
     av = alpha.ravel()[li]
     gsym = 256 + lp
-    dc, dl = dcode[1]
     keys = np.concatenate([li * 8 + 1, li * 8 + 2, li * 8 + 3, li * 8 + 4,
                            starts * 8 + 1, starts * 8 + 2, starts * 8 + 3])
     cods = np.concatenate([gcl[gv], rcl[rv], bcl[bv], acl[av],
-                           gcl[gsym], lex.astype(np.uint64),
-                           np.full(starts.size, dc, np.uint64)])
+                           gcl[gsym], lex.astype(np.uint64), dcl[dsym]])
     lens = np.concatenate([gll[gv], rll[rv], bll[bv], all_[av],
-                           gll[gsym], lnb.astype(np.uint64),
-                           np.full(starts.size, dl, np.uint64)])
+                           gll[gsym], lnb.astype(np.uint64), dll[dsym]])
     order = np.argsort(keys, kind="stable")
     bw.write_many(cods[order], lens[order])
 

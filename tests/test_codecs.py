@@ -874,9 +874,9 @@ def test_vp8l_rle_backreferences():
     eb = encode_vp8l(big, palette=False)
     assert np.array_equal(decode_vp8l(eb), big)
     assert len(eb) < 100
-    starts, lens, covered = _rle_runs(
+    s1, l1, sw, lw, covered = _rle_runs(
         big, big, big, np.full_like(big, 255))
-    assert lens.max() <= 4096 and int(lens.sum()) == covered.sum() == 6399
+    assert l1.max() <= 4096 and int(l1.sum()) == covered.sum() == 6399
     rgba = np.full((33, 47, 4), 128, np.uint8)
     rgba[5] = (1, 2, 3, 4)
     assert np.array_equal(decode_vp8l(encode_vp8l(rgba, palette=False)),
@@ -889,7 +889,13 @@ def test_vp8l_rle_backreferences():
     assert len(ep) < 400
     # no runs → byte-identical to the literal-only form (freqs unchanged)
     noisy = fixtures.image_pixels(4, 48, 48, 3)
-    s2, _, cov = _rle_runs(noisy[:, :, 0], noisy[:, :, 1],
-                           noisy[:, :, 2], np.full((48, 48), 255, np.uint8))
-    assert s2.size == 0 and not cov.any()
+    s1n, _, swn, _, cov = _rle_runs(
+        noisy[:, :, 0], noisy[:, :, 1], noisy[:, :, 2],
+        np.full((48, 48), 255, np.uint8))
+    assert s1n.size == 0 and swn.size == 0 and not cov.any()
     assert np.array_equal(decode_vp8l(encode_vp8l(noisy)), noisy)
+    # distance-w (row-above) runs: vertically-striped content
+    stripes = np.tile((np.arange(64) % 16 * 16).astype(np.uint8), (64, 1))
+    es = encode_vp8l(stripes, palette=False)
+    assert np.array_equal(decode_vp8l(es), stripes)
+    assert len(es) < 250
