@@ -967,11 +967,23 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
                     d = dy * w + dx
                     if d < 1:
                         d = 1
-                for _ in range(length):
-                    rg.append(rg[-d])
-                    rr.append(rr[-d])
-                    rb.append(rb[-d])
-                    ra.append(ra[-d])
+                if d == 1:                     # constant run: C-level repeat
+                    rg.extend([rg[-1]] * length)
+                    rr.extend([rr[-1]] * length)
+                    rb.extend([rb[-1]] * length)
+                    ra.extend([ra[-1]] * length)
+                elif length <= d:              # non-overlapping: one slice
+                    st = len(rg) - d
+                    rg.extend(rg[st:st + length])
+                    rr.extend(rr[st:st + length])
+                    rb.extend(rb[st:st + length])
+                    ra.extend(ra[st:st + length])
+                else:                          # overlapping periodic copy
+                    for _ in range(length):
+                        rg.append(rg[-d])
+                        rr.append(rr[-d])
+                        rb.append(rb[-d])
+                        ra.append(ra[-d])
                 continue
             raise ValueError("corrupt VP8L: cache symbol without color cache")
     except IndexError:
