@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": R.ann_ivf_q,
         "raster_translate": R.raster_translate_q,
         "raster_tiff": R.raster_tiff_q,
+        "raster_cog": R.raster_cog_q,
         "raster_webp_lossy": R.raster_webp_lossy_q,
         "raster_sieve": R.raster_sieve_q,
         "raster_proximity": R.raster_proximity_q,
@@ -120,10 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_sort_hilbert": R.vector_sort_hilbert_q,
         "geo_rasterize": R.geo_rasterize_q,
         "geo_polygonize": R.geo_polygonize_q,
-        "grid_linear": R.grid_linear_q,
         "dedup_ngram": R.dedup_ngram_q,
         # ---- slot 50 ends here ----
         # oracle-backed overflow (families above already have a green row)
+        "grid_linear": R.grid_linear_q,
         "text_fingerprint": R.text_fingerprint_q,
         "q_segment_revenue": R.q_segment_revenue,
         "q_distinct_brands": R.q_distinct_brands,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": R.SQL_ANN_IVF,
         "raster_translate": R.SQL_RASTER_TRANSLATE,
         "raster_tiff": R.SQL_RASTER_TIFF,
+        "raster_cog": R.SQL_RASTER_COG,
         "raster_webp_lossy": R.SQL_RASTER_WEBP_LOSSY,
         "raster_sieve": R.SQL_RASTER_SIEVE,
         "raster_proximity": R.SQL_RASTER_PROXIMITY,

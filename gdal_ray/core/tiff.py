@@ -354,6 +354,191 @@ def encode_tiff(img: np.ndarray, *, compression: str = "deflate",
     return bytes(out)
 
 
+# ---------- COG (cloud-optimized GeoTIFF) ----------
+
+def reduce2x(a: np.ndarray, resampling: str = "average") -> np.ndarray:
+    """One overview reduction step: (h,w,spp) → (ceil(h/2),ceil(w/2),spp).
+
+    ``average`` matches the reference's overview math
+    (gcore/overview.cpp AVERAGE): integer types round half-up with the
+    true contributing-pixel count at odd edges — (sum + count//2) // count;
+    floats take the plain mean.  ``nearest`` picks the top-left pixel of
+    each 2×2 block (overview.cpp NEAR)."""
+    h, w, spp = a.shape
+    if resampling == "nearest":
+        return np.ascontiguousarray(a[::2, ::2, :])
+    ri = np.arange(0, h, 2)
+    ci = np.arange(0, w, 2)
+    acc = a.astype(np.float64 if np.issubdtype(a.dtype, np.floating)
+                   else np.int64)
+    s = np.add.reduceat(np.add.reduceat(acc, ri, axis=0), ci, axis=1)
+    rc = np.minimum(ri + 2, h) - ri          # rows per block (2 or 1 at edge)
+    cc = np.minimum(ci + 2, w) - ci
+    cnt = (rc[:, None] * cc[None, :])[:, :, None]
+    if np.issubdtype(a.dtype, np.floating):
+        return (s / cnt).astype(a.dtype)
+    return ((s + cnt // 2) // cnt).astype(a.dtype)
+
+
+def _tile_chunks(a: np.ndarray, tw: int, th: int, compress_chunk) -> list:
+    """Row-major padded tiles of (h,w,spp) → compressed chunk list."""
+    h, w, spp = a.shape
+    chunks = []
+    for ty in range(0, h, th):
+        for tx in range(0, w, tw):
+            t = np.zeros((th, tw, spp), dtype=a.dtype)
+            sub = a[ty:ty + th, tx:tx + tw]
+            t[: sub.shape[0], : sub.shape[1]] = sub
+            chunks.append(compress_chunk(t))
+    return chunks
+
+
+def encode_cog(img: np.ndarray, *, tile_size: int = 256,
+               compression: str = "deflate", geotransform=None,
+               epsg: int | None = None, predictor: int | None = None,
+               level: int = 6, resampling: str = "average") -> bytes:
+    """Single-file cloud-optimized GeoTIFF (the reference's COG driver
+    layout, frmts/gtiff/cogdriver.cpp):
+
+      header | IFD0 (full res) → IFD1..IFDn (overviews, NewSubfileType=1)
+      | tile data with the SMALLEST overview's tiles first and the
+      full-resolution tiles last, row-major within each level, offsets
+      strictly ascending.
+
+    Overview chain halves dimensions (``reduce2x``) until both sides fit
+    in one tile.  All IFDs (and their out-of-line values) sit at the head
+    of the file so a range-reader gets the full structure in one fetch —
+    the property cogdriver.cpp's layout enforces."""
+    a = np.ascontiguousarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.dtype == np.dtype(bool):
+        a = a.astype(np.uint8)
+    dt = a.dtype
+    sf = _sample_format(dt)
+    bps = dt.itemsize * 8
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+    pred = 1 if predictor is None else predictor
+    tw = th = int(tile_size)
+    if tw % 16:
+        raise ValueError("TIFF tile dims must be multiples of 16")
+
+    def compress_chunk(chunk: np.ndarray) -> bytes:
+        if pred == 2:
+            raw = np.ascontiguousarray(
+                _apply_predictor2(chunk).astype(dt.newbyteorder("<"))).tobytes()
+        elif pred == 3:
+            raw = _apply_predictor3(chunk)
+        else:
+            raw = np.ascontiguousarray(
+                chunk.astype(dt.newbyteorder("<"))).tobytes()
+        if comp_code == 8:
+            return zlib.compress(raw, level)
+        if comp_code == 5:
+            return lzw_encode(raw)
+        return raw
+
+    # overview chain: halve until the level fits in a single tile
+    levels = [a]
+    while max(levels[-1].shape[0], levels[-1].shape[1]) > tw:
+        levels.append(reduce2x(levels[-1], resampling))
+
+    level_chunks = [_tile_chunks(lv, tw, th, compress_chunk) for lv in levels]
+
+    def build_entries(li: int, lv: np.ndarray,
+                      offsets: list[int] | None) -> list:
+        h, w, spp = lv.shape
+        chunks = level_chunks[li]
+        ents: list[tuple[int, int, list]] = []
+
+        def tag(t, ty, vals):
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
+            ents.append((t, ty, list(vals)))
+
+        tag(254, _T_LONG, 0 if li == 0 else 1)   # NewSubfileType
+        tag(256, _T_LONG, w)
+        tag(257, _T_LONG, h)
+        tag(258, _T_SHORT, [bps] * spp)
+        tag(259, _T_SHORT, comp_code)
+        tag(262, _T_SHORT, 2 if spp >= 3 else 1)
+        tag(277, _T_SHORT, spp)
+        tag(284, _T_SHORT, 1)
+        if pred != 1:
+            tag(317, _T_SHORT, pred)
+        tag(322, _T_LONG, tw)
+        tag(323, _T_LONG, th)
+        tag(324, _T_LONG, offsets if offsets is not None else [0] * len(chunks))
+        tag(325, _T_LONG, [len(c) for c in chunks])
+        if spp in (2, 4):
+            tag(338, _T_SHORT, 2)
+        tag(339, _T_SHORT, [sf] * spp)
+        if li == 0 and geotransform is not None:
+            gt = [float(g) for g in geotransform]
+            if gt[2] or gt[4]:
+                raise ValueError("axis-aligned geotransforms only")
+            tag(33550, _T_DOUBLE, [gt[1], abs(gt[5]), 0.0])
+            tag(33922, _T_DOUBLE, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+            tag(34735, _T_SHORT, _geokeys(epsg))
+        elif li == 0 and epsg is not None:
+            tag(34735, _T_SHORT, _geokeys(epsg))
+        ents.sort(key=lambda e: e[0])
+        return ents
+
+    def serialize_ifd(ents, ifd_pos: int, next_pos: int) -> bytes:
+        """IFD entry table immediately followed by its out-of-line values."""
+        n = len(ents)
+        oov_base = ifd_pos + 2 + 12 * n + 4
+        oov = bytearray()
+        body = bytearray(struct.pack("<H", n))
+        for t, ty, vals in ents:
+            cnt = len(vals)
+            size = _TYPE_SIZE[ty] * cnt
+            if size > 4:
+                field = struct.pack("<I", oov_base + len(oov))
+                oov += struct.pack("<%d%s" % (cnt, _TYPE_FMT[ty]), *vals)
+                if len(oov) % 2:
+                    oov += b"\x00"
+            else:
+                field = struct.pack("<%d%s" % (cnt, _TYPE_FMT[ty]), *vals)
+                field += b"\x00" * (4 - len(field))
+            body += struct.pack("<HHI", t, ty, cnt) + field
+        body += struct.pack("<I", next_pos)
+        return bytes(body) + bytes(oov)
+
+    # pass 1 with placeholder offsets → exact per-IFD block sizes
+    draft = [build_entries(i, lv, None) for i, lv in enumerate(levels)]
+    ifd_pos: list[int] = []
+    pos = 8
+    for i, ents in enumerate(draft):
+        ifd_pos.append(pos)
+        pos += len(serialize_ifd(ents, pos, 0))
+        if pos % 2:
+            pos += 1
+    data_start = pos
+
+    # data layout: smallest overview first … full resolution last
+    offsets_per_level: list[list[int]] = [[] for _ in levels]
+    dpos = data_start
+    for li in range(len(levels) - 1, -1, -1):
+        for c in level_chunks[li]:
+            offsets_per_level[li].append(dpos)
+            dpos += len(c)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_pos[0]))
+    for i, lv in enumerate(levels):
+        nxt = ifd_pos[i + 1] if i + 1 < len(levels) else 0
+        ents = build_entries(i, lv, offsets_per_level[i])
+        out += serialize_ifd(ents, ifd_pos[i], nxt)
+        if len(out) % 2:
+            out += b"\x00"
+    assert len(out) == data_start
+    for li in range(len(levels) - 1, -1, -1):
+        for c in level_chunks[li]:
+            out += c
+    return bytes(out)
+
+
 # ---------- decode ----------
 
 def _read_ifd(data: bytes, bo: str, pos: int):
@@ -383,22 +568,8 @@ def _read_ifd(data: bytes, bo: str, pos: int):
     return tags, nxt
 
 
-def decode_tiff_full(data: bytes):
-    """→ (array (h,w) or (h,w,bands), meta dict with geotransform/epsg)."""
-    if data[:2] == b"II":
-        bo = "<"
-    elif data[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF")
-    (magic,) = struct.unpack_from(bo + "H", data, 2)
-    if magic == 43:
-        raise NotImplementedError("BigTIFF not supported (classic only)")
-    if magic != 42:
-        raise ValueError("bad TIFF magic")
-    (ifd0,) = struct.unpack_from(bo + "I", data, 4)
-    tags, _ = _read_ifd(data, bo, ifd0)
-
+def _decode_ifd(data: bytes, bo: str, tags: dict):
+    """Decode one IFD's pixel grid → (array, meta)."""
     w = int(tags[256][0])
     h = int(tags[257][0])
     spp = int(tags.get(277, [1])[0])
@@ -490,7 +661,50 @@ def decode_tiff_full(data: bytes):
                 meta["epsg"] = int(val)
             if loc == 0 and kid == 1024:
                 meta["model_type"] = int(val)
+    if 254 in tags:
+        meta["subfile_type"] = int(tags[254][0])
+    if 324 in tags:
+        meta["tile_offsets"] = [int(v) for v in tags[324]]
     return (img[:, :, 0] if spp == 1 else img), meta
+
+
+def _tiff_header(data: bytes) -> tuple[str, int]:
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic == 43:
+        raise NotImplementedError("BigTIFF not supported (classic only)")
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd0,) = struct.unpack_from(bo + "I", data, 4)
+    return bo, ifd0
+
+
+def decode_tiff_full(data: bytes):
+    """→ (array (h,w) or (h,w,bands), meta dict with geotransform/epsg)."""
+    bo, ifd0 = _tiff_header(data)
+    tags, _ = _read_ifd(data, bo, ifd0)
+    img, meta = _decode_ifd(data, bo, tags)
+    meta["ifd_offset"] = ifd0
+    return img, meta
+
+
+def decode_tiff_all(data: bytes) -> list:
+    """Walk the whole IFD chain (COG: full res first, then overviews) —
+    returns [(array, meta), ...] in file-chain order."""
+    bo, pos = _tiff_header(data)
+    out = []
+    while pos:
+        here = pos
+        tags, pos = _read_ifd(data, bo, here)
+        img, meta = _decode_ifd(data, bo, tags)
+        meta["ifd_offset"] = here
+        out.append((img, meta))
+    return out
 
 
 def decode_tiff(data: bytes) -> np.ndarray:

@@ -87,6 +87,56 @@ def write_tiles_hilbert(tiles: "ray.data.Dataset", out_dir: str,
         .write_parquet(out_dir)
 
 
+def write_cog(images: "ray.data.Dataset", out_dir: str, *,
+              tile_size: int = 256, compression: str = "deflate",
+              resampling: str = "average",
+              predictor: int | None = None) -> "ray.data.Dataset":
+    """Single-file cloud-optimized GeoTIFF sink (the reference's COG driver,
+    frmts/gtiff/cogdriver.cpp): each image becomes ONE .tif with all IFDs at
+    the head and tile data ordered smallest-overview-first.
+
+    One file per input row (file-per-task, embarrassingly parallel — no
+    shuffle); returns the manifest Dataset (image_id, path, n_bytes,
+    n_levels) so callers can checkpoint / verify without re-reading files.
+    """
+    import os
+
+    from ..core import codecs as CD
+    from ..core import tiff as TF
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids, paths, sizes, nlvls = [], [], [], []
+        has_gt = "geotransform" in b.column_names
+        for i in range(b.num_rows):
+            iid = b.column("image_id")[i].as_py()
+            img = CD.decode(b.column("bytes")[i].as_py(),
+                            b.column("fmt")[i].as_py())
+            gt = (list(b.column("geotransform")[i].as_py())
+                  if has_gt and b.column("geotransform")[i].is_valid else None)
+            payload = TF.encode_cog(img, tile_size=tile_size,
+                                    compression=compression,
+                                    resampling=resampling, predictor=predictor,
+                                    geotransform=gt,
+                                    epsg=4326 if gt is not None else None)
+            path = os.path.join(out_dir, f"{iid}.tif")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+            ids.append(iid)
+            paths.append(path)
+            sizes.append(len(payload))
+            nlvls.append(len(TF.decode_tiff_all(payload)))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "path": pa.array(paths, pa.string()),
+                         "n_bytes": pa.array(sizes, pa.int64()),
+                         "n_levels": pa.array(nlvls, pa.int64())})
+
+    return images.map_batches(fn, batch_format="pyarrow")
+
+
 def phash_neardup_pairs(images: "ray.data.Dataset", *, max_hamming: int = 3,
                         id_col: str = "image_id", phash_col: str = "phash",
                         ) -> "ray.data.Dataset":

@@ -3095,6 +3095,81 @@ GROUP BY n
 """
 
 
+# ---------- round 5: COG single-file writer on the driver surface ----------
+
+def raster_cog_q(sf_dir: str):
+    """Cloud-optimized GeoTIFF (frmts/gtiff/cogdriver.cpp layout): encode the
+    derived 32×32 rasters as single-file COGs (tile 16 ⇒ one overview level
+    at 16×16 via half-up 2×2 average, gcore/overview.cpp AVERAGE), decode the
+    whole IFD chain back and report per-image level count, base + overview
+    GDAL checksums, overview pixel sum, and a layout predicate (all IFDs
+    before the first tile byte; tile offsets ascending smallest-level-first).
+    The oracle replays the overview average from the v=(n*31+k)%(97+n%13)
+    recipe with integer arithmetic."""
+    from ..core import checksum as CK
+    from ..core import tiff as TF
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        from ..core import codecs as CD
+        ns, nlv, ck0, ck1, osum, lay = [], [], [], [], [], []
+        for i in range(b.num_rows):
+            img = CD.decode(b.column("bytes")[i].as_py(), "raw")
+            gt = list(b.column("geotransform")[i].as_py())
+            payload = TF.encode_cog(img, tile_size=16, compression="deflate",
+                                    predictor=2, geotransform=gt, epsg=4326)
+            levels = TF.decode_tiff_all(payload)
+            base, ovr = levels[0][0], levels[1][0]
+            offs = [m["tile_offsets"] for _, m in levels]
+            flat = [o for lv in reversed(offs) for o in lv]
+            ok = (flat == sorted(flat)
+                  and all(m["ifd_offset"] < min(flat) for _, m in levels)
+                  and levels[0][1].get("subfile_type") == 0
+                  and levels[1][1].get("subfile_type") == 1)
+            ns.append(int(b.column("image_id")[i].as_py()[3:]))
+            nlv.append(len(levels))
+            ck0.append(CK.checksum(base))
+            ck1.append(CK.checksum(ovr))
+            osum.append(int(ovr.astype(np.int64).sum()))
+            lay.append(1 if ok else 0)
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "n_levels": pa.array(nlv, pa.int64()),
+                         "cksum_base": pa.array(ck0, pa.int64()),
+                         "cksum_ovr": pa.array(ck1, pa.int64()),
+                         "ovr_sum": pa.array(osum, pa.int64()),
+                         "layout_ok": pa.array(lay, pa.int64())})
+
+    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow") \
+        .map_batches(per_batch, batch_format="pyarrow")
+
+
+SQL_RASTER_COG = f"""
+WITH px AS ({_SQL_DERIVED_PIXELS}),
+base AS (SELECT n, k, v, k // 32 AS r, k % 32 AS c FROM px),
+ovr AS (
+  SELECT n, (r // 2) * 16 + (c // 2) AS k2,
+         (SUM(v) + 2) // 4 AS v2
+  FROM base GROUP BY n, r // 2, c // 2
+),
+agg0 AS (
+  SELECT n,
+         CAST(SUM(v % ([7,11,13,17,19,23,29,31,37,41,43])[(k % 11) + 1])
+              % 65536 AS BIGINT) AS cksum_base
+  FROM base GROUP BY n
+),
+agg1 AS (
+  SELECT n,
+         CAST(SUM(v2 % ([7,11,13,17,19,23,29,31,37,41,43])[(k2 % 11) + 1])
+              % 65536 AS BIGINT) AS cksum_ovr,
+         CAST(SUM(v2) AS BIGINT) AS ovr_sum
+  FROM ovr GROUP BY n
+)
+SELECT agg0.n AS n, CAST(2 AS BIGINT) AS n_levels, cksum_base, cksum_ovr,
+       ovr_sum, CAST(1 AS BIGINT) AS layout_ok
+FROM agg0 JOIN agg1 ON agg0.n = agg1.n
+"""
+
+
 # ---------- round 4: ISO curved WKB on the driver surface ----------
 
 def vector_curves_q(sf_dir: str):
