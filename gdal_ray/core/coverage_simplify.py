@@ -61,9 +61,16 @@ def simplify_coverage(faces: dict, tolerance: float,
     Returns the same structure with shared-edge-consistent simplification.
 
     ``pinned`` fids keep EVERY vertex (used by the cell-partitioned scale
-    path for faces straddling partition borders: a pinned face simplifies
-    identically — i.e. not at all — in every group that sees it, so chains
-    it shares stay consistent across groups)."""
+    path for faces spanning more than a 2×2 cell block: a pinned face
+    simplifies identically — i.e. not at all — in every group that sees it,
+    so chains it shares stay consistent across groups).
+
+    Determinism contract (load-bearing for the bbox-halo scale path): the
+    kept-vertex decision for any chain is a pure function of the chain's
+    geometry and the SET of faces incident to it — faces are walked in
+    sorted-fid order and every chain is Douglas-Peucker'd in a canonical
+    orientation, so two different cell groups that both contain a chain's
+    incident faces compute the identical kept subset."""
     pinned = pinned or set()
     # ---- pass 1: degree of every snapped vertex in the segment graph ----
     seg_count: dict = {}
@@ -85,9 +92,12 @@ def simplify_coverage(faces: dict, tolerance: float,
     nodes = {v for v, d in degree.items() if d != 2}
 
     # ---- pass 2: walk chains once, decide the kept vertex set ----
+    # sorted-fid iteration: the first face to visit a chain wins the DP, and
+    # that winner must be identical in every cell group that sees the chain
     kept: set = set(nodes)
     visited: set = set()
-    for polys in faces.values():
+    for _fid in sorted(faces):
+        polys = faces[_fid]
         for rings in polys:
             for ring in rings:
                 r = np.asarray(ring, dtype=np.float64)[:-1]
@@ -133,7 +143,14 @@ def simplify_coverage(faces: dict, tolerance: float,
                         continue
                     visited.add(ck)
                     pts = r[[i % m for i in idxs]]
-                    mask = _dp_keep(pts, tolerance)
+                    # canonical orientation: DP argmax tie-breaks depend on
+                    # point order, so walk every chain the same way in every
+                    # group (key-lexicographic direction)
+                    ch_keys = [keys[i % m] for i in idxs]
+                    if ch_keys[::-1] < ch_keys:
+                        mask = _dp_keep(pts[::-1].copy(), tolerance)[::-1]
+                    else:
+                        mask = _dp_keep(pts, tolerance)
                     for k_i in np.nonzero(mask)[0]:
                         kept.add(keys[idxs[int(k_i)] % m])
 

@@ -440,14 +440,19 @@ def simplify_coverage(layer: "ray.data.Dataset", tolerance: float, *,
     must see each other while deciding a chain):
       - partition_col: a user column already grouping edge-connected faces
         (admin region, tile id) — one group per value;
-      - level: CELL-PARTITIONED SCALE PATH — each face replicates to every
-        world-grid cell its (ε-expanded) bbox covers and is OWNED by the
-        minimum one; faces spanning >1 cell are PINNED (all vertices kept),
-        so any chain they share simplifies identically — i.e. not at all —
-        in every group, while fully-interior faces (whose edge-adjacent
-        neighbours provably co-occur in their owner group) simplify
-        normally.  Conservative near cell borders, exact everywhere else,
-        and no group ever needs more than a cell's neighbourhood.
+      - level: BBOX-HALO CELL-PARTITIONED SCALE PATH — each face is OWNED
+        by the min-corner cell of its (ε-expanded) bbox cover and
+        replicated as a read-only HALO copy to every cell in
+        [cx0-1..cx1] × [cy0-1..cy1], so a group holds every face that can
+        touch any face it owns.  A face whose cover fits a 2×2 cell block
+        therefore simplifies EXACTLY like the global pass (all incident
+        faces provably co-present; the core walks chains in sorted-fid
+        order with orientation-canonical DP, so every group computes the
+        identical kept set for a shared chain).  Only faces spanning more
+        than a 2×2 block are PINNED (all vertices kept — conservative but
+        cross-group consistent).  Pick ``level`` so typical faces are a
+        fraction of a cell and the output equals the global mode while no
+        group ever holds more than a 2×2-blocks-plus-halo neighbourhood.
       - neither: one global group (the reference's in-memory GEOS
         envelope)."""
     import pyarrow as pa
@@ -469,24 +474,36 @@ def simplify_coverage(layer: "ray.data.Dataset", tolerance: float, *,
         from ..core import cells as C
 
         def expand(b: pa.Table) -> pa.Table:
-            eps = 1e-7    # border-touching faces must become multi-cell
+            eps = 1e-7    # catches SNAP-coincident vertices across faces
+            n = 1 << level
             out = {"cell": [], id_col: [], "wkb": [], "owner": [], "pinned": []}
             for i in range(b.num_rows):
                 data = b.column("wkb")[i].as_py()
                 pts = np.concatenate([r for rings in
                                       W.as_polygons(W.loads(data))
                                       for r in rings])
-                cs = C.cells_for_bbox(float(pts[:, 0].min()) - eps,
-                                      float(pts[:, 1].min()) - eps,
-                                      float(pts[:, 0].max()) + eps,
-                                      float(pts[:, 1].max()) + eps, level)
-                owner = int(cs.min())
-                for c in cs.tolist():
-                    out["cell"].append(int(c))
-                    out[id_col].append(b.column(id_col)[i].as_py())
-                    out["wkb"].append(data)
-                    out["owner"].append(int(c) == owner)
-                    out["pinned"].append(len(cs) > 1)
+                # ε-expanded bbox cover (exactness + ownership) …
+                cx0, cy1 = C.cell_xy(float(pts[:, 0].min()) - eps,
+                                     float(pts[:, 1].min()) - eps, level)
+                cx1, cy0 = C.cell_xy(float(pts[:, 0].max()) + eps,
+                                     float(pts[:, 1].max()) + eps, level)
+                cx0, cx1, cy0, cy1 = int(cx0), int(cx1), int(cy0), int(cy1)
+                owner = int(C.pack(cx0, cy0, level))
+                # … exact iff it fits the 2×2 block at the owner corner:
+                # then bbox(F) ⊆ 3×3(owner) and every face touching F (its
+                # bbox meets F's ⊆ the block) lands in owner's halo range
+                pin = (cx1 - cx0 > 1) or (cy1 - cy0 > 1)
+                # halo: one extra cell toward the min corner only — group c
+                # owns faces whose 2×2 block starts at c, so a face must be
+                # visible from cx0-1 / cy0-1 but never from beyond cx1/cy1
+                for cx in range(max(cx0 - 1, 0), cx1 + 1):
+                    for cy in range(max(cy0 - 1, 0), cy1 + 1):
+                        c = int(C.pack(cx, cy, level))
+                        out["cell"].append(c)
+                        out[id_col].append(b.column(id_col)[i].as_py())
+                        out["wkb"].append(data)
+                        out["owner"].append(c == owner)
+                        out["pinned"].append(pin)
             return pa.table({
                 "cell": pa.array(out["cell"], pa.int64()),
                 id_col: pa.array(out[id_col]),

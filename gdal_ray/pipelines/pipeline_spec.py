@@ -201,8 +201,10 @@ def _register_vector():
 
     from ..pipelines import layer_algebra as LA
     _REGISTRY["simplify_coverage"] = \
-        lambda ds, tolerance, partition_col=None: LA.simplify_coverage(
-            ds, float(tolerance), partition_col=partition_col)
+        lambda ds, tolerance, partition_col=None, level=None: \
+        LA.simplify_coverage(
+            ds, float(tolerance), partition_col=partition_col,
+            level=None if level is None else int(level))
 
 
 # ---------- raster stages ----------

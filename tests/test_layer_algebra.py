@@ -146,42 +146,81 @@ def test_simplify_coverage_op_stays_clean(ray_session):
 
 
 def test_simplify_coverage_cell_partitioned(ray_session):
-    """Cell-partitioned scale path: interior faces simplify exactly like
-    the global pass; border-straddling faces are pinned (unchanged); the
-    result is still a clean coverage with the full area."""
+    """Bbox-halo cell-partitioned scale path: faces fitting a 2×2 cell
+    block simplify EXACTLY like the global pass — including faces that
+    straddle cell borders — and the result is a clean full-area coverage.
+    Fixture spans ≥4 owner cells (the multi-group 'done' criterion)."""
     import ray.data
 
+    from gdal_ray.core import cells as C
     from gdal_ray.core import wkb as W
     from gdal_ray.pipelines.layer_algebra import check_coverage, simplify_coverage
-    # 6x1 strip of unit squares at y=3 (between the 1.40625-degree y-cell
-    # borders): it crosses the level-7 x-borders at 5.625 and 8.4375
-    # (pinned columns) while the other faces stay strictly interior
+    # 12×2 grid of unit squares from x=3..15, y=2..4: crosses the level-7
+    # x-cell borders at 5.625, 8.4375, 11.25 and 14.0625 and the y-border
+    # at 2.8125, so faces span multiple owner cells (but all fit 2×2)
     rows = {"fid": [], "wkb": []}
-    for gy0 in range(1):
-        for gx0 in range(6):
-            gx, gy = gx0 + 3, gy0 + 3
+    owners = set()
+    for gy0 in range(2):
+        for gx0 in range(12):
+            gx, gy = gx0 + 3, gy0 + 2
             ring = [(gx, gy), (gx + 1, gy), (gx + 1, gy + 1), (gx, gy + 1),
                     (gx, gy)]
-            rows["fid"].append(f"c{gx}{gy}")
+            rows["fid"].append(f"c{gx:02d}{gy}")
             rows["wkb"].append(W.dumps({"type": "Polygon",
                                         "rings": [_densify_ring(ring)]}))
+            cx, cy = C.cell_xy(gx - 1e-7, gy + 1 + 1e-7, 7)  # bbox min corner
+            owners.add((int(cx), int(cy)))
+    assert len(owners) >= 4                   # genuinely multi-group fixture
     layer = ray.data.from_arrow(pa.table({
         "fid": pa.array(rows["fid"]), "wkb": pa.array(rows["wkb"], pa.binary())}))
     simp = simplify_coverage(layer, tolerance=1e-6, level=7).materialize()
     got = {r["fid"]: r["wkb"] for r in simp.take_all()}
-    assert len(got) == 6                      # every face emitted exactly once
+    assert len(got) == 24                     # every face emitted exactly once
+    # global==cell-mode equality, byte-for-byte per face
+    ref = {r["fid"]: r["wkb"]
+           for r in simplify_coverage(layer, tolerance=1e-6).take_all()}
+    assert got == ref
     area = 0.0
-    pinned_ct = 0
     for fid, data in got.items():
         for rings in W.as_polygons(W.loads(data)):
             a = rings[0]
             area += 0.5 * abs(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1]))
-            if len(a) > 5:
-                pinned_ct += 1                # pinned faces keep densified verts
-    assert abs(area - 6.0) < 1e-9
-    # c33's only neighbour is interior -> fully simplified square; the
-    # pinned straddler columns keep every densified vertex
-    assert len(W.as_polygons(W.loads(got["c33"]))[0][0]) == 5
-    assert len(W.as_polygons(W.loads(got["c53"]))[0][0]) == 25
+            assert len(a) == 5                # fully simplified everywhere
+    assert abs(area - 24.0) < 1e-9
+    overlaps = check_coverage(simp).take_all()
+    assert overlaps == []
+
+
+def test_simplify_coverage_oversized_face_pinned(ray_session):
+    """A face spanning more than a 2×2 cell block is pinned (all vertices
+    kept) and its small neighbours still simplify consistently — the
+    coverage stays clean."""
+    import ray.data
+
+    from gdal_ray.core import wkb as W
+    from gdal_ray.pipelines.layer_algebra import check_coverage, simplify_coverage
+    # big face 0..12 in x (> 2 cells of 2.8125°) + one small neighbour on top
+    big = [(0.0, 0.0), (12.0, 0.0), (12.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    small = [(0.0, 1.0), (1.0, 1.0), (1.0, 2.0), (0.0, 2.0), (0.0, 1.0)]
+    layer = ray.data.from_arrow(pa.table({
+        "fid": pa.array(["big", "small"]),
+        "wkb": pa.array([W.dumps({"type": "Polygon",
+                                  "rings": [_densify_ring(big)]}),
+                         W.dumps({"type": "Polygon",
+                                  "rings": [_densify_ring(small)]})],
+                        pa.binary())}))
+    simp = simplify_coverage(layer, tolerance=1e-6, level=7).materialize()
+    got = {r["fid"]: r["wkb"] for r in simp.take_all()}
+    assert len(got) == 2
+    big_ring = W.as_polygons(W.loads(got["big"]))[0][0]
+    assert len(big_ring) == len(_densify_ring(big))   # pinned: all kept
+    # small face keeps the shared-chain vertices (consistency with the
+    # pinned side) but the coverage is still overlap-free and full-area
+    area = 0.0
+    for data in got.values():
+        for rings in W.as_polygons(W.loads(data)):
+            a = rings[0]
+            area += 0.5 * abs(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1]))
+    assert abs(area - 13.0) < 1e-9
     overlaps = check_coverage(simp).take_all()
     assert overlaps == []
