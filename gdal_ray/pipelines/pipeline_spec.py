@@ -91,6 +91,28 @@ def _read_flatgeobuf(ds, path):
 
 # ---------- sinks ----------
 
+@register("write_geojson")
+def _write_geojson(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_geojson
+    return write_geojson(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_gpkg")
+def _write_gpkg(ds, out_dir: str, table: str = "layer", srs_id=4326,
+                wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_gpkg
+    return write_gpkg(ds, out_dir, table=table, srs_id=int(srs_id),
+                      wkb_col=wkb_col)
+
+
+@register("write_cog")
+def _write_cog(ds, out_dir: str, tile_size=256, compression: str = "deflate",
+               resampling: str = "average"):
+    from .catalog import write_cog
+    return write_cog(ds, out_dir, tile_size=int(tile_size),
+                     compression=compression, resampling=resampling)
+
+
 @register("write_parquet")
 def _write_parquet(ds, path: str, partition_cols=None):
     kw = {"partition_cols": partition_cols} if partition_cols else {}
@@ -296,13 +318,17 @@ def parse_pipeline(text: str) -> dict:
     return {"steps": steps}
 
 
-def run_pipeline(spec) -> "ray.data.Dataset":
-    """Execute a serialized pipeline spec (dict, JSON string, or CLI
-    one-liner) and return the resulting Dataset."""
+def run_pipeline(spec, source: "ray.data.Dataset | None" = None) -> "ray.data.Dataset":
+    """Execute a serialized pipeline spec (dict, JSON string, CLI
+    one-liner, or bare step list) and return the resulting Dataset.
+    ``source`` seeds the stream for specs that start mid-pipeline
+    (no read stage) — the programmatic-embedding case."""
     if isinstance(spec, str):
         spec = parse_pipeline(spec) if "!" in spec or not spec.lstrip().startswith("{") \
             else json.loads(spec)
-    ds = None
+    if isinstance(spec, list):
+        spec = {"steps": spec}
+    ds = source
     for step in spec["steps"]:
         params = {k: v for k, v in step.items() if k != "op"}
         op = step["op"]

@@ -73,7 +73,9 @@ def parse_geojson_bytes(data: bytes) -> pa.Table:
         p = f.get("properties") or {}
         for k in props_keys:
             cols[k].append(p.get(k))
-        wkbs.append(wkb.dumps(_geojson_geom_to_parsed(f["geometry"])))
+        g = f.get("geometry")      # RFC 7946 §3.2: geometry may be null
+        wkbs.append(None if g is None
+                    else wkb.dumps(_geojson_geom_to_parsed(g)))
     out = {k: pa.array(v) for k, v in cols.items()}
     out["wkb"] = pa.array(wkbs, pa.binary())
     return pa.table(out)

@@ -1,0 +1,253 @@
+"""Vector format writers: GeoJSON + GeoPackage — the export half of the
+reference's OGR drivers (``ogr/ogrsf_frmts/geojson/ogrgeojsonwriter.cpp``,
+``ogr/ogrsf_frmts/gpkg/ogrgeopackagetablelayer.cpp``), paired with the
+readers in ``vector_formats.py`` so ogr2ogr-style round trips work.
+
+Ray shape: file-per-block sinks — each ``map_batches`` task serializes its
+batch to ONE self-contained file (a GeoJSON FeatureCollection / a complete
+.gpkg database) named by a content hash, and emits a manifest row
+(path, n_features, n_bytes).  Content-hash names make re-runs idempotent
+(same data → same file, atomically replaced) and nothing funnels through the
+driver.  All serialization is pure stdlib (json / sqlite3) against the
+public specs: RFC 7946 and OGC 12-128r14.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sqlite3
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import wkb
+
+
+# ---------- GeoJSON ----------
+
+def geom_to_geojson(g: dict) -> dict:
+    """Parsed geometry (the ``wkb.loads`` form) → RFC 7946 geometry dict.
+    Z is kept as the third position element; M has no GeoJSON
+    representation and is dropped (OGR's writer does the same)."""
+    t = g["type"]
+
+    def pos(xy, z=None):
+        xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+        if z is None:
+            return xy.tolist()
+        z = np.asarray(z, dtype=np.float64).reshape(-1)
+        return np.hstack([xy, z[:, None]]).tolist()
+
+    if t == "Point":
+        p = pos(g["xy"], g.get("z"))[0]
+        return {"type": "Point", "coordinates": p}
+    if t == "LineString":
+        return {"type": "LineString", "coordinates": pos(g["xy"], g.get("z"))}
+    if t == "Polygon":
+        zs = g.get("z") or [None] * len(g["rings"])
+        return {"type": "Polygon",
+                "coordinates": [pos(r, z) for r, z in zip(g["rings"], zs)]}
+    if t == "MultiPoint":
+        return {"type": "MultiPoint", "coordinates": pos(g["xy"])}
+    if t == "MultiLineString":
+        return {"type": "MultiLineString",
+                "coordinates": [pos(ln) for ln in g["lines"]]}
+    if t == "MultiPolygon":
+        return {"type": "MultiPolygon",
+                "coordinates": [[pos(r) for r in rings]
+                                for rings in g["polys"]]}
+    if t == "GeometryCollection":
+        return {"type": "GeometryCollection",
+                "geometries": [geom_to_geojson(s) for s in g["geoms"]]}
+    raise ValueError(f"cannot express {t} in GeoJSON")
+
+
+def geojson_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
+    """Serialize a (attributes…, wkb) table to an RFC 7946
+    FeatureCollection.  Inverse of ``vector_formats.parse_geojson_bytes``."""
+    names = [c for c in tab.column_names if c != wkb_col]
+    feats = []
+    wkbs = tab.column(wkb_col).to_pylist()
+    cols = {c: tab.column(c).to_pylist() for c in names}
+    for i in range(tab.num_rows):
+        geometry = None if wkbs[i] is None \
+            else geom_to_geojson(wkb.loads(wkbs[i]))
+        feats.append({"type": "Feature",
+                      "properties": {c: cols[c][i] for c in names},
+                      "geometry": geometry})
+    return json.dumps({"type": "FeatureCollection", "features": feats},
+                      default=str, separators=(",", ":")).encode()
+
+
+# ---------- GeoPackage ----------
+
+_GPKG_LAST_CHANGE = "2000-01-01T00:00:00.000Z"  # fixed → deterministic bytes
+
+
+def wkb_to_gpkg_blob(data: bytes | None, *, srs_id: int = 4326) -> bytes | None:
+    """Standard WKB → GeoPackage binary blob (OGC 12-128r14 §2.1.3):
+    magic 'GP', version 0, flags 0x01 (little-endian header, envelope
+    indicator 0 — legal per the spec, and what the paired reader expects
+    when the envelope bits are 0)."""
+    if data is None:
+        return None
+    return b"GP\x00\x01" + struct.pack("<i", srs_id) + data
+
+
+def _sqlite_type(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_integer(t):
+        return "INTEGER"
+    if pa.types.is_floating(t):
+        return "REAL"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    if pa.types.is_timestamp(t):
+        return "DATETIME"
+    if pa.types.is_date(t):
+        return "DATE"
+    return "TEXT"
+
+
+def _sqlite_value(v):
+    if v is None or isinstance(v, (int, float, str, bytes)):
+        return v
+    if isinstance(v, bool):
+        return int(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def gpkg_bytes(tables: dict[str, pa.Table], *, srs_id: int = 4326,
+               wkb_col: str = "wkb") -> bytes:
+    """Serialize feature tables into a complete GeoPackage database
+    (stdlib sqlite3, ``Connection.serialize`` — no file needed).  Writes
+    the spec-required gpkg_spatial_ref_sys / gpkg_contents /
+    gpkg_geometry_columns metadata, application_id 'GPKG' and a ``fid``
+    INTEGER PRIMARY KEY per feature table (requirement 29).  Readable by
+    ``vector_formats.read_gpkg`` and any conformant implementation."""
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA application_id = 1196444487")   # 'GPKG'
+    con.execute("PRAGMA user_version = 10301")          # GeoPackage 1.3.1
+    con.execute("""CREATE TABLE gpkg_spatial_ref_sys (
+        srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+        organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+        definition TEXT NOT NULL, description TEXT)""")
+    con.executemany(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+        [("Undefined Cartesian SRS", -1, "NONE", -1, "undefined"),
+         ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
+         ("WGS 84 geodetic", 4326, "EPSG", 4326,
+          'GEOGCS["WGS 84",DATUM["WGS_1984",'
+          'SPHEROID["WGS 84",6378137,298.257223563]],'
+          'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')])
+    con.execute("""CREATE TABLE gpkg_contents (
+        table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+        identifier TEXT UNIQUE, description TEXT DEFAULT '',
+        last_change DATETIME NOT NULL,
+        min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+        srs_id INTEGER)""")
+    con.execute("""CREATE TABLE gpkg_geometry_columns (
+        table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+        geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+        z TINYINT NOT NULL, m TINYINT NOT NULL,
+        CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))""")
+    for name, tab in tables.items():
+        attr = [c for c in tab.column_names if c not in (wkb_col, "fid")]
+        coldefs = ['"fid" INTEGER PRIMARY KEY', '"geom" BLOB']
+        for c in attr:
+            coldefs.append(f'"{c}" {_sqlite_type(tab.schema.field(c).type)}')
+        con.execute(f'CREATE TABLE "{name}" ({", ".join(coldefs)})')
+        fids = tab.column("fid").to_pylist() if "fid" in tab.column_names \
+            else list(range(1, tab.num_rows + 1))
+        wkbs = tab.column(wkb_col).to_pylist()
+        cols = {c: tab.column(c).to_pylist() for c in attr}
+        rows = [(fids[i], wkb_to_gpkg_blob(wkbs[i], srs_id=srs_id),
+                 *[_sqlite_value(cols[c][i]) for c in attr])
+                for i in range(tab.num_rows)]
+        ph = ",".join("?" * (2 + len(attr)))
+        con.executemany(f'INSERT INTO "{name}" VALUES ({ph})', rows)
+        # content bbox from the geometry envelopes (nullable per spec)
+        pts = [p for d in wkbs if d is not None
+               for rings in [_all_points(wkb.loads(d))] for p in rings]
+        if pts:
+            allp = np.vstack(pts)
+            bbox = (float(allp[:, 0].min()), float(allp[:, 1].min()),
+                    float(allp[:, 0].max()), float(allp[:, 1].max()))
+        else:
+            bbox = (None, None, None, None)
+        con.execute("INSERT INTO gpkg_contents VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    (name, "features", name, "", _GPKG_LAST_CHANGE,
+                     bbox[0], bbox[1], bbox[2], bbox[3], srs_id))
+        con.execute("INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,2,2)",
+                    (name, "geom", "GEOMETRY", srs_id))
+    con.commit()
+    payload = con.serialize()
+    con.close()
+    return payload
+
+
+def _all_points(g: dict) -> list:
+    t = g["type"]
+    if t == "Point":
+        return [np.asarray(g["xy"], dtype=np.float64).reshape(1, 2)]
+    if t in ("LineString", "MultiPoint"):
+        return [np.asarray(g["xy"], dtype=np.float64).reshape(-1, 2)]
+    if t == "Polygon":
+        return [np.asarray(r, dtype=np.float64) for r in g["rings"]]
+    if t == "MultiLineString":
+        return [np.asarray(ln, dtype=np.float64) for ln in g["lines"]]
+    if t == "MultiPolygon":
+        return [np.asarray(r, dtype=np.float64)
+                for rings in g["polys"] for r in rings]
+    return [p for s in g["geoms"] for p in _all_points(s)]
+
+
+# ---------- Ray sinks ----------
+
+def _file_sink(ds: "ray.data.Dataset", out_dir: str, ext: str,
+               serialize) -> "ray.data.Dataset":
+    """File-per-block sink: serialize(batch) → bytes, write atomically under
+    a content-hash name, emit one manifest row per file."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_features": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        payload = serialize(b)
+        name = hashlib.md5(payload).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_features": pa.array([b.num_rows], pa.int64()),
+                         "n_bytes": pa.array([len(payload)], pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def write_geojson(ds: "ray.data.Dataset", out_dir: str, *,
+                  wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GeoJSON sink: one FeatureCollection file per block; returns the
+    manifest Dataset (path, n_features, n_bytes)."""
+    return _file_sink(ds, out_dir, ".geojson",
+                      lambda b: geojson_bytes(b, wkb_col=wkb_col))
+
+
+def write_gpkg(ds: "ray.data.Dataset", out_dir: str, *,
+               table: str = "layer", srs_id: int = 4326,
+               wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GeoPackage sink: one complete .gpkg per block (feature table
+    ``table``); returns the manifest Dataset (path, n_features, n_bytes)."""
+    return _file_sink(ds, out_dir, ".gpkg",
+                      lambda b: gpkg_bytes({table: b}, srs_id=srs_id,
+                                           wkb_col=wkb_col))

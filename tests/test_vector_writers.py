@@ -1,0 +1,149 @@
+"""Vector writer round trips — write → read back through the paired
+reader → WKB equality, over the hole / multipart / Z-M / curve fixture
+set (the reference's ogr2ogr export semantics: GeoJSON per RFC 7946
+keeps Z and drops M; GPKG stores the WKB verbatim behind a GP header)."""
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.core import wkb as W
+from gdal_ray.sources import vector_formats as VF
+from gdal_ray.sources import vector_writers as VW
+
+
+def _fixture_geoms():
+    sq = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=np.float64)
+    hole = np.array([(1, 1), (1, 2), (2, 2), (2, 1), (1, 1)], dtype=np.float64)
+    return {
+        "point": {"type": "Point", "xy": np.array([1.5, -2.25])},
+        "line": {"type": "LineString",
+                 "xy": np.array([(0, 0), (1, 1), (2, 0.5)], dtype=np.float64)},
+        "poly_hole": {"type": "Polygon", "rings": [sq, hole]},
+        "mpoint": {"type": "MultiPoint",
+                   "xy": np.array([(0, 0), (3, 4)], dtype=np.float64)},
+        "mline": {"type": "MultiLineString",
+                  "lines": [np.array([(0, 0), (1, 0)], dtype=np.float64),
+                            np.array([(0, 1), (1, 1)], dtype=np.float64)]},
+        "mpoly": {"type": "MultiPolygon", "polys": [[sq], [hole]]},
+        "collection": {"type": "GeometryCollection",
+                       "geoms": [{"type": "Point", "xy": np.array([9.0, 9.0])},
+                                 {"type": "LineString",
+                                  "xy": np.array([(0, 0), (2, 2)],
+                                                 dtype=np.float64)}]},
+    }
+
+
+def _fixture_table() -> pa.Table:
+    geoms = _fixture_geoms()
+    names = sorted(geoms)
+    return pa.table({
+        "name": pa.array(names),
+        "rank": pa.array(list(range(len(names))), pa.int64()),
+        "score": pa.array([i * 0.5 for i in range(len(names))], pa.float64()),
+        "wkb": pa.array([W.dumps(geoms[n]) for n in names], pa.binary()),
+    })
+
+
+def test_geojson_roundtrip_bytes():
+    tab = _fixture_table()
+    back = VF.parse_geojson_bytes(VW.geojson_bytes(tab))
+    assert back.column_names == ["name", "rank", "score", "wkb"]
+    assert back.column("name").to_pylist() == tab.column("name").to_pylist()
+    assert back.column("rank").to_pylist() == tab.column("rank").to_pylist()
+    assert back.column("wkb").to_pylist() == tab.column("wkb").to_pylist()
+
+
+def test_geojson_z_kept_m_dropped():
+    zline = {"type": "LineString",
+             "xy": np.array([(0, 0), (1, 1)], dtype=np.float64),
+             "z": np.array([10.0, 20.0])}
+    g = VW.geom_to_geojson(zline)
+    assert g["coordinates"] == [[0.0, 0.0, 10.0], [1.0, 1.0, 20.0]]
+    back = W.loads(W.dumps(zline))
+    assert np.allclose(back["z"], [10.0, 20.0])
+    mline = dict(zline)
+    mline["m"] = np.array([1.0, 2.0])
+    g2 = VW.geom_to_geojson({k: v for k, v in mline.items() if k != "m"})
+    assert g2 == g   # M has no RFC 7946 representation
+
+
+def test_geojson_null_geometry():
+    tab = pa.table({"a": pa.array([1, 2]),
+                    "wkb": pa.array([W.point(1, 2), None], pa.binary())})
+    back = VF.parse_geojson_bytes(VW.geojson_bytes(tab))
+    got = back.column("wkb").to_pylist()
+    assert got[0] == W.point(1, 2) and got[1] is None
+
+
+def test_gpkg_roundtrip_bytes_exact_wkb():
+    """GPKG keeps the WKB verbatim — Z/M and curved types survive exactly
+    (curves linearize only on load, not in the container)."""
+    zsq = np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], dtype=np.float64)
+    zm_poly = W.dumps({"type": "Polygon", "rings": [zsq],
+                       "z": [np.arange(5, dtype=np.float64)],
+                       "m": [np.arange(5, dtype=np.float64) * 2]})
+    # hand-built CircularString WKB (type 8): stored untouched by GPKG
+    pts = [(0, 0), (1, 1), (2, 0)]
+    circ = struct.pack("<BII", 1, 8, 3) + b"".join(
+        struct.pack("<dd", *p) for p in pts)
+    tab = pa.table({
+        "label": pa.array(["zm", "curve", "none"]),
+        "wkb": pa.array([zm_poly, circ, None], pa.binary())})
+    payload = VW.gpkg_bytes({"roads": tab})
+    import sqlite3
+    con = sqlite3.connect(":memory:")
+    con.deserialize(payload)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == 1196444487
+    rows = con.execute("SELECT label, geom FROM roads ORDER BY fid").fetchall()
+    got = [VF.gpkg_geom_to_wkb(r[1]) for r in rows]
+    assert got == [zm_poly, circ, None]
+    # loading the curve out of the container linearizes it like any WKB
+    assert W.loads(got[1])["type"] == "LineString"
+    con.close()
+
+
+def test_gpkg_reader_roundtrip(tmp_path, ray_session):
+    tab = _fixture_table()
+    path = tmp_path / "out.gpkg"
+    path.write_bytes(VW.gpkg_bytes({"features": tab}))
+    back = VF.read_gpkg(str(path)).to_pandas().sort_values("rank")
+    assert list(back["name"]) == tab.column("name").to_pylist()
+    assert list(back["wkb"]) == tab.column("wkb").to_pylist()
+    assert list(back["fid"]) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_write_sinks_manifest_and_readback(tmp_path, ray_session):
+    import ray.data
+
+    tab = _fixture_table()
+    ds = ray.data.from_arrow(tab)
+    mj = VW.write_geojson(ds, str(tmp_path / "gj")).to_pandas()
+    assert mj["n_features"].sum() == 7
+    back = VF.read_geojson([p for p in mj["path"]]).to_pandas() \
+        .sort_values("rank")
+    assert list(back["wkb"]) == tab.column("wkb").to_pylist()
+
+    mg = VW.write_gpkg(ds, str(tmp_path / "gp"), table="t").to_pandas()
+    assert mg["n_features"].sum() == 7
+    backg = VF.read_gpkg([p for p in mg["path"]]).to_pandas() \
+        .sort_values("rank")
+    assert list(backg["wkb"]) == tab.column("wkb").to_pylist()
+
+    # idempotent re-run: content-hash names → same files, no duplicates
+    VW.write_gpkg(ds, str(tmp_path / "gp"), table="t").materialize()
+    import os
+    assert sorted(os.listdir(tmp_path / "gp")) == sorted(
+        os.path.basename(p) for p in mg["path"])
+
+
+def test_pipeline_stage_registration(ray_session, tmp_path):
+    from gdal_ray.pipelines.pipeline_spec import run_pipeline
+
+    tab = _fixture_table()
+    import ray.data
+    ds = ray.data.from_arrow(tab)
+    out = run_pipeline([{"op": "write_geojson",
+                         "out_dir": str(tmp_path / "pj")}], source=ds)
+    assert out.to_pandas()["n_features"].sum() == 7
