@@ -5,8 +5,9 @@ The reference delegates to libpng/libjpeg/libwebp drivers (``frmts/png``,
 
   - ``raw``  — self-describing uncompressed C-order pixels (exactness tests).
   - ``png``  — a REAL, spec-conformant PNG codec built on stdlib zlib:
-    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced, all five scanline
-    filters on decode, filter-0 or Paeth on encode.  Output opens in any PNG
+    8-bit AND 16-bit gray / gray+alpha / RGB / RGBA, all five scanline
+    filters on decode, filter-0 or Up on encode; decode also handles
+    Adam7-interlaced streams (both depths).  Output opens in any PNG
     reader; lossless round-trip is bit-exact.
   - ``jpeg`` — a REAL baseline JFIF codec (``core/jpeg.py``, pure-numpy
     ITU-T T.81: Annex-K tables, 4:4:4 / 4:2:0, restart markers).  Catalog
@@ -28,6 +29,20 @@ import struct
 import zlib
 
 import numpy as np
+
+class CapabilityError(NotImplementedError):
+    """A payload is structurally valid but outside this engine's codec
+    capability (e.g. interchange lossy `VP8 ` WebP).  The reference's
+    driver layer reports these as per-file "cannot open" failures rather
+    than aborting the dataset (gcore GDALOpen error path); catalog stages
+    catch THIS type to quarantine the row and keep the batch alive, while
+    genuinely corrupt payloads still raise and fail loudly."""
+
+    def __init__(self, message: str, *, fmt: str = "", reason: str = ""):
+        super().__init__(message)
+        self.fmt = fmt
+        self.reason = reason
+
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _RAW_MAGIC = b"GRW1"
@@ -82,17 +97,29 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray, level: int = 6, filter_type: int = 0) -> bytes:
-    a = np.ascontiguousarray(img, dtype=np.uint8)
+    """8-bit (uint8) or 16-bit (uint16 → big-endian samples, per the PNG
+    spec) gray / gray+alpha / RGB / RGBA, non-interlaced.  16-bit covers
+    the DEM-PNG case the reference reads via frmts/png/pngdataset.cpp."""
+    a = np.ascontiguousarray(img)
+    if a.dtype == np.uint16:
+        bitdepth = 16
+    else:
+        a = np.ascontiguousarray(a, dtype=np.uint8)
+        bitdepth = 8
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, nb = a.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nb]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color_type, 0, 0, 0)
+    if bitdepth == 16:
+        rows = np.frombuffer(a.astype(">u2").tobytes(),
+                             np.uint8).reshape(h, w * nb * 2)
+    else:
+        rows = a.reshape(h, w * nb)
     if filter_type == 0:
         raw = np.concatenate([np.zeros((h, 1), dtype=np.uint8),
-                              a.reshape(h, w * nb)], axis=1).tobytes()
-    else:  # filter 2 (Up) — cheap and usually compresses better than None
-        rows = a.reshape(h, w * nb)
+                              rows], axis=1).tobytes()
+    else:  # filter 2 (Up) — byte-domain per spec; cheap, compresses better
         up = np.empty_like(rows)
         up[0] = rows[0]
         up[1:] = rows[1:] - rows[:-1]
@@ -149,10 +176,15 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per the PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(data: bytes) -> np.ndarray:
     assert data[:8] == _PNG_SIG, "not a png"
     off = 8
-    w = h = bitdepth = color = None
+    w = h = bitdepth = color = interlace = None
     idat = []
     n = len(data)
     while off < n:
@@ -162,17 +194,42 @@ def decode_png(data: bytes) -> np.ndarray:
         off += 12 + ln
         if tag == b"IHDR":
             w, h, bitdepth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if bitdepth != 8 or interlace != 0:
-                raise NotImplementedError("only 8-bit non-interlaced PNG")
+            if bitdepth not in (8, 16):
+                raise NotImplementedError("8/16-bit PNG only (no sub-byte packing)")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace {interlace}")
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
             break
     nb = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    bpp = nb * (bitdepth // 8)              # filter offset is in BYTES
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    out = _unfilter(raw, h, w * nb, nb)
-    a = out.reshape(h, w, nb)
-    return a[:, :, 0] if nb == 1 else a
+
+    def to_pixels(byts: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if bitdepth == 16:
+            a16 = np.frombuffer(np.ascontiguousarray(byts).tobytes(),
+                                dtype=">u2").reshape(ph, pw, nb)
+            return a16.astype(np.uint16)
+        return byts.reshape(ph, pw, nb)
+
+    if interlace == 0:
+        out = to_pixels(_unfilter(raw, h, w * bpp, bpp), h, w)
+    else:                                    # Adam7: 7 sub-images, each
+        out = np.zeros((h, w, nb),           # independently filtered
+                       dtype=np.uint16 if bitdepth == 16 else np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            span = ph * (1 + pw * bpp)
+            sub = to_pixels(_unfilter(raw[pos:pos + span], ph, pw * bpp, bpp),
+                            ph, pw)
+            out[y0::dy, x0::dx, :] = sub
+            pos += span
+    return out[:, :, 0] if nb == 1 else out
 
 
 # ---------- legacy lossy stubs (decode-compat only) ----------
@@ -245,11 +302,12 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
                 from . import vp8i as _vp8i
                 return _vp8i.decode_vp8i(data)
             if fourcc == b"VP8 ":
-                raise NotImplementedError(
+                raise CapabilityError(
                     "interchange lossy VP8 needs RFC 6386's default "
                     "probability/quantizer tables (unavailable offline); "
                     "this engine decodes VP8L (lossless) and its own VP8i "
-                    "lossy streams — see core/vp8i.py docstring")
+                    "lossy streams — see core/vp8i.py docstring",
+                    fmt="webp", reason="vp8_interchange_lossy")
             raise ValueError(f"unknown WEBP chunk {fourcc!r}")
         return _lossy_decode(data, "webp")   # legacy GWBP stub payloads
     if fmt in ("tif", "tiff"):

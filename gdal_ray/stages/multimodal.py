@@ -23,19 +23,41 @@ from ..core import codecs
 class ImageFeatureStage:
     """Actor-pool stage: decode → per-image features (mean/std per band,
     16-bin luminance histogram, 64-bit average-hash) — the shape a model
-    embedding stage would take (model load would go here in __init__)."""
+    embedding stage would take (model load would go here in __init__).
 
-    def __init__(self):
+    ``on_error="quarantine"`` routes rows whose payload is outside codec
+    capability (``codecs.CapabilityError`` — e.g. interchange lossy
+    ``VP8 `` WebP) to null features + a ``decode_error`` reason column
+    instead of failing the batch, matching the reference driver layer's
+    per-file "cannot open" semantics (a web-scraped catalog at 100 TB
+    always contains a few).  Corrupt payloads still raise."""
+
+    def __init__(self, on_error: str = "raise"):
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError("on_error must be 'raise' or 'quarantine'")
+        self.on_error = on_error
         # real model-backed variant would load weights here, once per actor
         self.hist_bins = np.linspace(0, 256, 17)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"image_id": batch.column("image_id").to_pylist(),
                "mean": [], "std": [], "hist": [], "ahash": []}
+        errs: list[str] = []
         bts = batch.column("bytes").to_pylist()
         fmts = batch.column("fmt").to_pylist()
         for i in range(batch.num_rows):
-            img = codecs.decode(bts[i], fmts[i])
+            try:
+                img = codecs.decode(bts[i], fmts[i])
+            except codecs.CapabilityError as e:
+                if self.on_error != "quarantine":
+                    raise
+                errs.append(e.reason or str(e))
+                out["mean"].append(None)
+                out["std"].append(None)
+                out["hist"].append(None)
+                out["ahash"].append(None)
+                continue
+            errs.append("")
             g = img if img.ndim == 2 else img.mean(axis=2)
             out["mean"].append(float(g.mean()))
             out["std"].append(float(g.std()))
@@ -45,11 +67,14 @@ class ImageFeatureStage:
             small = resize(g.astype(np.float64), 8, 8, method="average")
             bits = (small > small.mean()).ravel()
             out["ahash"].append(int((bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()) - (1 << 63))
-        return pa.table({"image_id": pa.array(out["image_id"]),
-                         "mean": pa.array(out["mean"], pa.float64()),
-                         "std": pa.array(out["std"], pa.float64()),
-                         "hist": pa.array(out["hist"], pa.list_(pa.int64(), 16)),
-                         "ahash": pa.array(out["ahash"], pa.int64())})
+        cols = {"image_id": pa.array(out["image_id"]),
+                "mean": pa.array(out["mean"], pa.float64()),
+                "std": pa.array(out["std"], pa.float64()),
+                "hist": pa.array(out["hist"], pa.list_(pa.int64(), 16)),
+                "ahash": pa.array(out["ahash"], pa.int64())}
+        if self.on_error == "quarantine":
+            cols["decode_error"] = pa.array(errs, pa.string())
+        return pa.table(cols)
 
 
 class AudioDecodeStage:

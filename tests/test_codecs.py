@@ -54,6 +54,64 @@ def test_png_all_filters_decode():
         np.testing.assert_array_equal(codecs.decode_png(data), img)
 
 
+@pytest.mark.parametrize("shape", [(20, 20), (13, 7, 3), (8, 9, 2), (5, 6, 4)])
+@pytest.mark.parametrize("filter_type", [0, 2])
+def test_png16_roundtrip(shape, filter_type):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    data = codecs.encode_png(img, filter_type=filter_type)
+    out = codecs.decode_png(data)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+
+def _adam7_png(img: np.ndarray, pass_filter: int = 0) -> bytes:
+    """Hand-build an Adam7-interlaced PNG (the spec's §8.2 pass grid),
+    forward-filtering each pass independently — fixture for decode."""
+    import struct, zlib
+    a = img if img.ndim == 3 else img[:, :, None]
+    h, w, nb = a.shape
+    bitdepth = 16 if a.dtype == np.uint16 else 8
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nb]
+    stream = bytearray()
+    for x0, y0, dx, dy in codecs._ADAM7:
+        sub = a[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if bitdepth == 16:
+            rows = np.frombuffer(sub.astype(">u2").tobytes(),
+                                 np.uint8).reshape(ph, pw * nb * 2)
+        else:
+            rows = np.ascontiguousarray(sub).reshape(ph, pw * nb)
+        if pass_filter == 2:
+            enc = np.empty_like(rows)
+            enc[0] = rows[0]
+            enc[1:] = rows[1:] - rows[:-1]
+            stream += np.concatenate(
+                [np.full((ph, 1), 2, np.uint8), enc], axis=1).tobytes()
+        else:
+            stream += np.concatenate(
+                [np.zeros((ph, 1), np.uint8), rows], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color_type, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + codecs._chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((16, 16), np.uint8), ((13, 7, 3), np.uint8), ((9, 10), np.uint16),
+    ((3, 3, 4), np.uint8), ((1, 1), np.uint8), ((2, 9, 2), np.uint16),
+])
+@pytest.mark.parametrize("pass_filter", [0, 2])
+def test_png_adam7_decode(shape, dtype, pass_filter):
+    rng = np.random.default_rng(int(np.prod(shape)))
+    hi = 65536 if dtype == np.uint16 else 256
+    img = rng.integers(0, hi, size=shape, dtype=dtype)
+    np.testing.assert_array_equal(
+        codecs.decode_png(_adam7_png(img, pass_filter)), img)
+
+
 def test_raw_roundtrip():
     img = np.random.default_rng(0).integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
     np.testing.assert_array_equal(codecs.decode_raw(codecs.encode_raw(img)), img)

@@ -229,6 +229,47 @@ def test_image_feature_stage(ray_session):
     assert all(sum(r["hist"]) > 0 for r in out)
 
 
+def test_image_feature_quarantine_vp8(ray_session):
+    """A web-scraped catalog containing one interchange lossy `VP8 ` file
+    must complete with that row FLAGGED (decode_error), not thrown —
+    reference drivers report per-file 'cannot open', they don't abort the
+    dataset (frmts/webp/webpdataset.cpp open path)."""
+    import struct
+
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from gdal_ray.core import codecs, fixtures
+    from gdal_ray.stages.multimodal import ImageFeatureStage
+
+    tbl = fixtures.images_table(4)
+    vp8 = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+           + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(codecs.CapabilityError):
+        codecs.decode(vp8, "webp")
+    mixed = pa.table({
+        "image_id": pa.array(tbl.column("image_id").to_pylist() + ["img_vp8"]),
+        "bytes": pa.array(tbl.column("bytes").to_pylist() + [vp8]),
+        "fmt": pa.array(tbl.column("fmt").to_pylist() + ["webp"]),
+    })
+    ds = ray.data.from_arrow(mixed)
+    # default on_error="raise" fails the batch (corrupt-data discipline)
+    with pytest.raises(Exception):
+        ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                       batch_size=8, concurrency=1).take_all()
+    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                         fn_constructor_kwargs={"on_error": "quarantine"},
+                         batch_size=8, concurrency=1).take_all()
+    assert len(out) == 5
+    flagged = [r for r in out if r["decode_error"]]
+    assert len(flagged) == 1
+    assert flagged[0]["image_id"] == "img_vp8"
+    assert flagged[0]["decode_error"] == "vp8_interchange_lossy"
+    assert flagged[0]["mean"] is None
+    assert all(r["mean"] is not None for r in out if not r["decode_error"])
+
+
 def test_ngram_jaccard_pairs(ray_session, docs_tbl):
     """Exact n-gram Jaccard dedup: same candidates as minhash-LSH, but the
     emitted similarity is the TRUE shingle Jaccard (brute-force oracle)."""
