@@ -265,6 +265,7 @@ def _register_raster():
         lambda b: R2.blend(b, opacity=float(opacity)),
         batch_format="pyarrow")
     _REGISTRY["raster_update"] = _batch_stage(R2.raster_update)
+    _REGISTRY["compare"] = _batch_stage(R2.compare_images)
 
     from ..pipelines import tiling as T
     _REGISTRY["mosaic"] = lambda ds, resolution, nodata=None: T.mosaic_images(

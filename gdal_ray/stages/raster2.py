@@ -355,3 +355,62 @@ def fill_nodata_idw(batch: pa.Table, *, max_distance: int = 100,
         ids.append(batch.column("image_id")[i].as_py())
     return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
                      "fmt": ["png"] * len(ids)})
+
+
+def compare_images(batch: pa.Table) -> pa.Table:
+    """gdalcompare analog (autotest/gdalcompare.py, `gdal raster compare`):
+    golden vs test payload per row → structural checks (dims/bands/dtype),
+    per-image GDAL 11-prime checksum of band 1 on both sides, count of
+    differing pixels, max absolute difference and PSNR (None when
+    identical — gdalcompare reports 'Images are identical').
+
+    Batch contract: image_id, bytes_golden/fmt_golden, bytes_test/fmt_test.
+    Stateless map_batches; per-pixel work is vectorized numpy.
+    """
+    from ..core.checksum import checksum as gdal_checksum
+    from ..core.resample import psnr as _psnr
+
+    out = {"image_id": batch.column("image_id").to_pylist(),
+           "same_dims": [], "same_bands": [], "same_dtype": [],
+           "checksum_golden": [], "checksum_test": [],
+           "n_diff_pixels": [], "max_abs_diff": [], "psnr": []}
+    bg = batch.column("bytes_golden").to_pylist()
+    fg = batch.column("fmt_golden").to_pylist()
+    bt = batch.column("bytes_test").to_pylist()
+    ft = batch.column("fmt_test").to_pylist()
+    for i in range(batch.num_rows):
+        g = codecs.decode(bg[i], fg[i])
+        t = codecs.decode(bt[i], ft[i])
+        gb = 1 if g.ndim == 2 else g.shape[2]
+        tb = 1 if t.ndim == 2 else t.shape[2]
+        out["same_dims"].append(g.shape[:2] == t.shape[:2])
+        out["same_bands"].append(gb == tb)
+        out["same_dtype"].append(g.dtype == t.dtype)
+        out["checksum_golden"].append(
+            gdal_checksum(g if g.ndim == 2 else g[:, :, 0]))
+        out["checksum_test"].append(
+            gdal_checksum(t if t.ndim == 2 else t[:, :, 0]))
+        if g.shape != t.shape:
+            out["n_diff_pixels"].append(-1)      # not comparable pixel-wise
+            out["max_abs_diff"].append(None)
+            out["psnr"].append(None)
+            continue
+        d = np.abs(g.astype(np.float64) - t.astype(np.float64))
+        nd = int(np.count_nonzero(d.reshape(d.shape[0], d.shape[1], -1)
+                                  .max(axis=2)))
+        out["n_diff_pixels"].append(nd)
+        out["max_abs_diff"].append(float(d.max()))
+        out["psnr"].append(None if nd == 0 else float(_psnr(
+            g.astype(np.float64), t.astype(np.float64),
+            peak=65535.0 if g.dtype == np.uint16 else 255.0)))
+    return pa.table({
+        "image_id": out["image_id"],
+        "same_dims": pa.array(out["same_dims"], pa.bool_()),
+        "same_bands": pa.array(out["same_bands"], pa.bool_()),
+        "same_dtype": pa.array(out["same_dtype"], pa.bool_()),
+        "checksum_golden": pa.array(out["checksum_golden"], pa.int64()),
+        "checksum_test": pa.array(out["checksum_test"], pa.int64()),
+        "n_diff_pixels": pa.array(out["n_diff_pixels"], pa.int64()),
+        "max_abs_diff": pa.array(out["max_abs_diff"], pa.float64()),
+        "psnr": pa.array(out["psnr"], pa.float64()),
+    })

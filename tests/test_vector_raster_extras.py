@@ -112,3 +112,56 @@ def test_raster_update_patch():
     assert got[1, 4] == 9 and got[2, 5] == 9
     assert got[1, 3] == 0 and got[3, 4] == 0
     assert (got == 9).sum() == 4  # 2x3 patch clipped to 2x2
+
+
+def test_compare_images_gdalcompare_semantics():
+    """gdalcompare analog: identical copy → 0 diffs / None PSNR; perturbed
+    copy → exact diff count + max abs diff; shape mismatch → flagged."""
+    from gdal_ray.core.checksum import checksum as gdal_checksum
+    from gdal_ray.stages.raster2 import compare_images
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    pert = img.copy()
+    pert[3, 4] = (int(pert[3, 4]) + 40) % 256
+    pert[10, 20] = (int(pert[10, 20]) + 7) % 256
+    resized = img[:16, :16]
+    batch = pa.table({
+        "image_id": ["same", "pert", "shape"],
+        "bytes_golden": pa.array([codecs.encode_png(img)] * 3, pa.binary()),
+        "fmt_golden": ["png"] * 3,
+        "bytes_test": pa.array([codecs.encode_png(img),
+                                codecs.encode_png(pert),
+                                codecs.encode_png(resized)], pa.binary()),
+        "fmt_test": ["png"] * 3,
+    })
+    out = {r["image_id"]: r for r in compare_images(batch).to_pylist()}
+    same = out["same"]
+    assert same["n_diff_pixels"] == 0 and same["psnr"] is None
+    assert same["checksum_golden"] == same["checksum_test"] == gdal_checksum(img)
+    p = out["pert"]
+    assert p["n_diff_pixels"] == 2
+    exp_max = float(np.abs(img.astype(int) - pert.astype(int)).max())
+    assert p["max_abs_diff"] == exp_max
+    assert p["psnr"] is not None and p["psnr"] > 30
+    assert p["checksum_golden"] != p["checksum_test"]
+    s = out["shape"]
+    assert not s["same_dims"] and s["n_diff_pixels"] == -1
+
+
+def test_compare_stage_registered(ray_session):
+    import ray
+
+    from gdal_ray.pipelines.pipeline_spec import run_pipeline
+
+    img = np.full((8, 8), 7, dtype=np.uint8)
+    t = pa.table({
+        "image_id": ["a"],
+        "bytes_golden": pa.array([codecs.encode_png(img)], pa.binary()),
+        "fmt_golden": ["png"],
+        "bytes_test": pa.array([codecs.encode_png(img)], pa.binary()),
+        "fmt_test": ["png"],
+    })
+    out = run_pipeline({"steps": [{"op": "compare"}]},
+                       source=ray.data.from_arrow(t)).take_all()
+    assert out[0]["n_diff_pixels"] == 0
