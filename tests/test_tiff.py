@@ -1,6 +1,7 @@
 """GeoTIFF codec tests — roundtrips, foreign-stream decode paths, and the
 synthetic byte.tif recipe (autotest/gcore/tiff_read.py:45 contract:
 20×20 uint8, GDAL checksum 4672)."""
+import os
 import struct
 import zlib
 
@@ -215,9 +216,90 @@ def test_codecs_dispatch():
                           dem)
 
 
-def test_bigtiff_rejected():
-    data = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
-    with pytest.raises(NotImplementedError):
-        tiff.decode_tiff(data)
+def test_not_a_tiff_rejected():
     with pytest.raises(ValueError):
         tiff.decode_tiff(b"PK\x03\x04junk")
+    # corrupt BigTIFF header (offset size != 8) is rejected, not misparsed
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16))
+
+
+@pytest.mark.parametrize("shape,dtype,tiled,pred", [
+    ((37, 23), np.uint8, False, None),
+    ((20, 20, 3), np.uint8, True, 2),
+    ((15, 31), np.uint16, False, 2),
+    ((9, 9), np.float32, True, 3),
+])
+def test_bigtiff_roundtrip(shape, dtype, tiled, pred):
+    rng = np.random.default_rng(int(np.prod(shape)))
+    img = (rng.random(shape) * 100).astype(dtype)
+    b = tiff.encode_tiff(img, bigtiff=True, tiled=tiled, tile_size=16,
+                         predictor=pred,
+                         geotransform=(1.0, 0.5, 0, 2.0, 0, -0.5),
+                         epsg=32611)
+    assert struct.unpack_from("<H", b, 2)[0] == 43      # BigTIFF magic
+    out, meta = tiff.decode_tiff_full(b)
+    assert meta["bigtiff"] and meta["epsg"] == 32611
+    assert meta["geotransform"] == (1.0, 0.5, 0.0, 2.0, 0.0, -0.5)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_bigtiff_sparse_over_4gib(tmp_path):
+    """>4 GiB BigTIFF written strip-by-strip with all-zero strips left as
+    filesystem HOLES; strip offsets genuinely exceed 2^32 and row-window
+    reads come back exact without scanning the file."""
+    path = str(tmp_path / "big.tif")
+    H, W = 66560, 65536                    # 4.16 GiB of uint8 pixels
+    RPS = 256
+
+    def provider(y0, nrows):
+        if y0 == 3 * RPS:                  # one early strip
+            return ((np.arange(W, dtype=np.int64)[None, :] * 31 + y0) % 251
+                    ).astype(np.uint8).repeat(nrows, axis=0)
+        if y0 + nrows == H:                # the LAST strip: offset > 4 GiB
+            a = np.zeros((nrows, W), np.uint8)
+            a[::7, ::13] = 200
+            return a
+        return None
+
+    total = tiff.write_tiff_file(path, (H, W), np.uint8, provider,
+                                 rows_per_strip=RPS,
+                                 geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+    assert total > (1 << 32)
+    assert os.stat(path).st_size == total
+    # sparse: hole strips cost no disk (two written strips ≈ 32 MiB)
+    assert os.stat(path).st_blocks * 512 < total // 16
+
+    with open(path, "rb") as f:
+        fb = tiff._FileBytes(f, total)
+        bo, ifd0, big = tiff._tiff_header(fb)
+        tags, _ = tiff._read_ifd(fb, bo, ifd0, big)
+        assert big and max(tags[273]) > (1 << 32)
+        # targeted row windows: written strips exact, holes read as zeros
+        got = tiff.decode_tiff_rows(fb, 3 * RPS + 5, 3 * RPS + 7)
+        exp = ((np.arange(W, dtype=np.int64) * 31 + 3 * RPS) % 251
+               ).astype(np.uint8)
+        np.testing.assert_array_equal(got, np.broadcast_to(exp, (2, W)))
+        last0 = ((H - 1) // RPS) * RPS
+        tail = tiff.decode_tiff_rows(fb, last0, last0 + 1)
+        assert tail[0, 0] == 200 and tail[0, 13] == 200 and tail[0, 1] == 0
+        hole = tiff.decode_tiff_rows(fb, RPS * 10, RPS * 10 + 3)
+        assert hole.max() == 0
+
+
+def test_write_tiff_file_classic_roundtrip(tmp_path):
+    """Small dense file through the streaming writer + full-file decode."""
+    path = str(tmp_path / "small.tif")
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, size=(300, 190, 3), dtype=np.uint8)
+
+    def provider(y0, nrows):
+        return img[y0:y0 + nrows]
+
+    tiff.write_tiff_file(path, img.shape, np.uint8, provider,
+                         rows_per_strip=64, bigtiff=False)
+    out, meta = tiff.decode_tiff_file(path)
+    assert not meta["bigtiff"]
+    np.testing.assert_array_equal(out, img)
+    np.testing.assert_array_equal(tiff.decode_tiff_rows(
+        open(path, "rb").read(), 10, 100), img[10:100])
