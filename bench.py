@@ -170,7 +170,55 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def encode_profiles(n: int = 64) -> dict:
+    """--encode-profiles: measure the bytes-vs-CPU trade codecs.encode
+    exposes per sink (profile='cpu' vs 'bandwidth') on the fixture catalog.
+    Distributed map_batches over both profiles; reports bytes ratio +
+    encode throughput so a cluster operator can pick the flip point."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.core import codecs, fixtures
+
+    _init_ray(NUM_CPUS)
+    import ray.data
+
+    def encode_with(profile, fmt):
+        def fn(batch: pa.Table) -> pa.Table:
+            tot = 0
+            for i in range(batch.num_rows):
+                img = codecs.decode(batch.column("bytes")[i].as_py(),
+                                    batch.column("fmt")[i].as_py())
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=2)
+                tot += len(codecs.encode(img, fmt, profile=profile))
+            return pa.table({"nbytes": pa.array([tot], pa.int64())})
+        return fn
+
+    imgs = ray.data.from_arrow(fixtures.images_table(n)).materialize()
+    out: dict = {"n_images": n}
+    for fmt in ("webp", "jpeg"):
+        for profile in ("cpu", "bandwidth"):
+            t0 = time.time()
+            tot = sum(r["nbytes"] for r in imgs.map_batches(
+                encode_with(profile, fmt), batch_format="pyarrow",
+                batch_size=8).take_all())
+            out[f"{fmt}_{profile}"] = {"bytes": tot,
+                                       "wall": round(time.time() - t0, 3)}
+        out[f"{fmt}_bytes_ratio"] = round(
+            out[f"{fmt}_bandwidth"]["bytes"] / out[f"{fmt}_cpu"]["bytes"], 4)
+    return out
+
+
 def main():
+    if "--encode-profiles" in sys.argv:
+        r = encode_profiles(int(os.environ.get("GRAFT_ENCODE_IMAGES", "64")))
+        print(json.dumps({"metric": "encode_profile_bytes_ratio",
+                          "value": r["webp_bytes_ratio"], "unit": "ratio",
+                          "detail": r, "num_cpus": NUM_CPUS}))
+        import ray
+        ray.shutdown()
+        return
     if "--scaling" in sys.argv:
         results = {}
         # scaling runs use >= 8000 images so per-run fixed costs (actor

@@ -256,27 +256,46 @@ def _lossy_decode(data: bytes, fmt: str) -> np.ndarray:
 
 # ---------- dispatch ----------
 
-def encode(img: np.ndarray, fmt: str) -> bytes:
+def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
+    """``profile`` selects the bytes-vs-CPU trade ONCE per pipeline/sink
+    instead of per call-site:
+
+      - ``"cpu"`` (default): cheapest encode — right when the cluster is
+        CPU-bound and the object store / network is not the bottleneck
+        (measured single-node: VP8L inverse-predictor decode CPU outweighs
+        its byte savings).
+      - ``"bandwidth"``: spend encode CPU to shrink payloads — VP8L gets
+        the spatial-prediction + cross-color transforms (measured ~56% of
+        plain on fixture RGB), JPEG goes 4:2:0, PNG uses the Up filter.
+        Right for multi-node clusters where shuffle/object-store bandwidth
+        dominates (the flip documented in core/vp8l.py).
+    """
+    if profile not in ("cpu", "bandwidth"):
+        raise ValueError(f"unknown encode profile {profile!r}")
+    bw = profile == "bandwidth"
     if fmt == "raw":
         return encode_raw(img)
     if fmt == "png":
-        return encode_png(img)
+        return encode_png(img, filter_type=2 if bw else 0)
     if fmt == "jpeg":
         from . import jpeg as _jpeg
-        return _jpeg.encode_jpeg(img, quality=98)
+        return _jpeg.encode_jpeg(img, quality=98, subsample=bw)
     if fmt == "jpeg_420":
         # 4:2:0 chroma-subsampled catalog option (decodes as fmt="jpeg")
         from . import jpeg as _jpeg
         return _jpeg.encode_jpeg(img, quality=98, subsample=True)
     if fmt == "webp":
         from . import vp8l as _vp8l
-        return _vp8l.encode_vp8l(img)
+        return _vp8l.encode_vp8l(img, predictor=bw, color=bw)
     if fmt == "webp_lossy":
         from . import vp8i as _vp8i
         return _vp8i.encode_vp8i(img, quality=90)
     if fmt in ("tif", "tiff"):
         from . import tiff as _tiff
-        return _tiff.encode_tiff(img)
+        pred = None
+        if bw:   # horizontal differencing for ints, byte-split for floats
+            pred = 3 if np.issubdtype(np.asarray(img).dtype, np.floating) else 2
+        return _tiff.encode_tiff(img, predictor=pred)
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

@@ -44,10 +44,13 @@ def decode_stats(batch: pa.Table) -> pa.Table:
 def translate(batch: pa.Table, *, scale: tuple | None = None,
               out_size: tuple | None = None, resample: str = "bilinear",
               band: int | None = None, out_fmt: str | None = None,
-              srcwin: tuple | None = None) -> pa.Table:
+              srcwin: tuple | None = None,
+              profile: str = "cpu") -> pa.Table:
     """gdal_translate semantics (apps/gdal_translate_lib.cpp): band select
     (-b), window crop (-srcwin), resize (-outsize), linear rescale (-scale),
-    format convert.  Stateless map_batches."""
+    format convert.  Stateless map_batches.  ``profile="bandwidth"``
+    selects the smaller-bytes encode variants (see codecs.encode) — the
+    per-sink knob for bandwidth-bound multi-node clusters."""
     ids, outs, ws, hs, fmts = [], [], [], [], []
     caps = batch.column("caption").to_pylist() if "caption" in batch.column_names else None
     for i, img, fmt in _iter_images(batch):
@@ -64,7 +67,7 @@ def translate(batch: pa.Table, *, scale: tuple | None = None,
         if out_size is not None:
             a = resample_resize(a, out_size[0], out_size[1], method=resample)
         nfmt = out_fmt or fmt
-        outs.append(codecs.encode(a, nfmt))
+        outs.append(codecs.encode(a, nfmt, profile=profile))
         ws.append(a.shape[1]); hs.append(a.shape[0]); fmts.append(nfmt)
         ids.append(batch.column("image_id")[i].as_py())
     cols = {"image_id": ids, "bytes": pa.array(outs, pa.binary()),

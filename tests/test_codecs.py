@@ -957,3 +957,24 @@ def test_vp8l_rle_backreferences():
     es = encode_vp8l(stripes, palette=False)
     assert np.array_equal(decode_vp8l(es), stripes)
     assert len(es) < 250
+
+
+def test_encode_profile_bandwidth_shrinks_bytes():
+    """profile='bandwidth' must produce smaller payloads than 'cpu' on
+    smooth imagery (the cluster bytes-vs-CPU trade, selectable per sink)
+    and stay losslessly decodable for lossless formats."""
+    yy, xx = np.mgrid[0:96, 0:96]
+    img = np.stack([(yy + xx) % 256, (yy * 2) % 256, (xx * 2) % 256],
+                   axis=2).astype(np.uint8)
+    for fmt in ("webp", "png"):
+        b_cpu = codecs.encode(img, fmt, profile="cpu")
+        b_bw = codecs.encode(img, fmt, profile="bandwidth")
+        assert len(b_bw) < len(b_cpu), (fmt, len(b_bw), len(b_cpu))
+        np.testing.assert_array_equal(codecs.decode(b_bw, fmt), img)
+        np.testing.assert_array_equal(codecs.decode(b_cpu, fmt), img)
+    j_cpu = codecs.encode(img, "jpeg", profile="cpu")
+    j_bw = codecs.encode(img, "jpeg", profile="bandwidth")   # 4:2:0
+    assert len(j_bw) < len(j_cpu)
+    assert psnr(codecs.decode(j_bw, "jpeg").astype(float), img.astype(float)) > 30
+    with pytest.raises(ValueError):
+        codecs.encode(img, "png", profile="extreme")
