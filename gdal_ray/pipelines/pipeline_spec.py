@@ -105,6 +105,12 @@ def _write_gpkg(ds, out_dir: str, table: str = "layer", srs_id=4326,
                       wkb_col=wkb_col)
 
 
+@register("write_shapefile")
+def _write_shapefile(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_shapefile
+    return write_shapefile(ds, out_dir, wkb_col=wkb_col)
+
+
 @register("write_cog")
 def _write_cog(ds, out_dir: str, tile_size=256, compression: str = "deflate",
                resampling: str = "average"):

@@ -1585,6 +1585,71 @@ FROM t
 """
 
 
+def _derived_dems_png16(b: pa.Table) -> pa.Table:
+    """Nation-derived UINT16 plane DEMs carried as 16-BIT PNG payloads —
+    the DEM-PNG case the reference reads via frmts/png (bit depth 16).
+    Integer plane gradients keep uint16 exact, so the PNG roundtrip is
+    lossless and the hillshade closed form is the same plane recipe."""
+    from ..core import codecs as CD
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts, gts = [], [], []
+    jj, ii = np.meshgrid(np.arange(16, dtype=np.int64),
+                         np.arange(16, dtype=np.int64))
+    for n in k:
+        n = int(n)
+        gx = (n % 7 - 3) * 2
+        gy = (n % 5 - 2) * 3
+        z = (1000 + gx * jj + gy * ii).astype(np.uint16)
+        ids.append(f"dem{n:02d}")
+        bts.append(CD.encode_png(z))
+        gts.append([float((n % 5) * 100), 1.0, 0.0,
+                    float((n // 5) * 100), 0.0, -1.0])
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(np.full(len(ids), 16, np.int32)),
+        "h": pa.array(np.full(len(ids), 16, np.int32)),
+        "fmt": pa.array(["png"] * len(ids)),
+        "caption": pa.array([""] * len(ids)),
+        "geotransform": pa.array(gts, pa.list_(pa.float64(), 6)),
+        "crs": pa.array(["EPSG:4326"] * len(ids)),
+        "nodata": pa.nulls(len(ids), pa.float64()),
+    })
+
+
+def raster_hillshade_png16_q(sf_dir: str):
+    """gdaldem hillshade over 16-BIT PNG DEMs (decode path bit depth 16);
+    same interior closed form as raster_hillshade with integer gradients."""
+    from ..stages.raster import hillshade
+    dems = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+        .map_batches(_derived_dems_png16, batch_format="pyarrow")
+    out = dems.map_batches(hillshade, batch_format="pyarrow")
+    return out.map_batches(lambda b: _center_pixel(b, "dem", "shade"),
+                           batch_format="pyarrow")
+
+
+SQL_RASTER_HILLSHADE_PNG16 = """
+WITH g AS (
+  SELECT n_nationkey,
+         (n_nationkey % 7 - 3) * 2.0 AS gx,
+         (n_nationkey % 5 - 2) * 3.0 AS gy
+  FROM nation
+), t AS (
+  SELECT n_nationkey,
+         atan(sqrt(gx * gx + gy * gy)) AS slope,
+         atan2(gy, -gx) AS aspect
+  FROM g
+)
+SELECT n_nationkey,
+       CAST(floor(least(greatest(
+         1.0 + 254.0 * (sin(radians(45.0)) * cos(slope)
+                        + cos(radians(45.0)) * sin(slope)
+                          * cos(radians(315.0) - pi() / 2.0 - aspect)),
+         1.0), 255.0)) AS BIGINT) AS shade
+FROM t
+"""
+
+
 def raster_aspect_q(sf_dir: str):
     """gdaldem aspect over the same plane DEMs (output scaled deg/2 to fit
     uint8); flat cells (zero gradient) report 0."""

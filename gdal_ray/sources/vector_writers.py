@@ -251,3 +251,185 @@ def write_gpkg(ds: "ray.data.Dataset", out_dir: str, *,
     return _file_sink(ds, out_dir, ".gpkg",
                       lambda b: gpkg_bytes({table: b}, srs_id=srs_id,
                                            wkb_col=wkb_col))
+
+
+# ---------- Shapefile (.shp/.shx/.dbf triple) ----------
+# ESRI Shapefile Technical Description (July 1998) — the same contract
+# ogr/ogrsf_frmts/shape/shpopen.c + dbfopen.c implement.  2D only (Z/M
+# dropped, like the GeoJSON writer drops M); one shape type per file per
+# the spec (mixed non-null geometry classes raise).
+
+_SHP_POINT, _SHP_LINE, _SHP_POLY = 1, 3, 5
+
+
+def _closed(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+    if len(r) and not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def _shp_rings(g: dict) -> list[np.ndarray]:
+    """Polygon/MultiPolygon → ESRI ring soup: shells CW (negative shoelace),
+    holes CCW — the orientation rule parse_shp_bytes reassembles by."""
+    from ..core.geom import ring_area
+    out = []
+    polys = g["polys"] if g["type"] == "MultiPolygon" else [g["rings"]]
+    for rings in polys:
+        for k, r in enumerate(rings):
+            r = _closed(r)
+            want_shell = k == 0
+            is_ccw = ring_area(r) > 0
+            if (want_shell and is_ccw) or (not want_shell and not is_ccw):
+                r = r[::-1]
+            out.append(r)
+    return out
+
+
+def _shp_record(g: dict | None) -> tuple[int, bytes]:
+    """→ (shape_type, record content bytes) for one geometry."""
+    if g is None:
+        return 0, struct.pack("<i", 0)
+    t = g["type"]
+    if t == "Point":
+        xy = np.asarray(g["xy"], dtype=np.float64).reshape(-1)
+        return _SHP_POINT, struct.pack("<idd", 1, xy[0], xy[1])
+    if t in ("LineString", "MultiLineString"):
+        parts = ([np.asarray(g["xy"], dtype=np.float64).reshape(-1, 2)]
+                 if t == "LineString" else
+                 [np.asarray(ln, dtype=np.float64).reshape(-1, 2)
+                  for ln in g["lines"]])
+        stype = _SHP_LINE
+    elif t in ("Polygon", "MultiPolygon"):
+        parts = _shp_rings(g)
+        stype = _SHP_POLY
+    else:
+        raise NotImplementedError(
+            f"shapefile writer: {t} has no 2D shape-type mapping "
+            "(GeometryCollection/MultiPoint → use GeoJSON/GPKG sinks)")
+    pts = np.vstack(parts)
+    starts = np.cumsum([0] + [len(p) for p in parts[:-1]]).astype("<i4")
+    body = struct.pack("<idddd", stype,
+                       float(pts[:, 0].min()), float(pts[:, 1].min()),
+                       float(pts[:, 0].max()), float(pts[:, 1].max()))
+    body += struct.pack("<ii", len(parts), len(pts))
+    body += starts.tobytes()
+    body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+    return stype, body
+
+
+def _dbf_bytes(tab: pa.Table, cols: list[str]) -> bytes:
+    """dBASE III attribute table for the given columns."""
+    nrec = tab.num_rows
+    fields = []                            # (name, ftype, flen, fdec, vals)
+    for c in cols:
+        col = tab.column(c)
+        t = col.type
+        vals = col.to_pylist()
+        name = c[:10].encode("ascii", "replace")
+        if pa.types.is_boolean(t):
+            fields.append((name, b"L", 1, 0,
+                           [("T" if v else "F") if v is not None else "?"
+                            for v in vals]))
+        elif pa.types.is_integer(t):
+            fields.append((name, b"N", 18, 0,
+                           ["" if v is None else str(int(v))[:18]
+                            for v in vals]))
+        elif pa.types.is_floating(t):
+            fields.append((name, b"N", 24, 6,
+                           ["" if v is None else f"{float(v):.6f}"[:24]
+                            for v in vals]))
+        else:
+            w = max([1] + [len(str(v).encode("ascii", "replace"))
+                           for v in vals if v is not None])
+            w = min(w, 254)
+            fields.append((name, b"C", w, 0,
+                           ["" if v is None else str(v)[:w] for v in vals]))
+    rsize = 1 + sum(f[2] for f in fields)
+    hsize = 32 + 32 * len(fields) + 1
+    out = bytearray(struct.pack("<BBBBiHH20x", 0x03, 126, 1, 1,
+                                nrec, hsize, rsize))
+    for name, ftype, flen, fdec, _ in fields:
+        out += struct.pack("<11s1s4xBB14x", name, ftype, flen, fdec)
+    out += b"\x0d"
+    for r in range(nrec):
+        out += b" "
+        for name, ftype, flen, fdec, vals in fields:
+            s = vals[r].encode("ascii", "replace")
+            if ftype == b"N":              # numbers right-justified
+                out += s.rjust(flen)[:flen]
+            else:
+                out += s.ljust(flen)[:flen]
+    out += b"\x1a"
+    return bytes(out)
+
+
+def shapefile_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> dict[str, bytes]:
+    """pa.Table with a WKB column → {"shp": ..., "shx": ..., "dbf": ...}."""
+    geoms = [wkb.loads(v) if v is not None else None
+             for v in tab.column(wkb_col).to_pylist()]
+    recs = [_shp_record(g) for g in geoms]
+    stypes = {st for st, _ in recs if st != 0}
+    if len(stypes) > 1:
+        raise ValueError(f"mixed shape types in one shapefile: {stypes}")
+    layer_type = stypes.pop() if stypes else _SHP_POINT
+
+    bbox = [0.0, 0.0, 0.0, 0.0]
+    pts = [p for g in geoms if g is not None for p in _all_points(g)]
+    if pts:
+        allp = np.vstack(pts)
+        bbox = [float(allp[:, 0].min()), float(allp[:, 1].min()),
+                float(allp[:, 0].max()), float(allp[:, 1].max())]
+
+    shp = bytearray()
+    shx = bytearray()
+    off_words = 50                          # header = 100 bytes
+    for i, (st, body) in enumerate(recs):
+        clen = len(body) // 2
+        shx += struct.pack(">ii", off_words, clen)
+        shp += struct.pack(">ii", i + 1, clen) + body
+        off_words += 4 + clen
+
+    def header(file_words: int) -> bytes:
+        return (struct.pack(">i20xi", 9994, file_words)
+                + struct.pack("<ii4d4d", 1000, layer_type, *bbox,
+                              0.0, 0.0, 0.0, 0.0))
+
+    shp_bytes = header(50 + len(shp) // 2) + bytes(shp)
+    shx_bytes = header(50 + len(shx) // 2) + bytes(shx)
+    attr_cols = [c for c in tab.column_names if c != wkb_col]
+    if not attr_cols:
+        tab = tab.append_column("fid", pa.array(range(tab.num_rows), pa.int64()))
+        attr_cols = ["fid"]
+    return {"shp": shp_bytes, "shx": shx_bytes,
+            "dbf": _dbf_bytes(tab, attr_cols)}
+
+
+def write_shapefile(ds: "ray.data.Dataset", out_dir: str, *,
+                    wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """Shapefile sink: one .shp/.shx/.dbf triple per block under a
+    content-hash basename; manifest rows point at the .shp."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_features": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        parts = shapefile_bytes(b)
+        name = hashlib.md5(parts["shp"]).hexdigest()[:16]
+        tot = 0
+        for ext, payload in parts.items():
+            path = os.path.join(out_dir, f"part-{name}.{ext}")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+            tot += len(payload)
+        return pa.table({
+            "path": pa.array([os.path.join(out_dir, f"part-{name}.shp")],
+                             pa.string()),
+            "n_features": pa.array([b.num_rows], pa.int64()),
+            "n_bytes": pa.array([tot], pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

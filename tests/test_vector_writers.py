@@ -147,3 +147,107 @@ def test_pipeline_stage_registration(ray_session, tmp_path):
     out = run_pipeline([{"op": "write_geojson",
                          "out_dir": str(tmp_path / "pj")}], source=ds)
     assert out.to_pandas()["n_features"].sum() == 7
+
+
+# ---------- Shapefile writer ----------
+
+def _same_ring(a, b):
+    a = np.asarray(a); b = np.asarray(b)
+    return a.shape == b.shape and (np.allclose(a, b) or np.allclose(a, b[::-1]))
+
+
+def test_shapefile_roundtrip_bytes():
+    """write → parse_shp_bytes/parse_dbf_bytes → geometry + attribute
+    equality (rings may flip orientation to the ESRI rule; vertex chains
+    must survive exactly)."""
+    sq = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=np.float64)
+    hole = np.array([(1, 1), (1, 2), (2, 2), (2, 1), (1, 1)], dtype=np.float64)
+    geoms = [
+        {"type": "Polygon", "rings": [sq, hole]},
+        {"type": "MultiPolygon",
+         "polys": [[sq + 10.0], [sq + 30.0]]},
+        None,
+    ]
+    tab = pa.table({
+        "name": pa.array(["holed", "multi", "null"]),
+        "rank": pa.array([7, -3, 0], pa.int64()),
+        "score": pa.array([1.25, None, 0.5], pa.float64()),
+        "wkb": pa.array([W.dumps(g) if g else None for g in geoms],
+                        pa.binary()),
+    })
+    parts = VW.shapefile_bytes(tab)
+    back = VF.parse_shp_bytes(parts["shp"])
+    attrs = VF.parse_dbf_bytes(parts["dbf"])
+    assert attrs.column("name").to_pylist() == ["holed", "multi", "null"]
+    assert attrs.column("rank").to_pylist() == [7, -3, 0]
+    assert attrs.column("score").to_pylist() == pytest.approx(
+        [1.25, None, 0.5])
+    g0 = W.loads(back[0])
+    assert g0["type"] == "Polygon" and len(g0["rings"]) == 2
+    assert _same_ring(g0["rings"][0], sq) and _same_ring(g0["rings"][1], hole)
+    g1 = W.loads(back[1])
+    assert g1["type"] == "MultiPolygon" and len(g1["polys"]) == 2
+    shells = sorted((p[0] for p in g1["polys"]),
+                    key=lambda r: float(np.asarray(r)[:, 0].min()))
+    assert _same_ring(shells[0], sq + 10.0)
+    assert _same_ring(shells[1], sq + 30.0)
+    assert back[2] is None
+    # .shx indexes every record
+    n_recs = (len(parts["shx"]) - 100) // 8
+    assert n_recs == 3
+
+
+def test_shapefile_lines_points_exact_wkb():
+    geoms = {
+        "line": {"type": "LineString",
+                 "xy": np.array([(0, 0), (1, 1), (2, 0.5)], dtype=np.float64)},
+        "mline": {"type": "MultiLineString",
+                  "lines": [np.array([(0, 0), (1, 0)], dtype=np.float64),
+                            np.array([(0, 1), (1, 1)], dtype=np.float64)]},
+    }
+    for name, g in geoms.items():
+        tab = pa.table({"n": pa.array([name]),
+                        "wkb": pa.array([W.dumps(g)], pa.binary())})
+        back = VF.parse_shp_bytes(VW.shapefile_bytes(tab)["shp"])
+        assert back[0] == W.dumps(g), name      # byte-exact for open chains
+    ptab = pa.table({"n": pa.array(["p"]),
+                     "wkb": pa.array([W.point(1.5, -2.25)], pa.binary())})
+    assert VF.parse_shp_bytes(VW.shapefile_bytes(ptab)["shp"])[0] == \
+        W.point(1.5, -2.25)
+
+
+def test_shapefile_rejects_mixed_and_unmappable():
+    tab = pa.table({"wkb": pa.array(
+        [W.point(0, 0),
+         W.dumps({"type": "LineString",
+                  "xy": np.array([(0, 0), (1, 1)], dtype=np.float64)})],
+        pa.binary())})
+    with pytest.raises(ValueError, match="mixed"):
+        VW.shapefile_bytes(tab)
+    mp = pa.table({"wkb": pa.array([W.dumps(
+        {"type": "MultiPoint",
+         "xy": np.array([(0, 0), (1, 1)], dtype=np.float64)})], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        VW.shapefile_bytes(mp)
+
+
+def test_shapefile_sink_readback(tmp_path, ray_session):
+    import ray.data
+
+    sq = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=np.float64)
+    tab = pa.table({
+        "name": pa.array([f"f{i}" for i in range(6)]),
+        "rank": pa.array(list(range(6)), pa.int64()),
+        "wkb": pa.array([W.dumps({"type": "Polygon", "rings": [sq + 3.0 * i]})
+                         for i in range(6)], pa.binary()),
+    })
+    ds = ray.data.from_arrow(tab).repartition(2)
+    man = VW.write_shapefile(ds, str(tmp_path / "shp")).to_pandas()
+    assert man["n_features"].sum() == 6
+    assert all(p.endswith(".shp") for p in man["path"])
+    back = VF.read_shapefile(sorted(man["path"])).to_pandas()
+    assert sorted(back["name"]) == [f"f{i}" for i in range(6)]
+    got = {r["name"]: W.loads(r["wkb"])["rings"][0]
+           for _, r in back.iterrows()}
+    for i in range(6):
+        assert _same_ring(got[f"f{i}"], sq + 3.0 * i)
