@@ -111,6 +111,12 @@ def _write_shapefile(ds, out_dir: str, wkb_col: str = "wkb"):
     return write_shapefile(ds, out_dir, wkb_col=wkb_col)
 
 
+@register("write_flatgeobuf")
+def _write_flatgeobuf(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_flatgeobuf
+    return write_flatgeobuf(ds, out_dir, wkb_col=wkb_col)
+
+
 @register("write_cog")
 def _write_cog(ds, out_dir: str, tile_size=256, compression: str = "deflate",
                resampling: str = "average"):

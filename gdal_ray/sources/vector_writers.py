@@ -433,3 +433,198 @@ def write_shapefile(ds: "ray.data.Dataset", out_dir: str, *,
             "n_bytes": pa.array([tot], pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------- FlatGeobuf ----------
+# Hand-built little-endian flatbuffers against the public FlatGeobuf 3.x
+# spec (the same header/feature schema ogr/ogrsf_frmts/flatgeobuf's
+# geometrywriter.cpp emits): magic, size-prefixed Header table
+# (geometry_type / columns / features_count / index_node_size=0 → no
+# R-tree), then size-prefixed Feature tables (Geometry xy+ends+type(+parts),
+# properties = column-index-tagged packed values).  Round-trips through
+# vector_formats.parse_flatgeobuf_bytes.
+
+_FGB_GTYPE = {"Point": 1, "LineString": 2, "Polygon": 3,
+              "MultiPoint": 4, "MultiLineString": 5, "MultiPolygon": 6}
+
+
+def _fb_table(slots: list) -> tuple[bytes, int]:
+    """slots: [(vt_slot, ("scalar", fmt, value) | ("offset", blob, entry))]
+    → (blob, table_entry).  Blob layout: [vtable][table inline][heap];
+    every internal offset is blob-relative, so blobs compose freely."""
+    slots = sorted(slots, key=lambda s: s[0])
+    nslots = (max(s[0] for s in slots) - 4) // 2 + 1 if slots else 0
+    vtlen = 4 + 2 * nslots
+    # inline layout
+    sizes = []
+    for _slot, spec in slots:
+        sizes.append(struct.calcsize("<" + spec[1]) if spec[0] == "scalar"
+                     else 4)
+    inline = 4 + sum(sizes)
+    rel = {}
+    p = 4
+    for (slot, _spec), sz in zip(slots, sizes):
+        rel[slot] = p
+        p += sz
+    vt = struct.pack("<HH", vtlen, inline)
+    for j in range(nslots):
+        vt += struct.pack("<H", rel.get(4 + 2 * j, 0))
+    body = bytearray(struct.pack("<i", vtlen))       # soffset → vtable at 0
+    heap = bytearray()
+    heap_base = vtlen + inline
+    for (slot, spec), sz in zip(slots, sizes):
+        if spec[0] == "scalar":
+            body += struct.pack("<" + spec[1], spec[2])
+        else:
+            _, blob, entry = spec
+            if len(heap) % 8:
+                heap += b"\x00" * (8 - len(heap) % 8)
+            target = heap_base + len(heap) + entry
+            body += struct.pack("<I", target - (vtlen + rel[slot]))
+            heap += blob
+    return vt + bytes(body) + bytes(heap), vtlen
+
+
+def _fb_vec(fmt: str, vals) -> tuple[bytes, int]:
+    a = np.asarray(vals)
+    return struct.pack("<I", len(a)) + a.astype(fmt).tobytes(), 0
+
+
+def _fb_str(s: str) -> tuple[bytes, int]:
+    b = s.encode("utf-8")
+    return struct.pack("<I", len(b)) + b + b"\x00", 0
+
+
+def _fb_table_vec(items: list) -> tuple[bytes, int]:
+    """items: [(blob, entry)] → vector-of-tables blob."""
+    n = len(items)
+    head = bytearray(struct.pack("<I", n))
+    tails = bytearray()
+    base = 4 + 4 * n
+    for i, (blob, entry) in enumerate(items):
+        if len(tails) % 8:
+            tails += b"\x00" * (8 - len(tails) % 8)
+        head += struct.pack("<I", (base + len(tails) + entry) - (4 + 4 * i))
+        tails += blob
+    return bytes(head) + bytes(tails), 0
+
+
+def _fgb_geom_table(g: dict) -> tuple[bytes, int]:
+    """Parsed geometry → FlatGeobuf Geometry table (VT_ENDS=4, VT_XY=6,
+    VT_TYPE=16, VT_PARTS=18)."""
+    t = g["type"]
+    if t not in _FGB_GTYPE:
+        raise NotImplementedError(
+            f"FlatGeobuf writer: {t} not representable "
+            "(GeometryCollection → use GeoJSON/GPKG sinks)")
+    code = _FGB_GTYPE[t]
+    slots = [(16, ("scalar", "B", code))]
+    if t == "Point":
+        xy = np.asarray(g["xy"], dtype=np.float64).reshape(-1)[:2]
+        slots.append((6, ("offset",) + _fb_vec("<f8", xy)))
+    elif t in ("LineString", "MultiPoint"):
+        xy = np.asarray(g["xy"], dtype=np.float64).reshape(-1, 2)
+        slots.append((6, ("offset",) + _fb_vec("<f8", xy.ravel())))
+    elif t in ("Polygon", "MultiLineString"):
+        parts = g["rings"] if t == "Polygon" else g["lines"]
+        parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                 for p in parts]
+        ends = np.cumsum([len(p) for p in parts]).astype(np.uint32)
+        slots.append((6, ("offset",) + _fb_vec(
+            "<f8", np.vstack(parts).ravel())))
+        if len(parts) > 1:
+            slots.append((4, ("offset",) + _fb_vec("<u4", ends)))
+    elif t == "MultiPolygon":
+        subs = []
+        for rings in g["polys"]:
+            rr = [np.asarray(r, dtype=np.float64).reshape(-1, 2)
+                  for r in rings]
+            ends = np.cumsum([len(r) for r in rr]).astype(np.uint32)
+            sub_slots = [(6, ("offset",) + _fb_vec(
+                "<f8", np.vstack(rr).ravel()))]
+            if len(rr) > 1:
+                sub_slots.append((4, ("offset",) + _fb_vec("<u4", ends)))
+            subs.append(_fb_table(sub_slots))
+        slots.append((18, ("offset",) + _fb_table_vec(subs)))
+    else:
+        raise NotImplementedError(
+            f"FlatGeobuf writer: {t} not representable "
+            "(GeometryCollection → use GeoJSON/GPKG sinks)")
+    return _fb_table(slots)
+
+
+def _fgb_column_meta(tab: pa.Table, cols: list[str]) -> list[tuple]:
+    """→ [(name, fgb_type_code, packer)] per attribute column."""
+    metas = []
+    for c in cols:
+        t = tab.column(c).type
+        if pa.types.is_boolean(t):
+            metas.append((c, 2, lambda v: struct.pack("<B", int(v))))
+        elif pa.types.is_integer(t):
+            metas.append((c, 7, lambda v: struct.pack("<q", int(v))))
+        elif pa.types.is_floating(t):
+            metas.append((c, 10, lambda v: struct.pack("<d", float(v))))
+        elif pa.types.is_binary(t):
+            metas.append((c, 14, lambda v: struct.pack("<I", len(v)) + v))
+        else:
+            metas.append((c, 11, lambda v: (lambda b: struct.pack(
+                "<I", len(b)) + b)(str(v).encode("utf-8"))))
+    return metas
+
+
+FGB_MAGIC_W = bytes([0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x01])
+
+
+def flatgeobuf_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+                     name: str = "layer") -> bytes:
+    geoms = [wkb.loads(v) if v is not None else None
+             for v in tab.column(wkb_col).to_pylist()]
+    gtypes = {_FGB_GTYPE.get(g["type"], 0) for g in geoms if g is not None}
+    layer_gtype = gtypes.pop() if len(gtypes) == 1 else 0
+
+    attr_cols = [c for c in tab.column_names if c != wkb_col]
+    metas = _fgb_column_meta(tab, attr_cols)
+    col_tabs = [_fb_table([(4, ("offset",) + _fb_str(n)),
+                           (6, ("scalar", "B", code))])
+                for n, code, _ in metas]
+    header_slots = [
+        (4, ("offset",) + _fb_str(name)),          # VT_NAME
+        (8, ("scalar", "B", layer_gtype)),         # VT_GEOMETRY_TYPE
+        (20, ("scalar", "Q", len(geoms))),         # VT_FEATURES_COUNT
+        (22, ("scalar", "H", 0)),                  # VT_INDEX_NODE_SIZE: none
+    ]
+    if col_tabs:
+        header_slots.append((18, ("offset",) + _fb_table_vec(col_tabs)))
+    hblob, hentry = _fb_table(header_slots)
+    header = struct.pack("<I", 4 + hentry) + hblob
+
+    out = bytearray(FGB_MAGIC_W)
+    out += struct.pack("<I", len(header)) + header
+    for i, g in enumerate(geoms):
+        fslots = []
+        if g is not None:
+            gblob, gentry = _fgb_geom_table(g)
+            fslots.append((4, ("offset", gblob, gentry)))   # VT_GEOMETRY
+        props = bytearray()
+        for ci, (cname, _code, pack) in enumerate(metas):
+            v = tab.column(cname)[i].as_py()
+            if v is None:
+                continue
+            props += struct.pack("<H", ci) + pack(v)
+        if props:
+            fslots.append((6, ("offset",) + _fb_vec(
+                "<u1", np.frombuffer(bytes(props), np.uint8))))
+        if not fslots:                       # null geometry, all-null props:
+            fslots = [(6, ("offset",) + _fb_vec("<u1", []))]
+        blob, entry = _fb_table(fslots)
+        feat = struct.pack("<I", 4 + entry) + blob
+        out += struct.pack("<I", len(feat)) + feat
+    return bytes(out)
+
+
+def write_flatgeobuf(ds: "ray.data.Dataset", out_dir: str, *,
+                     wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """FlatGeobuf sink: one .fgb per block (no spatial index — stream
+    order); returns the manifest Dataset."""
+    return _file_sink(ds, out_dir, ".fgb",
+                      lambda b: flatgeobuf_bytes(b, wkb_col=wkb_col))

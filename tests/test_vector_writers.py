@@ -251,3 +251,59 @@ def test_shapefile_sink_readback(tmp_path, ray_session):
            for _, r in back.iterrows()}
     for i in range(6):
         assert _same_ring(got[f"f{i}"], sq + 3.0 * i)
+
+
+# ---------- FlatGeobuf ----------
+
+def _fgb_fixture_table() -> pa.Table:
+    geoms = {k: v for k, v in _fixture_geoms().items() if k != "collection"}
+    names = sorted(geoms)
+    return pa.table({
+        "name": pa.array(names),
+        "rank": pa.array(list(range(len(names))), pa.int64()),
+        "score": pa.array([i * 0.5 for i in range(len(names))], pa.float64()),
+        "flag": pa.array([i % 2 == 0 for i in range(len(names))]),
+        "wkb": pa.array([W.dumps(geoms[n]) for n in names], pa.binary()),
+    })
+
+
+def test_flatgeobuf_roundtrip_bytes():
+    tab = _fgb_fixture_table()
+    back = VF.parse_flatgeobuf_bytes(VW.flatgeobuf_bytes(tab))
+    assert back.column_names == ["name", "rank", "score", "flag", "wkb"]
+    for c in ("name", "rank", "score", "flag", "wkb"):
+        assert back.column(c).to_pylist() == tab.column(c).to_pylist(), c
+
+
+def test_flatgeobuf_null_geometry_and_props():
+    tab = pa.table({"name": pa.array(["a", None]),
+                    "wkb": pa.array([W.point(1, 2), None], pa.binary())})
+    back = VF.parse_flatgeobuf_bytes(VW.flatgeobuf_bytes(tab)).to_pydict()
+    assert back["name"] == ["a", None]
+    assert back["wkb"][0] == W.point(1, 2) and back["wkb"][1] is None
+
+
+def test_flatgeobuf_collection_unrepresentable():
+    g = _fixture_geoms()["collection"]
+    tab = pa.table({"wkb": pa.array([W.dumps(g)], pa.binary())})
+    with pytest.raises(NotImplementedError, match="GeometryCollection"):
+        VW.flatgeobuf_bytes(tab)
+
+
+def test_flatgeobuf_sink_readback(tmp_path, ray_session):
+    import ray.data
+
+    sq = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=np.float64)
+    tab = pa.table({
+        "name": pa.array([f"f{i}" for i in range(6)]),
+        "wkb": pa.array([W.dumps({"type": "Polygon", "rings": [sq + 3.0 * i]})
+                         for i in range(6)], pa.binary()),
+    })
+    ds = ray.data.from_arrow(tab).repartition(2)
+    man = VW.write_flatgeobuf(ds, str(tmp_path / "fgb")).to_pandas()
+    assert man["n_features"].sum() == 6
+    assert all(p.endswith(".fgb") for p in man["path"])
+    back = VF.read_flatgeobuf(sorted(man["path"])).to_pandas()
+    got = {r["name"]: W.loads(r["wkb"]) for _, r in back.iterrows()}
+    for i in range(6):
+        assert np.allclose(got[f"f{i}"]["rings"][0], sq + 3.0 * i)
