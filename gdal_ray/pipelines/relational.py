@@ -50,8 +50,13 @@ def _join_partitions() -> int:
 
 
 
-def _read(sf_dir: str, name: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+def _read(sf_dir: str, name: str, columns: list | None = None
+          ) -> "ray.data.Dataset":
+    """Pruned read: pass `columns` so only the needed columns leave
+    storage regardless of whether the optimizer pushes a later
+    select_columns into the scan."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet",
+                                 columns=columns)
 
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
@@ -129,8 +134,8 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_segment_revenue(sf_dir: str):
     """orders ⋈ customer (hash join) + groupby segment."""
-    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     def cents(b: pa.Table) -> pa.Table:
         return pa.table({
             "o_custkey": b.column("o_custkey"),
@@ -164,8 +169,7 @@ GROUP BY c_mktsegment
 
 def q_topk_orders(sf_dir: str):
     """ORDER BY … LIMIT (ogr_gensql.cpp:2218 CreateOrderByIndex analog)."""
-    ds = _read(sf_dir, "orders").select_columns(
-        ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
     return top.map_batches(lambda b: _round_col(b, "o_totalprice", 2),
                            batch_format="pyarrow")
@@ -180,7 +184,7 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def q_distinct_brands(sf_dir: str):
     """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_gensql.cpp:705) = groupby
     with no aggregates — a pure key shuffle."""
-    agg = _read(sf_dir, "part").select_columns(["p_brand"]).groupby("p_brand").aggregate(Count())
+    agg = _read(sf_dir, "part", ["p_brand"]).groupby("p_brand").aggregate(Count())
     return agg.select_columns(["p_brand"])
 
 
@@ -272,8 +276,7 @@ def q_nation_revenue(sf_dir: str):
             "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
         })
 
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     agg = li.map_batches(partial, batch_format="pyarrow") \
             .groupby("n_name").aggregate(Sum("rev_cc"), Sum("n"))
 
@@ -304,7 +307,7 @@ GROUP BY n_name
 def q_event_stats(sf_dir: str):
     """events groupby with min/max/mean — the band-statistics aggregate
     shape (partial+final)."""
-    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def micro(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -359,7 +362,7 @@ SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice < 10000.0
 def q_semi_anti(sf_dir: str):
     """customers with no orders (anti-join via left join + null filter —
     the SQL NOT IN idiom, SURVEY §2.5 semi/anti)."""
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders").filter(expr="o_totalprice > 300000.0") \
         .groupby("o_custkey").aggregate(Count())
     j = cust.join(orders, join_type="left_outer", num_partitions=_join_partitions(),
@@ -439,7 +442,7 @@ def geo_tile_assign(sf_dir: str):
     """XYZ tile assignment at z=8 for lineitem-derived lon/lat + per-tile
     counts — the gdal2tiles PixelsToTile math as a groupby key."""
     Z = 8
-    ds = _read(sf_dir, "lineitem").select_columns(["l_partkey", "l_suppkey"])
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def fn(b: pa.Table) -> pa.Table:
         pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
@@ -520,7 +523,7 @@ def geo_knn(sf_dir: str):
     """3 nearest customer-points per supplier-point via the broadcast kNN
     stage; oracle = windowed cross join."""
     cust = _read(sf_dir, "customer").map_batches(_cust_points, batch_format="pyarrow")
-    sup_tbl = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+    sup_tbl = _read(sf_dir, "supplier", ["s_suppkey"]) \
         .map_batches(lambda b: pa.table({
             "point_id": pa.array([f"s{int(v):06d}" for v in np.asarray(b.column('s_suppkey'))]),
             "skey": b.column("s_suppkey"),
@@ -585,8 +588,7 @@ def geo_zonal_points(sf_dir: str):
                          "y": pa.array(y, pa.float64()),
                          "value": b.column("l_quantity")})
 
-    pts = _read(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_linenumber", "l_quantity"]) \
+    pts = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]) \
         .map_batches(li_points, batch_format="pyarrow")
     pls = _read(sf_dir, "nation").map_batches(_nation_rects, batch_format="pyarrow")
 
@@ -789,7 +791,7 @@ SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 def text_token_stats(sf_dir: str):
     from .text import token_count
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(lambda b: token_count(b), batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_ws_tokens", "n_chars_calc"])
 
@@ -803,7 +805,7 @@ FROM documents
 
 
 def text_alpha_ratio(sf_dir: str):
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
@@ -972,7 +974,7 @@ def vector_dissolve_union_q(sf_dir: str):
     dissolve would report n*1.0 and fail the oracle."""
     from ..stages.vector import dissolve_union
 
-    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey", "s_nationkey"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
     def build_group(g: pa.Table) -> pa.Table:
         n = int(g.column("s_nationkey")[0].as_py())
@@ -1024,7 +1026,7 @@ def vector_makevalid_q(sf_dir: str):
         return pa.table({"p_partkey": pa.array(k, pa.int64()),
                          "wkb": pa.array(out, pa.binary())})
 
-    parts = _read(sf_dir, "part").select_columns(["p_partkey"]) \
+    parts = _read(sf_dir, "part", ["p_partkey"]) \
         .map_batches(lambda b: b.filter(pa.array(
             np.asarray(b.column("p_partkey"), dtype=np.int64) % 10 == 3)),
             batch_format="pyarrow")
@@ -1076,7 +1078,7 @@ def _sup_points(b: pa.Table) -> pa.Table:
 def _cust_ref_table(sf_dir: str) -> pa.Table:
     """Customer-derived reference points + values, ORDERED by custkey so the
     kernel's index tie-break equals order-by-custkey in SQL."""
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
     tabs = [b for b in cust.iter_batches(batch_format="pyarrow")]
     t = pa.concat_tables(tabs)
     k = np.asarray(t.column("c_custkey"), dtype=np.int64)
@@ -1095,7 +1097,7 @@ def knn_idw_q(sf_dir: str):
     customer values at each supplier node."""
     from .knn import idw_interpolate
     ref = _cust_ref_table(sf_dir)
-    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+    sup = _read(sf_dir, "supplier", ["s_suppkey"]) \
         .map_batches(_sup_points, batch_format="pyarrow")
     out = idw_interpolate(sup, np.column_stack([np.asarray(ref.column("x")),
                                                 np.asarray(ref.column("y"))]),
@@ -1142,7 +1144,7 @@ def grid_metrics_q(sf_dir: str):
     points (radius 12°); empty neighborhoods emit -1 sentinels."""
     from .knn import grid_metrics
     ref = _cust_ref_table(sf_dir)
-    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+    sup = _read(sf_dir, "supplier", ["s_suppkey"]) \
         .map_batches(_sup_points, batch_format="pyarrow")
     out = grid_metrics(sup, np.column_stack([np.asarray(ref.column("x")),
                                              np.asarray(ref.column("y"))]),
@@ -1213,7 +1215,7 @@ def knn_bigbig_q(sf_dir: str):
     """BIG×BIG radius kNN (cell join + 3×3 halo) over table-derived points:
     3 nearest customers within 4° of each supplier."""
     from .knn import knn_radius_cell_join
-    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"]) \
+    sup = _read(sf_dir, "supplier", ["s_suppkey"]) \
         .map_batches(_sup_points, batch_format="pyarrow")
 
     def cust_pts(b: pa.Table) -> pa.Table:
@@ -1224,7 +1226,7 @@ def knn_bigbig_q(sf_dir: str):
             "y": pa.array(((k * 91) % 1700) / 10.0 - 85.0 + 0.05, pa.float64()),
         })
 
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+    cust = _read(sf_dir, "customer", ["c_custkey"]) \
         .map_batches(cust_pts, batch_format="pyarrow")
     out = knn_radius_cell_join(sup, cust, radius=4.0, k=3)
 
@@ -1290,7 +1292,7 @@ def dedup_phash_q(sf_dir: str):
             "phash": pa.array(ph, pa.int64()),
         })
 
-    imgs = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+    imgs = _read(sf_dir, "customer", ["c_custkey"]) \
         .map_batches(derive, batch_format="pyarrow")
     out = phash_neardup_pairs(imgs, max_hamming=3)
 
@@ -1367,7 +1369,7 @@ def raster_band_stats_q(sf_dir: str):
     import ray.data
 
     from .raster_ops import band_statistics
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = band_statistics(imgs)
 
@@ -1403,7 +1405,7 @@ def raster_tindex_q(sf_dir: str):
     """gdaltindex over the derived catalog: per-image lon/lat footprint
     bbox, closed-form from the geotransform."""
     from .catalog import build_tile_index
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = build_tile_index(imgs)
 
@@ -1432,7 +1434,7 @@ def raster_as_features_q(sf_dir: str):
     """gdal2xyz / as-features with step=8 over the derived rasters: every
     sampled pixel's (lon, lat, value) is integer arithmetic."""
     from .raster_ops import as_features
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = imgs.map_batches(lambda b: as_features(b, step=8),
                            batch_format="pyarrow")
@@ -1472,9 +1474,9 @@ def raster_pixel_info_q(sf_dir: str):
     exact pixel centers of the derived rasters — bilinear at a center is
     the pixel value itself, so the oracle is closed-form."""
     from .raster_ops import pixel_info
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
-    sup = _read(sf_dir, "supplier").select_columns(["s_suppkey"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey"])
     st = pa.concat_tables(list(sup.iter_batches(batch_format="pyarrow")))
     k = np.asarray(st.column("s_suppkey"), dtype=np.int64)
     n = k % 25
@@ -1556,7 +1558,7 @@ def raster_hillshade_q(sf_dir: str):
     """gdaldem hillshade over float32 plane DEMs; interior shade value is a
     closed-form trig expression of the plane gradient."""
     from ..stages.raster import hillshade
-    dems = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    dems = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_dems, batch_format="pyarrow")
     out = dems.map_batches(hillshade, batch_format="pyarrow")
     return out.map_batches(lambda b: _center_pixel(b, "dem", "shade"),
@@ -1621,7 +1623,7 @@ def raster_hillshade_png16_q(sf_dir: str):
     """gdaldem hillshade over 16-BIT PNG DEMs (decode path bit depth 16);
     same interior closed form as raster_hillshade with integer gradients."""
     from ..stages.raster import hillshade
-    dems = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    dems = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_dems_png16, batch_format="pyarrow")
     out = dems.map_batches(hillshade, batch_format="pyarrow")
     return out.map_batches(lambda b: _center_pixel(b, "dem", "shade"),
@@ -1654,7 +1656,7 @@ def raster_aspect_q(sf_dir: str):
     """gdaldem aspect over the same plane DEMs (output scaled deg/2 to fit
     uint8); flat cells (zero gradient) report 0."""
     from ..stages.dem import aspect
-    dems = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    dems = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_dems, batch_format="pyarrow")
     out = dems.map_batches(aspect, batch_format="pyarrow")
     return out.map_batches(lambda b: _center_pixel(b, "dem", "aspect_half"),
@@ -1699,8 +1701,7 @@ def geo_predicates_q(sf_dir: str):
             rows.append((r, bb))
         return rows
 
-    bt = pa.concat_tables(list(_read(sf_dir, "region")
-                               .select_columns(["r_regionkey"])
+    bt = pa.concat_tables(list(_read(sf_dir, "region", ["r_regionkey"])
                                .iter_batches(batch_format="pyarrow")))
     b_list = b_rects_tbl(bt)
     import ray
@@ -1725,7 +1726,7 @@ def geo_predicates_q(sf_dir: str):
                          "r_regionkey": pa.array(rk, pa.int64()),
                          "relation": pa.array(rel, pa.string())})
 
-    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(relate, batch_format="pyarrow")
 
 
@@ -1785,7 +1786,7 @@ def raster_gcp_warp_q(sf_dir: str):
             "gcps": pa.array(gcps, pa.list_(pa.float64())),
         })
 
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow") \
         .map_batches(strip_gt, batch_format="pyarrow")
     out = imgs.map_batches(GcpWarpStage, fn_constructor_kwargs={
@@ -1853,7 +1854,7 @@ def geo_polygonize_stitched_q(sf_dir: str):
             "nodata": pa.nulls(m, pa.float64()),
         })
 
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(build, batch_format="pyarrow")
     out = polygonize_stitched(imgs, max_pixels=1024, tile_px=32)
 
@@ -2028,7 +2029,7 @@ def raster_calc_q(sf_dir: str):
     closed-form integer oracle.  (clip(x, 0, 255) then uint8 truncation,
     so values stay exact.)"""
     from ..stages.raster2 import calc
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = imgs.map_batches(lambda b: calc(b, "where(A > 64, 255, A * 2)",
                                           out_fmt="raw"),
@@ -2055,7 +2056,7 @@ def raster_neighbors_q(sf_dir: str):
     sampled at the interior center pixel — DuckDB recomputes the 9-value
     median from the pixel formula."""
     from ..stages.dem import neighbors
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = imgs.map_batches(lambda b: neighbors(b, stat="median", size=3),
                            batch_format="pyarrow")
@@ -2084,7 +2085,7 @@ def footprint_join_q(sf_dir: str):
     from ..pipelines import spatial_join as SJ
     from ..stages.footprint import footprints
 
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     fps = imgs.map_batches(footprints, batch_format="pyarrow")
 
@@ -2147,14 +2148,15 @@ def tile_pyramid_q(sf_dir: str):
     import ray.data
 
     from .tiling import tile_pyramid
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     levels = tile_pyramid(imgs, max_zoom=5, min_zoom=3, concurrency=2)
     zs, ns = [], []
     for lv in levels:
-        rows = lv.select_columns(["z"]).take_all()
-        zs.append(int(rows[0]["z"]) if rows else -1)
-        ns.append(len(rows))
+        n = lv.count()
+        head = lv.select_columns(["z"]).take(1) if n else []
+        zs.append(int(head[0]["z"]) if head else -1)
+        ns.append(n)
     return pa.table({"z": pa.array(zs, pa.int64()),
                      "n_tiles": pa.array(ns, pa.int64())})
 
@@ -2223,7 +2225,7 @@ def vector_check_geometry_q(sf_dir: str):
         return pa.table({"p_partkey": pa.array(k, pa.int64()),
                          "wkb": pa.array(out, pa.binary())})
 
-    parts = _read(sf_dir, "part").select_columns(["p_partkey"]) \
+    parts = _read(sf_dir, "part", ["p_partkey"]) \
         .map_batches(lambda b: b.filter(pa.array(
             np.asarray(b.column("p_partkey"), dtype=np.int64) % 10 < 4)),
             batch_format="pyarrow")
@@ -2281,7 +2283,7 @@ def dedup_minhash_q(sf_dir: str):
     identical signatures, so est-jaccard is exactly 1.0 and every planted
     pair (n, n+1000) — and nothing else — survives the 0.7 threshold."""
     from .dedup import minhash_lsh_pairs
-    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    docs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_synth_corpus, batch_format="pyarrow")
     out = minhash_lsh_pairs(docs, threshold=0.7)
     return out.map_batches(lambda b: pa.table({
@@ -2301,7 +2303,7 @@ FROM nation
 def dedup_simhash_q(sf_dir: str):
     """SimHash near-dup over the planted corpus: copies have hamming 0."""
     from .dedup import simhash_pairs
-    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    docs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_synth_corpus, batch_format="pyarrow")
     out = simhash_pairs(docs, max_hamming=3)
     return out.map_batches(lambda b: pa.table({
@@ -2325,7 +2327,7 @@ def dedup_embedding_q(sf_dir: str):
     import ray.data
 
     from .dedup import embedding_neardup_pairs
-    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = emb.sort("vec_id").limit(20).take_all()
     planted = pa.table({
         "vec_id": pa.array([int(r["vec_id"]) + 1_000_000 for r in head], pa.int64()),
@@ -2408,7 +2410,7 @@ def raster_translate_q(sf_dir: str):
     checked PER PIXEL: scale maps v∈[0,108] → floor(10 + v/108*190), and
     16×16 nearest picks src pixel (2i+1, 2j+1)."""
     from ..stages.raster import translate
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = imgs.map_batches(
         lambda b: translate(b, scale=(0, 108, 10, 200), out_size=(16, 16),
@@ -2461,7 +2463,7 @@ def raster_sieve_q(sf_dir: str):
     block survives → px_sum = 1024·B + 4·60 exactly."""
     from ..core import codecs as CD
     from ..stages.raster2 import sieve
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_sieve_images, batch_format="pyarrow")
     out = imgs.map_batches(lambda b: sieve(b, threshold=3),
                            batch_format="pyarrow")
@@ -2512,7 +2514,7 @@ def raster_proximity_q(sf_dir: str):
     """GDALComputeProximity with the EXACT Euclidean distance transform,
     checked per pixel against sqrt((r-tr)² + (c-tc)²)·1000 floored."""
     from ..stages.raster import proximity_rows
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_prox_images, batch_format="pyarrow")
     out = imgs.map_batches(lambda b: proximity_rows(b, target_value=255),
                            batch_format="pyarrow")
@@ -2540,7 +2542,7 @@ def raster_reproject_q(sf_dir: str):
     output grid (w, h, origin) is closed-form from the spherical-mercator
     forward formulas, which DuckDB replays with the same libm ops."""
     from ..stages.warp import ReprojectImageStage
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = imgs.map_batches(ReprojectImageStage,
                            fn_constructor_kwargs={"dst_crs": "EPSG:3857"},
@@ -2606,7 +2608,7 @@ def geo_project_lcc_q(sf_dir: str):
             "y_m": pa.array(np.floor(y * 1e3 + 0.5) / 1e3, pa.float64()),
         })
 
-    return _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+    return _read(sf_dir, "customer", ["c_custkey"]) \
         .map_batches(project, batch_format="pyarrow")
 
 
@@ -2653,7 +2655,7 @@ def image_features_q(sf_dir: str):
     exact rationals; the 8×8 average-hash uses exact dyadic block means, so
     every bit comparison is reproducible in SQL integer arithmetic."""
     from ..stages.multimodal import ImageFeatureStage
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
                            batch_size=8, concurrency=2)
@@ -2724,7 +2726,7 @@ def rgb_to_palette_q(sf_dir: str):
 
     from ..core import codecs as CD
     from ..stages.palette import rgb_to_palette
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_palette_images, batch_format="pyarrow")
     indexed, pal = rgb_to_palette(imgs, n_colors=32)
     pal_ref = ray.put(np.asarray(pal, dtype=np.int64))
@@ -2888,7 +2890,7 @@ def geo_polygonize_q(sf_dir: str):
     from ..stages.raster import reclassify_fn
     from .polygonize import polygonize
     lut = {v: (v // 16) * 16 for v in range(256)}
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     out = imgs.map_batches(reclassify_fn(lut), batch_format="pyarrow") \
               .map_batches(polygonize, batch_format="pyarrow")
@@ -2913,7 +2915,7 @@ def grid_linear_q(sf_dir: str):
     value field — any Delaunay triangulation reproduces a linear function
     exactly, so every interior query has a closed-form answer."""
     from .knn import grid_linear
-    nat = _read(sf_dir, "nation").select_columns(["n_nationkey"]).take_all()
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).take_all()
     k = np.array([r["n_nationkey"] for r in nat], dtype=np.int64)
     ref_xy = np.column_stack([(k % 5) * 10.0, (k // 5) * 10.0])
     ref_v = 2.0 * ref_xy[:, 0] + 3.0 * ref_xy[:, 1] + 7.0
@@ -2926,7 +2928,7 @@ def grid_linear_q(sf_dir: str):
             "y": pa.array(1.0 + ((c * 29) % 380) / 10.0, pa.float64()),
         })
 
-    queries = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+    queries = _read(sf_dir, "customer", ["c_custkey"]) \
         .map_batches(pts, batch_format="pyarrow")
     out = grid_linear(queries, ref_xy, ref_v, concurrency=2)
     return out.map_batches(lambda b: pa.table({
@@ -2952,7 +2954,7 @@ def dedup_ngram_q(sf_dir: str):
     have true shingle Jaccard exactly 1.0 (distinct docs share ~no
     shingles), so the output is the closed-form planted pair set."""
     from .dedup import ngram_jaccard_pairs
-    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    docs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_synth_corpus, batch_format="pyarrow")
     out = ngram_jaccard_pairs(docs, threshold=0.8)
     return out.map_batches(lambda b: pa.table({
@@ -3090,7 +3092,7 @@ def text_fingerprint_q(sf_dir: str):
     """Winnowing fingerprint over the planted corpus — exact copies share
     the fingerprint; DuckDB replays the full rolling-hash chain."""
     from .text import fingerprint
-    docs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    docs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_synth_corpus, batch_format="pyarrow")
     return docs.map_batches(fingerprint, batch_format="pyarrow")
 
@@ -3124,7 +3126,7 @@ def raster_tiff_q(sf_dir: str):
     arithmetic survives the TIFF roundtrip bit-exactly)."""
     from ..core import checksum as CK
     from ..core import tiff as TF
-    imgs = _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
     tiffs = imgs.map_batches(_to_tiff_batch, batch_format="pyarrow")
 
@@ -3203,7 +3205,7 @@ def raster_cog_q(sf_dir: str):
                          "ovr_sum": pa.array(osum, pa.int64()),
                          "layout_ok": pa.array(lay, pa.int64())})
 
-    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow") \
         .map_batches(per_batch, batch_format="pyarrow")
 
@@ -3289,7 +3291,7 @@ def vector_curves_q(sf_dir: str):
                          "curve_segs": pa.array(lsegs, pa.int64()),
                          "len_e4": pa.array(lens_, pa.int64())})
 
-    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(per_batch, batch_format="pyarrow")
 
 
@@ -3345,7 +3347,7 @@ def raster_webp_lossy_q(sf_dir: str):
                          "px_sum": pa.array(sums, pa.int64()),
                          "is_vp8i": pa.array(tagged, pa.int64())})
 
-    return _read(sf_dir, "nation").select_columns(["n_nationkey"]) \
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(per_batch, batch_format="pyarrow")
 
 
