@@ -223,10 +223,21 @@ class _TreeDecoder:
         Built lazily (only the positional fast path needs it)."""
         if self._full is None:
             arr = np.zeros(1 << self.maxlen, dtype=np.int32)
-            for l, s, code in self._codes:
-                rev = int(f"{code:0{l}b}"[::-1], 2)
-                arr[rev + (np.arange(1 << (self.maxlen - l),
-                                     dtype=np.int32) << l)] = (s << 5) | l
+            ls = np.array([c[0] for c in self._codes], np.int64)
+            ss = np.array([c[1] for c in self._codes], np.int64)
+            v = np.array([c[2] for c in self._codes], np.int64)
+            # vectorized <=16-bit reversal, one bulk scatter per length
+            v = ((v & 0x5555) << 1) | ((v >> 1) & 0x5555)
+            v = ((v & 0x3333) << 2) | ((v >> 2) & 0x3333)
+            v = ((v & 0x0F0F) << 4) | ((v >> 4) & 0x0F0F)
+            v = ((v & 0x00FF) << 8) | ((v >> 8) & 0x00FF)
+            ents = ((ss << 5) | ls).astype(np.int32)
+            for l in np.unique(ls):
+                m = ls == l
+                revs = v[m] >> (16 - l)
+                k = np.arange(1 << (self.maxlen - int(l)),
+                              dtype=np.int64) << l
+                arr[revs[None, :] + k[:, None]] = ents[m]
             self._full = arr
         return self._full
 
@@ -886,18 +897,33 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
     w24a = _array.array("i", w24.tobytes())
     p = p0 - base * 8
 
-    def _ent(tree):
-        if tree.single is not None:
-            return None
-        mask = (1 << tree.maxlen) - 1
-        return _array.array("i", np.take(tree.fulllut(), w24 & mask)
-                            .tobytes())
-
-    G = _ent(green)
-    R = _ent(red)
-    B = _ent(blue)
-    A = _ent(alpha)
-    D = _ent(dist)
+    # ---- combined per-position table ----
+    # The four channel trees' full-depth entries are packed into 16-bit
+    # fields of ONE int64 LUT keyed by the low max-maxlen window bits
+    # (entries are <= 14 bits: (sym<<5)|len, sym<=279), so the whole
+    # window needs ONE int64 gather instead of one int32 gather per tree.
+    packs = []
+    maxm = 0
+    for t, sh in ((green, 0), (red, 16), (blue, 32), (alpha, 48)):
+        if t.single is None:
+            packs.append((t, sh))
+            maxm = max(maxm, t.maxlen)
+    if packs:
+        vals = np.arange(1 << maxm, dtype=np.int64)
+        comb = np.zeros(1 << maxm, np.int64)
+        for t, sh in packs:
+            comb |= (t.fulllut()[vals & ((1 << t.maxlen) - 1)]
+                     .astype(np.int64) << sh)
+        C = _array.array("q", np.take(comb, w24 & ((1 << maxm) - 1))
+                         .tobytes())
+    else:
+        C = None
+    gC = green.single is None
+    rC = red.single is None
+    bC = blue.single is None
+    aC = alpha.single is None
+    D = None                       # distance table built lazily: only the
+    # first backreference pays its gather; literal-only streams never do
     g_single = green.single
     r_single = red.single
     b_single = blue.single
@@ -909,34 +935,34 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
     ra: list = []
     try:
         while len(rg) < n:
-            if G is None:
-                s = g_single
-            else:
-                e = G[p]
+            if gC:
+                e = C[p] & 0xFFFF
                 if not e:
                     raise ValueError("corrupt VP8L: bad prefix code")
                 p += e & 31
                 s = e >> 5
+            else:
+                s = g_single
             if s < 256:
                 rg.append(s)
-                if R is None:
-                    rr.append(r_single)
-                else:
-                    e = R[p]
+                if rC:
+                    e = (C[p] >> 16) & 0xFFFF
                     p += e & 31
                     rr.append(e >> 5)
-                if B is None:
-                    rb.append(b_single)
                 else:
-                    e = B[p]
+                    rr.append(r_single)
+                if bC:
+                    e = (C[p] >> 32) & 0xFFFF
                     p += e & 31
                     rb.append(e >> 5)
-                if A is None:
-                    ra.append(a_single)
                 else:
-                    e = A[p]
+                    rb.append(b_single)
+                if aC:
+                    e = (C[p] >> 48) & 0xFFFF
                     p += e & 31
                     ra.append(e >> 5)
+                else:
+                    ra.append(a_single)
                 continue
             if s < 280:                       # LZ77 backreference
                 prefix = s - 256
@@ -947,9 +973,14 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
                     length = (((2 + (prefix & 1)) << eb)
                               + (w24a[p] & ((1 << eb) - 1)) + 1)
                     p += eb
-                if D is None:
+                if d_single is not None:
                     dprefix = d_single
                 else:
+                    if D is None:
+                        dmask = (1 << dist.maxlen) - 1
+                        D = _array.array(
+                            "i", np.take(dist.fulllut(), w24 & dmask)
+                            .tobytes())
                     e = D[p]
                     p += e & 31
                     dprefix = e >> 5
