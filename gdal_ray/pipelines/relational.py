@@ -453,16 +453,31 @@ def geo_tile_assign(sf_dir: str):
         px, py = mercator.meters_to_pixels(mx, my, Z)
         tx, ty_tms = mercator.pixels_to_tile(px, py)
         _, ty = mercator.tms_to_xyz(tx, ty_tms, Z)
-        return pa.table({"z": pa.array(np.full(len(tx), Z, np.int64)),
-                         "x": pa.array(tx, pa.int64()),
-                         "y": pa.array(ty, pa.int64())})
+        # map-side combiner: per-batch counts on ONE packed int64 key, so
+        # the shuffle moves <= distinct-tiles-per-batch 16-byte rows (not
+        # every input point) and the groupby sorts a single column
+        key, cnt = np.unique((tx.astype(np.int64) << 32) | ty,
+                             return_counts=True)
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
 
-    agg = ds.map_batches(fn, batch_format="pyarrow").groupby(["z", "x", "y"]) \
-            .aggregate(Count())
-    return agg.map_batches(
-        lambda b: pa.table({"z": b.column("z"), "x": b.column("x"),
-                            "y": b.column("y"), "n": b.column("count()")}),
-        batch_format="pyarrow")
+    # the z=8 key domain is <= 65536 tiles, so the measured partial set
+    # stays tiny and grouped_sum_int64 takes its driver-reduce path (no
+    # sort-shuffle; its fixed cost dominated this query)
+    from .shuffle_utils import grouped_sum_int64
+    agg = grouped_sum_int64(
+        ds.map_batches(fn, batch_format="pyarrow"), "key", "n")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        key = np.asarray(b.column("key"), dtype=np.int64)
+        return pa.table({"z": pa.array(np.full(key.size, Z, np.int64)),
+                         "x": pa.array(key >> 32, pa.int64()),
+                         "y": pa.array(key & 0xFFFFFFFF, pa.int64()),
+                         "n": b.column("n")})
+
+    if isinstance(agg, pa.Table):
+        return unpack(agg)
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 SQL_GEO_TILE_ASSIGN = """

@@ -200,3 +200,38 @@ def bucket_count(est_groups: int | None = None, *,
     if est_groups is not None and est_groups > 0:
         n = min(n, max(1, int(est_groups)))
     return n
+
+
+def grouped_sum_int64(partials: "ray.data.Dataset", key_col: str,
+                      val_col: str,
+                      driver_limit: int = 4_000_000) -> "ray.data.Dataset | pa.Table":
+    """Sum ``val_col`` per int64 ``key_col`` over already-combined partial
+    rows, picking the merge strategy from the MEASURED partial size (the
+    multi_key_array contract): ≤ ``driver_limit`` 16-byte rows merge with
+    one vectorized driver reduce — no sort-shuffle round, whose fixed cost
+    dwarfs the data at this size; anything bigger goes through the
+    distributed ``groupby(key).sum``.  Callers with a bounded key domain
+    (e.g. a z-level tile space) can keep the driver path at any input
+    scale by inserting a repartition + second combine pass upstream."""
+    partials = partials.materialize()
+    if partials.count() > driver_limit:
+        ds = partials.groupby(key_col).sum(val_col)
+        return ds.map_batches(
+            lambda b: pa.table({key_col: b.column(key_col),
+                                val_col: b.column(f"sum({val_col})")}),
+            batch_format="pyarrow")
+    ks, vs = [], []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        ks.append(np.asarray(b.column(key_col), dtype=np.int64))
+        vs.append(np.asarray(b.column(val_col), dtype=np.int64))
+    if not ks:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         val_col: pa.array([], pa.int64())})
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    order = np.argsort(k, kind="stable")
+    k, v = k[order], v[order]
+    uniq, start = np.unique(k, return_index=True)
+    total = np.add.reduceat(v, start)
+    return pa.table({key_col: pa.array(uniq, pa.int64()),
+                     val_col: pa.array(total, pa.int64())})
