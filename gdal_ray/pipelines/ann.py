@@ -63,10 +63,11 @@ def brute_force_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray,
     per query (groups are ≤ k × num_batches rows — tiny)."""
     q_ref = ray.put({"vecs": np.asarray(query_vecs, dtype=np.float64),
                      "ids": list(query_ids)})
+    from ..stages.taskmode import stage_fn
     partials = emb.map_batches(
-        _TopkStage, fn_constructor_kwargs={"q_ref": q_ref, "k": k,
-                                           "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        stage_fn(_TopkStage, {"q_ref": q_ref, "k": k,
+                              "id_col": id_col, "vec_col": vec_col}),
+        batch_format="pyarrow")
 
     def merge(g: pa.Table) -> pa.Table:
         cos = np.asarray(g.column("cosine"), dtype=np.float64)

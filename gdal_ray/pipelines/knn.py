@@ -103,20 +103,41 @@ class KnnStage:
         })
 
 
+_STAGE_CACHE: dict = {}     # ref hex → KnnStage; worker-process-level state
+
+
 def knn_join(queries: "ray.data.Dataset", ref_xy: np.ndarray, ref_ids,
              k: int, *, query_id_col: str = "point_id", x_col: str = "x",
-             y_col: str = "y", concurrency: int | tuple = 4) -> "ray.data.Dataset":
+             y_col: str = "y", concurrency: int | tuple = 4,
+             use_actors: bool = False) -> "ray.data.Dataset":
     """(query_id, neighbor_id, rank, distance) — exact kNN, broadcast side.
-    ref_xy is ray.put ONCE; actors read it from the local object store."""
+    ref_xy is ray.put ONCE; workers read it from the local object store on
+    first touch.  Default is task mode with a process-level stage cache —
+    identical state reuse to the actor pool (long-lived Ray workers) minus
+    the multi-second pool spin-up each execution pays; ``use_actors=True``
+    keeps the explicit pool for long-lived cluster deployments."""
     ref_ref = ray.put({"xy": np.asarray(ref_xy, dtype=np.float64), "ids": list(ref_ids)})
-    return queries.map_batches(
-        KnnStage,
-        fn_constructor_kwargs={"ref_ref": ref_ref, "k": k,
-                               "query_id_col": query_id_col,
-                               "x_col": x_col, "y_col": y_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    if use_actors:
+        return queries.map_batches(
+            KnnStage,
+            fn_constructor_kwargs={"ref_ref": ref_ref, "k": k,
+                                   "query_id_col": query_id_col,
+                                   "x_col": x_col, "y_col": y_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    key = (ref_ref.hex(), k, query_id_col, x_col, y_col)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            if len(_STAGE_CACHE) > 4:       # bound per-worker state
+                _STAGE_CACHE.clear()
+            st = KnnStage(ref_ref, k, query_id_col, x_col, y_col)
+            _STAGE_CACHE[key] = st
+        return st(batch)
+
+    return queries.map_batches(fn, batch_format="pyarrow")
 
 
 def knn_radius_cell_join(queries: "ray.data.Dataset", points: "ray.data.Dataset",
@@ -319,7 +340,8 @@ def idw_interpolate(queries: "ray.data.Dataset", ref_xy: np.ndarray,
                 "idw_value": pa.array(est, pa.float64()),
             })
 
-    return queries.map_batches(IdwStage, batch_format="pyarrow", concurrency=concurrency)
+    from ..stages.taskmode import stage_fn
+    return queries.map_batches(stage_fn(IdwStage), batch_format="pyarrow")
 
 
 def grid_linear(queries: "ray.data.Dataset", ref_xy: np.ndarray,
@@ -359,5 +381,5 @@ def grid_linear(queries: "ray.data.Dataset", ref_xy: np.ndarray,
                 "inside_tin": pa.array(inside),
             })
 
-    return queries.map_batches(LinearStage, batch_format="pyarrow",
-                               concurrency=concurrency)
+    from ..stages.taskmode import stage_fn
+    return queries.map_batches(stage_fn(LinearStage), batch_format="pyarrow")

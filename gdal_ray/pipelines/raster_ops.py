@@ -127,10 +127,10 @@ def pixel_info(images: "ray.data.Dataset", lon, lat, point_ids,
     ref = ray.put({"lon": np.asarray(lon, dtype=np.float64),
                    "lat": np.asarray(lat, dtype=np.float64),
                    "ids": list(point_ids)})
-    return images.map_batches(PixelInfoStage,
-                              fn_constructor_kwargs={"points_ref": ref,
-                                                     "method": method},
-                              batch_format="pyarrow", concurrency=concurrency)
+    from ..stages.taskmode import stage_fn
+    return images.map_batches(
+        stage_fn(PixelInfoStage, {"points_ref": ref, "method": method}),
+        batch_format="pyarrow")
 
 
 def events_hourly(sf_dir: str):

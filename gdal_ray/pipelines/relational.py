@@ -1804,9 +1804,10 @@ def raster_gcp_warp_q(sf_dir: str):
     imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow") \
         .map_batches(strip_gt, batch_format="pyarrow")
-    out = imgs.map_batches(GcpWarpStage, fn_constructor_kwargs={
-        "order": 1, "method": "bilinear"}, batch_format="pyarrow",
-        concurrency=2)
+    from ..stages.taskmode import stage_fn
+    out = imgs.map_batches(
+        stage_fn(GcpWarpStage, {"order": 1, "method": "bilinear"}),
+        batch_format="pyarrow")
 
     def finish(b: pa.Table) -> pa.Table:
         from ..core import codecs as CD
@@ -2559,9 +2560,10 @@ def raster_reproject_q(sf_dir: str):
     from ..stages.warp import ReprojectImageStage
     imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
         .map_batches(_derived_images, batch_format="pyarrow")
-    out = imgs.map_batches(ReprojectImageStage,
-                           fn_constructor_kwargs={"dst_crs": "EPSG:3857"},
-                           batch_format="pyarrow", concurrency=2)
+    from ..stages.taskmode import stage_fn
+    out = imgs.map_batches(stage_fn(ReprojectImageStage,
+                                    {"dst_crs": "EPSG:3857"}),
+                           batch_format="pyarrow")
 
     def finish(b: pa.Table) -> pa.Table:
         gts = b.column("geotransform").to_pylist()
