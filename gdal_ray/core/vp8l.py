@@ -733,6 +733,95 @@ def _rle_runs(r, g, b, alpha, min_run: int = 4):
     return s1, l1, sw, lw, cov | covw
 
 
+def _lz77_matches(seq: np.ndarray, covered: np.ndarray,
+                  min_len: int = 4, max_len: int = 4096,
+                  max_dist: int = 1048456):
+    """General LZ77 matching (any distance), vectorized: candidates are
+    the NEAREST previous position with the same 2-pixel hash (one stable
+    argsort over splitmix-style hashes), filtered by an exact ``min_len``
+    prefix compare (kills hash collisions); greedy left-to-right selection
+    with chunked vectorized length extension, so the Python loop cost is
+    per SELECTED match, not per pixel.  Matches never start on / extend
+    into ``covered`` pixels (the distance-1/distance-w run passes own
+    those).  Returns (starts, lengths, distances)."""
+    z = (np.zeros(0, np.int64),) * 3
+    n = seq.size
+    if n < min_len + 1:
+        return z
+    s64 = seq.astype(np.uint64)
+    h = ((s64[:-1] * np.uint64(0x9E3779B97F4A7C15))
+         ^ (s64[1:] * np.uint64(0xC2B2AE3D27D4EB4F)))
+    order = np.argsort(h, kind="stable")
+    oh = h[order]
+    same = np.zeros(order.size, bool)
+    same[1:] = oh[1:] == oh[:-1]
+    prev = np.full(n - 1, -1, np.int64)
+    prev[order[same]] = order[np.flatnonzero(same) - 1]
+    cand = np.flatnonzero(prev >= 0)
+    d = cand - prev[cand]
+    keep = d <= max_dist
+    cand, d = cand[keep], d[keep]
+    if covered.any():
+        m = ~covered[cand]
+        cand, d = cand[m], d[m]
+    keep = cand + min_len <= n
+    cand, d = cand[keep], d[keep]
+    if not cand.size:
+        return z
+    ok = np.ones(cand.size, bool)
+    for j in range(min_len):
+        ok &= seq[cand + j] == seq[cand - d + j]
+    cand, d = cand[ok], d[ok]
+    if not cand.size:
+        return z
+    covpos = np.flatnonzero(covered)
+    if covpos.size:
+        nx = np.searchsorted(covpos, cand)
+        barrier = np.where(nx < covpos.size,
+                           covpos[np.minimum(nx, covpos.size - 1)], n)
+    else:
+        barrier = np.full(cand.size, n, np.int64)
+    starts, lens, dists = [], [], []
+    pos = 0
+    for j in range(cand.size):
+        i = int(cand[j])
+        if i < pos:
+            continue
+        dd = int(d[j])
+        lim = min(int(barrier[j]), i + max_len, n) - i
+        L, chunk = 0, 64
+        while L < lim:
+            c = min(chunk, lim - L)
+            neq = seq[i + L:i + L + c] != seq[i - dd + L:i - dd + L + c]
+            if neq.any():
+                L += int(np.argmax(neq))
+                break
+            L += c
+            chunk = min(chunk * 4, max_len)
+        if L >= min_len:
+            starts.append(i)
+            lens.append(L)
+            dists.append(dd)
+            pos = i + L
+    if not starts:
+        return z
+    return (np.asarray(starts, np.int64), np.asarray(lens, np.int64),
+            np.asarray(dists, np.int64))
+
+
+def _map_dcodes(d: np.ndarray, w: int) -> np.ndarray:
+    """Distance → distance code: neighbor-map code (1..120) when the
+    distance equals some dy*w+dx of the spec map, else d + 120."""
+    plane = np.zeros(8 * w + 16, np.int64)
+    for k, (dx, dy) in enumerate(_DIST_MAP):
+        dv = dy * w + dx
+        if 1 <= dv < plane.size and plane[dv] == 0:
+            plane[dv] = k + 1
+    idx = np.minimum(d, plane.size - 1)
+    mapped = plane[idx]
+    return np.where((d < plane.size) & (mapped > 0), mapped, d + 120)
+
+
 def _lz_prefix(values: np.ndarray):
     """Inverse of _lz_value, vectorized: value → (prefix, extra, nbits)."""
     u = values - 1
@@ -762,24 +851,39 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
     bw.write(0, 1)                            # no color cache
     if level0:
         bw.write(0, 1)                        # no meta huffman image
+    wimg = r.shape[1]
     if rle:
         s1, l1, sw, lw, covered = _rle_runs(r, g, b, alpha)
+        # general LZ77 pass over the remaining gaps (any distance: repeated
+        # tiles/patterns the two free distances cannot reach)
+        seq = ((alpha.ravel().astype(np.uint32) << 24)
+               | (r.ravel().astype(np.uint32) << 16)
+               | (g.ravel().astype(np.uint32) << 8)
+               | b.ravel().astype(np.uint32))
+        sg, lg, dg = _lz77_matches(seq, covered)
+        if sg.size:
+            marks = np.zeros(seq.size + 1, np.int8)
+            marks[sg] += 1
+            marks[sg + lg] -= 1
+            covered |= np.cumsum(marks[:-1]) > 0
     else:
-        s1 = l1 = sw = lw = np.zeros(0, np.int64)
+        s1 = l1 = sw = lw = sg = lg = dg = np.zeros(0, np.int64)
         covered = np.zeros(r.size, bool)
-    nruns = s1.size + sw.size
+    nruns = s1.size + sw.size + sg.size
     lit = ~covered
     # combined backref tables: starts, length-prefix decomposition, and
-    # the distance prefix symbol (d=1 → neighbor-map code 2 → prefix 1;
-    # d=w → code 1 → prefix 0)
-    starts = np.concatenate([s1, sw])
-    p1, e1_, b1_ = _lz_prefix(l1) if s1.size else (np.zeros(0, np.int64),) * 3
-    pw, ew_, bw_ = _lz_prefix(lw) if sw.size else (np.zeros(0, np.int64),) * 3
-    lp = np.concatenate([p1, pw])
-    lex = np.concatenate([e1_, ew_])
-    lnb = np.concatenate([b1_, bw_])
-    dsym = np.concatenate([np.full(s1.size, 1, np.int64),
-                           np.zeros(sw.size, np.int64)])
+    # the distance-code decomposition (d=1 → neighbor-map code 2 →
+    # prefix 1; d=w → code 1 → prefix 0; general → _map_dcodes)
+    starts = np.concatenate([s1, sw, sg])
+    lengths = np.concatenate([l1, lw, lg])
+    lp, lex, lnb = (_lz_prefix(lengths) if starts.size
+                    else (np.zeros(0, np.int64),) * 3)
+    dcodes = np.concatenate([np.full(s1.size, 2, np.int64),
+                             np.ones(sw.size, np.int64),
+                             _map_dcodes(dg, wimg) if sg.size
+                             else np.zeros(0, np.int64)])
+    dp, dex, dnb = (_lz_prefix(dcodes) if starts.size
+                    else (np.zeros(0, np.int64),) * 3)
     chans = [(g.ravel()[lit], 280), (r.ravel()[lit], 256),
              (b.ravel()[lit], 256), (alpha.ravel()[lit], 256), (None, 40)]
     codes = []
@@ -792,8 +896,7 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
                 freq[256:280] += np.bincount(lp, minlength=24)
         else:
             if nruns:
-                freq[1] = int(s1.size)
-                freq[0] = int(sw.size)
+                freq[:40] = np.bincount(dp, minlength=40)
             else:
                 freq[0] = 1                   # unused distance code
         lens = _huff_lengths(freq)
@@ -809,7 +912,7 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
     gcode, rcode, bcode, acode, dcode = codes
     if nruns:
         _write_mixed_stream(bw, r, g, b, alpha, lit, starts, lp, lex, lnb,
-                            dsym, gcode, rcode, bcode, acode, dcode)
+                            dp, dex, dnb, gcode, rcode, bcode, acode, dcode)
         return
 
     def lut(cd):
@@ -833,8 +936,8 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
 
 
 def _write_mixed_stream(bw: _LsbWriter, r, g, b, alpha, lit, starts,
-                        lp, lex, lnb, dsym, gcode, rcode, bcode, acode,
-                        dcode):
+                        lp, lex, lnb, dp, dex, dnb, gcode, rcode, bcode,
+                        acode, dcode):
     """Literal + backreference emission: entries carry
     (8·flat_pixel_index + slot) sort keys, so one stable sort reproduces
     stream order and write_many packs everything in one pass."""
@@ -858,11 +961,14 @@ def _write_mixed_stream(bw: _LsbWriter, r, g, b, alpha, lit, starts,
     av = alpha.ravel()[li]
     gsym = 256 + lp
     keys = np.concatenate([li * 8 + 1, li * 8 + 2, li * 8 + 3, li * 8 + 4,
-                           starts * 8 + 1, starts * 8 + 2, starts * 8 + 3])
+                           starts * 8 + 1, starts * 8 + 2, starts * 8 + 3,
+                           starts * 8 + 4])
     cods = np.concatenate([gcl[gv], rcl[rv], bcl[bv], acl[av],
-                           gcl[gsym], lex.astype(np.uint64), dcl[dsym]])
+                           gcl[gsym], lex.astype(np.uint64), dcl[dp],
+                           dex.astype(np.uint64)])
     lens = np.concatenate([gll[gv], rll[rv], bll[bv], all_[av],
-                           gll[gsym], lnb.astype(np.uint64), dll[dsym]])
+                           gll[gsym], lnb.astype(np.uint64), dll[dp],
+                           dnb.astype(np.uint64)])
     order = np.argsort(keys, kind="stable")
     bw.write_many(cods[order], lens[order])
 

@@ -765,8 +765,12 @@ def test_vp8l_encoder_predictor_transform():
     for im in cases:
         enc = encode_vp8l(im, predictor=True)
         assert np.array_equal(decode_vp8l(enc), im)
-    assert len(encode_vp8l(grad, predictor=True)) \
-        < len(encode_vp8l(grad)) // 4
+    # predictor still beats plain, but the margin shrank when general
+    # LZ77 matching landed (plain now captures the gradient's row-shift
+    # periodicity as distance w±1 backrefs)
+    plain = len(encode_vp8l(grad))
+    assert len(encode_vp8l(grad, predictor=True)) < plain
+    assert plain < 600          # general-LZ77 pin: was 1571B literal-only
 
 
 def test_vectorized_bit_packers_match_scalar_writers():
@@ -978,3 +982,23 @@ def test_encode_profile_bandwidth_shrinks_bytes():
     assert psnr(codecs.decode(j_bw, "jpeg").astype(float), img.astype(float)) > 30
     with pytest.raises(ValueError):
         codecs.encode(img, "png", profile="extreme")
+
+
+def test_vp8l_general_lz77_matches():
+    """General (any-distance) LZ77: repeated tiles and off-w periodic rows
+    collapse to backreferences the d=1/d=w passes cannot reach; noise
+    stays match-free and bit-exact."""
+    from gdal_ray.core.vp8l import decode_vp8l, encode_vp8l
+    rng = np.random.default_rng(11)
+    tile = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    img = np.tile(tile, (16, 16, 1))          # 256² of repeated 16×16 tiles
+    enc = encode_vp8l(img)
+    assert np.array_equal(decode_vp8l(enc)[:, :, :3], img)
+    assert len(enc) < 5000                    # literal-only was ~190 KB
+    row = rng.integers(0, 255, (1, 17, 3), dtype=np.uint8)
+    img2 = np.tile(row, (64, 16, 1))[:, :256, :]   # period 17 ≠ 1, ≠ w
+    enc2 = encode_vp8l(img2)
+    assert np.array_equal(decode_vp8l(enc2)[:, :, :3], img2)
+    assert len(enc2) < 1000
+    noise = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    assert np.array_equal(decode_vp8l(encode_vp8l(noise))[:, :, :3], noise)
