@@ -247,7 +247,7 @@ def _decode_token(bd: BoolDecoder, probs, after_zero: bool) -> int:
 
 
 # planes: 0 = luma AC (coefs 1..15), 1 = Y2, 2 = chroma
-N_PLANES, N_BANDS, N_CTX = 3, 4, 3
+N_PLANES, N_BANDS, N_CTX = 4, 4, 3   # plane 3 = B_PRED luma (first=0)
 
 
 # ---------- prediction (RFC 6386 §12.2 modes) ----------
@@ -280,6 +280,116 @@ def _predict(recon: np.ndarray, y0: int, x0: int, size: int, mode: int
         (int(above[0]) if has_above else (int(left[0]) if has_left else 128))
     tm = left[:, None] + above[None, :] - corner  # TM
     return np.clip(tm, 0, 255)
+
+
+def _sub_edges(recon: np.ndarray, by: int, bx: int):
+    """Edge pixels for a 4×4 subblock at (by, bx): above A[0..3],
+    above-right AR[0..3], left L[0..3], corner X, with the same 127/129
+    border conventions as the 16×16 path.  Above-right is only taken from
+    already-reconstructed pixels: the previous MB row anywhere, or the
+    subblock row above within the current MB (c < 3); otherwise A[3]
+    replicates (deterministic, mirrored exactly by the decoder)."""
+    has_a = by > 0
+    has_l = bx > 0
+    w = recon.shape[1]
+    if has_a:
+        A = recon[by - 1, bx:bx + 4].astype(np.int32)
+        in_mb_row = (by & 15) != 0
+        ar_ok = bx + 8 <= w and (not in_mb_row or (bx & 15) <= 8)
+        AR = (recon[by - 1, bx + 4:bx + 8].astype(np.int32) if ar_ok
+              else np.full(4, int(A[3]), np.int32))
+    else:
+        A = np.full(4, 127, np.int32)
+        AR = np.full(4, 127, np.int32)
+    L = recon[by:by + 4, bx - 1].astype(np.int32) if has_l \
+        else np.full(4, 129, np.int32)
+    X = int(recon[by - 1, bx - 1]) if (has_a and has_l) else \
+        (127 if has_a else (129 if has_l else 128))
+    return A, AR, L, X, has_a, has_l
+
+
+def _predict4(A, AR, L, X, has_a, has_l, mode: int) -> np.ndarray:
+    """RFC 6386 §12.3 4×4 intra prediction (B_PRED submodes 0..9:
+    DC/TM/VE/HE/LD/RD/VR/VL/HD/HU)."""
+    p = np.empty((4, 4), np.int32)
+    if mode == 0:                                      # B_DC
+        if has_a and has_l:
+            dc = (int(A.sum()) + int(L.sum()) + 4) >> 3
+        elif has_a:
+            dc = (int(A.sum()) + 2) >> 2
+        elif has_l:
+            dc = (int(L.sum()) + 2) >> 2
+        else:
+            dc = 128
+        p[:] = dc
+        return p
+    if mode == 1:                                      # B_TM
+        return np.clip(L[:, None] + A[None, :] - X, 0, 255)
+    if mode == 2:                                      # B_VE (filtered V)
+        e = np.concatenate(([X], A, AR[:1]))
+        ve = (e[:-2] + 2 * e[1:-1] + e[2:] + 2) >> 2
+        p[:] = ve[None, :]
+        return p
+    if mode == 3:                                      # B_HE (filtered H)
+        u = np.concatenate(([X], L, L[3:]))
+        he = (u[:-2] + 2 * u[1:-1] + u[2:] + 2) >> 2
+        p[:] = he[:, None]
+        return p
+    if mode == 4:                                      # B_LD (down-left)
+        a = np.concatenate((A, AR))
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                p[r, c] = ((a[6] + 3 * a[7] + 2) >> 2 if i == 6 else
+                           (a[i] + 2 * a[i + 1] + a[i + 2] + 2) >> 2)
+        return p
+    if mode == 5:                                      # B_RD (down-right)
+        E = np.array([L[3], L[2], L[1], L[0], X, A[0], A[1], A[2], A[3]],
+                     np.int32)
+        for r in range(4):
+            for c in range(4):
+                i = 4 + c - r
+                p[r, c] = (E[i - 1] + 2 * E[i] + E[i + 1] + 2) >> 2
+        return p
+    A0, A1, A2, A3 = (int(v) for v in A)
+    R0, R1, R2, R3 = (int(v) for v in AR)
+    L0, L1, L2, L3 = (int(v) for v in L)
+    if mode == 6:                                      # B_VR
+        p[0] = [(X + A0 + 1) >> 1, (A0 + A1 + 1) >> 1,
+                (A1 + A2 + 1) >> 1, (A2 + A3 + 1) >> 1]
+        p[1] = [(L0 + 2 * X + A0 + 2) >> 2, (X + 2 * A0 + A1 + 2) >> 2,
+                (A0 + 2 * A1 + A2 + 2) >> 2, (A1 + 2 * A2 + A3 + 2) >> 2]
+        p[2] = [(X + 2 * L0 + L1 + 2) >> 2, p[0, 0], p[0, 1], p[0, 2]]
+        p[3] = [(L0 + 2 * L1 + L2 + 2) >> 2, p[1, 0], p[1, 1], p[1, 2]]
+        return p
+    if mode == 7:                                      # B_VL
+        p[0] = [(A0 + A1 + 1) >> 1, (A1 + A2 + 1) >> 1,
+                (A2 + A3 + 1) >> 1, (A3 + R0 + 1) >> 1]
+        p[1] = [(A0 + 2 * A1 + A2 + 2) >> 2, (A1 + 2 * A2 + A3 + 2) >> 2,
+                (A2 + 2 * A3 + R0 + 2) >> 2, (A3 + 2 * R0 + R1 + 2) >> 2]
+        p[2] = [p[0, 1], p[0, 2], p[0, 3], (R0 + 2 * R1 + R2 + 2) >> 2]
+        p[3] = [p[1, 1], p[1, 2], p[1, 3], (R1 + 2 * R2 + R3 + 2) >> 2]
+        return p
+    if mode == 8:                                      # B_HD
+        p[0] = [(L0 + X + 1) >> 1, (L0 + 2 * X + A0 + 2) >> 2,
+                (X + 2 * A0 + A1 + 2) >> 2, (A0 + 2 * A1 + A2 + 2) >> 2]
+        p[1] = [(L1 + L0 + 1) >> 1, (X + 2 * L0 + L1 + 2) >> 2,
+                p[0, 0], p[0, 1]]
+        p[2] = [(L2 + L1 + 1) >> 1, (L0 + 2 * L1 + L2 + 2) >> 2,
+                p[1, 0], p[1, 1]]
+        p[3] = [(L3 + L2 + 1) >> 1, (L1 + 2 * L2 + L3 + 2) >> 2,
+                p[2, 0], p[2, 1]]
+        return p
+    # mode 9: B_HU
+    p[0] = [(L0 + L1 + 1) >> 1, (L0 + 2 * L1 + L2 + 2) >> 2,
+            (L1 + L2 + 1) >> 1, (L1 + 2 * L2 + L3 + 2) >> 2]
+    p[1] = [p[0, 2], p[0, 3], (L2 + L3 + 1) >> 1, (L2 + 3 * L3 + 2) >> 2]
+    p[2] = [p[1, 2], p[1, 3], L3, L3]
+    p[3] = [L3, L3, L3, L3]
+    return p
+
+
+B_PRED = 4                 # ymode value signalling per-subblock 4×4 modes
 
 
 # ---------- color ----------
@@ -500,7 +610,37 @@ def encode_vp8i(img: np.ndarray, quality: int = 90) -> bytes:
             sad = int(np.abs(src - pred).sum())
             if best is None or sad < best:
                 best, bm = sad, mode
-        return bm
+        return bm, best
+
+    qy_mat = np.where(np.arange(16).reshape(4, 4) == 0, q_dc, q_ac)
+
+    def try_bpred(y0, x0):
+        """Trial-encode the MB with per-subblock 4×4 modes, writing the
+        reconstruction into ry (caller saves/restores the region).
+        Returns (total SAD, submodes, quantized blocks in raster order)."""
+        total = 0
+        submodes = []
+        qblocks = np.zeros((16, 4, 4), np.int64)
+        src16 = yp[y0:y0 + 16, x0:x0 + 16]
+        for sb in range(16):
+            r, c = divmod(sb, 4)
+            by, bx = y0 + r * 4, x0 + c * 4
+            A, AR, L, X, ha, hl = _sub_edges(ry, by, bx)
+            src = src16[r * 4:r * 4 + 4, c * 4:c * 4 + 4]
+            best, bm, bp = None, 0, None
+            for m in range(10):
+                pred = _predict4(A, AR, L, X, ha, hl, m)
+                sad = int(np.abs(src - pred).sum())
+                if best is None or sad < best:
+                    best, bm, bp = sad, m, pred
+            total += best
+            submodes.append(bm)
+            coefs = fdct4((src - bp).astype(np.float64)[None])[0]
+            q = np.round(coefs / qy_mat).astype(np.int64)
+            qblocks[sb] = q
+            rec = idct4((q * qy_mat).astype(np.float64)[None])[0] + bp
+            ry[by:by + 4, bx:bx + 4] = np.clip(np.round(rec), 0, 255)
+        return total, submodes, qblocks
 
     for my in range(mby):
         left_nz_y = np.zeros(4, np.int8)
@@ -510,35 +650,65 @@ def encode_vp8i(img: np.ndarray, quality: int = 90) -> bytes:
         for mx in range(mbx):
             y0, x0 = my * 16, mx * 16
             src_y = yp[y0:y0 + 16, x0:x0 + 16]
-            ymode = best_mode(ry, y0, x0, 16, src_y)
-            pred_y = _predict(ry, y0, x0, 16, ymode)
-            res = (src_y - pred_y).astype(np.float64)
-            blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
-                        .reshape(16, 4, 4)
-            coefs = fdct4(blocks)
-            # second-order transform of the 16 luma DCs
-            dcs = coefs[:, 0, 0].reshape(4, 4)
-            y2 = fwht4(np.round(dcs).astype(np.int64))
-            qy2 = np.round(y2 / np.array([[q2_dc] + [q2_ac] * 3,
-                                          *[[q2_ac] * 4] * 3])).astype(int)
-            dy2 = qy2 * np.array([[q2_dc] + [q2_ac] * 3,
-                                  *[[q2_ac] * 4] * 3])
-            rdcs = iwht4(np.round(dy2).astype(np.int64)).astype(np.float64)
-            qy = np.round(coefs / q_ac).astype(np.int64)
-            qy[:, 0, 0] = 0
-            dcoefs = qy.astype(np.float64) * q_ac
-            dcoefs[:, 0, 0] = rdcs.reshape(16)
-            rec_blocks = idct4(dcoefs) + pred_y.reshape(4, 4, 4, 4) \
-                .transpose(0, 2, 1, 3).reshape(16, 4, 4)
-            ry[y0:y0 + 16, x0:x0 + 16] = np.clip(np.round(
-                rec_blocks.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
-                .reshape(16, 16)), 0, 255)
+            ymode, sad16 = best_mode(ry, y0, x0, 16, src_y)
+            submodes = None
+            trial = None
+            # B_PRED trial, gated: flat MBs never beat whole-MB modes, the
+            # trial costs 160 4×4 predictions, and quality 100 stays on the
+            # 16×16+Y2 path whose MB-constant reconstruction is PROVABLY
+            # bit-exact (the driver-oracle class) — B_PRED's per-block DC
+            # with filtered-edge submodes is not
+            if quality < 100 and sad16 > 1024:
+                saved = ry[y0:y0 + 16, x0:x0 + 16].copy()
+                _, bsub, bq = try_bpred(y0, x0)
+                recon_b = ry[y0:y0 + 16, x0:x0 + 16].copy()
+                sse_b = int(((src_y - recon_b.astype(np.int32)) ** 2).sum())
+                trial = (bsub, bq, recon_b, sse_b)
+                ry[y0:y0 + 16, x0:x0 + 16] = saved
+            if True:
+                pred_y = _predict(ry, y0, x0, 16, ymode)
+                res = (src_y - pred_y).astype(np.float64)
+                blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
+                            .reshape(16, 4, 4)
+                coefs = fdct4(blocks)
+                # second-order transform of the 16 luma DCs
+                dcs = coefs[:, 0, 0].reshape(4, 4)
+                y2 = fwht4(np.round(dcs).astype(np.int64))
+                qy2 = np.round(y2 / np.array([[q2_dc] + [q2_ac] * 3,
+                                              *[[q2_ac] * 4] * 3])).astype(int)
+                dy2 = qy2 * np.array([[q2_dc] + [q2_ac] * 3,
+                                      *[[q2_ac] * 4] * 3])
+                rdcs = iwht4(np.round(dy2).astype(np.int64)).astype(np.float64)
+                qy = np.round(coefs / q_ac).astype(np.int64)
+                qy[:, 0, 0] = 0
+                dcoefs = qy.astype(np.float64) * q_ac
+                dcoefs[:, 0, 0] = rdcs.reshape(16)
+                rec_blocks = idct4(dcoefs) + pred_y.reshape(4, 4, 4, 4) \
+                    .transpose(0, 2, 1, 3).reshape(16, 4, 4)
+                ry[y0:y0 + 16, x0:x0 + 16] = np.clip(np.round(
+                    rec_blocks.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+                    .reshape(16, 16)), 0, 255)
+
+            if trial is not None:
+                # true rate-distortion choice: SSE + λ·(coef count), with
+                # the 16 submode literals charged to the B_PRED side
+                bsub, bq, recon_b, sse_b = trial
+                rec16 = ry[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+                sse_16 = int(((src_y - rec16) ** 2).sum())
+                lam = max(1, (q_ac * q_ac) // 8)
+                score_b = sse_b + lam * (int(np.count_nonzero(bq)) + 12)
+                score_16 = sse_16 + lam * (int(np.count_nonzero(qy))
+                                           + int(np.count_nonzero(qy2)))
+                if score_b < score_16:
+                    ymode, submodes, qy = B_PRED, bsub, bq
+                    qy2 = np.zeros((4, 4), np.int64)
+                    ry[y0:y0 + 16, x0:x0 + 16] = recon_b
 
             c0, cx0 = my * 8, mx * 8
             chroma = []
             for plane_arr, recon_arr in ((up, ru), (vp, rv)):
                 src_c = plane_arr[c0:c0 + 8, cx0:cx0 + 8]
-                cmode = best_mode(recon_arr, c0, cx0, 8, src_c)
+                cmode, _ = best_mode(recon_arr, c0, cx0, 8, src_c)
                 pred_c = _predict(recon_arr, c0, cx0, 8, cmode)
                 resc = (src_c - pred_c).astype(np.float64)
                 cb = resc.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3) \
@@ -557,7 +727,10 @@ def encode_vp8i(img: np.ndarray, quality: int = 90) -> bytes:
 
             skip = (not qy2.any()) and (not qy.any()) \
                 and (not chroma[0][1].any()) and (not chroma[1][1].any())
-            stream.append((ymode << 6) | 2)      # 2-bit literal
+            stream.append((ymode << 6) | 3)      # 3-bit literal (4=B_PRED)
+            if submodes is not None:
+                for m in submodes:
+                    stream.append((m << 6) | 4)  # 4-bit submode literal
             stream.append((chroma[0][0] << 6) | 2)
             stream.append((chroma[1][0] << 6) | 2)
             stream.append(((1 if skip else 0) << 6) | 1)
@@ -572,17 +745,23 @@ def encode_vp8i(img: np.ndarray, quality: int = 90) -> bytes:
                 above_nz_y2[mx] = 0
                 left_nz_y2 = 0
                 continue
-            # Y2 block
-            ctx0 = int(above_nz_y2[mx]) + int(left_nz_y2)
-            zz = qy2.reshape(16)[ZZ4].tolist()
-            nz = _tokenize_block(zz, 1, 0, min(ctx0, 2), record)
-            above_nz_y2[mx] = left_nz_y2 = 1 if nz else 0
-            # 16 luma blocks (coefs 1..15)
+            if submodes is None:
+                # Y2 block
+                ctx0 = int(above_nz_y2[mx]) + int(left_nz_y2)
+                zz = qy2.reshape(16)[ZZ4].tolist()
+                nz = _tokenize_block(zz, 1, 0, min(ctx0, 2), record)
+                above_nz_y2[mx] = left_nz_y2 = 1 if nz else 0
+                yplane, yfirst = 0, 1        # DC lives in Y2
+            else:
+                above_nz_y2[mx] = left_nz_y2 = 0   # B_PRED: no Y2
+                yplane, yfirst = 3, 0
+            # 16 luma blocks (coefs yfirst..15)
             qy_zz = qy.reshape(16, 16)[:, ZZ4].tolist()
             for b in range(16):
                 brow, bcol = b // 4, b % 4
                 ctx0 = int(above_nz_y[mx * 4 + bcol]) + int(left_nz_y[brow])
-                nz = _tokenize_block(qy_zz[b], 0, 1, min(ctx0, 2), record)
+                nz = _tokenize_block(qy_zz[b], yplane, yfirst,
+                                     min(ctx0, 2), record)
                 above_nz_y[mx * 4 + bcol] = left_nz_y[brow] = 1 if nz else 0
             # chroma blocks
             for (cmode, qc), above_c, left_c, off in (
@@ -706,17 +885,33 @@ def decode_vp8i(data: bytes) -> np.ndarray:
         left_nz_v = np.zeros(2, np.int8)
         left_nz_y2 = 0
         for mx in range(mbx):
-            ymode = bd.literal(2)
+            ymode = bd.literal(3)
+            submodes = ([bd.literal(4) for _ in range(16)]
+                        if ymode == B_PRED else None)
             umode = bd.literal(2)
             vmode = bd.literal(2)
             skip = bd.literal(1)
             y0, x0 = my * 16, mx * 16
             c0, cx0 = my * 8, mx * 8
-            pred_y = _predict(ry, y0, x0, 16, ymode)
+
+            def bpred_block(sb, dq):
+                r, c = divmod(sb, 4)
+                by, bx = y0 + r * 4, x0 + c * 4
+                A, AR, L, X, ha, hl = _sub_edges(ry, by, bx)
+                pred = _predict4(A, AR, L, X, ha, hl, submodes[sb])
+                rec = (idct4(dq[None])[0] + pred) if dq is not None else pred
+                ry[by:by + 4, bx:bx + 4] = np.clip(np.round(rec), 0, 255)
+
+            pred_y = (None if submodes is not None
+                      else _predict(ry, y0, x0, 16, ymode))
             pred_u = _predict(ru, c0, cx0, 8, umode)
             pred_v = _predict(rv, c0, cx0, 8, vmode)
             if skip:
-                ry[y0:y0 + 16, x0:x0 + 16] = np.clip(pred_y, 0, 255)
+                if submodes is not None:
+                    for b in range(16):
+                        bpred_block(b, None)
+                else:
+                    ry[y0:y0 + 16, x0:x0 + 16] = np.clip(pred_y, 0, 255)
                 ru[c0:c0 + 8, cx0:cx0 + 8] = np.clip(pred_u, 0, 255)
                 rv[c0:c0 + 8, cx0:cx0 + 8] = np.clip(pred_v, 0, 255)
                 above_nz_y[mx * 4:mx * 4 + 4] = 0
@@ -728,33 +923,48 @@ def decode_vp8i(data: bytes) -> np.ndarray:
                 above_nz_y2[mx] = 0
                 left_nz_y2 = 0
                 continue
-            # Y2
-            ctx0 = min(int(above_nz_y2[mx]) + int(left_nz_y2), 2)
-            zz = _detokenize_block(bd, probs_l, 1, 0, ctx0)
-            nzf = any(zz)
-            above_nz_y2[mx] = left_nz_y2 = 1 if nzf else 0
-            qy2 = np.zeros(16, np.int64)
-            qy2[ZZ4] = zz
-            rdcs = iwht4(np.round(qy2.reshape(4, 4) * q2_mat)
-                         .astype(np.int64)).astype(np.float64)
-            # luma
-            dcoefs = np.zeros((16, 4, 4))
-            for b in range(16):
-                brow, bcol = b // 4, b % 4
-                ctx0 = min(int(above_nz_y[mx * 4 + bcol])
-                           + int(left_nz_y[brow]), 2)
-                zz = _detokenize_block(bd, probs_l, 0, 1, ctx0)
+            if submodes is not None:           # B_PRED: no Y2, DC in-block
+                above_nz_y2[mx] = left_nz_y2 = 0
+                for b in range(16):
+                    brow, bcol = b // 4, b % 4
+                    ctx0 = min(int(above_nz_y[mx * 4 + bcol])
+                               + int(left_nz_y[brow]), 2)
+                    zz = _detokenize_block(bd, probs_l, 3, 0, ctx0)
+                    nzf = any(zz)
+                    above_nz_y[mx * 4 + bcol] = left_nz_y[brow] = \
+                        1 if nzf else 0
+                    cf = np.zeros(16)
+                    cf[ZZ4] = zz
+                    bpred_block(b, cf.reshape(4, 4) * qc_mat)
+            else:
+                # Y2
+                ctx0 = min(int(above_nz_y2[mx]) + int(left_nz_y2), 2)
+                zz = _detokenize_block(bd, probs_l, 1, 0, ctx0)
                 nzf = any(zz)
-                above_nz_y[mx * 4 + bcol] = left_nz_y[brow] = 1 if nzf else 0
-                cf = np.zeros(16)
-                cf[ZZ4] = zz
-                dcoefs[b] = cf.reshape(4, 4) * q_ac
-                dcoefs[b, 0, 0] = rdcs.reshape(16)[b]
-            rec_blocks = idct4(dcoefs) + pred_y.reshape(4, 4, 4, 4) \
-                .transpose(0, 2, 1, 3).reshape(16, 4, 4)
-            ry[y0:y0 + 16, x0:x0 + 16] = np.clip(np.round(
-                rec_blocks.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
-                .reshape(16, 16)), 0, 255)
+                above_nz_y2[mx] = left_nz_y2 = 1 if nzf else 0
+                qy2 = np.zeros(16, np.int64)
+                qy2[ZZ4] = zz
+                rdcs = iwht4(np.round(qy2.reshape(4, 4) * q2_mat)
+                             .astype(np.int64)).astype(np.float64)
+                # luma
+                dcoefs = np.zeros((16, 4, 4))
+                for b in range(16):
+                    brow, bcol = b // 4, b % 4
+                    ctx0 = min(int(above_nz_y[mx * 4 + bcol])
+                               + int(left_nz_y[brow]), 2)
+                    zz = _detokenize_block(bd, probs_l, 0, 1, ctx0)
+                    nzf = any(zz)
+                    above_nz_y[mx * 4 + bcol] = left_nz_y[brow] = \
+                        1 if nzf else 0
+                    cf = np.zeros(16)
+                    cf[ZZ4] = zz
+                    dcoefs[b] = cf.reshape(4, 4) * q_ac
+                    dcoefs[b, 0, 0] = rdcs.reshape(16)[b]
+                rec_blocks = idct4(dcoefs) + pred_y.reshape(4, 4, 4, 4) \
+                    .transpose(0, 2, 1, 3).reshape(16, 4, 4)
+                ry[y0:y0 + 16, x0:x0 + 16] = np.clip(np.round(
+                    rec_blocks.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+                    .reshape(16, 16)), 0, 255)
             # chroma
             for pred_c, recon_arr, above_c, left_c, off in (
                     (pred_u, ru, above_nz_u, left_nz_u, mx * 2),

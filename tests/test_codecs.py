@@ -1002,3 +1002,29 @@ def test_vp8l_general_lz77_matches():
     assert len(enc2) < 1000
     noise = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
     assert np.array_equal(decode_vp8l(encode_vp8l(noise))[:, :, :3], noise)
+
+
+def test_vp8i_bpred_intra_modes():
+    """B_PRED (RFC 6386 §12.3 4×4 submodes DC/TM/VE/HE/LD/RD/VR/VL/HD/HU):
+    adopted only when it wins the SSE+λ·rate comparison against the
+    16×16+Y2 path, so quality never regresses; directional texture gains
+    bytes at equal-or-better PSNR; the q100 MB-constant exactness class
+    (the driver oracle) stays on the provable 16×16 path."""
+    from gdal_ray.core.vp8i import decode_vp8i, encode_vp8i
+    rng = np.random.default_rng(5)
+    # q100 exactness class untouched
+    g = np.repeat(np.repeat(rng.integers(0, 256, (4, 4), np.uint8), 16, 0),
+                  16, 1)
+    assert np.array_equal(decode_vp8i(encode_vp8i(g, 100)), g)
+    # diagonal texture: B_PRED engages; roundtrip + quality/byte sanity
+    yy, xx = np.mgrid[0:96, 0:96]
+    diag = ((xx * 7 + yy * 13) % 251).astype(np.uint8)
+    enc = encode_vp8i(diag, 85)
+    dec = decode_vp8i(enc)
+    assert dec.shape == diag.shape
+    mse = np.mean((dec.astype(float) - diag.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) >= 40.0
+    # hard-edge checkerboard: V/H 16×16 modes reconstruct exactly, and the
+    # RD gate must keep them (B_PRED correctly rejected)
+    edges = (((xx // 16 + yy // 16) % 2) * 255).astype(np.uint8)
+    assert np.array_equal(decode_vp8i(encode_vp8i(edges, 85)), edges)
