@@ -180,8 +180,10 @@ def _windows16(seg: bytes) -> tuple[np.ndarray, int]:
     n = len(seg) * 8
     b = np.frombuffer(seg + b"\x00" * 8, np.uint8).astype(np.int32)
     u24 = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
-    p = np.arange(n + 33, dtype=np.int32)
-    return (u24[p >> 3] >> (8 - (p & 7))) & 0xFFFF, n
+    # broadcast (not positional gather): sequential access, no p array
+    w16 = ((u24[:, None] >> (8 - np.arange(8, dtype=np.int32)[None, :]))
+           & 0xFFFF).ravel()
+    return w16[:n + 33], n
 
 
 @_functools.lru_cache(maxsize=16)

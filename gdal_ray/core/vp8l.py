@@ -996,10 +996,13 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
     # pixels (≤ 60 bits each), so small subimage streams don't pay
     # whole-file gathers
     end = min(len(br.d), base + (n * 64 + 1024 >> 3) + 16)
-    b = np.frombuffer(br.d[base:end], np.uint8).astype(np.int64)
+    # window build in uint32 with a broadcast instead of a positional
+    # gather: at 16+ concurrent workers the decode is memory-bandwidth
+    # bound, and the int64 pp/gather temporaries were ~6x the traffic
+    b = np.frombuffer(br.d[base:end], np.uint8).astype(np.uint32)
     u32 = b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
-    pp = np.arange(len(u32) * 8, dtype=np.int64)
-    w24 = ((u32[pp >> 3] >> (pp & 7)) & 0xFFFFFF).astype(np.int32)
+    w24 = ((u32[:, None] >> np.arange(8, dtype=np.uint32)[None, :])
+           & np.uint32(0xFFFFFF)).astype(np.int32).ravel()
     w24a = _array.array("i", w24.tobytes())
     p = p0 - base * 8
 
