@@ -1002,8 +1002,8 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
     b = np.frombuffer(br.d[base:end], np.uint8).astype(np.uint32)
     u32 = b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
     w24 = ((u32[:, None] >> np.arange(8, dtype=np.uint32)[None, :])
-           & np.uint32(0xFFFFFF)).astype(np.int32).ravel()
-    w24a = _array.array("i", w24.tobytes())
+           & np.uint32(0xFFFFFF)).ravel().view(np.int32)
+    w24a = None      # extra-bits window, built lazily on first backref
     p = p0 - base * 8
 
     # ---- combined per-position table ----
@@ -1018,13 +1018,16 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
             packs.append((t, sh))
             maxm = max(maxm, t.maxlen)
     if packs:
+        # int32 when every packed field sits below bit 32 (gray after
+        # SUBTRACT_GREEN is the common case) — halves the table traffic
+        dt = np.int32 if all(sh <= 16 for _, sh in packs) else np.int64
         vals = np.arange(1 << maxm, dtype=np.int64)
-        comb = np.zeros(1 << maxm, np.int64)
+        comb = np.zeros(1 << maxm, dt)
         for t, sh in packs:
             comb |= (t.fulllut()[vals & ((1 << t.maxlen) - 1)]
-                     .astype(np.int64) << sh)
-        C = _array.array("q", np.take(comb, w24 & ((1 << maxm) - 1))
-                         .tobytes())
+                     .astype(dt) << dt(sh))
+        C = _array.array("i" if dt is np.int32 else "q",
+                         np.take(comb, w24 & ((1 << maxm) - 1)).tobytes())
     else:
         C = None
     gC = green.single is None
@@ -1078,6 +1081,8 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
                 if prefix < 4:
                     length = prefix + 1
                 else:
+                    if w24a is None:
+                        w24a = _array.array("i", w24.tobytes())
                     eb = (prefix - 2) >> 1
                     length = (((2 + (prefix & 1)) << eb)
                               + (w24a[p] & ((1 << eb) - 1)) + 1)
@@ -1096,6 +1101,8 @@ def _decode_fast_single(br: _LsbReader, n: int, w: int, trees):
                 if dprefix < 4:
                     dcode = dprefix + 1
                 else:
+                    if w24a is None:
+                        w24a = _array.array("i", w24.tobytes())
                     eb = (dprefix - 2) >> 1
                     dcode = (((2 + (dprefix & 1)) << eb)
                              + (w24a[p] & ((1 << eb) - 1)) + 1)
