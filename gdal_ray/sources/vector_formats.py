@@ -407,11 +407,26 @@ def _fgb_geometry_to_wkb(g: "_FB", gtype: int):
     t = g.scalar(16, "<B", 0) or gtype   # Geometry.VT_TYPE = 16
     xy = g.vector_np(6, "<f8")           # VT_XY = 6
     ends = g.vector(4, "I")              # VT_ENDS = 4
+    gz = g.vector_np(8, "<f8")           # VT_Z = 8
+    gm = g.vector_np(10, "<f8")          # VT_M = 10
     if t == 1:    # Point
-        return W.point(float(xy[0]), float(xy[1]))
+        if gz is None and gm is None:
+            return W.point(float(xy[0]), float(xy[1]))
+        d = {"type": "Point",
+             "xy": np.array([float(xy[0]), float(xy[1])])}
+        if gz is not None:
+            d["z"] = float(gz[0])
+        if gm is not None:
+            d["m"] = float(gm[0])
+        return W.dumps(d)
     pts = xy.reshape(-1, 2).astype(np.float64) if xy is not None else None
     if t == 2:    # LineString
-        return W.dumps({"type": "LineString", "xy": pts})
+        d = {"type": "LineString", "xy": pts}
+        if gz is not None:
+            d["z"] = gz.astype(np.float64)
+        if gm is not None:
+            d["m"] = gm.astype(np.float64)
+        return W.dumps(d)
     if t == 3:    # Polygon: ends = cumulative POINT count (exclusive end vertex) per ring
         # (geometrywriter.cpp pushes e += numPoints; geometryreader.cpp indexes
         #  OGRRawPoint* + offset — values are vertex counts, NOT doubled coords.)
@@ -420,7 +435,17 @@ def _fgb_geometry_to_wkb(g: "_FB", gtype: int):
         for e in bounds:
             rings.append(pts[s:e])
             s = e
-        return W.polygon(rings[0], rings[1:])
+        if gz is None and gm is None:
+            return W.polygon(rings[0], rings[1:])
+        d = {"type": "Polygon", "rings": rings}
+        for key, vec in (("z", gz), ("m", gm)):
+            if vec is not None:
+                out, s = [], 0
+                for e in bounds:
+                    out.append(vec[s:e].astype(np.float64))
+                    s = e
+                d[key] = out
+        return W.dumps(d)
     if t == 4:    # MultiPoint
         return W.dumps({"type": "MultiPoint", "xy": pts})
     if t == 5:    # MultiLineString: ends = cumulative point count per part

@@ -509,9 +509,29 @@ def _fb_table_vec(items: list) -> tuple[bytes, int]:
     return bytes(head) + bytes(tails), 0
 
 
+def _fgb_zm_flat(g: dict, key: str):
+    """Flatten the engine's per-type z/m layout (Point scalar, LineString
+    (N,), Polygon list-per-ring) into FlatGeobuf's single parallel vector.
+    Multi* never carry z/m in loaded dicts (core.wkb drops them there —
+    the engine-wide boundary), so they need no handling here."""
+    v = g.get(key)
+    if v is None:
+        return None
+    t = g["type"]
+    if t == "Point":
+        return np.asarray([v], np.float64).reshape(-1)[:1]
+    if t == "LineString":
+        return np.asarray(v, np.float64).reshape(-1)
+    if t == "Polygon":
+        parts = [np.asarray(r, np.float64).reshape(-1)
+                 for r in v if r is not None]
+        return np.concatenate(parts) if parts else None
+    return None
+
+
 def _fgb_geom_table(g: dict) -> tuple[bytes, int]:
     """Parsed geometry → FlatGeobuf Geometry table (VT_ENDS=4, VT_XY=6,
-    VT_TYPE=16, VT_PARTS=18)."""
+    VT_Z=8, VT_M=10, VT_TYPE=16, VT_PARTS=18)."""
     t = g["type"]
     if t not in _FGB_GTYPE:
         raise NotImplementedError(
@@ -550,6 +570,12 @@ def _fgb_geom_table(g: dict) -> tuple[bytes, int]:
         raise NotImplementedError(
             f"FlatGeobuf writer: {t} not representable "
             "(GeometryCollection → use GeoJSON/GPKG sinks)")
+    z = _fgb_zm_flat(g, "z")
+    if z is not None:
+        slots.append((8, ("offset",) + _fb_vec("<f8", z)))
+    m = _fgb_zm_flat(g, "m")
+    if m is not None:
+        slots.append((10, ("offset",) + _fb_vec("<f8", m)))
     return _fb_table(slots)
 
 

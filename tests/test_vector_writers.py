@@ -307,3 +307,29 @@ def test_flatgeobuf_sink_readback(tmp_path, ray_session):
     got = {r["name"]: W.loads(r["wkb"]) for _, r in back.iterrows()}
     for i in range(6):
         assert np.allclose(got[f"f{i}"]["rings"][0], sq + 3.0 * i)
+
+
+def test_flatgeobuf_z_m_roundtrip():
+    """FGB VT_Z/VT_M vectors: exact WKB round-trip for the types whose
+    loaded dicts carry z/m (Point scalar, LineString (N,), Polygon
+    list-per-ring — core.wkb drops z/m on Multi*, the engine-wide
+    boundary)."""
+    geoms = [
+        {"type": "Point", "xy": np.array([1.0, 2.0]), "z": 5.0},
+        {"type": "Point", "xy": np.array([1.0, 2.0]), "z": 5.0, "m": 9.0},
+        {"type": "LineString",
+         "xy": np.array([(0, 0), (1, 1)], dtype=np.float64),
+         "z": np.array([5., 6.]), "m": np.array([7., 8.])},
+        {"type": "Polygon",
+         "rings": [np.array([(0, 0), (4, 0), (4, 4), (0, 0)],
+                            dtype=np.float64),
+                   np.array([(1, 1), (1, 2), (2, 2), (1, 1)],
+                            dtype=np.float64)],
+         "z": [np.array([1., 2., 3., 1.]), np.array([4., 5., 6., 4.])]},
+        {"type": "Point", "xy": np.array([3.0, 4.0])},   # plain XY
+    ]
+    tab = pa.table({"wkb": pa.array([W.dumps(g) for g in geoms],
+                                    pa.binary())})
+    back = VF.parse_flatgeobuf_bytes(VW.flatgeobuf_bytes(tab)).to_pydict()
+    for i, g in enumerate(geoms):
+        assert back["wkb"][i] == W.dumps(g), (i, g["type"])
