@@ -302,6 +302,20 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
+    """Format dispatch with NORMALIZED errors: undecodable bytes raise
+    ValueError (whatever the low-level failure — short buffer, bad zlib
+    stream, table overrun), and CapabilityError passes through untouched
+    so catalog stages can route known-unsupported rows to quarantine."""
+    try:
+        return _decode_impl(data, fmt)
+    except (CapabilityError, ValueError):
+        raise
+    except (struct.error, zlib.error, IndexError, EOFError, KeyError,
+            OverflowError) as e:
+        raise ValueError(f"corrupt {fmt} stream: {e}") from e
+
+
+def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "raw":
         return decode_raw(data)
     if fmt == "png":

@@ -1028,3 +1028,33 @@ def test_vp8i_bpred_intra_modes():
     # RD gate must keep them (B_PRED correctly rejected)
     edges = (((xx // 16 + yy // 16) % 2) * 255).astype(np.uint8)
     assert np.array_equal(decode_vp8i(encode_vp8i(edges, 85)), edges)
+
+
+@pytest.mark.parametrize("fmt", ["png", "jpeg", "webp", "raw"])
+def test_decode_normalizes_corrupt_input_errors(fmt):
+    """Truncated / bit-flipped streams raise ValueError from
+    codecs.decode regardless of the failing layer (struct/zlib/index) —
+    uniform catchability for catalog stages; CapabilityError still
+    passes through for the quarantine path."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    blob = codecs.encode(img, fmt)
+    for frac in (0.3, 0.7, 0.95):
+        cut = blob[:int(len(blob) * frac)]
+        try:
+            codecs.decode(cut, fmt)
+        except ValueError:
+            pass                      # the required behavior
+    bb = bytearray(blob)
+    bb[len(bb) // 2] ^= 0xFF
+    try:
+        codecs.decode(bytes(bb), fmt)
+    except ValueError:
+        pass
+
+
+def test_decode_capability_error_passes_through():
+    fake_vp8 = (b"RIFF" + b"\x20\x00\x00\x00" + b"WEBP" + b"VP8 "
+                + b"\x00" * 24)
+    with pytest.raises(codecs.CapabilityError):
+        codecs.decode(fake_vp8, "webp")
