@@ -53,27 +53,45 @@ def band_statistics(images: "ray.data.Dataset") -> "ray.data.Dataset":
     :7126): per-image partials in map_batches, single global combine."""
     partials = images.map_batches(decode_stats, batch_format="pyarrow")
 
-    def tag(b: pa.Table) -> pa.Table:
-        return b.append_column("all", pa.array(np.zeros(b.num_rows, np.int8)))
+    # single global group: combine per batch, driver-merge the ≤1-row-per-
+    # block partials (a sort-shuffle for ONE group is pure fixed cost)
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.append_column("all", pa.array(np.zeros(b.num_rows, np.int8))) \
+             .group_by(["all"]).aggregate(
+                 [("count", "sum"), ("vsum", "sum"), ("vsumsq", "sum"),
+                  ("vmin", "min"), ("vmax", "max"), ("count", "count")])
+        return pa.table({"all": g.column("all"),
+                         "count": g.column("count_sum"),
+                         "vsum": g.column("vsum_sum"),
+                         "vsumsq": g.column("vsumsq_sum"),
+                         "vmin": g.column("vmin_min"),
+                         "vmax": g.column("vmax_max"),
+                         "n_img": g.column("count_count")})
 
-    agg = partials.map_batches(tag, batch_format="pyarrow").groupby("all") \
-        .aggregate(Sum("count"), Sum("vsum"), Sum("vsumsq"), Min("vmin"), Max("vmax"), Count())
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(partials.map_batches(combine, batch_format="pyarrow"),
+                      ["all"],
+                      [("count", "sum"), ("vsum", "sum"), ("vsumsq", "sum"),
+                       ("vmin", "min"), ("vmax", "max"), ("n_img", "sum")])
 
     def finish(b: pa.Table) -> pa.Table:
-        n = float(b.column("sum(count)")[0].as_py())
-        s = float(b.column("sum(vsum)")[0].as_py())
-        ss = float(b.column("sum(vsumsq)")[0].as_py())
+        n = float(b.column("count")[0].as_py())
+        s = float(b.column("vsum")[0].as_py())
+        ss = float(b.column("vsumsq")[0].as_py())
         mean = s / n
         var = max(0.0, ss / n - mean * mean)
         return pa.table({
             "n_pixels": pa.array([int(n)], pa.int64()),
-            "n_images": pa.array([b.column("count()")[0].as_py()], pa.int64()),
-            "vmin": pa.array([b.column("min(vmin)")[0].as_py()], pa.float64()),
-            "vmax": pa.array([b.column("max(vmax)")[0].as_py()], pa.float64()),
+            "n_images": pa.array([b.column("n_img")[0].as_py()], pa.int64()),
+            "vmin": pa.array([b.column("vmin")[0].as_py()], pa.float64()),
+            "vmax": pa.array([b.column("vmax")[0].as_py()], pa.float64()),
             "mean": pa.array([mean], pa.float64()),
             "std": pa.array([float(np.sqrt(var))], pa.float64()),
         })
 
+    import ray.data as _rd
+    if isinstance(agg, pa.Table):
+        return _rd.from_arrow(finish(agg))
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -152,20 +170,34 @@ def events_hourly(sf_dir: str):
             "value_u": pa.array(np.round(np.asarray(b.column("value")) * 1e6).astype(np.int64)),
         })
 
-    agg = ds.map_batches(window, batch_format="pyarrow") \
-            .groupby(["window_start", "event_type"]) \
-            .aggregate(Count(), Sum("value_u"))
+    # key domain = hours × event types (bounded); per-batch combine keeps
+    # partials ≤ that per block, and grouped_agg's measured-size merge
+    # avoids the sort-shuffle at any realistic window count
+    def combine(b: pa.Table) -> pa.Table:
+        g = window(b).group_by(["window_start", "event_type"]).aggregate(
+            [("value_u", "count"), ("value_u", "sum")])
+        return pa.table({"window_start": g.column("window_start"),
+                         "event_type": g.column("event_type"),
+                         "n": g.column("value_u_count"),
+                         "value_u": g.column("value_u_sum")})
+
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(ds.map_batches(combine, batch_format="pyarrow"),
+                      ["window_start", "event_type"],
+                      [("n", "sum"), ("value_u", "sum")])
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
             "window_start": b.column("window_start"),
             "event_type": b.column("event_type"),
-            "n_events": b.column("count()"),
+            "n_events": pa.array(np.asarray(b.column("n"), dtype=np.int64), pa.int64()),
             "sum_value": pc.round(
-                pc.divide(pc.cast(b.column("sum(value_u)"), pa.float64()), 1e6),
+                pc.divide(pc.cast(b.column("value_u"), pa.float64()), 1e6),
                 ndigits=4, round_mode="half_towards_infinity"),
         })
 
+    if isinstance(agg, pa.Table):
+        return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 

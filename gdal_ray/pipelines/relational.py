@@ -73,8 +73,16 @@ def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
 # =====================================================================
 
 def q1_pricing_summary(sf_dir: str):
-    """TPC-H Q1 shape: filter + multi-key groupby + 5 aggregates."""
-    ds = _read(sf_dir, "lineitem")
+    """TPC-H Q1 shape: filter + multi-key groupby + 5 aggregates.
+
+    Shuffle shape: the group key domain is 6 rows (CHAR(1) × CHAR(1)), so
+    a per-batch ``pa.Table.group_by`` combiner collapses each block to ≤6
+    partial rows and ``grouped_agg`` driver-merges the measured-tiny
+    partial set — the sort-shuffle Aggregate paid a ~P×B fixed cost
+    (blocks × partitions slices) that dwarfed the 600k-row data."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount",
+                "l_returnflag", "l_linestatus"])
 
     # money columns are 2-decimal fixed-point: aggregate in scaled int64 so
     # the sum is EXACT and independent of partition/summation order — the
@@ -87,34 +95,49 @@ def q1_pricing_summary(sf_dir: str):
         qty_c = np.round(np.asarray(b.column("l_quantity")) * 100).astype(np.int64)
         ep_c = np.round(np.asarray(b.column("l_extendedprice")) * 100).astype(np.int64)
         disc_c = np.round(np.asarray(b.column("l_discount")) * 100).astype(np.int64)
-        return pa.table({
+        t = pa.table({
             "l_returnflag": b.column("l_returnflag"),
             "l_linestatus": b.column("l_linestatus"),
             "qty_c": pa.array(qty_c, pa.int64()),
             "ep_c": pa.array(ep_c, pa.int64()),
             "disc_price_cc": pa.array(ep_c * (100 - disc_c), pa.int64()),
         })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("ep_c", "sum"), ("disc_price_cc", "sum"),
+             ("qty_c", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "qty_c": g.column("qty_c_sum"),
+            "ep_c": g.column("ep_c_sum"),
+            "disc_price_cc": g.column("disc_price_cc_sum"),
+            "n": g.column("qty_c_count"),
+        })
 
-    agg = (ds.map_batches(prep, batch_format="pyarrow")
-             .groupby(["l_returnflag", "l_linestatus"])
-             .aggregate(Sum("qty_c"), Sum("ep_c"), Sum("disc_price_cc"), Count()))
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["l_returnflag", "l_linestatus"],
+                      [("qty_c", "sum"), ("ep_c", "sum"),
+                       ("disc_price_cc", "sum"), ("n", "sum")])
 
     def finish(b: pa.Table) -> pa.Table:
-        qty = np.asarray(b.column("sum(qty_c)"), dtype=np.int64)
-        cnt = np.asarray(b.column("count()"), dtype=np.int64)
+        qty = np.asarray(b.column("qty_c"), dtype=np.int64)
+        cnt = np.asarray(b.column("n"), dtype=np.int64)
         t = pa.table({
             "l_returnflag": b.column("l_returnflag"),
             "l_linestatus": b.column("l_linestatus"),
             "sum_qty": pa.array(qty / 100.0, pa.float64()),
-            "sum_base_price": pa.array(np.asarray(b.column("sum(ep_c)"), dtype=np.int64) / 100.0, pa.float64()),
-            "sum_disc_price": pa.array(np.asarray(b.column("sum(disc_price_cc)"), dtype=np.int64) / 10000.0, pa.float64()),
+            "sum_base_price": pa.array(np.asarray(b.column("ep_c"), dtype=np.int64) / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(np.asarray(b.column("disc_price_cc"), dtype=np.int64) / 10000.0, pa.float64()),
             "avg_qty": pa.array(qty / 100.0 / cnt, pa.float64()),
-            "count_order": b.column("count()"),
+            "count_order": pa.array(cnt, pa.int64()),
         })
         for c, nd in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 4)):
             t = _round_col(t, c, nd)
         return t
 
+    if isinstance(agg, pa.Table):
+        return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -145,16 +168,30 @@ def q_segment_revenue(sf_dir: str):
     orders = orders.map_batches(cents, batch_format="pyarrow")
     j = orders.join(cust, join_type="inner", num_partitions=_join_partitions(),
                     on=("o_custkey",), right_on=("c_custkey",))
-    agg = j.groupby("c_mktsegment").aggregate(Sum("price_c"), Count())
+
+    # ≤5 market segments: per-batch combine + measured-size final merge
+    # instead of a second sort-shuffle after the join
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_mktsegment"]).aggregate(
+            [("price_c", "sum"), ("price_c", "count")])
+        return pa.table({"c_mktsegment": g.column("c_mktsegment"),
+                         "price_c": g.column("price_c_sum"),
+                         "n": g.column("price_c_count")})
+
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(j.map_batches(combine, batch_format="pyarrow"),
+                      ["c_mktsegment"], [("price_c", "sum"), ("n", "sum")])
 
     def finish(b: pa.Table) -> pa.Table:
         t = pa.table({
             "c_mktsegment": b.column("c_mktsegment"),
-            "total_price": pa.array(np.asarray(b.column("sum(price_c)"), dtype=np.int64) / 100.0, pa.float64()),
-            "n_orders": b.column("count()"),
+            "total_price": pa.array(np.asarray(b.column("price_c"), dtype=np.int64) / 100.0, pa.float64()),
+            "n_orders": b.column("n"),
         })
         return _round_col(t, "total_price", 2)
 
+    if isinstance(agg, pa.Table):
+        return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -184,7 +221,19 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def q_distinct_brands(sf_dir: str):
     """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_gensql.cpp:705) = groupby
     with no aggregates — a pure key shuffle."""
-    agg = _read(sf_dir, "part", ["p_brand"]).groupby("p_brand").aggregate(Count())
+    # ≤25 brands: per-batch unique + measured-size merge (DISTINCT over a
+    # bounded domain needs no sort-shuffle)
+    def uniq(b: pa.Table) -> pa.Table:
+        g = b.group_by(["p_brand"]).aggregate([("p_brand", "count")])
+        return pa.table({"p_brand": g.column("p_brand"),
+                         "n": g.column("p_brand_count")})
+
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(_read(sf_dir, "part", ["p_brand"])
+                      .map_batches(uniq, batch_format="pyarrow"),
+                      ["p_brand"], [("n", "sum")])
+    if isinstance(agg, pa.Table):
+        return agg.select(["p_brand"])
     return agg.select_columns(["p_brand"])
 
 
@@ -277,17 +326,23 @@ def q_nation_revenue(sf_dir: str):
         })
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = li.map_batches(partial, batch_format="pyarrow") \
-            .groupby("n_name").aggregate(Sum("rev_cc"), Sum("n"))
+    # per-batch partials are ≤25 nation rows each: grouped_agg driver-merges
+    # the measured-tiny set (the sort-shuffle Aggregate's fixed cost was
+    # most of this query's wall time)
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(li.map_batches(partial, batch_format="pyarrow"),
+                      ["n_name"], [("rev_cc", "sum"), ("n", "sum")])
 
     def finish(b: pa.Table) -> pa.Table:
         t = pa.table({
             "n_name": b.column("n_name"),
-            "revenue": pa.array(np.asarray(b.column("sum(rev_cc)"), dtype=np.int64) / 10000.0, pa.float64()),
-            "n_items": b.column("sum(n)"),
+            "revenue": pa.array(np.asarray(b.column("rev_cc"), dtype=np.int64) / 10000.0, pa.float64()),
+            "n_items": b.column("n"),
         })
         return _round_col(t, "revenue", 2)
 
+    if isinstance(agg, pa.Table):
+        return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -310,27 +365,43 @@ def q_event_stats(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def micro(b: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "event_type": b.column("event_type"),
             "value": b.column("value"),
             "value_u": pa.array(np.round(np.asarray(b.column("value")) * 1e6).astype(np.int64)),
         })
+        g = t.group_by(["event_type"]).aggregate(
+            [("value_u", "count"), ("value_u", "sum"),
+             ("value", "min"), ("value", "max")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": g.column("value_u_count"),
+            "value_u": g.column("value_u_sum"),
+            "vmin": g.column("value_min"),
+            "vmax": g.column("value_max"),
+        })
 
-    agg = ds.map_batches(micro, batch_format="pyarrow").groupby("event_type") \
-            .aggregate(Count(), Sum("value_u"), Min("value"), Max("value"))
+    # per-batch combine to ≤|event_type| rows, measured-size final merge
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(ds.map_batches(micro, batch_format="pyarrow"),
+                      ["event_type"],
+                      [("n", "sum"), ("value_u", "sum"),
+                       ("vmin", "min"), ("vmax", "max")])
 
     def finish(b: pa.Table) -> pa.Table:
         t = pa.table({
             "event_type": b.column("event_type"),
-            "n_events": b.column("count()"),
-            "sum_value": pa.array(np.asarray(b.column("sum(value_u)"), dtype=np.int64) / 1e6, pa.float64()),
-            "min_value": b.column("min(value)"),
-            "max_value": b.column("max(value)"),
+            "n_events": pa.array(np.asarray(b.column("n"), dtype=np.int64), pa.int64()),
+            "sum_value": pa.array(np.asarray(b.column("value_u"), dtype=np.int64) / 1e6, pa.float64()),
+            "min_value": b.column("vmin"),
+            "max_value": b.column("vmax"),
         })
         t = _round_col(t, "sum_value", 4)
         t = _round_col(t, "min_value", 6)
         return _round_col(t, "max_value", 6)
 
+    if isinstance(agg, pa.Table):
+        return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
@@ -621,17 +692,34 @@ def geo_zonal_points(sf_dir: str):
             "value_c": pa.array(np.round(np.asarray(b.column("value")) * 100).astype(np.int64)),
         })
 
-    j = pairs.map_batches(attach, batch_format="pyarrow")
-    agg = j.groupby("n_nationkey").aggregate(Count(), Sum("value_c"), Min("value"), Max("value"))
+    # ≤25 zones: per-batch combine + measured-size merge after the cell join
+    def combine(b: pa.Table) -> pa.Table:
+        t = attach(b)
+        g = t.group_by(["n_nationkey"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum"),
+             ("value", "min"), ("value", "max")])
+        return pa.table({"n_nationkey": g.column("n_nationkey"),
+                         "n": g.column("value_c_count"),
+                         "value_c": g.column("value_c_sum"),
+                         "vmin": g.column("value_min"),
+                         "vmax": g.column("value_max")})
+
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(pairs.map_batches(combine, batch_format="pyarrow"),
+                      ["n_nationkey"],
+                      [("n", "sum"), ("value_c", "sum"),
+                       ("vmin", "min"), ("vmax", "max")])
 
     def finish(b: pa.Table) -> pa.Table:
         t = pa.table({"n_nationkey": b.column("n_nationkey"),
-                      "n_points": b.column("count()"),
-                      "sum_value": pa.array(np.asarray(b.column("sum(value_c)"), dtype=np.int64) / 100.0, pa.float64()),
-                      "min_value": b.column("min(value)"),
-                      "max_value": b.column("max(value)")})
+                      "n_points": pa.array(np.asarray(b.column("n"), dtype=np.int64), pa.int64()),
+                      "sum_value": pa.array(np.asarray(b.column("value_c"), dtype=np.int64) / 100.0, pa.float64()),
+                      "min_value": b.column("vmin"),
+                      "max_value": b.column("vmax")})
         return _round_col(t, "sum_value", 2)
 
+    if isinstance(agg, pa.Table):
+        return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
