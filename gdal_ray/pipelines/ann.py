@@ -55,6 +55,46 @@ class _TopkStage:
                          "cosine": pa.array(cos, pa.float64())})
 
 
+def _merge_topk_per_query(partials: "ray.data.Dataset", k: int,
+                          id_col: str,
+                          driver_limit: int = 4_000_000) -> "ray.data.Dataset":
+    """Final per-query top-k merge over per-block partials.  Partial volume
+    is k × queries × blocks rows — MEASURED: small sets merge driver-side
+    (no sort-shuffle round, whose fixed cost dwarfs a few thousand rows);
+    big fan-ins keep the distributed ``groupby(query_id).map_groups``."""
+    def merge(g: pa.Table) -> pa.Table:
+        cos = np.asarray(g.column("cosine"), dtype=np.float64)
+        ids = g.column(id_col).to_pylist()
+        # deterministic: sort by (-cosine, id)
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
+        qid = g.column("query_id")[0].as_py()
+        return pa.table({"query_id": pa.array([qid] * len(order)),
+                         id_col: pa.array([ids[i] for i in order]),
+                         "rank": pa.array(np.arange(1, len(order) + 1), pa.int32()),
+                         "cosine": pa.array([float(cos[i]) for i in order], pa.float64())})
+
+    partials = partials.materialize()
+    if partials.count() > driver_limit:
+        return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    batches = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+               for b in partials.iter_batches(batch_format="pyarrow")]
+    sch = partials.schema()
+    empty = pa.table({
+        "query_id": pa.array([], sch.base_schema.field("query_id").type),
+        id_col: pa.array([], sch.base_schema.field(id_col).type),
+        "rank": pa.array([], pa.int32()),
+        "cosine": pa.array([], pa.float64())})
+    if not batches:
+        return ray.data.from_arrow(empty)
+    tbl = pa.concat_tables(batches)
+    groups: dict = {}
+    for i, q in enumerate(tbl.column("query_id").to_pylist()):
+        groups.setdefault(q, []).append(i)
+    out = [merge(tbl.take(pa.array(groups[q], pa.int64())))
+           for q in sorted(groups)]
+    return ray.data.from_arrow(pa.concat_tables(out) if out else empty)
+
+
 def brute_force_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray,
                      query_ids, k: int, *, id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -69,18 +109,7 @@ def brute_force_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray,
                               "id_col": id_col, "vec_col": vec_col}),
         batch_format="pyarrow")
 
-    def merge(g: pa.Table) -> pa.Table:
-        cos = np.asarray(g.column("cosine"), dtype=np.float64)
-        ids = g.column(id_col).to_pylist()
-        # deterministic: sort by (-cosine, id)
-        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
-        qid = g.column("query_id")[0].as_py()
-        return pa.table({"query_id": pa.array([qid] * len(order)),
-                         id_col: pa.array([ids[i] for i in order]),
-                         "rank": pa.array(np.arange(1, len(order) + 1), pa.int32()),
-                         "cosine": pa.array([float(cos[i]) for i in order], pa.float64())})
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk_per_query(partials, k, id_col)
 
 
 def _row_hash_from_vecs(V: np.ndarray) -> np.ndarray:
@@ -257,15 +286,4 @@ def ivf_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray, query_ids,
                          "cosine": pa.array(np.concatenate(cos_parts), pa.float64())})
 
     partials = pruned.map_batches(ivf_scan, batch_format="pyarrow")
-
-    def merge(g: pa.Table) -> pa.Table:
-        cos = np.asarray(g.column("cosine"), dtype=np.float64)
-        ids = g.column(id_col).to_pylist()
-        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
-        qid = g.column("query_id")[0].as_py()
-        return pa.table({"query_id": pa.array([qid] * len(order)),
-                         id_col: pa.array([ids[i] for i in order]),
-                         "rank": pa.array(np.arange(1, len(order) + 1), pa.int32()),
-                         "cosine": pa.array([float(cos[i]) for i in order], pa.float64())})
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk_per_query(partials, k, id_col)

@@ -185,5 +185,6 @@ def phash_neardup_pairs(images: "ray.data.Dataset", *, max_hamming: int = 3,
                          "hamming": pa.array(out_d, pa.int32())})
 
     rows = images.map_batches(expand, batch_format="pyarrow").materialize()
-    return filter_multi_keys(rows, "bval") \
-        .groupby("bval").map_groups(pairs, batch_format="pyarrow")
+    from .shuffle_utils import grouped_map_groups
+    return grouped_map_groups(filter_multi_keys(rows, "bval"),
+                              "bval", pairs)

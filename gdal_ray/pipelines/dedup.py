@@ -101,11 +101,26 @@ def exact_dedup(docs: "ray.data.Dataset", *, key_col: str = "text",
         h = _hash_bytes_to_u64(b.column(key_col).to_pylist()).astype(np.int64)
         return pa.table({id_col: b.column(id_col), "content_hash": pa.array(h, pa.int64())})
 
-    hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
-    survivors = hashed.groupby("content_hash").min(id_col)
-    keep_col = f"min({id_col})"
-    return survivors.map_batches(
-        lambda b: pa.table({id_col: b.column(keep_col)}), batch_format="pyarrow")
+    def combine(b: pa.Table) -> pa.Table:
+        t = hash_batch(b)
+        g = t.group_by(["content_hash"]).aggregate([(id_col, "min")])
+        return pa.table({"content_hash": g.column("content_hash"),
+                         id_col: g.column(f"{id_col}_min")})
+
+    # measured-size final merge: partials are (hash, id) 16-byte rows, one
+    # per distinct hash per block — small sets skip the sort-shuffle, big
+    # ones take the distributed groupby automatically
+    from .shuffle_utils import grouped_agg
+    survivors = grouped_agg(docs.map_batches(combine, batch_format="pyarrow"),
+                            ["content_hash"], [(id_col, "min")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b.column(id_col)})
+
+    if isinstance(survivors, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(finish(survivors))
+    return survivors.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------- minhash LSH ----------
@@ -218,9 +233,10 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.7,
             "sig_jaccard": pa.array(est[keep], pa.float64()),
         })
 
-    return sigs_ds.map_batches(bucket_sig_batch, batch_format="pyarrow") \
-                  .groupby("bucket").map_groups(verify_group,
-                                                batch_format="pyarrow")
+    from .shuffle_utils import grouped_map_groups
+    return grouped_map_groups(
+        sigs_ds.map_batches(bucket_sig_batch, batch_format="pyarrow"),
+        "bucket", verify_group)
 
 
 def minhash_lsh_verified_pairs(docs_tbl: pa.Table, *, threshold: float = 0.7,
@@ -312,8 +328,9 @@ def simhash_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3,
         cpus = 8
     rows = docs.repartition(cpus * 2) \
                .map_batches(sh_batch, batch_format="pyarrow").materialize()
-    return filter_multi_keys(rows, "bval") \
-        .groupby("bval").map_groups(block_pairs, batch_format="pyarrow")
+    from .shuffle_utils import grouped_map_groups
+    return grouped_map_groups(filter_multi_keys(rows, "bval"),
+                              "bval", block_pairs)
 
 
 # ---------- embedding cosine near-dup ----------
@@ -389,10 +406,11 @@ def embedding_neardup_pairs(emb: "ray.data.Dataset", *, threshold: float = 0.95,
                          "id_b": pa.array(ids[jj[keep]]),
                          "cosine": pa.array(S[ii[keep], jj[keep]], pa.float64())})
 
-    from .shuffle_utils import filter_multi_keys
+    from .shuffle_utils import filter_multi_keys, grouped_map_groups
     rows = emb.map_batches(bucket_batch, batch_format="pyarrow")
-    return filter_multi_keys(rows, "bucket", max_count=max_bucket) \
-        .groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    return grouped_map_groups(
+        filter_multi_keys(rows, "bucket", max_count=max_bucket),
+        "bucket", verify)
 
 
 # ---------- exact n-gram Jaccard near-dup ----------
@@ -503,6 +521,7 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", *, threshold: float = 0.8,
                          "id_b": pa.array(out_b, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    return sigs_ds.map_batches(bucket_payload_batch, batch_format="pyarrow") \
-                  .groupby("bucket").map_groups(verify_group,
-                                                batch_format="pyarrow")
+    from .shuffle_utils import grouped_map_groups
+    return grouped_map_groups(
+        sigs_ds.map_batches(bucket_payload_batch, batch_format="pyarrow"),
+        "bucket", verify_group)

@@ -237,6 +237,40 @@ def grouped_sum_int64(partials: "ray.data.Dataset", key_col: str,
                      val_col: pa.array(total, pa.int64())})
 
 
+def grouped_map_groups(ds: "ray.data.Dataset", key_col: str, fn,
+                       driver_limit: int = 200_000) -> "ray.data.Dataset":
+    """``groupby(key).map_groups(fn)`` with a measured-size driver path for
+    int64 keys.  The candidate streams this serves (LSH multi-bucket rows,
+    hamming-prefix collisions) are a small minority BY PREMISE; when the
+    measured row count fits ``driver_limit``, one stable driver-side sort +
+    zero-copy slices replace the sort-shuffle round, whose fixed cost is
+    most of the query at that size.  Bigger streams keep the distributed
+    groupby.  ``fn`` sees exactly the same per-group tables either way
+    (groups arrive key-sorted on both paths)."""
+    ds = ds.materialize()
+    if ds.count() > driver_limit:
+        return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+    batches = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+               for b in ds.iter_batches(batch_format="pyarrow")]
+    if not batches:
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is None:
+            return ds  # schema-less empty input: nothing to group
+        empty = pa.table({f.name: pa.array([], f.type)
+                          for f in sch.base_schema})
+        return ray.data.from_arrow(fn(empty))
+    tbl = pa.concat_tables(batches).combine_chunks()
+    keys = np.asarray(tbl.column(key_col), dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    tbl = tbl.take(pa.array(order, pa.int64()))
+    _, starts = np.unique(keys[order], return_index=True)
+    bounds = np.append(starts, keys.size)
+    out = [fn(tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
+           for i in range(starts.size)]
+    out = [t for t in out if t.num_rows] or out[:1]
+    return ray.data.from_arrow(pa.concat_tables(out))
+
+
 def grouped_agg(partials: "ray.data.Dataset", keys: list,
                 specs: list,
                 driver_limit: int = 4_000_000) -> "ray.data.Dataset | pa.Table":

@@ -86,6 +86,29 @@ def polygons_expand_cells(batch: pa.Table, level: int, wkb_col="wkb") -> pa.Tabl
 
 # ---------- point-in-polygon join ----------
 
+def _match_points(px: np.ndarray, py: np.ndarray, poly_parts: list,
+                  predicate: str) -> np.ndarray:
+    """Hit mask of points matching one (Multi)Polygon's part list.
+
+    OR hits across MultiPolygon parts so a point on a boundary shared by
+    two parts still matches this polygon exactly once.  Shared by the
+    cell-join group evaluator and the broadcast fast path (one semantic)."""
+    hitmask = np.zeros(px.size, dtype=bool)
+    for poly_rings in poly_parts:
+        bb = geom.rings_bbox(poly_rings)
+        cand = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
+        cand &= ~hitmask
+        if not cand.any():
+            continue
+        idx = np.nonzero(cand)[0]
+        if predicate == "within":
+            hit = geom.points_within_polygon(px[idx], py[idx], poly_rings)
+        else:
+            hit = geom.points_intersect_polygon(px[idx], py[idx], poly_rings)
+        hitmask[idx[hit]] = True
+    return hitmask
+
+
 def _pip_group(group: pa.Table, predicate: str, level: int,
                point_id_col: str, poly_id_col: str,
                carry_cols: tuple = ()) -> pa.Table:
@@ -98,25 +121,11 @@ def _pip_group(group: pa.Table, predicate: str, level: int,
         py = np.asarray(pts.column("y"), dtype=np.float64)
         pids = pts.column(point_id_col).to_pylist()
         for j in range(pls.num_rows):
-            rings = wkb.loads(pls.column("wkb")[j].as_py())
-            # OR hits across MultiPolygon parts so a point on a boundary
-            # shared by two parts still matches this polygon exactly once.
-            hitmask = np.zeros(px.size, dtype=bool)
-            for poly_rings in wkb.as_polygons(rings):
-                bb = geom.rings_bbox(poly_rings)
-                cand = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
-                cand &= ~hitmask
-                if not cand.any():
-                    continue
-                # canonical cell for a point-poly pair: the point's own cell
-                # == this cell by construction (points carry one cell), so
-                # no dedup is needed across cells for the point side.
-                idx = np.nonzero(cand)[0]
-                if predicate == "within":
-                    hit = geom.points_within_polygon(px[idx], py[idx], poly_rings)
-                else:
-                    hit = geom.points_intersect_polygon(px[idx], py[idx], poly_rings)
-                hitmask[idx[hit]] = True
+            # canonical cell for a point-poly pair: the point's own cell
+            # == this cell by construction (points carry one cell), so
+            # no dedup is needed across cells for the point side.
+            parts = wkb.as_polygons(wkb.loads(pls.column("wkb")[j].as_py()))
+            hitmask = _match_points(px, py, parts, predicate)
             gid = pls.column(poly_id_col)[j].as_py()
             for k in np.nonzero(hitmask)[0]:
                 out_pid.append(pids[k])
@@ -132,6 +141,43 @@ def _pip_group(group: pa.Table, predicate: str, level: int,
     return pa.table(cols)
 
 
+def _pip_broadcast(points: "ray.data.Dataset", pl_mat: "ray.data.Dataset",
+                   predicate: str, point_id_col: str, poly_id_col: str,
+                   carry: dict) -> "ray.data.Dataset":
+    """Broadcast-side PIP join: the (measured-small) polygon side is parsed
+    ONCE on the driver, ``ray.put`` once, and every point batch evaluates
+    the predicate locally — zero shuffle, the classic broadcast join."""
+    rows = []
+    for t in pl_mat.iter_batches(batch_format="pyarrow"):
+        ids = t.column(poly_id_col).to_pylist()
+        for i, data in enumerate(t.column("wkb").to_pylist()):
+            parts = wkb.as_polygons(wkb.loads(data))
+            if parts:
+                rows.append((ids[i], parts))
+    ref = ray.put(rows)
+
+    def fn(b: pa.Table) -> pa.Table:
+        polys = ray.get(ref)
+        px = np.asarray(b.column("x"), dtype=np.float64)
+        py = np.asarray(b.column("y"), dtype=np.float64)
+        pids = b.column(point_id_col).to_pylist()
+        out_pid, out_gid, out_rows = [], [], []
+        for gid, parts in polys:
+            idx = np.nonzero(_match_points(px, py, parts, predicate))[0]
+            for k in idx:
+                out_pid.append(pids[k])
+                out_gid.append(gid)
+                out_rows.append(int(k))
+        cols = {point_id_col: pa.array(out_pid, pa.string()),
+                poly_id_col: pa.array(out_gid, pa.string())}
+        for c, typ in carry.items():
+            cols[c] = b.column(c).take(pa.array(out_rows, pa.int64())) \
+                if out_rows else pa.array([], typ)
+        return pa.table(cols)
+
+    return points.map_batches(fn, batch_format="pyarrow")
+
+
 def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Dataset",
                           *, predicate: str = "intersects",
                           level: int = C.DEFAULT_LEVEL,
@@ -139,7 +185,8 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
                           poly_id_col: str = "poly_id",
                           carry_cols: tuple = (),
                           salt: int = 0,
-                          hot_threshold: int | None = None) -> "ray.data.Dataset":
+                          hot_threshold: int | None = None,
+                          broadcast_limit_bytes: int = 32 << 20) -> "ray.data.Dataset":
     """(point_id, poly_id) pairs where predicate(point, polygon) holds.
 
     MultiPolygon parts are OR-ed (a point in any part matches once — pairs
@@ -152,6 +199,19 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
     them — each (point, polygon) pair still meets in exactly one group, so
     exactness is untouched while the hottest group shrinks by `salt`×."""
     assert predicate in ("intersects", "within")
+    carry = dict(carry_cols) if isinstance(carry_cols, dict) else {c: pa.float64() for c in carry_cols}
+
+    # measured-size broadcast fast path (the "broadcast small sides"
+    # doctrine): materialize the polygon side — the cell path shuffles it
+    # anyway — and if it fits the broadcast budget, skip the whole
+    # union→repartition→sort exchange.  Skew handling is moot here (no
+    # groups exist), and the big×big cell join below is untouched.
+    if broadcast_limit_bytes > 0:
+        pl_mat = polygons.materialize()
+        if (pl_mat.size_bytes() or 0) <= broadcast_limit_bytes:
+            return _pip_broadcast(points, pl_mat, predicate,
+                                  point_id_col, poly_id_col, carry)
+        polygons = pl_mat
 
     hot_ref = None
     if salt > 1:
@@ -183,7 +243,6 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
         out = t.take(pa.array(idx, pa.int64()))
         return out.set_column(out.column_names.index("cell"), "cell",
                               pa.array(keys))
-    carry = dict(carry_cols) if isinstance(carry_cols, dict) else {c: pa.float64() for c in carry_cols}
     spec = [(point_id_col, pa.string()), ("x", pa.float64()), ("y", pa.float64()),
             (poly_id_col, pa.string()), ("wkb", pa.binary()),
             ("cell", pa.int64()), ("side", pa.int8())] \
@@ -218,6 +277,77 @@ def point_in_polygon_join(points: "ray.data.Dataset", polygons: "ray.data.Datase
 
 # ---------- polygon-polygon (footprint×layer) join ----------
 
+def _poly_pair_hit(a_parts: list, b_parts: list, predicate: str) -> bool:
+    """Predicate over two (Multi)Polygon part lists: a hit on ANY part pair
+    counts (the engine's documented Multi* OR semantics).  Shared by the
+    cell-join group evaluator and the broadcast fast path."""
+    for ra in a_parts:
+        for rb in b_parts:
+            if predicate == "intersects":
+                hit = geom.polygons_intersect(ra, rb)
+            elif predicate == "contains":
+                hit = geom.polygon_contains_polygon(ra, rb)
+            elif predicate == "within":
+                hit = geom.polygon_contains_polygon(rb, ra)
+            elif predicate == "touches":
+                hit = geom.polygons_touch(ra, rb)
+            elif predicate == "overlaps":
+                hit = geom.polygons_overlap(ra, rb)
+            else:  # equals
+                hit = geom.polygons_equal(ra, rb)
+            if hit:
+                return True
+    return False
+
+
+def _outer_bbox(parts: list) -> tuple:
+    xs = np.concatenate([r[:, 0] for rings in parts for r in rings[:1]])
+    ys = np.concatenate([r[:, 1] for rings in parts for r in rings[:1]])
+    return (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+
+
+def _poly_poly_broadcast(a: "ray.data.Dataset", b_mat: "ray.data.Dataset",
+                         predicate: str, a_id_col: str,
+                         b_id_col: str) -> "ray.data.Dataset":
+    """Broadcast-side polygon join: the (measured-small) B side is parsed
+    once, ``ray.put`` once; every A batch prefilters by bbox against the
+    whole B set and runs the exact predicate on survivors — zero shuffle,
+    no canonical-cell bookkeeping (each A row is seen exactly once)."""
+    ids, geoms, bbs = [], [], []
+    for t in b_mat.iter_batches(batch_format="pyarrow"):
+        bid = t.column(b_id_col).to_pylist()
+        for i, data in enumerate(t.column("wkb").to_pylist()):
+            parts = wkb.as_polygons(wkb.loads(data))
+            if not parts:
+                continue
+            ids.append(bid[i])
+            geoms.append(parts)
+            bbs.append(_outer_bbox(parts))
+    bb_arr = (np.asarray(bbs, dtype=np.float64).reshape(-1, 4)
+              if bbs else np.empty((0, 4)))
+    ref = ray.put({"ids": ids, "geoms": geoms, "bb": bb_arr})
+
+    def fn(t: pa.Table) -> pa.Table:
+        B = ray.get(ref)
+        out_a, out_b = [], []
+        a_ids = t.column(a_id_col).to_pylist()
+        for i, data in enumerate(t.column("wkb").to_pylist()):
+            parts = wkb.as_polygons(wkb.loads(data))
+            if not parts or not B["ids"]:
+                continue
+            bb = _outer_bbox(parts)
+            ok = ~((bb[2] < B["bb"][:, 0]) | (B["bb"][:, 2] < bb[0])
+                   | (bb[3] < B["bb"][:, 1]) | (B["bb"][:, 3] < bb[1]))
+            for ib in np.nonzero(ok)[0]:
+                if _poly_pair_hit(parts, B["geoms"][ib], predicate):
+                    out_a.append(a_ids[i])
+                    out_b.append(B["ids"][ib])
+        return pa.table({a_id_col: pa.array(out_a, pa.string()),
+                         b_id_col: pa.array(out_b, pa.string())})
+
+    return a.map_batches(fn, batch_format="pyarrow")
+
+
 def _poly_poly_group(group: pa.Table, predicate: str, level: int,
                      a_id_col: str, b_id_col: str) -> pa.Table:
     side = np.asarray(group.column("side"))
@@ -244,26 +374,7 @@ def _poly_poly_group(group: pa.Table, predicate: str, level: int,
                 ccy = max(abb[ia, 1], bbb[ib, 1])
                 if int(C.cell_of(np.array([ccx]), np.array([ccy]), level)[0]) != cell:
                     continue
-                hit = False
-                for ra in a_geoms[ia]:
-                    for rb in b_geoms[ib]:
-                        if predicate == "intersects":
-                            hit = geom.polygons_intersect(ra, rb)
-                        elif predicate == "contains":
-                            hit = geom.polygon_contains_polygon(ra, rb)
-                        elif predicate == "within":
-                            hit = geom.polygon_contains_polygon(rb, ra)
-                        elif predicate == "touches":
-                            hit = geom.polygons_touch(ra, rb)
-                        elif predicate == "overlaps":
-                            hit = geom.polygons_overlap(ra, rb)
-                        else:  # equals
-                            hit = geom.polygons_equal(ra, rb)
-                        if hit:
-                            break
-                    if hit:
-                        break
-                if hit:
+                if _poly_pair_hit(a_geoms[ia], b_geoms[ib], predicate):
                     out_a.append(a_ids[ia])
                     out_b.append(b_ids[ib])
     return pa.table({a_id_col: pa.array(out_a, pa.string()),
@@ -275,7 +386,8 @@ def polygon_polygon_join(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
                          level: int = C.DEFAULT_LEVEL,
                          a_id_col: str = "image_id", b_id_col: str = "poly_id",
                          salt: int = 0,
-                         hot_threshold: int | None = None) -> "ray.data.Dataset":
+                         hot_threshold: int | None = None,
+                         broadcast_limit_bytes: int = 32 << 20) -> "ray.data.Dataset":
     """(a_id, b_id) pairs for polygon×polygon predicates — the image-
     footprint × vector-layer join of the north star.  Exactly-once via the
     canonical-cell rule (no dedup shuffle).
@@ -287,6 +399,16 @@ def polygon_polygon_join(a: "ray.data.Dataset", b: "ray.data.Dataset", *,
     (which keeps reading the ORIGINAL cell column) is untouched while the
     hottest group shrinks by `salt`×."""
     assert predicate in _PREDICATES
+
+    # measured-size broadcast fast path: materialize B (the cell path
+    # shuffles it anyway) and skip the exchange when it fits the budget;
+    # skew salting is moot with no groups.  Big×big keeps the cell join.
+    if broadcast_limit_bytes > 0:
+        b_mat = b.materialize()
+        if (b_mat.size_bytes() or 0) <= broadcast_limit_bytes:
+            return _poly_poly_broadcast(a, b_mat, predicate, a_id_col, b_id_col)
+        b = b_mat
+
     spec = [(a_id_col, pa.string()), (b_id_col, pa.string()), ("wkb", pa.binary()),
             ("bxmin", pa.float64()), ("bymin", pa.float64()),
             ("bxmax", pa.float64()), ("bymax", pa.float64()),

@@ -14,11 +14,14 @@ def test_salted_join_exactness(predicate):
     import ray
     pts = fixtures.points_table(600)   # clustered hotspots by construction
     pls = fixtures.polygons_table(50)
+    # broadcast_limit_bytes=0 pins the CELL path — salting is what this
+    # test exists to exercise (the broadcast fast path has no groups)
     plain = SJ.point_in_polygon_join(
-        ray.data.from_arrow(pts), ray.data.from_arrow(pls), predicate=predicate)
+        ray.data.from_arrow(pts), ray.data.from_arrow(pls), predicate=predicate,
+        broadcast_limit_bytes=0)
     salted = SJ.point_in_polygon_join(
         ray.data.from_arrow(pts), ray.data.from_arrow(pls), predicate=predicate,
-        salt=8, hot_threshold=20)
+        salt=8, hot_threshold=20, broadcast_limit_bytes=0)
     a = {(r["point_id"], r["poly_id"]) for r in plain.take_all()}
     b = {(r["point_id"], r["poly_id"]) for r in salted.take_all()}
     assert a == b
@@ -41,7 +44,7 @@ def test_salting_splits_hot_cells():
     # that hist of salted keys has smaller max
     pls = fixtures.polygons_table(10)
     out = SJ.point_in_polygon_join(ds, ray.data.from_arrow(pls), salt=8,
-                                   hot_threshold=50)
+                                   hot_threshold=50, broadcast_limit_bytes=0)
     out.take_all()  # must execute without error
 
 
@@ -75,9 +78,10 @@ def test_poly_poly_join_salting_exactness(ray_session):
         "poly_id": pa.array([r[0] for r in b_rows]),
         "wkb": pa.array([r[1] for r in b_rows], pa.binary())}))
     plain = {(r["image_id"], r["poly_id"]) for r in
-             polygon_polygon_join(A, B).take_all()}
+             polygon_polygon_join(A, B, broadcast_limit_bytes=0).take_all()}
     salted = {(r["image_id"], r["poly_id"]) for r in
-              polygon_polygon_join(A, B, salt=8, hot_threshold=50).take_all()}
+              polygon_polygon_join(A, B, salt=8, hot_threshold=50,
+                                   broadcast_limit_bytes=0).take_all()}
     assert len(plain) > 100
     assert salted == plain
 

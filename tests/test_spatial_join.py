@@ -33,12 +33,14 @@ def brute_force_pip(points_tbl, polys_tbl, predicate):
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("predicate", ["intersects", "within"])
-def test_pip_join_matches_bruteforce(predicate):
+@pytest.mark.parametrize("bcast", [0, 32 << 20])  # cell path / broadcast path
+def test_pip_join_matches_bruteforce(predicate, bcast):
     import ray
     pts = fixtures.points_table(N_POINTS)
     pls = fixtures.polygons_table(N_POLYS)
     got = SJ.point_in_polygon_join(
-        ray.data.from_arrow(pts), ray.data.from_arrow(pls), predicate=predicate)
+        ray.data.from_arrow(pts), ray.data.from_arrow(pls), predicate=predicate,
+        broadcast_limit_bytes=bcast)
     got_pairs = {(r["point_id"], r["poly_id"]) for r in got.take_all()}
     expect = brute_force_pip(pts, pls, predicate)
     assert got_pairs == expect
@@ -46,7 +48,8 @@ def test_pip_join_matches_bruteforce(predicate):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_footprint_polygon_join_matches_bruteforce():
+@pytest.mark.parametrize("bcast", [0, 32 << 20])  # cell path / broadcast path
+def test_footprint_polygon_join_matches_bruteforce(bcast):
     import ray
     imgs_meta = pa.table({
         "image_id": [fixtures.image_meta(i)["image_id"] for i in range(80)],
@@ -61,7 +64,8 @@ def test_footprint_polygon_join_matches_bruteforce():
 
     got = SJ.polygon_polygon_join(
         ray.data.from_arrow(fps), ray.data.from_arrow(pls),
-        predicate="intersects", a_id_col="image_id", b_id_col="poly_id")
+        predicate="intersects", a_id_col="image_id", b_id_col="poly_id",
+        broadcast_limit_bytes=bcast)
     got_pairs = {(r["image_id"], r["poly_id"]) for r in got.take_all()}
 
     expect = set()
