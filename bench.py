@@ -37,6 +37,24 @@ N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "4000"))
 ZOOM = int(os.environ.get("GRAFT_BENCH_ZOOM", "11"))
 
 
+def host_probe_mbps() -> float:
+    """First-touch page-fault throughput on a fresh 100 MB allocation.
+
+    This box intermittently enters a window where faulting-in large fresh
+    allocations collapses ~100x (BASELINE.md round-5: 400 MB first-touch
+    37-90 s while in-place arithmetic on existing buffers is full speed) —
+    a host pathology that uniformly slows every decode/warp/shuffle stage.
+    Healthy reads >2000 MB/s; degraded ~10 MB/s.  Reported in the bench
+    JSON so any recorded number carries its own validity evidence."""
+    import numpy as np
+    n = 12_500_000  # 100 MB of int64
+    t0 = time.time()
+    a = np.empty(n, dtype=np.int64)
+    a.fill(1)
+    dt = max(time.time() - t0, 1e-9)
+    return round(100.0 / dt, 1)
+
+
 def _init_ray(num_cpus: int):
     import ray
     if not ray.is_initialized():
@@ -220,6 +238,7 @@ def main():
         ray.shutdown()
         return
     if "--scaling" in sys.argv:
+        probe0 = host_probe_mbps()
         results = {}
         # scaling runs use >= 8000 images so per-run fixed costs (actor
         # spin-up, shuffle setup) amortize and the ratio measures the engine
@@ -257,10 +276,16 @@ def main():
             "throughput_4n": {"num_cpus": 16,
                               "images_per_sec": results["headline"][16]["images_per_sec"]},
             "warp_phase_efficiency": effs["warp_only"],
+            "host_probe_mbps": {"start": probe0, "end": host_probe_mbps()},
             "detail": results,
         }))
         return
 
+    probe0 = host_probe_mbps()
+    if probe0 < 200:
+        sys.stderr.write(f"[bench] WARNING: host first-touch probe {probe0} "
+                         "MB/s — degraded-window numbers are lower bounds "
+                         "(BASELINE.md round-5 fingerprint)\n")
     _init_ray(NUM_CPUS)
     h = headline(NUM_CPUS, N_IMAGES)
     q = run_queries(SF_DIR)
@@ -270,6 +295,7 @@ def main():
         "unit": "sec",
         "queries": q,
         "headline": h,
+        "host_probe_mbps": {"start": probe0, "end": host_probe_mbps()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))

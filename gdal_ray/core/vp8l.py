@@ -733,6 +733,22 @@ def _rle_runs(r, g, b, alpha, min_run: int = 4):
     return s1, l1, sw, lw, cov | covw
 
 
+def _lit_cost_luts(g, r, b, alpha) -> np.ndarray:
+    """Per-pixel literal bit-cost estimate: Huffman code lengths fitted to
+    each FULL channel histogram (exact lengths, not entropy — a 2-symbol
+    channel at p=0.999 has entropy 0.01 but still costs 1 bit per literal;
+    single-symbol channels cost 0).  Returns the flat per-pixel cost sum
+    across the four channels."""
+    total = np.zeros(r.size, np.int64)
+    for arr in (g, r, b, alpha):
+        fq = np.bincount(arr.ravel(), minlength=256).astype(np.int64)
+        if np.count_nonzero(fq) <= 1:
+            continue
+        lut = np.asarray(_huff_lengths(fq), np.int64)[:256]
+        total += lut[arr.ravel()]
+    return total
+
+
 def _lz77_matches(seq: np.ndarray, covered: np.ndarray,
                   min_len: int = 4, max_len: int = 4096,
                   max_dist: int = 1048456):
@@ -809,14 +825,21 @@ def _lz77_matches(seq: np.ndarray, covered: np.ndarray,
             np.asarray(dists, np.int64))
 
 
-def _map_dcodes(d: np.ndarray, w: int) -> np.ndarray:
-    """Distance → distance code: neighbor-map code (1..120) when the
-    distance equals some dy*w+dx of the spec map, else d + 120."""
+def _dcode_plane(w: int) -> np.ndarray:
+    """distance → neighbor-map code (1..120) lookup plane for width w
+    (0 where the distance has no map entry)."""
     plane = np.zeros(8 * w + 16, np.int64)
     for k, (dx, dy) in enumerate(_DIST_MAP):
         dv = dy * w + dx
         if 1 <= dv < plane.size and plane[dv] == 0:
             plane[dv] = k + 1
+    return plane
+
+
+def _map_dcodes(d: np.ndarray, w: int) -> np.ndarray:
+    """Distance → distance code: neighbor-map code (1..120) when the
+    distance equals some dy*w+dx of the spec map, else d + 120."""
+    plane = _dcode_plane(w)
     idx = np.minimum(d, plane.size - 1)
     mapped = plane[idx]
     return np.where((d < plane.size) & (mapped > 0), mapped, d + 120)
@@ -884,22 +907,77 @@ def _write_literal_stream(bw: _LsbWriter, r, g, b, alpha, level0=False,
                              else np.zeros(0, np.int64)])
     dp, dex, dnb = (_lz_prefix(dcodes) if starts.size
                     else (np.zeros(0, np.int64),) * 3)
+
+    def _green_dist_freqs(lit, lp, dp, nruns):
+        gfreq = np.zeros(280, np.int64)
+        bc = np.bincount(g.ravel()[lit], minlength=256)
+        gfreq[:len(bc)] = bc
+        if nruns:
+            gfreq[256:280] += np.bincount(lp, minlength=24)
+        dfreq = np.zeros(40, np.int64)
+        if nruns:
+            dfreq[:40] = np.bincount(dp, minlength=40)
+        else:
+            dfreq[0] = 1                      # unused distance code
+        return gfreq, dfreq
+
+    glens_c = dlens_c = None                  # pass-1 trees, reusable on keep-all
+    if nruns:
+        # exact-cost backref-vs-literal decision (two-pass): price every
+        # selected backref with its REAL pass-1 prefix code lengths + extra
+        # bits against the full-histogram Huffman cost of the literals it
+        # covers, drop the losers, rebuild.  At 0.5-1 bit/px post-predictor
+        # residuals a 4-px run costing ~6-10 bits is a LOSS the
+        # take-anything-≥4 greedy kept; on backref-dominated streams the
+        # prefixes huffman down to 1-3 bits and stay profitable — only the
+        # real trees can price both regimes.
+        gfreq, dfreq = _green_dist_freqs(lit, lp, dp, nruns)
+        glens_c = _huff_lengths(gfreq)
+        dlens_c = _huff_lengths(dfreq)
+        glens = np.asarray(glens_c, np.int64)
+        dlens = np.asarray(dlens_c, np.int64)
+        if np.count_nonzero(dlens) == 1:
+            dlens = np.zeros_like(dlens)      # 1-symbol code reads 0 bits
+        cs = np.concatenate([[0], np.cumsum(_lit_cost_luts(g, r, b, alpha))])
+        litcost = cs[starts + lengths] - cs[starts]
+        keep = glens[256 + lp] + lnb + dlens[dp] + dnb < litcost
+        if not keep.all():
+            starts, lengths, dcodes = starts[keep], lengths[keep], dcodes[keep]
+            nruns = starts.size
+            lp, lex, lnb = (_lz_prefix(lengths) if nruns
+                            else (np.zeros(0, np.int64),) * 3)
+            dp, dex, dnb = (_lz_prefix(dcodes) if nruns
+                            else (np.zeros(0, np.int64),) * 3)
+            covered = np.zeros(r.size, bool)
+            if nruns:
+                marks = np.zeros(r.size + 1, np.int8)
+                marks[starts] += 1
+                marks[starts + lengths] -= 1
+                covered = np.cumsum(marks[:-1]) > 0
+            lit = ~covered
+            glens_c = dlens_c = None          # selection changed: rebuild
+
     chans = [(g.ravel()[lit], 280), (r.ravel()[lit], 256),
              (b.ravel()[lit], 256), (alpha.ravel()[lit], 256), (None, 40)]
     codes = []
     for ci, (data, size) in enumerate(chans):
-        freq = np.zeros(size, np.int64)
-        if data is not None:
-            bc = np.bincount(data, minlength=256)
-            freq[:len(bc)] = bc
-            if ci == 0 and nruns:             # length prefixes live in green
-                freq[256:280] += np.bincount(lp, minlength=24)
+        if ci == 0 and glens_c is not None:
+            lens = glens_c
+        elif ci == 4 and dlens_c is not None:
+            lens = dlens_c
         else:
-            if nruns:
-                freq[:40] = np.bincount(dp, minlength=40)
+            freq = np.zeros(size, np.int64)
+            if data is not None:
+                bc = np.bincount(data, minlength=256)
+                freq[:len(bc)] = bc
+                if ci == 0 and nruns:         # length prefixes live in green
+                    freq[256:280] += np.bincount(lp, minlength=24)
             else:
-                freq[0] = 1                   # unused distance code
-        lens = _huff_lengths(freq)
+                if nruns:
+                    freq[:40] = np.bincount(dp, minlength=40)
+                else:
+                    freq[0] = 1               # unused distance code
+            lens = _huff_lengths(freq)
         _write_code(bw, lens)
         nz = [s for s, l in enumerate(lens) if l]
         if len(nz) == 1:
