@@ -984,6 +984,35 @@ def test_encode_profile_bandwidth_shrinks_bytes():
         codecs.encode(img, "png", profile="extreme")
 
 
+def test_png_adaptive_and_best_filters():
+    """Per-row adaptive filtering (spec MSAD best-of-5) and the
+    bandwidth-profile 'best' mode (pick by ACTUAL compressed size across
+    None/Up/adaptive — MSAD alone loses to plain filters on low-entropy
+    or row-repetitive content).  All modes bit-exact through decode;
+    'best' is never larger than any single strategy."""
+    from gdal_ray.core.codecs import decode_png, encode_png
+    rng = np.random.default_rng(5)
+    cases = [
+        np.linspace(0, 255, 128 * 128).reshape(128, 128).astype(np.uint8),
+        np.stack([np.linspace(0, 255, 96 * 96).reshape(96, 96),
+                  np.linspace(255, 0, 96 * 96).reshape(96, 96),
+                  np.tile(np.linspace(0, 255, 96), (96, 1))],
+                 axis=2).astype(np.uint8),
+        rng.integers(0, 256, (64, 64, 4), dtype=np.uint8),
+        (np.linspace(0, 60000, 64 * 64).reshape(64, 64)
+         + rng.integers(0, 9, (64, 64))).astype(np.uint16),   # 16-bit DEM
+        rng.integers(0, 3, (33, 47, 2)).astype(np.uint8) * 120,
+        np.array([[7]], np.uint8),
+    ]
+    for im in cases:
+        sizes = {}
+        for ft in (0, 2, "adaptive", "best"):
+            e = encode_png(im, filter_type=ft)
+            np.testing.assert_array_equal(decode_png(e), im)
+            sizes[ft] = len(e)
+        assert sizes["best"] <= min(sizes[0], sizes[2], sizes["adaptive"])
+
+
 def test_vp8l_general_lz77_matches():
     """General (any-distance) LZ77: repeated tiles and off-w periodic rows
     collapse to backreferences the d=1/d=w passes cannot reach; noise
