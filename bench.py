@@ -215,7 +215,7 @@ def encode_profiles(n: int = 64) -> dict:
 
     imgs = ray.data.from_arrow(fixtures.images_table(n)).materialize()
     out: dict = {"n_images": n}
-    for fmt in ("webp", "jpeg"):
+    for fmt in ("webp", "jpeg", "png"):
         for profile in ("cpu", "bandwidth"):
             t0 = time.time()
             tot = sum(r["nbytes"] for r in imgs.map_batches(
