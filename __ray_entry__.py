@@ -21,6 +21,15 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+try:
+    # headless engine default: progress bars cost ~0.3-0.7 s of driver-side
+    # setup/teardown per executed pipeline — a large share of small-sf
+    # per-query fixed cost (measured; does not touch execution semantics)
+    import ray.data as _rd
+    _rd.DataContext.get_current().enable_progress_bars = False
+except Exception:
+    pass
+
 
 def entry() -> Any:
     """Flagship pipeline on a synthetic catalog: images → warp → base tiles

@@ -60,6 +60,9 @@ def _init_ray(num_cpus: int):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  log_to_driver=False)
+    import ray.data
+    # progress bars cost ~0.3-0.7 s setup/teardown per executed pipeline
+    ray.data.DataContext.get_current().enable_progress_bars = False
 
 
 def gen_images(n: int):

@@ -14,5 +14,8 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True)
+    import ray.data
+    # progress bars cost ~0.3-0.7 s setup/teardown per executed pipeline
+    ray.data.DataContext.get_current().enable_progress_bars = False
     yield ray
     ray.shutdown()
