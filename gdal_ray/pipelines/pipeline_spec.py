@@ -303,6 +303,17 @@ def _register_trainingdata():
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)
     _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
 
+    from ..stages import multimodal as MM
+    _REGISTRY["image_features"] = lambda ds, on_error="raise", batch_size=32: \
+        ds.map_batches(MM.ImageFeatureStage(on_error=on_error),
+                       batch_format="pyarrow", batch_size=int(batch_size))
+    _REGISTRY["audio_decode"] = lambda ds, batch_size=32: \
+        ds.map_batches(MM.AudioDecodeStage(),
+                       batch_format="pyarrow", batch_size=int(batch_size))
+    _REGISTRY["video_frames"] = lambda ds, every=1.0, batch_size=8: \
+        ds.map_batches(MM.VideoFrameSampleStage(every_n_seconds=float(every)),
+                       batch_format="pyarrow", batch_size=int(batch_size))
+
 
 _register_vector()
 _register_raster()

@@ -129,3 +129,28 @@ def test_trainingdata_stages_registered(ray_session):
     from gdal_ray.pipelines import pipeline_spec as PS
     out = PS._REGISTRY["exact_dedup"](ds)
     assert sorted(r["doc_id"] for r in out.take_all()) == [1, 3]
+
+
+def test_cli_main_end_to_end(ray_session, tmp_path):
+    """python -m gdal_ray — the `gdal pipeline` app analog
+    (apps/gdalalg_pipeline.cpp): one-liner spec through the stage
+    registry, --list-stages, and the multimodal image_features stage;
+    owns no Ray session when one is already live."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.__main__ import main
+    from gdal_ray.core import fixtures
+
+    src = str(tmp_path / "imgs.parquet")
+    out = str(tmp_path / "feat")
+    pq.write_table(fixtures.images_table(6), src)
+    rc = main([f"read_parquet path={src} ! image_features "
+               f"! write_parquet path={out}"])
+    assert rc == 0
+    t = pq.read_table(out)
+    assert t.num_rows == 6
+    assert {"image_id", "mean", "std", "ahash"} <= set(t.column_names)
+    assert main(["--list-stages"]) == 0
+    from gdal_ray.pipelines.pipeline_spec import registered_stages
+    assert {"image_features", "audio_decode", "video_frames"} \
+        <= set(registered_stages())
