@@ -254,6 +254,7 @@ def main():
             for ncpu in (4, 16):
                 best = None
                 for _ in range(REPS):
+                    probe = host_probe_mbps()   # per-run validity evidence
                     code = (
                         "import json,sys; sys.path.insert(0,'.'); "
                         f"from bench import {fn_name}; "
@@ -267,6 +268,7 @@ def main():
                         sys.stderr.write(p.stdout + p.stderr)
                         raise SystemExit(f"scaling run at {ncpu} cpus failed")
                     r = json.loads(line[-1][len("RESULT"):])
+                    r["probe_mbps"] = probe
                     if best is None or r["images_per_sec"] > best["images_per_sec"]:
                         best = r
                 results[fn_name][ncpu] = best

@@ -78,10 +78,16 @@ def _merge_topk_per_query(partials: "ray.data.Dataset", k: int,
         return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
     batches = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
                for b in partials.iter_batches(batch_format="pyarrow")]
-    sch = partials.schema()
+    sch = partials.schema(fetch_if_missing=False)
+    # empty scan (no embeddings / no probed partitions): an empty dataset
+    # may have no schema at all — fall back to the canonical output types
+    qid_t = (sch.base_schema.field("query_id").type
+             if sch is not None else pa.int64())
+    id_t = (sch.base_schema.field(id_col).type
+            if sch is not None else pa.int64())
     empty = pa.table({
-        "query_id": pa.array([], sch.base_schema.field("query_id").type),
-        id_col: pa.array([], sch.base_schema.field(id_col).type),
+        "query_id": pa.array([], qid_t),
+        id_col: pa.array([], id_t),
         "rank": pa.array([], pa.int32()),
         "cosine": pa.array([], pa.float64())})
     if not batches:
