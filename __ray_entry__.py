@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bigbig": R.knn_bigbig_q,
         "vector_curves": R.vector_curves_q,
         "raster_hillshade_png16": R.raster_hillshade_png16_q,
+        "events_sessions": R.events_sessions_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_curves": R.SQL_VECTOR_CURVES,
         # round-5 additions
         "raster_hillshade_png16": R.SQL_RASTER_HILLSHADE_PNG16,
+        "events_sessions": R.SQL_EVENTS_SESSIONS_ORACLE,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

@@ -207,3 +207,104 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start, event
        round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+def events_sessions(sf_dir: str, *, gap_minutes: int = 30,
+                    num_buckets: int = 64):
+    """Session windows over the events stream: per-user gap-based
+    sessionization (a new session starts when >``gap_minutes`` passes
+    between a user's consecutive events) — the second streaming-window
+    analog next to the tumbling ``events_hourly`` (SURVEY §2.10; the
+    session window is the standard activity unit of training telemetry).
+
+    Scale shape (the tiling composite_bucket pattern): users are routed to
+    HASHED buckets (splitmix — raw user ids stripe), each bucket group is
+    sessionized for ALL its users in ONE vectorized pass (lexsort by
+    (user, ts, event_id), break where user changes or gap exceeded,
+    reduceat per session) — no per-user ``map_groups`` dispatch; and the
+    measured-size ``grouped_map_groups`` skips the shuffle entirely when
+    the event stream is small."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    from .dedup import _splitmix
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("user_id"), np.int64)
+        bk = (_splitmix(u.astype(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), np.int64)
+        n = u.size
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.string()),
+            "session_end": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        ts = np.asarray(g.column("ts").cast(pa.int64()), np.int64)  # µs
+        eid = np.asarray(g.column("event_id"), np.int64)
+        vc = np.round(np.asarray(g.column("value"), np.float64)
+                      * 1e6).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, vc = u[order], ts[order], vc[order]
+        newu = np.empty(n, bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        brk = newu.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sg = np.cumsum(brk)                      # global session ordinal
+        base = sg[np.flatnonzero(newu)]          # value at each user's start
+        sid = sg - base[np.cumsum(newu) - 1] + 1
+        bidx = np.flatnonzero(brk)
+        nxt = np.append(bidx[1:], n)
+        return pa.table({
+            "user_id": pa.array(u[bidx], pa.int64()),
+            "session_id": pa.array(sid[bidx], pa.int64()),
+            # second-precision timestamps: Arrow %S appends the fractional
+            # part on sub-second units, DuckDB strftime truncates it
+            "session_start": pc.strftime(
+                pa.array((ts[bidx] // 1_000_000).astype("datetime64[s]")),
+                format="%Y-%m-%d %H:%M:%S"),
+            "session_end": pc.strftime(
+                pa.array((ts[nxt - 1] // 1_000_000).astype("datetime64[s]")),
+                format="%Y-%m-%d %H:%M:%S"),
+            "n_events": pa.array(nxt - bidx, pa.int64()),
+            "sum_value": pc.round(
+                pc.divide(pc.cast(pa.array(np.add.reduceat(vc, bidx)),
+                                  pa.float64()), 1e6),
+                ndigits=4, round_mode="half_towards_infinity"),
+        })
+
+    from .shuffle_utils import grouped_map_groups
+    return grouped_map_groups(ds.map_batches(bucket, batch_format="pyarrow"),
+                              "bucket", sessionize)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 1000000) AS BIGINT) AS vu,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS BIGINT)
+            AS session_id
+  FROM e
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(vu) / 1000000.0, 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""

@@ -884,6 +884,14 @@ def events_hourly_q(sf_dir: str):
 from .raster_ops import SQL_EVENTS_HOURLY as SQL_EVENTS_HOURLY_ORACLE  # noqa: E402
 
 
+def events_sessions_q(sf_dir: str):
+    from .raster_ops import events_sessions
+    return events_sessions(sf_dir)
+
+
+from .raster_ops import SQL_EVENTS_SESSIONS as SQL_EVENTS_SESSIONS_ORACLE  # noqa: E402
+
+
 def dedup_exact_docs(sf_dir: str):
     from .dedup import exact_dedup
     return exact_dedup(_read(sf_dir, "documents"))
