@@ -258,7 +258,14 @@ def grouped_map_groups(ds: "ray.data.Dataset", key_col: str, fn,
             return ds  # schema-less empty input: nothing to group
         empty = pa.table({f.name: pa.array([], f.type)
                           for f in sch.base_schema})
-        return ray.data.from_arrow(fn(empty))
+        try:
+            # preserve fn's OUTPUT schema when it handles an empty group
+            return ray.data.from_arrow(fn(empty))
+        except Exception:
+            # group fns may assume non-empty groups (map_groups never
+            # passes one) — mirror the distributed path: empty in, empty
+            # out, input schema
+            return ray.data.from_arrow(empty)
     tbl = pa.concat_tables(batches).combine_chunks()
     keys = np.asarray(tbl.column(key_col), dtype=np.int64)
     order = np.argsort(keys, kind="stable")
