@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_curves": R.vector_curves_q,
         "raster_hillshade_png16": R.raster_hillshade_png16_q,
         "events_sessions": R.events_sessions_q,
+        "sketch_ndistinct": R.sketch_ndistinct_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         # round-5 additions
         "raster_hillshade_png16": R.SQL_RASTER_HILLSHADE_PNG16,
         "events_sessions": R.SQL_EVENTS_SESSIONS_ORACLE,
+        "sketch_ndistinct": R._sql_sketch_ndistinct(),
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

@@ -889,6 +889,19 @@ def events_sessions_q(sf_dir: str):
     return events_sessions(sf_dir)
 
 
+def sketch_ndistinct_q(sf_dir: str):
+    """HLL register sketch of distinct events.user_id — the mergeable
+    cardinality sketch with a FULL DuckDB register replay (sketches.py)."""
+    from .sketches import hll_registers
+    ds = _read(sf_dir, "events", ["user_id"])
+    return hll_registers(ds, "user_id", b=10)
+
+
+def _sql_sketch_ndistinct() -> str:
+    from .sketches import build_sql_hll_registers
+    return build_sql_hll_registers("events", "user_id", b=10)
+
+
 from .raster_ops import SQL_EVENTS_SESSIONS as SQL_EVENTS_SESSIONS_ORACLE  # noqa: E402
 
 

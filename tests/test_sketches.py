@@ -1,0 +1,57 @@
+"""HyperLogLog sketch: exact register semantics, partitioning invariance
+(mergeability), and estimate accuracy against known distinct counts."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _regs(ds_out):
+    return sorted((r["register"], r["rho"]) for r in ds_out.take_all())
+
+
+def test_hll_registers_partition_invariant(ray_session):
+    import ray.data
+
+    from gdal_ray.pipelines.sketches import hll_registers
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 5000, 20000).astype(np.int64)
+    tbl = pa.table({"v": pa.array(vals)})
+    outs = []
+    for parts in (1, 3, 16):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        outs.append(_regs(hll_registers(ds, "v", b=8)))
+    assert outs[0] == outs[1] == outs[2]       # mergeable: order/blocking-free
+    # duplicates are idempotent: distinct-only input gives the same sketch
+    ds_d = ray.data.from_arrow(pa.table({"v": pa.array(
+        np.unique(vals))}))
+    assert _regs(hll_registers(ds_d, "v", b=8)) == outs[0]
+
+
+def test_hll_estimate_accuracy(ray_session):
+    import ray.data
+
+    from gdal_ray.pipelines.sketches import hll_estimate
+
+    rng = np.random.default_rng(9)
+    for n_distinct, tol in ((80, 0.05), (5000, 0.10), (60000, 0.10)):
+        vals = rng.integers(0, n_distinct, n_distinct * 3).astype(np.int64)
+        exact = len(np.unique(vals))
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})) \
+            .repartition(4)
+        est = hll_estimate(ds, "v", b=10)
+        assert abs(est - exact) / exact < tol, (n_distinct, est, exact)
+
+
+def test_hll_bitlen_exact_near_powers():
+    from gdal_ray.pipelines.sketches import _bitlen_u64
+
+    # float log2/frexp round these; the shift reduction must not
+    vals = []
+    for k in (1, 2, 31, 52, 53, 54, 63):
+        vals += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    vals.append(0)
+    arr = np.array(vals, np.uint64)
+    got = _bitlen_u64(arr)
+    exp = np.array([int(v).bit_length() for v in vals], np.int64)
+    assert np.array_equal(got, exp)
