@@ -902,6 +902,19 @@ def _sql_sketch_ndistinct() -> str:
     return build_sql_hll_registers("events", "user_id", b=10)
 
 
+def sketch_bloom_bits_q(sf_dir: str):
+    """Bloom-filter build side over customer keys — the broadcast
+    semi-join pre-filter's exact bit-position table (sketches.py)."""
+    from .sketches import bloom_bits
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return bloom_bits(ds, "c_custkey")
+
+
+def _sql_sketch_bloom_bits() -> str:
+    from .sketches import build_sql_bloom_bits
+    return build_sql_bloom_bits("customer", "c_custkey")
+
+
 from .raster_ops import SQL_EVENTS_SESSIONS as SQL_EVENTS_SESSIONS_ORACLE  # noqa: E402
 
 

@@ -83,6 +83,82 @@ def hll_estimate(ds: "ray.data.Dataset", col: str, *, b: int = 10) -> float:
     return est
 
 
+# ---------- Bloom filter (membership sketch / semi-join pre-filter) ----------
+
+def _bloom_positions(v: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m with h1 = splitmix(v), h2 = splitmix(h1).
+    uint64 wraparound is harmless because m is a power of two dividing
+    2^64 — the same positions fall out of DuckDB's unwrapped HUGEINT
+    arithmetic, which is what makes the oracle replay exact."""
+    from .dedup import _splitmix
+    h1 = _splitmix(v.astype(np.uint64))
+    h2 = _splitmix(h1)
+    mm = np.uint64(m_bits)
+    return np.stack([(h1 + np.uint64(i) * h2) % mm for i in range(k)],
+                    axis=1).astype(np.int64)
+
+
+def bloom_bits(ds: "ray.data.Dataset", col: str, *, m_bits: int = 1 << 17,
+               k: int = 4):
+    """Distinct set-bit positions of a Bloom filter over an int64 column —
+    the build side of a broadcast semi-join pre-filter.  Per batch the
+    positions fold to ≤min(k·rows, m) distinct rows; the measured-size
+    merge dedups them (driver-side when tiny, distributed groupby-max
+    above the limit)."""
+    from .shuffle_utils import grouped_agg
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col), np.int64)
+        bits = np.unique(_bloom_positions(v, m_bits, k))
+        return pa.table({"bit": pa.array(bits, pa.int64()),
+                         "one": pa.array(np.ones(bits.size, np.int64))})
+
+    merged = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["bit"], [("one", "max")])
+    if isinstance(merged, pa.Table):
+        return ray.data.from_arrow(merged.select(["bit"]))
+    return merged.map_batches(lambda b: b.select(["bit"]),
+                              batch_format="pyarrow")
+
+
+def bloom_words(bits_ds: "ray.data.Dataset", m_bits: int) -> np.ndarray:
+    """Pack the (bounded-by-m) bit rows into the int64 word array a probe
+    task tests against — 2^17 bits = 16 KB, the classic ray.put broadcast."""
+    words = np.zeros(m_bits // 64, np.uint64)
+    for row in bits_ds.take_all():              # ≤ m rows by construction
+        b = int(row["bit"])
+        words[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+    return words
+
+
+def bloom_semi_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
+                    *, probe_col: str, build_col: str,
+                    m_bits: int = 1 << 17, k: int = 4):
+    """Bloom-prefiltered semi-join: build side folds to a 16 KB bit array
+    shipped ONCE via ray.put; every probe batch keeps rows whose k
+    positions are all set.  No false negatives (guaranteed superset of the
+    exact semi-join); false positives bounded by (1-e^(-kn/m))^k — chain an
+    exact verify (broadcast key set or hash join) when exactness matters."""
+    words = bloom_words(bloom_bits(build, build_col, m_bits=m_bits, k=k),
+                        m_bits)
+    ref = ray.put(words)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        v = np.asarray(batch.column(probe_col), np.int64)
+        pos = _bloom_positions(v, m_bits, k)
+        hit = np.ones(v.size, bool)
+        for i in range(k):
+            p = pos[:, i]
+            hit &= ((w[p >> 6] >> (p & 63).astype(np.uint64))
+                    & np.uint64(1)).astype(bool)
+        return batch.filter(pa.array(hit))
+
+    return probe.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------- DuckDB oracle: full register replay ----------
 
 def build_sql_hll_registers(table: str, col: str, *, b: int = 10) -> str:
@@ -114,3 +190,25 @@ def build_sql_hll_registers(table: str, col: str, *, b: int = 10) -> str:
     return ("WITH " + ",\n".join(chain)
             + f"\nSELECT register, CAST(MAX({wbits + 1} - bl) AS BIGINT) "
             "AS rho FROM hl_bl GROUP BY register")
+
+
+def build_sql_bloom_bits(table: str, col: str, *, m_bits: int = 1 << 17,
+                         k: int = 4) -> str:
+    """Exact SQL replay of bloom_bits: two chained splitmix64 passes in
+    HUGEINT, then pos_i = (h1 + i*h2) % m over a cross-joined i series.
+    Unwrapped HUGEINT mod equals the numpy uint64-wrapped mod because m
+    is a power of two dividing 2^64."""
+    from .relational import _fp_splitmix_steps
+
+    chain = [f"bf_0 AS (SELECT DISTINCT CAST({col} AS HUGEINT) AS x "
+             f"FROM {table})"]
+    prev = "bf_0"
+    n = 0
+    for col_in, col_out, tag in (("x", "h1", "b1"), ("h1", "h2", "b2")):
+        for name, expr in _fp_splitmix_steps(col_in, col_out, tag):
+            n += 1
+            chain.append(f"bf_{n} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = f"bf_{n}"
+    return ("WITH " + ",\n".join(chain)
+            + f"\nSELECT DISTINCT CAST((h1 + i * h2) % {m_bits}::HUGEINT "
+            f"AS BIGINT) AS bit FROM {prev}, generate_series(0, {k - 1}) g(i)")

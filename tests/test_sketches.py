@@ -55,3 +55,29 @@ def test_hll_bitlen_exact_near_powers():
     got = _bitlen_u64(arr)
     exp = np.array([int(v).bit_length() for v in vals], np.int64)
     assert np.array_equal(got, exp)
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    import ray.data
+
+    from gdal_ray.pipelines.sketches import bloom_bits, bloom_semi_join
+
+    rng = np.random.default_rng(4)
+    build_keys = rng.choice(100_000, 3000, replace=False).astype(np.int64)
+    build = ray.data.from_arrow(pa.table({"k": pa.array(build_keys)}))
+    probe_keys = rng.integers(0, 100_000, 20_000).astype(np.int64)
+    probe = ray.data.from_arrow(pa.table({
+        "k": pa.array(probe_keys),
+        "i": pa.array(np.arange(20_000))})).repartition(4)
+    kept = set(r["i"] for r in bloom_semi_join(
+        probe, build, probe_col="k", build_col="k").take_all())
+    bset = set(int(x) for x in build_keys)
+    exact = set(i for i, kk in enumerate(probe_keys) if int(kk) in bset)
+    assert exact <= kept                       # NO false negatives, ever
+    fp = (len(kept) - len(exact)) / max(len(probe_keys) - len(exact), 1)
+    assert fp < 0.01                           # (1-e^(-kn/m))^k ~ 4e-6 here
+    # bit table is partition-invariant (mergeable build side)
+    a = sorted(r["bit"] for r in bloom_bits(build, "k").take_all())
+    b = sorted(r["bit"] for r in
+               bloom_bits(build.repartition(7), "k").take_all())
+    assert a == b
