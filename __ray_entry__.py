@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions_q,
         "sketch_ndistinct": R.sketch_ndistinct_q,
         "sketch_bloom_bits": R.sketch_bloom_bits_q,
+        "sketch_countmin": R.sketch_countmin_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": R.SQL_EVENTS_SESSIONS_ORACLE,
         "sketch_ndistinct": R._sql_sketch_ndistinct(),
         "sketch_bloom_bits": R._sql_sketch_bloom_bits(),
+        "sketch_countmin": R._sql_sketch_countmin(),
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

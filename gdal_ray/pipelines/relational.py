@@ -915,6 +915,19 @@ def _sql_sketch_bloom_bits() -> str:
     return build_sql_bloom_bits("customer", "c_custkey")
 
 
+def sketch_countmin_q(sf_dir: str):
+    """Count-Min frequency counters over orders.o_custkey (a skewed
+    many-rows-per-key column — the heavy-hitter shape)."""
+    from .sketches import countmin_counters
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return countmin_counters(ds, "o_custkey")
+
+
+def _sql_sketch_countmin() -> str:
+    from .sketches import build_sql_countmin
+    return build_sql_countmin("orders", "o_custkey")
+
+
 from .raster_ops import SQL_EVENTS_SESSIONS as SQL_EVENTS_SESSIONS_ORACLE  # noqa: E402
 
 

@@ -159,6 +159,75 @@ def bloom_semi_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
     return probe.map_batches(fn, batch_format="pyarrow")
 
 
+# ---------- Count-Min sketch (frequency estimation / heavy hitters) ----------
+
+def countmin_counters(ds: "ray.data.Dataset", col: str, *,
+                      w_buckets: int = 1 << 14, d: int = 4):
+    """Nonzero Count-Min counters of an int64 column: rows (row, bucket, n)
+    with bucket_i = (h1 + i*h2) mod w (same double-hashing family as the
+    Bloom filter — and the same exact-HUGEINT-replay property since w is a
+    power of two).  Per batch the counters fold to ≤d·min(w, distinct)
+    rows via ONE bincount per row; counters MERGE BY SUM, so grouped_agg's
+    measured-size merge applies unchanged."""
+    from .shuffle_utils import grouped_agg
+    assert w_buckets & (w_buckets - 1) == 0, "w_buckets must be 2^k"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col), np.int64)
+        pos = _bloom_positions(v, w_buckets, d)      # (n, d) buckets
+        rows, buckets, counts = [], [], []
+        for i in range(d):
+            bc = np.bincount(pos[:, i], minlength=w_buckets)
+            nz = np.flatnonzero(bc)
+            rows.append(np.full(nz.size, i, np.int64))
+            buckets.append(nz)
+            counts.append(bc[nz])
+        return pa.table({
+            "row": pa.array(np.concatenate(rows), pa.int64()),
+            "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+            "n": pa.array(np.concatenate(counts).astype(np.int64))})
+
+    merged = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["row", "bucket"], [("n", "sum")])
+    if isinstance(merged, pa.Table):
+        return ray.data.from_arrow(merged)
+    return merged
+
+
+def countmin_estimate(counters_ds: "ray.data.Dataset", values: np.ndarray,
+                      *, w_buckets: int = 1 << 14, d: int = 4) -> np.ndarray:
+    """Point-query frequency estimates: min over the d rows of the queried
+    counters.  Never underestimates; overestimates by at most the
+    collision mass (≤ 2N/w with prob ≥ 1-2^-d)."""
+    tab = np.zeros((d, w_buckets), np.int64)
+    for r in counters_ds.take_all():             # ≤ d·w rows by construction
+        tab[int(r["row"]), int(r["bucket"])] = int(r["n"])
+    pos = _bloom_positions(np.asarray(values, np.int64), w_buckets, d)
+    return np.min(
+        np.stack([tab[i, pos[:, i]] for i in range(d)], axis=1), axis=1)
+
+
+def build_sql_countmin(table: str, col: str, *, w_buckets: int = 1 << 14,
+                       d: int = 4) -> str:
+    """Exact SQL replay of countmin_counters (NO distinct — counters count
+    every occurrence)."""
+    from .relational import _fp_splitmix_steps
+
+    chain = [f"cm_0 AS (SELECT CAST({col} AS HUGEINT) AS x FROM {table})"]
+    prev = "cm_0"
+    n = 0
+    for col_in, col_out, tag in (("x", "h1", "c1"), ("h1", "h2", "c2")):
+        for name, expr in _fp_splitmix_steps(col_in, col_out, tag):
+            n += 1
+            chain.append(f"cm_{n} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = f"cm_{n}"
+    return ("WITH " + ",\n".join(chain)
+            + f"\nSELECT i AS row, CAST((h1 + i * h2) % {w_buckets}::HUGEINT "
+            f"AS BIGINT) AS bucket, count(*) AS n "
+            f"FROM {prev}, generate_series(0, {d - 1}) g(i) "
+            "GROUP BY 1, 2")
+
+
 # ---------- DuckDB oracle: full register replay ----------
 
 def build_sql_hll_registers(table: str, col: str, *, b: int = 10) -> str:

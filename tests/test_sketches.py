@@ -81,3 +81,32 @@ def test_bloom_semi_join_no_false_negatives(ray_session):
     b = sorted(r["bit"] for r in
                bloom_bits(build.repartition(7), "k").take_all())
     assert a == b
+
+
+def test_countmin_never_underestimates(ray_session):
+    import ray.data
+
+    from gdal_ray.pipelines.sketches import (countmin_counters,
+                                             countmin_estimate)
+
+    rng = np.random.default_rng(6)
+    # skewed: a few heavy hitters over a long tail
+    keys = np.concatenate([
+        np.repeat(np.array([7, 13, 42], np.int64), 2000),
+        rng.integers(100, 50_000, 30_000).astype(np.int64)])
+    rng.shuffle(keys)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(6)
+    counters = countmin_counters(ds, "k")
+    uniq, true = np.unique(keys, return_counts=True)
+    est = countmin_estimate(counters, uniq)
+    assert (est >= true).all()                 # CM invariant
+    # heavy hitters: overestimate bounded by the collision mass
+    # (eps*N = 2N/w ~ 4.4 expected here; allow a small multiple)
+    for hh in (7, 13, 42):
+        i = np.searchsorted(uniq, hh)
+        assert 0 <= est[i] - true[i] <= 20, (hh, est[i], true[i])
+    # mergeable: counters are partition-invariant
+    def rows(d):
+        return sorted((r["row"], r["bucket"], r["n"]) for r in d.take_all())
+    assert rows(counters) == rows(countmin_counters(
+        ds.repartition(13), "k"))
