@@ -303,6 +303,14 @@ def _register_trainingdata():
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)
     _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
 
+    from ..pipelines import sketches as SK
+    _REGISTRY["hll_registers"] = lambda ds, col, b=10: \
+        SK.hll_registers(ds, col, b=int(b))
+    _REGISTRY["bloom_bits"] = lambda ds, col, m_bits=1 << 17, k=4: \
+        SK.bloom_bits(ds, col, m_bits=int(m_bits), k=int(k))
+    _REGISTRY["countmin"] = lambda ds, col, w_buckets=1 << 14, d=4: \
+        SK.countmin_counters(ds, col, w_buckets=int(w_buckets), d=int(d))
+
     from ..stages import multimodal as MM
     _REGISTRY["image_features"] = lambda ds, on_error="raise", batch_size=32: \
         ds.map_batches(MM.ImageFeatureStage(on_error=on_error),
