@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_curves": R.vector_curves_q,
         "raster_hillshade_png16": R.raster_hillshade_png16_q,
         "events_sessions": R.events_sessions_q,
+        "events_hopping": R.events_hopping_q,
         "sketch_ndistinct": R.sketch_ndistinct_q,
         "sketch_bloom_bits": R.sketch_bloom_bits_q,
         "sketch_countmin": R.sketch_countmin_q,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         # round-5 additions
         "raster_hillshade_png16": R.SQL_RASTER_HILLSHADE_PNG16,
         "events_sessions": R.SQL_EVENTS_SESSIONS_ORACLE,
+        "events_hopping": R.SQL_EVENTS_HOPPING_ORACLE,
         "sketch_ndistinct": R._sql_sketch_ndistinct(),
         "sketch_bloom_bits": R._sql_sketch_bloom_bits(),
         "sketch_countmin": R._sql_sketch_countmin(),

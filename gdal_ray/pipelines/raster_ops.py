@@ -287,6 +287,83 @@ def events_sessions(sf_dir: str, *, gap_minutes: int = 30,
                               "bucket", sessionize)
 
 
+def events_hopping(sf_dir: str, *, window_minutes: int = 60,
+                   hop_minutes: int = 15):
+    """Hopping (sliding) windows over the events stream: 60-minute windows
+    advancing every 15 — each event lands in window_minutes/hop_minutes
+    overlapping windows (the third streaming-window analog, next to
+    tumbling events_hourly and session events_sessions).
+
+    Scale shape: the per-batch combiner REPLICATES each row once per
+    covering window and collapses to ≤(windows × types) partial rows via
+    ``pa.Table.group_by`` before anything shuffles — the bounded key
+    domain keeps grouped_agg's measured-size merge valid at any input
+    size."""
+    reps = window_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes) * 60_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("ts").cast(pa.int64()), np.int64)
+        # window starts: the hop-aligned start of the LAST window covering
+        # the event, then the reps-1 earlier ones
+        last = (ts // hop_us) * hop_us
+        starts = np.concatenate([last - i * hop_us for i in range(reps)])
+        et = pa.concat_arrays([b.column("event_type").combine_chunks()
+                               .cast(pa.string())] * reps)
+        vu = np.round(np.asarray(b.column("value"), np.float64)
+                      * 1e6).astype(np.int64)
+        t = pa.table({
+            "window_start": pc.strftime(
+                pa.array((starts // 1_000_000).astype("datetime64[s]")),
+                format="%Y-%m-%d %H:%M"),
+            "event_type": et,
+            "n": pa.array(np.ones(starts.size, np.int64)),
+            "value_u": pa.array(np.tile(vu, reps)),
+        })
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("n", "sum"), ("value_u", "sum")])
+        return pa.table({"window_start": g.column("window_start"),
+                         "event_type": g.column("event_type"),
+                         "n": g.column("n_sum"),
+                         "value_u": g.column("value_u_sum")})
+
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(ds.map_batches(combine, batch_format="pyarrow"),
+                      ["window_start", "event_type"],
+                      [("n", "sum"), ("value_u", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b.column("window_start"),
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(np.asarray(b.column("n"), np.int64),
+                                 pa.int64()),
+            "sum_value": pc.round(
+                pc.divide(pc.cast(b.column("value_u"), pa.float64()), 1e6),
+                ndigits=4, round_mode="half_towards_infinity"),
+        })
+
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOPPING = """
+WITH w AS (
+  SELECT strftime(make_timestamp((epoch_us(ts) // 900000000 - i)
+                                 * 900000000), '%Y-%m-%d %H:%M')
+             AS window_start,
+         event_type, CAST(round(value * 1000000) AS BIGINT) AS vu
+  FROM events, generate_series(0, 3) g(i)
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(vu) / 1000000.0, 4) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 SQL_EVENTS_SESSIONS = """
 WITH e AS (
   SELECT user_id, ts, event_id, CAST(round(value * 1000000) AS BIGINT) AS vu,

@@ -889,6 +889,14 @@ def events_sessions_q(sf_dir: str):
     return events_sessions(sf_dir)
 
 
+def events_hopping_q(sf_dir: str):
+    from .raster_ops import events_hopping
+    return events_hopping(sf_dir)
+
+
+from .raster_ops import SQL_EVENTS_HOPPING as SQL_EVENTS_HOPPING_ORACLE  # noqa: E402
+
+
 def sketch_ndistinct_q(sf_dir: str):
     """HLL register sketch of distinct events.user_id — the mergeable
     cardinality sketch with a FULL DuckDB register replay (sketches.py)."""
