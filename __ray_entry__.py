@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_ndistinct": R.sketch_ndistinct_q,
         "sketch_bloom_bits": R.sketch_bloom_bits_q,
         "sketch_countmin": R.sketch_countmin_q,
+        "text_top_tokens": R.text_top_tokens_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_ndistinct": R._sql_sketch_ndistinct(),
         "sketch_bloom_bits": R._sql_sketch_bloom_bits(),
         "sketch_countmin": R._sql_sketch_countmin(),
+        "text_top_tokens": R.SQL_TEXT_TOP_TOKENS,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

@@ -897,6 +897,23 @@ def events_hopping_q(sf_dir: str):
 from .raster_ops import SQL_EVENTS_HOPPING as SQL_EVENTS_HOPPING_ORACLE  # noqa: E402
 
 
+def text_top_tokens_q(sf_dir: str):
+    """Exact heavy-hitter tokens over the documents corpus (count desc,
+    token asc tie-break)."""
+    from .text import top_tokens
+    return top_tokens(_read(sf_dir, "documents", ["text"]), k=25)
+
+
+SQL_TEXT_TOP_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM toks WHERE token != '' GROUP BY token
+)
+SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 25
+"""
+
+
 def sketch_ndistinct_q(sf_dir: str):
     """HLL register sketch of distinct events.user_id — the mergeable
     cardinality sketch with a FULL DuckDB register replay (sketches.py)."""

@@ -131,3 +131,55 @@ def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.
     out = {c: batch.column(c) for c in batch.column_names if c != text_col}
     out["fingerprint"] = pa.array(fps, pa.int64())
     return pa.table(out)
+
+
+def top_tokens(docs: "object", *, k: int = 25,
+               text_col: str = "text") -> pa.Table:
+    """Exact heavy-hitter tokens over a corpus: whitespace tokenization,
+    global counts, top-k with a deterministic tie-break (count desc,
+    token asc).
+
+    Scale shape: each batch collapses to its distinct (token, n) pairs —
+    bounded by the batch vocabulary, not its length — and `grouped_agg`'s
+    measured-size merge sums them (driver-side C++ group_by at small
+    vocabularies, distributed groupby above the limit).  After the merge
+    every token is a single row, so per-block top-k candidates are exact
+    and the final k-row head is a driver-side sort of a bounded set."""
+    from .shuffle_utils import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            toks.extend(t.split())
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(list(u), pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    merged = grouped_agg(docs.map_batches(partial, batch_format="pyarrow"),
+                         ["token"], [("n", "sum")])
+    if not isinstance(merged, pa.Table):
+        # distributed case: every token is one row post-merge, so per-block
+        # top-k candidates are exact; ship ≤ k rows per block to the driver
+        def block_topk(b: pa.Table) -> pa.Table:
+            return _topk_table(b, k)
+        parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                 for b in merged.map_batches(block_topk,
+                                             batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")]
+        merged = pa.concat_tables(parts) if parts else pa.table(
+            {"token": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())})
+    return _topk_table(merged, k)
+
+
+def _topk_table(t: pa.Table, k: int) -> pa.Table:
+    if isinstance(t, pa.RecordBatch):
+        t = pa.Table.from_batches([t])
+    n = np.asarray(t.column("n"), np.int64)
+    toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+    order = np.lexsort((toks, -n))[:k]
+    return pa.table({"token": pa.array(list(toks[order]), pa.string()),
+                     "n": pa.array(n[order], pa.int64())})

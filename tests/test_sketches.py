@@ -110,3 +110,33 @@ def test_countmin_never_underestimates(ray_session):
         return sorted((r["row"], r["bucket"], r["n"]) for r in d.take_all())
     assert rows(counters) == rows(countmin_counters(
         ds.repartition(13), "k"))
+
+
+def test_top_tokens_paths_agree(ray_session):
+    import functools
+
+    import ray.data
+
+    import gdal_ray.pipelines.shuffle_utils as SU
+    from gdal_ray.pipelines.text import top_tokens
+
+    rng = np.random.default_rng(2)
+    vocab = np.array([f"tok{i}" for i in range(200)], dtype=object)
+    docs = [" ".join(vocab[rng.integers(0, 200, 40)]) for _ in range(400)]
+    tbl = pa.table({"text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    a = top_tokens(ds, k=10)
+    # force the distributed merge branch via a tiny driver limit
+    real = SU.grouped_agg
+    try:
+        SU.grouped_agg = functools.partial(real, driver_limit=0)
+        b = top_tokens(ray.data.from_arrow(tbl).repartition(6), k=10)
+    finally:
+        SU.grouped_agg = real
+    assert a.to_pydict() == b.to_pydict()
+    # brute-force oracle
+    from collections import Counter
+    cnt = Counter(t for d in docs for t in d.split())
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(a.column("token").to_pylist(), a.column("n").to_pylist()))
+    assert got == [(t, c) for t, c in exp]
