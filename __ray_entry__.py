@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_bloom_bits": R.sketch_bloom_bits_q,
         "sketch_countmin": R.sketch_countmin_q,
         "text_top_tokens": R.text_top_tokens_q,
+        "q_hash_sample": R.q_hash_sample,
+        "q_topn_per_group": R.q_topn_per_group,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -243,6 +245,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_bloom_bits": R._sql_sketch_bloom_bits(),
         "sketch_countmin": R._sql_sketch_countmin(),
         "text_top_tokens": R.SQL_TEXT_TOP_TOKENS,
+        "q_hash_sample": R._sql_hash_sample(),
+        "q_topn_per_group": R.SQL_TOPN_PER_GROUP,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

@@ -218,6 +218,84 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def q_hash_sample(sf_dir: str, rate_num: int = 1, rate_den: int = 20):
+    """Deterministic hash-threshold sample: keep rows where
+    splitmix64(key) < rate·2^64 — the scale-correct distributed sampler
+    (stateless, partition-invariant, reproducible; `random_sample`'s seed
+    depends on blocking).  One map_batches filter, zero shuffle; the same
+    arithmetic replays in DuckDB HUGEINT so the sample is oracle-exact."""
+    from .dedup import _splitmix
+    thr = np.uint64((rate_num << 64) // rate_den - 1)  # < is ≤ thr here
+
+    def keep(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("o_orderkey"), np.int64).astype(np.uint64)
+        m = _splitmix(k) <= thr
+        out = b.filter(pa.array(m))
+        return _round_col(out, "o_totalprice", 2)
+
+    return _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_hash_sample() -> str:
+    from .sketches import _sm_hugeint_select
+    thr = (1 << 64) // 20 - 1
+    return (f"WITH s AS ({_sm_hugeint_select('orders', 'o_orderkey')}) "
+            f"SELECT o_orderkey, o_custkey, round(o_totalprice, 2) "
+            f"AS o_totalprice FROM s WHERE hv <= {thr}::HUGEINT")
+
+
+def q_topn_per_group(sf_dir: str, n: int = 3):
+    """Per-group top-N (window-function shape: row_number() OVER
+    (PARTITION BY custkey ORDER BY price DESC) <= N) — the per-customer
+    largest orders.  Shuffle shape: a per-batch combiner keeps only each
+    batch's per-key top-N candidates (exact — a global top-N row is a
+    batch top-N row of its batch), then `grouped_map_groups`' measured-size
+    merge finishes per key."""
+    from .shuffle_utils import grouped_map_groups
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b.column("o_custkey"), np.int64)
+        ok = np.asarray(b.column("o_orderkey"), np.int64)
+        tp = np.asarray(b.column("o_totalprice"), np.float64)
+        order = np.lexsort((ok, -tp, ck))      # key asc, price desc, id asc
+        cks = ck[order]
+        newk = np.empty(cks.size, bool)
+        if cks.size:
+            newk[0] = True
+            newk[1:] = cks[1:] != cks[:-1]
+        starts = np.flatnonzero(newk)
+        rank = np.arange(cks.size) - np.repeat(starts,
+                                               np.diff(np.append(starts,
+                                                                 cks.size)))
+        keep = order[rank < n]
+        return b.take(pa.array(keep, pa.int64()))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ok = np.asarray(g.column("o_orderkey"), np.int64)
+        tp = np.asarray(g.column("o_totalprice"), np.float64)
+        order = np.lexsort((ok, -tp))[:n]
+        out = g.take(pa.array(order, pa.int64()))
+        rk = pa.array(np.arange(1, out.num_rows + 1), pa.int64())
+        return _round_col(out.append_column("rank", rk), "o_totalprice", 2)
+
+    return grouped_map_groups(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        "o_custkey", per_group)
+
+
+SQL_TOPN_PER_GROUP = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rank
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
 def q_distinct_brands(sf_dir: str):
     """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_gensql.cpp:705) = groupby
     with no aggregates — a pure key shuffle."""

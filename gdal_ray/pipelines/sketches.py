@@ -261,6 +261,18 @@ def build_sql_hll_registers(table: str, col: str, *, b: int = 10) -> str:
             "AS rho FROM hl_bl GROUP BY register")
 
 
+def _sm_hugeint_select(table: str, col: str) -> str:
+    """A SELECT exposing every source column plus ``hv`` =
+    splitmix64(col) as HUGEINT — the building block for hash-threshold
+    sampling and any other keep-if-hash-below-p oracle."""
+    from .relational import _fp_splitmix_steps
+
+    q = f"SELECT *, CAST({col} AS HUGEINT) AS sm_x FROM {table}"
+    for name, expr in _fp_splitmix_steps("sm_x", "hv", "smq"):
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q
+
+
 def build_sql_bloom_bits(table: str, col: str, *, m_bits: int = 1 << 17,
                          k: int = 4) -> str:
     """Exact SQL replay of bloom_bits: two chained splitmix64 passes in
