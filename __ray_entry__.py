@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_tokens": R.text_top_tokens_q,
         "q_hash_sample": R.q_hash_sample,
         "q_topn_per_group": R.q_topn_per_group,
+        "q_asof_join": R.q_asof_join,
+        "q_range_join": R.q_range_join,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -247,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": R.SQL_TEXT_TOP_TOKENS,
         "q_hash_sample": R._sql_hash_sample(),
         "q_topn_per_group": R.SQL_TOPN_PER_GROUP,
+        "q_asof_join": R.SQL_ASOF_JOIN,
+        "q_range_join": R.SQL_RANGE_JOIN,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

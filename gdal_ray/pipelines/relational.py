@@ -992,6 +992,73 @@ SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 25
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join over the events stream: each purchase matched to the
+    user's most recent prior signup (backward, ties toward the largest
+    signup id); gap in µs.  The time-series custom operator Ray Data
+    lacks — see pipelines/asof.py for the bucket-vectorized shape."""
+    from .asof import asof_join
+
+    def typed(t, id_name):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("event_type"), t)
+            f = b.filter(m)
+            return pa.table({id_name: f.column("event_id"),
+                             "user_id": f.column("user_id"),
+                             "ts": f.column("ts")})
+        return fn
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.map_batches(typed("purchase", "purchase_id"),
+                          batch_format="pyarrow")
+    right = ev.map_batches(typed("signup", "signup_id"),
+                           batch_format="pyarrow")
+    return asof_join(left, right, by="user_id", on="ts",
+                     left_id="purchase_id", right_id="signup_id") \
+        .map_batches(lambda b: pa.table({
+            "purchase_id": b.column("purchase_id"),
+            "signup_id": b.column("signup_id"),
+            "gap_us": b.column("gap")}), batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+           WHERE event_type = 'purchase'),
+s AS (SELECT event_id AS sid, user_id, epoch_us(ts) AS su FROM events
+      WHERE event_type = 'signup'),
+j AS (SELECT p.event_id AS purchase_id, s.sid AS signup_id,
+             p.tu - s.su AS gap_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY s.su DESC, s.sid DESC) AS rn
+      FROM p JOIN s ON p.user_id = s.user_id AND s.su <= p.tu)
+SELECT purchase_id, signup_id, gap_us FROM j WHERE rn = 1
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join: orders matched into OVERLAPPING price bands
+    [k·40000, k·40000+90000) — each order lands in every containing band.
+    Broadcast small-bands shape (pipelines/asof.interval_join_broadcast)."""
+    from .asof import interval_join_broadcast
+    ks = np.arange(14, dtype=np.int64)
+    bands = pa.table({"lo": pa.array(ks * 40000.0),
+                      "hi": pa.array(ks * 40000.0 + 90000.0),
+                      "band": pa.array(ks)})
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = interval_join_broadcast(ds, bands, value_col="o_totalprice")
+    return out.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("o_orderkey"),
+                            "band": b.column("band")}),
+        batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = """
+SELECT o_orderkey, k AS band
+FROM orders, generate_series(0, 13) g(k)
+WHERE o_totalprice >= k * 40000 AND o_totalprice < k * 40000 + 90000
+"""
+
+
 def sketch_ndistinct_q(sf_dir: str):
     """HLL register sketch of distinct events.user_id — the mergeable
     cardinality sketch with a FULL DuckDB register replay (sketches.py)."""
