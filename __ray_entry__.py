@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topn_per_group": R.q_topn_per_group,
         "q_asof_join": R.q_asof_join,
         "q_range_join": R.q_range_join,
+        "q_group_quantiles": R.q_group_quantiles,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "q_topn_per_group": R.SQL_TOPN_PER_GROUP,
         "q_asof_join": R.SQL_ASOF_JOIN,
         "q_range_join": R.SQL_RANGE_JOIN,
+        "q_group_quantiles": R.SQL_GROUP_QUANTILES,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

@@ -1059,6 +1059,71 @@ WHERE o_totalprice >= k * 40000 AND o_totalprice < k * 40000 + 90000
 """
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (median + p90 of order price per
+    priority) WITHOUT collecting groups: prices quantize to exact cents,
+    a per-batch (group, cents) count combiner bounds partials by the
+    distinct-value count, grouped_agg merges the histograms, and the
+    quantile reads off the cumulative counts — DuckDB's quantile_disc
+    convention is index = ceil(n·q)-1, computed here in INTEGER
+    arithmetic ((q_num·n + q_num - 1)//q_den style) because 10·0.9 > 9
+    in IEEE and a float ceil picks the wrong element."""
+    from .shuffle_utils import grouped_agg, grouped_map_groups
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        prio = b.column("o_orderpriority")
+        pint = pc.cast(pc.utf8_slice_codeunits(prio, 0, 1), pa.int64())
+        cents = pa.array(np.round(np.asarray(b.column("o_totalprice"),
+                                             np.float64) * 100)
+                         .astype(np.int64))
+        t = pa.table({"pint": pint, "o_orderpriority": prio,
+                      "cents": cents,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["pint", "o_orderpriority", "cents"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"pint": g.column("pint"),
+                         "o_orderpriority": g.column("o_orderpriority"),
+                         "cents": g.column("cents"),
+                         "n": g.column("n_sum")})
+
+    hist = grouped_agg(ds.map_batches(combine, batch_format="pyarrow"),
+                       ["pint", "o_orderpriority", "cents"], [("n", "sum")])
+    if isinstance(hist, pa.Table):
+        import ray.data as _rd
+        hist = _rd.from_arrow(hist)
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        cents = np.asarray(g.column("cents"), np.int64)
+        n = np.asarray(g.column("n"), np.int64)
+        order = np.argsort(cents)
+        cents, n = cents[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+
+        def disc(q_num: int, q_den: int) -> float:
+            idx = -(-q_num * total // q_den) - 1        # ceil(n*q)-1, exact
+            return float(cents[np.searchsorted(cum, idx, side="right")])
+
+        return pa.table({
+            "o_orderpriority": pa.array(
+                [g.column("o_orderpriority")[0].as_py()], pa.string()),
+            "n_orders": pa.array([total], pa.int64()),
+            "median_price": pa.array([disc(1, 2) / 100.0], pa.float64()),
+            "p90_price": pa.array([disc(9, 10) / 100.0], pa.float64()),
+        })
+
+    return grouped_map_groups(hist, "pint", quantiles)
+
+
+SQL_GROUP_QUANTILES = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(quantile_disc(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_disc(o_totalprice, 0.9), 2) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def sketch_ndistinct_q(sf_dir: str):
     """HLL register sketch of distinct events.user_id — the mergeable
     cardinality sketch with a FULL DuckDB register replay (sketches.py)."""
