@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": R.q_asof_join,
         "q_range_join": R.q_range_join,
         "q_group_quantiles": R.q_group_quantiles,
+        "dedup_components": R.dedup_components_q,
+        "q_window_funcs": R.q_window_funcs,
+        "q_pivot": R.q_pivot,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -253,6 +256,9 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": R.SQL_ASOF_JOIN,
         "q_range_join": R.SQL_RANGE_JOIN,
         "q_group_quantiles": R.SQL_GROUP_QUANTILES,
+        "dedup_components": R._sql_dedup_components(),
+        "q_window_funcs": R.SQL_WINDOW_FUNCS,
+        "q_pivot": R.SQL_PIVOT,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

@@ -3944,3 +3944,169 @@ def _build_sql_text_fingerprint_docs() -> str:
 SQL_DEDUP_MINHASH_DOCS = _build_sql_dedup_minhash_docs()
 SQL_DEDUP_SIMHASH_DOCS = _build_sql_dedup_simhash_docs()
 SQL_TEXT_FINGERPRINT_DOCS = _build_sql_text_fingerprint_docs()
+
+
+# ======================================================================
+# ---------- round 5 (third sitting): dedup clustering + windows --------
+# ======================================================================
+
+
+def dedup_components_q(sf_dir: str):
+    """Near-dup CLUSTERING: connected components over a pair set — the
+    step after minhash/simhash emits pairs (keep min-id doc per
+    component; Lee et al. 2022 §3).  The edge set here is derived from
+    document ids with integer arithmetic (the oracle-izing recipe):
+    edge (d-1, d) exists iff splitmix64(d) % 3 < 2, which chains
+    consecutive docs into runs — the WORST case (max diameter) for label
+    propagation, and closed-form for SQL (component = running max of
+    break points).  The engine path is the fully generic
+    ``dedup.connected_components`` (driver pointer-jumping ≤2M edges,
+    Hash-to-Min rounds beyond)."""
+    from .dedup import _splitmix, connected_components
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("doc_id"), np.int64)
+        m = (d > 0) & ((_splitmix(d.astype(np.uint64)) % np.uint64(3))
+                       < np.uint64(2))
+        return pa.table({"id_a": pa.array(d[m] - 1, pa.int64()),
+                         "id_b": pa.array(d[m], pa.int64())})
+
+    return connected_components(ds.map_batches(edges,
+                                               batch_format="pyarrow"))
+
+
+def _sql_dedup_components() -> str:
+    from .sketches import _sm_hugeint_select
+    # edge (d-1, d) iff hv(d)%3 < 2; node d starts a run iff d = 0 or no
+    # edge arrives from d-1; component(d) = running max of run starts;
+    # output only nodes with >= 1 incident edge (operator semantics).
+    return f"""
+WITH s AS ({_sm_hugeint_select('documents', 'doc_id')}),
+e AS (SELECT doc_id AS d,
+             CASE WHEN hv % 3 < 2 AND doc_id > 0 THEN 1 ELSE 0 END AS e_prev
+      FROM s),
+c AS (SELECT d, e_prev,
+             lead(e_prev, 1, 0) OVER (ORDER BY d) AS e_next,
+             max(CASE WHEN e_prev = 0 THEN d END) OVER
+                 (ORDER BY d ROWS UNBOUNDED PRECEDING) AS comp
+      FROM e)
+SELECT d AS node, comp AS component FROM c WHERE e_prev = 1 OR e_next = 1
+"""
+
+
+def q_window_funcs(sf_dir: str):
+    """Window functions per partition: LAG, row_number and a running sum
+    over each customer's orders in date order — the per-key ordered-scan
+    shape SQL engines express with OVER (PARTITION BY … ORDER BY …).
+    Shuffle shape: one groupby(custkey); inside each group the scan is a
+    vectorized cumsum (no per-row Python).  No per-batch combiner is
+    possible (running sums need the whole group), so the group shuffle IS
+    the operator — `grouped_map_groups` keeps the measured-size driver
+    path for small inputs.  Money stays in scaled int64 cents until the
+    per-row division (CLAUDE.md parity rule); timestamps exchange as
+    epoch microseconds and print via strftime."""
+    from .shuffle_utils import grouped_map_groups
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ts = np.asarray(g.column("o_orderdate").cast(pa.int64()), np.int64)
+        ok = np.asarray(g.column("o_orderkey"), np.int64)
+        tp = np.asarray(g.column("o_totalprice"), np.float64)
+        order = np.lexsort((ok, ts))
+        ts, ok = ts[order], ok[order]
+        cents = np.floor(tp[order] * 100 + 0.5).astype(np.int64)
+        gap_us = np.empty(ts.size, np.int64)
+        gap_us[0] = -1
+        gap_us[1:] = ts[1:] - ts[:-1]
+        run = np.cumsum(cents)
+        g = g.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "o_orderkey": g.column("o_orderkey"),
+            "o_custkey": g.column("o_custkey"),
+            "rn": pa.array(np.arange(1, ts.size + 1), pa.int64()),
+            "gap_us": pa.array(gap_us, pa.int64()),
+            "run_sum": pa.array(run / 100.0, pa.float64()),
+        })
+
+    return grouped_map_groups(ds, "o_custkey", per_group)
+
+
+SQL_WINDOW_FUNCS = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       COALESCE(epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER w,
+                -1) AS gap_us,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) / 100.0 AS run_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_pivot(sf_dir: str):
+    """PIVOT (crosstab): order revenue by order year × priority class,
+    priorities spread across columns — conditional aggregation, the
+    shuffle-light pivot shape: per-batch partial crosstab in one
+    ``pa.Table.group_by`` (column set FIXED by the operator), then a
+    measured-size grouped-sum merge over years × batches partials.  No
+    join, no per-row Python; money in scaled int64 cents until the final
+    division."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    classes = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    vals = ["rev_" + c[2:].lower() for c in classes] + ["rev_other"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(b.column("o_orderdate")), pa.int64())
+        pri = b.column("o_orderpriority")
+        cents = pa.array(np.floor(np.asarray(b.column("o_totalprice"),
+                                             np.float64) * 100 + 0.5)
+                         .astype(np.int64))
+        zero = pa.scalar(0, pa.int64())
+        cols = {"yr": yr}
+        for cl in classes:
+            cols["rev_" + cl[2:].lower()] = pc.if_else(
+                pc.equal(pri, pa.scalar(cl)), cents, zero)
+        cols["rev_other"] = pc.if_else(
+            pc.is_in(pri, value_set=pa.array(classes)), zero, cents)
+        t = pa.table(cols)
+        g = t.group_by(["yr"]).aggregate([(c, "sum") for c in vals])
+        return pa.table({"yr": g.column("yr"),
+                         **{c: g.column(c + "_sum") for c in vals}})
+
+    from .shuffle_utils import grouped_agg
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["yr"], [(c, "sum") for c in vals])
+    if not isinstance(agg, pa.Table):
+        agg = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in agg.iter_batches(batch_format="pyarrow"))
+    out = {"yr": agg.column("yr")}
+    for c in vals:
+        out[c] = pa.array(np.asarray(agg.column(c), np.int64) / 100.0,
+                          pa.float64())
+    return pa.table(out)
+
+
+SQL_PIVOT = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
+           / 100.0 AS rev_urgent,
+       COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '2-HIGH'), 0)
+           / 100.0 AS rev_high,
+       COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '3-MEDIUM'), 0)
+           / 100.0 AS rev_medium,
+       COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority NOT IN
+                        ('1-URGENT', '2-HIGH', '3-MEDIUM')), 0)
+           / 100.0 AS rev_other
+FROM orders
+GROUP BY yr
+"""

@@ -367,3 +367,88 @@ def test_video_frame_sample_stage(ray_session):
     # non-AVI payload raises the honest capability boundary
     with pytest.raises(NotImplementedError):
         parse_mjpeg_avi(b"\x00" * 64)
+
+
+# ---------- connected components (pairs -> clusters) ----------
+
+def _uf_components(a, b):
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        x, y = int(x), int(y)
+        if x == y:
+            continue
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = sorted({int(v) for x, y in zip(a, b) if x != y for v in (x, y)})
+    import collections
+    members = collections.defaultdict(list)
+    for n in nodes:
+        members[find(n)].append(n)
+    out = {}
+    for ms in members.values():
+        mn = min(ms)
+        for n in ms:
+            out[n] = mn
+    return out
+
+
+def _cc_dict(pairs_tbl, **kw):
+    import ray
+    out = DD.connected_components(ray.data.from_arrow(pairs_tbl), **kw)
+    t = out.to_pandas()
+    return dict(zip(t.node.astype(int), t.component.astype(int)))
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 3000, 4000)
+    b = rng.integers(0, 3000, 4000)
+    tbl = pa.table({"id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64())})
+    expect = _uf_components(a, b)
+    got = _cc_dict(tbl)
+    assert got == expect
+
+
+def test_connected_components_distributed_matches_driver(ray_session):
+    """Path parity: driver_limit=0 forces the Hash-to-Min rounds."""
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 800, 900)
+    b = rng.integers(0, 800, 900)
+    tbl = pa.table({"id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64())})
+    assert _cc_dict(tbl, driver_limit=0) == _cc_dict(tbl)
+
+
+def test_connected_components_chain_worst_case(ray_session):
+    """A single long chain maximizes diameter — the Hash-to-Min stress."""
+    n = 4000
+    tbl = pa.table({"id_a": pa.array(np.arange(n - 1), pa.int64()),
+                    "id_b": pa.array(np.arange(1, n), pa.int64())})
+    for dl in (10**9, 0):
+        got = _cc_dict(tbl, driver_limit=dl)
+        assert len(got) == n and set(got.values()) == {0}
+
+
+def test_connected_components_clusters_simhash_pairs(ray_session, docs_tbl):
+    """End-to-end: simhash pairs -> components == union-find over the
+    same pairs (the dedup keep-one-per-cluster step)."""
+    import ray
+    pairs = DD.simhash_pairs(ray.data.from_arrow(docs_tbl), max_hamming=3)
+    ptbl = pairs.to_pandas()
+    if len(ptbl) == 0:
+        pytest.skip("fixture produced no near-dup pairs")
+    expect = _uf_components(ptbl.id_a.to_numpy(), ptbl.id_b.to_numpy())
+    got = _cc_dict(pa.table({"id_a": pa.array(ptbl.id_a, pa.int64()),
+                             "id_b": pa.array(ptbl.id_b, pa.int64())}))
+    assert got == expect
