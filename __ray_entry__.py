@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": R.dedup_components_q,
         "q_window_funcs": R.q_window_funcs,
         "q_pivot": R.q_pivot,
+        "q_unpivot": R.q_unpivot,
+        "q_group_corr": R.q_group_corr,
+        "q_rollup": R.q_rollup,
+        "q_profile": R.q_profile,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -259,6 +263,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": R._sql_dedup_components(),
         "q_window_funcs": R.SQL_WINDOW_FUNCS,
         "q_pivot": R.SQL_PIVOT,
+        "q_unpivot": R.SQL_UNPIVOT,
+        "q_group_corr": R.SQL_GROUP_CORR,
+        "q_rollup": R.SQL_ROLLUP,
+        "q_profile": R.SQL_PROFILE,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

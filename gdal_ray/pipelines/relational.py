@@ -4110,3 +4110,291 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
 FROM orders
 GROUP BY yr
 """
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT (melt): the pivot's wide year × priority revenue table back
+    to long (yr, priority, rev) rows — a stateless per-batch column→row
+    expansion (each input row becomes a fixed fan of output rows; zero
+    shuffle beyond the pivot it consumes).  Zero-revenue cells are kept —
+    UNPIVOT INCLUDE NULLS semantics, deterministic row count."""
+    wide = q_pivot(sf_dir)          # small pa.Table (one row per year)
+    names = ["rev_urgent", "rev_high", "rev_medium", "rev_other"]
+    n = wide.num_rows
+    yr = np.repeat(np.asarray(wide.column("yr"), np.int64), len(names))
+    pri = pa.array(names * n, pa.string())
+    rev = np.stack([np.asarray(wide.column(c), np.float64)
+                    for c in names], axis=1).reshape(-1)
+    return pa.table({"yr": pa.array(yr, pa.int64()), "priority": pri,
+                     "rev": pa.array(rev, pa.float64())})
+
+
+SQL_UNPIVOT = f"""
+WITH wide AS ({SQL_PIVOT})
+SELECT yr, name AS priority, value AS rev
+FROM wide UNPIVOT (value FOR name IN (rev_urgent, rev_high,
+                                      rev_medium, rev_other))
+"""
+
+
+def q_group_corr(sf_dir: str):
+    """Per-group Pearson correlation (quantity vs discount per return
+    flag) from EXACT integer moments: per-batch int64 sums of x, y, x²,
+    y², xy (x = quantity units ≤50, y = discount percent ≤10 — all
+    products bounded far below 2^63, so the distributed sum is exact and
+    order-independent), measured-size grouped merge, ONE final float
+    expression — identical int64 inputs through identical libm on both
+    engines (DuckDB's own corr() walks a Welford float path whose last
+    ulp depends on order; the moment replay does not)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b.column("l_quantity"), np.float64)
+        x = np.floor(x + 0.5).astype(np.int64)
+        y = np.asarray(b.column("l_discount"), np.float64)
+        y = np.floor(y * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "n": pa.array(np.ones(x.size, np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "syy": pa.array(y * y),
+                      "sxy": pa.array(x * y)})
+        cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+        g = t.group_by(["l_returnflag"]).aggregate([(c, "sum")
+                                                    for c in cols])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         **{c: g.column(c + "_sum") for c in cols}})
+
+    from .shuffle_utils import grouped_agg
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["l_returnflag"], [(c, "sum") for c in cols])
+    if not isinstance(agg, pa.Table):
+        agg = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in agg.iter_batches(batch_format="pyarrow"))
+    n = np.asarray(agg.column("n"), np.int64).astype(np.float64)
+    sx = np.asarray(agg.column("sx"), np.int64).astype(np.float64)
+    sy = np.asarray(agg.column("sy"), np.int64).astype(np.float64)
+    sxx = np.asarray(agg.column("sxx"), np.int64).astype(np.float64)
+    syy = np.asarray(agg.column("syy"), np.int64).astype(np.float64)
+    sxy = np.asarray(agg.column("sxy"), np.int64).astype(np.float64)
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                  * np.sqrt(n * syy - sy * sy))
+    return pa.table({"l_returnflag": agg.column("l_returnflag"),
+                     "n": pa.array(n.astype(np.int64)),
+                     "corr_qty_disc": pa.array(corr, pa.float64())})
+
+
+SQL_GROUP_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_discount * 100) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_discount * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS syy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS corr_qty_disc
+FROM m
+"""
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (grouping sets): order counts + revenue by
+    (status, priority), with per-status subtotals and a grand total —
+    aggregate ONCE at the finest level (per-batch partial + measured-size
+    merge over the bounded status×priority domain), then roll the finer
+    grouped table up in-driver (pa.Table.group_by over ≤ |domain| rows):
+    zero extra shuffles, the classic partial-reuse shape.  NULL group
+    markers print as 'ALL' (hash-stable on both engines)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pa.array(np.floor(np.asarray(b.column("o_totalprice"),
+                                             np.float64) * 100 + 0.5)
+                         .astype(np.int64))
+        t = pa.table({"status": b.column("o_orderstatus"),
+                      "priority": b.column("o_orderpriority"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "cents": cents})
+        g = t.group_by(["status", "priority"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return pa.table({"status": g.column("status"),
+                         "priority": g.column("priority"),
+                         "n": g.column("n_sum"),
+                         "cents": g.column("cents_sum")})
+
+    from .shuffle_utils import grouped_agg
+    fine = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["status", "priority"],
+                       [("n", "sum"), ("cents", "sum")])
+    if not isinstance(fine, pa.Table):
+        fine = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in fine.iter_batches(batch_format="pyarrow"))
+
+    def level(tbl: pa.Table, keys: list) -> pa.Table:
+        if keys:
+            g = tbl.group_by(keys).aggregate([("n", "sum"),
+                                              ("cents", "sum")])
+            n, c = g.column("n_sum"), g.column("cents_sum")
+        else:
+            g = None
+            n = pa.array([pc.sum(tbl.column("n")).as_py()], pa.int64())
+            c = pa.array([pc.sum(tbl.column("cents")).as_py()], pa.int64())
+        rows = len(n)
+        out = {
+            "status": (g.column("status") if g and "status" in keys
+                       else pa.array(["ALL"] * rows)),
+            "priority": (g.column("priority") if g and "priority" in keys
+                         else pa.array(["ALL"] * rows)),
+            "n": n,
+        }
+        out["revenue"] = pa.array(
+            np.asarray(c, np.int64) / 100.0, pa.float64())
+        return pa.table(out)
+
+    return pa.concat_tables([level(fine, ["status", "priority"]),
+                             level(fine, ["status"]),
+                             level(fine, [])])
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_profile(sf_dir: str):
+    """Column profiler (`describe` / data-quality pass): one row per
+    column with count, nulls, exact n_distinct, min, max — the profiling
+    primitive every ingest pipeline runs first.  Shapes: count/null/min/
+    max fold per batch then merge (tiny partials); exact distinct counts
+    go per-batch-unique → one distributed dedup count per column (the
+    unavoidable shuffle, bounded by the value domain, NOT the row
+    count).  Values exchange as strings so one schema covers all column
+    types; numeric min/max print via a fixed %.2f grid."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    ds = _read(sf_dir, "orders", cols)
+
+    def fmt(v, typ):
+        if typ == "f":
+            return f"{v:.2f}"
+        return str(v)
+
+    def partial(b: pa.Table) -> pa.Table:
+        # min/max merge in the value's OWN domain (numeric for floats —
+        # a lexicographic merge of formatted numbers picks "11110" over
+        # "1320"); formatting happens once, after the final merge.
+        rows = []
+        for c in cols:
+            col = b.column(c)
+            is_f = pa.types.is_floating(col.type)
+            valid = col.drop_null()
+            has = len(valid) > 0
+            rows.append({
+                "col": c,
+                "n": b.num_rows,
+                "nulls": b.num_rows - len(valid),
+                "vmin_s": ("\x7f" if is_f or not has
+                           else str(pc.min(valid).as_py())),
+                "vmax_s": ("" if is_f or not has
+                           else str(pc.max(valid).as_py())),
+                "vmin_f": (float(pc.min(valid).as_py())
+                           if is_f and has else np.inf),
+                "vmax_f": (float(pc.max(valid).as_py())
+                           if is_f and has else -np.inf),
+            })
+        return pa.table({k: pa.array([r[k] for r in rows])
+                         for k in ("col", "n", "nulls", "vmin_s", "vmax_s",
+                                   "vmin_f", "vmax_f")})
+
+    from .shuffle_utils import grouped_agg
+    base = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["col"], [("n", "sum"), ("nulls", "sum"),
+                                 ("vmin_s", "min"), ("vmax_s", "max"),
+                                 ("vmin_f", "min"), ("vmax_f", "max")])
+    if not isinstance(base, pa.Table):
+        base = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in base.iter_batches(batch_format="pyarrow"))
+
+    # exact distinct per column: per-batch unique values (domain-bounded
+    # partials) -> one grouped count over (col, value)
+    def uniq(b: pa.Table) -> pa.Table:
+        outc, outv = [], []
+        for c in cols:
+            col = b.column(c)
+            typ = "f" if pa.types.is_floating(col.type) else "s"
+            for v in pc.unique(col.drop_null()).to_pylist():
+                outc.append(c)
+                outv.append(fmt(v, typ))
+        return pa.table({"col": pa.array(outc), "val": pa.array(outv)})
+
+    dis = grouped_agg(ds.map_batches(uniq, batch_format="pyarrow")
+                      .map_batches(lambda b: b.append_column(
+                          "one", pa.array(np.ones(b.num_rows, np.int64))),
+                          batch_format="pyarrow"),
+                      ["col", "val"], [("one", "min")])
+    if not isinstance(dis, pa.Table):
+        dis = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in dis.iter_batches(batch_format="pyarrow"))
+    nd = dis.group_by(["col"]).aggregate([("val", "count_distinct")])
+    ndmap = dict(zip(nd.column("col").to_pylist(),
+                     np.asarray(nd.column("val_count_distinct"),
+                                np.int64).tolist()))
+    order = np.argsort(np.asarray(base.column("col")))
+    base = base.take(pa.array(order, pa.int64()))
+    names = base.column("col").to_pylist()
+    fmins = np.asarray(base.column("vmin_f"), np.float64)
+    fmaxs = np.asarray(base.column("vmax_f"), np.float64)
+    smins = base.column("vmin_s").to_pylist()
+    smaxs = base.column("vmax_s").to_pylist()
+    vmin = [f"{fmins[i]:.2f}" if np.isfinite(fmins[i]) else smins[i]
+            for i in range(len(names))]
+    vmax = [f"{fmaxs[i]:.2f}" if np.isfinite(fmaxs[i]) else smaxs[i]
+            for i in range(len(names))]
+    return pa.table({
+        "col": base.column("col"),
+        "n": base.column("n"),
+        "nulls": base.column("nulls"),
+        "n_distinct": pa.array([ndmap[c] for c in names], pa.int64()),
+        "vmin": pa.array(vmin, pa.string()),
+        "vmax": pa.array(vmax, pa.string()),
+    })
+
+
+SQL_PROFILE = """
+SELECT col, n, nulls, n_distinct, vmin, vmax FROM (
+  SELECT 'o_orderstatus' AS col, count(*) AS n,
+         count(*) - count(o_orderstatus) AS nulls,
+         count(DISTINCT o_orderstatus) AS n_distinct,
+         min(o_orderstatus) AS vmin, max(o_orderstatus) AS vmax
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT printf('%.2f', o_totalprice)),
+         printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
+  FROM orders
+)
+"""
