@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_corr": R.q_group_corr,
         "q_rollup": R.q_rollup,
         "q_profile": R.q_profile,
+        "text_tfidf": R.text_tfidf_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "q_group_corr": R.SQL_GROUP_CORR,
         "q_rollup": R.SQL_ROLLUP,
         "q_profile": R.SQL_PROFILE,
+        "text_tfidf": R.SQL_TEXT_TFIDF,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

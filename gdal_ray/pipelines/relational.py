@@ -4398,3 +4398,32 @@ SELECT col, n, nulls, n_distinct, vmin, vmax FROM (
   FROM orders
 )
 """
+
+
+def text_tfidf_q(sf_dir: str):
+    """Top TF-IDF term per document over the real corpus — the salient-
+    term extractor (see text.tfidf_top_term for the two-exchange scale
+    shape: df falls out of the token co-shuffle, no join)."""
+    from .text import tfidf_top_term
+    return tfidf_top_term(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token != ''
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+         floor(tf.tf * ln(n.n / df.df) * 1e6 + 0.5) / 1e6 AS tfidf
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tfidf FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) = 1
+"""

@@ -183,3 +183,86 @@ def _topk_table(t: pa.Table, k: int) -> pa.Table:
     order = np.lexsort((toks, -n))[:k]
     return pa.table({"token": pa.array(list(toks[order]), pa.string()),
                      "n": pa.array(n[order], pa.int64())})
+
+
+def tfidf_top_term(docs: "object", *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   n_docs: int | None = None) -> "object":
+    """Top TF-IDF term per document (score = tf · ln(N/df), rank by
+    score desc / token asc) — the classic salient-term extractor for
+    corpus triage.
+
+    Scale shape, two grouped exchanges and nothing else:
+    1. per batch: distinct (doc, token, tf) rows — a document's tokens
+       live in one row, so tf needs NO shuffle;
+    2. groupby(token): df = rows in the group (each row is a distinct
+       doc×token), so document frequency and the score fall out of ONE
+       co-shuffle — no separate df table, no join.  Tokens group via a
+       splitmix of their bytes (string keys stripe; the group fn handles
+       hash collisions by sub-grouping on the token itself);
+    3. groupby(doc): per-batch best-of combiner (exact — the global
+       max row of a doc is a batch max row), measured-size merge.
+    Scores are quantized floor(x·1e6 + 0.5)/1e6 BEFORE ranking so the
+    deterministic tie-break (token asc) applies to identical doubles on
+    any engine (ln is libm on both sides)."""
+    from .dedup import _hash_bytes_to_u64
+    from .shuffle_utils import grouped_map_groups
+
+    if n_docs is None:
+        n_docs = docs.count()
+    n_f = float(n_docs)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            ts = t.split()
+            if not ts:
+                continue
+            u, c = np.unique(np.asarray(ts, dtype=object),
+                             return_counts=True)
+            ids.extend([d] * len(u))
+            toks.extend(list(u))
+            tfs.extend(c.tolist())
+        tkey = _hash_bytes_to_u64([str(t) for t in toks]) \
+            .view(np.int64) if toks else np.array([], np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "tkey": pa.array(tkey, pa.int64())})
+
+    def score_group(g: pa.Table) -> pa.Table:
+        # one hash-key group may hold >1 token (collisions): df per
+        # distinct token via sorted-segment counts
+        toks = np.asarray(g.column("token").to_pylist(), dtype=object)
+        order = np.argsort(toks, kind="stable")
+        toks_s = toks[order]
+        newk = np.empty(toks_s.size, bool)
+        newk[0] = True
+        newk[1:] = toks_s[1:] != toks_s[:-1]
+        seg = np.cumsum(newk) - 1
+        df_per_seg = np.bincount(seg)
+        df = np.empty(toks.size, np.int64)
+        df[order] = df_per_seg[seg]
+        tf = np.asarray(g.column("tf"), np.int64).astype(np.float64)
+        score = tf * np.log(n_f / df)
+        score = np.floor(score * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: g.column(id_col),
+                         "token": g.column("token"),
+                         "tfidf": pa.array(score, pa.float64())})
+
+    def best_per_doc(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        sc = np.asarray(b.column("tfidf"), np.float64)
+        toks = np.asarray(b.column("token").to_pylist(), dtype=object)
+        order = np.lexsort((toks, -sc, ids))
+        idx = order[np.unique(ids[order], return_index=True)[1]]
+        return b.take(pa.array(np.sort(idx), pa.int64()))
+
+    scored = grouped_map_groups(
+        docs.map_batches(tf_rows, batch_format="pyarrow"),
+        "tkey", score_group)
+    combined = scored.map_batches(best_per_doc, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select([id_col, "token", "tfidf"]),
+                     batch_format="pyarrow")
+    return grouped_map_groups(combined, id_col, best_per_doc)

@@ -452,3 +452,58 @@ def test_connected_components_clusters_simhash_pairs(ray_session, docs_tbl):
     got = _cc_dict(pa.table({"id_a": pa.array(ptbl.id_a, pa.int64()),
                              "id_b": pa.array(ptbl.id_b, pa.int64())}))
     assert got == expect
+
+
+# ---------- tf-idf top term ----------
+
+def test_tfidf_top_term_brute_force(ray_session, docs_tbl):
+    import math
+    import ray
+    docs = ray.data.from_arrow(docs_tbl)
+    got = TX.tfidf_top_term(docs).to_pandas()
+    texts = dict(zip(docs_tbl.column("doc_id").to_pylist(),
+                     docs_tbl.column("text").to_pylist()))
+    n = len(texts)
+    from collections import Counter
+    df = Counter()
+    tfs = {}
+    for d, t in texts.items():
+        c = Counter(t.split())
+        tfs[d] = c
+        df.update(c.keys())
+    expect = {}
+    for d, c in tfs.items():
+        if not c:
+            continue
+        best = None
+        for tok, tf in c.items():
+            s = math.floor(tf * math.log(n / df[tok]) * 1e6 + 0.5) / 1e6
+            k = (-s, tok)
+            if best is None or k < best[0]:
+                best = (k, tok, s)
+        expect[d] = (best[1], best[2])
+    got_map = {int(r.doc_id): (r.token, r.tfidf) for r in got.itertuples()}
+    assert got_map == expect
+
+
+def test_tfidf_distributed_matches_driver(ray_session, docs_tbl):
+    """Path parity: monkeypatch-free — shrink grouped_map_groups' driver
+    window via a tiny wrapper dataset and compare to the default path."""
+    import ray
+    from gdal_ray.pipelines import shuffle_utils as SU
+    docs = ray.data.from_arrow(docs_tbl)
+    base = TX.tfidf_top_term(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    orig = SU.grouped_map_groups
+
+    def forced(ds, key, fn, driver_limit=200_000):
+        return orig(ds, key, fn, driver_limit=0)
+
+    SU.grouped_map_groups = forced
+    try:
+        forced_out = TX.tfidf_top_term(docs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        SU.grouped_map_groups = orig
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, forced_out, check_dtype=False)
