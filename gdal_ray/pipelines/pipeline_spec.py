@@ -298,6 +298,12 @@ def _register_trainingdata():
         DD.ngram_jaccard_pairs(ds, threshold=float(threshold))
     _REGISTRY["embedding_neardup"] = lambda ds, threshold=0.95: \
         DD.embedding_neardup_pairs(ds, threshold=float(threshold))
+    _REGISTRY["connected_components"] = \
+        lambda ds, id_a="id_a", id_b="id_b": \
+        DD.connected_components(ds, id_a=id_a, id_b=id_b)
+    _REGISTRY["tfidf_top_term"] = lambda ds, text_col="text", \
+        id_col="doc_id": TX.tfidf_top_term(ds, text_col=text_col,
+                                           id_col=id_col)
     _REGISTRY["langid"] = _batch_stage(TX.detect_language)
     _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)

@@ -154,3 +154,25 @@ def test_cli_main_end_to_end(ray_session, tmp_path):
     from gdal_ray.pipelines.pipeline_spec import registered_stages
     assert {"image_features", "audio_decode", "video_frames"} \
         <= set(registered_stages())
+
+
+def test_connected_components_and_tfidf_stages(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pairs = pa.table({"id_a": pa.array([0, 1, 5], pa.int64()),
+                      "id_b": pa.array([1, 2, 6], pa.int64())})
+    p = str(tmp_path / "pairs.parquet")
+    pq.write_table(pairs, p)
+    rows = run_pipeline(f"read_parquet path={p} ! connected_components") \
+        .take_all()
+    comp = {r["node"]: r["component"] for r in rows}
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["aa bb aa", "bb cc"], pa.string())})
+    d = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, d)
+    rows = run_pipeline(f"read_parquet path={d} ! tfidf_top_term").take_all()
+    top = {r["doc_id"]: r["token"] for r in rows}
+    # 'aa' appears only in doc 1 (tf=2, df=1); 'cc' only in doc 2
+    assert top == {1: "aa", 2: "cc"}
