@@ -249,6 +249,49 @@ def grouped_map_groups(ds: "ray.data.Dataset", key_col: str, fn,
     (groups arrive key-sorted on both paths)."""
     ds = ds.materialize()
     if ds.count() > driver_limit:
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is not None and pa.types.is_integer(
+                sch.base_schema.field(key_col).type):
+            # HASHED-bucket mode: groupby(bucket) + in-process key-segment
+            # iteration.  Plain groupby(key).map_groups pays ~1-5 ms
+            # dispatch PER GROUP — fatal when groups are numerous (per-
+            # customer windows, per-doc tf-idf, per-token df at corpus
+            # scale); ~4 buckets per CPU amortizes it while keeping the
+            # shuffle balanced.  Keys are splitmixed first (raw keys
+            # stripe); a single hot GROUP still lands in one bucket, same
+            # as plain map_groups — no worse, per the round-5 poly-poly
+            # lesson.  fn sees exactly the driver path's key-sorted
+            # slices.
+            nb = bucket_count()
+
+            def bucketize(b: pa.Table) -> pa.Table:
+                k = np.asarray(b.column(key_col), np.int64)
+                x = (k.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(
+                    0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(
+                    0x94D049BB133111EB)
+                x ^= x >> np.uint64(31)
+                return b.append_column(
+                    "__gmg_bkt",
+                    pa.array((x % np.uint64(nb)).astype(np.int64)))
+
+            def bucket_fn(g: pa.Table) -> pa.Table:
+                g = g.drop_columns(["__gmg_bkt"])
+                keys = np.asarray(g.column(key_col), np.int64)
+                order = np.argsort(keys, kind="stable")
+                g = g.take(pa.array(order, pa.int64()))
+                _, starts = np.unique(keys[order], return_index=True)
+                bounds = np.append(starts, keys.size)
+                out = [fn(g.slice(int(bounds[i]),
+                                  int(bounds[i + 1] - bounds[i])))
+                       for i in range(starts.size)]
+                out = [t for t in out if t.num_rows] or out[:1]
+                return pa.concat_tables(out)
+
+            return ds.map_batches(bucketize, batch_format="pyarrow") \
+                .groupby("__gmg_bkt") \
+                .map_groups(bucket_fn, batch_format="pyarrow")
         return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
     batches = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
                for b in ds.iter_batches(batch_format="pyarrow")]
