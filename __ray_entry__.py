@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup": R.q_rollup,
         "q_profile": R.q_profile,
         "text_tfidf": R.text_tfidf_q,
+        "dedup_ngram_docs": R.dedup_ngram_docs_q,
         # rows-only (candidate sets not SQL-expressible; pytest oracles)
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup": R.SQL_ROLLUP,
         "q_profile": R.SQL_PROFILE,
         "text_tfidf": R.SQL_TEXT_TFIDF,
+        "dedup_ngram_docs": R.SQL_DEDUP_NGRAM_DOCS,
         # round-4: real-documents hash chains replayed in DuckDB HUGEINT —
         # every remaining rows-only query is now SQL-oracle-backed (69/69)
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,

@@ -4427,3 +4427,82 @@ SELECT doc_id, token, tfidf FROM s
 QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY tfidf DESC, token ASC) = 1
 """
+
+
+def dedup_ngram_docs_q(sf_dir: str):
+    """n-gram Jaccard near-dup over the REAL documents corpus (threshold
+    0.8) — completes the charter's 'each dedup family with an oracle on
+    the documents table' set.  Same LSH candidate chain as minhash_docs
+    (5-gram shingles, 64 sigs, 16 xor-fold bands, salted buckets, [2,64]
+    window, first-fully-equal-band exactly-once) but the emitted value is
+    the EXACT shingle-set Jaccard, not the signature estimate."""
+    from .dedup import ngram_jaccard_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+def _build_sql_dedup_ngram_docs() -> str:
+    """dedup.ngram_jaccard_pairs over documents, end to end: the
+    minhash-docs candidate chain verbatim (the two pipelines share
+    shingle_hashes/minhash_signature/bucketing), then exact set Jaccard —
+    |A∩B| via a shingle self-join restricted to surviving pairs,
+    |A∪B| = na + nb − inter, one double division on both engines.
+    First-band rule WITHOUT the minhash coalesce: ngram's verify demands
+    some band fully equal (band_eq.any()), so fb stays NULL-filtered."""
+    from .dedup import _splitmix
+    seeds = _splitmix(np.arange(1, 65, dtype=np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15))
+    salts = _splitmix(np.arange(16, dtype=np.uint64))
+    seed_vals = ", ".join(f"({j}, {int(seeds[j])}::HUGEINT)"
+                          for j in range(64))
+    salt_vals = ", ".join(f"({t}, {int(salts[t])}::HUGEINT)"
+                          for t in range(16))
+    chain = _docs_shingle_ctes(5)
+    chain += [
+        f"seeds(j, seed) AS (VALUES {seed_vals})",
+        f"salts(t, salt) AS (VALUES {salt_vals})",
+        f"sigs AS (SELECT doc, s.j, MIN({_fp_xor64('sh', 's.seed')}) AS v "
+        "FROM shingles, seeds s GROUP BY doc, s.j)",
+        f"bh AS (SELECT doc, j // 4 AS t, "
+        f"{_fp_tohuge(f'bit_xor({_fp_tobig(chr(118))})')} AS bhv "
+        "FROM sigs GROUP BY doc, j // 4)",
+        "bh1 AS (SELECT bh.doc, bh.t, (bhv + salt) % "
+        f"{_U64} AS x FROM bh JOIN salts ON salts.t = bh.t)",
+    ]
+    prev = "bh1"
+    for j, (name, expr) in enumerate(_fp_splitmix_steps("x", "bh2", "q")):
+        chain.append(f"bq_{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"bq_{j}"
+    chain += [
+        f"buckets AS (SELECT doc, t, CAST(bh2 // 256::HUGEINT AS BIGINT) "
+        f"* 16 + t AS bucket FROM {prev})",
+        "bsz AS (SELECT bucket, COUNT(*) AS c FROM buckets GROUP BY bucket)",
+        "cand AS (SELECT a.doc AS da, b.doc AS db, a.t FROM buckets a "
+        "JOIN buckets b ON b.bucket = a.bucket AND b.doc > a.doc "
+        "JOIN bsz ON bsz.bucket = a.bucket WHERE bsz.c BETWEEN 2 AND 64)",
+        "paireq AS (SELECT c.da, c.db, c.t, sa.j // 4 AS bb, "
+        "CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END AS e FROM cand c "
+        "JOIN sigs sa ON sa.doc = c.da "
+        "JOIN sigs sb ON sb.doc = c.db AND sb.j = sa.j)",
+        "bandeq AS (SELECT da, db, t, bb, SUM(e) AS beq FROM paireq "
+        "GROUP BY da, db, t, bb)",
+        "pairstat AS (SELECT da, db, t, "
+        "MIN(CASE WHEN beq = 4 THEN bb END) AS fb "
+        "FROM bandeq GROUP BY da, db, t)",
+        "okpair AS (SELECT da, db FROM pairstat "
+        "WHERE fb IS NOT NULL AND t = fb)",
+        "nsh AS (SELECT doc, COUNT(*) AS n FROM shingles GROUP BY doc)",
+        "inter AS (SELECT p.da, p.db, COUNT(*) AS i FROM okpair p "
+        "JOIN shingles sa ON sa.doc = p.da "
+        "JOIN shingles sb ON sb.doc = p.db AND sb.sh = sa.sh "
+        "GROUP BY p.da, p.db)",
+    ]
+    return ("WITH " + ",\n".join(chain)
+            + "\nSELECT o.da AS id_a, o.db AS id_b, "
+            "CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard "
+            "FROM okpair o JOIN inter i ON i.da = o.da AND i.db = o.db "
+            "JOIN nsh na ON na.doc = o.da JOIN nsh nb ON nb.doc = o.db "
+            "WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.8")
+
+
+SQL_DEDUP_NGRAM_DOCS = _build_sql_dedup_ngram_docs()
