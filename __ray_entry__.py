@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_docs": _minhash_docs,
         "dedup_simhash_docs": _simhash_docs,
         "text_fingerprint_docs": _text_fingerprint_docs,
+        "text_decontaminate": R.text_decontaminate_q,
     }
 
 
@@ -276,4 +277,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_docs": R.SQL_DEDUP_MINHASH_DOCS,
         "dedup_simhash_docs": R.SQL_DEDUP_SIMHASH_DOCS,
         "text_fingerprint_docs": R.SQL_TEXT_FINGERPRINT_DOCS,
+        "text_decontaminate": R.SQL_TEXT_DECONTAMINATE,
     }

@@ -683,3 +683,109 @@ def connected_components(pairs: "ray.data.Dataset", *,
 
     return edges.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bkt").map_groups(labels, batch_format="pyarrow")
+
+
+# ---------- train/test decontamination ----------
+
+def contamination(docs: "ray.data.Dataset", *, k: int = 7,
+                  rate_num: int = 1, rate_den: int = 10,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> "ray.data.Dataset | pa.Table":
+    """Train/test decontamination — the training-pipeline staple the other
+    dedup families don't cover: split the corpus by a deterministic
+    splitmix64 hash threshold (test = hash(id) ≤ rate·2^64, the same
+    sampler as q_hash_sample), then score every TEST document by the
+    fraction of its distinct k-char-gram shingles that appear anywhere on
+    the TRAIN side (n-gram containment, not symmetric Jaccard — a test doc
+    embedded inside a long train doc still scores 1.0).
+
+    Scale shape: one pass shingles the corpus into (sh, doc, test) integer
+    rows; ONE sort-shuffle groups them by hashed shingle bucket
+    (shuffle_utils.bucket_count buckets, ~4/CPU) and each bucket resolves
+    train-presence per shingle FULLY VECTORIZED (argsort + segment
+    bincount — no per-shingle Python, shingle groups are far too numerous
+    for map_groups dispatch); matched counts collapse to ≤ docs×buckets
+    partial rows inside the bucket.  Per-doc totals come from a map-side
+    combiner over the same materialized rows.  Both partial streams merge
+    in a measured-size grouped_agg by doc.  Neither side is broadcast or
+    driver-materialized: at 100 TB the train vocabulary lives only inside
+    the exchange.
+    """
+    from .shuffle_utils import bucket_count, grouped_agg
+    thr = np.uint64((rate_num << 64) // rate_den - 1)
+    nb = bucket_count()
+
+    def mk_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        is_test = _splitmix(ids.astype(np.uint64)) <= thr
+        shs, dids, flags = [], [], []
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            sh = shingle_hashes(text, k)
+            shs.append(sh.view(np.int64))
+            dids.append(np.full(sh.size, ids[i], np.int64))
+            flags.append(np.full(sh.size, np.int64(is_test[i])))
+        sh_all = np.concatenate(shs) if shs else np.empty(0, np.int64)
+        return pa.table({
+            "sh": pa.array(sh_all),
+            id_col: pa.array(np.concatenate(dids) if dids
+                             else np.empty(0, np.int64)),
+            "test": pa.array(np.concatenate(flags) if flags
+                             else np.empty(0, np.int64)),
+            "bkt": pa.array((_splitmix(sh_all.view(np.uint64))
+                             % np.uint64(nb)).astype(np.int64)),
+        })
+
+    rows = docs.map_batches(mk_rows, batch_format="pyarrow").materialize()
+
+    def totals(b: pa.Table) -> pa.Table:
+        """Map-side per-doc shingle counts for TEST docs (shingles are
+        unique per doc by construction, so count == set size)."""
+        t = np.asarray(b.column("test"), np.int64)
+        d = np.asarray(b.column(id_col), np.int64)[t == 1]
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({id_col: pa.array(uniq),
+                         "n_shingles": pa.array(cnt.astype(np.int64)),
+                         "n_matched": pa.array(np.zeros(uniq.size,
+                                                        np.int64))})
+
+    def bucket_fn(g: pa.Table) -> pa.Table:
+        """One hash bucket of shingle rows → (doc, matched-count) partials.
+        Vectorized: sort by shingle, segment-id via adjacent-diff, train
+        presence per segment via bincount — zero per-shingle Python."""
+        sh = np.asarray(g.column("sh"), np.int64)
+        t = np.asarray(g.column("test"), np.int64)
+        d = np.asarray(g.column(id_col), np.int64)
+        order = np.argsort(sh, kind="stable")
+        sh, t, d = sh[order], t[order], d[order]
+        seg = np.cumsum(np.r_[False, sh[1:] != sh[:-1]])
+        has_train = np.bincount(seg, weights=(t == 0)) > 0
+        keep = (t == 1) & has_train[seg]
+        uniq, cnt = np.unique(d[keep], return_counts=True)
+        return pa.table({id_col: pa.array(uniq),
+                         "n_shingles": pa.array(np.zeros(uniq.size,
+                                                         np.int64)),
+                         "n_matched": pa.array(cnt.astype(np.int64))})
+
+    matched = rows.groupby("bkt").map_groups(
+        lambda g: bucket_fn(g), batch_format="pyarrow")
+    partials = rows.map_batches(totals, batch_format="pyarrow") \
+        .union(matched)
+    agg = grouped_agg(partials, [id_col],
+                      [("n_shingles", "sum"), ("n_matched", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n_shingles"), np.int64)
+        m = np.asarray(b.column("n_matched"), np.int64)
+        # half-up 6-dp quantization — bit-matches DuckDB
+        # floor(CAST(m AS DOUBLE)/n * 1000000.0 + 0.5)/1000000.0
+        ratio = np.floor(m.astype(np.float64) / n.astype(np.float64)
+                         * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: b.column(id_col),
+                         "n_shingles": pa.array(n),
+                         "n_matched": pa.array(m),
+                         "contamination": pa.array(ratio)})
+
+    if isinstance(agg, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(finish(agg))
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -304,6 +304,9 @@ def _register_trainingdata():
     _REGISTRY["tfidf_top_term"] = lambda ds, text_col="text", \
         id_col="doc_id": TX.tfidf_top_term(ds, text_col=text_col,
                                            id_col=id_col)
+    _REGISTRY["contamination"] = lambda ds, k=7, rate_num=1, rate_den=10: \
+        DD.contamination(ds, k=int(k), rate_num=int(rate_num),
+                         rate_den=int(rate_den))
     _REGISTRY["langid"] = _batch_stage(TX.detect_language)
     _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)

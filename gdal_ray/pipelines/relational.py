@@ -4506,3 +4506,45 @@ def _build_sql_dedup_ngram_docs() -> str:
 
 
 SQL_DEDUP_NGRAM_DOCS = _build_sql_dedup_ngram_docs()
+
+
+def text_decontaminate_q(sf_dir: str):
+    """Train/test decontamination over the REAL documents corpus: 10%
+    deterministic test split (splitmix threshold — the q_hash_sample
+    sampler), 7-char-gram containment of each test doc against the train
+    shingle vocabulary.  Output: every test doc with its distinct-shingle
+    count, matched count, and half-up-6dp contamination ratio (never
+    empty — each test doc yields a row, so the schema survives)."""
+    from .dedup import contamination
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contamination(docs, k=7, rate_num=1, rate_den=10)
+
+
+def _build_sql_text_decontaminate() -> str:
+    """dedup.contamination end to end: the shared 7-gram shingle chain
+    (base-257 polynomial — 257^7 < 2^63 so the gram fits BIGINT — then
+    splitmix64 in HUGEINT, DISTINCT per doc), the splitmix hash-threshold
+    split, a LEFT JOIN against the train vocabulary, and the half-up-6dp
+    ratio (floor(x*1e6+0.5)/1e6 — Python round() is half-even, differs)."""
+    from .sketches import _sm_hugeint_select
+    thr = (1 << 64) // 10 - 1
+    chain = _docs_shingle_ctes(7)
+    chain += [
+        "split AS (SELECT doc_id AS doc, hv FROM "
+        f"({_sm_hugeint_select('documents', 'doc_id')}))",
+        f"tst AS (SELECT doc FROM split WHERE hv <= {thr}::HUGEINT)",
+        "trainsh AS (SELECT DISTINCT sh FROM shingles "
+        "WHERE doc NOT IN (SELECT doc FROM tst))",
+        "testsh AS (SELECT s.doc, s.sh FROM shingles s JOIN tst USING (doc))",
+        "agg AS (SELECT doc, COUNT(*) AS n, "
+        "SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS m "
+        "FROM testsh LEFT JOIN trainsh t ON t.sh = testsh.sh GROUP BY doc)",
+    ]
+    return ("WITH " + ",\n".join(chain)
+            + "\nSELECT doc AS doc_id, CAST(n AS BIGINT) AS n_shingles, "
+            "CAST(m AS BIGINT) AS n_matched, "
+            "floor(CAST(m AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0 "
+            "AS contamination FROM agg")
+
+
+SQL_TEXT_DECONTAMINATE = _build_sql_text_decontaminate()

@@ -507,3 +507,44 @@ def test_tfidf_distributed_matches_driver(ray_session, docs_tbl):
         SU.grouped_map_groups = orig
     import pandas as pd
     pd.testing.assert_frame_equal(base, forced_out, check_dtype=False)
+
+
+def test_contamination_semantics(ray_session):
+    """Planted split: an exact copy of a train doc scores 1.0; a doc over a
+    disjoint alphabet scores 0.0; containment (test substring of a longer
+    train doc) also scores 1.0 — asymmetric by design."""
+    import ray.data as rd
+    from gdal_ray.pipelines.dedup import _splitmix, contamination
+
+    thr = np.uint64((1 << 64) // 10 - 1)
+    ids = np.arange(0, 400, dtype=np.int64)
+    flags = _splitmix(ids.astype(np.uint64)) <= thr
+    test_ids = ids[flags]
+    train_ids = ids[~flags]
+    assert test_ids.size >= 3 and train_ids.size >= 3
+
+    long_train = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {}
+    for i in train_ids:
+        texts[int(i)] = long_train if i == train_ids[0] else f"train filler document number {i} with ordinary words"
+    # exact copy, contained substring, disjoint alphabet
+    texts[int(test_ids[0])] = long_train
+    texts[int(test_ids[1])] = "quick brown fox jumps"
+    texts[int(test_ids[2])] = "XXXXQQQQZZZZXXXXQQQQZZZZ"
+    for i in test_ids[3:]:
+        texts[int(i)] = f"test filler document number {i} with ordinary words"
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    }))
+    res = contamination(docs, k=7)
+    df = (res.to_pandas() if hasattr(res, "to_pandas") else res.to_pandas())
+    df = df.set_index("doc_id")
+    assert set(df.index) == set(int(i) for i in test_ids)
+    assert df.loc[int(test_ids[0]), "contamination"] == 1.0
+    assert df.loc[int(test_ids[1]), "contamination"] == 1.0
+    assert df.loc[int(test_ids[2]), "contamination"] < 0.1
+    # totals: distinct 7-gram count of the exact copy matches numpy
+    from gdal_ray.pipelines.dedup import shingle_hashes
+    assert df.loc[int(test_ids[0]), "n_shingles"] == shingle_hashes(long_train, 7).size
