@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": _simhash_docs,
         "text_fingerprint_docs": _text_fingerprint_docs,
         "text_decontaminate": R.text_decontaminate_q,
+        "text_seq_pack": R.text_seq_pack_q,
     }
 
 
@@ -278,4 +279,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_docs": R.SQL_DEDUP_SIMHASH_DOCS,
         "text_fingerprint_docs": R.SQL_TEXT_FINGERPRINT_DOCS,
         "text_decontaminate": R.SQL_TEXT_DECONTAMINATE,
+        "text_seq_pack": R.SQL_TEXT_SEQ_PACK,
     }

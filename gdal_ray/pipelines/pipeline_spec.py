@@ -307,6 +307,8 @@ def _register_trainingdata():
     _REGISTRY["contamination"] = lambda ds, k=7, rate_num=1, rate_den=10: \
         DD.contamination(ds, k=int(k), rate_num=int(rate_num),
                          rate_den=int(rate_den))
+    _REGISTRY["sequence_pack"] = lambda ds, capacity=512: \
+        TX.sequence_pack(ds, capacity=int(capacity))
     _REGISTRY["langid"] = _batch_stage(TX.detect_language)
     _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)

@@ -4548,3 +4548,32 @@ def _build_sql_text_decontaminate() -> str:
 
 
 SQL_TEXT_DECONTAMINATE = _build_sql_text_decontaminate()
+
+
+def text_seq_pack_q(sf_dir: str, capacity: int = 512):
+    """Sequence packing over the documents corpus (GPT-style concat-and-
+    chunk): global token prefix sum in doc_id order via the distributed
+    range-bucket carry scheme, then fixed 512-token bin boundaries."""
+    from .text import sequence_pack
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sequence_pack(docs, capacity=capacity)
+
+
+SQL_TEXT_SEQ_PACK = r"""
+WITH w AS (
+  SELECT doc_id,
+         greatest(1, len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0))) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM w)
+SELECT doc_id, n_tokens, start_off,
+       start_off // 512 AS bin_first,
+       (start_off + n_tokens - 1) // 512 AS bin_last,
+       (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_bins
+FROM s
+"""

@@ -266,3 +266,86 @@ def tfidf_top_term(docs: "object", *, text_col: str = "text",
         .map_batches(lambda b: b.select([id_col, "token", "tfidf"]),
                      batch_format="pyarrow")
     return grouped_map_groups(combined, id_col, best_per_doc)
+
+
+def sequence_pack(docs: "object", *, capacity: int = 512,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> "object":
+    """Concat-and-chunk sequence packing (the GPT-style training layout):
+    documents are concatenated in id order into one token stream and split
+    at fixed ``capacity`` boundaries; each doc reports its global start
+    offset and the bin range it spans.  Zero-token docs count as 1 so
+    every doc owns at least one slot.
+
+    The global running offset is a DISTRIBUTED PREFIX SUM: contiguous
+    id-range buckets (one sort-free shuffle — range bucketing preserves
+    order across buckets by construction), per-bucket token sums collapse
+    map-side to ≤ buckets×blocks partial rows whose exclusive prefix is
+    computed once on the driver (one int per bucket — bounded by cluster
+    size, not data), then each bucket resolves its docs with a vectorized
+    in-group cumsum plus its carry-in.  No stage sees more than its
+    bucket; nothing data-sized reaches the driver.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .shuffle_utils import bucket_count, grouped_agg
+
+    def toks_fn(b: pa.Table) -> pa.Table:
+        w = [max(1, len(t.split())) for t in b.column(text_col).to_pylist()]
+        return pa.table({id_col: b.column(id_col),
+                         "w": pa.array(w, pa.int64())})
+
+    toks = docs.map_batches(toks_fn, batch_format="pyarrow").materialize()
+    mm = toks.aggregate(Min(id_col), Max(id_col))
+    lo, hi = int(mm[f"min({id_col})"]), int(mm[f"max({id_col})"])
+    nb = bucket_count()
+    span = hi - lo + 1
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        bkt = ((ids - lo).astype(np.uint64) * np.uint64(nb)
+               // np.uint64(span)).astype(np.int64)
+        return b.append_column("bkt", pa.array(bkt))
+
+    bucketed = toks.map_batches(add_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    def bucket_sums(b: pa.Table) -> pa.Table:
+        bkt = np.asarray(b.column("bkt"), np.int64)
+        w = np.asarray(b.column("w"), np.int64)
+        s = np.bincount(bkt, weights=w, minlength=0)
+        nz = np.nonzero(s)[0]
+        return pa.table({"bkt": pa.array(nz.astype(np.int64)),
+                         "s": pa.array(s[nz].astype(np.int64))})
+
+    sums = grouped_agg(bucketed.map_batches(bucket_sums,
+                                            batch_format="pyarrow"),
+                       ["bkt"], [("s", "sum")])
+    if not isinstance(sums, pa.Table):  # ≤ nb rows — driver-safe by bound
+        sums = pa.concat_tables(list(sums.iter_batches(
+            batch_format="pyarrow")))
+    full = np.zeros(nb, np.int64)
+    full[np.asarray(sums.column("bkt"), np.int64)] = \
+        np.asarray(sums.column("s"), np.int64)
+    carries = np.concatenate([[0], np.cumsum(full)[:-1]])
+    cap = np.int64(capacity)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column(id_col), np.int64)
+        w = np.asarray(g.column("w"), np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, w = ids[order], w[order]
+        start = carries[int(g.column("bkt")[0].as_py())] \
+            + np.concatenate([[0], np.cumsum(w)[:-1]])
+        bin_first = start // cap
+        bin_last = (start + w - 1) // cap
+        return pa.table({id_col: pa.array(ids),
+                         "n_tokens": pa.array(w),
+                         "start_off": pa.array(start.astype(np.int64)),
+                         "bin_first": pa.array(bin_first.astype(np.int64)),
+                         "bin_last": pa.array(bin_last.astype(np.int64)),
+                         "n_bins": pa.array((bin_last - bin_first
+                                             + 1).astype(np.int64))})
+
+    return bucketed.groupby("bkt").map_groups(resolve,
+                                              batch_format="pyarrow")

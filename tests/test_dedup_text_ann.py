@@ -548,3 +548,30 @@ def test_contamination_semantics(ray_session):
     # totals: distinct 7-gram count of the exact copy matches numpy
     from gdal_ray.pipelines.dedup import shingle_hashes
     assert df.loc[int(test_ids[0]), "n_shingles"] == shingle_hashes(long_train, 7).size
+
+
+def test_sequence_pack_invariance_and_spanning(ray_session):
+    """Packing is partition-invariant (the carry scheme owns the global
+    order) and a doc longer than capacity spans multiple bins."""
+    import ray.data as rd
+    from gdal_ray.pipelines.text import sequence_pack
+
+    rng = np.random.default_rng(7)
+    n = 300
+    texts = [" ".join("w" * 1 for _ in range(int(l)))
+             for l in rng.integers(1, 40, n)]
+    texts[120] = " ".join(["tok"] * 300)   # spans >2 bins at capacity 128
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+
+    a = sequence_pack(rd.from_arrow(tbl), capacity=128) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = sequence_pack(rd.from_arrow(tbl).repartition(13), capacity=128) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    w = np.array([max(1, len(t.split())) for t in texts], np.int64)
+    start = np.concatenate([[0], np.cumsum(w)[:-1]])
+    assert (a["start_off"].to_numpy() == start).all()
+    row = a.set_index("doc_id").loc[120]
+    assert row["n_bins"] >= 3 and row["bin_last"] - row["bin_first"] + 1 == row["n_bins"]
