@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint_docs": _text_fingerprint_docs,
         "text_decontaminate": R.text_decontaminate_q,
         "text_seq_pack": R.text_seq_pack_q,
+        "text_repetition": R.text_repetition_q,
     }
 
 
@@ -280,4 +281,5 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_docs": R.SQL_TEXT_FINGERPRINT_DOCS,
         "text_decontaminate": R.SQL_TEXT_DECONTAMINATE,
         "text_seq_pack": R.SQL_TEXT_SEQ_PACK,
+        "text_repetition": R.SQL_TEXT_REPETITION,
     }

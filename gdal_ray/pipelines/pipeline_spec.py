@@ -313,6 +313,7 @@ def _register_trainingdata():
     _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)
     _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
+    _REGISTRY["repetition_score"] = _batch_stage(TX.repetition_score)
 
     from ..pipelines import sketches as SK
     _REGISTRY["hll_registers"] = lambda ds, col, b=10: \

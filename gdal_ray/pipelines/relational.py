@@ -4577,3 +4577,36 @@ SELECT doc_id, n_tokens, start_off,
        (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_bins
 FROM s
 """
+
+
+def text_repetition_q(sf_dir: str):
+    """Within-doc repetition quality signals (Gopher-style) over the real
+    corpus: top-2-gram fraction + duplicate-2-gram fraction, half-up 6dp."""
+    from .text import repetition_score
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_score, batch_format="pyarrow")
+
+
+SQL_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+  FROM documents),
+tl AS (SELECT doc_id, l, len(l) AS nt FROM toks),
+pairs AS (
+  SELECT doc_id, l[i.i] || ' ' || l[i.i + 1] AS g
+  FROM tl, generate_series(1, 4095) i(i)
+  WHERE i.i <= nt - 1),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM pairs GROUP BY doc_id, g),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(MAX(c) AS BIGINT) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n, 0) AS n_2grams,
+       COALESCE(floor(CAST(a.mx AS DOUBLE) / a.n * 1000000.0 + 0.5)
+                / 1000000.0, 0.0) AS top_2gram_frac,
+       COALESCE(floor(CAST(a.n - a.nd AS DOUBLE) / a.n * 1000000.0 + 0.5)
+                / 1000000.0, 0.0) AS dup_2gram_frac
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

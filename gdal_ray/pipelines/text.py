@@ -349,3 +349,30 @@ def sequence_pack(docs: "object", *, capacity: int = 512,
 
     return bucketed.groupby("bkt").map_groups(resolve,
                                               batch_format="pyarrow")
+
+
+def repetition_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals over word 2-grams:
+    the fraction of all 2-grams taken by the single most frequent one, and
+    the duplicate fraction (1 − distinct/total).  Both quantized half-up
+    6 dp (floor(x·1e6+0.5)/1e6 — matches DuckDB, not Python round()).
+    Docs with < 2 tokens emit zeros."""
+    texts = batch.column(text_col).to_pylist()
+    top, dup, tot = [], [], []
+    for t in texts:
+        toks = t.split()
+        n = len(toks) - 1
+        if n < 1:
+            top.append(0.0); dup.append(0.0); tot.append(0)
+            continue
+        from collections import Counter
+        c = Counter(zip(toks, toks[1:]))
+        mx, nd = max(c.values()), len(c)
+        top.append(float(np.floor(mx / n * 1e6 + 0.5) / 1e6))
+        dup.append(float(np.floor((n - nd) / n * 1e6 + 0.5) / 1e6))
+        tot.append(n)
+    out = {c: batch.column(c) for c in batch.column_names if c != text_col}
+    out["n_2grams"] = pa.array(tot, pa.int64())
+    out["top_2gram_frac"] = pa.array(top, pa.float64())
+    out["dup_2gram_frac"] = pa.array(dup, pa.float64())
+    return pa.table(out)
