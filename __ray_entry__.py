@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": R.text_decontaminate_q,
         "text_seq_pack": R.text_seq_pack_q,
         "text_repetition": R.text_repetition_q,
+        "emb_kmeans": R.emb_kmeans_q,
     }
 
 
@@ -282,4 +283,5 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": R.SQL_TEXT_DECONTAMINATE,
         "text_seq_pack": R.SQL_TEXT_SEQ_PACK,
         "text_repetition": R.SQL_TEXT_REPETITION,
+        "emb_kmeans": R.SQL_EMB_KMEANS,
     }

@@ -293,3 +293,87 @@ def ivf_topk(emb: "ray.data.Dataset", query_vecs: np.ndarray, query_ids,
 
     partials = pruned.map_batches(ivf_scan, batch_format="pyarrow")
     return _merge_topk_per_query(partials, k, id_col)
+
+
+def kmeans_assign(emb: "ray.data.Dataset", *, k: int = 4, iters: int = 3,
+                  scale: int = 1 << 20, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Distributed Lloyd k-means over an embedding column — the iterative-
+    algorithm operator class, made ORACLE-EXACT by working in quantized
+    integer arithmetic: coordinates are floor(x·2^20) int64 (no float
+    accumulation order anywhere), distances are exact int64 sums (64 dims
+    × (2·2^19)² < 2^47), centroid updates use TRUNCATING integer division
+    (matches DuckDB's `//`; numpy's `//` floors — converted explicitly).
+    Init = the k smallest ids' vectors; empty clusters keep their centroid.
+
+    Scale shape: the quantized vectors materialize once; each iteration is
+    ONE map_batches pass emitting ≤ k rows per block (per-cluster integer
+    sum + count) whose merge is driver-side by BOUND (k × blocks ints, a
+    cluster-size quantity, not a data quantity); centroids broadcast back
+    via closure capture (k × dim ints).  The final pass emits assignments
+    and exact squared distances.
+    """
+    def quantize(b: pa.Table) -> pa.Table:
+        V = list_column_to_ndarray(b.column(vec_col)).astype(np.float64)
+        Q = np.floor(V * float(scale)).astype(np.int64)
+        return pa.table({id_col: b.column(id_col),
+                         "q": pa.array(list(Q), pa.list_(pa.int64()))})
+
+    qds = emb.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    head = qds.sort(id_col).limit(k).take_all()  # k rows — bounded
+    C = np.array([r["q"] for r in sorted(head, key=lambda r: r[id_col])],
+                 dtype=np.int64)
+    dim = C.shape[1]
+
+    def _assign(Q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # exact int64 distances; argmin ties → smallest cluster index
+        d2 = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return d2, d2.argmin(axis=1)
+
+    for _ in range(iters):
+        cent = C.copy()
+
+        def partial(b: pa.Table, cent=cent) -> pa.Table:
+            Q = np.stack(b.column("q").to_numpy(zero_copy_only=False))
+            _, cl = _assign(Q, cent)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in np.unique(cl):
+                sel = Q[cl == c]
+                rows_c.append(int(c))
+                rows_n.append(sel.shape[0])
+                rows_s.append(sel.sum(axis=0, dtype=np.int64))
+            return pa.table({
+                "cluster": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array([list(map(int, s)) for s in rows_s],
+                              pa.list_(pa.int64()))})
+
+        # ≤ k×blocks rows reach the driver — bounded by cluster size
+        parts = pa.concat_tables(list(
+            qds.map_batches(partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")))
+        cl_ids = np.asarray(parts.column("cluster"), np.int64)
+        ns = np.asarray(parts.column("n"), np.int64)
+        ss = np.stack(parts.column("s").to_numpy(zero_copy_only=False))
+        newC = C.copy()
+        for c in range(k):
+            m = cl_ids == c
+            if m.any():
+                n = ns[m].sum()
+                s = ss[m].sum(axis=0)
+                # TRUNCATING division — DuckDB `//`; numpy floors
+                newC[c] = np.sign(s) * (np.abs(s) // n)
+        C = newC
+
+    cent = C
+
+    def final(b: pa.Table, cent=cent) -> pa.Table:
+        Q = np.stack(b.column("q").to_numpy(zero_copy_only=False))
+        d2, cl = _assign(Q, cent)
+        return pa.table({id_col: b.column(id_col),
+                         "cluster": pa.array(cl.astype(np.int64)),
+                         "dist2": pa.array(
+                             d2[np.arange(len(cl)), cl].astype(np.int64))})
+
+    return qds.map_batches(final, batch_format="pyarrow")

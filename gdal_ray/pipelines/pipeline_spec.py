@@ -314,6 +314,9 @@ def _register_trainingdata():
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)
     _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
     _REGISTRY["repetition_score"] = _batch_stage(TX.repetition_score)
+    from ..pipelines import ann as ANN
+    _REGISTRY["kmeans_assign"] = lambda ds, k=4, iters=3: \
+        ANN.kmeans_assign(ds, k=int(k), iters=int(iters))
 
     from ..pipelines import sketches as SK
     _REGISTRY["hll_registers"] = lambda ds, col, b=10: \

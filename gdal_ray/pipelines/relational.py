@@ -4610,3 +4610,58 @@ SELECT d.doc_id,
                 / 1000000.0, 0.0) AS dup_2gram_frac
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+def emb_kmeans_q(sf_dir: str):
+    """Distributed Lloyd k-means (k=4, 3 iterations) over the embeddings
+    table — the iterative-algorithm operator class, oracle-EXACT via
+    quantized int64 arithmetic (see ann.kmeans_assign)."""
+    from .ann import kmeans_assign
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(emb, k=4, iters=3)
+
+
+def _build_sql_emb_kmeans(k: int = 4, iters: int = 3,
+                          scale: int = 1 << 20, dim: int = 64) -> str:
+    """ann.kmeans_assign replayed exactly: floor(x·2^20) int64 coords,
+    exact integer squared distances, argmin ties to the smallest cluster
+    (ORDER BY dist, cluster), truncating `//` centroid update (the numpy
+    side converts its floor-division explicitly), empty clusters keep
+    their centroid via LEFT JOIN + COALESCE, init = k smallest vec_ids."""
+    chain = [
+        f"v AS (SELECT vec_id, i.i AS d, CAST(floor(embedding[i.i + 1] * "
+        f"{scale}e0) AS BIGINT) AS q FROM embeddings, "
+        f"generate_series(0, {dim - 1}) i(i))",
+        "initids AS (SELECT vec_id, CAST(row_number() OVER "
+        "(ORDER BY vec_id) - 1 AS BIGINT) AS cluster FROM "
+        f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS (SELECT ii.cluster, v.d, v.q FROM initids ii "
+        "JOIN v ON v.vec_id = ii.vec_id)",
+    ]
+    for t in range(iters):
+        chain += [
+            f"a{t} AS (SELECT vec_id, cluster FROM ("
+            "SELECT v.vec_id, c.cluster, "
+            "SUM((v.q - c.q) * (v.q - c.q)) AS dist "
+            f"FROM v JOIN c{t} c ON c.d = v.d GROUP BY v.vec_id, c.cluster) "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cluster) = 1)",
+            f"s{t} AS (SELECT a.cluster, v.d, SUM(v.q) AS sq, "
+            f"COUNT(*) AS n FROM a{t} a JOIN v ON v.vec_id = a.vec_id "
+            "GROUP BY a.cluster, v.d)",
+            f"c{t + 1} AS (SELECT c.cluster, c.d, "
+            "CAST(COALESCE(s.sq // s.n, c.q) AS BIGINT) AS q "
+            f"FROM c{t} c LEFT JOIN s{t} s ON s.cluster = c.cluster "
+            "AND s.d = c.d)",
+        ]
+    return ("WITH " + ",\n".join(chain)
+            + "\nSELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist2 "
+            "FROM (SELECT v.vec_id, c.cluster, "
+            "SUM((v.q - c.q) * (v.q - c.q)) AS dist "
+            f"FROM v JOIN c{iters} c ON c.d = v.d "
+            "GROUP BY v.vec_id, c.cluster) "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cluster) = 1")
+
+
+SQL_EMB_KMEANS = _build_sql_emb_kmeans()

@@ -575,3 +575,25 @@ def test_sequence_pack_invariance_and_spanning(ray_session):
     assert (a["start_off"].to_numpy() == start).all()
     row = a.set_index("doc_id").loc[120]
     assert row["n_bins"] >= 3 and row["bin_last"] - row["bin_first"] + 1 == row["n_bins"]
+
+
+def test_kmeans_partition_invariance_and_quality(ray_session, emb_tbl):
+    """k-means assignments are partition-invariant (the per-iteration
+    merge is order-free integer arithmetic) and clusters align with the
+    generator's labels on the blob-structured embeddings."""
+    import ray.data as rd
+    from gdal_ray.pipelines.ann import kmeans_assign
+
+    a = kmeans_assign(rd.from_arrow(emb_tbl), k=4, iters=3) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = kmeans_assign(rd.from_arrow(emb_tbl).repartition(7), k=4, iters=3) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # Lloyd monotonicity: total squared distance never increases with
+    # more iterations (the one guarantee k-means gives)
+    c0 = kmeans_assign(rd.from_arrow(emb_tbl), k=4, iters=0) \
+        .to_pandas()["dist2"].sum()
+    c3 = a["dist2"].sum()
+    assert c3 <= c0
+    assert a["cluster"].nunique() >= 2  # init spread keeps >1 cluster live
