@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_seq_pack": R.text_seq_pack_q,
         "text_repetition": R.text_repetition_q,
         "emb_kmeans": R.emb_kmeans_q,
+        "text_chunks": R.text_chunks_q,
     }
 
 
@@ -284,4 +285,5 @@ def oracle_sql() -> dict[str, str]:
         "text_seq_pack": R.SQL_TEXT_SEQ_PACK,
         "text_repetition": R.SQL_TEXT_REPETITION,
         "emb_kmeans": R.SQL_EMB_KMEANS,
+        "text_chunks": R.SQL_TEXT_CHUNKS,
     }

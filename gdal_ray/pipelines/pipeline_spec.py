@@ -317,6 +317,10 @@ def _register_trainingdata():
     from ..pipelines import ann as ANN
     _REGISTRY["kmeans_assign"] = lambda ds, k=4, iters=3: \
         ANN.kmeans_assign(ds, k=int(k), iters=int(iters))
+    _REGISTRY["chunk_tokens"] = lambda ds, window=64, stride=48: \
+        ds.map_batches(lambda b: TX.chunk_tokens(
+            b, window=int(window), stride=int(stride)),
+            batch_format="pyarrow")
 
     from ..pipelines import sketches as SK
     _REGISTRY["hll_registers"] = lambda ds, col, b=10: \

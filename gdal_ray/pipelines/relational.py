@@ -4665,3 +4665,27 @@ def _build_sql_emb_kmeans(k: int = 4, iters: int = 3,
 
 
 SQL_EMB_KMEANS = _build_sql_emb_kmeans()
+
+
+def text_chunks_q(sf_dir: str, window: int = 64, stride: int = 48):
+    """Overlapping token chunking (RAG/window layout) over the corpus."""
+    from .text import chunk_tokens
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: chunk_tokens(b, window=window, stride=stride),
+        batch_format="pyarrow")
+
+
+SQL_TEXT_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+  FROM documents),
+tl AS (SELECT doc_id, l, greatest(len(l), 1) AS n FROM toks)
+SELECT doc_id, i.i AS chunk_id, i.i * 48 AS tok_start,
+       len(l[i.i * 48 + 1 : i.i * 48 + 64]) AS n_chunk_tokens,
+       COALESCE(array_to_string(l[i.i * 48 + 1 : i.i * 48 + 64], ' '), '')
+           AS chunk_text
+FROM tl, generate_series(0, 4095) i(i)
+WHERE i.i * 48 < n
+"""

@@ -376,3 +376,34 @@ def repetition_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out["top_2gram_frac"] = pa.array(top, pa.float64())
     out["dup_2gram_frac"] = pa.array(dup, pa.float64())
     return pa.table(out)
+
+
+def chunk_tokens(batch: pa.Table, *, window: int = 64, stride: int = 48,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """RAG/training-style overlapping token chunking: whitespace tokens,
+    fixed ``window``-token chunks every ``stride`` tokens (chunk starts at
+    0, stride, 2·stride, … while start < n_tokens).  A zero-token doc
+    still emits one empty chunk so every doc survives into the output.
+    Stateless flat expansion — one doc's chunks never cross a batch."""
+    ids, cids, starts, lens, texts_out = [], [], [], [], []
+    id_vals = batch.column(id_col).to_pylist()
+    for did, t in zip(id_vals, batch.column(text_col).to_pylist()):
+        toks = t.split()
+        n = max(len(toks), 1)
+        s = 0
+        cid = 0
+        while s < n:
+            chunk = toks[s:s + window]
+            ids.append(did)
+            cids.append(cid)
+            starts.append(s)
+            lens.append(len(chunk))
+            texts_out.append(" ".join(chunk))
+            cid += 1
+            s += stride
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "chunk_id": pa.array(cids, pa.int64()),
+                     "tok_start": pa.array(starts, pa.int64()),
+                     "n_chunk_tokens": pa.array(lens, pa.int64()),
+                     "chunk_text": pa.array(texts_out, pa.string())})
