@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": R.text_repetition_q,
         "emb_kmeans": R.emb_kmeans_q,
         "text_chunks": R.text_chunks_q,
+        "q_stratified_sample": R.q_stratified_sample,
     }
 
 
@@ -286,4 +287,5 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": R.SQL_TEXT_REPETITION,
         "emb_kmeans": R.SQL_EMB_KMEANS,
         "text_chunks": R.SQL_TEXT_CHUNKS,
+        "q_stratified_sample": R.SQL_STRATIFIED_SAMPLE,
     }

@@ -689,8 +689,8 @@ def connected_components(pairs: "ray.data.Dataset", *,
 
 def contamination(docs: "ray.data.Dataset", *, k: int = 7,
                   rate_num: int = 1, rate_den: int = 10,
-                  id_col: str = "doc_id",
-                  text_col: str = "text") -> "ray.data.Dataset | pa.Table":
+                  id_col: str = "doc_id", text_col: str = "text",
+                  driver_limit: int = 4_000_000) -> "ray.data.Dataset | pa.Table":
     """Train/test decontamination — the training-pipeline staple the other
     dedup families don't cover: split the corpus by a deterministic
     splitmix64 hash threshold (test = hash(id) ≤ rate·2^64, the same
@@ -771,7 +771,8 @@ def contamination(docs: "ray.data.Dataset", *, k: int = 7,
     partials = rows.map_batches(totals, batch_format="pyarrow") \
         .union(matched)
     agg = grouped_agg(partials, [id_col],
-                      [("n_shingles", "sum"), ("n_matched", "sum")])
+                      [("n_shingles", "sum"), ("n_matched", "sum")],
+                      driver_limit=driver_limit)
 
     def finish(b: pa.Table) -> pa.Table:
         n = np.asarray(b.column("n_shingles"), np.int64)

@@ -4689,3 +4689,40 @@ SELECT doc_id, i.i AS chunk_id, i.i * 48 AS tok_start,
 FROM tl, generate_series(0, 4095) i(i)
 WHERE i.i * 48 < n
 """
+
+
+def q_stratified_sample(sf_dir: str):
+    """Class-rebalancing stratified sampler: a DIFFERENT deterministic
+    hash-threshold rate per stratum (o_orderstatus F→1/50, O→1/10, P→1/2)
+    — the downsample-the-majority-class op of training pipelines.  One
+    stateless map_batches filter, zero shuffle, partition-invariant and
+    reproducible (splitmix64 threshold per row, like q_hash_sample)."""
+    from .dedup import _splitmix
+    rates = {"F": 50, "O": 10, "P": 2}
+    thr = {s: np.uint64((1 << 64) // d - 1) for s, d in rates.items()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("o_orderkey"), np.int64).astype(np.uint64)
+        hv = _splitmix(k)
+        st = b.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        lim = np.array([thr.get(s, np.uint64(0)) for s in st], np.uint64)
+        out = b.filter(pa.array(hv <= lim))
+        return _round_col(out, "o_totalprice", 2)
+
+    return _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_stratified_sample() -> str:
+    from .sketches import _sm_hugeint_select
+    cases = " ".join(
+        f"WHEN '{s}' THEN {(1 << 64) // d - 1}::HUGEINT"
+        for s, d in (("F", 50), ("O", 10), ("P", 2)))
+    return (f"WITH s AS ({_sm_hugeint_select('orders', 'o_orderkey')}) "
+            f"SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) "
+            f"AS o_totalprice FROM s WHERE hv <= "
+            f"CASE o_orderstatus {cases} ELSE 0::HUGEINT END")
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()

@@ -269,8 +269,8 @@ def tfidf_top_term(docs: "object", *, text_col: str = "text",
 
 
 def sequence_pack(docs: "object", *, capacity: int = 512,
-                  id_col: str = "doc_id",
-                  text_col: str = "text") -> "object":
+                  id_col: str = "doc_id", text_col: str = "text",
+                  driver_limit: int = 4_000_000) -> "object":
     """Concat-and-chunk sequence packing (the GPT-style training layout):
     documents are concatenated in id order into one token stream and split
     at fixed ``capacity`` boundaries; each doc reports its global start
@@ -320,7 +320,7 @@ def sequence_pack(docs: "object", *, capacity: int = 512,
 
     sums = grouped_agg(bucketed.map_batches(bucket_sums,
                                             batch_format="pyarrow"),
-                       ["bkt"], [("s", "sum")])
+                       ["bkt"], [("s", "sum")], driver_limit=driver_limit)
     if not isinstance(sums, pa.Table):  # ≤ nb rows — driver-safe by bound
         sums = pa.concat_tables(list(sums.iter_batches(
             batch_format="pyarrow")))

@@ -597,3 +597,23 @@ def test_kmeans_partition_invariance_and_quality(ray_session, emb_tbl):
     c3 = a["dist2"].sum()
     assert c3 <= c0
     assert a["cluster"].nunique() >= 2  # init spread keeps >1 cluster live
+
+
+def test_contamination_and_seqpack_path_parity(ray_session, docs_tbl):
+    """driver_limit=0 forces grouped_agg's distributed branch — both paths
+    must emit identical tables (the distributed-branch pin the small-sf
+    suite would otherwise never execute)."""
+    import ray.data as rd
+    from gdal_ray.pipelines.dedup import contamination
+    from gdal_ray.pipelines.text import sequence_pack
+
+    ds = rd.from_arrow(docs_tbl)
+    def norm(x):
+        df = x.to_pandas() if hasattr(x, "to_pandas") else x
+        return df.sort_values("doc_id").reset_index(drop=True)
+    a = norm(contamination(ds, k=7))
+    b = norm(contamination(ds, k=7, driver_limit=0))
+    assert a.equals(b)
+    c = norm(sequence_pack(ds, capacity=128))
+    d = norm(sequence_pack(ds, capacity=128, driver_limit=0))
+    assert c.equals(d)
