@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": R.emb_kmeans_q,
         "text_chunks": R.text_chunks_q,
         "q_stratified_sample": R.q_stratified_sample,
+        "q_outer_join": R.q_outer_join,
     }
 
 
@@ -288,4 +289,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": R.SQL_EMB_KMEANS,
         "text_chunks": R.SQL_TEXT_CHUNKS,
         "q_stratified_sample": R.SQL_STRATIFIED_SAMPLE,
+        "q_outer_join": R.SQL_OUTER_JOIN,
     }

@@ -4726,3 +4726,69 @@ def _sql_stratified_sample() -> str:
 
 
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_outer_join(sf_dir: str):
+    """FULL OUTER join completing the join-type matrix (inner/left/semi/
+    anti/asof/range already covered): every-3rd customer vs per-customer
+    order aggregates — both exclusive sides are naturally non-empty
+    (filtered-out customers still hold orders; 1/3 of TPC-H customers hold
+    none).  Money summed in scaled int64 cents, divided once at the end."""
+    from ray.data.aggregate import Count, Sum
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def third(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("c_custkey"), np.int64)
+        return b.filter(pa.array(k % 3 == 0))
+
+    cust3 = cust.map_batches(third, batch_format="pyarrow")
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("o_totalprice"), np.float64)
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64))})
+
+    agg = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Count(), Sum("cents"))
+
+    j = cust3.join(agg, join_type="full_outer",
+                   num_partitions=_join_partitions(),
+                   on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's outer join coalesces the key into the LEFT key column;
+        # the customer-side indicator survives via c_acctbal validity
+        # (never NULL for a real TPC-H customer row)
+        key = b.column("c_custkey").cast(pa.int64())
+        bal0 = b.column("c_acctbal")
+        bal = pc.coalesce(bal0, pa.scalar(0.0))
+        n = pc.coalesce(b.column("count()"), pa.scalar(0)).cast(pa.int64())
+        c = pc.coalesce(b.column("sum(cents)"), pa.scalar(0)).cast(pa.int64())
+        tp = pc.divide(c.cast(pa.float64()), 100.0)
+        has = pc.cast(pc.is_valid(bal0), pa.int64())
+        return pa.table({"custkey": key,
+                         "acctbal": pc.round(
+                             bal, ndigits=2,
+                             round_mode="half_towards_infinity"),
+                         "has_cust": has,
+                         "n_orders": n,
+                         "total_price": tp})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_OUTER_JOIN = """
+WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       COALESCE(round(c.c_acctbal, 2), 0.0) AS acctbal,
+       CAST(c.c_custkey IS NOT NULL AS BIGINT) AS has_cust,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(CAST(o.cents AS DOUBLE) / 100.0, 0.0) AS total_price
+FROM c FULL JOIN o ON o.o_custkey = c.c_custkey
+"""
