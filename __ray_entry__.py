@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_chunks": R.text_chunks_q,
         "q_stratified_sample": R.q_stratified_sample,
         "q_outer_join": R.q_outer_join,
+        "events_funnel": R.events_funnel_q,
     }
 
 
@@ -290,4 +291,5 @@ def oracle_sql() -> dict[str, str]:
         "text_chunks": R.SQL_TEXT_CHUNKS,
         "q_stratified_sample": R.SQL_STRATIFIED_SAMPLE,
         "q_outer_join": R.SQL_OUTER_JOIN,
+        "events_funnel": R.SQL_EVENTS_FUNNEL,
     }

@@ -385,3 +385,79 @@ SELECT user_id, session_id,
        round(sum(vu) / 1000000.0, 4) AS sum_value
 FROM s GROUP BY user_id, session_id
 """
+
+
+def events_funnel(sf_dir: str, *, window_minutes: int = 60,
+                  num_buckets: int = 64, first_type: str = "signup",
+                  then_type: str = "purchase"):
+    """Funnel / conversion detection (the ordered-sequence analytics op):
+    for every ``first_type`` event, did the same user emit a
+    ``then_type`` event strictly later but within ``window_minutes``?
+    Per user: signup count, converted-signup count, half-up-6dp rate.
+
+    Scale shape (the events_sessions bucket pattern): only the two event
+    types survive the column-pruned read; users route to hashed buckets
+    and each bucket resolves ALL its users in one vectorized pass — both
+    sides get a composite key ``user_ordinal·SPAN + (ts − tmin)`` whose
+    user blocks cannot overlap (SPAN > bucket time-span + window), so one
+    pair of np.searchsorted calls counts each signup's in-window
+    purchases with zero per-user dispatch."""
+    W = np.int64(window_minutes) * 60_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    from .dedup import _splitmix
+
+    def bucket(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array([first_type, then_type]))
+        b = b.filter(keep)
+        u = np.asarray(b.column("user_id"), np.int64)
+        bk = (_splitmix(u.astype(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+    def funnel(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_signups": pa.array([], pa.int64()),
+            "n_conversions": pa.array([], pa.int64()),
+            "conv_rate": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        u = np.asarray(g.column("user_id"), np.int64)
+        ts = np.asarray(g.column("ts").cast(pa.int64()), np.int64)
+        eid = np.asarray(g.column("event_id"), np.int64)
+        isf = np.asarray(pc.equal(g.column("event_type"), first_type))
+        uu = np.unique(u)
+        ordn = np.searchsorted(uu, u)
+        tmin = ts.min()
+        span = np.int64(ts.max() - tmin + W + 1)
+        assert uu.size < (1 << 62) // max(int(span), 1), \
+            "composite funnel key would overflow int64"
+        key = ordn.astype(np.int64) * span + (ts - tmin)
+        sk = key[isf]
+        su = u[isf]
+        se = eid[isf]
+        pk = np.sort(key[~isf])
+        hits = (np.searchsorted(pk, sk + W, side="right")
+                - np.searchsorted(pk, sk, side="right")) > 0
+        if sk.size == 0:
+            return empty
+        order = np.lexsort((se, su))
+        su, hits = su[order], hits[order]
+        uniq, starts = np.unique(su, return_index=True)
+        bounds = np.append(starts, su.size)
+        n_sign = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        n_conv = np.add.reduceat(hits.astype(np.int64), starts)
+        rate = np.floor(n_conv / n_sign * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "user_id": pa.array(uniq),
+            "n_signups": pa.array(n_sign),
+            "n_conversions": pa.array(n_conv),
+            "conv_rate": pa.array(rate)})
+
+    from .shuffle_utils import grouped_map_groups
+    return grouped_map_groups(ds.map_batches(bucket, batch_format="pyarrow"),
+                              "bucket", funnel)

@@ -4792,3 +4792,26 @@ SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
        COALESCE(CAST(o.cents AS DOUBLE) / 100.0, 0.0) AS total_price
 FROM c FULL JOIN o ON o.o_custkey = c.c_custkey
 """
+
+
+def events_funnel_q(sf_dir: str):
+    from .raster_ops import events_funnel
+    return events_funnel(sf_dir, window_minutes=60)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+hit AS (SELECT DISTINCT s.event_id FROM s JOIN p
+        ON p.user_id = s.user_id AND p.ts > s.ts
+        AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000)
+SELECT s.user_id, COUNT(*) AS n_signups,
+       CAST(SUM(CASE WHEN h.event_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_conversions,
+       floor(CAST(SUM(CASE WHEN h.event_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+           AS conv_rate
+FROM s LEFT JOIN hit h ON h.event_id = s.event_id
+GROUP BY s.user_id
+"""

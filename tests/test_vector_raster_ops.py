@@ -186,3 +186,45 @@ def test_events_hourly_matches_duckdb(ray_session):
     assert len(got) == len(exp)
     assert (got["n_events"].values == exp["n_events"].values).all()
     np.testing.assert_allclose(got["sum_value"].values, exp["sum_value"].values, atol=1e-9)
+
+
+def test_events_funnel_path_parity_and_oracle(ray_session):
+    """events_funnel: distributed grouped_map_groups branch == driver
+    branch, and both == a brute-force per-user scan at sf0.001."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from gdal_ray.pipelines import shuffle_utils as SU
+    from gdal_ray.pipelines.raster_ops import events_funnel
+
+    sf = "/root/testdata/sf0.001"
+    base = events_funnel(sf).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+
+    orig = SU.grouped_map_groups
+
+    def forced(ds, key, fn, driver_limit=200_000):
+        return orig(ds, key, fn, driver_limit=0)
+
+    SU.grouped_map_groups = forced
+    try:
+        dist = events_funnel(sf).to_pandas().sort_values("user_id") \
+            .reset_index(drop=True)
+    finally:
+        SU.grouped_map_groups = orig
+    pd.testing.assert_frame_equal(base, dist)
+
+    # brute force
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["user_id", "ts", "event_type"]).to_pandas()
+    t["us"] = t["ts"].astype("int64")
+    W = 60 * 60_000_000
+    rows = {}
+    for uid, grp in t.groupby("user_id"):
+        s = grp[grp.event_type == "signup"]["us"].to_numpy()
+        p = np.sort(grp[grp.event_type == "purchase"]["us"].to_numpy())
+        if s.size == 0:
+            continue
+        conv = sum(bool(((p > x) & (p <= x + W)).any()) for x in s)
+        rows[uid] = (len(s), conv)
+    assert dict(zip(base["user_id"],
+                    zip(base["n_signups"], base["n_conversions"]))) == rows
