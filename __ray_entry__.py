@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": R.q_stratified_sample,
         "q_outer_join": R.q_outer_join,
         "events_funnel": R.events_funnel_q,
+        "events_outliers": R.events_outliers_q,
     }
 
 
@@ -292,4 +293,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": R.SQL_STRATIFIED_SAMPLE,
         "q_outer_join": R.SQL_OUTER_JOIN,
         "events_funnel": R.SQL_EVENTS_FUNNEL,
+        "events_outliers": R.SQL_EVENTS_OUTLIERS,
     }

@@ -4815,3 +4815,88 @@ SELECT s.user_id, COUNT(*) AS n_signups,
 FROM s LEFT JOIN hit h ON h.event_id = s.event_id
 GROUP BY s.user_id
 """
+
+
+def events_outliers_q(sf_dir: str, z_thresh: float = 2.0):
+    """Per-type z-score outlier flagging over the events stream — anomaly
+    detection from EXACT integer moments (the q_group_corr recipe): values
+    quantized to int64 cents, per-type n/Σx/Σx² folded map-side and merged
+    measured-size, then one broadcast pass computes
+    z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²) with a single float division and
+    sqrt — bit-identical on both engines because every input to the float
+    stage is the same exact integer."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle_utils import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("value"), np.float64)
+        xc = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "xc": pa.array(xc)})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": b.column("event_type"),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "s1": b.column("xc"),
+            "s2": pa.array(np.asarray(b.column("xc"), np.int64) ** 2),
+        }).group_by("event_type").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n": g.column("n_sum"), "s1": g.column("s1_sum"),
+                         "s2": g.column("s2_sum")})
+
+    mom = grouped_agg(cds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type"],
+                      [("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+    if not isinstance(mom, pa.Table):
+        mom = pa.concat_tables(list(mom.iter_batches(
+            batch_format="pyarrow")))
+    import math
+    stats = {}
+    for i in range(mom.num_rows):
+        n = int(mom.column("n")[i].as_py())
+        s1 = int(mom.column("s1")[i].as_py())
+        s2 = int(mom.column("s2")[i].as_py())
+        # exact python ints; float() rounds-to-nearest like CAST AS DOUBLE
+        stats[mom.column("event_type")[i].as_py()] = \
+            (n, s1, math.sqrt(float(n * s2 - s1 * s1)))
+
+    def flag(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_pylist()
+        xc = np.asarray(b.column("xc"), np.int64)
+        ns = np.array([stats[t][0] for t in et], np.int64)
+        s1 = np.array([stats[t][1] for t in et], np.int64)
+        den = np.array([stats[t][2] for t in et], np.float64)
+        z = (xc * ns - s1).astype(np.float64) / den
+        keep = np.abs(z) > z_thresh
+        zq = np.floor(z[keep] * 1e6 + 0.5) / 1e6
+        t = b.filter(pa.array(keep))
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "zscore": pa.array(zq)})
+
+    return cds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_EVENTS_OUTLIERS = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+           FROM events),
+m AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(xc) AS BIGINT) AS s1,
+             CAST(SUM(xc * xc) AS BIGINT) AS s2
+      FROM c GROUP BY event_type),
+z AS (SELECT c.event_id, c.event_type,
+             CAST(c.xc * m.n - m.s1 AS DOUBLE)
+             / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)) AS zs
+      FROM c JOIN m USING (event_type))
+SELECT event_id, event_type,
+       floor(zs * 1000000.0 + 0.5) / 1000000.0 AS zscore
+FROM z WHERE abs(zs) > 2.0
+"""
