@@ -719,11 +719,23 @@ def contamination(docs: "ray.data.Dataset", *, k: int = 7,
         ids = np.asarray(b.column(id_col), np.int64)
         is_test = _splitmix(ids.astype(np.uint64)) <= thr
         shs, dids, flags = [], [], []
+        train_sh = []
         for i, text in enumerate(b.column(text_col).to_pylist()):
             sh = shingle_hashes(text, k)
-            shs.append(sh.view(np.int64))
-            dids.append(np.full(sh.size, ids[i], np.int64))
-            flags.append(np.full(sh.size, np.int64(is_test[i])))
+            if is_test[i]:
+                shs.append(sh.view(np.int64))
+                dids.append(np.full(sh.size, ids[i], np.int64))
+                flags.append(np.ones(sh.size, np.int64))
+            else:
+                train_sh.append(sh.view(np.int64))
+        # train side carries only shingle PRESENCE — collapse per-batch
+        # duplicates before the shuffle (doc identity is never needed
+        # downstream; the majority side shrinks by its common-shingle mass)
+        if train_sh:
+            tsh = np.unique(np.concatenate(train_sh))
+            shs.append(tsh)
+            dids.append(np.full(tsh.size, np.int64(-1)))
+            flags.append(np.zeros(tsh.size, np.int64))
         sh_all = np.concatenate(shs) if shs else np.empty(0, np.int64)
         return pa.table({
             "sh": pa.array(sh_all),
