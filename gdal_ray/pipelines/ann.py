@@ -321,9 +321,20 @@ def kmeans_assign(emb: "ray.data.Dataset", *, k: int = 4, iters: int = 3,
 
     qds = emb.map_batches(quantize, batch_format="pyarrow").materialize()
 
-    head = qds.sort(id_col).limit(k).take_all()  # k rows — bounded
-    C = np.array([r["q"] for r in sorted(head, key=lambda r: r[id_col])],
-                 dtype=np.int64)
+    # init = the k smallest ids' vectors WITHOUT a full sort: each block
+    # keeps its k smallest (combiner), the driver merges ≤ k×blocks rows
+    def _head_k(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        take = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(take, pa.int64()))
+
+    head = pa.concat_tables(list(
+        qds.map_batches(_head_k, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow")))
+    order = np.argsort(np.asarray(head.column(id_col), np.int64),
+                       kind="stable")[:k]
+    C = np.stack(head.take(pa.array(order, pa.int64()))
+                 .column("q").to_numpy(zero_copy_only=False)).astype(np.int64)
     dim = C.shape[1]
 
     def _assign(Q: np.ndarray, cent: np.ndarray) -> np.ndarray:
