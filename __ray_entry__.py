@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_outer_join": R.q_outer_join,
         "events_funnel": R.events_funnel_q,
         "events_outliers": R.events_outliers_q,
+        "events_retention": R.events_retention_q,
+        "events_transitions": R.events_transitions_q,
     }
 
 
@@ -294,4 +296,6 @@ def oracle_sql() -> dict[str, str]:
         "q_outer_join": R.SQL_OUTER_JOIN,
         "events_funnel": R.SQL_EVENTS_FUNNEL,
         "events_outliers": R.SQL_EVENTS_OUTLIERS,
+        "events_retention": R.SQL_EVENTS_RETENTION,
+        "events_transitions": R.SQL_EVENTS_TRANSITIONS,
     }

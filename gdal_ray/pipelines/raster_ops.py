@@ -461,3 +461,121 @@ def events_funnel(sf_dir: str, *, window_minutes: int = 60,
     from .shuffle_utils import grouped_map_groups
     return grouped_map_groups(ds.map_batches(bucket, batch_format="pyarrow"),
                               "bucket", funnel)
+
+
+def events_retention(sf_dir: str, *, num_buckets: int = 64):
+    """Cohort retention (the day-N retention table): cohort = epoch-day of
+    a user's first event, one output row per (cohort_day, day_offset) with
+    the count of users active that day.  Day index = epoch_us // 86.4e9 —
+    positive, so numpy floor division == DuckDB truncating `//`.
+
+    Scale shape: users route to hashed buckets; each bucket collapses to
+    distinct (user, day), takes per-user min via one reduceat, and emits
+    per-(cohort, offset) partial counts — a user contributes one row per
+    active day, so partial volume is bounded by distinct (cohort, offset)
+    pairs per bucket.  The merge is a measured-size grouped sum."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    from .dedup import _splitmix
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("user_id"), np.int64)
+        day = (np.asarray(b.column("ts").cast(pa.int64()), np.int64)
+               // np.int64(86_400_000_000))
+        t = pa.table({"user_id": pa.array(u), "day": pa.array(day)})
+        # per-batch distinct (user, day) — the only payload that shuffles
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        bk = (_splitmix(np.asarray(t.column("user_id"), np.int64)
+                        .astype(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return t.append_column("bucket", pa.array(bk))
+
+    def cohorts(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("user_id"), np.int64)
+        d = np.asarray(g.column("day"), np.int64)
+        if u.size == 0:
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "day_offset": pa.array([], pa.int64()),
+                             "n_active": pa.array([], pa.int64())})
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # cross-batch duplicates survive the per-batch distinct — dedup
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cohort = np.minimum.reduceat(d, starts)
+        seg = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        off = d - cohort[seg]
+        key = cohort[seg] * np.int64(1 << 20) + off  # offsets ≪ 2^20 days
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array(uniq // (1 << 20)),
+            "day_offset": pa.array(uniq % (1 << 20)),
+            "n_active": pa.array(cnt.astype(np.int64))})
+
+    from .shuffle_utils import grouped_agg, grouped_map_groups
+    parts = grouped_map_groups(
+        ds.map_batches(bucket, batch_format="pyarrow"), "bucket", cohorts)
+    out = grouped_agg(parts, ["cohort_day", "day_offset"],
+                      [("n_active", "sum")])
+    if isinstance(out, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(out)
+    return out
+
+
+def events_transitions(sf_dir: str, *, num_buckets: int = 64):
+    """Per-user event-type transition counts (the Markov-chain statistic):
+    for each user's events ordered by (ts, event_id), count consecutive
+    (type_a → type_b) pairs across the whole stream.
+
+    Scale shape: hashed user buckets; each bucket lexsorts once and reads
+    the transitions off the shifted arrays (no per-user dispatch), then
+    collapses to ≤ types² partial rows; the merge is a measured-size
+    grouped sum over a bounded key domain."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    from .dedup import _splitmix
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("user_id"), np.int64)
+        bk = (_splitmix(u.astype(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return b.append_column("bucket", pa.array(bk))
+
+    def trans(g: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        u = np.asarray(g.column("user_id"), np.int64)
+        ts = np.asarray(g.column("ts").cast(pa.int64()), np.int64)
+        eid = np.asarray(g.column("event_id"), np.int64)
+        et = np.array(g.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        a, b = et[:-1][same], et[1:][same]
+        types, inv_a = np.unique(a, return_inverse=True)
+        types_b, inv_b = np.unique(b, return_inverse=True)
+        key = inv_a * types_b.size + inv_b
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "type_a": pa.array(types[uniq // types_b.size]),
+            "type_b": pa.array(types_b[uniq % types_b.size]),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    from .shuffle_utils import grouped_agg, grouped_map_groups
+    parts = grouped_map_groups(
+        ds.map_batches(bucket, batch_format="pyarrow"), "bucket", trans)
+    out = grouped_agg(parts, ["type_a", "type_b"], [("n", "sum")])
+    if isinstance(out, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(out)
+    return out

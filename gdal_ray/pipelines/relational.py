@@ -4900,3 +4900,34 @@ SELECT event_id, event_type,
        floor(zs * 1000000.0 + 0.5) / 1000000.0 AS zscore
 FROM z WHERE abs(zs) > 2.0
 """
+
+
+def events_retention_q(sf_dir: str):
+    from .raster_ops import events_retention
+    return events_retention(sf_dir)
+
+
+SQL_EVENTS_RETENTION = """
+WITH a AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM a GROUP BY user_id)
+SELECT f.cohort AS cohort_day, a.day - f.cohort AS day_offset,
+       COUNT(*) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort, a.day - f.cohort
+"""
+
+
+def events_transitions_q(sf_dir: str):
+    from .raster_ops import events_transitions
+    return events_transitions(sf_dir)
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type AS type_a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS type_b
+           FROM events)
+SELECT type_a, type_b, COUNT(*) AS n FROM s
+WHERE type_b IS NOT NULL GROUP BY type_a, type_b
+"""
