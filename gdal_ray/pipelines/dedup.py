@@ -704,10 +704,12 @@ def contamination(docs: "ray.data.Dataset", *, k: int = 7,
     (shuffle_utils.bucket_count buckets, ~4/CPU) and each bucket resolves
     train-presence per shingle FULLY VECTORIZED (argsort + segment
     bincount — no per-shingle Python, shingle groups are far too numerous
-    for map_groups dispatch); matched counts collapse to ≤ docs×buckets
-    partial rows inside the bucket.  Per-doc totals come from a map-side
-    combiner over the same materialized rows.  Both partial streams merge
-    in a measured-size grouped_agg by doc.  Neither side is broadcast or
+    for map_groups dispatch); each bucket emits per-doc (total, matched)
+    partials in one shot — a doc's test rows land in exactly one bucket
+    per shingle, so bucket-local counts SUM to the doc's distinct-shingle
+    totals, and the whole pipeline is a single streaming chain with no
+    mid-pipeline materialization.  The partials merge in a measured-size
+    grouped_agg by doc.  Neither side is broadcast or
     driver-materialized: at 100 TB the train vocabulary lives only inside
     the exchange.
     """
@@ -747,23 +749,16 @@ def contamination(docs: "ray.data.Dataset", *, k: int = 7,
                              % np.uint64(nb)).astype(np.int64)),
         })
 
-    rows = docs.map_batches(mk_rows, batch_format="pyarrow").materialize()
-
-    def totals(b: pa.Table) -> pa.Table:
-        """Map-side per-doc shingle counts for TEST docs (shingles are
-        unique per doc by construction, so count == set size)."""
-        t = np.asarray(b.column("test"), np.int64)
-        d = np.asarray(b.column(id_col), np.int64)[t == 1]
-        uniq, cnt = np.unique(d, return_counts=True)
-        return pa.table({id_col: pa.array(uniq),
-                         "n_shingles": pa.array(cnt.astype(np.int64)),
-                         "n_matched": pa.array(np.zeros(uniq.size,
-                                                        np.int64))})
+    rows = docs.map_batches(mk_rows, batch_format="pyarrow")
 
     def bucket_fn(g: pa.Table) -> pa.Table:
-        """One hash bucket of shingle rows → (doc, matched-count) partials.
-        Vectorized: sort by shingle, segment-id via adjacent-diff, train
-        presence per segment via bincount — zero per-shingle Python."""
+        """One hash bucket of shingle rows → per-doc (total, matched)
+        partials in a single emission (every test row of a doc lands in
+        exactly one bucket, so bucket-local test-row counts SUM to the
+        doc's distinct-shingle count — no separate totals pass, nothing
+        materialized).  Vectorized: sort by shingle, segment-id via
+        adjacent-diff, train presence per segment via bincount — zero
+        per-shingle Python."""
         sh = np.asarray(g.column("sh"), np.int64)
         t = np.asarray(g.column("test"), np.int64)
         d = np.asarray(g.column(id_col), np.int64)
@@ -771,17 +766,22 @@ def contamination(docs: "ray.data.Dataset", *, k: int = 7,
         sh, t, d = sh[order], t[order], d[order]
         seg = np.cumsum(np.r_[False, sh[1:] != sh[:-1]])
         has_train = np.bincount(seg, weights=(t == 0)) > 0
-        keep = (t == 1) & has_train[seg]
-        uniq, cnt = np.unique(d[keep], return_counts=True)
-        return pa.table({id_col: pa.array(uniq),
-                         "n_shingles": pa.array(np.zeros(uniq.size,
-                                                         np.int64)),
-                         "n_matched": pa.array(cnt.astype(np.int64))})
+        istest = t == 1
+        dt = d[istest]
+        if dt.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_shingles": pa.array([], pa.int64()),
+                             "n_matched": pa.array([], pa.int64())})
+        hit = has_train[seg][istest]
+        uniq, inv = np.unique(dt, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uniq),
+            "n_shingles": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_matched": pa.array(np.bincount(inv, weights=hit)
+                                  .astype(np.int64))})
 
-    matched = rows.groupby("bkt").map_groups(
+    partials = rows.groupby("bkt").map_groups(
         lambda g: bucket_fn(g), batch_format="pyarrow")
-    partials = rows.map_batches(totals, batch_format="pyarrow") \
-        .union(matched)
     agg = grouped_agg(partials, [id_col],
                       [("n_shingles", "sum"), ("n_matched", "sum")],
                       driver_limit=driver_limit)
