@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": R.events_outliers_q,
         "events_retention": R.events_retention_q,
         "events_transitions": R.events_transitions_q,
+        "q_json_extract": R.q_json_extract,
     }
 
 
@@ -298,4 +299,5 @@ def oracle_sql() -> dict[str, str]:
         "events_outliers": R.SQL_EVENTS_OUTLIERS,
         "events_retention": R.SQL_EVENTS_RETENTION,
         "events_transitions": R.SQL_EVENTS_TRANSITIONS,
+        "q_json_extract": R.SQL_JSON_EXTRACT,
     }

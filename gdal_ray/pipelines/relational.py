@@ -4931,3 +4931,49 @@ WITH s AS (SELECT user_id, event_type AS type_a,
 SELECT type_a, type_b, COUNT(*) AS n FROM s
 WHERE type_b IS NOT NULL GROUP BY type_a, type_b
 """
+
+
+def q_json_extract(sf_dir: str):
+    """Semi-structured extraction over the events ``props`` JSON column —
+    the one capability class the surface didn't yet exercise: pull the
+    numeric field out with ONE vectorized Arrow regex kernel
+    (pc.extract_regex — no Python row loop, no json.loads), then a
+    map-side combined groupby over the bounded event-type domain."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        kv = pc.extract_regex(b.column("props"),
+                              pattern='"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(kv, "k"), pa.int64())
+        g = pa.table({"event_type": b.column("event_type"),
+                      "n_events": pa.array(np.ones(b.num_rows, np.int64)),
+                      "sum_k": k, "min_k": k, "max_k": k}) \
+            .group_by("event_type").aggregate(
+                [("n_events", "sum"), ("sum_k", "sum"),
+                 ("min_k", "min"), ("max_k", "max")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n_events": g.column("n_events_sum"),
+                         "sum_k": g.column("sum_k_sum"),
+                         "min_k": g.column("min_k_min"),
+                         "max_k": g.column("max_k_max")})
+
+    from .shuffle_utils import grouped_agg
+    out = grouped_agg(ds.map_batches(extract, batch_format="pyarrow"),
+                      ["event_type"],
+                      [("n_events", "sum"), ("sum_k", "sum"),
+                       ("min_k", "min"), ("max_k", "max")])
+    if isinstance(out, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(out)
+    return out
+
+
+SQL_JSON_EXTRACT = """
+WITH k AS (SELECT event_type,
+                  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                      AS k
+           FROM events)
+SELECT event_type, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM k GROUP BY event_type
+"""
