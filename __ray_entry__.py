@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": R.events_retention_q,
         "events_transitions": R.events_transitions_q,
         "q_json_extract": R.q_json_extract,
+        "q5_local_supplier": R.q5_local_supplier,
     }
 
 
@@ -300,4 +301,5 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": R.SQL_EVENTS_RETENTION,
         "events_transitions": R.SQL_EVENTS_TRANSITIONS,
         "q_json_extract": R.SQL_JSON_EXTRACT,
+        "q5_local_supplier": R.SQL_Q5_LOCAL_SUPPLIER,
     }

@@ -4977,3 +4977,108 @@ SELECT event_type, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k, MAX(k) AS max_k
 FROM k GROUP BY event_type
 """
+
+
+def q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape — the 6-table multi-join capstone: revenue by nation
+    where the customer and the line's supplier share a nation inside one
+    region, over a one-year order window.  Shape: the two DATA-sized sides
+    (orders→customer, then ⋈lineitem, then ⋈supplier) go through hash
+    joins; only the fixed-size nation⊂region set is broadcast (25/5 rows —
+    supplier is NOT broadcast: it is SF-scaled).  Revenue is exact int64
+    cents×(100−discount%) summed distributed, ONE division at the end."""
+    from ray.data.aggregate import Sum
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation").take_all()}
+    reg = {r["r_regionkey"] for r in _read(sf_dir, "region").take_all()
+           if r["r_name"] == "ASIA"}
+    asia = {r["n_nationkey"] for r in _read(sf_dir, "nation").take_all()
+            if r["n_regionkey"] in reg}
+
+    def owin(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("o_orderdate").cast(pa.int64()), np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey")}) \
+            .filter(pa.array((ts >= lo) & (ts < hi)))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(owin, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"c_custkey": b.column("c_custkey"),
+             "c_nationkey": b.column("c_nationkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("l_extendedprice"), np.float64)
+        d = np.asarray(b.column("l_discount"), np.float64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        d100 = np.floor(d * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "rev": pa.array(cents * (100 - d100))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(li_rev, batch_format="pyarrow")
+    ol = li.join(oc.select_columns(["o_orderkey", "c_nationkey"]),
+                 join_type="inner", num_partitions=_join_partitions(),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"s_suppkey": b.column("s_suppkey"),
+             "s_nationkey": b.column("s_nationkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+    ols = ol.join(supp, join_type="inner",
+                  num_partitions=_join_partitions(),
+                  on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def local(b: pa.Table) -> pa.Table:
+        cn = np.asarray(b.column("c_nationkey"), np.int64)
+        sn = np.asarray(b.column("s_nationkey"), np.int64)
+        keep = (cn == sn) & np.isin(cn, list(asia))
+        t = b.filter(pa.array(keep))
+        names = [nat[int(x)] for x in
+                 np.asarray(t.column("c_nationkey"), np.int64)]
+        g = pa.table({"n_name": pa.array(names, pa.string()),
+                      "rev": t.column("rev")}) \
+            .group_by("n_name").aggregate([("rev", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "rev": g.column("rev_sum")})
+
+    from .shuffle_utils import grouped_agg
+    out = grouped_agg(ols.map_batches(local, batch_format="pyarrow"),
+                      ["n_name"], [("rev", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("rev"), np.int64).astype(np.float64) / 1e4
+        return pa.table({"n_name": b.column("n_name"),
+                         "revenue": pa.array(r)})
+
+    if isinstance(out, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(finish(out))
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q5_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
