@@ -617,3 +617,21 @@ def test_contamination_and_seqpack_path_parity(ray_session, docs_tbl):
     c = norm(sequence_pack(ds, capacity=128))
     d = norm(sequence_pack(ds, capacity=128, driver_limit=0))
     assert c.equals(d)
+
+
+def test_chunk_tokens_semantics():
+    """Window/stride geometry, tail chunks, and the empty-doc row pin."""
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["a b c d e f g", "x", ""])})
+    out = TX.chunk_tokens(tbl, window=3, stride=2)
+    rows = list(zip(out.column("doc_id").to_pylist(),
+                    out.column("chunk_id").to_pylist(),
+                    out.column("tok_start").to_pylist(),
+                    out.column("n_chunk_tokens").to_pylist(),
+                    out.column("chunk_text").to_pylist()))
+    assert rows == [
+        (1, 0, 0, 3, "a b c"), (1, 1, 2, 3, "c d e"),
+        (1, 2, 4, 3, "e f g"), (1, 3, 6, 1, "g"),
+        (2, 0, 0, 1, "x"),
+        (3, 0, 0, 0, ""),       # zero-token doc keeps one empty chunk
+    ]
