@@ -800,5 +800,11 @@ def contamination(docs: "ray.data.Dataset", *, k: int = 7,
 
     if isinstance(agg, pa.Table):
         import ray.data as _rd
+        if agg.num_rows == 0:  # schema-stable empty (no test docs at all)
+            return _rd.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_matched": pa.array([], pa.int64()),
+                "contamination": pa.array([], pa.float64())}))
         return _rd.from_arrow(finish(agg))
     return agg.map_batches(finish, batch_format="pyarrow")

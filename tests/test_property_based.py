@@ -109,3 +109,51 @@ def test_delaunay_reproduces_linear_fields(n, seed):
     val, inside = barycentric_interpolate(tris, pts, v, q[:, 0], q[:, 1])
     ok = inside
     assert np.abs(val[ok] - (3 * q[ok, 0] - 2 * q[ok, 1] + 1)).max() < 1e-6
+
+
+@SET
+@given(st.lists(st.text(alphabet="abcdef gh", min_size=0, max_size=60),
+                min_size=5, max_size=40))
+def test_sequence_pack_properties(ray_session, texts):
+    """Pack invariants under random corpora: offsets strictly increase by
+    n_tokens in id order, start at 0, bins are consistent with capacity."""
+    import ray.data as rd
+
+    from gdal_ray.pipelines.text import sequence_pack
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = sequence_pack(rd.from_arrow(tbl), capacity=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    w = out["n_tokens"].to_numpy()
+    s = out["start_off"].to_numpy()
+    assert s[0] == 0
+    assert (s[1:] == s[:-1] + w[:-1]).all()
+    assert (w >= 1).all()
+    assert (out["bin_first"] == s // 7).all()
+    assert (out["bin_last"] == (s + w - 1) // 7).all()
+
+
+@SET
+@given(st.lists(st.text(alphabet="xyz uvw", min_size=0, max_size=40),
+                min_size=10, max_size=30), st.integers(0, 1 << 30))
+def test_contamination_bounds(ray_session, texts, salt):
+    """0 ≤ matched ≤ total for every test doc; every test doc present."""
+    import ray.data as rd
+
+    from gdal_ray.pipelines.dedup import _splitmix, contamination
+    ids = np.arange(len(texts), dtype=np.int64) + salt
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "text": pa.array(texts, pa.string())})
+    out = contamination(rd.from_arrow(tbl), k=4)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    thr = np.uint64((1 << 64) // 10 - 1)
+    expect = set(ids[_splitmix(ids.astype(np.uint64)) <= thr].tolist())
+    if not expect:
+        # Ray drops the schema of empty datasets (documented gotcha);
+        # only the row count is checkable here
+        assert len(df) == 0
+        return
+    assert set(df["doc_id"]) == expect
+    assert (df["n_matched"] >= 0).all()
+    assert (df["n_matched"] <= df["n_shingles"]).all()
+    assert (df["n_shingles"] >= 1).all()
