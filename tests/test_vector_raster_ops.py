@@ -228,3 +228,40 @@ def test_events_funnel_path_parity_and_oracle(ray_session):
         rows[uid] = (len(s), conv)
     assert dict(zip(base["user_id"],
                     zip(base["n_signups"], base["n_conversions"]))) == rows
+
+
+def test_events_transitions_retention_brute(ray_session):
+    """Transitions and retention vs straight pandas oracles at sf0.001."""
+    import collections
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from gdal_ray.pipelines.raster_ops import events_retention, \
+        events_transitions
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    t["us"] = t["ts"].astype("int64")
+
+    got = events_transitions(sf).to_pandas()
+    gmap = {(a, b): n for a, b, n in
+            zip(got["type_a"], got["type_b"], got["n"])}
+    exp = collections.Counter()
+    for _, grp in t.sort_values(["user_id", "us", "event_id"]) \
+                   .groupby("user_id"):
+        et = grp["event_type"].tolist()
+        for a, b in zip(et, et[1:]):
+            exp[(a, b)] += 1
+    assert gmap == dict(exp)
+
+    got_r = events_retention(sf).to_pandas()
+    rmap = {(c, o): n for c, o, n in
+            zip(got_r["cohort_day"], got_r["day_offset"], got_r["n_active"])}
+    t["day"] = t["us"] // 86_400_000_000
+    ud = t[["user_id", "day"]].drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].min()
+    expr = collections.Counter()
+    for uid, day in zip(ud["user_id"], ud["day"]):
+        c = cohort[uid]
+        expr[(c, day - c)] += 1
+    assert rmap == dict(expr)
