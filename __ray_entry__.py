@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": R.events_transitions_q,
         "q_json_extract": R.q_json_extract,
         "q5_local_supplier": R.q5_local_supplier,
+        "dedup_fuzzy": R.dedup_fuzzy_q,
     }
 
 
@@ -302,4 +303,5 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": R.SQL_EVENTS_TRANSITIONS,
         "q_json_extract": R.SQL_JSON_EXTRACT,
         "q5_local_supplier": R.SQL_Q5_LOCAL_SUPPLIER,
+        "dedup_fuzzy": R.SQL_DEDUP_FUZZY,
     }

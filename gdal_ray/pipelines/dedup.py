@@ -808,3 +808,168 @@ def contamination(docs: "ray.data.Dataset", *, k: int = 7,
                 "contamination": pa.array([], pa.float64())}))
         return _rd.from_arrow(finish(agg))
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------- fuzzy (edit-distance) near-dup ----------
+
+def _lev_band(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray,
+              max_dist: int) -> np.ndarray:
+    """Exact Levenshtein for pairs within ``max_dist`` (Ukkonen band DP).
+
+    ``A``/``B``: (P, L) uint8 code matrices (zero-padded); ``la``/``lb``
+    lengths.  Vectorized ACROSS pairs: each of the ≤``max(la)`` row steps is
+    a handful of numpy kernels over a (P, 2D+1) band — ~la·(2D+1) element
+    ops per pair instead of la·lb.  The left-neighbour (insertion) chain
+    inside a row is the prefix-min trick: dp[j] = min_k≤j (t[k] + (j−k)) =
+    accumulate-min(t[k]−k) + j.  Distances above ``max_dist`` are inexact
+    (band-clipped) but provably still > ``max_dist`` — callers filter.
+    Requires |la−lb| ≤ max_dist."""
+    P, L = A.shape
+    D = int(max_dist)
+    W = 2 * D + 1
+    INF = np.int32(60000)
+    k = np.arange(W, dtype=np.int32)
+    la = la.astype(np.int32)
+    lb = lb.astype(np.int32)
+    res = np.full(P, INF, np.int32)
+    dp = np.broadcast_to(np.where(k >= D, k - D, INF), (P, W)).copy()
+    dp[(k[None, :] - D) > lb[:, None]] = INF
+    fin0 = la == 0
+    res[fin0] = lb[fin0]
+    for i in range(1, int(la.max(initial=0)) + 1):
+        jv = i + k - D                                  # column at band pos k
+        bj = np.clip(jv - 1, 0, L - 1)
+        cost = (A[:, i - 1][:, None] != B[:, bj]).astype(np.int32)
+        up = np.concatenate([dp[:, 1:], np.full((P, 1), INF, np.int32)],
+                            axis=1)
+        t = np.minimum(up + 1, dp + cost)
+        k0 = D - i
+        if 0 <= k0 < W:
+            t[:, k0] = i                                # j == 0: i deletions
+        invalid = (jv[None, :] < 0) | (jv[None, :] > lb[:, None])
+        t[invalid] = INF
+        dp = np.minimum(
+            t, np.minimum.accumulate(t - k[None, :], axis=1) + k[None, :])
+        dp[invalid] = INF
+        fin = la == i
+        if fin.any():
+            res[fin] = dp[fin, lb[fin] - i + D]
+    return res
+
+
+def fuzzy_pairs(docs: "ray.data.Dataset", *, max_dist: int = 8,
+                prefix_len: int = 96, num_hashes: int = 64, bands: int = 16,
+                shingle_k: int = 5, id_col: str = "doc_id",
+                text_col: str = "text") -> "ray.data.Dataset":
+    """Edit-distance near-dup pairs: MinHash-LSH candidate generation +
+    banded-Levenshtein verification over a ``prefix_len``-char prefix.
+
+    The production fuzzy-dedup shape: LSH bands PROPOSE (same machinery and
+    exactly-once first-fully-equal-band rule as ``minhash_lsh_pairs``,
+    including the [2,64] bucket-size window), and the verifier is an EXACT
+    string measure — Levenshtein ≤ ``max_dist`` on the document prefix —
+    rather than a signature estimate.  Prefixes ship through the exchange
+    only for rows landing in a multi-member bucket; verification is
+    in-group via the vectorized Ukkonen band DP (``_lev_band``), so no
+    second shuffle and no driver materialization.  Distances are byte-level
+    (== character-level on ASCII corpora, the documents-table contract)."""
+    rows_per_band = num_hashes // bands
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        sigs = np.empty((len(ids), num_hashes), dtype=np.uint64)
+        pfx = []
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            sigs[i] = minhash_signature(shingle_hashes(text, shingle_k),
+                                        num_hashes)
+            pfx.append(text[:prefix_len])
+        return pa.table({id_col: pa.array(ids),
+                         "sig": pa.array([s.tobytes() for s in sigs],
+                                         pa.binary()),
+                         "pfx": pa.array(pfx, pa.string())})
+
+    def _buckets_of(b: pa.Table) -> np.ndarray:
+        n = b.num_rows
+        sigs = np.frombuffer(b"".join(b.column("sig").to_pylist()),
+                             dtype=np.uint64).reshape(n, num_hashes)
+        segs = sigs.reshape(n, bands, rows_per_band)
+        bh = np.bitwise_xor.reduce(segs, axis=2)
+        bh = _splitmix(bh + _splitmix(np.arange(bands, dtype=np.uint64))[None, :])
+        return ((bh >> np.uint64(8)).astype(np.int64) << 4) \
+            | np.arange(bands, dtype=np.int64)[None, :]
+
+    def bucket_int_batch(b: pa.Table) -> pa.Table:
+        bucket = _buckets_of(b)
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        return pa.table({id_col: pa.array(np.repeat(ids, bands)),
+                         "bucket": pa.array(bucket.ravel())})
+
+    from .shuffle_utils import multi_key_array
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    sigs_ds = docs.repartition(cpus * 2) \
+                  .map_batches(sig_batch, batch_format="pyarrow").materialize()
+    multi = multi_key_array(sigs_ds.map_batches(bucket_int_batch,
+                                                batch_format="pyarrow"),
+                            "bucket", max_count=64)
+    multi_ref = ray.put(multi)
+
+    def bucket_payload_batch(b: pa.Table) -> pa.Table:
+        m = ray.get(multi_ref)
+        bucket = _buckets_of(b).ravel()
+        if m.size == 0:
+            keep = np.zeros(bucket.size, dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(m, bucket), 0, m.size - 1)
+            keep = m[pos] == bucket
+        ids = np.repeat(np.asarray(b.column(id_col), dtype=np.int64), bands)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64), bands)
+        kept = np.nonzero(keep)[0]
+        take = pa.array(row[kept], pa.int64())
+        return pa.table({
+            id_col: pa.array(ids[kept]),
+            "bucket": pa.array(bucket[kept]),
+            "sig": b.column("sig").take(take),
+            "pfx": b.column("pfx").take(take),
+        })
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int32())})
+        m = g.num_rows
+        if m < 2:
+            return empty
+        band = int(g.column("bucket")[0].as_py()) & 0xF
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        sigs = np.frombuffer(b"".join(g.column("sig").to_pylist()),
+                             dtype=np.uint64).reshape(m, num_hashes)[order]
+        raw = [g.column("pfx")[int(i)].as_py().encode("utf-8") for i in order]
+        lens = np.fromiter((len(r) for r in raw), np.int32, count=m)
+        L = max(int(lens.max(initial=0)), 1)
+        mat = np.zeros((m, L), dtype=np.uint8)
+        for i, r in enumerate(raw):
+            mat[i, :len(r)] = np.frombuffer(r, np.uint8)
+        ii, jj = np.triu_indices(m, k=1)
+        eq = sigs[ii] == sigs[jj]
+        band_eq = eq.reshape(ii.size, bands, rows_per_band).all(axis=2)
+        first_band = np.argmax(band_eq, axis=1)        # defaults-to-0 rule
+        cand = (first_band == band) & (ids[ii] != ids[jj]) \
+            & (np.abs(lens[ii] - lens[jj]) <= max_dist)
+        ci, cj = ii[cand], jj[cand]
+        if ci.size == 0:
+            return empty
+        dist = _lev_band(mat[ci], lens[ci], mat[cj], lens[cj], max_dist)
+        keep = dist <= max_dist
+        return pa.table({"id_a": pa.array(ids[ci[keep]]),
+                         "id_b": pa.array(ids[cj[keep]]),
+                         "dist": pa.array(dist[keep].astype(np.int32))})
+
+    from .shuffle_utils import grouped_map_groups
+    return grouped_map_groups(
+        sigs_ds.map_batches(bucket_payload_batch, batch_format="pyarrow"),
+        "bucket", verify_group)

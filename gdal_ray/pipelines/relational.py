@@ -3792,11 +3792,13 @@ def _docs_shingle_ctes(k: int, max_len: int = 2047) -> list[str]:
     return chain
 
 
-def _build_sql_dedup_minhash_docs() -> str:
-    """dedup.minhash_lsh_pairs over documents, end to end: 64 xor-minhash
-    sigs, 16-band xor-fold + salted-splitmix buckets, the [2,64] bucket-size
-    window, pairwise signature agreement, and the first-fully-equal-band
-    exactly-once rule (argmax-defaults-to-0 included)."""
+def _minhash_pairstat_ctes() -> list[str]:
+    """Shared CTE chain documents → ``pairstat(da, db, t, eqcnt, fb)``:
+    64 xor-minhash sigs, 16-band xor-fold + salted-splitmix buckets, the
+    [2,64] bucket-size window, pairwise signature agreement, and the
+    first-fully-equal-band exactly-once rule (argmax-defaults-to-0) —
+    the candidate machinery of ``dedup.minhash_lsh_pairs`` and
+    ``dedup.fuzzy_pairs``, replayed exactly."""
     from .dedup import _splitmix
     seeds = _splitmix(np.arange(1, 65, dtype=np.uint64)
                       * np.uint64(0x9E3779B97F4A7C15))
@@ -3838,10 +3840,47 @@ def _build_sql_dedup_minhash_docs() -> str:
         "COALESCE(MIN(CASE WHEN beq = 4 THEN bb END), 0) AS fb "
         "FROM bandeq GROUP BY da, db, t)",
     ]
-    return ("WITH " + ",\n".join(chain)
+    return chain
+
+
+def _build_sql_dedup_minhash_docs() -> str:
+    """dedup.minhash_lsh_pairs over documents, end to end (see
+    ``_minhash_pairstat_ctes``) + the sig-jaccard ≥ 0.7 verification."""
+    return ("WITH " + ",\n".join(_minhash_pairstat_ctes())
             + "\nSELECT da AS id_a, db AS id_b, "
             "CAST(eqcnt AS DOUBLE) / 64.0 AS sig_jaccard FROM pairstat "
             "WHERE t = fb AND CAST(eqcnt AS DOUBLE) / 64.0 >= 0.7")
+
+
+def _build_sql_dedup_fuzzy(max_dist: int = 8, prefix: int = 96) -> str:
+    """dedup.fuzzy_pairs over documents: the SAME MinHash-LSH candidate
+    machinery (``_minhash_pairstat_ctes``), but verification is EXACT
+    prefix Levenshtein ≤ max_dist — DuckDB's ``levenshtein()`` stands in
+    for the engine's vectorized Ukkonen band DP (``dedup._lev_band``),
+    character-== byte-level on the ASCII documents corpus."""
+    chain = _minhash_pairstat_ctes()
+    chain.append(
+        f"pfx AS (SELECT doc_id AS doc, substr(text, 1, {prefix}) AS s "
+        "FROM documents)")
+    return ("WITH " + ",\n".join(chain)
+            + "\nSELECT da AS id_a, db AS id_b, "
+            "CAST(levenshtein(pa.s, pb.s) AS INT) AS dist "
+            "FROM pairstat JOIN pfx pa ON pa.doc = da "
+            "JOIN pfx pb ON pb.doc = db "
+            f"WHERE t = fb AND levenshtein(pa.s, pb.s) <= {max_dist}")
+
+
+SQL_DEDUP_FUZZY = _build_sql_dedup_fuzzy()
+
+
+def dedup_fuzzy_q(sf_dir: str):
+    """Fuzzy (edit-distance) near-dup over the real corpus: LSH candidates
+    + banded-Levenshtein ≤ 8 verification on the 96-char prefix (reference:
+    fuzzy dedup stages of training-data pipelines; candidate-verify shape
+    per dedup.fuzzy_pairs docstring)."""
+    from .dedup import fuzzy_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fuzzy_pairs(docs, max_dist=8, prefix_len=96)
 
 
 def _build_sql_dedup_simhash_docs() -> str:

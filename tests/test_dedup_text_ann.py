@@ -635,3 +635,66 @@ def test_chunk_tokens_semantics():
         (2, 0, 0, 1, "x"),
         (3, 0, 0, 0, ""),       # zero-token doc keeps one empty chunk
     ]
+
+
+def _lev_brute(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_lev_band_matches_brute_force():
+    """Ukkonen band DP == full DP for dist <= D; band-clipped values stay
+    > D (the only contract callers rely on).  Covers empty strings, equal
+    strings, pure inserts/deletes and random mutation mixes."""
+    import random
+    rng = random.Random(11)
+    cases = [("", "", 3), ("abc", "", 3), ("", "abc", 3),
+             ("kitten", "sitting", 3), ("abcdef", "abcdef", 2)]
+    for _ in range(300):
+        D = rng.choice([1, 2, 3, 5, 8])
+        a = "".join(rng.choice("abz") for _ in range(rng.randint(0, 24)))
+        b = list(a)
+        for _ in range(rng.randint(0, 12)):
+            op = rng.choice("ids")
+            if op == "i":
+                b.insert(rng.randint(0, len(b)), rng.choice("abz"))
+            elif b:
+                p = rng.randrange(len(b))
+                if op == "d":
+                    del b[p]
+                else:
+                    b[p] = rng.choice("abz")
+        cases.append((a, "".join(b), D))
+    for a, b, D in cases:
+        if abs(len(a) - len(b)) > D:
+            continue
+        L = max(len(a), len(b), 1)
+        A = np.zeros((1, L), np.uint8)
+        A[0, :len(a)] = np.frombuffer(a.encode(), np.uint8)
+        B = np.zeros((1, L), np.uint8)
+        B[0, :len(b)] = np.frombuffer(b.encode(), np.uint8)
+        d = DD._lev_band(A, np.array([len(a)]), B, np.array([len(b)]), D)[0]
+        t = _lev_brute(a, b)
+        if t <= D:
+            assert d == t, (a, b, D, d, t)
+        else:
+            assert d > D, (a, b, D, d, t)
+
+
+def test_fuzzy_pairs_finds_planted_near_copies(ray_session, docs_tbl):
+    import ray.data
+    docs = ray.data.from_arrow(docs_tbl)
+    pairs = DD.fuzzy_pairs(docs, max_dist=8, prefix_len=96).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["dist"] <= 8).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    # every reported pair's true prefix distance matches the brute DP
+    texts = {int(i): t[:96] for i, t in
+             zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())}
+    for _, r in pairs.iterrows():
+        assert _lev_brute(texts[int(r.id_a)], texts[int(r.id_b)]) == int(r.dist)
