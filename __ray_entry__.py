@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_json_extract": R.q_json_extract,
         "q5_local_supplier": R.q5_local_supplier,
         "dedup_fuzzy": R.dedup_fuzzy_q,
+        "graph_pagerank": R.graph_pagerank_q,
     }
 
 
@@ -304,4 +305,5 @@ def oracle_sql() -> dict[str, str]:
         "q_json_extract": R.SQL_JSON_EXTRACT,
         "q5_local_supplier": R.SQL_Q5_LOCAL_SUPPLIER,
         "dedup_fuzzy": R.SQL_DEDUP_FUZZY,
+        "graph_pagerank": R.SQL_GRAPH_PAGERANK,
     }

@@ -5121,3 +5121,65 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
+
+
+def graph_pagerank_q(sf_dir: str):
+    """Distributed PageRank over a derived customer graph (node
+    v → (v² + v·m + 7) mod N for m ∈ {31, 73, 137}; the quadratic term
+    makes in-degrees non-uniform so scores genuinely spread) — the
+    iterative-join operator class, oracle-EXACT via scaled-int64
+    truncating arithmetic (see pipelines/graph.py; unrolled-CTE replay
+    like emb_kmeans)."""
+    from .graph import pagerank
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("c_custkey"), np.int64)
+        src = np.concatenate([v, v, v])
+        mult = np.repeat(np.array([31, 73, 137], np.int64), v.size)
+        dst = (src * src + src * mult + 7) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    pr = pagerank(cust.map_batches(edges, batch_format="pyarrow"),
+                  iters=3, scale=10 ** 9)
+
+    def finish(b: pa.Table) -> pa.Table:
+        q = np.asarray(b.column("score_q"), np.int64)
+        return pa.table({"c_custkey": b.column("node"),
+                         "score_q": pa.array(q),
+                         "score": pa.array(q / 1e9)})
+
+    return pr.map_batches(finish, batch_format="pyarrow")
+
+
+def _build_sql_graph_pagerank(iters: int = 3, scale: int = 10 ** 9) -> str:
+    """graph.pagerank over the derived customer graph, unrolled: same
+    integer base/damping terms, DuckDB `//` truncation == numpy floor on
+    these non-negative values, LEFT JOIN + COALESCE for in-degree-0."""
+    base = (15 * scale) // 100
+    chain = [
+        "nn AS (SELECT COUNT(*) AS n FROM customer)",
+        "edges AS (SELECT c_custkey AS src, "
+        "(c_custkey * c_custkey + c_custkey * m.m + 7) % nn.n AS dst "
+        "FROM customer, nn, (VALUES (31), (73), (137)) m(m))",
+        "nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "UNION ALL SELECT dst FROM edges))",
+        "outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT v, {scale}::BIGINT AS r FROM nodes)",
+    ]
+    for t in range(iters):
+        chain += [
+            f"c{t} AS (SELECT e.dst AS v, SUM(r.r // o.od) AS s "
+            f"FROM edges e JOIN r{t} r ON r.v = e.src "
+            "JOIN outdeg o ON o.src = e.src GROUP BY e.dst)",
+            f"r{t + 1} AS (SELECT nodes.v, CAST({base} + "
+            "(85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes LEFT JOIN c{t} c ON c.v = nodes.v)",
+        ]
+    return ("WITH " + ",\n".join(chain)
+            + f"\nSELECT v AS c_custkey, r AS score_q, "
+            f"r / 1000000000.0 AS score FROM r{iters}")
+
+
+SQL_GRAPH_PAGERANK = _build_sql_graph_pagerank()

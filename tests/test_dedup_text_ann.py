@@ -698,3 +698,25 @@ def test_fuzzy_pairs_finds_planted_near_copies(ray_session, docs_tbl):
              zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())}
     for _, r in pairs.iterrows():
         assert _lev_brute(texts[int(r.id_a)], texts[int(r.id_b)]) == int(r.dist)
+
+
+def test_pagerank_distributed_matches_driver(ray_session):
+    """Path parity: the distributed bucket-round PageRank (driver_limit=0)
+    must equal the exact driver bincount pass on the same edge set."""
+    import ray.data
+    from gdal_ray.pipelines.graph import pagerank
+    rng = np.random.default_rng(5)
+    n = 400
+    src = np.repeat(np.arange(n, dtype=np.int64), 3)
+    dst = (src * src + src * np.tile(np.array([31, 73, 137], np.int64), n)
+           + 7) % n
+    # add some dangling/dst-only structure: drop out-edges of 30 nodes
+    keep = ~np.isin(src, rng.choice(n, 30, replace=False))
+    edges = pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    ds = ray.data.from_arrow(edges)
+    a = pagerank(ds, iters=3).to_pandas().sort_values("node").reset_index(drop=True)
+    b = pagerank(ds, iters=3, driver_limit=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["node"].values == b["node"].values).all()
+    assert (a["score_q"].values == b["score_q"].values).all()
