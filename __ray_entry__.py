@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier": R.q5_local_supplier,
         "dedup_fuzzy": R.dedup_fuzzy_q,
         "graph_pagerank": R.graph_pagerank_q,
+        "text_unigram_lm": R.text_unigram_lm_q,
+        "emb_covariance": R.emb_covariance_q,
     }
 
 
@@ -306,4 +308,6 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": R.SQL_Q5_LOCAL_SUPPLIER,
         "dedup_fuzzy": R.SQL_DEDUP_FUZZY,
         "graph_pagerank": R.SQL_GRAPH_PAGERANK,
+        "text_unigram_lm": R.SQL_TEXT_UNIGRAM_LM,
+        "emb_covariance": R.SQL_EMB_COVARIANCE,
     }

@@ -388,3 +388,87 @@ def kmeans_assign(emb: "ray.data.Dataset", *, k: int = 4, iters: int = 3,
                              d2[np.arange(len(cl)), cl].astype(np.int64))})
 
     return qds.map_batches(final, batch_format="pyarrow")
+
+
+def covariance(emb: "ray.data.Dataset", *, dim: int = 64,
+               scale: int = 1 << 20,
+               vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Exact distributed covariance moments over an embedding column —
+    the PCA/whitening prep pass of embedding pipelines, oracle-EXACT via
+    quantized int64 second moments (same floor(x·2^20) convention as
+    ``kmeans_assign``).
+
+    Scale shape: one map_batches pass emits per-block COMBINED partials —
+    the dim×dim upper triangle of QᵀQ (integer matmul) plus per-dim sums
+    and counts, ≤ dim·(dim+3)/2 rows per block REGARDLESS of block row
+    count — then a measured-size ``grouped_agg`` merge.  The final table
+    is bounded by dim² (2 080 rows at dim 64), so the finish stage is
+    driver-safe at any input scale; the n·Sxy − Sx·Sy numerator exceeds
+    int64 there and is computed in Python big-int (DuckDB replays it in
+    HUGEINT).  Partial Sxy magnitude: (2^20)² per element × rows — int64-
+    safe to ~8e6 rows per BLOCK and ~8e6 total per (d1,d2) cell at unit-
+    normalized inputs; larger corpora should drop ``scale`` a few bits."""
+    from .shuffle_utils import grouped_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        V = list_column_to_ndarray(b.column(vec_col)).astype(np.float64)
+        Q = np.floor(V * float(scale)).astype(np.int64)
+        n = Q.shape[0]
+        P = Q.T @ Q                                   # (dim, dim) int64
+        iu, ju = np.triu_indices(dim)
+        s = Q.sum(axis=0)
+        d = np.arange(dim, dtype=np.int64)
+        return pa.table({
+            "d1": pa.array(np.concatenate([iu.astype(np.int64), d])),
+            "d2": pa.array(np.concatenate([ju.astype(np.int64),
+                                           np.full(dim, -1, np.int64)])),
+            "sxy": pa.array(np.concatenate([P[iu, ju],
+                                            np.zeros(dim, np.int64)])),
+            "s": pa.array(np.concatenate([np.zeros(iu.size, np.int64), s])),
+            "n": pa.array(np.concatenate([np.zeros(iu.size, np.int64),
+                                          np.full(dim, n, np.int64)])),
+        })
+
+    agg = grouped_agg(emb.map_batches(partial, batch_format="pyarrow"),
+                      ["d1", "d2"],
+                      [("sxy", "sum"), ("s", "sum"), ("n", "sum")])
+    if not isinstance(agg, pa.Table):
+        # ≤ dim·(dim+3)/2 final rows by construction — bounded take
+        agg = pa.concat_tables(
+            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in agg.iter_batches(batch_format="pyarrow"))
+
+    d1 = np.asarray(agg.column("d1"), np.int64)
+    d2 = np.asarray(agg.column("d2"), np.int64)
+    is_dim = d2 == -1
+    sums = {int(a): int(b) for a, b in
+            zip(d1[is_dim], np.asarray(agg.column("s"), np.int64)[is_dim])}
+    ns = {int(a): int(b) for a, b in
+          zip(d1[is_dim], np.asarray(agg.column("n"), np.int64)[is_dim])}
+    pr = agg.filter(pa.array(~is_dim))
+    p1 = np.asarray(pr.column("d1"), np.int64)
+    p2 = np.asarray(pr.column("d2"), np.int64)
+    sxy = np.asarray(pr.column("sxy"), np.int64)
+    rows = {"d1": [], "d2": [], "n": [], "sx_q": [], "sy_q": [],
+            "sxy_q": [], "cov": []}
+    for a, b2, xy in zip(p1.tolist(), p2.tolist(), sxy.tolist()):
+        n = ns.get(a, 0)
+        sx, sy = sums.get(a, 0), sums.get(b2, 0)
+        num = n * xy - sx * sy                        # Python big-int
+        den = float(n) * float(n) * float(scale) * float(scale)
+        rows["d1"].append(a)
+        rows["d2"].append(b2)
+        rows["n"].append(n)
+        rows["sx_q"].append(sx)
+        rows["sy_q"].append(sy)
+        rows["sxy_q"].append(xy)
+        rows["cov"].append(float(num) / den if n > 0 else 0.0)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "d1": pa.array(rows["d1"], pa.int64()),
+        "d2": pa.array(rows["d2"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "sx_q": pa.array(rows["sx_q"], pa.int64()),
+        "sy_q": pa.array(rows["sy_q"], pa.int64()),
+        "sxy_q": pa.array(rows["sxy_q"], pa.int64()),
+        "cov": pa.array(rows["cov"], pa.float64())}))

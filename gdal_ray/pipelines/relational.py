@@ -5183,3 +5183,64 @@ def _build_sql_graph_pagerank(iters: int = 3, scale: int = 10 ** 9) -> str:
 
 
 SQL_GRAPH_PAGERANK = _build_sql_graph_pagerank()
+
+
+def text_unigram_lm_q(sf_dir: str):
+    """Unigram-LM NLL quality scoring over the real corpus (see
+    text.unigram_nll: one token-hash co-shuffle, integer-quantized
+    logprobs, measured-size per-doc merge)."""
+    from .text import unigram_nll
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_nll(docs)
+
+
+SQL_TEXT_UNIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok FROM documents,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> len(x) > 0)) t(tok)),
+tot AS (SELECT COUNT(*) AS T FROM toks),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+lp AS (SELECT tok,
+              CAST(floor(1000000.0 * ln(CAST(T AS DOUBLE) / c)) AS BIGINT)
+                  AS q
+       FROM cnt, tot),
+per AS (SELECT doc_id, CAST(SUM(lp.q) AS BIGINT) AS nll_q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks JOIN lp ON lp.tok = toks.tok GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n, 0) AS n_tokens,
+       COALESCE(per.nll_q, 0) AS nll_q,
+       CASE WHEN COALESCE(per.n, 0) > 0
+            THEN (CAST(per.nll_q AS DOUBLE) / CAST(per.n AS DOUBLE))
+                 / 1000000.0
+            ELSE 0.0 END AS avg_nll
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+def emb_covariance_q(sf_dir: str):
+    """Exact covariance moments over the embeddings table (PCA prep; see
+    ann.covariance — bounded-by-dim² merge, big-int numerator)."""
+    from .ann import covariance
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return covariance(emb, dim=64, scale=1 << 20)
+
+
+SQL_EMB_COVARIANCE = r"""
+WITH v AS (
+  SELECT vec_id, i.i AS d,
+         CAST(floor(embedding[i.i + 1] * 1048576e0) AS BIGINT) AS q
+  FROM embeddings, generate_series(0, 63) i(i)),
+s AS (SELECT d, CAST(SUM(q) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY d),
+p AS (SELECT a.d AS d1, b.d AS d2, CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+      FROM v a JOIN v b ON b.vec_id = a.vec_id AND b.d >= a.d
+      GROUP BY a.d, b.d)
+SELECT p.d1, p.d2, sa.n AS n, sa.sv AS sx_q, sb.sv AS sy_q, p.sxy AS sxy_q,
+       CAST(CAST(sa.n AS HUGEINT) * p.sxy
+            - CAST(sa.sv AS HUGEINT) * sb.sv AS DOUBLE)
+       / (CAST(sa.n AS DOUBLE) * CAST(sa.n AS DOUBLE)
+          * 1048576e0 * 1048576e0) AS cov
+FROM p JOIN s sa ON sa.d = p.d1 JOIN s sb ON sb.d = p.d2
+"""

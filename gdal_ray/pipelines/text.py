@@ -407,3 +407,97 @@ def chunk_tokens(batch: pa.Table, *, window: int = 64, stride: int = 48,
                      "tok_start": pa.array(starts, pa.int64()),
                      "n_chunk_tokens": pa.array(lens, pa.int64()),
                      "chunk_text": pa.array(texts_out, pa.string())})
+
+
+def unigram_nll(docs: "object", *, id_col: str = "doc_id",
+                text_col: str = "text") -> "object":
+    """Corpus-unigram-LM perplexity proxy per document: each token's
+    negative log-probability under the corpus's OWN unigram distribution
+    (−ln(c/T) = ln(T/c)), averaged over the document — the classic
+    language-model quality filter of training-data pipelines (documents
+    with high NLL are off-distribution / noise).
+
+    Scale shape (mirrors ``tfidf_top_term``): distinct (doc, token, tf)
+    rows — tf needs no shuffle — through ONE groupby(token-hash)
+    co-shuffle; all occurrences of a token land in one group, so the
+    GLOBAL token count is an in-group segment sum and no separate count
+    table or join exists.  The corpus total T is one scalar
+    pre-aggregate.  Per-token logprobs are quantized to int64
+    (floor(1e6·ln(T/c))) BEFORE summation, so float addition order can
+    never perturb the result (the repo's oracle-parity discipline); the
+    only float ops are one ln and two final divisions, identical on the
+    DuckDB side."""
+    from .dedup import _hash_bytes_to_u64
+    from .shuffle_utils import grouped_agg, grouped_map_groups
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            ts = t.split()
+            if not ts:
+                continue
+            u, c = np.unique(np.asarray(ts, dtype=object),
+                             return_counts=True)
+            ids.extend([d] * len(u))
+            toks.extend(list(u))
+            tfs.extend(c.tolist())
+        tkey = _hash_bytes_to_u64([str(t) for t in toks]) \
+            .view(np.int64) if toks else np.array([], np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "tkey": pa.array(tkey, pa.int64())})
+
+    def empty_rows(batch: pa.Table) -> pa.Table:
+        ids = [d for d, t in zip(batch.column(id_col).to_pylist(),
+                                 batch.column(text_col).to_pylist())
+               if not t.split()]
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "nll_q": pa.array(z), "n": pa.array(z)})
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    total = tf.sum("tf") or 0
+    t_f = float(total)
+
+    def nll_group(g: pa.Table) -> pa.Table:
+        # a hash-key group may hold >1 token (collisions): global count
+        # per distinct token via sorted-segment sums of tf
+        toks = np.asarray(g.column("token").to_pylist(), dtype=object)
+        order = np.argsort(toks, kind="stable")
+        toks_s = toks[order]
+        newk = np.empty(toks_s.size, bool)
+        newk[0] = True
+        newk[1:] = toks_s[1:] != toks_s[:-1]
+        starts = np.nonzero(newk)[0]
+        seg = np.cumsum(newk) - 1
+        tf_s = np.asarray(g.column("tf"), np.int64)[order]
+        c_seg = np.add.reduceat(tf_s, starts)
+        lp_q = np.floor(1e6 * np.log(t_f / c_seg.astype(np.float64))) \
+            .astype(np.int64)
+        contrib = tf_s * lp_q[seg]
+        ids = np.asarray(g.column(id_col), np.int64)[order]
+        return pa.table({id_col: pa.array(ids),
+                         "nll_q": pa.array(contrib),
+                         "n": pa.array(tf_s)})
+
+    parts = grouped_map_groups(tf, "tkey", nll_group).union(
+        docs.map_batches(empty_rows, batch_format="pyarrow"))
+    agg = grouped_agg(parts, [id_col], [("nll_q", "sum"), ("n", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        q = np.asarray(b.column("nll_q"), np.int64)
+        n = np.asarray(b.column("n"), np.int64)
+        avg = np.where(n > 0, (q.astype(np.float64)
+                               / np.maximum(n, 1).astype(np.float64)) / 1e6,
+                       0.0)
+        return pa.table({id_col: b.column(id_col),
+                         "n_tokens": pa.array(n),
+                         "nll_q": pa.array(q),
+                         "avg_nll": pa.array(avg, pa.float64())})
+
+    if isinstance(agg, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(finish(agg))
+    return agg.map_batches(finish, batch_format="pyarrow")
