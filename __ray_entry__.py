@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": R.graph_pagerank_q,
         "text_unigram_lm": R.text_unigram_lm_q,
         "emb_covariance": R.emb_covariance_q,
+        "q_cube": R.q_cube,
+        "audio_features": R.audio_features_q,
     }
 
 
@@ -310,4 +312,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": R.SQL_GRAPH_PAGERANK,
         "text_unigram_lm": R.SQL_TEXT_UNIGRAM_LM,
         "emb_covariance": R.SQL_EMB_COVARIANCE,
+        "q_cube": R.SQL_CUBE,
+        "audio_features": R.SQL_AUDIO_FEATURES,
     }

@@ -5244,3 +5244,143 @@ SELECT p.d1, p.d2, sa.n AS n, sa.sv AS sx_q, sb.sv AS sy_q, p.sxy AS sxy_q,
           * 1048576e0 * 1048576e0) AS cov
 FROM p JOIN s sa ON sa.d = p.d1 JOIN s sb ON sb.d = p.d2
 """
+
+
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all four grouping
+    sets — finest, both one-dim subtotals, grand total — derived from ONE
+    finest-level aggregate (per-batch partial + measured-size merge over
+    the bounded flag×status domain), rolled up in-driver.  Same
+    partial-reuse shape as q_rollup, completing the grouping-sets family.
+    Quantities aggregate in exact int64 (l_quantity is integral in TPC-H);
+    NULL markers print as 'ALL'."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = pa.array(np.floor(np.asarray(b.column("l_quantity"),
+                                           np.float64) + 0.5)
+                       .astype(np.int64))
+        t = pa.table({"flag": b.column("l_returnflag"),
+                      "status": b.column("l_linestatus"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "qty": qty})
+        g = t.group_by(["flag", "status"]).aggregate(
+            [("n", "sum"), ("qty", "sum")])
+        return pa.table({"flag": g.column("flag"),
+                         "status": g.column("status"),
+                         "n": g.column("n_sum"),
+                         "qty": g.column("qty_sum")})
+
+    from .shuffle_utils import grouped_agg
+    fine = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["flag", "status"], [("n", "sum"), ("qty", "sum")])
+    if not isinstance(fine, pa.Table):
+        fine = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in fine.iter_batches(batch_format="pyarrow"))
+
+    def level(tbl: pa.Table, keys: list) -> pa.Table:
+        if keys:
+            g = tbl.group_by(keys).aggregate([("n", "sum"), ("qty", "sum")])
+            n, q = g.column("n_sum"), g.column("qty_sum")
+        else:
+            g = None
+            n = pa.array([pc.sum(tbl.column("n")).as_py()], pa.int64())
+            q = pa.array([pc.sum(tbl.column("qty")).as_py()], pa.int64())
+        rows = len(n)
+        return pa.table({
+            "flag": (g.column("flag") if g and "flag" in keys
+                     else pa.array(["ALL"] * rows)),
+            "status": (g.column("status") if g and "status" in keys
+                       else pa.array(["ALL"] * rows)),
+            "n": n,
+            "sum_qty": q,
+        })
+
+    return pa.concat_tables([level(fine, ["flag", "status"]),
+                             level(fine, ["flag"]),
+                             level(fine, ["status"]),
+                             level(fine, [])])
+
+
+SQL_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def audio_features_q(sf_dir: str):
+    """Distributed audio decode + EXACT clip statistics over a derived WAV
+    corpus (one 16-bit PCM mono clip per supplier; samples
+    s_k = ((key·31 + k·7) mod 65536) − 32768, n = 2000 + (key mod 7)·100 —
+    the derived-raster oracle recipe applied to the audio family).  The
+    REAL core.audio container path runs distributed (make_wav →
+    decode_wav inside map_batches, same decode the
+    multimodal.AudioDecodeStage uses); 16-bit PCM divides by 2^15 so the
+    integer samples are recovered exactly, stats aggregate in int64, and
+    rms is one end-of-chain sqrt (libm both sides, half-up 6dp)."""
+    from ..core.audio import make_wav
+    sup = _read(sf_dir, "supplier", ["s_suppkey"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("s_suppkey"), np.int64)
+        blobs = []
+        for i in ids:
+            n = 2000 + int(i % 7) * 100
+            k = np.arange(n, dtype=np.int64)
+            s = (((int(i) * 31 + k * 7) % 65536) - 32768).astype("<i2")
+            blobs.append(make_wav(s.tobytes(), tag=1, ch=1, rate=16000,
+                                  block_align=2, bits=16))
+        return pa.table({"audio_id": pa.array(ids),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    def feats(b: pa.Table) -> pa.Table:
+        from ..core.audio import decode_wav
+        out = {k: [] for k in ("audio_id", "sample_rate", "n_samples",
+                               "sum_s", "sum_sq", "smin", "smax", "rms")}
+        for i in range(b.num_rows):
+            x, sr = decode_wav(b.column("bytes")[i].as_py())
+            s = np.floor(x.ravel() * 32768.0 + 0.5).astype(np.int64)
+            n = int(s.size)
+            sq = int((s * s).sum())
+            out["audio_id"].append(int(b.column("audio_id")[i].as_py()))
+            out["sample_rate"].append(int(sr))
+            out["n_samples"].append(n)
+            out["sum_s"].append(int(s.sum()))
+            out["sum_sq"].append(sq)
+            out["smin"].append(int(s.min()))
+            out["smax"].append(int(s.max()))
+            out["rms"].append(
+                np.floor(np.sqrt(sq / float(n)) * 1e6 + 0.5) / 1e6)
+        return pa.table({k: pa.array(v, pa.int64() if k != "rms"
+                                     else pa.float64())
+                         for k, v in out.items()})
+
+    return sup.map_batches(mk, batch_format="pyarrow") \
+              .map_batches(feats, batch_format="pyarrow")
+
+
+SQL_AUDIO_FEATURES = """
+WITH ks AS (SELECT i.i AS k FROM generate_series(0, 2599) i(i)),
+base AS (SELECT s_suppkey AS audio_id,
+                2000 + (s_suppkey % 7) * 100 AS n FROM supplier),
+s AS (SELECT audio_id, ((audio_id * 31 + k * 7) % 65536) - 32768 AS v
+      FROM base, ks WHERE k < n),
+agg AS (SELECT audio_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_s,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(MIN(v) AS BIGINT) AS smin,
+               CAST(MAX(v) AS BIGINT) AS smax
+        FROM s GROUP BY audio_id)
+SELECT audio_id, CAST(16000 AS BIGINT) AS sample_rate, n_samples,
+       sum_s, sum_sq, smin, smax,
+       floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1000000.0 + 0.5)
+           / 1000000.0 AS rms
+FROM agg
+"""
