@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": R.emb_covariance_q,
         "q_cube": R.q_cube,
         "audio_features": R.audio_features_q,
+        "q_quantiles": R.q_quantiles,
+        "q3_shipping_priority": R.q3_shipping_priority,
     }
 
 
@@ -314,4 +316,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_covariance": R.SQL_EMB_COVARIANCE,
         "q_cube": R.SQL_CUBE,
         "audio_features": R.SQL_AUDIO_FEATURES,
+        "q_quantiles": R.SQL_QUANTILES,
+        "q3_shipping_priority": R.SQL_Q3_SHIPPING_PRIORITY,
     }

@@ -5384,3 +5384,143 @@ SELECT audio_id, CAST(16000 AS BIGINT) AS sample_rate, n_samples,
            / 1000000.0 AS rms
 FROM agg
 """
+
+
+def q_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of order totalprice — k-th-smallest
+    selection via the iterative histogram-refinement engine
+    (pipelines/quantile.py): counts-only streaming passes, no global
+    sort, no all-to-all.  Money is scaled to int64 cents first so
+    selection is integer-exact; ONE end-of-chain division prints the
+    value (int64/100.0 bit-matches DuckDB BIGINT/100.0)."""
+    from .quantile import exact_quantiles
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda b: pa.table({"v": pa.array(np.floor(
+            np.asarray(b.column("o_totalprice"), np.float64) * 100 + 0.5)
+            .astype(np.int64))}),
+        batch_format="pyarrow")
+    t = exact_quantiles(ds, "v", [25, 50, 75, 90])
+    return pa.table({
+        "q_pct": t.column("q_pct"),
+        "n": t.column("n"),
+        "pos": t.column("pos"),
+        "value": pa.array(
+            np.asarray(t.column("value_q"), np.int64) / 100.0),
+    })
+
+
+SQL_QUANTILES = """
+WITH s AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+           FROM orders),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+qq AS (SELECT CAST(q_pct AS BIGINT) AS q_pct
+       FROM (VALUES (25), (50), (75), (90)) AS t(q_pct))
+SELECT qq.q_pct, c.n,
+       (c.n * qq.q_pct + 99) // 100 AS pos,
+       CAST(r.v AS DOUBLE) / 100.0 AS value
+FROM qq, c
+JOIN r ON r.rn = (c.n * qq.q_pct + 99) // 100
+"""
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the join→group→top-k capstone: unshipped-revenue
+    per order for one market segment, top 10 by revenue.  Shape: the two
+    DATA-sized joins (customer⋈orders on custkey, then ⋈lineitem on
+    orderkey) are capped hash joins; the group key (orderkey) is
+    data-sized so per-batch partials + grouped_agg merge, then top-10 on
+    the EXACT int64 revenue (ties broken by date, orderkey — identical
+    on both sides because revenue never leaves integer space until the
+    final print division)."""
+    cut = np.datetime64("1995-03-15").astype("datetime64[us]") \
+        .astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: pa.table(
+            {"c_custkey": b.column("c_custkey")}).filter(
+                pc.equal(b.column("c_mktsegment"), "BUILDING")),
+            batch_format="pyarrow")
+
+    def owin(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("o_orderdate").cast(pa.int64()), np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"),
+                         "odate": pa.array(ts),
+                         "ship": b.column("o_orderpriority")}) \
+            .filter(pa.array(ts < cut))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]) \
+        .map_batches(owin, batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=_join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("l_shipdate").cast(pa.int64()), np.int64)
+        p = np.asarray(b.column("l_extendedprice"), np.float64)
+        d = np.asarray(b.column("l_discount"), np.float64)
+        rev = (np.floor(p * 100 + 0.5).astype(np.int64)
+               * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev": pa.array(rev)}).filter(pa.array(ts > cut))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice",
+                "l_discount"]).map_batches(li_rev, batch_format="pyarrow")
+    j = li.join(oc.select_columns(["o_orderkey", "odate", "ship"]),
+                join_type="inner", num_partitions=_join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "odate", "ship"]) \
+             .aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "odate": g.column("odate"),
+                         "ship": g.column("ship"),
+                         "rev": g.column("rev_sum")})
+
+    from .shuffle_utils import grouped_agg
+    out = grouped_agg(j.map_batches(partial, batch_format="pyarrow"),
+                      ["l_orderkey", "odate", "ship"], [("rev", "sum")])
+    if not isinstance(out, pa.Table):
+        out = out.sort(["rev", "odate", "l_orderkey"],
+                       descending=[True, False, False]).limit(10)
+        out = pa.concat_tables(
+            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in out.iter_batches(batch_format="pyarrow"))
+    rev = np.asarray(out.column("rev"), np.int64)
+    od = np.asarray(out.column("odate"), np.int64)
+    ok = np.asarray(out.column("l_orderkey"), np.int64)
+    order = np.lexsort((ok, od, -rev))[:10]
+    dates = (od[order] // 86_400_000_000).astype("datetime64[D]")
+    return pa.table({
+        "l_orderkey": pa.array(ok[order]),
+        "revenue": pa.array(rev[order] / 1e4),
+        "o_orderdate": pa.array([str(x) for x in dates], pa.string()),
+        "o_orderpriority": pa.array(
+            [out.column("ship")[int(i)].as_py() for i in order],
+            pa.string()),
+    })
+
+
+SQL_Q3_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) DESC,
+         o_orderdate, l_orderkey
+LIMIT 10
+"""
