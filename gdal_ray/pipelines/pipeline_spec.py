@@ -330,6 +330,11 @@ def _register_trainingdata():
     _REGISTRY["countmin"] = lambda ds, col, w_buckets=1 << 14, d=4: \
         SK.countmin_counters(ds, col, w_buckets=int(w_buckets), d=int(d))
 
+    from ..pipelines import quantile as QT
+    _REGISTRY["exact_quantiles"] = lambda ds, col, pcts="25,50,75": \
+        ray.data.from_arrow(QT.exact_quantiles(
+            ds, col, [int(p) for p in str(pcts).split(",")]))
+
     from ..stages import multimodal as MM
     _REGISTRY["image_features"] = lambda ds, on_error="raise", batch_size=32: \
         ds.map_batches(MM.ImageFeatureStage(on_error=on_error),
