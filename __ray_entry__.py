@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": R.audio_features_q,
         "q_quantiles": R.q_quantiles,
         "q3_shipping_priority": R.q3_shipping_priority,
+        "q_skew_join": R.q_skew_join,
     }
 
 
@@ -318,4 +319,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": R.SQL_AUDIO_FEATURES,
         "q_quantiles": R.SQL_QUANTILES,
         "q3_shipping_priority": R.SQL_Q3_SHIPPING_PRIORITY,
+        "q_skew_join": R.SQL_SKEW_JOIN,
     }

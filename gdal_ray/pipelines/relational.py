@@ -5524,3 +5524,67 @@ ORDER BY SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
          o_orderdate, l_orderkey
 LIMIT 10
 """
+
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware hybrid hash join under a manufactured hot key (25% of
+    lineitem rows collapse onto supplier 0 — the null-sentinel/
+    mega-customer shape that flatlines a plain hash join): heavy keys are
+    measured from a per-batch key histogram and joined MAP-SIDE against
+    broadcast build rows, the cold tail goes through the capped shuffle
+    join, branches union (pipelines/skewjoin.py).  Revenue stays int64
+    cents end-to-end."""
+    from .shuffle_utils import grouped_agg
+    from .skewjoin import skew_hybrid_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"s_suppkey": b.column("s_suppkey"),
+             "s_nationkey": b.column("s_nationkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+    cnt = sup.count()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b.column("l_orderkey"), np.int64)
+        p = np.asarray(b.column("l_extendedprice"), np.float64)
+        k = np.where(ok % 4 == 0, 0, 1 + ((ok * 7) % (cnt - 1)))
+        return pa.table({"k": pa.array(k),
+                         "cents": pa.array(np.floor(p * 100 + 0.5)
+                                           .astype(np.int64))})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]) \
+        .map_batches(keyed, batch_format="pyarrow")
+    j = skew_hybrid_join(li, sup, "k", "s_suppkey",
+                         hot_num=1, hot_den=10)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"s_nationkey": b.column("s_nationkey"),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "cents": b.column("cents")})
+        g = t.group_by("s_nationkey").aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return pa.table({"s_nationkey": g.column("s_nationkey"),
+                         "n": g.column("n_sum"),
+                         "rev_cents": g.column("cents_sum")})
+
+    out = grouped_agg(j.map_batches(partial, batch_format="pyarrow"),
+                      ["s_nationkey"], [("n", "sum"),
+                                        ("rev_cents", "sum")])
+    if isinstance(out, pa.Table):
+        return ray.data.from_arrow(out)
+    return out
+
+
+SQL_SKEW_JOIN = """
+WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM supplier),
+l AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+             ELSE 1 + ((l_orderkey * 7) % ((SELECT cnt FROM c) - 1))
+             END AS k,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem)
+SELECT CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l.cents) AS BIGINT) AS rev_cents
+FROM l JOIN supplier s ON s.s_suppkey = l.k
+GROUP BY s.s_nationkey
+"""
