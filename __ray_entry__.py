@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantiles": R.q_quantiles,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q_skew_join": R.q_skew_join,
+        "sketch_grouped_distinct": R.sketch_grouped_distinct_q,
     }
 
 
@@ -320,4 +321,5 @@ def oracle_sql() -> dict[str, str]:
         "q_quantiles": R.SQL_QUANTILES,
         "q3_shipping_priority": R.SQL_Q3_SHIPPING_PRIORITY,
         "q_skew_join": R.SQL_SKEW_JOIN,
+        "sketch_grouped_distinct": R._sql_sketch_grouped_distinct(),
     }

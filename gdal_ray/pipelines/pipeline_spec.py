@@ -329,6 +329,9 @@ def _register_trainingdata():
         SK.bloom_bits(ds, col, m_bits=int(m_bits), k=int(k))
     _REGISTRY["countmin"] = lambda ds, col, w_buckets=1 << 14, d=4: \
         SK.countmin_counters(ds, col, w_buckets=int(w_buckets), d=int(d))
+    _REGISTRY["hll_grouped"] = lambda ds, col, group_col, b=10: \
+        ray.data.from_arrow(SK.hll_grouped_estimates(
+            ds, col, group_col, b=int(b)))
 
     from ..pipelines import quantile as QT
     _REGISTRY["exact_quantiles"] = lambda ds, col, pcts="25,50,75": \

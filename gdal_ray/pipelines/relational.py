@@ -5588,3 +5588,19 @@ SELECT CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
 FROM l JOIN supplier s ON s.s_suppkey = l.k
 GROUP BY s.s_nationkey
 """
+
+
+def sketch_grouped_distinct_q(sf_dir: str):
+    """Grouped HLL: distinct users PER EVENT TYPE at sketch cost (only
+    ≤ types×2^b register rows move, never the user ids) — the mergeable
+    COUNT(DISTINCT) GROUP BY primitive.  The estimate itself is
+    value-hash EXACT: harmonic denominator in exact int64, one fixed
+    float expression, half-up 6dp (sketches.hll_grouped_estimates)."""
+    from .sketches import hll_grouped_estimates
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_grouped_estimates(ds, "user_id", "event_type", b=10)
+
+
+def _sql_sketch_grouped_distinct() -> str:
+    from .sketches import build_sql_hll_grouped
+    return build_sql_hll_grouped("events", "user_id", "event_type", b=10)

@@ -293,3 +293,137 @@ def build_sql_bloom_bits(table: str, col: str, *, m_bits: int = 1 << 17,
     return ("WITH " + ",\n".join(chain)
             + f"\nSELECT DISTINCT CAST((h1 + i * h2) % {m_bits}::HUGEINT "
             f"AS BIGINT) AS bit FROM {prev}, generate_series(0, {k - 1}) g(i)")
+
+
+# ---------- grouped HLL (distinct-per-group at sketch cost) ----------
+
+def hll_registers_grouped(ds: "ray.data.Dataset", col: str,
+                          group_col: str, *, b: int = 10):
+    """Per-group HLL register sketches: rows (group, register, rho),
+    maxed per (group, register).  The mergeable grouped-cardinality
+    primitive — COUNT(DISTINCT x) GROUP BY g at 100 TB without shuffling
+    the values, only ≤ groups×2^b register rows.  Per batch the groups
+    are factorized once and one ``np.maximum.at`` scatter fills a
+    (groups_in_batch × 2^b) register plane — no per-group dispatch."""
+    from .dedup import _splitmix
+    from .shuffle_utils import grouped_agg
+
+    m = 1 << b
+    wbits = 64 - b
+    wmask = np.uint64((1 << wbits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        v = np.asarray(batch.column(col), np.int64).astype(np.uint64)
+        ug, gi = np.unique(g, return_inverse=True)
+        h = _splitmix(v)
+        j = (h >> np.uint64(wbits)).astype(np.int64)
+        rho = (wbits + 1 - _bitlen_u64(h & wmask)).astype(np.int64)
+        regs = np.zeros(ug.size * m, np.int64)
+        np.maximum.at(regs, gi * m + j, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({
+            group_col: pa.array(list(ug[nz // m]), pa.string()),
+            "register": pa.array(nz % m, pa.int64()),
+            "rho": pa.array(regs[nz], pa.int64())})
+
+    merged = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         [group_col, "register"], [("rho", "max")])
+    if isinstance(merged, pa.Table):
+        return ray.data.from_arrow(merged)
+    return merged
+
+
+def hll_grouped_estimates(ds: "ray.data.Dataset", col: str,
+                          group_col: str, *, b: int = 10) -> pa.Table:
+    """Distinct-count estimate per group from the grouped register
+    sketch.  The harmonic denominator is computed in EXACT int64
+    (Σ 2^(wbits−rho) over present registers + 2^wbits per absent one —
+    every rho ≤ wbits+1 so each term is integral), then ONE fixed float
+    expression prints the estimate: ((α · m) · m) · 2^wbits / T, with
+    the linear-counting small-range branch on the register zero count.
+    Both factors replay verbatim in SQL, so the estimate is value-hash
+    exact, not approximately-equal."""
+    m = 1 << b
+    wbits = 64 - b
+    regs = hll_registers_grouped(ds, col, group_col, b=b)
+    parts = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+             for t in regs.iter_batches(batch_format="pyarrow")]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {group_col: pa.array([], pa.string()),
+         "register": pa.array([], pa.int64()),
+         "rho": pa.array([], pa.int64())})
+    g = np.asarray(tbl.column(group_col).to_pylist(), dtype=object)
+    rho = np.asarray(tbl.column("rho"), np.int64)
+    ug, gi = np.unique(g, return_inverse=True)
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    names, n_regs, n_zeros, ests = [], [], [], []
+    # driver-side per-group finish: the denominator Σ2^(wbits−rho) +
+    # zeros·2^wbits reaches 2^64 — Python big ints keep it exact (the
+    # SQL side uses HUGEINT), ONE float conversion at the division
+    for i, name in enumerate(ug):
+        rr = rho[gi == i]
+        pres = int(rr.size)
+        zeros = m - pres
+        T = int(sum(1 << (wbits - int(r)) for r in rr)) \
+            + zeros * (1 << wbits)
+        est = ((alpha * float(m)) * float(m)) * float(1 << wbits) \
+            / float(T)
+        if est <= 2.5 * m and zeros > 0:
+            est = float(m) * float(np.log(m / float(zeros)))
+        names.append(str(name))
+        n_regs.append(pres)
+        n_zeros.append(zeros)
+        ests.append(np.floor(est * 1e6 + 0.5) / 1e6)
+    return pa.table({group_col: pa.array(names, pa.string()),
+                     "n_registers": pa.array(n_regs, pa.int64()),
+                     "zeros": pa.array(n_zeros, pa.int64()),
+                     "est": pa.array(ests, pa.float64())})
+
+
+def build_sql_hll_grouped(table: str, col: str, group_col: str, *,
+                          b: int = 10) -> str:
+    """Exact SQL replay of hll_grouped_estimates: the register replay of
+    build_sql_hll_registers carrying the group column, then the same
+    exact-int64 harmonic denominator and the same fixed float expression
+    (multiplication order matters — ((α·m)·m)·2^wbits / T)."""
+    from .relational import _fp_splitmix_steps
+
+    m = 1 << b
+    wbits = 64 - b
+    p2w = 1 << wbits
+    chain = [f"hg_0 AS (SELECT DISTINCT {group_col} AS grp, "
+             f"CAST({col} AS HUGEINT) AS x FROM {table})"]
+    prev = "hg_0"
+    for i, (name, expr) in enumerate(_fp_splitmix_steps("x", "hv", "q")):
+        chain.append(f"hg_{i + 1} AS (SELECT *, {expr} AS {name} "
+                     f"FROM {prev})")
+        prev = f"hg_{i + 1}"
+    chain.append(
+        f"hg_jw AS (SELECT grp, "
+        f"CAST(hv // {p2w}::HUGEINT AS BIGINT) AS register, "
+        f"CAST(hv % {p2w}::HUGEINT AS BIGINT) AS w FROM {prev})")
+    chain.append(
+        f"hg_bl AS (SELECT grp, register, w, "
+        f"SUM(CASE WHEN w >= (1::BIGINT << (i - 1)) THEN 1 ELSE 0 END) "
+        f"AS bl FROM hg_jw, generate_series(1, {wbits}) g(i) "
+        f"GROUP BY grp, register, w)")
+    chain.append(
+        f"hg_reg AS (SELECT grp, register, "
+        f"CAST(MAX({wbits + 1} - bl) AS BIGINT) AS rho "
+        f"FROM hg_bl GROUP BY grp, register)")
+    chain.append(
+        f"hg_agg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_registers, "
+        f"CAST({m} - COUNT(*) AS BIGINT) AS zeros, "
+        f"SUM(CAST(1::BIGINT << ({wbits} - rho) AS HUGEINT)) "
+        f"+ ({m} - COUNT(*))::HUGEINT * {p2w}::HUGEINT AS t "
+        f"FROM hg_reg GROUP BY grp)")
+    alpha = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}e0))"
+    raw = (f"((({alpha} * {m}e0) * {m}e0) * {p2w}e0 "
+           f"/ CAST(t AS DOUBLE))")
+    lc = f"({m}e0 * ln({m}e0 / CAST(zeros AS DOUBLE)))"
+    return ("WITH " + ",\n".join(chain)
+            + f"\nSELECT grp AS {group_col}, n_registers, zeros, "
+            f"floor((CASE WHEN {raw} <= {25 * m}e0 / 10e0 AND zeros > 0 "
+            f"THEN {lc} ELSE {raw} END) * 1000000e0 + 0.5e0) / 1000000e0 "
+            "AS est FROM hg_agg")
