@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "q_skew_join": R.q_skew_join,
         "sketch_grouped_distinct": R.sketch_grouped_distinct_q,
+        "q_upsert_latest": R.q_upsert_latest,
     }
 
 
@@ -322,4 +323,5 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": R.SQL_Q3_SHIPPING_PRIORITY,
         "q_skew_join": R.SQL_SKEW_JOIN,
         "sketch_grouped_distinct": R._sql_sketch_grouped_distinct(),
+        "q_upsert_latest": R.SQL_UPSERT_LATEST,
     }

@@ -973,3 +973,34 @@ def fuzzy_pairs(docs: "ray.data.Dataset", *, max_dist: int = 8,
     return grouped_map_groups(
         sigs_ds.map_batches(bucket_payload_batch, batch_format="pyarrow"),
         "bucket", verify_group)
+
+
+def upsert_latest(ds: "ray.data.Dataset", key_col: str, version_col: str,
+                  driver_limit: int = 200_000) -> "ray.data.Dataset":
+    """Latest-wins merge by key (the lakehouse CDC/upsert primitive):
+    from a union of snapshot + change rows, keep each key's row with the
+    highest version.  Scale shape: a per-batch combiner first collapses
+    every block to one candidate row per key (argmax by version inside
+    the block — zero extra shuffle volume for keys that repeat within a
+    block), then the measured-size grouped merge picks the global max.
+    Version ties keep ONE deterministic row (the max-version row that
+    sorts last by version within the key group — callers needing a
+    different tiebreak should fold it into the version)."""
+    from .shuffle_utils import grouped_map_groups
+
+    def combine(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column(key_col), np.int64)
+        v = np.asarray(b.column(version_col), np.int64)
+        order = np.lexsort((v, k))
+        # last row per key in (key, version) order = per-key max version
+        kk = k[order]
+        last = np.flatnonzero(np.append(kk[1:] != kk[:-1], True))
+        return b.take(pa.array(order[last], pa.int64()))
+
+    def pick(g: pa.Table) -> pa.Table:
+        v = np.asarray(g.column(version_col), np.int64)
+        return g.slice(int(np.argmax(v)), 1)
+
+    return grouped_map_groups(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        key_col, pick, driver_limit=driver_limit)

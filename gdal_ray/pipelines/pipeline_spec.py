@@ -301,6 +301,8 @@ def _register_trainingdata():
     _REGISTRY["connected_components"] = \
         lambda ds, id_a="id_a", id_b="id_b": \
         DD.connected_components(ds, id_a=id_a, id_b=id_b)
+    _REGISTRY["upsert_latest"] = lambda ds, key_col, version_col: \
+        DD.upsert_latest(ds, key_col, version_col)
     _REGISTRY["tfidf_top_term"] = lambda ds, text_col="text", \
         id_col="doc_id": TX.tfidf_top_term(ds, text_col=text_col,
                                            id_col=id_col)

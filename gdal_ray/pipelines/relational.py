@@ -5604,3 +5604,47 @@ def sketch_grouped_distinct_q(sf_dir: str):
 def _sql_sketch_grouped_distinct() -> str:
     from .sketches import build_sql_hll_grouped
     return build_sql_hll_grouped("events", "user_id", "event_type", b=10)
+
+
+def q_upsert_latest(sf_dir: str):
+    """Latest-wins CDC merge (lakehouse upsert): a base snapshot of
+    orders (version 0) unioned with a derived change stream (every third
+    key, version 1, repriced +1000.00) resolves to one row per key with
+    the highest version — dedup.upsert_latest's per-batch argmax
+    combiner + measured-size grouped pick."""
+    from .dedup import upsert_latest
+
+    def base(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"), np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        return pa.table({"k": b.column("o_orderkey"),
+                         "ver": pa.array(np.zeros(b.num_rows, np.int64)),
+                         "cents": pa.array(cents)})
+
+    def upd(b: pa.Table) -> pa.Table:
+        t = base(b)
+        k = np.asarray(t.column("k"), np.int64)
+        t = t.filter(pa.array(k % 3 == 0))
+        return pa.table({"k": t.column("k"),
+                         "ver": pa.array(np.ones(t.num_rows, np.int64)),
+                         "cents": pa.array(
+                             np.asarray(t.column("cents"), np.int64)
+                             + 100_000)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    u = orders.map_batches(base, batch_format="pyarrow").union(
+        orders.map_batches(upd, batch_format="pyarrow"))
+    return upsert_latest(u, "k", "ver")
+
+
+SQL_UPSERT_LATEST = """
+WITH base AS (SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS ver,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders),
+upd AS (SELECT k, CAST(1 AS BIGINT) AS ver, cents + 100000 AS cents
+        FROM base WHERE k % 3 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT k, ver, cents FROM u
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver DESC) = 1
+"""

@@ -720,3 +720,41 @@ def test_pagerank_distributed_matches_driver(ray_session):
     assert len(a) == len(b) > 0
     assert (a["node"].values == b["node"].values).all()
     assert (a["score_q"].values == b["score_q"].values).all()
+
+
+def test_upsert_latest_paths_and_invariance(ray_session):
+    """upsert_latest: distributed grouped path == driver path, and the
+    result is partition-invariant (latest version wins per key)."""
+    import ray.data
+    from gdal_ray.pipelines.dedup import upsert_latest
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    k = rng.integers(0, 800, size=n).astype(np.int64)
+    ver = rng.integers(0, 5, size=n).astype(np.int64)
+    # make (key, version) unique so the winning row is well-defined
+    seen = {}
+    keep = np.zeros(n, bool)
+    for i in range(n):
+        if (int(k[i]), int(ver[i])) not in seen:
+            seen[(int(k[i]), int(ver[i]))] = True
+            keep[i] = True
+    k, ver = k[keep], ver[keep]
+    payload = k * 1000 + ver
+    tbl = pa.table({"k": pa.array(k), "ver": pa.array(ver),
+                    "p": pa.array(payload)})
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        return list(map(tuple, df[["k", "ver", "p"]].to_numpy()))
+
+    expect = {}
+    for kk, vv, pp in zip(k, ver, payload):
+        if kk not in expect or vv > expect[kk][1]:
+            expect[kk] = (int(kk), int(vv), int(pp))
+    exp = sorted(expect.values())
+
+    for parts in (2, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        assert norm(upsert_latest(ds, "k", "ver")) == exp
+        assert norm(upsert_latest(ds, "k", "ver", driver_limit=0)) == exp
