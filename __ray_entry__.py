@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew_join": R.q_skew_join,
         "sketch_grouped_distinct": R.sketch_grouped_distinct_q,
         "q_upsert_latest": R.q_upsert_latest,
+        "raster_compare": R.raster_compare_q,
     }
 
 
@@ -324,4 +325,5 @@ def oracle_sql() -> dict[str, str]:
         "q_skew_join": R.SQL_SKEW_JOIN,
         "sketch_grouped_distinct": R._sql_sketch_grouped_distinct(),
         "q_upsert_latest": R.SQL_UPSERT_LATEST,
+        "raster_compare": R.SQL_RASTER_COMPARE,
     }

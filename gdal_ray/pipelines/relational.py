@@ -5648,3 +5648,84 @@ u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
 SELECT k, ver, cents FROM u
 QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver DESC) = 1
 """
+
+
+def raster_compare_q(sf_dir: str):
+    """gdalcompare on the driver surface (autotest/gdalcompare.py,
+    `gdal raster compare`): golden-vs-test PNG pairs per nation (test =
+    pixel recurrence with a stride-7 perturbation; every 5th image is a
+    PLANTED IDENTICAL copy so the 'Images are identical' branch is
+    exercised), run through the REAL stages/raster2.compare_images
+    stage — real PNG encode+decode, GDAL 11-prime checksums both sides,
+    diff count, max |Δ|, PSNR.  The oracle replays pixels via
+    generate_series; the SSE is exact int (≤256 squared-byte terms keep
+    np.mean's pairwise float sum exact too), so PSNR is ONE
+    deterministic log10 chain, half-up 6dp; identical pairs print the
+    −1.0 sentinel."""
+    from ..core import codecs
+    from ..stages.raster2 import compare_images
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("n_nationkey"), np.int64)
+        k = np.arange(256, dtype=np.int64)
+        gs, ts = [], []
+        for n in ids:
+            g = ((int(n) * 31 + k) % 256).astype(np.uint8).reshape(16, 16)
+            t = g if n % 5 == 0 else \
+                ((int(n) * 31 + 7 * k) % 256).astype(np.uint8) \
+                .reshape(16, 16)
+            gs.append(codecs.encode(g, "png"))
+            ts.append(codecs.encode(t, "png"))
+        return pa.table({
+            "image_id": pa.array(ids, pa.int64()),
+            "bytes_golden": pa.array(gs, pa.binary()),
+            "fmt_golden": pa.array(["png"] * len(gs)),
+            "bytes_test": pa.array(ts, pa.binary()),
+            "fmt_test": pa.array(["png"] * len(ts))})
+
+    cmp = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(compare_images, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ps = b.column("psnr").to_pylist()
+        psq = [(-1.0 if p is None
+                else np.floor(p * 1e6 + 0.5) / 1e6) for p in ps]
+        return pa.table({
+            "n": b.column("image_id"),
+            "ck_g": b.column("checksum_golden"),
+            "ck_t": b.column("checksum_test"),
+            "n_diff_pixels": b.column("n_diff_pixels"),
+            "max_abs_diff": b.column("max_abs_diff"),
+            "psnr": pa.array(psq, pa.float64())})
+
+    return cmp.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_COMPARE = """
+WITH ks AS (SELECT i.i AS k FROM generate_series(0, 255) i(i)),
+px AS (SELECT n_nationkey AS n, k,
+              (n_nationkey * 31 + k) % 256 AS g,
+              CASE WHEN n_nationkey % 5 = 0
+                   THEN (n_nationkey * 31 + k) % 256
+                   ELSE (n_nationkey * 31 + 7 * k) % 256 END AS t
+       FROM nation, ks),
+agg AS (SELECT n,
+  CAST(SUM(g % ([7,11,13,17,19,23,29,31,37,41,43])[(k % 11) + 1])
+       % 65536 AS BIGINT) AS ck_g,
+  CAST(SUM(t % ([7,11,13,17,19,23,29,31,37,41,43])[(k % 11) + 1])
+       % 65536 AS BIGINT) AS ck_t,
+  CAST(SUM(CASE WHEN g <> t THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_diff_pixels,
+  CAST(MAX(abs(g - t)) AS BIGINT) AS maxd,
+  CAST(SUM((g - t) * (g - t)) AS BIGINT) AS sse
+  FROM px GROUP BY n)
+SELECT n, ck_g, ck_t, n_diff_pixels,
+       CAST(maxd AS DOUBLE) AS max_abs_diff,
+       CASE WHEN n_diff_pixels = 0 THEN -1.0e0
+            ELSE floor(10e0 * log10(65025e0
+                                    / (CAST(sse AS DOUBLE) / 256e0))
+                       * 1000000e0 + 0.5e0) / 1000000e0
+       END AS psnr
+FROM agg
+"""
