@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_grouped_distinct": R.sketch_grouped_distinct_q,
         "q_upsert_latest": R.q_upsert_latest,
         "raster_compare": R.raster_compare_q,
+        "q_above_group_avg": R.q_above_group_avg,
+        "raster_histogram": R.raster_histogram_q,
     }
 
 
@@ -326,4 +328,6 @@ def oracle_sql() -> dict[str, str]:
         "sketch_grouped_distinct": R._sql_sketch_grouped_distinct(),
         "q_upsert_latest": R.SQL_UPSERT_LATEST,
         "raster_compare": R.SQL_RASTER_COMPARE,
+        "q_above_group_avg": R.SQL_ABOVE_GROUP_AVG,
+        "raster_histogram": R.SQL_RASTER_HISTOGRAM,
     }

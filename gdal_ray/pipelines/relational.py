@@ -5729,3 +5729,129 @@ SELECT n, ck_g, ck_t, n_diff_pixels,
        END AS psnr
 FROM agg
 """
+
+
+def q_above_group_avg(sf_dir: str):
+    """Decorrelated correlated-subquery plan (WHERE price > AVG(price) of
+    the row's own customer): per-customer (Σcents, count) partials merge
+    measured-size, join back by custkey (capped hash join), and the
+    predicate runs as the INTEGER CROSS-MULTIPLY cents·n > Σcents — no
+    division, so the comparison is exact on both engines.  Qualifying
+    orders aggregate per priority class."""
+    from .shuffle_utils import grouped_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"), np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        t = pa.table({"o_custkey": b.column("o_custkey"),
+                      "s": pa.array(cents),
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("o_custkey").aggregate([("s", "sum"), ("c", "sum")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "s": g.column("s_sum"), "c": g.column("c_sum")})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderpriority"])
+    per_cust = grouped_agg(
+        orders.map_batches(part, batch_format="pyarrow"),
+        ["o_custkey"], [("s", "sum"), ("c", "sum")])
+    if isinstance(per_cust, pa.Table):
+        per_cust = ray.data.from_arrow(per_cust)
+    per_cust = per_cust.map_batches(
+        lambda b: pa.table({"ck": b.column("o_custkey"),
+                            "s": b.column("s"), "c": b.column("c")}),
+        batch_format="pyarrow")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"), np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "prio": b.column("o_orderpriority"),
+                         "cents": pa.array(cents)})
+
+    j = orders.map_batches(keyed, batch_format="pyarrow") \
+        .join(per_cust, join_type="inner",
+              num_partitions=_join_partitions(),
+              on=("o_custkey",), right_on=("ck",))
+
+    def qualify(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("cents"), np.int64)
+        s = np.asarray(b.column("s"), np.int64)
+        c = np.asarray(b.column("c"), np.int64)
+        t = b.filter(pa.array(cents * c > s))
+        g = pa.table({"prio": t.column("prio"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "cents": t.column("cents")}) \
+            .group_by("prio").aggregate([("n", "sum"), ("cents", "sum")])
+        return pa.table({"o_orderpriority": g.column("prio"),
+                         "n": g.column("n_sum"),
+                         "sum_cents": g.column("cents_sum")})
+
+    out = grouped_agg(j.map_batches(qualify, batch_format="pyarrow"),
+                      ["o_orderpriority"], [("n", "sum"),
+                                            ("sum_cents", "sum")])
+    if isinstance(out, pa.Table):
+        return ray.data.from_arrow(out)
+    return out
+
+
+SQL_ABOVE_GROUP_AVG = """
+WITH o AS (SELECT o_custkey, o_orderpriority,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+g AS (SELECT o_custkey AS ck, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM o GROUP BY o_custkey)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM o JOIN g ON g.ck = o.o_custkey
+WHERE o.cents * g.c > g.s
+GROUP BY o_orderpriority
+"""
+
+
+def raster_histogram_q(sf_dir: str):
+    """GetHistogram on the driver surface (gcore/rasterband.cpp histogram
+    semantics: bucket = v // 16 over the byte range, 16 equal buckets):
+    REAL PNG decode per derived image inside map_batches, vectorized
+    bincount per image, per-(n, bucket) rows — replayed from the pixel
+    recurrence via generate_series."""
+    from ..core import codecs
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("n_nationkey"), np.int64)
+        k = np.arange(256, dtype=np.int64)
+        bts = [codecs.encode(
+            ((int(n) * 31 + k * 5) % 256).astype(np.uint8).reshape(16, 16),
+            "png") for n in ids]
+        return pa.table({"n": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(bts, pa.binary())})
+
+    def hist(b: pa.Table) -> pa.Table:
+        ns, bks, cnts = [], [], []
+        for i in range(b.num_rows):
+            img = codecs.decode(b.column("bytes")[i].as_py(), "png")
+            h = np.bincount(img.ravel() // 16, minlength=16)
+            nz = np.flatnonzero(h)
+            n = int(b.column("n")[i].as_py())
+            ns.extend([n] * nz.size)
+            bks.extend(nz.tolist())
+            cnts.extend(h[nz].tolist())
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "bucket": pa.array(bks, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(hist, batch_format="pyarrow")
+
+
+SQL_RASTER_HISTOGRAM = """
+WITH ks AS (SELECT i.i AS k FROM generate_series(0, 255) i(i)),
+px AS (SELECT n_nationkey AS n,
+              ((n_nationkey * 31 + k * 5) % 256) // 16 AS bucket
+       FROM nation, ks)
+SELECT n, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM px GROUP BY n, bucket
+"""
