@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_compare": R.raster_compare_q,
         "q_above_group_avg": R.q_above_group_avg,
         "raster_histogram": R.raster_histogram_q,
+        "events_gapfill": R.events_gapfill_q,
     }
 
 
@@ -330,4 +331,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_compare": R.SQL_RASTER_COMPARE,
         "q_above_group_avg": R.SQL_ABOVE_GROUP_AVG,
         "raster_histogram": R.SQL_RASTER_HISTOGRAM,
+        "events_gapfill": R.SQL_EVENTS_GAPFILL,
     }

@@ -5855,3 +5855,86 @@ px AS (SELECT n_nationkey AS n,
 SELECT n, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM px GROUP BY n, bucket
 """
+
+
+def events_gapfill_q(sf_dir: str):
+    """Time-series densification (gap fill): hourly event counts per type
+    with every missing (type, hour) cell materialized as an explicit
+    zero over the table's [min, max] hour span — the generate-grid +
+    LEFT JOIN pattern.  Scale shape: counts come from the per-batch
+    combiner + measured-size merge (bounded by types × hours), the grid
+    is GENERATED distributed (`ray.data.range` over the cell space, no
+    driver loop), and the left join is the capped hash join; hours print
+    via ONE integer-hour → strftime chain."""
+    import ray.data as _rd
+
+    def part(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("ts").cast(pa.int64()), np.int64)
+        hr = ts // 3_600_000_000
+        t = pa.table({"event_type": b.column("event_type"),
+                      "hour": pa.array(hr),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour": g.column("hour"),
+                         "n": g.column("n_sum")})
+
+    from .shuffle_utils import grouped_agg
+    counts = grouped_agg(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        ["event_type", "hour"], [("n", "sum")])
+    if isinstance(counts, pa.Table):
+        counts = _rd.from_arrow(counts)
+
+    from ray.data.aggregate import Max, Min
+    mm = counts.aggregate(Min("hour"), Max("hour"))
+    h0, h1 = int(mm["min(hour)"]), int(mm["max(hour)"])
+    types = sorted(str(t) for t in
+                   set(counts.unique("event_type")))
+    nh = h1 - h0 + 1
+
+    def cell(b: dict) -> pa.Table:
+        i = np.asarray(b["id"], np.int64)
+        return pa.table({
+            "g_type": pa.array([types[int(x)] for x in i // nh],
+                               pa.string()),
+            "g_hour": pa.array(h0 + (i % nh))})
+
+    grid = _rd.range(len(types) * nh).map_batches(cell)
+    j = grid.join(counts, join_type="left_outer",
+                  num_partitions=_join_partitions(),
+                  on=("g_type", "g_hour"),
+                  right_on=("event_type", "hour"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n").fill_null(0), np.int64)
+        hrs = np.asarray(b.column("g_hour"), np.int64)
+        stamps = (hrs * 3600).astype("datetime64[s]")
+        return pa.table({
+            "event_type": b.column("g_type"),
+            "hour_ts": pa.array(np.datetime_as_string(stamps, unit="s")
+                                .tolist(), pa.string()),
+            "n": pa.array(n)})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_GAPFILL = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour
+           FROM events),
+cnt AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY event_type, hour),
+span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM cnt),
+grid AS (SELECT t.event_type AS g_type, s.h0 + g.i AS g_hour
+         FROM (SELECT DISTINCT event_type FROM cnt) t, span s,
+              generate_series(0, 50000) g(i)
+         WHERE g.i <= s.h1 - s.h0)
+SELECT g.g_type AS event_type,
+       strftime(make_timestamp(g.g_hour * 3600000000),
+                '%Y-%m-%dT%H:%M:%S') AS hour_ts,
+       COALESCE(c.n, 0) AS n
+FROM grid g LEFT JOIN cnt c
+  ON c.event_type = g.g_type AND c.hour = g.g_hour
+"""
