@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_above_group_avg": R.q_above_group_avg,
         "raster_histogram": R.raster_histogram_q,
         "events_gapfill": R.events_gapfill_q,
+        "q_snapshot_diff": R.q_snapshot_diff,
     }
 
 
@@ -332,4 +333,5 @@ def oracle_sql() -> dict[str, str]:
         "q_above_group_avg": R.SQL_ABOVE_GROUP_AVG,
         "raster_histogram": R.SQL_RASTER_HISTOGRAM,
         "events_gapfill": R.SQL_EVENTS_GAPFILL,
+        "q_snapshot_diff": R.SQL_SNAPSHOT_DIFF,
     }

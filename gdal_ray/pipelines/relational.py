@@ -5938,3 +5938,89 @@ SELECT g.g_type AS event_type,
 FROM grid g LEFT JOIN cnt c
   ON c.event_type = g.g_type AND c.hour = g.g_hour
 """
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff / change-data-feed (completes the CDC family with
+    [[q_upsert_latest]]): two derived order snapshots — B removes every
+    7th key, reprices every 5th, and inserts new synthetic keys — FULL
+    OUTER joined by key and classified added/removed/changed/same per
+    row; missing sides print the −1 sentinel so the schema stays
+    NULL-free for hashing.  Aggregated per change class (n, Σ|Δcents|):
+    bounded output, data-sized classify stays distributed."""
+    from .shuffle_utils import grouped_agg
+
+    def snap_a(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"), np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        return pa.table({"ka": b.column("o_orderkey"),
+                         "ca": pa.array(cents)})
+
+    def snap_b(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("o_orderkey"), np.int64)
+        cents = np.floor(np.asarray(b.column("o_totalprice"), np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        keep = k % 7 != 0
+        kk, cc = k[keep], cents[keep]
+        cc = np.where(kk % 5 == 0, cc + 12300, cc)
+        ins = k[k % 11 == 0] + 1_000_000_000
+        return pa.table({
+            "kb": pa.array(np.concatenate([kk, ins])),
+            "cb": pa.array(np.concatenate(
+                [cc, (ins % 90000) + 100]).astype(np.int64))})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    a = orders.map_batches(snap_a, batch_format="pyarrow")
+    bds = orders.map_batches(snap_b, batch_format="pyarrow")
+    j = a.join(bds, join_type="full_outer",
+               num_partitions=_join_partitions(),
+               on=("ka",), right_on=("kb",))
+
+    def classify(b: pa.Table) -> pa.Table:
+        ca, cb = b.column("ca"), b.column("cb")
+        in_a = np.asarray(pc.is_valid(ca), bool)
+        in_b = np.asarray(pc.is_valid(cb), bool)
+        va = np.asarray(pc.coalesce(ca, pa.scalar(-1)).cast(pa.int64()),
+                        np.int64)
+        vb = np.asarray(pc.coalesce(cb, pa.scalar(-1)).cast(pa.int64()),
+                        np.int64)
+        status = np.where(~in_a, "added",
+                          np.where(~in_b, "removed",
+                                   np.where(va != vb, "changed", "same")))
+        dc = np.where(in_a & in_b, np.abs(vb - va), np.int64(0))
+        t = pa.table({"change": pa.array(status.tolist(), pa.string()),
+                      "n": pa.array(np.ones(len(va), np.int64)),
+                      "abs_dcents": pa.array(dc.astype(np.int64))})
+        g = t.group_by("change").aggregate([("n", "sum"),
+                                            ("abs_dcents", "sum")])
+        return pa.table({"change": g.column("change"),
+                         "n": g.column("n_sum"),
+                         "abs_dcents": g.column("abs_dcents_sum")})
+
+    out = grouped_agg(j.map_batches(classify, batch_format="pyarrow"),
+                      ["change"], [("n", "sum"), ("abs_dcents", "sum")])
+    if isinstance(out, pa.Table):
+        return ray.data.from_arrow(out)
+    return out
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT o_orderkey AS ka,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS ca
+           FROM orders),
+b AS (SELECT ka AS kb,
+             CASE WHEN ka % 5 = 0 THEN ca + 12300 ELSE ca END AS cb
+      FROM a WHERE ka % 7 <> 0
+      UNION ALL
+      SELECT ka + 1000000000, ((ka + 1000000000) % 90000) + 100
+      FROM a WHERE ka % 11 = 0),
+j AS (SELECT a.ka, a.ca, b.kb, b.cb FROM a FULL JOIN b ON b.kb = a.ka)
+SELECT CASE WHEN ka IS NULL THEN 'added'
+            WHEN kb IS NULL THEN 'removed'
+            WHEN ca <> cb THEN 'changed' ELSE 'same' END AS change,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                     THEN abs(cb - ca) ELSE 0 END) AS BIGINT)
+           AS abs_dcents
+FROM j GROUP BY 1
+"""
