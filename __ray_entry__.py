@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_histogram": R.raster_histogram_q,
         "events_gapfill": R.events_gapfill_q,
         "q_snapshot_diff": R.q_snapshot_diff,
+        "q_weighted_sample": R.q_weighted_sample,
     }
 
 
@@ -334,4 +335,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_histogram": R.SQL_RASTER_HISTOGRAM,
         "events_gapfill": R.SQL_EVENTS_GAPFILL,
         "q_snapshot_diff": R.SQL_SNAPSHOT_DIFF,
+        "q_weighted_sample": R._sql_weighted_sample(),
     }

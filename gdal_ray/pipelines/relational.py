@@ -6024,3 +6024,54 @@ SELECT CASE WHEN ka IS NULL THEN 'added'
            AS abs_dcents
 FROM j GROUP BY 1
 """
+
+
+def q_weighted_sample(sf_dir: str, k: int = 50):
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis priorities): u = deterministic splitmix uniform
+    from the top 53 hash bits (exact int→double, no wrap), priority =
+    −ln(u)/w with w = price cents, global k smallest win.  Scale shape:
+    per-block top-k candidates (exact — a global winner is a winner in
+    its block) + one ≤ k·blocks driver merge; zero shuffle.  Selection
+    runs on the UNQUANTIZED doubles (identical expression both sides);
+    the printed priority is half-up 6dp."""
+    from .dedup import _splitmix
+
+    def cand(b: pa.Table) -> pa.Table:
+        key = np.asarray(b.column("o_orderkey"), np.int64)
+        p = np.asarray(b.column("o_totalprice"), np.float64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        hv = _splitmix(key.astype(np.uint64))
+        u = ((hv >> np.uint64(11)).astype(np.float64) + 1.0) / 9007199254740992.0
+        prio = -np.log(u) / cents.astype(np.float64)
+        order = np.lexsort((key, prio))[:k]
+        return pa.table({"o_orderkey": pa.array(key[order]),
+                         "cents": pa.array(cents[order]),
+                         "prio": pa.array(prio[order])})
+
+    rows = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(cand, batch_format="pyarrow").take_all()
+    key = np.array([r["o_orderkey"] for r in rows], np.int64)
+    cents = np.array([r["cents"] for r in rows], np.int64)
+    prio = np.array([r["prio"] for r in rows], np.float64)
+    order = np.lexsort((key, prio))[:k]
+    return pa.table({
+        "o_orderkey": pa.array(key[order]),
+        "o_totalprice": pa.array(cents[order] / 100.0),
+        "prio": pa.array(np.floor(prio[order] * 1e6 + 0.5) / 1e6)})
+
+
+def _sql_weighted_sample(k: int = 50) -> str:
+    from .sketches import _sm_hugeint_select
+    return f"""
+WITH s AS ({_sm_hugeint_select('orders', 'o_orderkey')}),
+pr AS (SELECT o_orderkey,
+              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+              -ln((CAST(hv // 2048::HUGEINT AS DOUBLE) + 1.0e0)
+                  / 9007199254740992e0)
+              / CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS prio
+       FROM s)
+SELECT o_orderkey, CAST(cents AS DOUBLE) / 100.0 AS o_totalprice,
+       floor(prio * 1000000e0 + 0.5e0) / 1000000e0 AS prio
+FROM pr ORDER BY pr.prio, o_orderkey LIMIT {k}
+"""
