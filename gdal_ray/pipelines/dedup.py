@@ -986,21 +986,48 @@ def upsert_latest(ds: "ray.data.Dataset", key_col: str, version_col: str,
     Version ties keep ONE deterministic row (the max-version row that
     sorts last by version within the key group — callers needing a
     different tiebreak should fold it into the version)."""
-    from .shuffle_utils import grouped_map_groups
+    from .shuffle_utils import bucket_count
 
     def combine(b: pa.Table) -> pa.Table:
+        # ONE vectorized pass: last row per key in (key, version) order =
+        # per-key max version.  Associative, so the same kernel serves as
+        # the per-block combiner, the driver merge, AND the per-bucket
+        # finisher — never a per-key Python call (150k keys at sf0.1 made
+        # a per-group fn path take 50+ s; this is <0.1 s).
         k = np.asarray(b.column(key_col), np.int64)
         v = np.asarray(b.column(version_col), np.int64)
         order = np.lexsort((v, k))
-        # last row per key in (key, version) order = per-key max version
         kk = k[order]
         last = np.flatnonzero(np.append(kk[1:] != kk[:-1], True))
         return b.take(pa.array(order[last], pa.int64()))
 
-    def pick(g: pa.Table) -> pa.Table:
-        v = np.asarray(g.column(version_col), np.int64)
-        return g.slice(int(np.argmax(v)), 1)
+    partials = ds.map_batches(combine, batch_format="pyarrow") \
+        .materialize()
+    if partials.count() <= driver_limit:
+        parts = [t if isinstance(t, pa.Table)
+                 else pa.Table.from_batches([t])
+                 for t in partials.iter_batches(batch_format="pyarrow")]
+        if not parts:
+            return partials
+        return ray.data.from_arrow(combine(
+            pa.concat_tables(parts).combine_chunks()))
 
-    return grouped_map_groups(
-        ds.map_batches(combine, batch_format="pyarrow"),
-        key_col, pick, driver_limit=driver_limit)
+    # distributed: hashed-key buckets (splitmix — raw keys stripe), the
+    # SAME vectorized kernel per bucket; a key's rows all land in one
+    # bucket so per-bucket last-per-key is globally correct
+    nb = bucket_count()
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column(key_col), np.int64)
+        x = (k.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return b.append_column(
+            "__up_bkt", pa.array((x % np.uint64(nb)).astype(np.int64)))
+
+    def bucket_fn(g: pa.Table) -> pa.Table:
+        return combine(g.drop_columns(["__up_bkt"]))
+
+    return partials.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("__up_bkt").map_groups(bucket_fn, batch_format="pyarrow")
