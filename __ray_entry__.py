@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": R.events_gapfill_q,
         "q_snapshot_diff": R.q_snapshot_diff,
         "q_weighted_sample": R.q_weighted_sample,
+        "graph_triangles": R.graph_triangles_q,
     }
 
 
@@ -336,4 +337,5 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": R.SQL_EVENTS_GAPFILL,
         "q_snapshot_diff": R.SQL_SNAPSHOT_DIFF,
         "q_weighted_sample": R._sql_weighted_sample(),
+        "graph_triangles": R.SQL_GRAPH_TRIANGLES,
     }

@@ -301,6 +301,11 @@ def _register_trainingdata():
     _REGISTRY["connected_components"] = \
         lambda ds, id_a="id_a", id_b="id_b": \
         DD.connected_components(ds, id_a=id_a, id_b=id_b)
+    from ..pipelines import graph as GR
+    _REGISTRY["pagerank"] = lambda ds, iters=3: \
+        GR.pagerank(ds, iters=int(iters))
+    _REGISTRY["triangles"] = lambda ds, src_col="src", dst_col="dst": \
+        GR.triangles(ds, src_col=src_col, dst_col=dst_col)
     _REGISTRY["upsert_latest"] = lambda ds, key_col, version_col: \
         DD.upsert_latest(ds, key_col, version_col)
     _REGISTRY["tfidf_top_term"] = lambda ds, text_col="text", \

@@ -6075,3 +6075,53 @@ SELECT o_orderkey, CAST(cents AS DOUBLE) / 100.0 AS o_totalprice,
        floor(prio * 1000000e0 + 0.5e0) / 1000000e0 AS prio
 FROM pr ORDER BY pr.prio, o_orderkey LIMIT {k}
 """
+
+
+def graph_triangles_q(sf_dir: str):
+    """Distributed triangle counting over a derived customer graph —
+    the third graph-operator class member (clustering-coefficient /
+    link-farm-signal step of web-corpus curation; see graph.triangles:
+    degree-ordered orientation bounds wedges at O(m^1.5)).  Edges:
+    (v, (v+1) mod N) always, plus (v, (v+2) mod N) iff
+    splitmix64(v) % 4 < 3 — the mask makes per-vertex counts vary while
+    the generic 3-way self-join oracle verifies the full semantics."""
+    from .dedup import _splitmix
+    from .graph import triangles
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("c_custkey"), np.int64)
+        hv = _splitmix(v.astype(np.uint64))
+        m = (hv % np.uint64(4)) < np.uint64(3)
+        src = np.concatenate([v, v[m]])
+        dst = np.concatenate([(v + 1) % n, (v[m] + 2) % n])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return triangles(cust.map_batches(edges, batch_format="pyarrow"))
+
+
+def _sql_graph_triangles() -> str:
+    from .sketches import _sm_hugeint_select
+    # generic semantics oracle: canonical u<v edge set, each triangle
+    # a<b<c enumerated exactly once by the 3-way self-join, per-vertex
+    # counts from the role union
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+s AS ({_sm_hugeint_select('customer', 'c_custkey')}),
+raw AS (
+  SELECT c_custkey AS u, (c_custkey + 1) % nn.n AS v FROM customer, nn
+  UNION ALL
+  SELECT c_custkey, (c_custkey + 2) % nn.n FROM s, nn WHERE hv % 4 < 3),
+e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM raw WHERE u <> v),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+r AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM r GROUP BY node
+"""
+
+
+SQL_GRAPH_TRIANGLES = _sql_graph_triangles()

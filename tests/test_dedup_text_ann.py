@@ -758,3 +758,38 @@ def test_upsert_latest_paths_and_invariance(ray_session):
         ds = ray.data.from_arrow(tbl).repartition(parts)
         assert norm(upsert_latest(ds, "k", "ver")) == exp
         assert norm(upsert_latest(ds, "k", "ver", driver_limit=0)) == exp
+
+
+def test_triangles_brute_and_path_parity(ray_session):
+    """graph.triangles vs an O(n^3) brute-force reference on a random
+    graph, and distributed (driver_limit=0) == driver path."""
+    from itertools import combinations
+
+    import ray.data
+
+    from gdal_ray.pipelines.graph import triangles
+
+    rng = np.random.default_rng(11)
+    n, m = 70, 380
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    adj = {i: set() for i in range(n)}
+    for a, b in zip(u, v):
+        if a != b:
+            adj[int(min(a, b))].add(int(max(a, b)))
+            adj[int(max(a, b))].add(int(min(a, b)))
+    cnt = {}
+    for a, b, c in combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                cnt[x] = cnt.get(x, 0) + 1
+    expect = {k: v for k, v in cnt.items() if v > 0}
+
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(u),
+                                       "dst": pa.array(v)}))
+    a = triangles(ds).to_pandas()
+    b = triangles(ds, driver_limit=0).to_pandas()
+    got_a = dict(zip(a["node"].astype(int), a["tri"].astype(int)))
+    got_b = dict(zip(b["node"].astype(int), b["tri"].astype(int)))
+    assert got_a == expect
+    assert got_b == expect
