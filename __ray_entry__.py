@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snapshot_diff": R.q_snapshot_diff,
         "q_weighted_sample": R.q_weighted_sample,
         "graph_triangles": R.graph_triangles_q,
+        "dedup_keep_docs": R.dedup_keep_docs_q,
     }
 
 
@@ -338,4 +339,5 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_diff": R.SQL_SNAPSHOT_DIFF,
         "q_weighted_sample": R._sql_weighted_sample(),
         "graph_triangles": R.SQL_GRAPH_TRIANGLES,
+        "dedup_keep_docs": R.SQL_DEDUP_KEEP_DOCS,
     }

@@ -1031,3 +1031,135 @@ def upsert_latest(ds: "ray.data.Dataset", key_col: str, version_col: str,
 
     return partials.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("__up_bkt").map_groups(bucket_fn, batch_format="pyarrow")
+
+
+def dedup_keep(ids: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
+               id_col: str = "doc_id", pair_a: str = "id_a",
+               pair_b: str = "id_b",
+               driver_limit: int = 4_000_000) -> "ray.data.Dataset":
+    """End-to-end dedup KEEP-LIST — the deliverable of a training-data
+    dedup stage (Lee et al. 2022 §3): near-dup pairs → connected
+    components → keep exactly one representative (the min id) per
+    component; every id outside any component is a kept singleton.
+
+    Output: one row per input id — (id_col, component, csize, keep) with
+    keep ∈ {0,1}, component = min reachable id (own id for singletons),
+    csize = component size (1 for singletons).
+
+    Scale shape: ``connected_components`` does the iterative work
+    (measured-size driver pointer-jumping vs Hash-to-Min rounds); this
+    adds ONE aggregate for component sizes plus two hashed co-shuffles
+    (sizes onto labels by component, labels onto ids by id), each a
+    bucket groupby whose in-group merge is fully VECTORIZED over key
+    segments (sort + searchsorted scatter — no per-key Python dispatch;
+    a keep-list visits every doc id, so per-key fn cost would dominate).
+    Small inputs (measured ≤ ``driver_limit`` rows) merge on the driver
+    with the identical kernel."""
+    from .shuffle_utils import bucket_count, grouped_agg
+
+    def _bucket_pass(ds, fn):
+        """groupby(hashed bucket of int64 col "k") + vectorized fn per
+        bucket; measured-size driver path runs fn once on everything."""
+        ds = ds.materialize()
+        if ds.count() <= driver_limit:
+            batches = [b for b in ds.iter_batches(batch_format="pyarrow")]
+            batches = [b if isinstance(b, pa.Table)
+                       else pa.Table.from_batches([b]) for b in batches]
+            if not batches:
+                return ds
+            return ray.data.from_arrow(fn(pa.concat_tables(batches)))
+        nb = bucket_count()
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            k = np.asarray(b.column("k"), np.int64)
+            bkt = (_splitmix(k.astype(np.uint64)) % np.uint64(nb)) \
+                .astype(np.int64)
+            return b.append_column("__bkt", pa.array(bkt))
+
+        def bfn(g: pa.Table) -> pa.Table:
+            return fn(g.drop_columns(["__bkt"]))
+
+        return ds.map_batches(bucketize, batch_format="pyarrow") \
+            .groupby("__bkt").map_groups(bfn, batch_format="pyarrow")
+
+    comp = connected_components(pairs, id_a=pair_a, id_b=pair_b) \
+        .materialize()
+
+    def size_rows(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("component"), np.int64)
+        return pa.table({"component": pa.array(c),
+                         "c": pa.array(np.ones(c.size, np.int64))})
+
+    sizes = grouped_agg(comp.map_batches(size_rows, batch_format="pyarrow"),
+                        ["component"], [("c", "sum")])
+    if isinstance(sizes, pa.Table):
+        sizes = ray.data.from_arrow(sizes)
+
+    # pass 1: attach csize to each (node, component) label row.  Row
+    # encoding: tag 0 = label row (payload=node), tag 1 = size row
+    # (payload=csize); both keyed by k=component.
+    def lab_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("component"), "p": b.column("node"),
+                         "tag": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    def sz_rows(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("component"), np.int64)
+        return pa.table({"k": pa.array(c), "p": b.column("c"),
+                         "tag": pa.array(np.ones(c.size, np.int64))})
+
+    def fill_size(g: pa.Table) -> pa.Table:
+        k = np.asarray(g.column("k"), np.int64)
+        p = np.asarray(g.column("p"), np.int64)
+        tag = np.asarray(g.column("tag"), np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        sz = np.zeros(uk.size, np.int64)
+        m1 = tag == 1
+        sz[inv[m1]] = p[m1]          # exactly one size row per component
+        m0 = ~m1
+        return pa.table({"node": pa.array(p[m0], pa.int64()),
+                         "component": pa.array(k[m0], pa.int64()),
+                         "csize": pa.array(sz[inv[m0]], pa.int64())})
+
+    labeled = _bucket_pass(
+        comp.map_batches(lab_rows, batch_format="pyarrow").union(
+            sizes.map_batches(sz_rows, batch_format="pyarrow")),
+        fill_size)
+
+    # pass 2: merge labels onto the full id table (singletons keep
+    # themselves).  tag 0 = id row, tag 1 = labeled row (component,csize).
+    def id_rows(b: pa.Table) -> pa.Table:
+        i = np.asarray(b.column(id_col), np.int64)
+        z = np.zeros(i.size, np.int64)
+        return pa.table({"k": pa.array(i), "component": pa.array(i),
+                         "csize": pa.array(z + 1), "tag": pa.array(z)})
+
+    def lab2_rows(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("node"), np.int64)
+        return pa.table({"k": pa.array(n), "component": b.column("component"),
+                         "csize": b.column("csize"),
+                         "tag": pa.array(np.ones(n.size, np.int64))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        k = np.asarray(g.column("k"), np.int64)
+        cm = np.asarray(g.column("component"), np.int64)
+        cs = np.asarray(g.column("csize"), np.int64)
+        tag = np.asarray(g.column("tag"), np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        m1 = tag == 1
+        comp_of = uk.copy()          # default: singleton labels itself
+        size_of = np.ones(uk.size, np.int64)
+        comp_of[inv[m1]] = cm[m1]    # ≤1 label row per id by construction
+        size_of[inv[m1]] = cs[m1]
+        has_id = np.zeros(uk.size, bool)
+        has_id[inv[tag == 0]] = True  # drop labels for ids outside `ids`
+        comp_of, size_of, uk = comp_of[has_id], size_of[has_id], uk[has_id]
+        return pa.table({id_col: pa.array(uk, pa.int64()),
+                         "component": pa.array(comp_of, pa.int64()),
+                         "csize": pa.array(size_of, pa.int64()),
+                         "keep": pa.array((comp_of == uk).astype(np.int64))})
+
+    sel = ids.select_columns([id_col])
+    return _bucket_pass(
+        sel.map_batches(id_rows, batch_format="pyarrow").union(
+            labeled.map_batches(lab2_rows, batch_format="pyarrow")),
+        merge)

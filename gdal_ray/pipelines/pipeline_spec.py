@@ -301,6 +301,8 @@ def _register_trainingdata():
     _REGISTRY["connected_components"] = \
         lambda ds, id_a="id_a", id_b="id_b": \
         DD.connected_components(ds, id_a=id_a, id_b=id_b)
+    _REGISTRY["dedup_keep"] = lambda ds, pairs, id_col="doc_id": \
+        DD.dedup_keep(ds, pairs, id_col=id_col)
     from ..pipelines import graph as GR
     _REGISTRY["pagerank"] = lambda ds, iters=3: \
         GR.pagerank(ds, iters=int(iters))

@@ -6125,3 +6125,53 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM r GROUP BY node
 
 
 SQL_GRAPH_TRIANGLES = _sql_graph_triangles()
+
+
+def dedup_keep_docs_q(sf_dir: str):
+    """End-to-end dedup KEEP-LIST over documents — pairs → connected
+    components → one kept representative per component + cluster size,
+    singletons kept (dedup.dedup_keep; the actual deliverable of a
+    training-data dedup stage).  Edge set = the dedup_components chain
+    construction (edge (d-1, d) iff splitmix64(d) % 3 < 2) so the SQL
+    closed form extends with sizes/keeps."""
+    from .dedup import _splitmix, dedup_keep
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("doc_id"), np.int64)
+        m = (d > 0) & ((_splitmix(d.astype(np.uint64)) % np.uint64(3))
+                       < np.uint64(2))
+        return pa.table({"id_a": pa.array(d[m] - 1, pa.int64()),
+                         "id_b": pa.array(d[m], pa.int64())})
+
+    return dedup_keep(ds, ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def _sql_dedup_keep_docs() -> str:
+    from .sketches import _sm_hugeint_select
+    # components closed form as in _sql_dedup_components, extended with
+    # per-component sizes, singleton fallback and the min-id keep rule
+    return f"""
+WITH s AS ({_sm_hugeint_select('documents', 'doc_id')}),
+e AS (SELECT doc_id AS d,
+             CASE WHEN hv % 3 < 2 AND doc_id > 0 THEN 1 ELSE 0 END AS e_prev
+      FROM s),
+c AS (SELECT d, e_prev,
+             lead(e_prev, 1, 0) OVER (ORDER BY d) AS e_next,
+             max(CASE WHEN e_prev = 0 THEN d END) OVER
+                 (ORDER BY d ROWS UNBOUNDED PRECEDING) AS comp
+      FROM e),
+n AS (SELECT d, comp FROM c WHERE e_prev = 1 OR e_next = 1),
+z AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize FROM n GROUP BY comp)
+SELECT doc.doc_id,
+       COALESCE(n.comp, doc.doc_id) AS component,
+       COALESCE(z.csize, 1) AS csize,
+       CASE WHEN COALESCE(n.comp, doc.doc_id) = doc.doc_id
+            THEN 1 ELSE 0 END AS keep
+FROM documents doc
+LEFT JOIN n ON n.d = doc.doc_id
+LEFT JOIN z ON z.comp = n.comp
+"""
+
+
+SQL_DEDUP_KEEP_DOCS = _sql_dedup_keep_docs()

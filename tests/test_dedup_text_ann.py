@@ -793,3 +793,49 @@ def test_triangles_brute_and_path_parity(ray_session):
     got_b = dict(zip(b["node"].astype(int), b["tri"].astype(int)))
     assert got_a == expect
     assert got_b == expect
+
+
+def test_dedup_keep_brute_and_path_parity(ray_session):
+    """dedup_keep vs brute union-find: every id labeled, min-id kept per
+    component, singletons kept; distributed (driver_limit=0) == driver."""
+    import ray.data
+
+    from gdal_ray.pipelines.dedup import dedup_keep
+
+    rng = np.random.default_rng(13)
+    N = 150
+    a = rng.integers(0, N, 60).astype(np.int64)
+    b = rng.integers(0, N, 60).astype(np.int64)
+    m = a != b
+    parent = list(range(N))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a[m], b[m]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    from collections import defaultdict
+    members = defaultdict(list)
+    for i in range(N):
+        members[find(i)].append(i)
+    expect = {}
+    for ms in members.values():
+        mn = min(ms)
+        for i in ms:
+            expect[i] = (mn, len(ms), 1 if i == mn else 0)
+
+    ids = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(N, dtype=np.int64))}))
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(a[m]), "id_b": pa.array(b[m])}))
+    for dl in (4_000_000, 0):
+        out = dedup_keep(ids, pairs, driver_limit=dl).to_pandas()
+        got = {int(r.doc_id): (int(r.component), int(r.csize), int(r.keep))
+               for r in out.itertuples()}
+        assert got == expect, f"driver_limit={dl}"
+        assert out["keep"].sum() == len(members)
