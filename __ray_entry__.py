@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": R.q_weighted_sample,
         "graph_triangles": R.graph_triangles_q,
         "dedup_keep_docs": R.dedup_keep_docs_q,
+        "q13_customer_distribution": R.q13_customer_distribution,
+        "q18_large_volume": R.q18_large_volume,
+        "q_group_mode": R.q_group_mode,
+        "q_group_regression": R.q_group_regression,
     }
 
 
@@ -340,4 +344,8 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": R._sql_weighted_sample(),
         "graph_triangles": R.SQL_GRAPH_TRIANGLES,
         "dedup_keep_docs": R.SQL_DEDUP_KEEP_DOCS,
+        "q13_customer_distribution": R.SQL_Q13_CUSTOMER_DISTRIBUTION,
+        "q18_large_volume": R.SQL_Q18_LARGE_VOLUME,
+        "q_group_mode": R.SQL_GROUP_MODE,
+        "q_group_regression": R.SQL_GROUP_REGRESSION,
     }

@@ -1055,32 +1055,10 @@ def dedup_keep(ids: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
     a keep-list visits every doc id, so per-key fn cost would dominate).
     Small inputs (measured ≤ ``driver_limit`` rows) merge on the driver
     with the identical kernel."""
-    from .shuffle_utils import bucket_count, grouped_agg
+    from .shuffle_utils import bucket_vectorized, grouped_agg
 
     def _bucket_pass(ds, fn):
-        """groupby(hashed bucket of int64 col "k") + vectorized fn per
-        bucket; measured-size driver path runs fn once on everything."""
-        ds = ds.materialize()
-        if ds.count() <= driver_limit:
-            batches = [b for b in ds.iter_batches(batch_format="pyarrow")]
-            batches = [b if isinstance(b, pa.Table)
-                       else pa.Table.from_batches([b]) for b in batches]
-            if not batches:
-                return ds
-            return ray.data.from_arrow(fn(pa.concat_tables(batches)))
-        nb = bucket_count()
-
-        def bucketize(b: pa.Table) -> pa.Table:
-            k = np.asarray(b.column("k"), np.int64)
-            bkt = (_splitmix(k.astype(np.uint64)) % np.uint64(nb)) \
-                .astype(np.int64)
-            return b.append_column("__bkt", pa.array(bkt))
-
-        def bfn(g: pa.Table) -> pa.Table:
-            return fn(g.drop_columns(["__bkt"]))
-
-        return ds.map_batches(bucketize, batch_format="pyarrow") \
-            .groupby("__bkt").map_groups(bfn, batch_format="pyarrow")
+        return bucket_vectorized(ds, "k", fn, driver_limit=driver_limit)
 
     comp = connected_components(pairs, id_a=pair_a, id_b=pair_b) \
         .materialize()

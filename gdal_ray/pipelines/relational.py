@@ -6175,3 +6175,279 @@ LEFT JOIN z ON z.comp = n.comp
 
 
 SQL_DEDUP_KEEP_DOCS = _sql_dedup_keep_docs()
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    join customer←orders (filter: non-URGENT, the comment-filter analog),
+    count per customer INCLUDING zeros, then count-of-counts.  Shape:
+    per-batch unique+count combiner → grouped_agg per custkey (small
+    partials), zero-preserving left merge via ONE bucket_vectorized
+    co-shuffle of customer keys + counts, then a tiny second aggregate
+    over the count domain."""
+    from .shuffle_utils import bucket_vectorized, grouped_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.match_substring(
+            b.column("o_orderpriority"), "URGENT"))
+        ck = np.asarray(b.filter(keep).column("o_custkey"), np.int64)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"k": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = grouped_agg(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(part, batch_format="pyarrow"),
+        ["k"], [("c", "sum")])
+    if isinstance(counts, pa.Table):
+        counts = ray.data.from_arrow(counts)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({
+            "k": b.column("c_custkey"),
+            "c": pa.array(np.zeros(b.num_rows, np.int64)),
+            "tag": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    cnt_rows = counts.map_batches(
+        lambda b: pa.table({
+            "k": b.column("k"), "c": b.column("c"),
+            "tag": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        k = np.asarray(g.column("k"), np.int64)
+        c = np.asarray(g.column("c"), np.int64)
+        tag = np.asarray(g.column("tag"), np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        cc = np.zeros(uk.size, np.int64)
+        m1 = tag == 1
+        cc[inv[m1]] = c[m1]
+        is_cust = np.zeros(uk.size, bool)
+        is_cust[inv[tag == 0]] = True   # drop counts for non-customer keys
+        # partial count-of-counts inside the bucket
+        u2, n2 = np.unique(cc[is_cust], return_counts=True)
+        return pa.table({"c_count": pa.array(u2, pa.int64()),
+                         "custdist": pa.array(n2.astype(np.int64))})
+
+    dist = bucket_vectorized(cust.union(cnt_rows), "k", merge)
+    out = grouped_agg(dist, ["c_count"], [("custdist", "sum")])
+    return out if isinstance(out, pa.Table) else out
+
+
+SQL_Q13_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority NOT LIKE '%URGENT%'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q18_large_volume(sf_dir: str, thresh: int = 250, k: int = 100):
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    lineitem quantity exceeds ``thresh`` (the HAVING-over-big-groupby
+    class), joined back to orders+customer, top ``k`` by (totalprice
+    desc, orderdate, orderkey).  Shape: per-batch quantity combiner →
+    grouped_agg per orderkey → filter (the HAVING), hash join to orders,
+    customer joined by hash too (SF-scaled side, q5 discipline); final
+    top-k via per-block candidates + ONE bounded driver merge.  Money
+    and quantity stay integer until print."""
+    from .shuffle_utils import grouped_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b.column("l_orderkey"), np.int64)
+        q = np.floor(np.asarray(b.column("l_quantity"), np.float64)
+                     + 0.5).astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, q)
+        return pa.table({"l_orderkey": pa.array(u, pa.int64()),
+                         "sq": pa.array(s)})
+
+    sums = grouped_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(part, batch_format="pyarrow"),
+        ["l_orderkey"], [("sq", "sum")])
+    if isinstance(sums, pa.Table):
+        sums = ray.data.from_arrow(sums)
+    big = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sq"), thresh)),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = orders.join(big, join_type="inner",
+                    num_partitions=_join_partitions(),
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = j.join(cust, join_type="inner", num_partitions=_join_partitions(),
+                on=("o_custkey",), right_on=("c_custkey",))
+
+    def cand(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"), np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        ts = np.asarray(b.column("o_orderdate").cast(pa.int64()), np.int64)
+        ok = np.asarray(b.column("o_orderkey"), np.int64)
+        order = np.lexsort((ok, ts, -cents))[:k]
+        t = b.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "c_name": t.column("c_name"),
+            "c_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": pa.array(
+                [str(x)[:10] for x in
+                 np.asarray(t.column("o_orderdate").cast(pa.int64()),
+                            np.int64).astype("datetime64[us]")],
+                pa.string()),
+            "cents": pa.array(cents[order]),
+            "sum_qty": t.column("sq")})
+
+    rows = j2.map_batches(cand, batch_format="pyarrow").take_all()
+    cents = np.array([r["cents"] for r in rows], np.int64)
+    okey = np.array([r["o_orderkey"] for r in rows], np.int64)
+    dt = np.array([r["o_orderdate"] for r in rows])
+    order = np.lexsort((okey, dt, -cents))[:k]
+    return pa.table({
+        "c_name": pa.array([rows[i]["c_name"] for i in order], pa.string()),
+        "c_custkey": pa.array([rows[i]["c_custkey"] for i in order],
+                              pa.int64()),
+        "o_orderkey": pa.array(okey[order]),
+        "o_orderdate": pa.array([rows[i]["o_orderdate"] for i in order],
+                                pa.string()),
+        "o_totalprice": pa.array(cents[order] / 100.0),
+        "sum_qty": pa.array([rows[i]["sum_qty"] for i in order], pa.int64())})
+
+
+SQL_Q18_LARGE_VOLUME = """
+WITH s AS (SELECT l_orderkey, CAST(SUM(CAST(floor(l_quantity + 0.5) AS
+                BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250)
+SELECT c.c_name, o.o_custkey AS c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) / 100.0
+           AS o_totalprice,
+       s.sum_qty
+FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY floor(o.o_totalprice * 100 + 0.5) DESC,
+         strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderkey
+LIMIT 100
+"""
+
+
+def q_group_mode(sf_dir: str):
+    """Per-group MODE with an explicit deterministic tie-break (smallest
+    value wins) — quantity mode per return flag.  Shape: per-batch
+    (flag, qty) count combiner → grouped_agg over the tiny joint domain
+    (|flags|×|qty| rows), then one vectorized argmax pass.  DuckDB's
+    mode() leaves ties unspecified; both sides pin count DESC, value ASC."""
+    from .shuffle_utils import grouped_agg
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(b.column("l_quantity"), np.float64)
+                     + 0.5).astype(np.int64)
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "qty": pa.array(q),
+                      "c": pa.array(np.ones(q.size, np.int64))})
+        g = t.group_by(["l_returnflag", "qty"]).aggregate([("c", "sum")])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         "qty": g.column("qty"), "c": g.column("c_sum")})
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["l_returnflag", "qty"], [("c", "sum")])
+    if not isinstance(agg, pa.Table):
+        agg = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in agg.iter_batches(batch_format="pyarrow"))
+    flag = np.asarray(agg.column("l_returnflag"))
+    qty = np.asarray(agg.column("qty"), np.int64)
+    c = np.asarray(agg.column("c"), np.int64)
+    order = np.lexsort((qty, -c, flag))  # per flag: count desc, qty asc
+    flag, qty, c = flag[order], qty[order], c[order]
+    _, starts = np.unique(flag, return_index=True)
+    return pa.table({"l_returnflag": pa.array(flag[starts]),
+                     "mode_qty": pa.array(qty[starts], pa.int64()),
+                     "mode_count": pa.array(c[starts], pa.int64())})
+
+
+SQL_GROUP_MODE = """
+WITH c AS (SELECT l_returnflag,
+                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, qty AS mode_qty, c AS mode_count FROM c
+QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY c DESC, qty) = 1
+"""
+
+
+def q_group_regression(sf_dir: str):
+    """Per-group OLS regression (extendedprice cents vs quantity units,
+    per return flag) from EXACT int64 moments — the q_group_corr recipe:
+    distributed integer sums are order-independent, then ONE fixed float
+    expression per group on both sides.  slope/intercept half-up 6dp."""
+    from .shuffle_utils import grouped_agg
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.floor(np.asarray(b.column("l_quantity"), np.float64)
+                     + 0.5).astype(np.int64)
+        y = np.floor(np.asarray(b.column("l_extendedprice"), np.float64)
+                     * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "n": pa.array(np.ones(x.size, np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "sxy": pa.array(x * y)})
+        cols = ["n", "sx", "sy", "sxx", "sxy"]
+        g = t.group_by(["l_returnflag"]).aggregate([(c, "sum")
+                                                    for c in cols])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         **{c: g.column(c + "_sum") for c in cols}})
+
+    cols = ["n", "sx", "sy", "sxx", "sxy"]
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["l_returnflag"], [(c, "sum") for c in cols])
+    if not isinstance(agg, pa.Table):
+        agg = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in agg.iter_batches(batch_format="pyarrow"))
+    n = np.asarray(agg.column("n"), np.int64).astype(np.float64)
+    sx = np.asarray(agg.column("sx"), np.int64).astype(np.float64)
+    sy = np.asarray(agg.column("sy"), np.int64).astype(np.float64)
+    sxx = np.asarray(agg.column("sxx"), np.int64).astype(np.float64)
+    sxy = np.asarray(agg.column("sxy"), np.int64).astype(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "l_returnflag": agg.column("l_returnflag"),
+        "n": pa.array(n.astype(np.int64)),
+        "slope": pa.array(np.floor(slope * 1e6 + 0.5) / 1e6),
+        "intercept": pa.array(np.floor(intercept * 1e6 + 0.5) / 1e6)})
+
+
+SQL_GROUP_REGRESSION = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+             * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sxx,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag),
+f AS (SELECT l_returnflag, n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+             sx, sy
+      FROM m)
+SELECT l_returnflag, n,
+       floor(slope * 1000000e0 + 0.5e0) / 1000000e0 AS slope,
+       floor((CAST(sy AS DOUBLE) - slope * sx) / n * 1000000e0 + 0.5e0)
+           / 1000000e0 AS intercept
+FROM f
+"""

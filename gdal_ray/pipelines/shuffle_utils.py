@@ -366,3 +366,39 @@ def grouped_agg(partials: "ray.data.Dataset", keys: list,
     for c, op in specs:
         cols[c] = res.column(f"{c}_{op}")
     return pa.table(cols)
+
+
+def bucket_vectorized(ds: "ray.data.Dataset", key_col: str, fn,
+                      driver_limit: int = 4_000_000) -> "ray.data.Dataset":
+    """groupby(HASHED bucket of an int64 key) + a fn that is VECTORIZED
+    over key segments — for full-table merges (keep-lists, left-merge
+    distributions) where even grouped_map_groups' per-key fn dispatch
+    would dominate (one Python call per doc/customer).  ``fn`` receives a
+    table containing WHOLE key groups (never split across calls) and must
+    do its own per-key segmentation (np.unique(..., return_inverse)).
+    Measured-size contract: inputs fitting ``driver_limit`` rows run fn
+    once on the driver over everything — identical kernel, zero shuffle."""
+    ds = ds.materialize()
+    if ds.count() <= driver_limit:
+        batches = [b if isinstance(b, pa.Table)
+                   else pa.Table.from_batches([b])
+                   for b in ds.iter_batches(batch_format="pyarrow")]
+        if not batches:
+            return ds
+        return ray.data.from_arrow(fn(pa.concat_tables(batches)))
+    nb = bucket_count()
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column(key_col), np.int64)
+        x = (k.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return b.append_column("__bv_bkt",
+                               pa.array((x % np.uint64(nb)).astype(np.int64)))
+
+    def bfn(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns(["__bv_bkt"]))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("__bv_bkt").map_groups(bfn, batch_format="pyarrow")
