@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume": R.q18_large_volume,
         "q_group_mode": R.q_group_mode,
         "q_group_regression": R.q_group_regression,
+        "emb_pca": R.emb_pca_q,
     }
 
 
@@ -348,4 +349,5 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": R.SQL_Q18_LARGE_VOLUME,
         "q_group_mode": R.SQL_GROUP_MODE,
         "q_group_regression": R.SQL_GROUP_REGRESSION,
+        "emb_pca": R.SQL_EMB_PCA,
     }

@@ -472,3 +472,46 @@ def covariance(emb: "ray.data.Dataset", *, dim: int = 64,
         "sy_q": pa.array(rows["sy_q"], pa.int64()),
         "sxy_q": pa.array(rows["sxy_q"], pa.int64()),
         "cov": pa.array(rows["cov"], pa.float64())}))
+
+
+def pca_top_component(emb: "ray.data.Dataset", *, dim: int = 64,
+                      scale: int = 1 << 20, iters: int = 4,
+                      vec_col: str = "embedding") -> "pa.Table":
+    """Top principal component via EXACT integer power iteration — the
+    iterative-linear-algebra operator class (PCA step of embedding
+    whitening / spectral dedup pipelines).
+
+    Distributed part: the ``covariance`` moment pass (per-block integer
+    QᵀQ combiners, ≤ dim² merged rows at any input scale).  The power
+    iteration itself runs on the driver over the dim×dim matrix in
+    arbitrary-precision Python ints (a few thousand multiplies), with a
+    DuckDB HUGEINT unrolled-CTE replay: M[d,e] = n·Sxy − Sx·Sy, v₀ = 1,
+    then per round y = M·v and v' = sign(y)·((|y|·2^20) // max|y|) — the
+    abs-first formulation makes Python floor-division and DuckDB's
+    truncating ``//`` agree on negatives (CLAUDE.md parity rule).
+    Output is exact int64 loadings (hash-stable) plus their floats."""
+    cov = covariance(emb, dim=dim, scale=scale, vec_col=vec_col)
+    tbl = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in cov.iter_batches(batch_format="pyarrow"))  # ≤ dim² rows
+    d1 = np.asarray(tbl.column("d1"), np.int64)
+    d2 = np.asarray(tbl.column("d2"), np.int64)
+    n = np.asarray(tbl.column("n"), np.int64)
+    sx = np.asarray(tbl.column("sx_q"), np.int64)
+    sy = np.asarray(tbl.column("sy_q"), np.int64)
+    sxy = np.asarray(tbl.column("sxy_q"), np.int64)
+    M = [[0] * dim for _ in range(dim)]
+    for a, b, nn, x, y, p in zip(d1, d2, n, sx, sy, sxy):
+        val = int(nn) * int(p) - int(x) * int(y)   # exact big-int
+        M[int(a)][int(b)] = val
+        M[int(b)][int(a)] = val
+    v = [1] * dim
+    one = int(scale)
+    for _ in range(iters):
+        yv = [sum(M[d][e] * v[e] for e in range(dim)) for d in range(dim)]
+        m = max(max(abs(x) for x in yv), 1)
+        v = [(-((-x * one) // m) if x < 0 else (x * one) // m) for x in yv]
+    return pa.table({"d": pa.array(np.arange(dim, dtype=np.int64)),
+                     "v_q": pa.array([int(x) for x in v], pa.int64()),
+                     "loading": pa.array([x / one for x in v],
+                                         pa.float64())})

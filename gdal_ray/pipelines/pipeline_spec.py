@@ -324,6 +324,9 @@ def _register_trainingdata():
     _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
     _REGISTRY["repetition_score"] = _batch_stage(TX.repetition_score)
     from ..pipelines import ann as ANN
+    _REGISTRY["pca_top_component"] = lambda ds, dim=64, iters=4: \
+        ray.data.from_arrow(ANN.pca_top_component(ds, dim=int(dim),
+                                                  iters=int(iters)))
     _REGISTRY["kmeans_assign"] = lambda ds, k=4, iters=3: \
         ANN.kmeans_assign(ds, k=int(k), iters=int(iters))
     _REGISTRY["chunk_tokens"] = lambda ds, window=64, stride=48: \

@@ -6451,3 +6451,52 @@ SELECT l_returnflag, n,
            / 1000000e0 AS intercept
 FROM f
 """
+
+
+def emb_pca_q(sf_dir: str):
+    """Top principal component of the embeddings table via exact integer
+    power iteration over the distributed covariance moments (see
+    ann.pca_top_component — HUGEINT unrolled-CTE replay)."""
+    from .ann import pca_top_component
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_top_component(emb, dim=64, scale=1 << 20, iters=4)
+
+
+def _build_sql_emb_pca(iters: int = 4, dim: int = 64,
+                       scale: int = 1 << 20) -> str:
+    """pca_top_component replayed exactly: same covariance moments as
+    SQL_EMB_COVARIANCE, symmetric M, v0 = 1, per round y = M·v in HUGEINT
+    and v' = sign(y)·((|y|·scale) // max|y|) (abs-first so DuckDB's
+    truncating // matches the engine's formulation on negatives)."""
+    chain = [
+        f"v AS (SELECT vec_id, i.i AS d, CAST(floor(embedding[i.i + 1] * "
+        f"{scale}e0) AS BIGINT) AS q FROM embeddings, "
+        f"generate_series(0, {dim - 1}) i(i))",
+        "s AS (SELECT d, CAST(SUM(q) AS BIGINT) AS sv, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY d)",
+        "p AS (SELECT a.d AS d1, b.d AS d2, CAST(SUM(a.q * b.q) AS BIGINT) "
+        "AS sxy FROM v a JOIN v b ON b.vec_id = a.vec_id AND b.d >= a.d "
+        "GROUP BY a.d, b.d)",
+        "mm AS (SELECT d1, d2, CAST(sa.n AS HUGEINT) * sxy "
+        "- CAST(sa.sv AS HUGEINT) * sb.sv AS num "
+        "FROM p JOIN s sa ON sa.d = p.d1 JOIN s sb ON sb.d = p.d2)",
+        "m AS (SELECT d1, d2, num FROM mm "
+        "UNION ALL SELECT d2, d1, num FROM mm WHERE d1 <> d2)",
+        f"v0 AS (SELECT i.i AS d, CAST(1 AS HUGEINT) AS vv "
+        f"FROM generate_series(0, {dim - 1}) i(i))",
+    ]
+    for t in range(iters):
+        chain += [
+            f"y{t} AS (SELECT m.d1 AS d, SUM(m.num * v{t}.vv) AS y "
+            f"FROM m JOIN v{t} ON v{t}.d = m.d2 GROUP BY m.d1)",
+            f"x{t} AS (SELECT GREATEST(MAX(abs(y)), 1) AS mx FROM y{t})",
+            f"v{t + 1} AS (SELECT d, CASE WHEN y < 0 "
+            f"THEN -((-y * {scale}) // mx) "
+            f"ELSE (y * {scale}) // mx END AS vv FROM y{t}, x{t})",
+        ]
+    return ("WITH " + ",\n".join(chain)
+            + f"\nSELECT d, CAST(vv AS BIGINT) AS v_q, "
+            f"CAST(vv AS DOUBLE) / {scale}.0 AS loading FROM v{iters}")
+
+
+SQL_EMB_PCA = _build_sql_emb_pca()

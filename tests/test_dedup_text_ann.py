@@ -839,3 +839,29 @@ def test_dedup_keep_brute_and_path_parity(ray_session):
                for r in out.itertuples()}
         assert got == expect, f"driver_limit={dl}"
         assert out["keep"].sum() == len(members)
+
+
+def test_pca_top_component_matches_numpy(ray_session):
+    """Integer power iteration must align with numpy's top covariance
+    eigenvector (|cosine| > 0.999) on a synthetic anisotropic cloud."""
+    import ray.data
+
+    from gdal_ray.pipelines.ann import pca_top_component
+
+    rng = np.random.default_rng(17)
+    dim, n = 16, 400
+    direction = rng.normal(size=dim)
+    direction /= np.linalg.norm(direction)
+    X = (rng.normal(size=(n, 1)) * 3.0) @ direction[None, :] \
+        + rng.normal(size=(n, dim)) * 0.3
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array([list(map(float, r)) for r in X],
+                                          pa.list_(pa.float32()))})
+    out = pca_top_component(ray.data.from_arrow(tbl), dim=dim,
+                            iters=6).to_pandas()
+    v = out.sort_values("d")["loading"].values
+    C = np.cov(X.T, bias=True)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    cos = abs(np.dot(v, top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999, cos
