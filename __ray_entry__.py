@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_mode": R.q_group_mode,
         "q_group_regression": R.q_group_regression,
         "emb_pca": R.emb_pca_q,
+        "events_watermark": R.events_watermark_q,
+        "text_c4_filters": R.text_c4_filters_q,
     }
 
 
@@ -350,4 +352,6 @@ def oracle_sql() -> dict[str, str]:
         "q_group_mode": R.SQL_GROUP_MODE,
         "q_group_regression": R.SQL_GROUP_REGRESSION,
         "emb_pca": R.SQL_EMB_PCA,
+        "events_watermark": R.SQL_EVENTS_WATERMARK,
+        "text_c4_filters": R.SQL_TEXT_C4_FILTERS,
     }

@@ -323,6 +323,7 @@ def _register_trainingdata():
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)
     _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
     _REGISTRY["repetition_score"] = _batch_stage(TX.repetition_score)
+    _REGISTRY["c4_quality_filter"] = _batch_stage(TX.c4_quality_filter)
     from ..pipelines import ann as ANN
     _REGISTRY["pca_top_component"] = lambda ds, dim=64, iters=4: \
         ray.data.from_arrow(ANN.pca_top_component(ds, dim=int(dim),

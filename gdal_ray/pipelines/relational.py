@@ -6500,3 +6500,124 @@ def _build_sql_emb_pca(iters: int = 4, dim: int = 64,
 
 
 SQL_EMB_PCA = _build_sql_emb_pca()
+
+
+def events_watermark_q(sf_dir: str, delay_s: int = 300):
+    """Event-time WATERMARK / late-data classification — the streaming
+    semantics primitive (Flink/Beam watermark = running max event time −
+    allowed delay; a row arriving after the watermark passed its
+    timestamp is late).  Arrival order = event time + a deterministic
+    splitmix64 jitter of up to 2 h (the synthetic stream is perfectly
+    time-ordered, so id-order arrival would classify nothing late; the
+    bounded hash jitter models network-delayed arrival — ~2.6% of rows
+    land behind the 5-min watermark — and the SQL side replays the
+    identical order).  Shape: ONE bucket_vectorized co-shuffle on
+    user_id; inside, the per-user
+    prev-running-max is a single segmented cummax via the composite-key
+    offset trick (events_funnel recipe — ordinal·SPAN + (ts−tmin) makes
+    user segments non-overlapping, so one np.maximum.accumulate serves
+    every user with zero per-user dispatch).  All arithmetic in int64
+    epoch-microseconds."""
+    from .dedup import _splitmix
+    from .shuffle_utils import bucket_vectorized
+    D = int(delay_s) * 1_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]) \
+        .map_batches(lambda b: pa.table({
+            "k": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "tu": b.column("ts").cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = np.asarray(g.column("k"), np.int64)
+        e = np.asarray(g.column("event_id"), np.int64)
+        t = np.asarray(g.column("tu"), np.int64)
+        hv = _splitmix(e.astype(np.uint64))
+        arr = t + (hv % np.uint64(7_200_000_000)).astype(np.int64)
+        order = np.lexsort((e, arr, k))
+        k, e, t = k[order], e[order], t[order]
+        uk, starts = np.unique(k, return_index=True)
+        inv = np.zeros(k.size, np.int64)
+        inv[starts[1:]] = 1
+        inv = np.cumsum(inv)                      # ordinal per row
+        tmin = int(t.min())
+        span = int(t.max()) - tmin + 1
+        comp = inv * span + (t - tmin)
+        cm = np.maximum.accumulate(comp)
+        prev = np.empty_like(cm)
+        prev[0] = 0
+        prev[1:] = cm[:-1]
+        first = np.zeros(k.size, bool)
+        first[starts] = True
+        wm = (prev - inv * span) + tmin - D       # prev max ts − delay
+        late = (~first) & (t < wm)
+        return pa.table({
+            "event_id": pa.array(e),
+            "user_id": pa.array(k),
+            "late": pa.array(late.astype(np.int64)),
+            "lateness_us": pa.array(np.where(late, wm - t, 0))})
+
+    return bucket_vectorized(ds, "k", per_bucket)
+
+
+def _sql_events_watermark() -> str:
+    from .sketches import _sm_hugeint_select
+    return f"""
+WITH s AS ({_sm_hugeint_select('events', 'event_id')}),
+w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tu,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts) + hv % 7200000000, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM s)
+SELECT event_id, user_id,
+       CASE WHEN prevmax IS NOT NULL AND tu < prevmax - 300000000
+            THEN 1 ELSE 0 END AS late,
+       CASE WHEN prevmax IS NOT NULL AND tu < prevmax - 300000000
+            THEN prevmax - 300000000 - tu ELSE 0 END AS lateness_us
+FROM w
+"""
+
+
+SQL_EVENTS_WATERMARK = _sql_events_watermark()
+
+
+def text_c4_filters_q(sf_dir: str):
+    """C4-style composite quality gate over the real corpus (see
+    text.c4_quality_filter): per-reason flags, reason bitmask, keep."""
+    from .text import c4_quality_filter
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(c4_quality_filter, batch_format="pyarrow")
+
+
+SQL_TEXT_C4_FILTERS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         greatest(len(l), 1) AS n,
+         CAST(COALESCE(list_sum([len(x) for x in l]), 0) AS BIGINT) AS sl,
+         CAST(len(list_filter(l, x -> x IN
+              ('the', 'a', 'of', 'to', 'and', 'in'))) AS BIGINT) AS ns
+  FROM t),
+q AS (
+  SELECT doc_id, n,
+         floor(CAST(sl AS DOUBLE) / n * 1000000e0 + 0.5e0) / 1000000e0
+             AS mean_token_len,
+         floor(CAST(ns AS DOUBLE) / n * 1000000e0 + 0.5e0) / 1000000e0
+             AS stopword_frac
+  FROM m)
+SELECT doc_id, n AS n_tokens, mean_token_len, stopword_frac,
+       (CASE WHEN n < 20 THEN 1 ELSE 0 END
+        + CASE WHEN n > 1000 THEN 2 ELSE 0 END
+        + CASE WHEN mean_token_len < 4.0 OR mean_token_len > 5.0
+               THEN 4 ELSE 0 END
+        + CASE WHEN stopword_frac < 0.02 THEN 8 ELSE 0 END) AS reasons,
+       CASE WHEN n >= 20 AND n <= 1000
+             AND mean_token_len >= 4.0 AND mean_token_len <= 5.0
+             AND stopword_frac >= 0.02 THEN 1 ELSE 0 END AS keep
+FROM q
+"""

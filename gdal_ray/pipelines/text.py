@@ -501,3 +501,44 @@ def unigram_nll(docs: "object", *, id_col: str = "doc_id",
         import ray.data as _rd
         return _rd.from_arrow(finish(agg))
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_C4_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def c4_quality_filter(batch: pa.Table, *, text_col: str = "text",
+                      min_tokens: int = 20, max_tokens: int = 1000,
+                      min_meanlen: float = 4.0, max_meanlen: float = 5.0,
+                      min_stop_frac: float = 0.02) -> pa.Table:
+    """C4-style composite quality gate (Raffel et al. 2020 §2.2 adapted to
+    a line-less corpus): token-count bounds, mean-token-length band and a
+    minimum stopword fraction, folded into per-reason flags, a reason
+    BITMASK (1=short, 2=long, 4=meanlen, 8=stopword) and the final keep.
+    Stateless vectorized map_batches; fractions are half-up 6dp and the
+    band tests run on the QUANTIZED values so both engines compare
+    identical doubles (CLAUDE.md tie rule)."""
+    texts = batch.column(text_col).to_pylist()
+    n_tok = np.empty(len(texts), np.int64)
+    sumlen = np.empty(len(texts), np.int64)
+    n_stop = np.empty(len(texts), np.int64)
+    stopset = set(_C4_STOPWORDS)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n_tok[i] = max(len(toks), 1)
+        sumlen[i] = sum(len(w) for w in toks)
+        n_stop[i] = sum(1 for w in toks if w in stopset)
+    meanlen = np.floor(sumlen / n_tok * 1e6 + 0.5) / 1e6
+    stopf = np.floor(n_stop / n_tok * 1e6 + 0.5) / 1e6
+    f_short = (n_tok < min_tokens).astype(np.int64)
+    f_long = (n_tok > max_tokens).astype(np.int64)
+    f_mean = ((meanlen < min_meanlen) | (meanlen > max_meanlen)) \
+        .astype(np.int64)
+    f_stop = (stopf < min_stop_frac).astype(np.int64)
+    reasons = f_short + 2 * f_long + 4 * f_mean + 8 * f_stop
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tok),
+        "mean_token_len": pa.array(meanlen),
+        "stopword_frac": pa.array(stopf),
+        "reasons": pa.array(reasons),
+        "keep": pa.array((reasons == 0).astype(np.int64))})
