@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": R.emb_pca_q,
         "events_watermark": R.events_watermark_q,
         "text_c4_filters": R.text_c4_filters_q,
+        "raster_mosaic": R.raster_mosaic_q,
+        "raster_pansharpen": R.raster_pansharpen_q,
+        "raster_color_relief": R.raster_color_relief_q,
     }
 
 
@@ -354,4 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca": R.SQL_EMB_PCA,
         "events_watermark": R.SQL_EVENTS_WATERMARK,
         "text_c4_filters": R.SQL_TEXT_C4_FILTERS,
+        "raster_mosaic": R.SQL_RASTER_MOSAIC,
+        "raster_pansharpen": R.SQL_RASTER_PANSHARPEN,
+        "raster_color_relief": R.SQL_RASTER_COLOR_RELIEF,
     }

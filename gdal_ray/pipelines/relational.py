@@ -6621,3 +6621,235 @@ SELECT doc_id, n AS n_tokens, mean_token_len, stopword_frac,
              AND stopword_frac >= 0.02 THEN 1 ELSE 0 END AS keep
 FROM q
 """
+
+
+def _derived_overlap_images(b: pa.Table) -> pa.Table:
+    """Per nation, THREE co-registered 32×32 derived rasters with value
+    v(idx, k) = (n·31 + 7·idx + k) mod (97 + n mod 13) and nodata = 3 —
+    the overlapping-stack input for the mosaic first-non-nodata oracle.
+    The geotransform is DYADIC (res = 2^-6, origins on the chunk grid +
+    integer multiples of res) so world→pixel math is float-EXACT and the
+    bilinear sample degenerates to identity — every mosaic pixel replays
+    as pure integer arithmetic in SQL."""
+    from ..core import codecs as CD
+    k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    res = 1.0 / 64.0
+    ids, bts, gts = [], [], []
+    for n in k:
+        n = int(n)
+        for idx in range(3):
+            v = (n * 31 + 7 * idx + np.arange(1024, dtype=np.int64)) \
+                % (97 + n % 13)
+            img = v.astype(np.uint8).reshape(32, 32)
+            ids.append(f"img{n:02d}_{idx}")
+            bts.append(CD.encode_raw(img))
+            x0 = (n % 5) * 4.0 + 1.0
+            y0 = (n // 5) * 4.0 + 3.0
+            gts.append([x0, res, 0.0, y0, 0.0, -res])
+    m = len(ids)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(np.full(m, 32, np.int32)),
+        "h": pa.array(np.full(m, 32, np.int32)),
+        "fmt": pa.array(["raw"] * m),
+        "caption": pa.array([""] * m),
+        "geotransform": pa.array(gts, pa.list_(pa.float64(), 6)),
+        "crs": pa.array(["EPSG:4326"] * m),
+        "nodata": pa.nulls(m, pa.float64()),
+    })
+
+
+def raster_mosaic_q(sf_dir: str):
+    """Mosaic/stack with first-non-nodata-wins (gdalalg_raster_mosaic
+    semantics, tiling.mosaic_images) over per-nation overlapping derived
+    stacks — the §2.8 mosaic operator under the oracle gate: per output
+    chunk, the GDAL 11-prime checksum of band 0 plus the contribution
+    count, both replayed closed-form in SQL (first valid idx per pixel =
+    min idx with v≠3; checksum = Σ v mod prime[(row-major index) mod 11]
+    mod 65536 — zeros contribute nothing)."""
+    from .tiling import mosaic_images
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(_derived_overlap_images, batch_format="pyarrow")
+    out = mosaic_images(imgs, resolution=1.0 / 64.0, nodata=3.0)
+    return out.map_batches(lambda b: pa.table({
+        "x": b.column("x").cast(pa.int64()),
+        "y": b.column("y").cast(pa.int64()),
+        "checksum": b.column("checksum").cast(pa.int64()),
+        "n_contrib": b.column("n_contrib").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_RASTER_MOSAIC = """
+WITH px AS (
+  SELECT n_nationkey AS n, g.k AS k, i.i AS idx,
+         (n_nationkey * 31 + 7 * i.i + g.k) % (97 + n_nationkey % 13) AS v
+  FROM nation, generate_series(0, 1023) g(k), generate_series(0, 2) i(i)),
+first AS (
+  SELECT n, k, v FROM px WHERE v <> 3
+  QUALIFY row_number() OVER (PARTITION BY n, k ORDER BY idx) = 1),
+chk AS (
+  SELECT n, CAST(SUM(v % ([7,11,13,17,19,23,29,31,37,41,43])[
+                ((64 + k // 32) * 256 + 64 + k % 32) % 11 + 1])
+            AS BIGINT) % 65536 AS checksum
+  FROM first GROUP BY n),
+contrib AS (
+  SELECT n, CAST(COUNT(DISTINCT CASE WHEN v <> 3 THEN idx END) AS BIGINT)
+         AS n_contrib
+  FROM px GROUP BY n)
+SELECT c.n % 5 AS x, c.n // 5 AS y, chk.checksum, c.n_contrib
+FROM contrib c JOIN chk ON chk.n = c.n
+"""
+
+
+def _derived_pansharpen_inputs(b: pa.Table) -> pa.Table:
+    """Per nation: a 32×32 3-band derived RGB + a co-registered raw pan
+    band, all pure integer formulas (r=(n·31+k)%m, g=(n·37+k+5)%m,
+    b=(n·41+k+9)%m, pan=(n·53+k+13)%m, m=97+n%13) for exact SQL replay."""
+    from ..core import codecs as CD
+    kk = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts, pans = [], [], []
+    k = np.arange(1024, dtype=np.int64)
+    for n in kk:
+        n = int(n)
+        m = 97 + n % 13
+        r = (n * 31 + k) % m
+        g = (n * 37 + k + 5) % m
+        bb = (n * 41 + k + 9) % m
+        p = (n * 53 + k + 13) % m
+        rgb = np.stack([r, g, bb], axis=-1).astype(np.uint8) \
+            .reshape(32, 32, 3)
+        ids.append(f"img{n:02d}")
+        bts.append(CD.encode_raw(rgb))
+        pans.append(CD.encode_raw(p.astype(np.uint8).reshape(32, 32)))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "fmt": pa.array(["raw"] * len(ids)),
+        "pan_bytes": pa.array(pans, pa.binary())})
+
+
+def raster_pansharpen_q(sf_dir: str):
+    """Weighted-Brovey pansharpening (§2.2, stages/raster2.pansharpen —
+    alg/gdalpansharpen.cpp semantics) under the oracle gate: per image the
+    GDAL checksum of output band 0 plus the center output pixel, replayed
+    per-pixel in SQL with the IDENTICAL float chain ((r·w + g·w) + b·w
+    pseudo-pan, one division, clip then truncate — every input an exact
+    integer, every op correctly rounded on both engines)."""
+    from ..core import codecs as CD
+    from ..core.checksum import checksum as gchk
+    from ..stages.raster2 import pansharpen
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(_derived_pansharpen_inputs, batch_format="pyarrow")
+    out = imgs.map_batches(pansharpen, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids, chks, c0, c1, c2 = [], [], [], [], []
+        for iid, bt in zip(t.column("image_id").to_pylist(),
+                           t.column("bytes").to_pylist()):
+            img = CD.decode(bt, "png")
+            ids.append(iid)
+            chks.append(gchk(img[:, :, 0]))
+            c0.append(int(img[16, 16, 0]))
+            c1.append(int(img[16, 16, 1]))
+            c2.append(int(img[16, 16, 2]))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "checksum": pa.array(chks, pa.int64()),
+            "center_r": pa.array(c0, pa.int64()),
+            "center_g": pa.array(c1, pa.int64()),
+            "center_b": pa.array(c2, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_PANSHARPEN = """
+WITH px AS (
+  SELECT n_nationkey AS n, g.k AS k,
+         (n_nationkey * 31 + g.k) % (97 + n_nationkey % 13) AS r,
+         (n_nationkey * 37 + g.k + 5) % (97 + n_nationkey % 13) AS gg,
+         (n_nationkey * 41 + g.k + 9) % (97 + n_nationkey % 13) AS b,
+         (n_nationkey * 53 + g.k + 13) % (97 + n_nationkey % 13) AS p
+  FROM nation, generate_series(0, 1023) g(k)),
+o AS (
+  SELECT n, k,
+         CASE WHEN (r * (1.0e0/3.0e0) + gg * (1.0e0/3.0e0))
+                   + b * (1.0e0/3.0e0) > 0e0
+              THEN p / ((r * (1.0e0/3.0e0) + gg * (1.0e0/3.0e0))
+                        + b * (1.0e0/3.0e0))
+              ELSE 0e0 END AS ratio,
+         r, gg, b
+  FROM px),
+v AS (
+  SELECT n, k,
+         CAST(floor(least(greatest(r * ratio, 0e0), 255e0)) AS BIGINT)
+             AS vr,
+         CAST(floor(least(greatest(gg * ratio, 0e0), 255e0)) AS BIGINT)
+             AS vg,
+         CAST(floor(least(greatest(b * ratio, 0e0), 255e0)) AS BIGINT)
+             AS vb
+  FROM o)
+SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
+       CAST(SUM(vr % ([7,11,13,17,19,23,29,31,37,41,43])[k % 11 + 1])
+            AS BIGINT) % 65536 AS checksum,
+       CAST(MAX(CASE WHEN k = 528 THEN vr END) AS BIGINT) AS center_r,
+       CAST(MAX(CASE WHEN k = 528 THEN vg END) AS BIGINT) AS center_g,
+       CAST(MAX(CASE WHEN k = 528 THEN vb END) AS BIGINT) AS center_b
+FROM v GROUP BY n
+"""
+
+
+def raster_color_relief_q(sf_dir: str):
+    """color-map / color-relief (§2.2, stages/raster2.color_map —
+    apps/gdaldem_lib.cpp color-relief) under the oracle gate.  Derived
+    pixel values stay < 128, so only the ramp's FIRST segment is
+    exercised and its slope 255/128 is DYADIC — every interpolated double
+    is exact regardless of np.interp's internal expression order, and the
+    SQL replay (g = ⌊v·255/128⌋, b = ⌊255 − v·255/128⌋) is bit-safe.
+    Output: per-band GDAL checksums + center pixel."""
+    from ..core import codecs as CD
+    from ..core.checksum import checksum as gchk
+    from ..stages.raster2 import color_map
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(_derived_images, batch_format="pyarrow")
+    out = imgs.map_batches(color_map, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids, cr, cg, cb, pg = [], [], [], [], []
+        for iid, bt in zip(t.column("image_id").to_pylist(),
+                           t.column("bytes").to_pylist()):
+            img = CD.decode(bt, "png")
+            ids.append(iid)
+            cr.append(gchk(img[:, :, 0]))
+            cg.append(gchk(img[:, :, 1]))
+            cb.append(gchk(img[:, :, 2]))
+            pg.append(int(img[16, 16, 1]))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "chk_r": pa.array(cr, pa.int64()),
+            "chk_g": pa.array(cg, pa.int64()),
+            "chk_b": pa.array(cb, pa.int64()),
+            "center_g": pa.array(pg, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_COLOR_RELIEF = """
+WITH px AS (
+  SELECT n_nationkey AS n, g.k AS k,
+         (n_nationkey * 31 + g.k) % (97 + n_nationkey % 13) AS v
+  FROM nation, generate_series(0, 1023) g(k)),
+v AS (
+  SELECT n, k,
+         CAST(floor(v * (255.0e0 / 128.0e0)) AS BIGINT) AS vg,
+         CAST(floor(255.0e0 - v * (255.0e0 / 128.0e0)) AS BIGINT) AS vb
+  FROM px)
+SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
+       CAST(0 AS BIGINT) AS chk_r,
+       CAST(SUM(vg % ([7,11,13,17,19,23,29,31,37,41,43])[k % 11 + 1])
+            AS BIGINT) % 65536 AS chk_g,
+       CAST(SUM(vb % ([7,11,13,17,19,23,29,31,37,41,43])[k % 11 + 1])
+            AS BIGINT) % 65536 AS chk_b,
+       CAST(MAX(CASE WHEN k = 528 THEN vg END) AS BIGINT) AS center_g
+FROM v GROUP BY n
+"""
