@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_mosaic": R.raster_mosaic_q,
         "raster_pansharpen": R.raster_pansharpen_q,
         "raster_color_relief": R.raster_color_relief_q,
+        "raster_collar": R.raster_collar_q,
+        "raster_blend_update": R.raster_blend_update_q,
     }
 
 
@@ -360,4 +362,6 @@ def oracle_sql() -> dict[str, str]:
         "raster_mosaic": R.SQL_RASTER_MOSAIC,
         "raster_pansharpen": R.SQL_RASTER_PANSHARPEN,
         "raster_color_relief": R.SQL_RASTER_COLOR_RELIEF,
+        "raster_collar": R.SQL_RASTER_COLLAR,
+        "raster_blend_update": R.SQL_RASTER_BLEND_UPDATE,
     }

@@ -6853,3 +6853,181 @@ SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
        CAST(MAX(CASE WHEN k = 528 THEN vg END) AS BIGINT) AS center_g
 FROM v GROUP BY n
 """
+
+
+def _derived_collar_images(b: pa.Table) -> pa.Table:
+    """Per nation: a 32×32 band with an exactly-known collar topology —
+    a near-black border frame, a CONNECTED inlet column (col 5, rows
+    1..r0(n)) and a DISCONNECTED 2×2 near-black blob at the center that
+    flood-fill must NOT clean (pins nearblack's connectivity semantics
+    against a plain threshold).  Interior values are 20 + derived ≥ 20,
+    near values ≤ 11 — all pure integer formulas."""
+    from ..core import codecs as CD
+    kk = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+    ids, bts = [], []
+    k = np.arange(1024, dtype=np.int64)
+    r, c = k // 32, k % 32
+    for n in kk:
+        n = int(n)
+        m = 97 + n % 13
+        v = 20 + (n * 31 + k) % m
+        border = (r == 0) | (r == 31) | (c == 0) | (c == 31)
+        r0 = 8 + n % 16
+        inlet = (c == 5) & (r >= 1) & (r <= r0)
+        blob = (r >= 15) & (r <= 16) & (c >= 15) & (c <= 16)
+        v = np.where(border, (n + k) % 12, v)
+        v = np.where(inlet, k % 10, v)
+        v = np.where(blob, 7, v)
+        ids.append(f"img{n:02d}")
+        bts.append(CD.encode_raw(v.astype(np.uint8).reshape(32, 32)))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "fmt": pa.array(["raw"] * len(ids))})
+
+
+def raster_collar_q(sf_dir: str):
+    """nearblack / clean-collar (§2.2, stages/raster2.clean_collar —
+    apps/nearblack_lib.cpp flood-fill semantics) under the oracle gate:
+    collar pixel count + checksum of the cleaned band over the known-
+    topology fixture (border + connected inlet cleaned to 0; the
+    disconnected near-black blob survives — a threshold-only
+    implementation would fail the hash)."""
+    from ..core import codecs as CD
+    from ..core.checksum import checksum as gchk
+    from ..stages.raster2 import clean_collar
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(_derived_collar_images, batch_format="pyarrow")
+    out = imgs.map_batches(lambda b: clean_collar(b, threshold=15),
+                           batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids, chks = [], []
+        for iid, bt in zip(t.column("image_id").to_pylist(),
+                           t.column("bytes").to_pylist()):
+            img = CD.decode(bt, "png")
+            ids.append(iid)
+            chks.append(gchk(img))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "collar_px": t.column("collar_px"),
+            "checksum": pa.array(chks, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RASTER_COLLAR = """
+WITH px AS (
+  SELECT n_nationkey AS n, g.k AS k, g.k // 32 AS r, g.k % 32 AS c
+  FROM nation, generate_series(0, 1023) g(k)),
+v AS (
+  SELECT n, k,
+         CASE
+           WHEN r = 0 OR r = 31 OR c = 0 OR c = 31 THEN (n + k) % 12
+           WHEN c = 5 AND r >= 1 AND r <= 8 + n % 16 THEN k % 10
+           WHEN r BETWEEN 15 AND 16 AND c BETWEEN 15 AND 16 THEN 7
+           ELSE 20 + (n * 31 + k) % (97 + n % 13) END AS val,
+         (r = 0 OR r = 31 OR c = 0 OR c = 31
+          OR (c = 5 AND r >= 1 AND r <= 8 + n % 16)) AS cleaned
+  FROM px)
+SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
+       CAST(SUM(CASE WHEN cleaned THEN 1 ELSE 0 END) AS BIGINT)
+           AS collar_px,
+       CAST(SUM((CASE WHEN cleaned THEN 0 ELSE val END)
+                % ([7,11,13,17,19,23,29,31,37,41,43])[k % 11 + 1])
+            AS BIGINT) % 65536 AS checksum
+FROM v GROUP BY n
+"""
+
+
+def raster_blend_update_q(sf_dir: str):
+    """blend (source-over, constant opacity ½ — dyadic, so the float
+    chain is exact) and update (integer patch paste) — §2.2's remaining
+    per-pixel composition ops (stages/raster2.blend / raster_update)
+    under ONE oracle slot: per image the checksum of the blended band 0
+    and of the updated band."""
+    from ..core import codecs as CD
+    from ..core.checksum import checksum as gchk
+    from ..stages.raster2 import blend, raster_update
+
+    def inputs(b: pa.Table) -> pa.Table:
+        kk = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ids, bts, obts, pbts, pxs, pys = [], [], [], [], [], []
+        k = np.arange(1024, dtype=np.int64)
+        for n in kk:
+            n = int(n)
+            m = 97 + n % 13
+            base = ((n * 31 + k) % m).astype(np.uint8).reshape(32, 32)
+            over = ((n * 37 + k + 5) % m).astype(np.uint8).reshape(32, 32)
+            patch = ((n * 41 + np.arange(64) + 9) % m) \
+                .astype(np.uint8).reshape(8, 8)
+            ids.append(f"img{n:02d}")
+            bts.append(CD.encode_raw(base))
+            obts.append(CD.encode_raw(over))
+            pbts.append(CD.encode_raw(patch))
+            pxs.append(n % 20)
+            pys.append((n * 3) % 20)
+        z = len(ids)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bts, pa.binary()),
+            "fmt": pa.array(["raw"] * z),
+            "overlay_bytes": pa.array(obts, pa.binary()),
+            "overlay_fmt": pa.array(["raw"] * z),
+            "patch_bytes": pa.array(pbts, pa.binary()),
+            "patch_fmt": pa.array(["raw"] * z),
+            "patch_x": pa.array(pxs, pa.int64()),
+            "patch_y": pa.array(pys, pa.int64())})
+
+    imgs = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(inputs, batch_format="pyarrow")
+    blended = imgs.map_batches(lambda b: blend(b, opacity=0.5),
+                               batch_format="pyarrow")
+    updated = imgs.map_batches(raster_update, batch_format="pyarrow")
+
+    def chk_of(t: pa.Table, col: str) -> pa.Table:
+        ids, chks = [], []
+        for iid, bt, fmt in zip(t.column("image_id").to_pylist(),
+                                t.column("bytes").to_pylist(),
+                                t.column("fmt").to_pylist()
+                                if "fmt" in t.column_names
+                                else ["png"] * t.num_rows):
+            img = CD.decode(bt, fmt)
+            band = img if img.ndim == 2 else img[:, :, 0]
+            ids.append(iid)
+            chks.append(gchk(band))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         col: pa.array(chks, pa.int64())})
+
+    a = blended.map_batches(lambda t: chk_of(t, "chk_blend"),
+                            batch_format="pyarrow")
+    u = updated.map_batches(lambda t: chk_of(t, "chk_update"),
+                            batch_format="pyarrow")
+    j = a.join(u, join_type="inner", num_partitions=_join_partitions(),
+               on=("image_id",))
+    return j.select_columns(["image_id", "chk_blend", "chk_update"])
+
+
+SQL_RASTER_BLEND_UPDATE = """
+WITH px AS (
+  SELECT n_nationkey AS n, g.k AS k, g.k // 32 AS r, g.k % 32 AS c,
+         (n_nationkey * 31 + g.k) % (97 + n_nationkey % 13) AS base,
+         (n_nationkey * 37 + g.k + 5) % (97 + n_nationkey % 13) AS ov
+  FROM nation, generate_series(0, 1023) g(k)),
+v AS (
+  SELECT n, k, r, c,
+         CAST(floor(least(greatest(ov * 0.5e0 + base * 0.5e0, 0e0), 255e0)
+                    + 0.5e0) AS BIGINT) AS vblend,
+         CASE WHEN c >= n % 20 AND c < n % 20 + 8
+               AND r >= (n * 3) % 20 AND r < (n * 3) % 20 + 8
+              THEN (n * 41 + (r - (n * 3) % 20) * 8 + (c - n % 20) + 9)
+                   % (97 + n % 13)
+              ELSE base END AS vupd
+  FROM px)
+SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
+       CAST(SUM(vblend % ([7,11,13,17,19,23,29,31,37,41,43])[k % 11 + 1])
+            AS BIGINT) % 65536 AS chk_blend,
+       CAST(SUM(vupd % ([7,11,13,17,19,23,29,31,37,41,43])[k % 11 + 1])
+            AS BIGINT) % 65536 AS chk_update
+FROM v GROUP BY n
+"""
