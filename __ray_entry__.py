@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_color_relief": R.raster_color_relief_q,
         "raster_collar": R.raster_collar_q,
         "raster_blend_update": R.raster_blend_update_q,
+        "raster_contour": R.raster_contour_q,
     }
 
 
@@ -364,4 +365,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_color_relief": R.SQL_RASTER_COLOR_RELIEF,
         "raster_collar": R.SQL_RASTER_COLLAR,
         "raster_blend_update": R.SQL_RASTER_BLEND_UPDATE,
+        "raster_contour": R.SQL_RASTER_CONTOUR,
     }

@@ -7031,3 +7031,62 @@ SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
             AS BIGINT) % 65536 AS chk_update
 FROM v GROUP BY n
 """
+
+
+def raster_contour_q(sf_dir: str):
+    """Contour / iso-lines (§2.12, polygonize.contour_lines — marching
+    squares + segment stitching per alg/contour.cpp) under the oracle
+    gate.  Input: per-nation PLANE DEMs z = n%7 + row + 2·col with a
+    half-integer level (base + 31.5), so every cell crossing has exact
+    dyadic interpolation t ∈ {¼, ½, ¾} and the full vertex set is a
+    closed-form union of the three marching-square cases (u2 = 1/3/5)
+    along the band 29 ≤ row + 2·col ≤ 31.  Output: one row per DISTINCT
+    stitched-polyline vertex (coords ×4 → exact ints) + the stitched
+    line count (pins the merge step: one connected polyline)."""
+    from .polygonize import contour_lines
+
+    def make(b: pa.Table) -> pa.Table:
+        kk = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        r = np.arange(32, dtype=np.int64)[:, None]
+        c = np.arange(32, dtype=np.int64)[None, :]
+        ids, nls, x4s, y4s = [], [], [], []
+        for n in kk:
+            n = int(n)
+            band = (n % 7 + r + 2 * c).astype(np.float64)
+            lv = float(n % 7) + 31.5
+            lines = contour_lines(band, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                                  [lv])
+            nl = len(lines)
+            for _, xy in lines:
+                for px, py in xy:
+                    ids.append(f"img{n:02d}")
+                    nls.append(nl)
+                    x4s.append(int(round(px * 4)))
+                    y4s.append(int(round(py * 4)))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "n_lines": pa.array(nls, pa.int64()),
+            "x4": pa.array(x4s, pa.int64()),
+            "y4": pa.array(y4s, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(make, batch_format="pyarrow")
+
+
+SQL_RASTER_CONTOUR = """
+WITH cells AS (
+  SELECT n_nationkey AS n, x.x AS x, y.y AS y,
+         63 - 2 * y.y - 4 * x.x AS u2
+  FROM nation, generate_series(0, 30) x(x), generate_series(0, 30) y(y)
+  WHERE 63 - 2 * y.y - 4 * x.x IN (1, 3, 5)),
+pts AS (
+  SELECT n, 4 * x + 3 AS x4, 4 * y + 2 AS y4 FROM cells WHERE u2 = 1
+  UNION SELECT n, 4 * x + 2, 4 * y + 4 FROM cells WHERE u2 = 1
+  UNION SELECT n, 4 * x + 5, 4 * y + 2 FROM cells WHERE u2 = 3
+  UNION SELECT n, 4 * x + 3, 4 * y + 6 FROM cells WHERE u2 = 3
+  UNION SELECT n, 4 * x + 6, 4 * y + 4 FROM cells WHERE u2 = 5
+  UNION SELECT n, 4 * x + 5, 4 * y + 6 FROM cells WHERE u2 = 5)
+SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
+       CAST(1 AS BIGINT) AS n_lines, x4, y4
+FROM pts
+"""
