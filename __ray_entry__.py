@@ -218,6 +218,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_collar": R.raster_collar_q,
         "raster_blend_update": R.raster_blend_update_q,
         "raster_contour": R.raster_contour_q,
+        **_tpch_queries(),
+    }
+
+
+def _tpch_queries() -> dict[str, Callable[[str], Any]]:
+    """The remaining TPC-H shapes (q1/q3/q5/q13/q18 live above) — all 22
+    TPC-H plan patterns are oracle-backed; see gdal_ray/pipelines/tpch.py."""
+    from gdal_ray.pipelines import tpch as T
+    return {
+        "q2_min_cost_supplier": T.q2_min_cost_supplier,
+        "q4_order_priority": T.q4_order_priority,
+        "q6_forecast_revenue": T.q6_forecast_revenue,
+        "q7_volume_shipping": T.q7_volume_shipping,
+        "q8_market_share": T.q8_market_share,
+        "q9_product_profit": T.q9_product_profit,
+        "q10_returned_items": T.q10_returned_items,
+        "q11_important_parts": T.q11_important_parts,
+        "q12_priority_class": T.q12_priority_class,
+        "q14_promo_effect": T.q14_promo_effect,
+        "q15_top_supplier": T.q15_top_supplier,
+        "q16_supplier_cnt": T.q16_supplier_cnt,
+        "q17_small_qty_revenue": T.q17_small_qty_revenue,
+        "q19_disjunctive": T.q19_disjunctive,
+        "q20_promotion_suppliers": T.q20_promotion_suppliers,
+        "q21_waiting_suppliers": T.q21_waiting_suppliers,
+        "q22_global_sales": T.q22_global_sales,
     }
 
 
@@ -366,4 +392,28 @@ def oracle_sql() -> dict[str, str]:
         "raster_collar": R.SQL_RASTER_COLLAR,
         "raster_blend_update": R.SQL_RASTER_BLEND_UPDATE,
         "raster_contour": R.SQL_RASTER_CONTOUR,
+        **_tpch_oracles(),
+    }
+
+
+def _tpch_oracles() -> dict[str, str]:
+    from gdal_ray.pipelines import tpch as T
+    return {
+        "q2_min_cost_supplier": T.SQL_Q2_MIN_COST_SUPPLIER,
+        "q4_order_priority": T.SQL_Q4_ORDER_PRIORITY,
+        "q6_forecast_revenue": T.SQL_Q6_FORECAST_REVENUE,
+        "q7_volume_shipping": T.SQL_Q7_VOLUME_SHIPPING,
+        "q8_market_share": T.SQL_Q8_MARKET_SHARE,
+        "q9_product_profit": T.SQL_Q9_PRODUCT_PROFIT,
+        "q10_returned_items": T.SQL_Q10_RETURNED_ITEMS,
+        "q11_important_parts": T.SQL_Q11_IMPORTANT_PARTS,
+        "q12_priority_class": T.SQL_Q12_PRIORITY_CLASS,
+        "q14_promo_effect": T.SQL_Q14_PROMO_EFFECT,
+        "q15_top_supplier": T.SQL_Q15_TOP_SUPPLIER,
+        "q16_supplier_cnt": T.SQL_Q16_SUPPLIER_CNT,
+        "q17_small_qty_revenue": T.SQL_Q17_SMALL_QTY_REVENUE,
+        "q19_disjunctive": T.SQL_Q19_DISJUNCTIVE,
+        "q20_promotion_suppliers": T.SQL_Q20_PROMOTION_SUPPLIERS,
+        "q21_waiting_suppliers": T.SQL_Q21_WAITING_SUPPLIERS,
+        "q22_global_sales": T.SQL_Q22_GLOBAL_SALES,
     }

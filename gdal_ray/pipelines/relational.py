@@ -50,13 +50,37 @@ def _join_partitions() -> int:
 
 
 
+_READ_ROWS_CACHE: dict = {}
+
+
 def _read(sf_dir: str, name: str, columns: list | None = None
           ) -> "ray.data.Dataset":
     """Pruned read: pass `columns` so only the needed columns leave
     storage regardless of whether the optimizer pushes a later
-    select_columns into the scan."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet",
-                                 columns=columns)
+    select_columns into the scan.
+
+    Small files are read with a capped block count sized from the footer
+    row count (one cached metadata read).  Ray 2.49 otherwise over-fans
+    tiny dimension tables into EMPTY read tasks whose 0-row blocks, after
+    any map_batches, lose their schema — and a schema-less block poisons
+    the hash-join schema broadcast, so a join partition that hashes no
+    real rows dies with 'No match for key field on right side' (observed
+    with a 2-row filtered supplier side at 4 partitions).  Big tables
+    keep Ray's default parallelism: the cap only engages below 2M rows,
+    where per-task overhead dominates anyway."""
+    path = f"{sf_dir}/{name}.parquet"
+    rows = _READ_ROWS_CACHE.get(path)
+    if rows is None:
+        try:
+            import pyarrow.parquet as _pq
+            rows = _pq.read_metadata(path).num_rows
+        except Exception:
+            rows = -1
+        _READ_ROWS_CACHE[path] = rows
+    kw = {}
+    if 0 <= rows < 2_000_000:
+        kw["override_num_blocks"] = max(1, -(-rows // 131072))
+    return ray.data.read_parquet(path, columns=columns, **kw)
 
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
