@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_collar": R.raster_collar_q,
         "raster_blend_update": R.raster_blend_update_q,
         "raster_contour": R.raster_contour_q,
+        "text_pii_scrub": R.text_pii_scrub_q,
+        "text_seg_dedup": R.text_seg_dedup_q,
         **_tpch_queries(),
     }
 
@@ -392,6 +394,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_collar": R.SQL_RASTER_COLLAR,
         "raster_blend_update": R.SQL_RASTER_BLEND_UPDATE,
         "raster_contour": R.SQL_RASTER_CONTOUR,
+        "text_pii_scrub": R.SQL_TEXT_PII_SCRUB,
+        "text_seg_dedup": R.SQL_TEXT_SEG_DEDUP,
         **_tpch_oracles(),
     }
 

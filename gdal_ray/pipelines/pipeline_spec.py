@@ -324,6 +324,9 @@ def _register_trainingdata():
     _REGISTRY["fingerprint"] = _batch_stage(TX.fingerprint)
     _REGISTRY["repetition_score"] = _batch_stage(TX.repetition_score)
     _REGISTRY["c4_quality_filter"] = _batch_stage(TX.c4_quality_filter)
+    _REGISTRY["pii_scrub"] = _batch_stage(TX.pii_scrub)
+    _REGISTRY["segment_dedup"] = lambda ds, seg_words=10: \
+        TX.segment_dedup(ds, seg_words=int(seg_words))
     from ..pipelines import ann as ANN
     _REGISTRY["pca_top_component"] = lambda ds, dim=64, iters=4: \
         ray.data.from_arrow(ANN.pca_top_component(ds, dim=int(dim),

@@ -7114,3 +7114,73 @@ SELECT printf('img%02d', CAST(n AS INTEGER)) AS image_id,
        CAST(1 AS BIGINT) AS n_lines, x4, y4
 FROM pts
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 sixth sitting: training-pipeline text ops under the oracle gate
+# ---------------------------------------------------------------------------
+
+def text_pii_scrub_q(sf_dir: str):
+    """PII scrub + normalization over the real corpus (text.pii_scrub:
+    planted deterministic contact blocks, RE2 redaction, whitespace
+    collapse — stateless vectorized map, no shuffle)."""
+    from .text import pii_scrub
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(pii_scrub, batch_format="pyarrow")
+
+
+SQL_TEXT_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || repeat(' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.com call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                        CAST(doc_id % 3 AS INTEGER) + 1) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(t), 'user[0-9]+@mail[0-9]+\.com'))
+            + len(regexp_extract_all(lower(t), '\+1-555-[0-9]{4}'))
+            AS BIGINT) AS n_redacted,
+       trim(regexp_replace(regexp_replace(regexp_replace(lower(t),
+                'user[0-9]+@mail[0-9]+\.com', '<EMAIL>', 'g'),
+                '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+                '\s+', ' ', 'g')) AS clean
+FROM aug
+"""
+
+
+def text_seg_dedup_q(sf_dir: str):
+    """Segment-level (RefinedWeb line-level) exact dedup over the real
+    corpus (text.segment_dedup: one hash-bucketed shuffle for the
+    global first-occurrence keep, one doc-bucketed reassembly)."""
+    from .text import segment_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup(docs, seg_words=10)
+
+
+SQL_TEXT_SEG_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents),
+n AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS nw,
+             CAST((len(words) + 9) // 10 AS BIGINT) AS nseg FROM w),
+segs AS (
+  SELECT doc_id, i.i AS idx,
+         array_to_string(words[(i.i - 1) * 10 + 1 : LEAST(i.i * 10, nw)],
+                         ' ') AS seg
+  FROM n, generate_series(1, 64) i(i)  -- no subquery args allowed; fixed
+  WHERE i.i <= nseg),                  -- bound ≥ max segs (docs ≤ ~100 words)
+kept AS (
+  SELECT doc_id, idx, seg FROM segs
+  QUALIFY doc_id * 1048576 + idx
+          = MIN(doc_id * 1048576 + idx) OVER (PARTITION BY seg)),
+re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY doc_id)
+SELECT n.doc_id, COALESCE(re.clean, '') AS clean_text,
+       COALESCE(re.n_kept, 0) AS n_kept, n.nseg AS n_total
+FROM n LEFT JOIN re ON re.doc_id = n.doc_id
+"""

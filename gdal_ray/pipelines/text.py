@@ -542,3 +542,138 @@ def c4_quality_filter(batch: pa.Table, *, text_col: str = "text",
         "stopword_frac": pa.array(stopf),
         "reasons": pa.array(reasons),
         "keep": pa.array((reasons == 0).astype(np.int64))})
+
+
+def pii_scrub(batch: pa.Table, *, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """PII redaction + normalization (the C4/RefinedWeb scrub stage):
+    lowercase, redact e-mail/phone patterns, collapse whitespace.  The
+    corpus has no organic PII, so a deterministic contact block derived
+    from the doc id is planted first (repeated id%3+1 times so redaction
+    counts vary) — the scrub itself is the real RE2 regex pipeline, and
+    both engines (pyarrow.compute and DuckDB) run the SAME RE2 patterns
+    in the SAME order.  Stateless vectorized map — no shuffle."""
+    ids = np.asarray(batch.column(id_col), np.int64)
+    texts = batch.column(text_col).to_pylist()
+    aug = []
+    for i, t in zip(ids, texts):
+        block = (f" contact user{i}@mail{i % 7}.com"
+                 f" call +1-555-{i % 10000:04d}")
+        aug.append(t + block * (int(i) % 3 + 1))
+    arr = pc.utf8_lower(pa.array(aug, pa.string()))
+    n_email = pc.count_substring_regex(arr, r"user[0-9]+@mail[0-9]+\.com")
+    n_phone = pc.count_substring_regex(arr, r"\+1-555-[0-9]{4}")
+    out = pc.replace_substring_regex(arr, r"user[0-9]+@mail[0-9]+\.com",
+                                     "<EMAIL>")
+    out = pc.replace_substring_regex(out, r"\+1-555-[0-9]{4}", "<PHONE>")
+    out = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(out, r"\s+", " "))
+    n = pc.add(pc.cast(n_email, pa.int64()), pc.cast(n_phone, pa.int64()))
+    return pa.table({id_col: batch.column(id_col),
+                     "n_redacted": n, "clean": out})
+
+
+def segment_dedup(docs: "object", *, seg_words: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  driver_limit: int = 4_000_000) -> "object":
+    """Segment-level (RefinedWeb 'line-level') exact dedup: split every
+    document into ``seg_words``-word segments, keep only the globally
+    FIRST occurrence of each distinct segment (ordered by doc id then
+    position), and reassemble the surviving text.
+
+    Scale shape: segments are grouped by a 64-bit content hash through
+    ONE ``bucket_vectorized`` shuffle (whole hash groups per call; the
+    per-segment min is np.minimum.at over the string-deduplicated
+    inverse, guarding hash collisions by comparing the actual strings);
+    reassembly is a second bucketed pass keyed on the doc id.  Documents
+    whose every segment was seen earlier survive as empty rows via a
+    left join against the per-doc segment totals — nothing materializes
+    on the driver beyond grouped_agg's measured-size contract."""
+    from .dedup import _hash_bytes_to_u64
+    from .shuffle_utils import bucket_vectorized
+
+    MUL = np.int64(1 << 20)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        out_id, out_idx, out_seg = [], [], []
+        for i, t in zip(ids, b.column(text_col).to_pylist()):
+            words = t.split()
+            for j in range(0, len(words), seg_words):
+                out_id.append(int(i))
+                out_idx.append(j // seg_words + 1)
+                out_seg.append(" ".join(words[j:j + seg_words]))
+        h = _hash_bytes_to_u64(out_seg).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64)),
+            "idx": pa.array(np.asarray(out_idx, np.int64)),
+            "seg": pa.array(out_seg, pa.string()),
+            "h": pa.array(h),
+        })
+
+    lines = docs.map_batches(explode, batch_format="pyarrow")
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        seg = np.asarray(t.column("seg").to_pylist(), dtype=object)
+        did = np.asarray(t.column("doc_id"), np.int64)
+        idx = np.asarray(t.column("idx"), np.int64)
+        comp = did * MUL + idx
+        uniq, inv = np.unique(seg.astype(str), return_inverse=True)
+        mins = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, comp)
+        keep = comp == mins[inv]
+        return pa.table({"doc_id": pa.array(did[keep]),
+                         "idx": pa.array(idx[keep]),
+                         "seg": t.column("seg").filter(pa.array(keep))})
+
+    kept = bucket_vectorized(lines, "h", keep_first,
+                             driver_limit=driver_limit)
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id"), np.int64)
+        idx = np.asarray(t.column("idx"), np.int64)
+        seg = t.column("seg").to_pylist()
+        order = np.lexsort((idx, did))
+        did, idx = did[order], idx[order]
+        seg = [seg[int(i)] for i in order]
+        uniq, start = np.unique(did, return_index=True)
+        bounds = np.append(start, did.size)
+        texts = [" ".join(seg[bounds[k]:bounds[k + 1]])
+                 for k in range(uniq.size)]
+        n_kept = np.diff(bounds)
+        return pa.table({"doc_id": pa.array(uniq),
+                         "clean_text": pa.array(texts, pa.string()),
+                         "n_kept": pa.array(n_kept.astype(np.int64))})
+
+    re_ds = bucket_vectorized(kept, "doc_id", reassemble,
+                              driver_limit=driver_limit)
+    import ray.data as rd
+    if isinstance(re_ds, pa.Table):
+        re_ds = rd.from_arrow(re_ds)
+
+    def totals(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        nseg = np.asarray(
+            [max(1, -(-len(t.split()) // seg_words)) if t.split() else 0
+             for t in b.column(text_col).to_pylist()], np.int64)
+        return pa.table({"base_id": pa.array(ids),
+                         "n_total": pa.array(nseg)})
+
+    from .relational import _join_partitions
+    base = docs.map_batches(totals, batch_format="pyarrow")
+    j = base.join(re_ds, join_type="left_outer",
+                  num_partitions=_join_partitions(),
+                  on=("base_id",), right_on=("doc_id",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        clean = b.column("clean_text")
+        nk = b.column("n_kept")
+        return pa.table({
+            "doc_id": b.column("base_id"),
+            "clean_text": pc.coalesce(clean, pa.scalar("", pa.string())),
+            "n_kept": pc.coalesce(pc.cast(nk, pa.int64()),
+                                  pa.scalar(0, pa.int64())),
+            "n_total": b.column("n_total"),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
