@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_contour": R.raster_contour_q,
         "text_pii_scrub": R.text_pii_scrub_q,
         "text_seg_dedup": R.text_seg_dedup_q,
+        "vector_convex_hull": R.vector_convex_hull_q,
+        "raster_viewshed": R.raster_viewshed_q,
         **_tpch_queries(),
     }
 
@@ -396,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_contour": R.SQL_RASTER_CONTOUR,
         "text_pii_scrub": R.SQL_TEXT_PII_SCRUB,
         "text_seg_dedup": R.SQL_TEXT_SEG_DEDUP,
+        "vector_convex_hull": R.SQL_VECTOR_CONVEX_HULL,
+        "raster_viewshed": R.SQL_RASTER_VIEWSHED,
         **_tpch_oracles(),
     }
 

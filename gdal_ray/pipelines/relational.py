@@ -7184,3 +7184,131 @@ SELECT n.doc_id, COALESCE(re.clean, '') AS clean_text,
        COALESCE(re.n_kept, 0) AS n_kept, n.nseg AS n_total
 FROM n LEFT JOIN re ON re.doc_id = n.doc_id
 """
+
+
+def vector_convex_hull_q(sf_dir: str):
+    """Convex hull (OGRGeometry::ConvexHull analog, stages/vector.py
+    Andrew monotone chain) under the oracle gate: per nation a planted
+    vertex set of m points on the integer parabola (t, t²) — which are
+    in strictly convex position, so ALL of them are hull vertices — plus
+    interior points (t, t²+1) that sit strictly between the parabola and
+    its closing chord whenever (t−t0)(tm−t) ≥ 2 (guaranteed by m ≥ 4).
+    The hull is therefore exactly the m parabola points and its doubled
+    shoelace area is closed-form:
+      2A = Σ_{t=t0}^{tm−1} t(t+1) − t0·tm·(tm−t0)
+    (consecutive parabola cross terms t(t+1), one closing-chord term) —
+    pure integers, replayed in DuckDB with a generate_series sum."""
+    from ..core import wkb as WKB
+    from ..stages.vector import convex_hull as hull_stage
+
+    def mk(b: pa.Table) -> pa.Table:
+        ks, blobs = [], []
+        for k in np.asarray(b.column("n_nationkey"), np.int64):
+            k = int(k)
+            m = 4 + k % 5
+            t0 = k % 7 - 3
+            tm = t0 + m - 1
+            pts = [(float(t), float(t * t)) for t in range(t0, tm + 1)]
+            pts += [(float(t), float(t * t + 1))
+                    for t in range(t0 + 1, tm)]
+            ring = np.asarray(pts + [pts[0]], np.float64)
+            ks.append(k)
+            blobs.append(WKB.dumps({"type": "Polygon", "rings": [ring]}))
+        return pa.table({"n_nationkey": pa.array(np.asarray(ks, np.int64)),
+                         "wkb": pa.array(blobs, pa.binary())})
+
+    def measure(b: pa.Table) -> pa.Table:
+        n_hull, area2 = [], []
+        for blob in b.column("wkb").to_pylist():
+            ring = WKB.as_polygons(WKB.loads(blob))[0][0]
+            v = np.asarray(np.round(ring), np.int64)
+            n_hull.append(v.shape[0] - 1)
+            x, y = v[:-1, 0], v[:-1, 1]
+            xn, yn = np.roll(x, -1), np.roll(y, -1)
+            area2.append(int(np.sum(x * yn - xn * y)))
+        return pa.table({"n_nationkey": b.column("n_nationkey"),
+                         "n_hull": pa.array(np.asarray(n_hull, np.int64)),
+                         "area2": pa.array(np.asarray(area2, np.int64))})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(hull_stage, batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_CONVEX_HULL = """
+WITH g AS (SELECT CAST(n_nationkey AS BIGINT) AS gid,
+                  CAST(4 + n_nationkey % 5 AS BIGINT) AS m,
+                  CAST(n_nationkey % 7 - 3 AS BIGINT) AS t0
+           FROM nation),
+s AS (SELECT gid, m, t0, t0 + m - 1 AS tm FROM g),
+acc AS (SELECT gid, SUM(i.i * (i.i + 1)) AS ssum
+        FROM s, generate_series(-3, 12) i(i)
+        WHERE i.i >= t0 AND i.i <= tm - 1
+        GROUP BY gid)
+SELECT s.gid AS n_nationkey, s.m AS n_hull,
+       CAST(acc.ssum - s.t0 * s.tm * (s.tm - s.t0) AS BIGINT) AS area2
+FROM s JOIN acc ON acc.gid = s.gid
+"""
+
+
+def raster_viewshed_q(sf_dir: str):
+    """gdal viewshed (alg/viewshed/viewshed.cpp Wang reference-plane; the
+    engine's stages/dem.viewshed) under the oracle gate: 1×32 profile
+    DEMs with a single wall column at k = 3 + n%20 of height 4 + n%5 —
+    with the wall strictly higher than the observer (z=0, obs_height 2),
+    the line of sight is blocked for every x > k with a margin ≥ 2 (no
+    1e-9 tie cases), so the mask is exactly [x ≤ k] and its row sums are
+    closed-form: n_visible = k+1, vis_xsum = k(k+1)/2.  The engine runs
+    the REAL ring-ordered min-elevation propagation on real rasters."""
+    from ..core import codecs as CD
+    from ..stages.dem import viewshed
+
+    def mk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ids, bts, gts, ox, oy = [], [], [], [], []
+        for n in k:
+            n = int(n)
+            wall = 3 + n % 20
+            z = np.zeros((1, 32), np.float32)
+            z[0, wall] = 4 + n % 5
+            ids.append(f"vs{n:02d}")
+            bts.append(CD.encode_raw(z))
+            gts.append([0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+            ox.append(0)
+            oy.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bts, pa.binary()),
+            "fmt": pa.array(["raw"] * len(ids)),
+            "geotransform": pa.array(gts, pa.list_(pa.float64(), 6)),
+            "obs_x": pa.array(np.asarray(ox, np.int64)),
+            "obs_y": pa.array(np.asarray(oy, np.int64)),
+        })
+
+    def measure(b: pa.Table) -> pa.Table:
+        nk, nvis, xsum = [], [], []
+        for i in range(b.num_rows):
+            mask = CD.decode(b.column("bytes")[i].as_py(),
+                             b.column("fmt")[i].as_py())
+            row = (mask.reshape(-1) > 0)
+            nk.append(int(b.column("image_id")[i].as_py()[2:]))
+            nvis.append(int(row.sum()))
+            xsum.append(int(np.sum(np.nonzero(row)[0])))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "n_visible": pa.array(nvis, pa.int64()),
+                         "vis_xsum": pa.array(xsum, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(viewshed, batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+
+
+SQL_RASTER_VIEWSHED = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(3 + n_nationkey % 20 + 1 AS BIGINT) AS n_visible,
+       CAST((3 + n_nationkey % 20) * (3 + n_nationkey % 20 + 1) // 2
+            AS BIGINT) AS vis_xsum
+FROM nation
+"""
