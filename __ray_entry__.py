@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_seg_dedup": R.text_seg_dedup_q,
         "vector_convex_hull": R.vector_convex_hull_q,
         "raster_viewshed": R.raster_viewshed_q,
+        "raster_fillnodata": R.raster_fillnodata_q,
+        "vector_buffer": R.vector_buffer_q,
         **_tpch_queries(),
     }
 
@@ -400,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "text_seg_dedup": R.SQL_TEXT_SEG_DEDUP,
         "vector_convex_hull": R.SQL_VECTOR_CONVEX_HULL,
         "raster_viewshed": R.SQL_RASTER_VIEWSHED,
+        "raster_fillnodata": R.SQL_RASTER_FILLNODATA,
+        "vector_buffer": R.SQL_VECTOR_BUFFER,
         **_tpch_oracles(),
     }
 

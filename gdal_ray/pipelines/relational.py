@@ -7312,3 +7312,144 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
             AS BIGINT) AS vis_xsum
 FROM nation
 """
+
+
+def raster_fillnodata_q(sf_dir: str):
+    """GDALFillNodata edge-IDW (alg/rasterfill.cpp; the engine's
+    stages/raster2.fill_nodata_idw) under the oracle gate: constant-value
+    rasters (v = 2^(4+n%4), a POWER OF TWO so w·v is exact float scaling
+    and acc/ws == v bit-exactly) with an interior nodata hole.  The
+    directional max_distance=3 search decides WHICH pixels fill — hole
+    pixels whose min axis distance to the hole edge exceeds 3 stay
+    nodata — so the filled/unfilled split replays the real reachability
+    geometry: unfilled = max(0, wh−6)·max(0, hh−6)."""
+    from ..core import codecs as CD
+    from ..stages.raster2 import fill_nodata_idw
+
+    def mk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ids, bts, nods = [], [], []
+        for n in k:
+            n = int(n)
+            v = 1 << (4 + n % 4)
+            c0, r0 = 2 + n % 3, 2 + n % 2
+            wh, hh = 5 + n % 7, 5 + n % 5
+            z = np.full((16, 16), v, np.uint8)
+            z[r0:r0 + hh, c0:c0 + wh] = 0
+            ids.append(f"fn{n:02d}")
+            bts.append(CD.encode(z, "png"))
+            nods.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bts, pa.binary()),
+            "fmt": pa.array(["png"] * len(ids)),
+            "nodata": pa.array(nods, pa.float64()),
+        })
+
+    def measure(b: pa.Table) -> pa.Table:
+        nk, nf, nu, fs = [], [], [], []
+        for i in range(b.num_rows):
+            n = int(b.column("image_id")[i].as_py()[2:])
+            c0, r0 = 2 + n % 3, 2 + n % 2
+            wh, hh = 5 + n % 7, 5 + n % 5
+            img = CD.decode(b.column("bytes")[i].as_py(),
+                            b.column("fmt")[i].as_py())
+            band = (img if img.ndim == 2 else img[:, :, 0])
+            hole = band[r0:r0 + hh, c0:c0 + wh]
+            nk.append(n)
+            nf.append(int(np.sum(hole > 0)))
+            nu.append(int(np.sum(hole == 0)))
+            fs.append(int(np.sum(hole.astype(np.int64))))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "n_filled": pa.array(nf, pa.int64()),
+                         "n_unfilled": pa.array(nu, pa.int64()),
+                         "fill_sum": pa.array(fs, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(lambda b: fill_nodata_idw(b, max_distance=3),
+                     batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+
+
+SQL_RASTER_FILLNODATA = """
+WITH g AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS n,
+         CAST(1 << (4 + n_nationkey % 4) AS BIGINT) AS v,
+         CAST(5 + n_nationkey % 7 AS BIGINT) AS wh,
+         CAST(5 + n_nationkey % 5 AS BIGINT) AS hh
+  FROM nation),
+u AS (SELECT n, v, wh, hh, wh * hh AS hole,
+             greatest(0, wh - 6) * greatest(0, hh - 6) AS unfilled
+      FROM g)
+SELECT n AS n_nationkey,
+       hole - unfilled AS n_filled,
+       unfilled AS n_unfilled,
+       v * (hole - unfilled) AS fill_sum
+FROM u
+"""
+
+
+def vector_buffer_q(sf_dir: str):
+    """OGRGeometry::Buffer on points (stages/vector.buffer_points →
+    core/geom.buffer_point regular-polygon circles) under the oracle
+    gate.  Angle k·(2π/N) is bit-identical between numpy linspace
+    (endpoint=False ⇒ arange·(2π/N)) and the SQL expression, cos/sin are
+    libm on both sides, and every vertex coordinate is snapped half-up at
+    1e-6 BEFORE the doubled shoelace — the cross-term sum is then pure
+    int64 (≤ ~5e15), order-free and exact.  The oracle replays all 32
+    vertices and the cyclic cross terms with a generate_series self-join."""
+    from ..stages.vector import buffer_points
+
+    def mk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        return pa.table({
+            "n_nationkey": pa.array(k),
+            "x": pa.array((k % 10).astype(np.float64)),
+            "y": pa.array((k // 5).astype(np.float64)),
+        })
+
+    def measure(b: pa.Table) -> pa.Table:
+        from ..core import wkb as WKB
+        nk, a2, sxmin, symax = [], [], [], []
+        for i in range(b.num_rows):
+            ring = WKB.as_polygons(
+                WKB.loads(b.column("wkb")[i].as_py()))[0][0][:-1]
+            sx = np.floor(ring[:, 0] * 1e6 + 0.5).astype(np.int64)
+            sy = np.floor(ring[:, 1] * 1e6 + 0.5).astype(np.int64)
+            nx, ny = np.roll(sx, -1), np.roll(sy, -1)
+            nk.append(int(b.column("n_nationkey")[i].as_py()))
+            a2.append(int(np.sum(sx * ny - nx * sy)))
+            sxmin.append(int(sx.min()))
+            symax.append(int(sy.max()))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "area2": pa.array(a2, pa.int64()),
+                         "sx_min": pa.array(sxmin, pa.int64()),
+                         "sy_max": pa.array(symax, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(lambda b: buffer_points(b, dist=2.0, quadsegs=8),
+                     batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_BUFFER = """
+WITH pts AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS n,
+         CAST(n_nationkey % 10 AS DOUBLE) AS cx,
+         CAST(n_nationkey // 5 AS DOUBLE) AS cy
+  FROM nation),
+v AS (
+  SELECT n, k.k AS k,
+         CAST(floor((cx + 2.0 * cos(k.k * (2 * pi() / 32))) * 1000000
+                    + 0.5) AS BIGINT) AS sx,
+         CAST(floor((cy + 2.0 * sin(k.k * (2 * pi() / 32))) * 1000000
+                    + 0.5) AS BIGINT) AS sy
+  FROM pts, generate_series(0, 31) k(k))
+SELECT v.n AS n_nationkey,
+       CAST(SUM(v.sx * w.sy - w.sx * v.sy) AS BIGINT) AS area2,
+       MIN(v.sx) AS sx_min, MAX(v.sy) AS sy_max
+FROM v JOIN v w ON w.n = v.n AND w.k = (v.k + 1) % 32
+GROUP BY v.n
+"""
