@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_viewshed": R.raster_viewshed_q,
         "raster_fillnodata": R.raster_fillnodata_q,
         "vector_buffer": R.vector_buffer_q,
+        "raster_resize_reduce": R.raster_resize_reduce_q,
+        "vector_segmentize": R.vector_segmentize_q,
+        "vector_explode": R.vector_explode_q,
         **_tpch_queries(),
     }
 
@@ -404,6 +407,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_viewshed": R.SQL_RASTER_VIEWSHED,
         "raster_fillnodata": R.SQL_RASTER_FILLNODATA,
         "vector_buffer": R.SQL_VECTOR_BUFFER,
+        "raster_resize_reduce": R.SQL_RASTER_RESIZE_REDUCE,
+        "vector_segmentize": R.SQL_VECTOR_SEGMENTIZE,
+        "vector_explode": R.SQL_VECTOR_EXPLODE,
         **_tpch_oracles(),
     }
 

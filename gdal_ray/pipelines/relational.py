@@ -7453,3 +7453,196 @@ SELECT v.n AS n_nationkey,
 FROM v JOIN v w ON w.n = v.n AND w.k = (v.k + 1) % 32
 GROUP BY v.n
 """
+
+
+def raster_resize_reduce_q(sf_dir: str):
+    """Non-kernel reduce resamplers (alg/gdalwarper.h GRA_Min/Max/Med/Sum;
+    core/resample.resize_reduce) under the oracle gate: derived integer
+    16×16 rasters v = (n·31 + r·16 + c) % 251 reduced 2× — with an exact
+    integer factor every output cell covers one 2×2 block at weight 1, so
+    min/max are block order statistics, median of 4 = (total−min−max)/2
+    (exact dyadic), and sum is sum-preserving (output total == input
+    total).  DuckDB replays every block with generate_series."""
+    from ..core.resample import resize_reduce
+
+    def run(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        nk, mins, maxs, med2, tot = [], [], [], [], []
+        for n in k:
+            n = int(n)
+            rr, cc = np.meshgrid(np.arange(16), np.arange(16),
+                                 indexing="ij")
+            v = ((n * 31 + rr * 16 + cc) % 251).astype(np.float64)
+            o_min = resize_reduce(v, 8, 8, "min")
+            o_max = resize_reduce(v, 8, 8, "max")
+            o_med = resize_reduce(v, 8, 8, "median")
+            o_sum = resize_reduce(v, 8, 8, "sum")
+            nk.append(n)
+            mins.append(int(np.sum(o_min)))
+            maxs.append(int(np.sum(o_max)))
+            med2.append(int(np.sum(np.round(o_med * 2.0))))
+            tot.append(int(np.sum(o_sum)))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "min_sum": pa.array(mins, pa.int64()),
+                         "max_sum": pa.array(maxs, pa.int64()),
+                         "med2_sum": pa.array(med2, pa.int64()),
+                         "sum_total": pa.array(tot, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_RESIZE_REDUCE = """
+WITH blocks AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS n, by.b AS br, bx.b AS bc,
+         (n_nationkey * 31 + (by.b * 2) * 16 + bx.b * 2) % 251 AS a,
+         (n_nationkey * 31 + (by.b * 2) * 16 + bx.b * 2 + 1) % 251 AS b,
+         (n_nationkey * 31 + (by.b * 2 + 1) * 16 + bx.b * 2) % 251 AS c,
+         (n_nationkey * 31 + (by.b * 2 + 1) * 16 + bx.b * 2 + 1) % 251 AS d
+  FROM nation, generate_series(0, 7) by(b), generate_series(0, 7) bx(b))
+SELECT n AS n_nationkey,
+       CAST(SUM(LEAST(a, b, c, d)) AS BIGINT) AS min_sum,
+       CAST(SUM(GREATEST(a, b, c, d)) AS BIGINT) AS max_sum,
+       CAST(SUM(a + b + c + d - LEAST(a, b, c, d)
+                - GREATEST(a, b, c, d)) AS BIGINT) AS med2_sum,
+       CAST(SUM(a + b + c + d) AS BIGINT) AS sum_total
+FROM blocks GROUP BY n
+"""
+
+
+def vector_segmentize_q(sf_dir: str):
+    """gdal vector segmentize (OGRGeometry::segmentize; the engine's
+    stages/vector.segmentize → core/geom.segmentize_line) under the
+    oracle gate: axis-aligned squares of side L = 5 + n%7 at max_len 1.5
+    — every side length is the exact float L, the subdivision count
+    n = ceil(L/1.5) is integer-identical on both engines, and the
+    interpolated vertices t_k = k·(1/n) (numpy linspace step semantics)
+    replay as the SAME double chain in SQL; coordinates snap half-up at
+    1e-6 before summing."""
+    from ..core import wkb as WKB
+    from ..stages.vector import segmentize
+
+    def mk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        nk, blobs = [], []
+        for n in k:
+            n = int(n)
+            L = float(5 + n % 7)
+            ring = np.asarray([(0.0, 0.0), (L, 0.0), (L, L), (0.0, L),
+                               (0.0, 0.0)], np.float64)
+            nk.append(n)
+            blobs.append(WKB.dumps({"type": "Polygon", "rings": [ring]}))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "wkb": pa.array(blobs, pa.binary())})
+
+    def measure(b: pa.Table) -> pa.Table:
+        nk, nv, sx, sy = [], [], [], []
+        for i in range(b.num_rows):
+            ring = WKB.as_polygons(
+                WKB.loads(b.column("wkb")[i].as_py()))[0][0]
+            nk.append(int(b.column("n_nationkey")[i].as_py()))
+            nv.append(ring.shape[0])
+            sx.append(int(np.sum(np.floor(ring[:, 0] * 1e6 + 0.5)
+                                 .astype(np.int64))))
+            sy.append(int(np.sum(np.floor(ring[:, 1] * 1e6 + 0.5)
+                                 .astype(np.int64))))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "n_vertices": pa.array(nv, pa.int64()),
+                         "sx_sum": pa.array(sx, pa.int64()),
+                         "sy_sum": pa.array(sy, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(lambda b: segmentize(b, max_len=1.5),
+                     batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_SEGMENTIZE = """
+WITH g AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS n,
+         CAST(5 + n_nationkey % 7 AS DOUBLE) AS L,
+         CAST(ceil(CAST(5 + n_nationkey % 7 AS DOUBLE) / 1.5) AS BIGINT)
+             AS ns
+  FROM nation),
+pts AS (
+  -- side s, interpolation step k (1..ns): p + t*(q-p), t = k*(1/ns)
+  SELECT n, L, ns, s.s AS s, k.k AS k,
+         CASE s.s
+           WHEN 0 THEN (k.k * (1.0 / CAST(ns AS DOUBLE))) * L
+           WHEN 1 THEN L
+           WHEN 2 THEN L + (k.k * (1.0 / CAST(ns AS DOUBLE))) * (-L)
+           ELSE 0.0 END AS x,
+         CASE s.s
+           WHEN 0 THEN 0.0
+           WHEN 1 THEN (k.k * (1.0 / CAST(ns AS DOUBLE))) * L
+           WHEN 2 THEN L
+           ELSE L + (k.k * (1.0 / CAST(ns AS DOUBLE))) * (-L) END AS y
+  FROM g, generate_series(0, 3) s(s), generate_series(1, 16) k(k)
+  WHERE k.k <= ns)
+SELECT n AS n_nationkey,
+       CAST(4 * MAX(ns) + 1 AS BIGINT) AS n_vertices,
+       CAST(SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sx_sum,  -- the ring's leading (0,0) adds zero to both sums
+       CAST(SUM(CAST(floor(y * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sy_sum
+FROM pts GROUP BY n
+"""
+
+
+def vector_explode_q(sf_dir: str):
+    """gdal vector explode-collections
+    (apps/gdalalg_vector_explode_collections.cpp; the engine's
+    stages/vector.explode_collections) under the oracle gate: planted
+    MultiPolygons of 1 + n%4 unit squares at x-offsets 3i — one output
+    row per part with attributes replicated, counted and checksummed by
+    the snapped first-vertex x."""
+    from ..core import wkb as WKB
+    from ..stages.vector import explode_collections
+
+    def mk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        nk, blobs = [], []
+        for n in k:
+            n = int(n)
+            polys = []
+            for i in range(1 + n % 4):
+                x0 = 3.0 * i
+                polys.append([np.asarray(
+                    [(x0, 0.0), (x0 + 1.0, 0.0), (x0 + 1.0, 1.0),
+                     (x0, 1.0), (x0, 0.0)], np.float64)])
+            nk.append(n)
+            blobs.append(WKB.dumps({"type": "MultiPolygon",
+                                    "polys": polys}))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "wkb": pa.array(blobs, pa.binary())})
+
+    def measure(b: pa.Table) -> pa.Table:
+        nk = np.asarray(b.column("n_nationkey"), np.int64)
+        xs = []
+        for blob in b.column("wkb").to_pylist():
+            ring = WKB.as_polygons(WKB.loads(blob))[0][0]
+            xs.append(int(np.floor(ring[0, 0] * 1e6 + 0.5)))
+        g = pa.table({"n_nationkey": pa.array(nk),
+                      "one": pa.array(np.ones(nk.size, np.int64)),
+                      "x0": pa.array(np.asarray(xs, np.int64))}) \
+            .group_by("n_nationkey") \
+            .aggregate([("one", "sum"), ("x0", "sum")])
+        return pa.table({"n_nationkey": g.column("n_nationkey"),
+                         "n_parts": g.column("one_sum"),
+                         "x0_sum": g.column("x0_sum")})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(explode_collections, batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_EXPLODE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(1 + n_nationkey % 4 AS BIGINT) AS n_parts,
+       -- sum over parts i of snapped 3i: 3e6 * (m-1)m/2, m = parts
+       CAST(3000000 * ((n_nationkey % 4) * (n_nationkey % 4 + 1)) // 2
+            AS BIGINT) AS x0_sum
+FROM nation
+"""
