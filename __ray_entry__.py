@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_resize_reduce": R.raster_resize_reduce_q,
         "vector_segmentize": R.vector_segmentize_q,
         "vector_explode": R.vector_explode_q,
+        "dedup_span_docs": R.dedup_span_docs_q,
+        "text_importance": R.text_importance_q,
         **_tpch_queries(),
     }
 
@@ -410,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_resize_reduce": R.SQL_RASTER_RESIZE_REDUCE,
         "vector_segmentize": R.SQL_VECTOR_SEGMENTIZE,
         "vector_explode": R.SQL_VECTOR_EXPLODE,
+        "dedup_span_docs": R.SQL_DEDUP_SPAN_DOCS,
+        "text_importance": R.SQL_TEXT_IMPORTANCE,
         **_tpch_oracles(),
     }
 

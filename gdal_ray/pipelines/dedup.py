@@ -1141,3 +1141,122 @@ def dedup_keep(ids: "ray.data.Dataset", pairs: "ray.data.Dataset", *,
         sel.map_batches(id_rows, batch_format="pyarrow").union(
             labeled.map_batches(lab2_rows, batch_format="pyarrow")),
         merge)
+
+
+def span_dedup(docs: "ray.data.Dataset", *, k: int = 5,
+               id_col: str = "doc_id", text_col: str = "text",
+               driver_limit: int = 4_000_000) -> "ray.data.Dataset":
+    """Exact substring-span dedup (Lee et al. 2022 §4 ExactSubstr,
+    word-granular): a ``k``-word gram that occurs at ≥2 (doc, pos)
+    locations globally is a duplicated span; every NON-FIRST occurrence
+    (ordered by doc id then position) is removed by dropping all words
+    its window covers, and the surviving words are re-joined.  Differs
+    from segment_dedup: spans are position-free and overlapping, so
+    repeated passages are removed mid-document, not only on fixed
+    segment boundaries.
+
+    Scale shape: gram rows shuffle ONCE keyed by a 64-bit gram hash
+    (whole hash groups per call; first-occurrence selection compares the
+    actual gram strings inside the group, so hash collisions cannot
+    merge distinct grams); the duplicate (doc, pos) markers then ride a
+    second doc-keyed bucket shuffle together with the word rows, where
+    coverage is a vectorized width-k window-OR (two cumsum reads) per
+    document."""
+    import ray.data as rd
+
+    from .shuffle_utils import bucket_vectorized
+
+    MUL = np.int64(1 << 20)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        g_id, g_p, g_s = [], [], []
+        for i, t in zip(ids, b.column(text_col).to_pylist()):
+            words = t.split()
+            for p in range(len(words) - k + 1):
+                g_id.append(int(i))
+                g_p.append(p + 1)  # 1-based, mirrors the SQL list slice
+                g_s.append(" ".join(words[p:p + k]))
+        h = _hash_bytes_to_u64(g_s).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.asarray(g_id, np.int64)),
+                         "p": pa.array(np.asarray(g_p, np.int64)),
+                         "g": pa.array(g_s, pa.string()),
+                         "h": pa.array(h)})
+
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+
+    def non_first(t: pa.Table) -> pa.Table:
+        g = np.asarray(t.column("g").to_pylist(), dtype=object)
+        did = np.asarray(t.column("doc_id"), np.int64)
+        p = np.asarray(t.column("p"), np.int64)
+        comp = did * MUL + p
+        uniq, inv = np.unique(g.astype(str), return_inverse=True)
+        mins = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, comp)
+        dup = comp != mins[inv]
+        return pa.table({"doc_id": pa.array(did[dup]),
+                         "p": pa.array(p[dup]),
+                         "tag": pa.array(np.ones(int(dup.sum()), np.int64)),
+                         "word": pa.array([""] * int(dup.sum()),
+                                          pa.string())})
+
+    dups = bucket_vectorized(grams, "h", non_first,
+                             driver_limit=driver_limit)
+    if isinstance(dups, pa.Table):
+        dups = rd.from_arrow(dups)
+
+    def words_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        w_id, w_p, w_w = [], [], []
+        for i, t in zip(ids, b.column(text_col).to_pylist()):
+            for p, w in enumerate(t.split(), start=1):
+                w_id.append(int(i))
+                w_p.append(p)
+                w_w.append(w)
+        nn = len(w_id)
+        return pa.table({"doc_id": pa.array(np.asarray(w_id, np.int64)),
+                         "p": pa.array(np.asarray(w_p, np.int64)),
+                         "tag": pa.array(np.zeros(nn, np.int64)),
+                         "word": pa.array(w_w, pa.string())})
+
+    words = docs.map_batches(words_rows, batch_format="pyarrow")
+    tagged = words.union(dups)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id"), np.int64)
+        p = np.asarray(t.column("p"), np.int64)
+        tag = np.asarray(t.column("tag"), np.int64)
+        word = t.column("word").to_pylist()
+        order = np.lexsort((tag, p, did))
+        did, p, tag = did[order], p[order], tag[order]
+        word = [word[int(i)] for i in order]
+        out_id, out_txt, out_nw, out_rm = [], [], [], []
+        uniq, start = np.unique(did, return_index=True)
+        bounds = np.append(start, did.size)
+        for u in range(uniq.size):
+            s, e = bounds[u], bounds[u + 1]
+            wmask = tag[s:e] == 0
+            wp = p[s:e][wmask]
+            ww = [word[int(i)] for i in np.nonzero(wmask)[0] + s]
+            nw = wp.size
+            flags = np.zeros(nw + 1, np.int64)
+            dp = p[s:e][~wmask]
+            flags[np.minimum(dp, nw)] += 1  # gram starts (1-based)
+            c = np.cumsum(flags)
+            # word w covered iff a dup gram starts in [w-k+1, w]
+            lo = np.maximum(np.arange(1, nw + 1) - k, 0)
+            covered = (c[np.arange(1, nw + 1)] - c[lo]) > 0
+            keep = [ww[i] for i in range(nw) if not covered[i]]
+            out_id.append(int(uniq[u]))
+            out_txt.append(" ".join(keep))
+            out_nw.append(nw)
+            out_rm.append(int(covered.sum()))
+        return pa.table({"doc_id": pa.array(np.asarray(out_id, np.int64)),
+                         "clean_text": pa.array(out_txt, pa.string()),
+                         "n_words": pa.array(np.asarray(out_nw, np.int64)),
+                         "n_removed": pa.array(np.asarray(out_rm,
+                                                          np.int64))})
+
+    out = bucket_vectorized(tagged, "doc_id", resolve,
+                            driver_limit=driver_limit)
+    return rd.from_arrow(out) if isinstance(out, pa.Table) else out

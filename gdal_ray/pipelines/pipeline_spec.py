@@ -327,6 +327,10 @@ def _register_trainingdata():
     _REGISTRY["pii_scrub"] = _batch_stage(TX.pii_scrub)
     _REGISTRY["segment_dedup"] = lambda ds, seg_words=10: \
         TX.segment_dedup(ds, seg_words=int(seg_words))
+    _REGISTRY["span_dedup"] = lambda ds, k=5: \
+        DD.span_dedup(ds, k=int(k))
+    _REGISTRY["importance_weights"] = lambda ds, target_val="en": \
+        TX.importance_weights(ds, target_val=str(target_val))
     from ..pipelines import ann as ANN
     _REGISTRY["pca_top_component"] = lambda ds, dim=64, iters=4: \
         ray.data.from_arrow(ANN.pca_top_component(ds, dim=int(dim),

@@ -7646,3 +7646,93 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
             AS BIGINT) AS x0_sum
 FROM nation
 """
+
+
+def dedup_span_docs_q(sf_dir: str):
+    """Exact substring-span dedup over the real corpus (Lee et al. 2022
+    ExactSubstr; dedup.span_dedup): non-first occurrences of globally
+    duplicated 5-word grams are removed word-by-word and the survivors
+    re-joined.  DuckDB replays: window MIN over the gram for the
+    first-occurrence rule, a width-5 windowed SUM for coverage, ordered
+    FILTER string_agg for the reassembly."""
+    from .dedup import span_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(docs, k=5)
+
+
+SQL_DEDUP_SPAN_DOCS = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) AS words
+  FROM documents),
+pos AS (
+  SELECT doc_id, p.p AS p, words[p.p] AS word,
+         CAST(len(words) AS BIGINT) AS nw
+  FROM w, generate_series(1, 128) p(p)
+  WHERE p.p <= len(words)),
+grams AS (
+  SELECT doc_id, p, array_to_string(words[p : p + 4], ' ') AS g
+  FROM w, generate_series(1, 128) p(p)
+  WHERE p.p <= len(words) - 4),
+flag AS (
+  SELECT doc_id, p,
+         CASE WHEN doc_id * 1048576 + p
+                   > MIN(doc_id * 1048576 + p) OVER (PARTITION BY g)
+              THEN 1 ELSE 0 END AS dup
+  FROM grams),
+cov AS (
+  SELECT pos.doc_id, pos.p, pos.word,
+         SUM(COALESCE(f.dup, 0)) OVER (
+             PARTITION BY pos.doc_id ORDER BY pos.p
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+  FROM pos LEFT JOIN flag f
+       ON f.doc_id = pos.doc_id AND f.p = pos.p),
+re AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY p) FILTER (WHERE c = 0) AS clean,
+         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM cov GROUP BY doc_id)
+SELECT doc_id, COALESCE(clean, '') AS clean_text, n_words, n_removed
+FROM re
+"""
+
+
+def text_importance_q(sf_dir: str):
+    """DSIR importance weights over the real corpus, target slice
+    lang='en' vs full-corpus background (text.importance_weights — one
+    token-hash co-shuffle, dual in-group segment counts, int64-quantized
+    log-ratios)."""
+    from .text import importance_weights
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return importance_weights(docs)
+
+
+SQL_TEXT_IMPORTANCE = r"""
+WITH toks AS (
+  SELECT doc_id, lang, t.tok FROM documents,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> len(x) > 0)) t(tok)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tb,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tt
+        FROM toks),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM toks GROUP BY tok),
+lp AS (SELECT tok,
+              CAST(floor(1000000.0 * ln(
+                  CAST((ct + 1) * (tb + 1) AS DOUBLE)
+                  / CAST((cb + 1) * (tt + 1) AS DOUBLE))) AS BIGINT) AS q
+       FROM cnt, tot),
+per AS (SELECT doc_id, CAST(SUM(lp.q) AS BIGINT) AS logw_q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks JOIN lp ON lp.tok = toks.tok GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n, 0) AS n_tokens,
+       COALESCE(per.logw_q, 0) AS logw_q,
+       CAST(COALESCE(per.logw_q, 0) AS DOUBLE) / 1000000.0 AS logw
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""

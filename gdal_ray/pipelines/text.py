@@ -677,3 +677,110 @@ def segment_dedup(docs: "object", *, seg_words: int = 10,
         })
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def importance_weights(docs: "object", *, id_col: str = "doc_id",
+                       text_col: str = "text", target_col: str = "lang",
+                       target_val: str = "en") -> "object":
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    'Data Selection for Language Models via Importance Resampling'):
+    per-document log importance weight under unigram bag-of-words models
+    of a TARGET slice (here ``lang == target_val``) versus the full
+    corpus as background,
+
+        logw(d) = Σ_tok tf · ln( ((c_t+1)(T_b+1)) / ((c_b+1)(T_t+1)) )
+
+    with add-one smoothing.  High-weight documents look like the target
+    distribution and would be upsampled by importance resampling.
+
+    Scale shape mirrors ``unigram_nll``: distinct (doc, token, tf,
+    is_target) rows through ONE token-hash co-shuffle; target and
+    background counts are BOTH in-group segment sums (no second pass, no
+    count-table join); per-token log-ratios are quantized to int64
+    before summation so float order never matters — inside the quantizer
+    sit exact int64 products and ONE division + ln, identical in
+    DuckDB."""
+    from .dedup import _hash_bytes_to_u64
+    from .shuffle_utils import grouped_agg, grouped_map_groups
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs, tgt = [], [], [], []
+        for d, t, lv in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist(),
+                            batch.column(target_col).to_pylist()):
+            ts = t.split()
+            if not ts:
+                continue
+            u, c = np.unique(np.asarray(ts, dtype=object),
+                             return_counts=True)
+            ids.extend([d] * len(u))
+            toks.extend(list(u))
+            tfs.extend(c.tolist())
+            tgt.extend([1 if lv == target_val else 0] * len(u))
+        tkey = _hash_bytes_to_u64([str(t) for t in toks]) \
+            .view(np.int64) if toks else np.array([], np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "is_t": pa.array(tgt, pa.int64()),
+                         "tkey": pa.array(tkey, pa.int64())})
+
+    def empty_rows(batch: pa.Table) -> pa.Table:
+        ids = [d for d, t in zip(batch.column(id_col).to_pylist(),
+                                 batch.column(text_col).to_pylist())
+               if not t.split()]
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "logw_q": pa.array(z), "n": pa.array(z)})
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    t_b = int(tf.sum("tf") or 0)
+    t_t = 0
+    for b in tf.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(np.sum(np.asarray(t.column("tf"), np.int64)
+                            * np.asarray(t.column("is_t"), np.int64)))],
+                pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        t_t += int(np.sum(np.asarray(b.column("s"), np.int64)))
+
+    def ratio_group(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g.column("token").to_pylist(), dtype=object)
+        order = np.argsort(toks, kind="stable")
+        toks_s = toks[order]
+        newk = np.empty(toks_s.size, bool)
+        newk[0] = True
+        newk[1:] = toks_s[1:] != toks_s[:-1]
+        starts = np.nonzero(newk)[0]
+        seg = np.cumsum(newk) - 1
+        tf_s = np.asarray(g.column("tf"), np.int64)[order]
+        it_s = np.asarray(g.column("is_t"), np.int64)[order]
+        c_b = np.add.reduceat(tf_s, starts)
+        c_t = np.add.reduceat(tf_s * it_s, starts)
+        num = (c_t + 1) * np.int64(t_b + 1)
+        den = (c_b + 1) * np.int64(t_t + 1)
+        q = np.floor(1e6 * np.log(num.astype(np.float64)
+                                  / den.astype(np.float64))) \
+            .astype(np.int64)
+        contrib = tf_s * q[seg]
+        ids = np.asarray(g.column(id_col), np.int64)[order]
+        return pa.table({id_col: pa.array(ids),
+                         "logw_q": pa.array(contrib),
+                         "n": pa.array(tf_s)})
+
+    parts = grouped_map_groups(tf, "tkey", ratio_group).union(
+        docs.map_batches(empty_rows, batch_format="pyarrow"))
+    agg = grouped_agg(parts, [id_col], [("logw_q", "sum"), ("n", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        q = np.asarray(b.column("logw_q"), np.int64)
+        n = np.asarray(b.column("n"), np.int64)
+        return pa.table({id_col: b.column(id_col),
+                         "n_tokens": pa.array(n),
+                         "logw_q": pa.array(q),
+                         "logw": pa.array(q / 1e6, pa.float64())})
+
+    if isinstance(agg, pa.Table):
+        import ray.data as _rd
+        return _rd.from_arrow(finish(agg))
+    return agg.map_batches(finish, batch_format="pyarrow")
