@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_explode": R.vector_explode_q,
         "dedup_span_docs": R.dedup_span_docs_q,
         "text_importance": R.text_importance_q,
+        "q_date_funcs": R.q_date_funcs,
+        "video_frames": R.video_frames_q,
         **_tpch_queries(),
     }
 
@@ -414,6 +416,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_explode": R.SQL_VECTOR_EXPLODE,
         "dedup_span_docs": R.SQL_DEDUP_SPAN_DOCS,
         "text_importance": R.SQL_TEXT_IMPORTANCE,
+        "q_date_funcs": R.SQL_DATE_FUNCS,
+        "video_frames": R.SQL_VIDEO_FRAMES,
         **_tpch_oracles(),
     }
 

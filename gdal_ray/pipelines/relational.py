@@ -7736,3 +7736,132 @@ SELECT d.doc_id,
        CAST(COALESCE(per.logw_q, 0) AS DOUBLE) / 1000000.0 AS logw
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
+
+
+def q_date_funcs(sf_dir: str):
+    """Datetime scalar-function surface (the OGR SQL datetime set,
+    swq_op_registrar.cpp + ogr_sql date functions): year/month/day/hour/
+    minute, ISO day-of-week, day-of-year, quarter, epoch seconds and a
+    month-truncation string — all exact integer calendar math (numpy
+    datetime64 casts vs DuckDB extract functions), no float anywhere."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("ts").cast(pa.int64()), np.int64) \
+            .astype("datetime64[us]")
+        days = ts.astype("datetime64[D]")
+        years = ts.astype("datetime64[Y]")
+        months = ts.astype("datetime64[M]")
+        y = years.astype(np.int64) + 1970
+        m = (months - years).astype(np.int64) + 1
+        d = (days - months).astype(np.int64) + 1
+        sec_of_day = (ts - days).astype("timedelta64[s]").astype(np.int64)
+        hour = sec_of_day // 3600
+        minute = sec_of_day % 3600 // 60
+        epoch_days = days.astype(np.int64)
+        isodow = (epoch_days + 3) % 7 + 1           # 1970-01-01 = Thursday
+        doy = (days - years).astype(np.int64) + 1
+        quarter = (m - 1) // 3 + 1
+        epoch_s = ts.astype("datetime64[s]").astype(np.int64)
+        mstart = np.datetime_as_string(months.astype("datetime64[D]"),
+                                       unit="D")
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "y": pa.array(y), "m": pa.array(m), "d": pa.array(d),
+            "hour": pa.array(hour), "minute": pa.array(minute),
+            "isodow": pa.array(isodow), "doy": pa.array(doy),
+            "quarter": pa.array(quarter), "epoch_s": pa.array(epoch_s),
+            "month_start": pa.array([str(x) for x in mstart], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DATE_FUNCS = """
+SELECT event_id,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(day(ts) AS BIGINT) AS d,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(minute(ts) AS BIGINT) AS minute,
+       CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(dayofyear(ts) AS BIGINT) AS doy,
+       CAST(quarter(ts) AS BIGINT) AS quarter,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+       strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start
+FROM events
+"""
+
+
+def video_frames_q(sf_dir: str):
+    """Video frame sampling under the oracle gate: REAL MJPEG-in-AVI
+    containers (stages/multimodal.build_mjpeg_avi RIFF layout) with
+    constant-gray frames at JPEG quality 100 — DC-only blocks with
+    all-ones quant tables decode BIT-EXACTLY (the vp8i constant-class
+    trick applied to T.81), so after the real RIFF walk + real JPEG
+    decode + real PNG re-encode, each sampled frame's value is the
+    planted g = (n·31 + 17·fi) % 200 + 20 and the sums are closed-form.
+    F = 6 + n%7 frames at 2 fps sampled every 1 s → stride 2."""
+    from ..core import codecs as CD
+    from ..stages.multimodal import VideoFrameSampleStage, build_mjpeg_avi
+
+    def mk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ids, blobs = [], []
+        for n in k:
+            n = int(n)
+            frames = [np.full((16, 16), (n * 31 + 17 * i) % 200 + 20,
+                              np.uint8) for i in range(6 + n % 7)]
+            ids.append(f"vid{n:02d}")
+            blobs.append(build_mjpeg_avi(frames, fps=2.0, quality=100))
+        return pa.table({"video_id": pa.array(ids, pa.string()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    def measure(b: pa.Table) -> pa.Table:
+        vals = {}
+        for i in range(b.num_rows):
+            n = int(b.column("video_id")[i].as_py()[3:])
+            img = CD.decode(b.column("frame_png")[i].as_py(), "png")
+            band = img if img.ndim == 2 else img[:, :, 0]
+            fi = int(b.column("frame_idx")[i].as_py())
+            s = vals.setdefault(n, [0, 0, 0])
+            s[0] += 1
+            s[1] += fi
+            s[2] += int(band[0, 0]) if np.all(band == band[0, 0]) else -1
+        nk = sorted(vals)
+        return pa.table({
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "n_sampled": pa.array([vals[n][0] for n in nk], pa.int64()),
+            "idx_sum": pa.array([vals[n][1] for n in nk], pa.int64()),
+            "gray_sum": pa.array([vals[n][2] for n in nk], pa.int64()),
+        })
+
+    sampler = VideoFrameSampleStage(every_n_seconds=1.0)
+    parts = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(sampler, batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+    # partial rows are per-BATCH; merge in case Ray re-batches the
+    # sampler output across measure calls
+    from .shuffle_utils import grouped_agg
+    out = grouped_agg(parts, ["n_nationkey"],
+                      [("n_sampled", "sum"), ("idx_sum", "sum"),
+                       ("gray_sum", "sum")])
+    import ray.data as _rd
+    return _rd.from_arrow(out) if isinstance(out, pa.Table) else out
+
+
+SQL_VIDEO_FRAMES = """
+WITH g AS (SELECT CAST(n_nationkey AS BIGINT) AS n,
+                  CAST(6 + n_nationkey % 7 AS BIGINT) AS f
+           FROM nation),
+-- sampled frames fi = 2j, j = 0..ceil(f/2)-1
+s AS (SELECT n, f, j.j AS j, 2 * j.j AS fi
+      FROM g, generate_series(0, 6) j(j)
+      WHERE 2 * j.j < f)
+SELECT n AS n_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(fi) AS BIGINT) AS idx_sum,
+       CAST(SUM((n * 31 + 17 * fi) % 200 + 20) AS BIGINT) AS gray_sum
+FROM s GROUP BY n
+"""
