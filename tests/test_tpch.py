@@ -83,3 +83,68 @@ def test_filtered_tiny_side_join_survives():
                 num_partitions=max(4, _join_partitions()),
                 on=("l_suppkey",), right_on=("s_suppkey",))
     assert j.count() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_segment_dedup_path_parity():
+    """distributed branch (driver_limit=0) == driver branch (default)."""
+    from gdal_ray.pipelines.relational import _read
+    from gdal_ray.pipelines.text import segment_dedup
+
+    docs = _read(SF, "documents", ["doc_id", "text"]).limit(120)
+    a = segment_dedup(docs, seg_words=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = segment_dedup(docs, seg_words=10, driver_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_dedup_path_parity():
+    from gdal_ray.pipelines.relational import _read
+    from gdal_ray.pipelines.dedup import span_dedup
+
+    docs = _read(SF, "documents", ["doc_id", "text"]).limit(120)
+    a = span_dedup(docs, k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = span_dedup(docs, k=5, driver_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_span_dedup_bruteforce_semantics():
+    """span_dedup == a direct per-corpus reference implementation."""
+    import ray.data as rd
+    from gdal_ray.pipelines.dedup import span_dedup
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "x a b c d e y z",          # contains doc1's gram 'a b c d e'
+        3: "p q r s t u v w",
+        4: "a b c d e f g h",          # exact copy of doc1
+    }
+    docs = rd.from_items([{"doc_id": k, "text": v}
+                          for k, v in texts.items()])
+    out = {r["doc_id"]: r for r in span_dedup(docs, k=5).take_all()}
+
+    # reference: first occurrence ordered by (doc, pos) survives
+    k = 5
+    grams = {}
+    for d in sorted(texts):
+        ws = texts[d].split()
+        for p in range(len(ws) - k + 1):
+            grams.setdefault(" ".join(ws[p:p + k]), []).append((d, p + 1))
+    for d in sorted(texts):
+        ws = texts[d].split()
+        covered = [False] * len(ws)
+        for g, occ in grams.items():
+            first = min(occ)
+            for (dd, pp) in occ:
+                if dd == d and (dd, pp) != first:
+                    for w in range(pp - 1, pp - 1 + k):
+                        covered[w] = True
+        expect = " ".join(w for w, c in zip(ws, covered) if not c)
+        assert out[d]["clean_text"] == expect, (d, out[d], expect)
+        assert out[d]["n_removed"] == sum(covered)
