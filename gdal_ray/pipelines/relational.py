@@ -5510,11 +5510,20 @@ def q3_shipping_priority(sf_dir: str):
     out = grouped_agg(j.map_batches(partial, batch_format="pyarrow"),
                       ["l_orderkey", "odate", "ship"], [("rev", "sum")])
     if not isinstance(out, pa.Table):
-        out = out.sort(["rev", "odate", "l_orderkey"],
-                       descending=[True, False, False]).limit(10)
+        # post-merge each orderkey is one row → per-block top-10
+        # candidates are exact; ≤ 10·blocks rows reach the driver (no
+        # sort shuffle)
+        def block_top(b: pa.Table) -> pa.Table:
+            r = np.asarray(b.column("rev"), np.int64)
+            od_ = np.asarray(b.column("odate"), np.int64)
+            ok_ = np.asarray(b.column("l_orderkey"), np.int64)
+            o = np.lexsort((ok_, od_, -r))[:10]
+            return b.take(pa.array(o))
+
         out = pa.concat_tables(
             t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-            for t in out.iter_batches(batch_format="pyarrow"))
+            for t in out.map_batches(block_top, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow"))
     rev = np.asarray(out.column("rev"), np.int64)
     od = np.asarray(out.column("odate"), np.int64)
     ok = np.asarray(out.column("l_orderkey"), np.int64)

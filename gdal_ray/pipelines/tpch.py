@@ -143,9 +143,12 @@ def q2_min_cost_supplier(sf_dir: str):
             {"p_partkey": b.column("p_partkey")}).filter(
                 pc.equal(b.column("p_type"), "STANDARD")),
             batch_format="pyarrow")
+    # csp feeds TWO consumers (the per-part min aggregate and the final
+    # join-back) — materialize once or the whole upstream join chain
+    # executes twice
     csp = cs.join(part, join_type="inner",
                   num_partitions=_join_partitions(),
-                  on=("l_partkey",), right_on=("p_partkey",))
+                  on=("l_partkey",), right_on=("p_partkey",)).materialize()
 
     # groupwise min over the filtered (part × EU-supplier) candidates
     def pmin(b: pa.Table) -> pa.Table:
@@ -660,11 +663,18 @@ def q10_returned_items(sf_dir: str, k: int = 20):
                       ["o_custkey"], [("rev", "sum")])
 
     import ray.data as rd
-    agg_ds = rd.from_arrow(agg) if isinstance(agg, pa.Table) else agg
-    # exact-int top-k: per-block candidates, then one driver lexsort
-    topk = agg_ds.sort(["rev", "o_custkey"],
-                       descending=[True, False]).limit(k)
-    t = _tbl(topk)
+    # exact-int top-k WITHOUT a sort shuffle: post-merge every custkey is
+    # one row, so per-block top-k candidates are exact; the driver merges
+    # ≤ k·blocks candidate rows with one lexsort
+    def block_topk(b: pa.Table) -> pa.Table:
+        rev = np.asarray(b.column("rev"), np.int64)
+        ck = np.asarray(b.column("o_custkey"), np.int64)
+        o = np.lexsort((ck, -rev))[:k]
+        return pa.table({"o_custkey": pa.array(ck[o]),
+                         "rev": pa.array(rev[o])})
+
+    t = (block_topk(agg) if isinstance(agg, pa.Table)
+         else _tbl(agg.map_batches(block_topk, batch_format="pyarrow")))
     rev = np.asarray(t.column("rev"), np.int64)
     ck = np.asarray(t.column("o_custkey"), np.int64)
     order = np.lexsort((ck, -rev))[:k]
@@ -713,8 +723,12 @@ FROM agg ORDER BY rev DESC, c_custkey LIMIT 20
 #        (HAVING against a scalar subquery, integer cross-multiply).
 # --------------------------------------------------------------------------
 
-def q11_important_parts(sf_dir: str, nation: str = "NATION_3",
-                        permille: int = 1):
+def q11_important_parts(sf_dir: str, nation: str = "NATION_3"):
+    """Parts whose stocked value exceeds 2× the MEAN per-part share — the
+    Q11 HAVING-scalar-subquery shape with a SCALE-FREE threshold (TPC-H's
+    fixed fraction goes degenerate as the part count grows with SF: at
+    sf0.1 no part reaches 0.1% of the total).  Predicate stays integer:
+    val·nparts > 2·total."""
     nat = _nation_names(sf_dir)
     nk = sorted(k for k, v in nat.items() if v == nation)
 
@@ -750,7 +764,7 @@ def q11_important_parts(sf_dir: str, nation: str = "NATION_3",
     import ray.data as rd
     agg_ds = rd.from_arrow(agg) if isinstance(agg, pa.Table) else agg
     agg_ds = agg_ds.materialize()
-    # global scalar: tiny per-block partial sums, driver add
+    # global scalars: tiny per-block partial sums, driver add
     total = 0
     for b in agg_ds.map_batches(
             lambda t: pa.table({"s": pa.array(
@@ -758,10 +772,15 @@ def q11_important_parts(sf_dir: str, nation: str = "NATION_3",
                 pa.int64())}),
             batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         total += int(np.sum(np.asarray(b.column("s"), np.int64)))
+    nparts = agg_ds.count()
+    # floor-mean keeps the comparison overflow-free (val·nparts would
+    # exceed int64 at 100-TB scale); DuckDB // truncation == numpy //
+    # on these non-negative ints
+    mean_floor = total // max(nparts, 1)
 
     def finish(b: pa.Table) -> pa.Table:
         v = np.asarray(b.column("val"), np.int64)
-        keep = v * 1000 > total * permille
+        keep = v > 2 * mean_floor
         t = b.filter(pa.array(keep))
         return pa.table({
             "l_partkey": t.column("l_partkey"),
@@ -782,7 +801,7 @@ WITH v AS (
     AND n_name = 'NATION_3'
   GROUP BY l_partkey)
 SELECT l_partkey, CAST(val AS DOUBLE) / 100.0 AS value
-FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v) * 1
+FROM v WHERE val > 2 * (SELECT SUM(val) // COUNT(*) FROM v)
 """
 
 
