@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_importance": R.text_importance_q,
         "q_date_funcs": R.q_date_funcs,
         "video_frames": R.video_frames_q,
+        "vector_format_roundtrip": R.vector_format_roundtrip_q,
+        "catalog_mixed_formats": R.catalog_mixed_formats_q,
         **_tpch_queries(),
     }
 
@@ -418,6 +420,8 @@ def oracle_sql() -> dict[str, str]:
         "text_importance": R.SQL_TEXT_IMPORTANCE,
         "q_date_funcs": R.SQL_DATE_FUNCS,
         "video_frames": R.SQL_VIDEO_FRAMES,
+        "vector_format_roundtrip": R.SQL_VECTOR_FORMAT_ROUNDTRIP,
+        "catalog_mixed_formats": R.SQL_CATALOG_MIXED_FORMATS,
         **_tpch_oracles(),
     }
 

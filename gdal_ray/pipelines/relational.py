@@ -7874,3 +7874,169 @@ SELECT n AS n_nationkey,
        CAST(SUM((n * 31 + 17 * fi) % 200 + 20) AS BIGINT) AS gray_sum
 FROM s GROUP BY n
 """
+
+
+def vector_format_roundtrip_q(sf_dir: str):
+    """OGR format writers on the driver surface: one planted point layer
+    (dyadic coordinates, so every text/binary representation roundtrips
+    bit-exactly) is written as GeoJSON, GeoPackage, FlatGeobuf and
+    Shapefile (sources/vector_writers — hand-built spec bytes), then
+    read back through the REAL spec-conformant readers
+    (sources/vector_formats) as Ray datasets; per format the feature
+    count and snapped coordinate sums must equal the closed form."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).take_all()
+    fids, blobs = [], []
+    for r in sorted(x["n_nationkey"] for x in nat):
+        n = int(r)
+        for j in range(3):
+            fids.append(n * 10 + j)
+            blobs.append(WKB.dumps({"type": "Point",
+                                    "xy": (n % 10 + j + 0.25,
+                                           n // 5 + 0.5)}))
+    tab = pa.table({"fid": pa.array(fids, pa.int64()),
+                    "wkb": pa.array(blobs, pa.binary())})
+
+    d = tempfile.mkdtemp(prefix="vecrt_")
+    open(os.path.join(d, "a.geojson"), "wb").write(VW.geojson_bytes(tab))
+    open(os.path.join(d, "a.gpkg"), "wb").write(
+        VW.gpkg_bytes({"layer": tab}))
+    open(os.path.join(d, "a.fgb"), "wb").write(VW.flatgeobuf_bytes(tab))
+    for ext, bts in VW.shapefile_bytes(tab).items():
+        open(os.path.join(d, "a." + ext), "wb").write(bts)
+
+    readers = {
+        "geojson": VF.read_geojson([os.path.join(d, "a.geojson")]),
+        "gpkg": VF.read_gpkg([os.path.join(d, "a.gpkg")]),
+        "flatgeobuf": VF.read_flatgeobuf([os.path.join(d, "a.fgb")]),
+        "shapefile": VF.read_shapefile([os.path.join(d, "a.shp")]),
+    }
+
+    def measure(fmt):
+        def fn(b: pa.Table) -> pa.Table:
+            sx = sy = 0
+            for blob in b.column("wkb").to_pylist():
+                g = WKB.loads(blob)
+                x, y = g["xy"] if "xy" in g else tuple(g["points"][0])
+                sx += int(np.floor(x * 1e6 + 0.5))
+                sy += int(np.floor(y * 1e6 + 0.5))
+            return pa.table({"fmt": pa.array([fmt], pa.string()),
+                             "n_features": pa.array([b.num_rows],
+                                                    pa.int64()),
+                             "sx_sum": pa.array([sx], pa.int64()),
+                             "sy_sum": pa.array([sy], pa.int64())})
+        return fn
+
+    parts = None
+    for fmt, ds in readers.items():
+        p = ds.map_batches(measure(fmt), batch_format="pyarrow")
+        parts = p if parts is None else parts.union(p)
+    from .shuffle_utils import grouped_agg
+    out = grouped_agg(parts, ["fmt"],
+                      [("n_features", "sum"), ("sx_sum", "sum"),
+                       ("sy_sum", "sum")])
+    import ray.data as _rd
+    return _rd.from_arrow(out) if isinstance(out, pa.Table) else out
+
+
+SQL_VECTOR_FORMAT_ROUNDTRIP = """
+WITH f(fmt) AS (VALUES ('geojson'), ('gpkg'), ('flatgeobuf'),
+                       ('shapefile')),
+pts AS (
+  SELECT n_nationkey AS n, j.j AS j,
+         CAST(floor((n_nationkey % 10 + j.j + 0.25) * 1000000 + 0.5)
+              AS BIGINT) AS sx,
+         CAST(floor((n_nationkey // 5 + 0.5) * 1000000 + 0.5)
+              AS BIGINT) AS sy
+  FROM nation, generate_series(0, 2) j(j))
+SELECT f.fmt, CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(sx) AS BIGINT) AS sx_sum,
+       CAST(SUM(sy) AS BIGINT) AS sy_sum
+FROM f, pts GROUP BY f.fmt
+"""
+
+
+def catalog_mixed_formats_q(sf_dir: str):
+    """Mixed web-scraped-catalog ingest: every nation contributes one
+    PNG, one JPEG, one GeoTIFF, one lossless-WebP (VP8L) AND one foreign
+    interchange-lossy `VP8 ` WebP.  The real ImageFeatureStage decodes
+    the four supported payloads through the real codecs (constant-gray
+    content, bit-exact in all four — JPEG DC-only blocks included) and
+    QUARANTINES the foreign row (codecs.CapabilityError → null features
+    + decode_error reason; reference driver-level 'cannot open'
+    semantics) instead of failing the batch.  Per nation: 4 decoded,
+    1 quarantined, mean_sum = 4a + 6 closed-form."""
+    import struct
+
+    from ..core import codecs as CD
+    from ..stages.multimodal import ImageFeatureStage
+
+    def mk(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ids, bts, fmts = [], [], []
+        for n in k:
+            n = int(n)
+            a = (n * 31) % 200 + 10
+            for off, fmt in enumerate(("png", "jpeg", "tiff", "webp")):
+                img = np.full((16, 16), a + off, np.uint8)
+                ids.append(f"mx{n:02d}_{fmt}")
+                bts.append(CD.encode(img, fmt))
+                fmts.append(fmt)
+            payload = b"\x00" * 20
+            chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+            body = b"WEBP" + chunk
+            ids.append(f"mx{n:02d}_vp8lossy")
+            bts.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            fmts.append("webp")
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "bytes": pa.array(bts, pa.binary()),
+                         "fmt": pa.array(fmts, pa.string())})
+
+    def measure(b: pa.Table) -> pa.Table:
+        counts = {}
+        means = b.column("mean").to_pylist()
+        errs = b.column("decode_error").to_pylist()
+        for i in range(b.num_rows):
+            n = int(b.column("image_id")[i].as_py()[2:4])
+            s = counts.setdefault(n, [0, 0, 0])
+            if errs[i]:
+                s[1] += 1
+            else:
+                s[0] += 1
+                s[2] += int(np.floor(means[i] + 0.5))
+        nk = sorted(counts)
+        return pa.table({
+            "n_nationkey": pa.array(nk, pa.int64()),
+            "n_decoded": pa.array([counts[n][0] for n in nk], pa.int64()),
+            "n_quarantined": pa.array([counts[n][1] for n in nk],
+                                      pa.int64()),
+            "mean_sum": pa.array([counts[n][2] for n in nk], pa.int64()),
+        })
+
+    stage = ImageFeatureStage(on_error="quarantine")
+    parts = _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(mk, batch_format="pyarrow") \
+        .map_batches(stage, batch_format="pyarrow") \
+        .map_batches(measure, batch_format="pyarrow")
+    from .shuffle_utils import grouped_agg
+    out = grouped_agg(parts, ["n_nationkey"],
+                      [("n_decoded", "sum"), ("n_quarantined", "sum"),
+                       ("mean_sum", "sum")])
+    import ray.data as _rd
+    return _rd.from_arrow(out) if isinstance(out, pa.Table) else out
+
+
+SQL_CATALOG_MIXED_FORMATS = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(4 AS BIGINT) AS n_decoded,
+       CAST(1 AS BIGINT) AS n_quarantined,
+       CAST(4 * ((n_nationkey * 31) % 200 + 10) + 6 AS BIGINT)
+           AS mean_sum
+FROM nation
+"""
