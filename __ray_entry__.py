@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": R.video_frames_q,
         "vector_format_roundtrip": R.vector_format_roundtrip_q,
         "catalog_mixed_formats": R.catalog_mixed_formats_q,
+        "raster_warp_kernels": R.raster_warp_kernels_q,
         **_tpch_queries(),
     }
 
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": R.SQL_VIDEO_FRAMES,
         "vector_format_roundtrip": R.SQL_VECTOR_FORMAT_ROUNDTRIP,
         "catalog_mixed_formats": R.SQL_CATALOG_MIXED_FORMATS,
+        "raster_warp_kernels": R.SQL_RASTER_WARP_KERNELS,
         **_tpch_oracles(),
     }
 

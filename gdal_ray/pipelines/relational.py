@@ -8040,3 +8040,61 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
            AS mean_sum
 FROM nation
 """
+
+
+def raster_warp_kernels_q(sf_dir: str):
+    """Warp kernel matrix under the oracle gate (gdalwarpkernel.cpp
+    GWKNearest / GWKBilinear / GWKCubic via core/resample.resize): 2×
+    downscale of dyadic plane rasters puts every sample at ±0.5 / ±1.5
+    pixel offsets where the bilinear (0.5) and Catmull-Rom (0.5625,
+    −0.0625) weights are exactly representable, so the interpolating
+    kernels reproduce the plane BIT-EXACTLY at interior pixels (linear
+    reproduction with dyadic arithmetic; cubicspline's /6 weights are
+    excluded for that reason) and nearest picks the integer-index plane
+    value.  Interior 6×6 sums ×8 are integers with per-kernel closed
+    forms."""
+    from ..core.resample import resize
+
+    def run(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        nk, nearq, bilq, cubq = [], [], [], []
+        jj, ii = np.meshgrid(np.arange(16, dtype=np.float64),
+                             np.arange(16, dtype=np.float64))
+        for n in k:
+            n = int(n)
+            gx = (n % 7 - 3) * 0.5
+            gy = (n % 5 - 2) * 0.25
+            z = (128.0 + gx * jj + gy * ii).astype(np.float32)
+            sums = []
+            for method in ("near", "bilinear", "cubic"):
+                o = resize(z, 8, 8, method=method)
+                sums.append(int(np.round(
+                    np.sum(o[1:7, 1:7].astype(np.float64)) * 8.0)))
+            nk.append(n)
+            nearq.append(sums[0])
+            bilq.append(sums[1])
+            cubq.append(sums[2])
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "near_q8": pa.array(nearq, pa.int64()),
+                         "bilinear_q8": pa.array(bilq, pa.int64()),
+                         "cubic_q8": pa.array(cubq, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_WARP_KERNELS = """
+-- interior output pixels (1..6)^2; dst center j maps to src index
+-- 2j+0.5 for interpolating kernels, floor(2j+1) = 2j+1 for nearest.
+-- sum_{k=1..6}(2k+0.5) = 45, sum_{k=1..6}(2k+1) = 48; 36 pixels.
+-- 8*plane = 1024 + 4*(n%7-3)*j8 + 2*(n%5-2)*i8 at (j8,i8) index*8 terms.
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(36 * 1024 + 4 * (n_nationkey % 7 - 3) * 48 * 6
+            + 2 * (n_nationkey % 5 - 2) * 48 * 6 AS BIGINT) AS near_q8,
+       CAST(36 * 1024 + 4 * (n_nationkey % 7 - 3) * 45 * 6
+            + 2 * (n_nationkey % 5 - 2) * 45 * 6 AS BIGINT)
+           AS bilinear_q8,
+       CAST(36 * 1024 + 4 * (n_nationkey % 7 - 3) * 45 * 6
+            + 2 * (n_nationkey % 5 - 2) * 45 * 6 AS BIGINT) AS cubic_q8
+FROM nation
+"""
