@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_format_roundtrip": R.vector_format_roundtrip_q,
         "catalog_mixed_formats": R.catalog_mixed_formats_q,
         "raster_warp_kernels": R.raster_warp_kernels_q,
+        "vector_csv_roundtrip": R.vector_csv_roundtrip_q,
+        "raster_aaigrid": R.raster_aaigrid_q,
+        "raster_cutline": R.raster_cutline_q,
         **_tpch_queries(),
     }
 
@@ -424,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
         "vector_format_roundtrip": R.SQL_VECTOR_FORMAT_ROUNDTRIP,
         "catalog_mixed_formats": R.SQL_CATALOG_MIXED_FORMATS,
         "raster_warp_kernels": R.SQL_RASTER_WARP_KERNELS,
+        "vector_csv_roundtrip": R.SQL_VECTOR_CSV_ROUNDTRIP,
+        "raster_aaigrid": R.SQL_RASTER_AAIGRID,
+        "raster_cutline": R.SQL_RASTER_CUTLINE,
         **_tpch_oracles(),
     }
 

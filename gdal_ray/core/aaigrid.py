@@ -1,0 +1,91 @@
+"""Arc/Info ASCII Grid (AAIGrid) codec — ``frmts/aaigrid/aaigriddataset.cpp``
+analog.
+
+Format: a small whitespace-separated text header (``ncols nrows
+xllcorner|xllcenter yllcorner|yllcenter cellsize [dx dy] [NODATA_value]``)
+followed by ``nrows`` rows of ``ncols`` values, first data row = NORTH
+(top) row.  The reference writes integers without decimals and picks
+Float32/Int32 on read by scanning for '.'/'e'; decode here returns int32
+when every token is integral, else float64 (same discrimination).
+Geotransform convention matches the reference: ``xllcorner`` is the west
+edge of the west column, ``yllcorner`` the south edge of the south row, so
+``gt = (xll, cellsize, 0, yll + nrows*cellsize, 0, -cellsize)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["encode_aaigrid", "decode_aaigrid"]
+
+
+def _num(v: float) -> str:
+    f = float(v)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
+def encode_aaigrid(arr: np.ndarray, *, xll: float = 0.0, yll: float = 0.0,
+                   cellsize: float = 1.0, nodata=None) -> bytes:
+    """2-D array (row 0 = north) -> AAIGrid text bytes."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("AAIGrid is single-band 2-D")
+    nrows, ncols = arr.shape
+    hdr = [f"ncols        {ncols}",
+           f"nrows        {nrows}",
+           f"xllcorner    {_num(xll)}",
+           f"yllcorner    {_num(yll)}",
+           f"cellsize     {_num(cellsize)}"]
+    if nodata is not None:
+        hdr.append(f"NODATA_value {_num(nodata)}")
+    if np.issubdtype(arr.dtype, np.integer):
+        body = "\n".join(" ".join(str(int(v)) for v in row) for row in arr)
+    else:
+        body = "\n".join(" ".join(_num(v) for v in row) for row in arr)
+    return ("\n".join(hdr) + "\n" + body + "\n").encode("ascii")
+
+
+def decode_aaigrid(data: bytes):
+    """AAIGrid bytes -> (array, geotransform, nodata).
+
+    array row 0 = north row; geotransform is the 6-tuple GDAL convention;
+    nodata is None when the header has no NODATA_value."""
+    text = data.decode("ascii", errors="replace")
+    toks = text.split()
+    pos = 0
+    hdr: dict[str, float] = {}
+    # header keys are case-insensitive and may appear in any order
+    # (frmts/aaigrid: ParseHeader); stop at the first non-keyword token.
+    keys = {"ncols", "nrows", "xllcorner", "yllcorner", "xllcenter",
+            "yllcenter", "cellsize", "dx", "dy", "nodata_value"}
+    while pos + 1 < len(toks) and toks[pos].lower() in keys:
+        hdr[toks[pos].lower()] = float(toks[pos + 1])
+        pos += 2
+    if "ncols" not in hdr or "nrows" not in hdr:
+        raise ValueError("AAIGrid: missing ncols/nrows header")
+    ncols, nrows = int(hdr["ncols"]), int(hdr["nrows"])
+    dx = hdr.get("dx", hdr.get("cellsize", 1.0))
+    dy = hdr.get("dy", hdr.get("cellsize", 1.0))
+    # llcenter variants shift by half a cell (aaigriddataset.cpp)
+    xll = hdr.get("xllcorner", hdr.get("xllcenter", 0.0) - dx / 2.0
+                  if "xllcenter" in hdr else 0.0)
+    yll = hdr.get("yllcorner", hdr.get("yllcenter", 0.0) - dy / 2.0
+                  if "yllcenter" in hdr else 0.0)
+    nodata = hdr.get("nodata_value")
+    body = toks[pos:]
+    if len(body) != ncols * nrows:
+        raise ValueError(f"AAIGrid: expected {ncols * nrows} values, "
+                         f"got {len(body)}")
+    blob = " ".join(body)
+    integral = not any(c in blob for c in ".eEnN")  # nan/inf force float
+    if integral:
+        arr = np.array(body, dtype=np.int64)
+        if (arr >= -2**31).all() and (arr < 2**31).all():
+            arr = arr.astype(np.int32)
+    else:
+        arr = np.array(body, dtype=np.float64)
+    arr = arr.reshape(nrows, ncols)
+    gt = (xll, dx, 0.0, yll + nrows * dy, 0.0, -dy)
+    return arr, gt, nodata

@@ -89,6 +89,13 @@ def _read_flatgeobuf(ds, path):
     return read_flatgeobuf(path)
 
 
+@register("read_csv")
+def _read_csv(ds, path):
+    from ..sources.vector_formats import read_csv
+    assert ds is None
+    return read_csv(path)
+
+
 # ---------- sinks ----------
 
 @register("write_geojson")
@@ -115,6 +122,12 @@ def _write_shapefile(ds, out_dir: str, wkb_col: str = "wkb"):
 def _write_flatgeobuf(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_flatgeobuf
     return write_flatgeobuf(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_csv")
+def _write_csv(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_csv
+    return write_csv(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_cog")
@@ -278,6 +291,11 @@ def _register_raster():
         batch_format="pyarrow")
     _REGISTRY["raster_update"] = _batch_stage(R2.raster_update)
     _REGISTRY["compare"] = _batch_stage(R2.compare_images)
+    _REGISTRY["cutline"] = lambda ds, cut_wkt, nodata=0, invert=False: \
+        ds.map_batches(
+            lambda b: R2.cutline(b, cut_wkt, nodata=int(nodata),
+                                 invert=bool(invert)),
+            batch_format="pyarrow")
 
     from ..pipelines import tiling as T
     _REGISTRY["mosaic"] = lambda ds, resolution, nodata=None: T.mosaic_images(

@@ -8098,3 +8098,177 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
             + 2 * (n_nationkey % 5 - 2) * 45 * 6 AS BIGINT) AS cubic_q8
 FROM nation
 """
+
+
+def vector_csv_roundtrip_q(sf_dir: str):
+    """OGR CSV driver on the driver surface (ogr/ogrsf_frmts/csv):
+    a planted layer with RFC-4180 hostile strings (embedded commas and
+    quotes), a NULL-bearing dyadic float column and WKT point geometry is
+    written with sources.vector_writers.csv_bytes (AS_WKT layout), read
+    back through the REAL typed parser (sources.vector_formats.read_csv:
+    autodetect int64/float64/string, WKT→wkb), and measured: the round
+    trip must be identity, so every aggregate has a closed form over
+    nation."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    fids, names, vals, blobs = [], [], [], []
+    for r in sorted(nat, key=lambda x: int(x["n_nationkey"])):
+        n = int(r["n_nationkey"])
+        fids.append(n)
+        names.append(str(r["n_name"]) + ',"')     # force RFC 4180 quoting
+        vals.append(None if n % 5 == 0 else n + 0.25)
+        blobs.append(WKB.point(n % 10 + 0.25, n // 5 + 0.5))
+    tab = pa.table({"fid": pa.array(fids, pa.int64()),
+                    "name": pa.array(names, pa.string()),
+                    "val": pa.array(vals, pa.float64()),
+                    "wkb": pa.array(blobs, pa.binary())})
+    d = tempfile.mkdtemp(prefix="csvrt_")
+    p = os.path.join(d, "layer.csv")
+    open(p, "wb").write(VW.csv_bytes(tab))
+
+    def measure(b: pa.Table) -> pa.Table:
+        fid = np.asarray(b.column("fid"), dtype=np.int64)
+        val = b.column("val")
+        v = np.asarray(val.fill_null(0.0), dtype=np.float64)
+        nn = int(val.null_count)
+        sx = sy = 0
+        for blob in b.column("wkb").to_pylist():
+            x, y = WKB.loads(blob)["xy"]
+            sx += int(np.floor(x * 1e6 + 0.5))
+            sy += int(np.floor(y * 1e6 + 0.5))
+        nlen = sum(len(s) for s in b.column("name").to_pylist())
+        return pa.table({
+            "n_features": pa.array([b.num_rows], pa.int64()),
+            "fid_sum": pa.array([int(fid.sum())], pa.int64()),
+            "val4_sum": pa.array([int(np.round(v.sum() * 4))], pa.int64()),
+            "n_nulls": pa.array([nn], pa.int64()),
+            "name_len_sum": pa.array([nlen], pa.int64()),
+            "sx_sum": pa.array([sx], pa.int64()),
+            "sy_sum": pa.array([sy], pa.int64())})
+
+    return VF.read_csv([p]).map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_CSV_ROUNDTRIP = """
+SELECT COUNT(*) AS n_features,
+       SUM(n_nationkey) AS fid_sum,
+       CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 0
+                     ELSE 4 * n_nationkey + 1 END) AS BIGINT) AS val4_sum,
+       CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(SUM(LENGTH(n_name) + 2) AS BIGINT) AS name_len_sum,
+       CAST(SUM((n_nationkey % 10) * 1000000 + 250000) AS BIGINT) AS sx_sum,
+       CAST(SUM((n_nationkey // 5) * 1000000 + 500000) AS BIGINT) AS sy_sum
+FROM nation
+"""
+
+
+def raster_aaigrid_q(sf_dir: str):
+    """AAIGrid driver on the driver surface (frmts/aaigrid): per nation a
+    derived 12×10 int raster (v = (n·31 + i·12 + j) % 97, cells with
+    v % 13 == 0 stamped -9999) is encoded to Arc/Info ASCII text and
+    decoded back by core.aaigrid; integer text round-trips exactly, so
+    the nodata count, the valid-cell sum and the decoded geotransform's
+    north edge (yll + nrows·cellsize, dyadic) are closed forms."""
+    from ..core.aaigrid import decode_aaigrid, encode_aaigrid
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        nk, nnod, vsum, north4 = [], [], [], []
+        ii, jj = np.meshgrid(np.arange(10), np.arange(12), indexing="ij")
+        for n in ks:
+            n = int(n)
+            v = (n * 31 + ii * 12 + jj) % 97
+            grid = np.where(v % 13 == 0, -9999, v).astype(np.int32)
+            blob = encode_aaigrid(grid, xll=n + 0.25, yll=2 * n + 0.5,
+                                  cellsize=0.75, nodata=-9999)
+            a2, gt2, nd2 = decode_aaigrid(blob)
+            mask = a2 == int(nd2)
+            nk.append(n)
+            nnod.append(int(mask.sum()))
+            vsum.append(int(a2[~mask].sum()))
+            north4.append(int(np.round(gt2[3] * 4)))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "n_nodata": pa.array(nnod, pa.int64()),
+                         "valid_sum": pa.array(vsum, pa.int64()),
+                         "north4": pa.array(north4, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_AAIGRID = """
+WITH cells AS (
+    SELECT n.n_nationkey AS nk,
+           (n.n_nationkey * 31 + (c.ij // 12) * 12 + (c.ij % 12)) % 97 AS v
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 119)) AS ij) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM(CASE WHEN v % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nodata,
+       CAST(SUM(CASE WHEN v % 13 = 0 THEN 0 ELSE v END) AS BIGINT)
+           AS valid_sum,
+       CAST(MIN(nk) * 8 + 2 + 30 AS BIGINT) AS north4
+FROM cells
+GROUP BY nk
+"""
+
+
+def raster_cutline_q(sf_dir: str):
+    """gdalwarp -cutline on the driver surface (alg/gdalwarper.cpp
+    cutline masker): per nation a derived 16×16 raster
+    (v = (n·31 + i·16 + j) % 251, north-up gt) is masked by a triangle
+    cutline ((0,0),(K+.5,0),(0,K+.5)), K = 6 + n%7, through the REAL
+    even-odd PIP path (stages.raster2.cutline_mask → geom.points_in_ring).
+    Pixel centers sit at half-integers, the hypotenuse at a half-integer
+    sum, so no boundary ties exist and the kept set has the closed form
+    j + (15 - i) ≤ K - 1."""
+    from ..stages.raster2 import cutline_mask
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ii, jj = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        nk, kept, ksum = [], [], []
+        for n in ks:
+            n = int(n)
+            K = 6 + n % 7
+            v = ((n * 31 + ii * 16 + jj) % 251 + 1).astype(np.int32)
+            tri = [[np.array([[0.0, 0.0], [K + 0.5, 0.0],
+                              [0.0, K + 0.5], [0.0, 0.0]])]]
+            out = cutline_mask(v, (0, 1, 0, 16, 0, -1), tri, nodata=0)
+            nk.append(n)
+            kept.append(int((out != 0).sum()))
+            ksum.append(int(out.sum()))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "kept_px": pa.array(kept, pa.int64()),
+                         "kept_sum": pa.array(ksum, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_CUTLINE = """
+-- center (j+0.5, 15.5-i) inside x>=0, y>=0, x+y<=K+0.5 with K=6+n%7
+-- <=> j + 15 - i <= K - 1  (half-integer threshold: no boundary ties)
+WITH cells AS (
+    SELECT n.n_nationkey AS nk,
+           c.ij // 16 AS i, c.ij % 16 AS j,
+           (n.n_nationkey * 31 + c.ij) % 251 + 1 AS v
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS ij) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM(CASE WHEN j + 15 - i <= 6 + nk % 7 - 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_px,
+       CAST(SUM(CASE WHEN j + 15 - i <= 6 + nk % 7 - 1 THEN v ELSE 0 END)
+            AS BIGINT) AS kept_sum
+FROM cells
+GROUP BY nk
+"""

@@ -548,3 +548,76 @@ def read_flatgeobuf(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- CSV (OGR CSV driver analog) ----------
+
+_CSV_INT = __import__("re").compile(r"[-+]?\d+\Z")
+_CSV_FLOAT = __import__("re").compile(
+    r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?\Z")
+_WKT_LEAD = ("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+             "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+             "CIRCULARSTRING", "TRIANGLE", "TIN", "POLYHEDRALSURFACE")
+
+
+def parse_csv_bytes(data: bytes, *, autodetect: bool = True) -> pa.Table:
+    """RFC 4180 CSV bytes -> Arrow table, per the reference CSV driver
+    (``ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp``): header row names the fields;
+    with ``autodetect`` (the driver's AUTODETECT_TYPE=YES) a column whose
+    non-empty values are all integers becomes int64, all numeric becomes
+    float64, else string; empty fields are NULL.  A column named ``WKT``
+    (or whose values all parse as WKT) becomes a binary ``wkb`` geometry
+    column, inverting the writer's AS_WKT layout."""
+    import csv as _csv
+    import io
+
+    from ..core import wkt as _wkt
+
+    rows = list(_csv.reader(io.StringIO(data.decode("utf-8"))))
+    if not rows:
+        return pa.table({})
+    header, body = rows[0], rows[1:]
+    ncol = len(header)
+    arrays, names = [], []
+    for ci, name in enumerate(header):
+        vals = [r[ci] if ci < len(r) else "" for r in body]
+        nonempty = [v for v in vals if v != ""]
+        is_wkt = name.upper() == "WKT" or (
+            autodetect and nonempty
+            and all(v.lstrip().upper().startswith(_WKT_LEAD)
+                    for v in nonempty))
+        if is_wkt:
+            blobs = [None if v == ""
+                     else wkb.dumps(_wkt.loads_wkt(v)) for v in vals]
+            arrays.append(pa.array(blobs, pa.binary()))
+            names.append("wkb")
+            continue
+        if autodetect and nonempty and all(_CSV_INT.match(v)
+                                           for v in nonempty):
+            arrays.append(pa.array(
+                [None if v == "" else int(v) for v in vals], pa.int64()))
+        elif autodetect and nonempty and all(_CSV_FLOAT.match(v)
+                                             for v in nonempty):
+            arrays.append(pa.array(
+                [None if v == "" else float(v) for v in vals], pa.float64()))
+        else:
+            arrays.append(pa.array(
+                [None if v == "" else v for v in vals], pa.string()))
+        names.append(name)
+    return pa.table(dict(zip(names, arrays)))
+
+
+def read_csv(paths) -> "ray.data.Dataset":
+    """One task per .csv file → typed rows (autodetected, WKT→wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_csv_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -654,3 +654,52 @@ def write_flatgeobuf(ds: "ray.data.Dataset", out_dir: str, *,
     order); returns the manifest Dataset."""
     return _file_sink(ds, out_dir, ".fgb",
                       lambda b: flatgeobuf_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- CSV (OGR CSV driver analog) ----------
+# ogr/ogrsf_frmts/csv/ogrcsvdatasource.cpp + ogrcsvlayer.cpp: RFC 4180
+# quoting, geometry as a WKT column named "WKT" (GEOMETRY=AS_WKT), NULL as
+# the empty field.  Serialization is the stdlib csv module (C-accelerated,
+# RFC 4180 conformant).
+
+def csv_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
+    """Arrow table -> CSV bytes.  A binary ``wkb_col`` column (if present)
+    is exported as a WKT text column named ``WKT`` (OGR AS_WKT layout);
+    floats print shortest-roundtrip, NULLs print as empty fields."""
+    import csv as _csv
+    import io
+
+    from ..core import wkt as _wkt
+
+    cols, names = [], []
+    for name in tab.column_names:
+        if name == wkb_col and pa.types.is_binary(tab.schema.field(name).type):
+            names.append("WKT")
+            cols.append([None if v is None else _wkt.dumps_wkt(wkb.loads(v))
+                         for v in tab.column(name).to_pylist()])
+        else:
+            names.append(name)
+            cols.append(tab.column(name).to_pylist())
+
+    def fmt(v):
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            return repr(v) if v != int(v) or abs(v) >= 1e15 else str(int(v))
+        if isinstance(v, bytes):
+            return v.hex()
+        return str(v)
+
+    buf = io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n", quoting=_csv.QUOTE_MINIMAL)
+    w.writerow(names)
+    for row in zip(*cols) if cols else ():
+        w.writerow([fmt(v) for v in row])
+    return buf.getvalue().encode("utf-8")
+
+
+def write_csv(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """CSV sink: one .csv per block; returns the manifest Dataset."""
+    return _file_sink(ds, out_dir, ".csv",
+                      lambda b: csv_bytes(b, wkb_col=wkb_col))

@@ -414,3 +414,68 @@ def compare_images(batch: pa.Table) -> pa.Table:
         "max_abs_diff": pa.array(out["max_abs_diff"], pa.float64()),
         "psnr": pa.array(out["psnr"], pa.float64()),
     })
+
+
+def cutline_mask(arr: np.ndarray, gt, polygons, *, nodata=0,
+                 invert: bool = False) -> np.ndarray:
+    """gdalwarp ``-cutline`` analog (``alg/gdalwarper.cpp``
+    GDALWarpCutlineMasker): pixels whose CENTERS fall outside the cutline
+    polygon set are replaced with ``nodata`` (``invert=True`` blanks the
+    inside instead — gdal_rasterize -i convention).  Even-odd ring parity,
+    the same rule the rasterize center path uses, so holes subtract.
+
+    ``arr`` is (H, W) or (H, W, bands), row 0 = north; ``gt`` the 6-tuple
+    geotransform (axis-aligned: gt[2] == gt[4] == 0); ``polygons`` a list
+    of ring-lists (each ring an (N,2) closed array in georef coords), or a
+    parsed geometry dict / WKB bytes."""
+    from ..core import geom as _geom
+    from ..core import wkb as _wkb
+
+    if isinstance(polygons, (bytes, bytearray)):
+        polygons = _wkb.as_polygons(_wkb.loads(bytes(polygons)))
+    elif isinstance(polygons, dict):
+        polygons = _wkb.as_polygons(polygons)
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    if gt[2] != 0 or gt[4] != 0:
+        raise ValueError("cutline_mask requires an axis-aligned geotransform")
+    cx = gt[0] + (np.arange(w, dtype=np.float64) + 0.5) * gt[1]
+    cy = gt[3] + (np.arange(h, dtype=np.float64) + 0.5) * gt[5]
+    gx, gy = np.meshgrid(cx, cy)
+    px, py = gx.ravel(), gy.ravel()
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for rings in polygons:
+        parity = np.zeros(px.shape[0], dtype=np.int64)
+        for ring in rings:
+            ring = np.asarray(ring, dtype=np.float64)
+            parity += _geom.points_in_ring(px, py, ring).astype(np.int64)
+        inside |= (parity % 2).astype(bool)
+    keep = ~inside if invert else inside
+    out = a.copy()
+    out[~keep.reshape(h, w)] = nodata
+    return out
+
+
+def cutline(batch: pa.Table, cut_wkt: str, *, nodata: int = 0,
+            invert: bool = False, out_fmt: str = "png") -> pa.Table:
+    """Batch stage over (image_id, bytes, fmt) rows: apply one WKT cutline
+    polygon to every image (gdalwarp -cutline / -dstnodata).  Images carry
+    no georeferencing in this layout, so the cutline is in PIXEL space
+    with the conventional north-up unit geotransform (0,1,0,H,0,-1) —
+    x = column, y = H - row."""
+    from ..core import wkt as _wkt
+    from ..core import wkb as _wkb
+
+    polys = _wkb.as_polygons(_wkt.loads_wkt(cut_wkt))
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        h = img.shape[0]
+        out = cutline_mask(img, (0.0, 1.0, 0.0, float(h), 0.0, -1.0),
+                           polys, nodata=nodata, invert=invert)
+        outs.append(codecs.encode(out.astype(img.dtype), out_fmt))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": [out_fmt] * len(ids)})

@@ -1,0 +1,253 @@
+"""WKT codec, CSV driver, AAIGrid driver, warp cutline — round-trip and
+brute-force oracles (reference: ogr/ogrgeometry.cpp importFromWkt/
+exportToWkt, ogr/ogrsf_frmts/csv, frmts/aaigrid, alg/gdalwarper.cpp)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.core import wkb
+from gdal_ray.core import wkt as W
+from gdal_ray.core.aaigrid import decode_aaigrid, encode_aaigrid
+from gdal_ray.sources import vector_formats as VF
+from gdal_ray.sources import vector_writers as VW
+from gdal_ray.stages.raster2 import cutline_mask
+
+
+# ---------- WKT ----------
+
+CASES = [
+    {"type": "Point", "xy": np.array([1.5, -2.0])},
+    {"type": "Point", "xy": np.array([1.0, 2.0]), "z": 3.0},
+    {"type": "Point", "xy": np.array([1.0, 2.0]), "z": 3.0, "m": 4.5},
+    {"type": "LineString",
+     "xy": np.array([[0, 0], [1.25, 2], [3, 4]], float)},
+    {"type": "Polygon",
+     "rings": [np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+               np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)]},
+    {"type": "MultiPoint", "xy": np.array([[1, 2], [3, 4]], float)},
+    {"type": "MultiLineString",
+     "lines": [np.array([[0, 0], [1, 1]], float),
+               np.array([[2, 2], [3, 3]], float)]},
+    {"type": "MultiPolygon",
+     "polys": [[np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float)],
+               [np.array([[5, 5], [6, 5], [6, 6], [5, 5]], float)]]},
+    {"type": "GeometryCollection",
+     "geoms": [{"type": "Point", "xy": np.array([9.0, 9.0])},
+               {"type": "LineString",
+                "xy": np.array([[0, 0], [1, 1]], float)}]},
+]
+
+
+@pytest.mark.parametrize("g", CASES, ids=lambda g: g["type"])
+def test_wkt_roundtrip(g):
+    s = W.dumps_wkt(g)
+    g2 = W.loads_wkt(s)
+    assert W.dumps_wkt(g2) == s
+    # and the parsed dict round-trips through WKB identically
+    assert W.dumps_wkt(wkb.loads(wkb.dumps(g2))) == s
+
+
+def test_wkt_matches_wkb_parse():
+    # the WKT parse of an exported geometry equals the WKB parse bit-wise
+    g = CASES[4]
+    g2 = W.loads_wkt(W.dumps_wkt(g))
+    for r, r2 in zip(g["rings"], g2["rings"]):
+        np.testing.assert_array_equal(r, r2)
+
+
+def test_wkt_empty_and_foreign_forms():
+    assert W.dumps_wkt(W.loads_wkt("POLYGON EMPTY")) == "POLYGON EMPTY"
+    assert W.dumps_wkt(W.loads_wkt("LINESTRING EMPTY")) == "LINESTRING EMPTY"
+    assert W.loads_wkt("POINT(1 2)")["xy"][0] == 1.0       # no-space form
+    a = W.loads_wkt("MULTIPOINT(1 2, 3 4)")
+    b = W.loads_wkt("MULTIPOINT((1 2), (3 4))")
+    np.testing.assert_array_equal(a["xy"], b["xy"])
+    zm = W.loads_wkt("POINT ZM (1 2 3 4)")
+    assert zm["z"] == 3.0 and zm["m"] == 4.5 - 0.5
+    tri = W.loads_wkt("TRIANGLE ((0 0, 1 0, 0 1, 0 0))")
+    assert tri["type"] == "Polygon" and len(tri["rings"]) == 1
+    tin = W.loads_wkt("TIN (((0 0, 1 0, 0 1, 0 0)), ((1 1, 2 1, 1 2, 1 1)))")
+    assert tin["type"] == "MultiPolygon" and len(tin["polys"]) == 2
+
+
+def test_wkt_circularstring_linearizes_like_wkb():
+    # same arc through WKT and through WKB must linearize identically
+    import struct
+    pts = [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]
+    blob = struct.pack("<BII", 1, 8, 3) + b"".join(
+        struct.pack("<dd", x, y) for x, y in pts)
+    g_wkb = wkb.loads(blob)
+    g_wkt = W.loads_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)")
+    np.testing.assert_allclose(g_wkb["xy"], g_wkt["xy"])
+
+
+def test_wkt_duckdb_cross_check():
+    # DuckDB parses our exports and agrees on the type + point count
+    import duckdb
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD spatial")
+    except Exception:
+        pytest.skip("duckdb spatial extension unavailable offline")
+    for g in CASES[:5]:
+        s = W.dumps_wkt(g)
+        t = con.execute(
+            "SELECT ST_GeometryType(ST_GeomFromText(?))", [s]).fetchone()[0]
+        assert g["type"].upper() in t.upper()
+
+
+# ---------- CSV ----------
+
+def _hostile_table():
+    return pa.table({
+        "fid": pa.array([1, 2, 3], pa.int64()),
+        "name": pa.array(["plain", "has,comma", 'has "quote"\nand newline']),
+        "score": pa.array([1.5, None, -2.25], pa.float64()),
+        "wkb": pa.array([wkb.point(1.25, 2.5), None,
+                         wkb.polygon([(0, 0), (2, 0), (2, 2), (0, 0)])],
+                        pa.binary()),
+    })
+
+
+def test_csv_roundtrip_hostile():
+    tab = _hostile_table()
+    t2 = VF.parse_csv_bytes(VW.csv_bytes(tab))
+    assert t2.column_names == ["fid", "name", "score", "wkb"]
+    assert t2.schema.field("fid").type == pa.int64()
+    assert t2.schema.field("score").type == pa.float64()
+    assert t2.column("name").to_pylist() == tab.column("name").to_pylist()
+    assert t2.column("score").to_pylist() == [1.5, None, -2.25]
+    g = wkb.loads(t2.column("wkb").to_pylist()[0])
+    assert tuple(g["xy"]) == (1.25, 2.5)
+    assert t2.column("wkb").to_pylist()[1] is None
+    g3 = wkb.loads(t2.column("wkb").to_pylist()[2])
+    assert g3["type"] == "Polygon"
+
+
+def test_csv_autodetect_and_string_fallback():
+    b = b"a,b,c\n1,1.5,x\n2,2,y\n,,\n"
+    t = VF.parse_csv_bytes(b)
+    assert t.schema.field("a").type == pa.int64()
+    assert t.schema.field("b").type == pa.float64()
+    assert t.schema.field("c").type == pa.string()
+    assert t.column("a").to_pylist() == [1, 2, None]
+    # mixed numeric/text falls back to string
+    t2 = VF.parse_csv_bytes(b"a\n1\nx\n")
+    assert t2.schema.field("a").type == pa.string()
+
+
+def test_csv_reader_pipeline(ray_session, tmp_path):
+    tab = _hostile_table()
+    p = tmp_path / "layer.csv"
+    p.write_bytes(VW.csv_bytes(tab))
+    ds = VF.read_csv(str(p))
+    out = ds.take_all()
+    assert len(out) == 3
+    assert sorted(r["fid"] for r in out) == [1, 2, 3]
+
+
+def test_csv_sink(ray_session, tmp_path):
+    import ray
+    tab = _hostile_table()
+    ds = ray.data.from_arrow(tab)
+    man = VW.write_csv(ds, str(tmp_path / "out")).take_all()
+    assert sum(r["n_features"] for r in man) == 3
+    back = VF.read_csv([r["path"] for r in man]).take_all()
+    assert sorted(r["fid"] for r in back) == [1, 2, 3]
+
+
+# ---------- AAIGrid ----------
+
+def test_aaigrid_int_roundtrip():
+    a = ((np.arange(48).reshape(6, 8) * 7) % 251).astype(np.int32)
+    blob = encode_aaigrid(a, xll=100.0, yll=200.0, cellsize=2.5,
+                          nodata=-9999)
+    a2, gt, nd = decode_aaigrid(blob)
+    np.testing.assert_array_equal(a, a2)
+    assert a2.dtype == np.int32
+    assert gt == (100.0, 2.5, 0.0, 215.0, 0.0, -2.5)
+    assert nd == -9999.0
+
+
+def test_aaigrid_float_roundtrip_exact():
+    f = np.arange(12, dtype=np.float64).reshape(3, 4) * 0.25 + 0.125
+    a2, gt, nd = decode_aaigrid(encode_aaigrid(f))
+    np.testing.assert_array_equal(f, a2)
+    assert nd is None
+
+
+def test_aaigrid_llcenter_and_dxdy():
+    b = b"ncols 2\nnrows 2\nxllcenter 10\nyllcenter 20\ncellsize 4\n1 2\n3 4\n"
+    a, gt, _ = decode_aaigrid(b)
+    assert gt == (8.0, 4.0, 0.0, 26.0, 0.0, -4.0)
+    np.testing.assert_array_equal(a, [[1, 2], [3, 4]])
+    b2 = b"ncols 2\nnrows 1\nxllcorner 0\nyllcorner 0\ndx 2\ndy 3\n5 6\n"
+    _, gt2, _ = decode_aaigrid(b2)
+    assert gt2 == (0.0, 2.0, 0.0, 3.0, 0.0, -3.0)
+
+
+def test_aaigrid_value_count_mismatch_raises():
+    with pytest.raises(ValueError):
+        decode_aaigrid(b"ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\n"
+                       b"cellsize 1\n1 2 3\n")
+
+
+# ---------- cutline ----------
+
+def _brute_cutline(arr, gt, polys, nodata, invert=False):
+    h, w = arr.shape[:2]
+    out = arr.copy()
+    for i in range(h):
+        for j in range(w):
+            x = gt[0] + (j + 0.5) * gt[1]
+            y = gt[3] + (i + 0.5) * gt[5]
+            inside = False
+            for rings in polys:
+                par = 0
+                for ring in rings:
+                    # even-odd ray cast to +x
+                    for k in range(len(ring) - 1):
+                        (x1, y1), (x2, y2) = ring[k], ring[k + 1]
+                        if (y1 > y) != (y2 > y):
+                            if x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                                par += 1
+                inside |= bool(par % 2)
+            keep = (not inside) if invert else inside
+            if not keep:
+                out[i, j] = nodata
+    return out
+
+
+def test_cutline_matches_brute_force():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(1, 100, size=(12, 12)).astype(np.int32)
+    gt = (0.0, 1.0, 0.0, 12.0, 0.0, -1.0)
+    # polygon with a hole + a second disjoint polygon
+    polys = [
+        [np.array([[0.2, 0.2], [8.3, 0.2], [8.3, 8.3], [0.2, 8.3],
+                   [0.2, 0.2]]),
+         np.array([[2.2, 2.2], [5.3, 2.2], [5.3, 5.3], [2.2, 5.3],
+                   [2.2, 2.2]])],
+        [np.array([[9.2, 9.2], [11.3, 9.2], [11.3, 11.3], [9.2, 9.2]])],
+    ]
+    got = cutline_mask(arr, gt, polys, nodata=0)
+    exp = _brute_cutline(arr, gt, polys, 0)
+    np.testing.assert_array_equal(got, exp)
+    inv = cutline_mask(arr, gt, polys, nodata=0, invert=True)
+    np.testing.assert_array_equal(inv, _brute_cutline(arr, gt, polys, 0,
+                                                      invert=True))
+    # hole really subtracts: row 8 center y=3.5 is inside the hole band
+    # (2.2..5.3), row 4 center y=7.5 is in the shell but not the hole
+    assert got[8, 3] == 0 and got[4, 3] != 0
+
+
+def test_cutline_wkb_and_multiband():
+    arr = np.ones((6, 6, 3), dtype=np.uint8) * 9
+    blob = wkb.polygon([(0, 0), (3.5, 0), (0, 3.5), (0, 0)])
+    out = cutline_mask(arr, (0, 1, 0, 6, 0, -1), blob, nodata=0)
+    # center (j+0.5, 5.5-i) inside x+y<=3.5 <=> j - i <= -2.5 (ints: j<=i-3)
+    kept = (out[..., 0] != 0)
+    ii, jj = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    np.testing.assert_array_equal(kept, jj <= ii - 3)
+    assert (out[kept] == 9).all() and (out[~kept] == 0).all()
