@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_csv_roundtrip": R.vector_csv_roundtrip_q,
         "raster_aaigrid": R.raster_aaigrid_q,
         "raster_cutline": R.raster_cutline_q,
+        "vector_mvt_tiles": R.vector_mvt_tiles_q,
         **_tpch_queries(),
     }
 
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_csv_roundtrip": R.SQL_VECTOR_CSV_ROUNDTRIP,
         "raster_aaigrid": R.SQL_RASTER_AAIGRID,
         "raster_cutline": R.SQL_RASTER_CUTLINE,
+        "vector_mvt_tiles": R.SQL_VECTOR_MVT_TILES,
         **_tpch_oracles(),
     }
 

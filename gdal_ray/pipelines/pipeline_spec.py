@@ -301,6 +301,9 @@ def _register_raster():
     _REGISTRY["mosaic"] = lambda ds, resolution, nodata=None: T.mosaic_images(
         ds, resolution=float(resolution), nodata=nodata)
     _REGISTRY["base_tiles"] = lambda ds, zoom: T.base_tiles(ds, int(zoom))
+    from ..pipelines import vectortiles as VT
+    _REGISTRY["vector_tiles"] = lambda ds, zoom, layer="points": \
+        VT.point_vector_tiles(ds, int(zoom), layer=layer)
 
 
 def _register_trainingdata():

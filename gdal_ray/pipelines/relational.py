@@ -8272,3 +8272,88 @@ SELECT nk AS n_nationkey,
 FROM cells
 GROUP BY nk
 """
+
+
+def vector_mvt_tiles_q(sf_dir: str):
+    """MVT driver on the driver surface (ogr/ogrsf_frmts/mvt): customer-
+    derived points run the full vectortiles.point_vector_tiles pipeline
+    (mercator tile assignment + integer tile-unit quantization + hand-
+    rolled protobuf encode, splitmix-bucketed per-tile groups), then every
+    produced tile blob is DECODED back through core/mvt and measured —
+    per tile the feature count, the id sum and the tile-local coordinate
+    sums must match the closed-form mercator replay."""
+    from ..core import mvt as MVT
+    from .vectortiles import point_vector_tiles
+
+    Z = 5
+
+    def pts(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        return pa.table({
+            "fid": pa.array(ck, pa.int64()),
+            "lon": pa.array(((ck * 37) % 3600) / 10.0 - 180.0 + 0.05,
+                            pa.float64()),
+            "lat": pa.array(((ck * 91) % 1700) / 10.0 - 85.0 + 0.05,
+                            pa.float64())})
+
+    tiles = point_vector_tiles(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(pts, batch_format="pyarrow"), Z)
+
+    def measure(b: pa.Table) -> pa.Table:
+        zs, xs, ys = [], [], []
+        nf, ids, lxs, lys = [], [], [], []
+        for i, blob in enumerate(b.column("mvt").to_pylist()):
+            layers = MVT.decode_tile(blob)
+            feats = layers["points"]["features"]
+            zs.append(b.column("z")[i].as_py())
+            xs.append(b.column("x")[i].as_py())
+            ys.append(b.column("y")[i].as_py())
+            nf.append(len(feats))
+            ids.append(sum(f["id"] for f in feats))
+            lxs.append(sum(int(f["xy"][0, 0]) for f in feats))
+            lys.append(sum(int(f["xy"][0, 1]) for f in feats))
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "n_features": pa.array(nf, pa.int64()),
+                         "id_sum": pa.array(ids, pa.int64()),
+                         "lx_sum": pa.array(lxs, pa.int64()),
+                         "ly_sum": pa.array(lys, pa.int64())})
+
+    return tiles.map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_MVT_TILES = """
+WITH pts AS (
+  SELECT c_custkey AS fid,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS lon,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS lat
+  FROM customer
+), px AS (
+  SELECT fid,
+         (lon * 20037508.342789244 / 180.0 + 20037508.342789244)
+             / (2 * pi() * 6378137 / 256 / 32.0) AS px,
+         (ln(tan((90 + lat) * pi() / 360.0)) / (pi() / 180.0)
+             * 20037508.342789244 / 180.0 + 20037508.342789244)
+             / (2 * pi() * 6378137 / 256 / 32.0) AS py
+  FROM pts
+), tiled AS (
+  SELECT fid, px, py,
+         CAST(ceil(px / 256.0) AS BIGINT) - 1 AS tx,
+         CAST(ceil(py / 256.0) AS BIGINT) - 1 AS ty_tms
+  FROM px
+), local AS (
+  SELECT fid, tx, 31 - ty_tms AS y,
+         CAST(floor((px - tx * 256) * 16 + 0.5) AS BIGINT) AS lx,
+         CAST(floor(((ty_tms + 1) * 256 - py) * 16 + 0.5) AS BIGINT) AS ly
+  FROM tiled
+)
+SELECT 5 AS z, tx AS x, y,
+       COUNT(*) AS n_features,
+       SUM(fid) AS id_sum,
+       SUM(lx) AS lx_sum,
+       SUM(ly) AS ly_sum
+FROM local
+GROUP BY tx, y
+"""

@@ -1,0 +1,99 @@
+"""MVT codec + vector-tile pipeline (reference: ogr/ogrsf_frmts/mvt;
+spec: Mapbox Vector Tile 2.1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.core.mvt import EXTENT, decode_tile, encode_tile
+
+
+def test_mvt_point_props_roundtrip():
+    feats = [{"type": "Point", "xy": np.array([[100, 200]]), "id": 7,
+              "props": {"name": "a", "rank": 3, "score": 1.5,
+                        "neg": -4, "ok": True}}]
+    d = decode_tile(encode_tile({"roads": feats}))
+    L = d["roads"]
+    assert L["version"] == 2 and L["extent"] == EXTENT
+    f = L["features"][0]
+    assert f["id"] == 7 and tuple(f["xy"][0]) == (100, 200)
+    assert f["props"] == {"name": "a", "rank": 3, "score": 1.5,
+                          "neg": -4, "ok": True}
+
+
+def test_mvt_geometry_roundtrip():
+    feats = [
+        {"type": "LineString",
+         "xy": np.array([[4000, 0], [10, 5], [20, 4090]])},  # neg deltas
+        {"type": "Polygon",
+         "rings": [np.array([[0, 0], [100, 0], [100, 100], [0, 100],
+                             [0, 0]]),
+                   np.array([[20, 20], [20, 40], [40, 40], [40, 20],
+                             [20, 20]])]},
+        {"type": "Point", "xy": np.array([[1, 2], [3, 4]])},  # multipoint
+    ]
+    d = decode_tile(encode_tile({"g": feats}))
+    f0, f1, f2 = d["g"]["features"]
+    np.testing.assert_array_equal(f0["xy"], feats[0]["xy"])
+    np.testing.assert_array_equal(f1["rings"][0], feats[1]["rings"][0])
+    np.testing.assert_array_equal(f1["rings"][1], feats[1]["rings"][1])
+    np.testing.assert_array_equal(f2["xy"], feats[2]["xy"])
+
+
+def test_mvt_value_dedup_and_multilayer():
+    feats = [{"type": "Point", "xy": np.array([[i, i]]),
+              "props": {"rank": 3}} for i in range(5)]
+    blob = encode_tile({"a": feats, "b": []})
+    # 5 features sharing one key + one value: the pools are deduplicated,
+    # so the tile stays small (spec 4.4)
+    assert len(blob) < 150
+    d = decode_tile(blob)
+    assert set(d) == {"a", "b"}
+    assert d["b"]["features"] == []
+    assert all(f["props"] == {"rank": 3} for f in d["a"]["features"])
+
+
+def test_mvt_varint_boundaries():
+    # ids and coords exercising multi-byte varints / large zigzags
+    feats = [{"type": "Point", "xy": np.array([[4095, 0]]),
+              "id": 2**40 + 3, "props": {"big": 2**50, "neg": -(2**40)}}]
+    f = decode_tile(encode_tile({"l": feats}))["l"]["features"][0]
+    assert f["id"] == 2**40 + 3
+    assert f["props"] == {"big": 2**50, "neg": -(2**40)}
+
+
+def test_point_vector_tiles_pipeline(ray_session):
+    import ray
+
+    from gdal_ray.core import mercator
+    from gdal_ray.core.mvt import decode_tile as dec
+    from gdal_ray.pipelines.vectortiles import point_vector_tiles
+
+    rng = np.random.default_rng(3)
+    n = 400
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-80, 80, n)
+    ds = ray.data.from_arrow(pa.table({
+        "fid": pa.array(np.arange(n), pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64())}))
+    Z = 3
+    tiles = point_vector_tiles(ds, Z).take_all()
+    # every feature lands in exactly one tile
+    assert sum(t["n_features"] for t in tiles) == n
+    # brute-force oracle: recompute each point's tile + local coords
+    mx, my = mercator.latlon_to_meters(lat, lon)
+    px, py = mercator.meters_to_pixels(mx, my, Z)
+    tx, ty_tms = mercator.pixels_to_tile(px, py)
+    ty = (1 << Z) - 1 - ty_tms
+    lx = np.floor((px - tx * 256.0) * 16.0 + 0.5).astype(np.int64)
+    ly = np.floor(((ty_tms + 1) * 256.0 - py) * 16.0 + 0.5).astype(np.int64)
+    exp: dict = {}
+    for i in range(n):
+        exp.setdefault((int(tx[i]), int(ty[i])), []).append(
+            (i, int(lx[i]), int(ly[i])))
+    for t in tiles:
+        feats = dec(t["mvt"])["points"]["features"]
+        got = sorted((f["id"], int(f["xy"][0, 0]), int(f["xy"][0, 1]))
+                     for f in feats)
+        assert got == sorted(exp[(t["x"], t["y"])])
