@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_aaigrid": R.raster_aaigrid_q,
         "raster_cutline": R.raster_cutline_q,
         "vector_mvt_tiles": R.vector_mvt_tiles_q,
+        "vector_gpx_kml_roundtrip": R.vector_gpx_kml_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_aaigrid": R.SQL_RASTER_AAIGRID,
         "raster_cutline": R.SQL_RASTER_CUTLINE,
         "vector_mvt_tiles": R.SQL_VECTOR_MVT_TILES,
+        "vector_gpx_kml_roundtrip": R.SQL_VECTOR_GPX_KML_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

@@ -96,6 +96,20 @@ def _read_csv(ds, path):
     return read_csv(path)
 
 
+@register("read_gpx")
+def _read_gpx(ds, path):
+    from ..sources.vector_formats import read_gpx
+    assert ds is None
+    return read_gpx(path)
+
+
+@register("read_kml")
+def _read_kml(ds, path):
+    from ..sources.vector_formats import read_kml
+    assert ds is None
+    return read_kml(path)
+
+
 # ---------- sinks ----------
 
 @register("write_geojson")
@@ -128,6 +142,18 @@ def _write_flatgeobuf(ds, out_dir: str, wkb_col: str = "wkb"):
 def _write_csv(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_csv
     return write_csv(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_gpx")
+def _write_gpx(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_gpx
+    return write_gpx(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_kml")
+def _write_kml(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_kml
+    return write_kml(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_cog")

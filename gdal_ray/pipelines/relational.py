@@ -8357,3 +8357,79 @@ SELECT 5 AS z, tx AS x, y,
 FROM local
 GROUP BY tx, y
 """
+
+
+def vector_gpx_kml_roundtrip_q(sf_dir: str):
+    """GPX + KML drivers on the driver surface (ogr/ogrsf_frmts/gpx,
+    ogr/ogrsf_frmts/kml): the planted dyadic point layer is written as
+    GPX waypoints and KML Placemarks (sources.vector_writers), read back
+    through the REAL stdlib-XML parsers (sources.vector_formats) as Ray
+    datasets, and per format the feature count and snapped coordinate
+    sums must equal the closed form — the same contract the parquet/
+    GeoJSON/GPKG/FGB/Shapefile roundtrip slots pin."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).take_all()
+    names, blobs = [], []
+    for r in sorted(x["n_nationkey"] for x in nat):
+        n = int(r)
+        for j in range(3):
+            names.append(f"f{n * 10 + j}")
+            blobs.append(WKB.point(n % 10 + j + 0.25, n // 5 + 0.5))
+    tab = pa.table({"name": pa.array(names, pa.string()),
+                    "wkb": pa.array(blobs, pa.binary())})
+
+    d = tempfile.mkdtemp(prefix="gpxkml_")
+    open(os.path.join(d, "a.gpx"), "wb").write(
+        VW.gpx_bytes(tab, name_col="name"))
+    open(os.path.join(d, "a.kml"), "wb").write(
+        VW.kml_bytes(tab, name_col="name"))
+
+    readers = {"gpx": VF.read_gpx([os.path.join(d, "a.gpx")]),
+               "kml": VF.read_kml([os.path.join(d, "a.kml")])}
+
+    def measure(fmt):
+        def fn(b: pa.Table) -> pa.Table:
+            sx = sy = 0
+            for blob in b.column("wkb").to_pylist():
+                x, y = WKB.loads(blob)["xy"]
+                sx += int(np.floor(x * 1e6 + 0.5))
+                sy += int(np.floor(y * 1e6 + 0.5))
+            nlen = sum(len(s) for s in b.column("name").to_pylist())
+            return pa.table({"fmt": pa.array([fmt], pa.string()),
+                             "n_features": pa.array([b.num_rows],
+                                                    pa.int64()),
+                             "name_len_sum": pa.array([nlen], pa.int64()),
+                             "sx_sum": pa.array([sx], pa.int64()),
+                             "sy_sum": pa.array([sy], pa.int64())})
+        return fn
+
+    parts = None
+    for fmt, ds in readers.items():
+        p = ds.map_batches(measure(fmt), batch_format="pyarrow")
+        parts = p if parts is None else parts.union(p)
+    return parts
+
+
+SQL_VECTOR_GPX_KML_ROUNDTRIP = """
+WITH feats AS (
+    SELECT n.n_nationkey AS n, j.j AS j
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS j) j
+), sums AS (
+    SELECT COUNT(*) AS n_features,
+           CAST(SUM(LENGTH('f' || CAST(n * 10 + j AS VARCHAR))) AS BIGINT)
+               AS name_len_sum,
+           CAST(SUM((n % 10 + j) * 1000000 + 250000) AS BIGINT) AS sx_sum,
+           CAST(SUM((n // 5) * 1000000 + 500000) AS BIGINT) AS sy_sum
+    FROM feats
+)
+SELECT f.fmt, s.n_features, s.name_len_sum, s.sx_sum, s.sy_sum
+FROM sums s
+CROSS JOIN (SELECT UNNEST(['gpx', 'kml']) AS fmt) f
+"""

@@ -621,3 +621,149 @@ def read_csv(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GPX (ogr/ogrsf_frmts/gpx) ----------
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_gpx_bytes(data: bytes) -> pa.Table:
+    """GPX 1.1 bytes -> rows (layer, name, wkb): waypoints as Points,
+    routes/tracks as LineStrings (track segments concatenated per trk,
+    like the reference's tracks layer)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(data)
+    layers, names, blobs = [], [], []
+
+    def child_name(el):
+        for c in el:
+            if _strip_ns(c.tag) == "name":
+                return c.text
+        return None
+
+    def pts_of(el, tagname):
+        pts = []
+        for c in el.iter():
+            if _strip_ns(c.tag) == tagname:
+                pts.append((float(c.get("lon")), float(c.get("lat"))))
+        return np.asarray(pts, dtype=np.float64)
+
+    for el in root:
+        t = _strip_ns(el.tag)
+        if t == "wpt":
+            layers.append("waypoints")
+            names.append(child_name(el))
+            blobs.append(wkb.point(float(el.get("lon")),
+                                   float(el.get("lat"))))
+        elif t == "rte":
+            layers.append("routes")
+            names.append(child_name(el))
+            blobs.append(wkb.dumps({"type": "LineString",
+                                    "xy": pts_of(el, "rtept")}))
+        elif t == "trk":
+            layers.append("tracks")
+            names.append(child_name(el))
+            blobs.append(wkb.dumps({"type": "LineString",
+                                    "xy": pts_of(el, "trkpt")}))
+    return pa.table({"layer": pa.array(layers, pa.string()),
+                     "name": pa.array(names, pa.string()),
+                     "wkb": pa.array(blobs, pa.binary())})
+
+
+def read_gpx(paths) -> "ray.data.Dataset":
+    """One task per .gpx file → (layer, name, wkb) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_gpx_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- KML (ogr/ogrsf_frmts/kml) ----------
+
+def _kml_parse_coords(text: str) -> np.ndarray:
+    pts = []
+    for tok in (text or "").split():
+        parts = tok.split(",")
+        pts.append((float(parts[0]), float(parts[1])))
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def parse_kml_bytes(data: bytes) -> pa.Table:
+    """KML 2.2 bytes -> rows (name, wkb): Placemark Point / LineString /
+    Polygon (outer + inner boundaries); MultiGeometry flattens to one row
+    per member, matching the reference's feature expansion."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(data)
+    names, blobs = [], []
+
+    def geom_of(el):
+        t = _strip_ns(el.tag)
+        if t == "Point":
+            xy = _kml_parse_coords(el.findtext(
+                "{*}coordinates", default=el.findtext("coordinates", "")))
+            return {"type": "Point", "xy": xy[0]}
+        if t == "LineString":
+            xy = _kml_parse_coords(el.findtext(
+                "{*}coordinates", default=el.findtext("coordinates", "")))
+            return {"type": "LineString", "xy": xy}
+        if t == "Polygon":
+            rings = []
+            for bnd in el:
+                b = _strip_ns(bnd.tag)
+                if b in ("outerBoundaryIs", "innerBoundaryIs"):
+                    for lr in bnd.iter():
+                        if _strip_ns(lr.tag) == "coordinates":
+                            rings.append(_kml_parse_coords(lr.text))
+            # outer first regardless of document order
+            return {"type": "Polygon", "rings": rings}
+        return None
+
+    for pm in root.iter():
+        if _strip_ns(pm.tag) != "Placemark":
+            continue
+        nm = None
+        geoms = []
+        for c in pm:
+            t = _strip_ns(c.tag)
+            if t == "name":
+                nm = c.text
+            elif t in ("Point", "LineString", "Polygon"):
+                geoms.append(geom_of(c))
+            elif t == "MultiGeometry":
+                for sub in c:
+                    g = geom_of(sub)
+                    if g is not None:
+                        geoms.append(g)
+        for g in geoms:
+            names.append(nm)
+            blobs.append(wkb.dumps(g))
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "wkb": pa.array(blobs, pa.binary())})
+
+
+def read_kml(paths) -> "ray.data.Dataset":
+    """One task per .kml file → (name, wkb) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_kml_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

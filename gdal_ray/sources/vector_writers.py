@@ -703,3 +703,97 @@ def write_csv(ds: "ray.data.Dataset", out_dir: str, *,
     """CSV sink: one .csv per block; returns the manifest Dataset."""
     return _file_sink(ds, out_dir, ".csv",
                       lambda b: csv_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- GPX (ogr/ogrsf_frmts/gpx/ogrgpxwriter analog) ----------
+
+def gpx_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+              name_col: str | None = None) -> bytes:
+    """Points -> GPX 1.1 waypoints, LineStrings -> tracks (one trkseg).
+    GPX stores lat/lon as ATTRIBUTES in that order (Topografix schema),
+    optional <name> child from ``name_col``."""
+    from xml.sax.saxutils import escape
+
+    names = (tab.column(name_col).to_pylist()
+             if name_col and name_col in tab.column_names
+             else [None] * tab.num_rows)
+    out = ['<?xml version="1.0" encoding="UTF-8"?>',
+           '<gpx version="1.1" creator="gdal_ray" '
+           'xmlns="http://www.topografix.com/GPX/1/1">']
+    for blob, nm in zip(tab.column(wkb_col).to_pylist(), names):
+        if blob is None:
+            continue
+        g = wkb.loads(blob)
+        tag = f"<name>{escape(str(nm))}</name>" if nm is not None else ""
+        if g["type"] == "Point":
+            x, y = (float(v) for v in np.asarray(g["xy"]).reshape(2))
+            out.append(f'<wpt lat="{y!r}" lon="{x!r}">{tag}</wpt>')
+        elif g["type"] == "LineString":
+            pts = "".join(
+                f'<trkpt lat="{float(p[1])!r}" lon="{float(p[0])!r}"/>'
+                for p in np.asarray(g["xy"], dtype=np.float64))
+            out.append(f"<trk>{tag}<trkseg>{pts}</trkseg></trk>")
+        else:
+            raise ValueError(f"GPX cannot store {g['type']}")
+    out.append("</gpx>")
+    return "\n".join(out).encode("utf-8")
+
+
+def write_gpx(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GPX sink: one .gpx per block; returns the manifest Dataset."""
+    return _file_sink(ds, out_dir, ".gpx",
+                      lambda b: gpx_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- KML (ogr/ogrsf_frmts/kml/kmlvector analog) ----------
+
+def _kml_coords(xy: np.ndarray) -> str:
+    xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+    return " ".join(f"{p[0]!r},{p[1]!r}" for p in xy)
+
+
+def kml_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+              name_col: str | None = None) -> bytes:
+    """Features -> KML 2.2 Placemarks (Point / LineString / Polygon with
+    holes).  KML coordinates are lon,lat[,alt] comma-tuples."""
+    from xml.sax.saxutils import escape
+
+    names = (tab.column(name_col).to_pylist()
+             if name_col and name_col in tab.column_names
+             else [None] * tab.num_rows)
+    out = ['<?xml version="1.0" encoding="UTF-8"?>',
+           '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>']
+    for blob, nm in zip(tab.column(wkb_col).to_pylist(), names):
+        if blob is None:
+            continue
+        g = wkb.loads(blob)
+        t = g["type"]
+        if t == "Point":
+            geo = (f"<Point><coordinates>{_kml_coords(g['xy'])}"
+                   "</coordinates></Point>")
+        elif t == "LineString":
+            geo = (f"<LineString><coordinates>{_kml_coords(g['xy'])}"
+                   "</coordinates></LineString>")
+        elif t == "Polygon":
+            rings = [f"<outerBoundaryIs><LinearRing><coordinates>"
+                     f"{_kml_coords(g['rings'][0])}"
+                     "</coordinates></LinearRing></outerBoundaryIs>"]
+            rings += [f"<innerBoundaryIs><LinearRing><coordinates>"
+                      f"{_kml_coords(r)}"
+                      "</coordinates></LinearRing></innerBoundaryIs>"
+                      for r in g["rings"][1:]]
+            geo = "<Polygon>" + "".join(rings) + "</Polygon>"
+        else:
+            raise ValueError(f"KML writer does not handle {t}")
+        tag = f"<name>{escape(str(nm))}</name>" if nm is not None else ""
+        out.append(f"<Placemark>{tag}{geo}</Placemark>")
+    out.append("</Document></kml>")
+    return "\n".join(out).encode("utf-8")
+
+
+def write_kml(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """KML sink: one .kml per block; returns the manifest Dataset."""
+    return _file_sink(ds, out_dir, ".kml",
+                      lambda b: kml_bytes(b, wkb_col=wkb_col))

@@ -251,3 +251,70 @@ def test_cutline_wkb_and_multiband():
     ii, jj = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
     np.testing.assert_array_equal(kept, jj <= ii - 3)
     assert (out[kept] == 9).all() and (out[~kept] == 0).all()
+
+
+# ---------- GPX / KML ----------
+
+def test_gpx_roundtrip():
+    tab = pa.table({
+        "name": pa.array(["wp & <x>", "trk"]),
+        "wkb": pa.array([wkb.point(1.25, 2.5),
+                         wkb.dumps({"type": "LineString",
+                                    "xy": np.array([[0, 0], [1.5, 2],
+                                                    [3, 4]], float)})],
+                        pa.binary())})
+    t = VF.parse_gpx_bytes(VW.gpx_bytes(tab, name_col="name"))
+    assert t.column("layer").to_pylist() == ["waypoints", "tracks"]
+    assert t.column("name").to_pylist() == ["wp & <x>", "trk"]
+    p = wkb.loads(t.column("wkb").to_pylist()[0])
+    assert tuple(p["xy"]) == (1.25, 2.5)
+    ln = wkb.loads(t.column("wkb").to_pylist()[1])
+    np.testing.assert_array_equal(ln["xy"], [[0, 0], [1.5, 2], [3, 4]])
+
+
+def test_gpx_route_parse():
+    g = (b'<?xml version="1.0"?><gpx version="1.1" '
+         b'xmlns="http://www.topografix.com/GPX/1/1">'
+         b'<rte><name>r</name><rtept lat="1" lon="2"/>'
+         b'<rtept lat="3" lon="4"/></rte></gpx>')
+    t = VF.parse_gpx_bytes(g)
+    assert t.column("layer").to_pylist() == ["routes"]
+    ln = wkb.loads(t.column("wkb").to_pylist()[0])
+    np.testing.assert_array_equal(ln["xy"], [[2, 1], [4, 3]])
+
+
+def test_kml_roundtrip_polygon_with_hole():
+    tab = pa.table({
+        "name": pa.array(["poly"]),
+        "wkb": pa.array([wkb.polygon(
+            [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+            holes=[[(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]])],
+            pa.binary())})
+    t = VF.parse_kml_bytes(VW.kml_bytes(tab, name_col="name"))
+    g = wkb.loads(t.column("wkb").to_pylist()[0])
+    assert g["type"] == "Polygon" and len(g["rings"]) == 2
+    np.testing.assert_array_equal(
+        g["rings"][1], [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]])
+
+
+def test_kml_multigeometry_flattens():
+    k = (b'<?xml version="1.0"?>'
+         b'<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+         b'<Placemark><name>m</name><MultiGeometry>'
+         b'<Point><coordinates>1,2</coordinates></Point>'
+         b'<LineString><coordinates>0,0 1,1</coordinates></LineString>'
+         b'</MultiGeometry></Placemark></Document></kml>')
+    t = VF.parse_kml_bytes(k)
+    assert t.num_rows == 2
+    assert t.column("name").to_pylist() == ["m", "m"]
+
+
+def test_gpx_kml_ray_readers(ray_session, tmp_path):
+    tab = pa.table({
+        "name": pa.array(["a", "b"]),
+        "wkb": pa.array([wkb.point(1.0, 2.0), wkb.point(3.0, 4.0)],
+                        pa.binary())})
+    (tmp_path / "a.gpx").write_bytes(VW.gpx_bytes(tab, name_col="name"))
+    (tmp_path / "a.kml").write_bytes(VW.kml_bytes(tab, name_col="name"))
+    assert len(VF.read_gpx(str(tmp_path / "a.gpx")).take_all()) == 2
+    assert len(VF.read_kml(str(tmp_path / "a.kml")).take_all()) == 2
