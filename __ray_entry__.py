@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_cutline": R.raster_cutline_q,
         "vector_mvt_tiles": R.vector_mvt_tiles_q,
         "vector_gpx_kml_roundtrip": R.vector_gpx_kml_roundtrip_q,
+        "vector_arrow_ipc_roundtrip": R.vector_arrow_ipc_roundtrip_q,
+        "raster_envi_roundtrip": R.raster_envi_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -434,6 +436,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_cutline": R.SQL_RASTER_CUTLINE,
         "vector_mvt_tiles": R.SQL_VECTOR_MVT_TILES,
         "vector_gpx_kml_roundtrip": R.SQL_VECTOR_GPX_KML_ROUNDTRIP,
+        "vector_arrow_ipc_roundtrip": R.SQL_VECTOR_ARROW_IPC_ROUNDTRIP,
+        "raster_envi_roundtrip": R.SQL_RASTER_ENVI_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

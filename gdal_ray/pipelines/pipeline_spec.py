@@ -110,6 +110,13 @@ def _read_kml(ds, path):
     return read_kml(path)
 
 
+@register("read_arrow")
+def _read_arrow(ds, path):
+    from ..sources.vector_formats import read_arrow_ipc
+    assert ds is None
+    return read_arrow_ipc(path)
+
+
 # ---------- sinks ----------
 
 @register("write_geojson")
@@ -154,6 +161,12 @@ def _write_gpx(ds, out_dir: str, wkb_col: str = "wkb"):
 def _write_kml(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_kml
     return write_kml(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_arrow")
+def _write_arrow(ds, out_dir: str):
+    from ..sources.vector_writers import write_arrow_ipc
+    return write_arrow_ipc(ds, out_dir)
 
 
 @register("write_cog")

@@ -8433,3 +8433,119 @@ SELECT f.fmt, s.n_features, s.name_len_sum, s.sx_sum, s.sy_sum
 FROM sums s
 CROSS JOIN (SELECT UNNEST(['gpx', 'kml']) AS fmt) f
 """
+
+
+def vector_arrow_ipc_roundtrip_q(sf_dir: str):
+    """Arrow IPC / Feather driver on the driver surface
+    (ogr/ogrsf_frmts/arrow): the planted typed layer is serialized to
+    BOTH IPC framings (file='ARROW1' magic / stream), read back through
+    sources.vector_formats.read_arrow_ipc as Ray datasets, and measured
+    per framing — identity roundtrip, closed form over nation."""
+    import os
+    import tempfile
+
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    rows = sorted(nat, key=lambda x: int(x["n_nationkey"]))
+    tab = pa.table({
+        "fid": pa.array([int(r["n_nationkey"]) for r in rows], pa.int64()),
+        "name": pa.array([str(r["n_name"]) for r in rows], pa.string()),
+        "val": pa.array([int(r["n_nationkey"]) * 3 + 0.5 for r in rows],
+                        pa.float64())})
+    d = tempfile.mkdtemp(prefix="arrowrt_")
+    pf = os.path.join(d, "a.arrow")
+    ps = os.path.join(d, "a.stream.arrow")
+    open(pf, "wb").write(VW.arrow_ipc_bytes(tab, file_format=True))
+    open(ps, "wb").write(VW.arrow_ipc_bytes(tab, file_format=False))
+
+    def measure(fmt):
+        def fn(b: pa.Table) -> pa.Table:
+            fid = np.asarray(b.column("fid"), dtype=np.int64)
+            val = np.asarray(b.column("val"), dtype=np.float64)
+            nlen = sum(len(s) for s in b.column("name").to_pylist())
+            return pa.table({
+                "fmt": pa.array([fmt], pa.string()),
+                "n_features": pa.array([b.num_rows], pa.int64()),
+                "fid_sum": pa.array([int(fid.sum())], pa.int64()),
+                "val2_sum": pa.array([int(np.round(val.sum() * 2))],
+                                     pa.int64()),
+                "name_len_sum": pa.array([nlen], pa.int64())})
+        return fn
+
+    a = VF.read_arrow_ipc([pf]).map_batches(measure("file"),
+                                            batch_format="pyarrow")
+    b = VF.read_arrow_ipc([ps]).map_batches(measure("stream"),
+                                            batch_format="pyarrow")
+    return a.union(b)
+
+
+SQL_VECTOR_ARROW_IPC_ROUNDTRIP = """
+WITH sums AS (
+    SELECT COUNT(*) AS n_features,
+           SUM(n_nationkey) AS fid_sum,
+           CAST(SUM(6 * n_nationkey + 1) AS BIGINT) AS val2_sum,
+           CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_len_sum
+    FROM nation
+)
+SELECT f.fmt, s.n_features, s.fid_sum, s.val2_sum, s.name_len_sum
+FROM sums s
+CROSS JOIN (SELECT UNNEST(['file', 'stream']) AS fmt) f
+"""
+
+
+def raster_envi_roundtrip_q(sf_dir: str):
+    """ENVI raw driver on the driver surface (frmts/raw/envidataset.cpp):
+    per nation a derived 3-band 8×6 uint16 cube (band b value
+    (n·31 + b·7 + i·8 + j) % 501) is written through every interleave
+    (bsq/bil/bip chosen by n%3) at byte order n%2 and decoded back; the
+    interleave/byte-order transposes are lossless, so per-band sums are
+    closed forms."""
+    from ..core.envi import decode_envi, encode_envi
+
+    ILS = ("bsq", "bil", "bip")
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ii, jj = np.meshgrid(np.arange(6), np.arange(8), indexing="ij")
+        nk, ils, b0, b1, b2 = [], [], [], [], []
+        for n in ks:
+            n = int(n)
+            cube = np.stack(
+                [((n * 31 + bb * 7 + ii * 8 + jj) % 501).astype(np.uint16)
+                 for bb in range(3)], axis=2)
+            il = ILS[n % 3]
+            hdr, raw = encode_envi(cube, interleave=il, byte_order=n % 2)
+            a2 = decode_envi(hdr, raw)
+            assert a2.dtype == np.uint16
+            nk.append(n)
+            ils.append(il)
+            b0.append(int(a2[:, :, 0].sum()))
+            b1.append(int(a2[:, :, 1].sum()))
+            b2.append(int(a2[:, :, 2].sum()))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "interleave": pa.array(ils, pa.string()),
+                         "band0_sum": pa.array(b0, pa.int64()),
+                         "band1_sum": pa.array(b1, pa.int64()),
+                         "band2_sum": pa.array(b2, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_ENVI_ROUNDTRIP = """
+WITH cells AS (
+    SELECT n.n_nationkey AS nk, c.ij // 8 AS i, c.ij % 8 AS j
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 47)) AS ij) c
+)
+SELECT nk AS n_nationkey,
+       CASE nk % 3 WHEN 0 THEN 'bsq' WHEN 1 THEN 'bil'
+            ELSE 'bip' END AS interleave,
+       CAST(SUM((nk * 31 + i * 8 + j) % 501) AS BIGINT) AS band0_sum,
+       CAST(SUM((nk * 31 + 7 + i * 8 + j) % 501) AS BIGINT) AS band1_sum,
+       CAST(SUM((nk * 31 + 14 + i * 8 + j) % 501) AS BIGINT) AS band2_sum
+FROM cells
+GROUP BY nk
+"""

@@ -767,3 +767,33 @@ def read_kml(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- Arrow IPC / Feather (ogr/ogrsf_frmts/arrow) ----------
+
+def parse_arrow_ipc_bytes(data: bytes) -> pa.Table:
+    """Arrow IPC stream or file (Feather V2) bytes -> table.  The
+    reference's Arrow driver reads both framings; the file format starts
+    with the 'ARROW1' magic."""
+    import io
+
+    import pyarrow.ipc as ipc
+    if data[:6] == b"ARROW1":
+        return ipc.open_file(io.BytesIO(data)).read_all()
+    return ipc.open_stream(io.BytesIO(data)).read_all()
+
+
+def read_arrow_ipc(paths) -> "ray.data.Dataset":
+    """One task per .arrow/.feather file → rows (zero-copy columns)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_arrow_ipc_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -797,3 +797,25 @@ def write_kml(ds: "ray.data.Dataset", out_dir: str, *,
     """KML sink: one .kml per block; returns the manifest Dataset."""
     return _file_sink(ds, out_dir, ".kml",
                       lambda b: kml_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- Arrow IPC / Feather (ogr/ogrsf_frmts/arrow) ----------
+
+def arrow_ipc_bytes(tab: pa.Table, *, file_format: bool = True) -> bytes:
+    """Table -> Arrow IPC bytes (file framing = Feather V2 when
+    ``file_format``, else stream framing)."""
+    import io
+
+    import pyarrow.ipc as ipc
+    sink = io.BytesIO()
+    opener = ipc.new_file if file_format else ipc.new_stream
+    with opener(sink, tab.schema) as w:
+        w.write_table(tab)
+    return sink.getvalue()
+
+
+def write_arrow_ipc(ds: "ray.data.Dataset", out_dir: str, *,
+                    file_format: bool = True) -> "ray.data.Dataset":
+    """Arrow IPC sink: one .arrow per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".arrow",
+                      lambda b: arrow_ipc_bytes(b, file_format=file_format))

@@ -318,3 +318,54 @@ def test_gpx_kml_ray_readers(ray_session, tmp_path):
     (tmp_path / "a.kml").write_bytes(VW.kml_bytes(tab, name_col="name"))
     assert len(VF.read_gpx(str(tmp_path / "a.gpx")).take_all()) == 2
     assert len(VF.read_kml(str(tmp_path / "a.kml")).take_all()) == 2
+
+
+# ---------- Arrow IPC ----------
+
+def test_arrow_ipc_both_framings():
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array([b"x", None, b"z"], pa.binary())})
+    for ff in (True, False):
+        t2 = VF.parse_arrow_ipc_bytes(VW.arrow_ipc_bytes(t, file_format=ff))
+        assert t2.equals(t)
+    assert VW.arrow_ipc_bytes(t, file_format=True)[:6] == b"ARROW1"
+
+
+def test_arrow_ipc_ray_reader(ray_session, tmp_path):
+    t = pa.table({"a": pa.array([1, 2], pa.int64())})
+    p = tmp_path / "x.arrow"
+    p.write_bytes(VW.arrow_ipc_bytes(t))
+    assert sorted(r["a"] for r in VF.read_arrow_ipc(str(p)).take_all()) \
+        == [1, 2]
+
+
+# ---------- ENVI ----------
+
+def test_envi_all_interleaves_dtypes_byteorders():
+    from gdal_ray.core.envi import decode_envi, encode_envi
+    rng = np.random.default_rng(1)
+    for dt in (np.uint8, np.int16, np.uint16, np.int32,
+               np.float32, np.float64):
+        a = rng.integers(0, 200, size=(5, 7, 3)).astype(dt)
+        for il in ("bsq", "bil", "bip"):
+            for bo in (0, 1):
+                hdr, raw = encode_envi(a, interleave=il, byte_order=bo)
+                a2 = decode_envi(hdr, raw)
+                assert np.array_equal(a, a2), (dt, il, bo)
+                assert a2.dtype == np.dtype(dt)
+
+
+def test_envi_single_band_and_header_offset():
+    from gdal_ray.core.envi import decode_envi, encode_envi
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    hdr, raw = encode_envi(a)
+    a2 = decode_envi(hdr, raw)
+    assert a2.shape == (3, 4, 1)
+    np.testing.assert_array_equal(a2[:, :, 0], a)
+    # foreign header with offset + MSB order
+    hdr2 = (b"ENVI\nsamples = 2\nlines = 1\nbands = 1\n"
+            b"header offset = 3\ndata type = 12\ninterleave = bip\n"
+            b"byte order = 1\n")
+    raw2 = b"\0\0\0" + (258).to_bytes(2, "big") + (772).to_bytes(2, "big")
+    out = decode_envi(hdr2, raw2)
+    assert out[0, 0, 0] == 258 and out[0, 1, 0] == 772
