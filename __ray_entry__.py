@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_gpx_kml_roundtrip": R.vector_gpx_kml_roundtrip_q,
         "vector_arrow_ipc_roundtrip": R.vector_arrow_ipc_roundtrip_q,
         "raster_envi_roundtrip": R.raster_envi_roundtrip_q,
+        "vector_layer_info": R.vector_layer_info_q,
         **_tpch_queries(),
     }
 
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_gpx_kml_roundtrip": R.SQL_VECTOR_GPX_KML_ROUNDTRIP,
         "vector_arrow_ipc_roundtrip": R.SQL_VECTOR_ARROW_IPC_ROUNDTRIP,
         "raster_envi_roundtrip": R.SQL_RASTER_ENVI_ROUNDTRIP,
+        "vector_layer_info": R.SQL_VECTOR_LAYER_INFO,
         **_tpch_oracles(),
     }
 

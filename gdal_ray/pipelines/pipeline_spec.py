@@ -330,6 +330,9 @@ def _register_raster():
         batch_format="pyarrow")
     _REGISTRY["raster_update"] = _batch_stage(R2.raster_update)
     _REGISTRY["compare"] = _batch_stage(R2.compare_images)
+    from ..stages import vector as V2
+    _REGISTRY["layer_info"] = lambda ds, wkb_col="wkb": \
+        __import__("ray").data.from_arrow(V2.layer_info(ds, wkb_col=wkb_col))
     _REGISTRY["cutline"] = lambda ds, cut_wkt, nodata=0, invert=False: \
         ds.map_batches(
             lambda b: R2.cutline(b, cut_wkt, nodata=int(nodata),

@@ -8549,3 +8549,50 @@ SELECT nk AS n_nationkey,
 FROM cells
 GROUP BY nk
 """
+
+
+def vector_layer_info_q(sf_dir: str):
+    """ogrinfo -so on the driver surface (apps/ogrinfo_lib.cpp): a planted
+    mixed layer (customer-derived points; every 3rd feature a rect
+    polygon) through stages.vector.layer_info — feature count, per-type
+    counts and extent as a distributed partial+fold; every output is a
+    closed form over customer."""
+    from ..core import wkb as WKB
+    from ..stages.vector import layer_info
+
+    def mk(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        x = ((ck * 37) % 3600) / 10.0 - 180.0 + 0.05
+        y = ((ck * 91) % 1700) / 10.0 - 85.0 + 0.05
+        blobs = []
+        for k, xi, yi in zip(ck, x, y):
+            if int(k) % 3 == 0:
+                blobs.append(WKB.box(xi, yi, xi + 1.5, yi + 2.25))
+            else:
+                blobs.append(WKB.point(xi, yi))
+        return pa.table({"wkb": pa.array(blobs, pa.binary())})
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(mk, batch_format="pyarrow")
+    return layer_info(pts).select(
+        ["n_features", "n_point", "n_polygon", "minx", "miny",
+         "maxx", "maxy"])
+
+
+SQL_VECTOR_LAYER_INFO = """
+WITH feats AS (
+  SELECT c_custkey AS ck,
+         ((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS x,
+         ((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS y
+  FROM customer
+)
+SELECT COUNT(*) AS n_features,
+       CAST(SUM(CASE WHEN ck % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_point,
+       CAST(SUM(CASE WHEN ck % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_polygon,
+       MIN(x) AS minx, MIN(y) AS miny,
+       MAX(CASE WHEN ck % 3 = 0 THEN x + 1.5 ELSE x END) AS maxx,
+       MAX(CASE WHEN ck % 3 = 0 THEN y + 2.25 ELSE y END) AS maxy
+FROM feats
+"""

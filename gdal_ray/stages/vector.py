@@ -488,3 +488,75 @@ def buffer_polygons(batch: pa.Table, dist: float, quadsegs: int = 8,
             out.append(wkb.dumps({"type": "MultiPolygon", "polys": pieces}))
     i = batch.column_names.index(wkb_col)
     return batch.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+
+def layer_info(ds, wkb_col: str = "wkb"):
+    """ogrinfo -so analog (apps/ogrinfo_lib.cpp summary mode): one row of
+    layer metadata — feature count, per-geometry-type counts and the
+    layer extent — computed distributedly: a per-batch combiner emits ONE
+    partial row per block (counts + bbox), the bounded ≤n_blocks partial
+    set folds on the driver (the same measured-size discipline the band-
+    stats / profile operators use)."""
+    import pyarrow as pa
+
+    from ..core import wkb as _wkb
+
+    TYPES = ("Point", "LineString", "Polygon", "MultiPoint",
+             "MultiLineString", "MultiPolygon", "GeometryCollection")
+
+    def _gbbox(g):
+        t = g["type"]
+        if t == "Point":
+            x, y = (float(v) for v in np.asarray(g["xy"]).reshape(2))
+            return x, y, x, y
+        if t in ("LineString", "MultiPoint"):
+            xy = np.asarray(g["xy"], dtype=np.float64).reshape(-1, 2)
+            return (float(xy[:, 0].min()), float(xy[:, 1].min()),
+                    float(xy[:, 0].max()), float(xy[:, 1].max()))
+        if t == "Polygon":
+            return geom.rings_bbox(g["rings"])
+        if t == "MultiLineString":
+            bs = [(_gbbox({"type": "LineString", "xy": ln}))
+                  for ln in g["lines"]]
+        elif t == "MultiPolygon":
+            bs = [geom.rings_bbox(r) for r in g["polys"]]
+        else:
+            bs = [_gbbox(s) for s in g["geoms"]]
+        bs = np.asarray(bs, dtype=np.float64)
+        return (float(bs[:, 0].min()), float(bs[:, 1].min()),
+                float(bs[:, 2].max()), float(bs[:, 3].max()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(TYPES, 0)
+        minx = miny = np.inf
+        maxx = maxy = -np.inf
+        n = 0
+        for blob in b.column(wkb_col).to_pylist():
+            if blob is None:
+                continue
+            g = _wkb.loads(blob)
+            counts[g["type"]] = counts.get(g["type"], 0) + 1
+            x0, y0, x1, y1 = _gbbox(g)
+            minx, miny = min(minx, x0), min(miny, y0)
+            maxx, maxy = max(maxx, x1), max(maxy, y1)
+            n += 1
+        cols = {"n_features": pa.array([n], pa.int64())}
+        for t in TYPES:
+            cols["n_" + t.lower()] = pa.array([counts[t]], pa.int64())
+        cols.update({
+            "minx": pa.array([minx], pa.float64()),
+            "miny": pa.array([miny], pa.float64()),
+            "maxx": pa.array([maxx], pa.float64()),
+            "maxy": pa.array([maxy], pa.float64())})
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = {"n_features": sum(p["n_features"] for p in parts)}
+    for t in TYPES:
+        out["n_" + t.lower()] = sum(p["n_" + t.lower()] for p in parts)
+    live = [p for p in parts if p["n_features"] > 0]
+    out["minx"] = min((p["minx"] for p in live), default=float("nan"))
+    out["miny"] = min((p["miny"] for p in live), default=float("nan"))
+    out["maxx"] = max((p["maxx"] for p in live), default=float("nan"))
+    out["maxy"] = max((p["maxy"] for p in live), default=float("nan"))
+    return pa.table({k: [v] for k, v in out.items()})

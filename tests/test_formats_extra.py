@@ -369,3 +369,25 @@ def test_envi_single_band_and_header_offset():
     raw2 = b"\0\0\0" + (258).to_bytes(2, "big") + (772).to_bytes(2, "big")
     out = decode_envi(hdr2, raw2)
     assert out[0, 0, 0] == 258 and out[0, 1, 0] == 772
+
+
+# ---------- layer_info (ogrinfo -so analog) ----------
+
+def test_layer_info(ray_session):
+    import ray
+
+    from gdal_ray.stages.vector import layer_info
+    tab = pa.table({"wkb": pa.array([
+        wkb.point(1.0, 2.0),
+        wkb.point(-3.0, 7.0),
+        wkb.polygon([(0, 0), (10, 0), (10, 5), (0, 5), (0, 0)]),
+        wkb.dumps({"type": "LineString",
+                   "xy": np.array([[-5, -5], [4, 4]], float)}),
+        None,
+    ], pa.binary())})
+    info = layer_info(ray.data.from_arrow(tab)).to_pylist()[0]
+    assert info["n_features"] == 4
+    assert info["n_point"] == 2 and info["n_polygon"] == 1
+    assert info["n_linestring"] == 1
+    assert (info["minx"], info["miny"]) == (-5.0, -5.0)
+    assert (info["maxx"], info["maxy"]) == (10.0, 7.0)
