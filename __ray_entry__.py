@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_arrow_ipc_roundtrip": R.vector_arrow_ipc_roundtrip_q,
         "raster_envi_roundtrip": R.raster_envi_roundtrip_q,
         "vector_layer_info": R.vector_layer_info_q,
+        "raster_netcdf_roundtrip": R.raster_netcdf_roundtrip_q,
+        "vector_geojsonseq_roundtrip": R.vector_geojsonseq_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -440,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_arrow_ipc_roundtrip": R.SQL_VECTOR_ARROW_IPC_ROUNDTRIP,
         "raster_envi_roundtrip": R.SQL_RASTER_ENVI_ROUNDTRIP,
         "vector_layer_info": R.SQL_VECTOR_LAYER_INFO,
+        "raster_netcdf_roundtrip": R.SQL_RASTER_NETCDF_ROUNDTRIP,
+        "vector_geojsonseq_roundtrip": R.SQL_VECTOR_GEOJSONSEQ_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

@@ -110,6 +110,13 @@ def _read_kml(ds, path):
     return read_kml(path)
 
 
+@register("read_geojsonseq")
+def _read_geojsonseq(ds, path):
+    from ..sources.vector_formats import read_geojsonseq
+    assert ds is None
+    return read_geojsonseq(path)
+
+
 @register("read_arrow")
 def _read_arrow(ds, path):
     from ..sources.vector_formats import read_arrow_ipc
@@ -161,6 +168,12 @@ def _write_gpx(ds, out_dir: str, wkb_col: str = "wkb"):
 def _write_kml(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_kml
     return write_kml(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_geojsonseq")
+def _write_geojsonseq(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_geojsonseq
+    return write_geojsonseq(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_arrow")

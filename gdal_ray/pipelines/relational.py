@@ -8596,3 +8596,131 @@ SELECT COUNT(*) AS n_features,
        MAX(CASE WHEN ck % 3 = 0 THEN y + 2.25 ELSE y END) AS maxy
 FROM feats
 """
+
+
+def raster_netcdf_roundtrip_q(sf_dir: str):
+    """netCDF-3 classic driver on the driver surface (frmts/netcdf,
+    CDF-1 raster subset): per nation a derived int16 grid with
+    scale_factor/add_offset attributes is encoded to CDF-1 bytes
+    (core/netcdf3) and decoded back; the big-endian block roundtrip is
+    lossless, so the raw sum and the CF-scaled sum (dyadic scale 0.25,
+    offset n) are closed forms."""
+    from ..core.netcdf3 import decode_netcdf, encode_netcdf
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ii, jj = np.meshgrid(np.arange(7), np.arange(9), indexing="ij")
+        nk, rsum, ssum4, nbytes = [], [], [], []
+        for n in ks:
+            n = int(n)
+            z = ((n * 31 + ii * 9 + jj) % 397).astype(np.int16)
+            blob = encode_netcdf(
+                {"y": 7, "x": 9},
+                {"elev": {"dims": ("y", "x"), "data": z,
+                          "attrs": {"units": "m",
+                                    "scale_factor": 0.25,
+                                    "add_offset": float(n)}}},
+                {"title": f"n{n}"})
+            dims, vs, _g = decode_netcdf(blob)
+            a = vs["elev"]["data"]
+            sf = float(vs["elev"]["attrs"]["scale_factor"])
+            off = float(vs["elev"]["attrs"]["add_offset"])
+            scaled = a.astype(np.float64) * sf + off   # CF unpacking rule
+            nk.append(n)
+            rsum.append(int(a.astype(np.int64).sum()))
+            ssum4.append(int(np.round(scaled.sum() * 4)))
+            nbytes.append(len(blob))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "raw_sum": pa.array(rsum, pa.int64()),
+                         "scaled4_sum": pa.array(ssum4, pa.int64()),
+                         "n_bytes": pa.array(nbytes, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_NETCDF_ROUNDTRIP = """
+-- header: magic+numrecs 8, dim_list 8+2*(8+4), gatt 8+(8+4+8+4),
+-- var_list 8 + name(8+8 'elev') + ndims 4 + dimids 8 + vatts
+-- (8 + units(12+8+4) + scale_factor(8+16+8+8) + add_offset(8+16+8+8))
+-- + nc_type 4 + vsize 4 + begin 4; data 7*9*2 padded to 128
+WITH cells AS (
+    SELECT n.n_nationkey AS nk,
+           (n.n_nationkey * 31 + c.ij) % 397 AS v
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 62)) AS ij) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM(v) AS BIGINT) AS raw_sum,
+       CAST(SUM(v) + 4 * 63 * nk AS BIGINT) AS scaled4_sum,
+       CAST(332 + ((LENGTH('n' || CAST(nk AS VARCHAR)) + 3) // 4) * 4
+            AS BIGINT) AS n_bytes
+FROM cells
+GROUP BY nk
+"""
+
+
+def vector_geojsonseq_roundtrip_q(sf_dir: str):
+    """GeoJSONSeq driver on the driver surface (ogr/ogrsf_frmts/geojson
+    newline-delimited variant): the planted dyadic point layer through
+    BOTH framings (plain NDJSON and RFC 8142 RS-framed), read back by the
+    REAL parser as Ray datasets; identity roundtrip, closed form."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).take_all()
+    fids, blobs = [], []
+    for r in sorted(x["n_nationkey"] for x in nat):
+        n = int(r)
+        fids.append(n)
+        blobs.append(WKB.point(n % 10 + 0.25, n // 5 + 0.5))
+    tab = pa.table({"fid": pa.array(fids, pa.int64()),
+                    "wkb": pa.array(blobs, pa.binary())})
+    d = tempfile.mkdtemp(prefix="gjseq_")
+    pp = os.path.join(d, "a.geojsonl")
+    pr = os.path.join(d, "b.geojsonl")
+    open(pp, "wb").write(VW.geojsonseq_bytes(tab, rs=False))
+    open(pr, "wb").write(VW.geojsonseq_bytes(tab, rs=True))
+
+    def measure(fmt):
+        def fn(b: pa.Table) -> pa.Table:
+            fid = np.asarray(b.column("fid"), dtype=np.int64)
+            sx = sy = 0
+            for blob in b.column("wkb").to_pylist():
+                x, y = WKB.loads(blob)["xy"]
+                sx += int(np.floor(x * 1e6 + 0.5))
+                sy += int(np.floor(y * 1e6 + 0.5))
+            return pa.table({"fmt": pa.array([fmt], pa.string()),
+                             "n_features": pa.array([b.num_rows],
+                                                    pa.int64()),
+                             "fid_sum": pa.array([int(fid.sum())],
+                                                 pa.int64()),
+                             "sx_sum": pa.array([sx], pa.int64()),
+                             "sy_sum": pa.array([sy], pa.int64())})
+        return fn
+
+    a = VF.read_geojsonseq([pp]).map_batches(measure("ndjson"),
+                                             batch_format="pyarrow")
+    b = VF.read_geojsonseq([pr]).map_batches(measure("rs"),
+                                             batch_format="pyarrow")
+    return a.union(b)
+
+
+SQL_VECTOR_GEOJSONSEQ_ROUNDTRIP = """
+WITH sums AS (
+    SELECT COUNT(*) AS n_features,
+           SUM(n_nationkey) AS fid_sum,
+           CAST(SUM((n_nationkey % 10) * 1000000 + 250000) AS BIGINT)
+               AS sx_sum,
+           CAST(SUM((n_nationkey // 5) * 1000000 + 500000) AS BIGINT)
+               AS sy_sum
+    FROM nation
+)
+SELECT f.fmt, s.n_features, s.fid_sum, s.sx_sum, s.sy_sum
+FROM sums s
+CROSS JOIN (SELECT UNNEST(['ndjson', 'rs']) AS fmt) f
+"""

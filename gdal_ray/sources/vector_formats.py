@@ -797,3 +797,33 @@ def read_arrow_ipc(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GeoJSONSeq (ogr/ogrsf_frmts/geojson GeoJSONSeq driver) ----------
+
+def parse_geojsonseq_bytes(data: bytes) -> pa.Table:
+    """Newline-delimited GeoJSON (optionally RFC 8142 RS-framed) ->
+    feature rows, same schema rules as parse_geojson_bytes."""
+    feats = []
+    for line in data.decode("utf-8").split("\n"):
+        line = line.strip().lstrip("\x1e").strip()
+        if line:
+            feats.append(json.loads(line))
+    doc = {"type": "FeatureCollection", "features": feats}
+    return parse_geojson_bytes(json.dumps(doc).encode())
+
+
+def read_geojsonseq(paths) -> "ray.data.Dataset":
+    """One task per .geojsonl file → feature rows (properties…, wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_geojsonseq_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

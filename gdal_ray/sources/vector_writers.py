@@ -819,3 +819,33 @@ def write_arrow_ipc(ds: "ray.data.Dataset", out_dir: str, *,
     """Arrow IPC sink: one .arrow per block; returns the manifest."""
     return _file_sink(ds, out_dir, ".arrow",
                       lambda b: arrow_ipc_bytes(b, file_format=file_format))
+
+
+# ---------- GeoJSONSeq (ogr/ogrsf_frmts/geojson GeoJSONSeq driver) ----------
+
+def geojsonseq_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+                     rs: bool = False) -> bytes:
+    """Newline-delimited GeoJSON features (one Feature per line), the
+    streaming-friendly variant the reference writes for large layers;
+    ``rs=True`` prepends RFC 8142 record separators (0x1E)."""
+    names = [c for c in tab.column_names if c != wkb_col]
+    wkbs = tab.column(wkb_col).to_pylist()
+    cols = {c: tab.column(c).to_pylist() for c in names}
+    lines = []
+    sep = "\x1e" if rs else ""
+    for i in range(tab.num_rows):
+        geometry = None if wkbs[i] is None \
+            else geom_to_geojson(wkb.loads(wkbs[i]))
+        lines.append(sep + json.dumps(
+            {"type": "Feature",
+             "properties": {c: cols[c][i] for c in names},
+             "geometry": geometry},
+            default=str, separators=(",", ":")))
+    return ("\n".join(lines) + "\n").encode()
+
+
+def write_geojsonseq(ds: "ray.data.Dataset", out_dir: str, *,
+                     wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GeoJSONSeq sink: one .geojsonl per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".geojsonl",
+                      lambda b: geojsonseq_bytes(b, wkb_col=wkb_col))

@@ -391,3 +391,76 @@ def test_layer_info(ray_session):
     assert info["n_linestring"] == 1
     assert (info["minx"], info["miny"]) == (-5.0, -5.0)
     assert (info["maxx"], info["maxy"]) == (10.0, 7.0)
+
+
+# ---------- GeoJSONSeq ----------
+
+def test_geojsonseq_both_framings():
+    tab = pa.table({"fid": pa.array([1, 2], pa.int64()),
+                    "wkb": pa.array([wkb.point(1.25, 2.5), None],
+                                    pa.binary())})
+    for rs in (False, True):
+        t2 = VF.parse_geojsonseq_bytes(VW.geojsonseq_bytes(tab, rs=rs))
+        assert t2.column("fid").to_pylist() == [1, 2]
+        assert wkb.loads(t2.column("wkb").to_pylist()[0])["xy"][0] == 1.25
+        assert t2.column("wkb").to_pylist()[1] is None
+
+
+def test_geojsonseq_ray_reader(ray_session, tmp_path):
+    tab = pa.table({"fid": pa.array([1, 2, 3], pa.int64()),
+                    "wkb": pa.array([wkb.point(float(i), 0.0)
+                                     for i in range(3)], pa.binary())})
+    p = tmp_path / "x.geojsonl"
+    p.write_bytes(VW.geojsonseq_bytes(tab))
+    assert sorted(r["fid"] for r in
+                  VF.read_geojsonseq(str(p)).take_all()) == [1, 2, 3]
+
+
+# ---------- netCDF-3 ----------
+
+def test_netcdf3_multivar_roundtrip():
+    from gdal_ray.core.netcdf3 import decode_netcdf, encode_netcdf
+    z = (np.arange(48).reshape(6, 8) * 3 % 251).astype(np.int16)
+    t = np.linspace(0, 1, 48).reshape(6, 8)
+    blob = encode_netcdf(
+        {"y": 6, "x": 8},
+        {"elev": {"dims": ("y", "x"), "data": z,
+                  "attrs": {"units": "m", "scale_factor": 0.5,
+                            "_FillValue": np.int16(-32768)}},
+         "temp": {"dims": ("y", "x"), "data": t, "attrs": {}}},
+        {"title": "test grid", "version": 3})
+    assert blob[:4] == b"CDF\x01"
+    dims, vs, g = decode_netcdf(blob)
+    assert dims == {"y": 6, "x": 8}
+    assert g["title"] == "test grid"
+    np.testing.assert_array_equal(vs["elev"]["data"], z)
+    assert vs["elev"]["data"].dtype == np.int16
+    assert float(vs["elev"]["attrs"]["scale_factor"]) == 0.5
+    assert int(vs["elev"]["attrs"]["_FillValue"]) == -32768
+    np.testing.assert_array_equal(vs["temp"]["data"], t)
+    assert vs["temp"]["data"].dtype == np.float64
+
+
+def test_netcdf3_dtype_matrix_and_1d():
+    from gdal_ray.core.netcdf3 import decode_netcdf, encode_netcdf
+    for dt in (np.int8, np.int16, np.int32, np.float32, np.float64):
+        a = (np.arange(10) % 100).astype(dt).reshape(2, 5)
+        _, vs, _ = decode_netcdf(encode_netcdf(
+            {"a": 2, "b": 5}, {"v": {"dims": ("a", "b"), "data": a}}, {}))
+        np.testing.assert_array_equal(vs["v"]["data"], a)
+    _, vs, _ = decode_netcdf(encode_netcdf(
+        {"x": 3}, {"v": {"dims": ("x",),
+                         "data": np.array([1.5, 2.5, -1], np.float32)}}, {}))
+    np.testing.assert_array_equal(vs["v"]["data"], [1.5, 2.5, -1])
+
+
+def test_netcdf3_record_dim_raises():
+    from gdal_ray.core.netcdf3 import decode_netcdf
+    import struct
+    # a record dim (length 0) must raise the honest boundary
+    hdr = (b"CDF\x01" + struct.pack(">i", 1) +
+           struct.pack(">ii", 0x0A, 1) + struct.pack(">i", 4) + b"time" +
+           struct.pack(">i", 0) + struct.pack(">ii", 0, 0) +
+           struct.pack(">ii", 0, 0))
+    with pytest.raises(NotImplementedError):
+        decode_netcdf(hdr)
