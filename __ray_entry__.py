@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_layer_info": R.vector_layer_info_q,
         "raster_netcdf_roundtrip": R.raster_netcdf_roundtrip_q,
         "vector_geojsonseq_roundtrip": R.vector_geojsonseq_roundtrip_q,
+        "raster_equalize": R.raster_equalize_q,
         **_tpch_queries(),
     }
 
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_layer_info": R.SQL_VECTOR_LAYER_INFO,
         "raster_netcdf_roundtrip": R.SQL_RASTER_NETCDF_ROUNDTRIP,
         "vector_geojsonseq_roundtrip": R.SQL_VECTOR_GEOJSONSEQ_ROUNDTRIP,
+        "raster_equalize": R.SQL_RASTER_EQUALIZE,
         **_tpch_oracles(),
     }
 

@@ -343,6 +343,7 @@ def _register_raster():
         batch_format="pyarrow")
     _REGISTRY["raster_update"] = _batch_stage(R2.raster_update)
     _REGISTRY["compare"] = _batch_stage(R2.compare_images)
+    _REGISTRY["equalize"] = _batch_stage(R2.equalize)
     from ..stages import vector as V2
     _REGISTRY["layer_info"] = lambda ds, wkb_col="wkb": \
         __import__("ray").data.from_arrow(V2.layer_info(ds, wkb_col=wkb_col))

@@ -8724,3 +8724,51 @@ SELECT f.fmt, s.n_features, s.fid_sum, s.sx_sum, s.sy_sum
 FROM sums s
 CROSS JOIN (SELECT UNNEST(['ndjson', 'rs']) AS fmt) f
 """
+
+
+def raster_equalize_q(sf_dir: str):
+    """gdalenhance histogram equalization on the driver surface
+    (apps/gdalenhance.cpp): per nation a derived 16×16 uint8 raster is
+    equalized by stages.raster2.equalize_array (bincount + cumsum LUT,
+    half-up rounding); the DuckDB replay builds the same CDF with a
+    window SUM and applies the identical double chain, so the equalized
+    pixel sum is exact."""
+    from ..stages.raster2 import equalize_array
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        k = np.arange(256, dtype=np.int64)
+        nk, eqs = [], []
+        for n in ks:
+            n = int(n)
+            v = ((n * 31 + k) % 211).astype(np.uint8).reshape(16, 16)
+            e = equalize_array(v)
+            nk.append(n)
+            eqs.append(int(e.astype(np.int64).sum()))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "eq_sum": pa.array(eqs, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_EQUALIZE = """
+WITH cells AS (
+    SELECT n.n_nationkey AS nk, (n.n_nationkey * 31 + c.k) % 211 AS v
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS k) c
+), counts AS (
+    SELECT nk, v, COUNT(*) AS c FROM cells GROUP BY nk, v
+), cdfs AS (
+    SELECT nk, v, c,
+           SUM(c) OVER (PARTITION BY nk ORDER BY v) AS cdf
+    FROM counts
+), cm AS (
+    SELECT nk, MIN(cdf) AS cmin FROM cdfs GROUP BY nk
+)
+SELECT d.nk AS n_nationkey,
+       CAST(SUM(d.c * FLOOR((d.cdf - m.cmin) * 255.0
+                            / (256 - m.cmin) + 0.5)) AS BIGINT) AS eq_sum
+FROM cdfs d JOIN cm m ON d.nk = m.nk
+GROUP BY d.nk
+"""

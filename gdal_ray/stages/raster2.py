@@ -479,3 +479,44 @@ def cutline(batch: pa.Table, cut_wkt: str, *, nodata: int = 0,
         ids.append(batch.column("image_id")[i].as_py())
     return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
                      "fmt": [out_fmt] * len(ids)})
+
+
+def equalize_array(img: np.ndarray) -> np.ndarray:
+    """Histogram equalization of one uint8 band — ``apps/gdalenhance.cpp``
+    equalize mode: LUT[v] = round((cdf(v) - cdf_min) / (N - cdf_min) * 255)
+    where cdf_min is the CDF at the smallest PRESENT value (the standard
+    rule; constant images map to 0).  Vectorized: one bincount + cumsum +
+    LUT gather; HALF-UP rounding so the DuckDB replay (floor(x+0.5))
+    matches bit-for-bit."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError("equalize_array expects uint8")
+    flat = a.reshape(-1)
+    counts = np.bincount(flat, minlength=256).astype(np.int64)
+    cdf = np.cumsum(counts)
+    n = flat.size
+    cmin = int(cdf[np.nonzero(counts)[0][0]]) if n else 0
+    denom = n - cmin
+    if denom <= 0:
+        return np.zeros_like(a)
+    lut = np.floor((cdf - cmin) * 255.0 / denom + 0.5).astype(np.uint8)
+    return lut[flat].reshape(a.shape)
+
+
+def equalize(batch: pa.Table, out_fmt: str = "png") -> pa.Table:
+    """Batch stage over (image_id, bytes, fmt): per-image histogram
+    equalization of every band independently."""
+    ids, outs = [], []
+    bts = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    for i in range(batch.num_rows):
+        img = codecs.decode(bts[i], fmts[i])
+        if img.ndim == 2:
+            out = equalize_array(img)
+        else:
+            out = np.stack([equalize_array(img[:, :, b])
+                            for b in range(img.shape[2])], axis=2)
+        outs.append(codecs.encode(out, out_fmt))
+        ids.append(batch.column("image_id")[i].as_py())
+    return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
+                     "fmt": [out_fmt] * len(ids)})

@@ -464,3 +464,34 @@ def test_netcdf3_record_dim_raises():
            struct.pack(">ii", 0, 0))
     with pytest.raises(NotImplementedError):
         decode_netcdf(hdr)
+
+
+# ---------- histogram equalization (gdalenhance analog) ----------
+
+def test_equalize_matches_brute_force():
+    from gdal_ray.stages.raster2 import equalize_array
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(20, 20)).astype(np.uint8)
+    e = equalize_array(a)
+    flat = a.ravel()
+    counts = np.bincount(flat, minlength=256)
+    cdf = np.cumsum(counts)
+    cmin = cdf[np.nonzero(counts)[0][0]]
+    exp = np.floor((cdf[flat].astype(float) - cmin) * 255.0
+                   / (flat.size - cmin) + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(e.ravel(), exp)
+    # full-range output on non-constant input; constant maps to zero
+    assert e.max() == 255
+    assert equalize_array(np.full((4, 4), 9, np.uint8)).max() == 0
+
+
+def test_equalize_batch_stage():
+    from gdal_ray.core import codecs
+    from gdal_ray.stages.raster2 import equalize, equalize_array
+    img = (np.arange(64).reshape(8, 8) % 11 * 20).astype(np.uint8)
+    b = pa.table({"image_id": [1],
+                  "bytes": [codecs.encode(img, "png")],
+                  "fmt": ["png"]})
+    out = equalize(b)
+    dec = codecs.decode(out.column("bytes")[0].as_py(), "png")
+    np.testing.assert_array_equal(dec, equalize_array(img))
