@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_netcdf_roundtrip": R.raster_netcdf_roundtrip_q,
         "vector_geojsonseq_roundtrip": R.vector_geojsonseq_roundtrip_q,
         "raster_equalize": R.raster_equalize_q,
+        "raster_xyz_roundtrip": R.raster_xyz_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -446,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_netcdf_roundtrip": R.SQL_RASTER_NETCDF_ROUNDTRIP,
         "vector_geojsonseq_roundtrip": R.SQL_VECTOR_GEOJSONSEQ_ROUNDTRIP,
         "raster_equalize": R.SQL_RASTER_EQUALIZE,
+        "raster_xyz_roundtrip": R.SQL_RASTER_XYZ_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

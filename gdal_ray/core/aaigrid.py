@@ -89,3 +89,65 @@ def decode_aaigrid(data: bytes):
     arr = arr.reshape(nrows, ncols)
     gt = (xll, dx, 0.0, yll + nrows * dy, 0.0, -dy)
     return arr, gt, nodata
+
+
+# ---------- XYZ ASCII driver (frmts/xyz/xyzdataset.cpp) ----------
+
+def encode_xyz(arr: np.ndarray, *, xll: float = 0.0, yll: float = 0.0,
+               cellsize: float = 1.0, header: bool = True) -> bytes:
+    """2-D array (row 0 = north) -> 'x y z' lines at CELL CENTERS,
+    x-fastest then y, north-to-south scan — the reference writer's
+    ordering (frmts/xyz XYZDataset::CreateCopy)."""
+    arr = np.asarray(arr)
+    nrows, ncols = arr.shape
+    xs = xll + (np.arange(ncols) + 0.5) * cellsize
+    lines = ["X Y Z"] if header else []
+    for i in range(nrows):
+        y = yll + (nrows - i - 0.5) * cellsize
+        row = arr[i]
+        if np.issubdtype(arr.dtype, np.integer):
+            lines.extend(f"{_num(x)} {_num(y)} {int(v)}"
+                         for x, v in zip(xs, row))
+        else:
+            lines.extend(f"{_num(x)} {_num(y)} {_num(v)}"
+                         for x, v in zip(xs, row))
+    return ("\n".join(lines) + "\n").encode("ascii")
+
+
+def decode_xyz(data: bytes):
+    """'x y z' lines (any separator in [ ,;\\t], optional header, either
+    y scan direction) -> (array row 0 = north, geotransform).  The
+    reference infers the grid from the coordinate steps; columns must
+    form a regular grid."""
+    text = data.decode("ascii", errors="replace")
+    rows = []
+    for line in text.splitlines():
+        line = line.strip().replace(",", " ").replace(";", " ")
+        if not line:
+            continue
+        parts = line.split()
+        try:
+            rows.append((float(parts[0]), float(parts[1]),
+                         float(parts[2])))
+        except ValueError:
+            continue                      # header line
+    if not rows:
+        raise ValueError("XYZ: no data lines")
+    a = np.asarray(rows, dtype=np.float64)
+    xs = np.unique(a[:, 0])
+    ys = np.unique(a[:, 1])
+    ncols, nrows = len(xs), len(ys)
+    if ncols * nrows != len(a):
+        raise ValueError("XYZ: points do not form a regular grid")
+    dx = float(xs[1] - xs[0]) if ncols > 1 else 1.0
+    dy = float(ys[1] - ys[0]) if nrows > 1 else 1.0
+    ci = np.searchsorted(xs, a[:, 0])
+    ri = (nrows - 1) - np.searchsorted(ys, a[:, 1])  # row 0 = north
+    grid = np.empty((nrows, ncols), dtype=np.float64)
+    grid[ri, ci] = a[:, 2]
+    z = a[:, 2]
+    if np.all(z == np.floor(z)) and np.abs(z).max() < 2**31:
+        grid = grid.astype(np.int32)
+    gt = (float(xs[0]) - dx / 2.0, dx, 0.0,
+          float(ys[-1]) + dy / 2.0, 0.0, -dy)
+    return grid, gt

@@ -8772,3 +8772,49 @@ SELECT d.nk AS n_nationkey,
 FROM cdfs d JOIN cm m ON d.nk = m.nk
 GROUP BY d.nk
 """
+
+
+def raster_xyz_roundtrip_q(sf_dir: str):
+    """XYZ ASCII driver on the driver surface (frmts/xyz): per nation a
+    derived 8×6 int grid is written as cell-center 'x y z' lines (dyadic
+    origins/cellsize so the text round-trips exactly) and re-gridded by
+    the REAL reader (unique-coordinate grid inference); the decoded sum
+    and the geotransform's north edge ×4 are closed forms."""
+    from ..core.aaigrid import decode_xyz, encode_xyz
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        ii, jj = np.meshgrid(np.arange(6), np.arange(8), indexing="ij")
+        nk, vsum, north4 = [], [], []
+        for n in ks:
+            n = int(n)
+            grid = ((n * 31 + ii * 8 + jj) % 127).astype(np.int32)
+            blob = encode_xyz(grid, xll=n + 0.5, yll=2 * n + 0.25,
+                              cellsize=0.5)
+            a2, gt2 = decode_xyz(blob)
+            assert a2.dtype == np.int32
+            nk.append(n)
+            vsum.append(int(a2.astype(np.int64).sum()))
+            north4.append(int(np.round(gt2[3] * 4)))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "valid_sum": pa.array(vsum, pa.int64()),
+                         "north4": pa.array(north4, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_XYZ_ROUNDTRIP = """
+-- north edge = yll + nrows*cellsize = 2n + 0.25 + 3.0; ×4 = 8n + 13
+WITH cells AS (
+    SELECT n.n_nationkey AS nk,
+           (n.n_nationkey * 31 + c.ij) % 127 AS v
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 47)) AS ij) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM(v) AS BIGINT) AS valid_sum,
+       CAST(8 * nk + 13 AS BIGINT) AS north4
+FROM cells
+GROUP BY nk
+"""

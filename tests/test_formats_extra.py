@@ -495,3 +495,22 @@ def test_equalize_batch_stage():
     out = equalize(b)
     dec = codecs.decode(out.column("bytes")[0].as_py(), "png")
     np.testing.assert_array_equal(dec, equalize_array(img))
+
+
+# ---------- XYZ ASCII driver ----------
+
+def test_xyz_roundtrip_and_foreign_forms():
+    from gdal_ray.core.aaigrid import decode_xyz, encode_xyz
+    a = ((np.arange(20).reshape(4, 5) * 13) % 97).astype(np.int32)
+    a2, gt = decode_xyz(encode_xyz(a, xll=10.0, yll=20.0, cellsize=2.0))
+    np.testing.assert_array_equal(a, a2)
+    assert a2.dtype == np.int32
+    assert gt == (10.0, 2.0, 0.0, 28.0, 0.0, -2.0)
+    # comma-separated, headerless, south-to-north scan order
+    f = np.array([[1.5, 2.5], [3.5, 4.5]])
+    lines = [f"{j + 0.5},{0.5 + (1 - i)},{f[i, j]!r}"
+             for i in range(2) for j in range(2)]
+    f2, _ = decode_xyz("\n".join(lines[2:] + lines[:2]).encode())
+    np.testing.assert_array_equal(f, f2)
+    with pytest.raises(ValueError):
+        decode_xyz(b"0.5 0.5 1\n1.5 0.5 2\n1.5 1.5 3\n")  # irregular
