@@ -573,7 +573,10 @@ def parse_csv_bytes(data: bytes, *, autodetect: bool = True) -> pa.Table:
 
     from ..core import wkt as _wkt
 
-    rows = list(_csv.reader(io.StringIO(data.decode("utf-8"))))
+    # newline='' keeps bare \r inside quoted fields intact (csv module
+    # requirement; a plain StringIO raises "new-line character seen in
+    # unquoted field" — found by the hypothesis suite)
+    rows = list(_csv.reader(io.StringIO(data.decode("utf-8"), newline="")))
     if not rows:
         return pa.table({})
     header, body = rows[0], rows[1:]
@@ -587,8 +590,27 @@ def parse_csv_bytes(data: bytes, *, autodetect: bool = True) -> pa.Table:
             and all(v.lstrip().upper().startswith(_WKT_LEAD)
                     for v in nonempty))
         if is_wkt:
-            blobs = [None if v == ""
-                     else wkb.dumps(_wkt.loads_wkt(v)) for v in vals]
+            try:
+                blobs = [None if v == ""
+                         else wkb.dumps(_wkt.loads_wkt(v)) for v in vals]
+            except (ValueError, IndexError):
+                if name.upper() != "WKT":
+                    # heuristic misfire ("point of sale", "tin roof" …):
+                    # fall back to a plain string column
+                    arrays.append(pa.array(
+                        [None if v == "" else v for v in vals],
+                        pa.string()))
+                    names.append(name)
+                    continue
+                # an explicit WKT column keeps per-value null-on-error
+                # (the reference's null-geometry behavior for bad WKT)
+                blobs = []
+                for v in vals:
+                    try:
+                        blobs.append(None if v == ""
+                                     else wkb.dumps(_wkt.loads_wkt(v)))
+                    except (ValueError, IndexError):
+                        blobs.append(None)
             arrays.append(pa.array(blobs, pa.binary()))
             names.append("wkb")
             continue

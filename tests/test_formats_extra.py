@@ -514,3 +514,14 @@ def test_xyz_roundtrip_and_foreign_forms():
     np.testing.assert_array_equal(f, f2)
     with pytest.raises(ValueError):
         decode_xyz(b"0.5 0.5 1\n1.5 0.5 2\n1.5 1.5 3\n")  # irregular
+
+
+def test_csv_wkt_misfire_and_bad_wkt_fallbacks():
+    # heuristic misfire ("point of sale") stays a string column; an
+    # explicit WKT column nulls unparseable values (reference behavior)
+    t = VF.parse_csv_bytes(b"a\npoint of sale\ntin roof\n")
+    assert t.schema.field("a").type == pa.string()
+    assert t.column("a").to_pylist() == ["point of sale", "tin roof"]
+    t2 = VF.parse_csv_bytes(b"WKT\nPOINT (1 2)\ngarbage\n")
+    vals = t2.column("wkb").to_pylist()
+    assert vals[0] is not None and vals[1] is None
