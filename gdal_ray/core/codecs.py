@@ -347,6 +347,12 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
         if bw:   # horizontal differencing for ints, byte-split for floats
             pred = 3 if np.issubdtype(np.asarray(img).dtype, np.floating) else 2
         return _tiff.encode_tiff(img, predictor=pred)
+    if fmt == "aaigrid":
+        from . import aaigrid as _aai
+        return _aai.encode_aaigrid(np.asarray(img))
+    if fmt == "xyz":
+        from . import aaigrid as _aai
+        return _aai.encode_xyz(np.asarray(img))
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -397,6 +403,12 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt in ("tif", "tiff"):
         from . import tiff as _tiff
         return _tiff.decode_tiff(data)
+    if fmt == "aaigrid":
+        from . import aaigrid as _aai
+        return _aai.decode_aaigrid(data)[0]
+    if fmt == "xyz":
+        from . import aaigrid as _aai
+        return _aai.decode_xyz(data)[0]
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

@@ -525,3 +525,11 @@ def test_csv_wkt_misfire_and_bad_wkt_fallbacks():
     t2 = VF.parse_csv_bytes(b"WKT\nPOINT (1 2)\ngarbage\n")
     vals = t2.column("wkb").to_pylist()
     assert vals[0] is not None and vals[1] is None
+
+
+def test_codecs_dispatch_aaigrid_xyz():
+    from gdal_ray.core import codecs
+    a = ((np.arange(24).reshape(4, 6) * 5) % 97).astype(np.int32)
+    for fmt in ("aaigrid", "xyz"):
+        np.testing.assert_array_equal(codecs.decode(codecs.encode(a, fmt),
+                                                    fmt), a)
