@@ -16,14 +16,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_aaigrid", "decode_aaigrid"]
+from .wkt import format_double as _num
 
-
-def _num(v: float) -> str:
-    f = float(v)
-    if f == int(f) and abs(f) < 1e15:
-        return str(int(f))
-    return repr(f)
+__all__ = ["encode_aaigrid", "decode_aaigrid", "encode_xyz", "decode_xyz"]
 
 
 def encode_aaigrid(arr: np.ndarray, *, xll: float = 0.0, yll: float = 0.0,
@@ -141,8 +136,15 @@ def decode_xyz(data: bytes):
         raise ValueError("XYZ: points do not form a regular grid")
     dx = float(xs[1] - xs[0]) if ncols > 1 else 1.0
     dy = float(ys[1] - ys[0]) if nrows > 1 else 1.0
+    # regular spacing check: duplicates+gaps can pass the count test
+    if (ncols > 1 and not np.allclose(np.diff(xs), dx, rtol=1e-9)) or \
+            (nrows > 1 and not np.allclose(np.diff(ys), dy, rtol=1e-9)):
+        raise ValueError("XYZ: points do not form a regular grid")
     ci = np.searchsorted(xs, a[:, 0])
     ri = (nrows - 1) - np.searchsorted(ys, a[:, 1])  # row 0 = north
+    cells = ri * ncols + ci
+    if len(np.unique(cells)) != len(a):
+        raise ValueError("XYZ: duplicate grid points")
     grid = np.empty((nrows, ncols), dtype=np.float64)
     grid[ri, ci] = a[:, 2]
     z = a[:, 2]

@@ -27,7 +27,7 @@ _TYPES = {1: ">i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
 _SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}
 _CODES = {np.dtype(np.int8): 1, np.dtype(np.int16): 3,
           np.dtype(np.int32): 4, np.dtype(np.float32): 5,
-          np.dtype(np.float64): 6, np.dtype(np.uint8): 1}
+          np.dtype(np.float64): 6}
 
 
 def _pad4(b: bytes) -> bytes:
@@ -46,8 +46,13 @@ def _attr_bytes(name: str, v) -> bytes:
     arr = np.atleast_1d(np.asarray(v))
     code = _CODES.get(arr.dtype)
     if code is None:
-        arr = arr.astype(np.float64)
-        code = 6
+        if np.issubdtype(arr.dtype, np.integer) and \
+                (arr >= -2**31).all() and (arr < 2**31).all():
+            arr = arr.astype(np.int32)   # netCDF-3 has no 64-bit: NC_INT
+            code = 4                     # when in range, else double below
+        else:
+            arr = arr.astype(np.float64)
+            code = 6
     raw = arr.astype(_TYPES[code]).tobytes()
     return _name(name) + struct.pack(">ii", code, len(arr)) + _pad4(raw)
 
@@ -79,6 +84,13 @@ def encode_netcdf(dims: dict, variables: dict,
     for vn in vorder:
         v = variables[vn]
         arr = np.asarray(v["data"])
+        vattrs = dict(v.get("attrs") or {})
+        if arr.dtype == np.uint8:
+            # netCDF-3 classic has no unsigned types: store as NC_BYTE
+            # with the standard _Unsigned="true" marker (same convention
+            # the reference's netCDF driver reads Byte rasters through)
+            arr = arr.view(np.int8)
+            vattrs.setdefault("_Unsigned", "true")
         code = _CODES.get(arr.dtype)
         if code is None:
             raise ValueError(f"netCDF-3 cannot store dtype {arr.dtype}")
@@ -86,7 +98,7 @@ def encode_netcdf(dims: dict, variables: dict,
         vsize += -vsize % 4
         head = (_name(vn) + struct.pack(">i", len(v["dims"])) +
                 b"".join(struct.pack(">i", dimids[d]) for d in v["dims"]) +
-                _attrs_block(v.get("attrs") or {}) +
+                _attrs_block(vattrs) +
                 struct.pack(">ii", code, vsize))
         vheads.append((head, arr, code, vsize))
     fixed = len(header) + struct.pack(">ii", _NC_VARIABLE, len(vorder)) \
@@ -167,8 +179,8 @@ def decode_netcdf(data: bytes):
         n = int(np.prod(shape)) if shape else 1
         arr = np.frombuffer(buf, dtype=_TYPES[code], count=n,
                             offset=begin).reshape(shape)
-        variables[vn] = {"dims": vdims,
-                         "data": arr.astype(
-                             np.dtype(_TYPES[code]).newbyteorder("=")),
-                         "attrs": vatts}
+        arr = arr.astype(np.dtype(_TYPES[code]).newbyteorder("="))
+        if code == 1 and str(vatts.get("_Unsigned", "")).lower() == "true":
+            arr = arr.view(np.uint8)     # the CF/_Unsigned byte convention
+        variables[vn] = {"dims": vdims, "data": arr, "attrs": vatts}
     return dict(zip(dimnames, dimlens)), variables, gatts

@@ -11,24 +11,31 @@ OGRFormatDouble trims trailing zeros)."""
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
 
 from . import wkb as _wkb
 
-__all__ = ["dumps_wkt", "loads_wkt"]
+__all__ = ["dumps_wkt", "loads_wkt", "format_double"]
 
 
 # ---------- formatting ----------
 
-def _num(v: float) -> str:
+def format_double(v: float) -> str:
     """Shortest decimal that round-trips (repr), integers without '.0' —
-    matches OGR's trimmed OGRFormatDouble output for exact values."""
+    matches OGR's trimmed OGRFormatDouble output for exact values.
+    Non-finite values print as nan/inf/-inf (float() parses them back)."""
     f = float(v)
+    if not math.isfinite(f):
+        return repr(f)          # 'nan' / 'inf' / '-inf'
     if f == int(f) and abs(f) < 1e15:
         return str(int(f))
     return repr(f)
+
+
+_num = format_double
 
 
 def _coords(xy, z=None, m=None) -> str:
@@ -62,6 +69,11 @@ def dumps_wkt(g) -> str:
     t = g["type"]
     tag = _zm_tag(g)
     if t == "Point":
+        xy = np.asarray(g["xy"], dtype=np.float64).reshape(2)
+        if not np.isfinite(xy).all():
+            # the wkb-model EMPTY-point convention (NaN ordinates) —
+            # OGR exports it as POINT EMPTY
+            return "POINT EMPTY"
         return ("POINT" + tag + " (" +
                 _coords(np.asarray(g["xy"]).reshape(1, 2),
                         None if "z" not in g else [g["z"]],

@@ -30,14 +30,9 @@ import pyarrow as pa
 
 from ..core import mercator, mvt
 
+from .dedup import _splitmix   # the one shared splitmix64 (CLAUDE.md rule)
+
 _NBUCKETS = 64
-
-
-def _splitmix(x: np.ndarray) -> np.ndarray:
-    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
 
 
 def point_vector_tiles(pts, zoom: int, *, layer: str = "points",
@@ -61,8 +56,11 @@ def point_vector_tiles(pts, zoom: int, *, layer: str = "points",
         ly = np.floor(((ty_tms + 1) * 256.0 - py) * scale + 0.5).astype(np.int64)
         key = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
         return pa.table({
+            # NB: _splitmix needs uint64 input (int64 + uint64 promotes to
+            # float64 in numpy, collapsing nearby keys to one hash)
             "bucket": pa.array(
-                (_splitmix(key) & np.uint64(_NBUCKETS - 1)).astype(np.int64),
+                (_splitmix(key.astype(np.uint64))
+                 & np.uint64(_NBUCKETS - 1)).astype(np.int64),
                 pa.int64()),
             "tile_key": pa.array(key, pa.int64()),
             "fid": pa.array(fid, pa.int64()),

@@ -554,7 +554,7 @@ def read_flatgeobuf(paths) -> "ray.data.Dataset":
 
 _CSV_INT = __import__("re").compile(r"[-+]?\d+\Z")
 _CSV_FLOAT = __import__("re").compile(
-    r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?\Z")
+    r"[-+]?((\d+\.?\d*|\.\d+)([eE][-+]?\d+)?|nan|inf|NAN|INF)\Z")
 _WKT_LEAD = ("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
              "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
              "CIRCULARSTRING", "TRIANGLE", "TIN", "POLYHEDRALSURFACE")
@@ -626,7 +626,18 @@ def parse_csv_bytes(data: bytes, *, autodetect: bool = True) -> pa.Table:
             arrays.append(pa.array(
                 [None if v == "" else v for v in vals], pa.string()))
         names.append(name)
-    return pa.table(dict(zip(names, arrays)))
+    # duplicate headers: uniquify a, a_1, a_2 … (the reference driver's
+    # behavior) instead of letting dict() silently drop columns
+    seen: dict = {}
+    uniq = []
+    for nm in names:
+        if nm in seen:
+            seen[nm] += 1
+            uniq.append(f"{nm}_{seen[nm]}")
+        else:
+            seen[nm] = 0
+            uniq.append(nm)
+    return pa.table(dict(zip(uniq, arrays)))
 
 
 def read_csv(paths) -> "ray.data.Dataset":
@@ -741,15 +752,17 @@ def parse_kml_bytes(data: bytes) -> pa.Table:
                 "{*}coordinates", default=el.findtext("coordinates", "")))
             return {"type": "LineString", "xy": xy}
         if t == "Polygon":
-            rings = []
+            outer, inner = [], []
             for bnd in el:
                 b = _strip_ns(bnd.tag)
                 if b in ("outerBoundaryIs", "innerBoundaryIs"):
                     for lr in bnd.iter():
                         if _strip_ns(lr.tag) == "coordinates":
-                            rings.append(_kml_parse_coords(lr.text))
-            # outer first regardless of document order
-            return {"type": "Polygon", "rings": rings}
+                            (outer if b == "outerBoundaryIs"
+                             else inner).append(_kml_parse_coords(lr.text))
+            # outer first regardless of document order (lenient parsers
+            # accept innerBoundaryIs preceding outerBoundaryIs)
+            return {"type": "Polygon", "rings": outer + inner}
         return None
 
     for pm in root.iter():

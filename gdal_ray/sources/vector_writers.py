@@ -685,7 +685,7 @@ def csv_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
         if v is None:
             return ""
         if isinstance(v, float):
-            return repr(v) if v != int(v) or abs(v) >= 1e15 else str(int(v))
+            return _wkt.format_double(v)   # NaN/inf-safe shortest repr
         if isinstance(v, bytes):
             return v.hex()
         return str(v)

@@ -533,3 +533,81 @@ def test_codecs_dispatch_aaigrid_xyz():
     for fmt in ("aaigrid", "xyz"):
         np.testing.assert_array_equal(codecs.decode(codecs.encode(a, fmt),
                                                     fmt), a)
+
+
+# ---------- code-review regression pins ----------
+
+def test_netcdf3_uint8_unsigned_convention():
+    from gdal_ray.core.netcdf3 import decode_netcdf, encode_netcdf
+    a = np.array([[200, 10], [255, 0]], np.uint8)
+    _, vs, _ = decode_netcdf(encode_netcdf(
+        {"y": 2, "x": 2}, {"v": {"dims": ("y", "x"), "data": a}}, {}))
+    assert vs["v"]["data"].dtype == np.uint8
+    np.testing.assert_array_equal(vs["v"]["data"], a)
+    assert str(vs["v"]["attrs"]["_Unsigned"]).lower() == "true"
+
+
+def test_netcdf3_int_attrs_stay_integral():
+    from gdal_ray.core.netcdf3 import decode_netcdf, encode_netcdf
+    _, vs, g = decode_netcdf(encode_netcdf(
+        {"x": 1}, {"v": {"dims": ("x",), "data": np.array([1], np.int16),
+                         "attrs": {"flag": 7}}}, {"version": 3}))
+    assert np.atleast_1d(g["version"]).dtype == np.int32
+    assert np.atleast_1d(vs["v"]["attrs"]["flag"]).dtype == np.int32
+    # out-of-NC_INT-range ints fall back to double (netCDF-3 has no int64)
+    _, _, g2 = decode_netcdf(encode_netcdf(
+        {"x": 1}, {"v": {"dims": ("x",), "data": np.array([1], np.int16)}},
+        {"big": 2**40}))
+    assert float(np.atleast_1d(g2["big"])[0]) == 2.0**40
+
+
+def test_wkt_point_empty_export_and_nonfinite():
+    assert W.dumps_wkt(W.loads_wkt("POINT EMPTY")) == "POINT EMPTY"
+    assert W.format_double(float("nan")) == "nan"
+    assert W.format_double(float("-inf")) == "-inf"
+
+
+def test_csv_nan_inf_roundtrip():
+    tab = pa.table({"f": pa.array([float("nan"), float("inf"), 1.5],
+                                  pa.float64())})
+    t2 = VF.parse_csv_bytes(VW.csv_bytes(tab))
+    vals = t2.column("f").to_pylist()
+    assert np.isnan(vals[0]) and vals[1] == float("inf") and vals[2] == 1.5
+    assert t2.schema.field("f").type == pa.float64()
+
+
+def test_csv_duplicate_headers_uniquified():
+    t = VF.parse_csv_bytes(b"a,a\n1,2\n")
+    assert t.column_names == ["a", "a_1"]
+    assert t.column("a").to_pylist() == [1]
+    assert t.column("a_1").to_pylist() == [2]
+
+
+def test_aaigrid_xyz_nan_cells():
+    from gdal_ray.core.aaigrid import (decode_aaigrid, decode_xyz,
+                                       encode_aaigrid, encode_xyz)
+    f = np.array([[1.5, float("nan")]])
+    f2, _, _ = decode_aaigrid(encode_aaigrid(f))
+    assert f2[0, 0] == 1.5 and np.isnan(f2[0, 1])
+    f3, _ = decode_xyz(encode_xyz(f))
+    assert f3[0, 0] == 1.5 and np.isnan(f3[0, 1])
+
+
+def test_xyz_duplicate_and_gap_detection():
+    from gdal_ray.core.aaigrid import decode_xyz
+    with pytest.raises(ValueError):   # duplicate point + missing cell
+        decode_xyz(b"0.5 0.5 1\n0.5 0.5 2\n1.5 0.5 3\n1.5 1.5 4\n")
+    with pytest.raises(ValueError):   # irregular column spacing
+        decode_xyz(b"0.5 0.5 1\n1.5 0.5 2\n3.5 0.5 3\n")
+
+
+def test_kml_inner_before_outer_ring_order():
+    k = (b'<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+         b'<Placemark><Polygon>'
+         b'<innerBoundaryIs><LinearRing><coordinates>1,1 2,1 2,2 1,1'
+         b'</coordinates></LinearRing></innerBoundaryIs>'
+         b'<outerBoundaryIs><LinearRing><coordinates>0,0 4,0 4,4 0,0'
+         b'</coordinates></LinearRing></outerBoundaryIs>'
+         b'</Polygon></Placemark></Document></kml>')
+    g = wkb.loads(VF.parse_kml_bytes(k).column("wkb").to_pylist()[0])
+    assert g["rings"][0][:, 0].max() == 4.0    # outer shell first
