@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_geojsonseq_roundtrip": R.vector_geojsonseq_roundtrip_q,
         "raster_equalize": R.raster_equalize_q,
         "raster_xyz_roundtrip": R.raster_xyz_roundtrip_q,
+        "vector_pmtiles_roundtrip": R.vector_pmtiles_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_geojsonseq_roundtrip": R.SQL_VECTOR_GEOJSONSEQ_ROUNDTRIP,
         "raster_equalize": R.SQL_RASTER_EQUALIZE,
         "raster_xyz_roundtrip": R.SQL_RASTER_XYZ_ROUNDTRIP,
+        "vector_pmtiles_roundtrip": R.SQL_VECTOR_PMTILES_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

@@ -188,3 +188,66 @@ def phash_neardup_pairs(images: "ray.data.Dataset", *, max_hamming: int = 3,
     from .shuffle_utils import grouped_map_groups
     return grouped_map_groups(filter_multi_keys(rows, "bval"),
                               "bval", pairs)
+
+
+def write_pmtiles(tiles: "ray.data.Dataset", out_dir: str, *,
+                  tile_type: str = "mvt", payload_col: str = "mvt",
+                  metadata: dict | None = None) -> "ray.data.Dataset":
+    """PMTiles v3 sink (ogr/ogrsf_frmts/pmtiles analog): one archive per
+    block of (z, x, y, payload) rows — the partitioned-archive shape the
+    root-directory-only writer requires and the resumable-output story
+    wants (re-runs re-produce identical content-hash names).  Returns the
+    manifest Dataset (path, n_tiles, n_bytes)."""
+    import hashlib
+    import os
+
+    from ..core import pmtiles as PMT
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_tiles": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        rows = list(zip(
+            (int(v) for v in b.column("z").to_pylist()),
+            (int(v) for v in b.column("x").to_pylist()),
+            (int(v) for v in b.column("y").to_pylist()),
+            b.column(payload_col).to_pylist()))
+        blob = PMT.encode_pmtiles(rows, tile_type=tile_type,
+                                  metadata=metadata)
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.pmtiles")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_tiles": pa.array([b.num_rows], pa.int64()),
+                         "n_bytes": pa.array([len(blob)], pa.int64())})
+
+    return tiles.map_batches(fn, batch_format="pyarrow")
+
+
+def read_pmtiles(paths) -> "ray.data.Dataset":
+    """One task per .pmtiles archive → (z, x, y, payload) rows."""
+    from ..core import pmtiles as PMT
+
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        zs, xs, ys, ps = [], [], [], []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tiles, _meta = PMT.decode_pmtiles(f.read())
+            for z, x, y, payload in tiles:
+                zs.append(z); xs.append(x); ys.append(y); ps.append(payload)
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "payload": pa.array(ps, pa.binary())})
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -182,6 +182,21 @@ def _write_arrow(ds, out_dir: str):
     return write_arrow_ipc(ds, out_dir)
 
 
+@register("write_pmtiles")
+def _write_pmtiles(ds, out_dir: str, tile_type: str = "mvt",
+                   payload_col: str = "mvt"):
+    from .catalog import write_pmtiles
+    return write_pmtiles(ds, out_dir, tile_type=tile_type,
+                         payload_col=payload_col)
+
+
+@register("read_pmtiles")
+def _read_pmtiles(ds, path):
+    from .catalog import read_pmtiles
+    assert ds is None
+    return read_pmtiles(path)
+
+
 @register("write_cog")
 def _write_cog(ds, out_dir: str, tile_size=256, compression: str = "deflate",
                resampling: str = "average"):

@@ -97,3 +97,52 @@ def test_point_vector_tiles_pipeline(ray_session):
         got = sorted((f["id"], int(f["xy"][0, 0]), int(f["xy"][0, 1]))
                      for f in feats)
         assert got == sorted(exp[(t["x"], t["y"])])
+
+
+# ---------- PMTiles ----------
+
+def test_pmtiles_tile_id_inverse():
+    from gdal_ray.core.pmtiles import _id_to_zxy, tile_id
+    rng = np.random.default_rng(5)
+    for z in range(0, 10):
+        for _ in range(15):
+            x = int(rng.integers(0, 1 << z)) if z else 0
+            y = int(rng.integers(0, 1 << z)) if z else 0
+            assert _id_to_zxy(tile_id(z, x, y)) == (z, x, y)
+
+
+def test_pmtiles_archive_roundtrip_and_dedup():
+    import struct
+
+    from gdal_ray.core.pmtiles import (decode_pmtiles, encode_pmtiles,
+                                       get_tile)
+    tiles = [(3, 1, 2, b"payload-a"), (3, 5, 5, b"payload-b"),
+             (4, 9, 9, b"payload-a"), (0, 0, 0, b"root")]
+    blob = encode_pmtiles(tiles, tile_type="mvt", metadata={"name": "t"})
+    assert blob[:7] == b"PMTiles" and blob[7] == 3
+    out, meta = decode_pmtiles(blob)
+    assert meta == {"name": "t"}
+    assert sorted(out) == sorted(tiles)
+    assert get_tile(blob, 3, 5, 5) == b"payload-b"
+    assert get_tile(blob, 3, 0, 0) is None
+    # identical payloads share one tile content (header word 88)
+    assert struct.unpack_from("<Q", blob, 88)[0] == 3
+    # deterministic bytes (gzip mtime=0)
+    assert encode_pmtiles(tiles, tile_type="mvt",
+                          metadata={"name": "t"}) == blob
+
+
+def test_pmtiles_sink_and_reader(ray_session, tmp_path):
+    import ray
+
+    from gdal_ray.pipelines.catalog import read_pmtiles, write_pmtiles
+    tab = pa.table({"z": pa.array([2, 2, 3], pa.int64()),
+                    "x": pa.array([1, 3, 7], pa.int64()),
+                    "y": pa.array([1, 2, 5], pa.int64()),
+                    "mvt": pa.array([b"a", b"b", b"c"], pa.binary())})
+    man = write_pmtiles(ray.data.from_arrow(tab), str(tmp_path / "o")) \
+        .take_all()
+    assert sum(r["n_tiles"] for r in man) == 3
+    back = read_pmtiles([r["path"] for r in man]).take_all()
+    got = sorted((r["z"], r["x"], r["y"], r["payload"]) for r in back)
+    assert got == [(2, 1, 1, b"a"), (2, 3, 2, b"b"), (3, 7, 5, b"c")]
