@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_equalize": R.raster_equalize_q,
         "raster_xyz_roundtrip": R.raster_xyz_roundtrip_q,
         "vector_pmtiles_roundtrip": R.vector_pmtiles_roundtrip_q,
+        "raster_zarr_roundtrip": R.raster_zarr_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -450,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_equalize": R.SQL_RASTER_EQUALIZE,
         "raster_xyz_roundtrip": R.SQL_RASTER_XYZ_ROUNDTRIP,
         "vector_pmtiles_roundtrip": R.SQL_VECTOR_PMTILES_ROUNDTRIP,
+        "raster_zarr_roundtrip": R.SQL_RASTER_ZARR_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

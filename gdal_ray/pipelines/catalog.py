@@ -251,3 +251,41 @@ def read_pmtiles(paths) -> "ray.data.Dataset":
                          "payload": pa.array(ps, pa.binary())})
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def read_zarr_chunks(path: str) -> "ray.data.Dataset":
+    """Zarr v2 store -> one row PER CHUNK (ci, cj, data bytes, valid_h,
+    valid_w, dtype) — the chunk grid IS the parallelism (frmts/zarr
+    analog, Ray-native shape: each chunk file is an independent ranged
+    read; edge chunks carry their cropped valid extent)."""
+    from ..core import zarr2 as Z
+
+    meta = Z.read_zarr_meta(path)
+    h, w = meta["shape"]
+    ch, cw = meta["chunks"]
+    items = [{"path": path, "ci": ci, "cj": cj} for ci, cj in
+             Z.chunk_grid(meta)]
+    ds = ray.data.from_items(items)
+
+    def load(b: pa.Table) -> pa.Table:
+        cis = b.column("ci").to_pylist()
+        cjs = b.column("cj").to_pylist()
+        out = {"ci": [], "cj": [], "data": [], "valid_h": [], "valid_w": [],
+               "dtype": []}
+        for ci, cj in zip(cis, cjs):
+            blk = Z.read_zarr_chunk(path, meta, ci, cj)
+            out["ci"].append(ci)
+            out["cj"].append(cj)
+            out["data"].append(blk.tobytes())
+            out["valid_h"].append(min(ch, h - ci * ch))
+            out["valid_w"].append(min(cw, w - cj * cw))
+            out["dtype"].append(str(blk.dtype))
+        return pa.table({
+            "ci": pa.array(out["ci"], pa.int64()),
+            "cj": pa.array(out["cj"], pa.int64()),
+            "data": pa.array(out["data"], pa.binary()),
+            "valid_h": pa.array(out["valid_h"], pa.int64()),
+            "valid_w": pa.array(out["valid_w"], pa.int64()),
+            "dtype": pa.array(out["dtype"], pa.string())})
+
+    return ds.map_batches(load, batch_format="pyarrow")

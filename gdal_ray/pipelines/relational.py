@@ -8877,3 +8877,83 @@ def vector_pmtiles_roundtrip_q(sf_dir: str):
 
 # identical tile/feature closed form — the archive roundtrip is identity
 SQL_VECTOR_PMTILES_ROUNDTRIP = SQL_VECTOR_MVT_TILES
+
+
+def raster_zarr_roundtrip_q(sf_dir: str):
+    """Zarr v2 driver on the driver surface (frmts/zarr): per nation a
+    derived 20×18 int32 grid is written as a chunked zlib Zarr store
+    (core/zarr2, 8×8 chunks → padded edge chunks) and read back CHUNK-
+    PARALLEL through catalog.read_zarr_chunks; per-chunk partial sums
+    over the cropped valid region aggregate to the grid's closed form,
+    and the chunk count pins the grid geometry."""
+    import tempfile
+
+    from ..core.zarr2 import write_zarr
+
+    import ray.data as rd
+
+    from ..core.zarr2 import chunk_grid, read_zarr_chunk, read_zarr_meta
+
+    nat = sorted(r["n_nationkey"] for r in
+                 _read(sf_dir, "nation", ["n_nationkey"]).take_all())
+    ii, jj = np.meshgrid(np.arange(20), np.arange(18), indexing="ij")
+    # write the stores, then ONE flat chunk dataset over every
+    # (store, chunk) pair — a single pipeline, not 25 unioned ones
+    items = []
+    for n in nat:
+        n = int(n)
+        grid = ((n * 31 + ii * 18 + jj) % 311).astype(np.int32)
+        d = tempfile.mkdtemp(prefix=f"zarr{n}_")
+        write_zarr(d, grid, chunks=(8, 8))
+        meta = read_zarr_meta(d)
+        for ci, cj in chunk_grid(meta):
+            items.append({"nk": n, "path": d, "ci": ci, "cj": cj})
+
+    def measure(b: pa.Table) -> pa.Table:
+        nks, sums, cnts = [], [], []
+        metas: dict = {}
+        for i in range(b.num_rows):
+            path = b.column("path")[i].as_py()
+            if path not in metas:
+                metas[path] = read_zarr_meta(path)
+            meta = metas[path]
+            blk = read_zarr_chunk(path, meta,
+                                  b.column("ci")[i].as_py(),
+                                  b.column("cj")[i].as_py())
+            h, w = meta["shape"]
+            ch, cw = meta["chunks"]
+            vh = min(ch, h - b.column("ci")[i].as_py() * ch)
+            vw = min(cw, w - b.column("cj")[i].as_py() * cw)
+            nks.append(b.column("nk")[i].as_py())
+            sums.append(int(blk[:vh, :vw].astype(np.int64).sum()))
+            cnts.append(1)
+        return pa.table({"n_nationkey": pa.array(nks, pa.int64()),
+                         "part_sum": pa.array(sums, pa.int64()),
+                         "n_chunks": pa.array(cnts, pa.int64())})
+
+    parts = rd.from_items(items).map_batches(measure,
+                                             batch_format="pyarrow")
+    agg = parts.groupby("n_nationkey") \
+        .aggregate(__import__("ray").data.aggregate.Sum(
+                       "part_sum", alias_name="valid_sum"),
+                   __import__("ray").data.aggregate.Sum(
+                       "n_chunks", alias_name="chunk_total"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["n_nationkey", "valid_sum", "n_chunks"]),
+        batch_format="pyarrow")
+
+
+SQL_RASTER_ZARR_ROUNDTRIP = """
+WITH cells AS (
+    SELECT n.n_nationkey AS nk,
+           (n.n_nationkey * 31 + c.ij) % 311 AS v
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 359)) AS ij) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM(v) AS BIGINT) AS valid_sum,
+       CAST(9 AS BIGINT) AS n_chunks        -- ceil(20/8)*ceil(18/8)=3*3
+FROM cells
+GROUP BY nk
+"""

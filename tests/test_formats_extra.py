@@ -611,3 +611,44 @@ def test_kml_inner_before_outer_ring_order():
          b'</Polygon></Placemark></Document></kml>')
     g = wkb.loads(VF.parse_kml_bytes(k).column("wkb").to_pylist()[0])
     assert g["rings"][0][:, 0].max() == 4.0    # outer shell first
+
+
+# ---------- Zarr v2 ----------
+
+def test_zarr_roundtrip_and_sparse(tmp_path):
+    from gdal_ray.core.zarr2 import (chunk_grid, read_zarr,
+                                     read_zarr_chunk, read_zarr_meta,
+                                     write_zarr)
+    d = str(tmp_path / "z")
+    a = ((np.arange(35 * 29).reshape(35, 29) * 7) % 251).astype(np.int32)
+    paths = write_zarr(d, a, chunks=(16, 16), attrs={"units": "m"})
+    assert len(paths) == 6                      # ceil(35/16)*ceil(29/16)
+    np.testing.assert_array_equal(read_zarr(d), a)
+    meta = read_zarr_meta(d)
+    assert len(chunk_grid(meta)) == 6
+    import os
+    os.remove(str(tmp_path / "z" / "1.1"))      # sparse: missing chunk
+    assert (read_zarr_chunk(d, meta, 1, 1) == 0).all()
+
+
+def test_zarr_null_compressor_float(tmp_path):
+    from gdal_ray.core.zarr2 import read_zarr, write_zarr
+    d = str(tmp_path / "z2")
+    f = np.linspace(0, 1, 24).reshape(4, 6)
+    write_zarr(d, f, chunks=(3, 4), compressor=None)
+    np.testing.assert_array_equal(read_zarr(d), f)
+
+
+def test_zarr_chunk_parallel_reader(ray_session, tmp_path):
+    from gdal_ray.core.zarr2 import write_zarr
+    from gdal_ray.pipelines.catalog import read_zarr_chunks
+    d = str(tmp_path / "z3")
+    a = np.arange(100, dtype=np.int32).reshape(10, 10)
+    write_zarr(d, a, chunks=(4, 4))
+    rows = read_zarr_chunks(d).take_all()
+    assert len(rows) == 9
+    tot = 0
+    for r in rows:
+        blk = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(4, 4)
+        tot += int(blk[:r["valid_h"], :r["valid_w"]].sum())
+    assert tot == int(a.sum())
