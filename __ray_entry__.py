@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_xyz_roundtrip": R.raster_xyz_roundtrip_q,
         "vector_pmtiles_roundtrip": R.vector_pmtiles_roundtrip_q,
         "raster_zarr_roundtrip": R.raster_zarr_roundtrip_q,
+        "vector_mbtiles_roundtrip": R.vector_mbtiles_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_xyz_roundtrip": R.SQL_RASTER_XYZ_ROUNDTRIP,
         "vector_pmtiles_roundtrip": R.SQL_VECTOR_PMTILES_ROUNDTRIP,
         "raster_zarr_roundtrip": R.SQL_RASTER_ZARR_ROUNDTRIP,
+        "vector_mbtiles_roundtrip": R.SQL_VECTOR_MBTILES_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

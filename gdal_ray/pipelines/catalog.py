@@ -289,3 +289,95 @@ def read_zarr_chunks(path: str) -> "ray.data.Dataset":
             "dtype": pa.array(out["dtype"], pa.string())})
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+def mbtiles_bytes(rows, *, fmt: str = "pbf",
+                  metadata: dict | None = None) -> bytes:
+    """(z, x, y XYZ, payload) rows -> a complete MBTiles 1.3 sqlite
+    database (frmts/mbtiles analog; spec: github.com/mapbox/mbtiles-spec).
+    MBTiles stores TMS rows — tile_row = 2^z - 1 - y — and a metadata
+    key/value table.  stdlib sqlite3 Connection.serialize, no file."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+    con.execute("""CREATE TABLE tiles (zoom_level INTEGER,
+        tile_column INTEGER, tile_row INTEGER, tile_data BLOB)""")
+    con.execute("""CREATE UNIQUE INDEX tile_index ON tiles
+        (zoom_level, tile_column, tile_row)""")
+    meta = {"name": "gdal_ray", "format": fmt, **(metadata or {})}
+    con.executemany("INSERT INTO metadata VALUES (?,?)",
+                    sorted(meta.items()))
+    con.executemany(
+        "INSERT INTO tiles VALUES (?,?,?,?)",
+        [(int(z), int(x), (1 << int(z)) - 1 - int(y),
+          sqlite3.Binary(p)) for z, x, y, p in rows])
+    con.commit()
+    return bytes(con.serialize())
+
+
+def parse_mbtiles_bytes(data: bytes):
+    """MBTiles bytes -> ([(z, x, y XYZ, payload)], metadata dict)."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.deserialize(data)
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    tiles = [(z, x, (1 << z) - 1 - r, bytes(p)) for z, x, r, p in
+             con.execute("SELECT zoom_level, tile_column, tile_row, "
+                         "tile_data FROM tiles")]
+    return tiles, meta
+
+
+def write_mbtiles(tiles: "ray.data.Dataset", out_dir: str, *,
+                  fmt: str = "pbf", payload_col: str = "mvt",
+                  metadata: dict | None = None) -> "ray.data.Dataset":
+    """MBTiles sink: one .mbtiles database per block (partitioned-archive
+    shape, content-hash names); returns the manifest Dataset."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_tiles": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        rows = list(zip(b.column("z").to_pylist(),
+                        b.column("x").to_pylist(),
+                        b.column("y").to_pylist(),
+                        b.column(payload_col).to_pylist()))
+        blob = mbtiles_bytes(rows, fmt=fmt, metadata=metadata)
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.mbtiles")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_tiles": pa.array([b.num_rows], pa.int64()),
+                         "n_bytes": pa.array([len(blob)], pa.int64())})
+
+    return tiles.map_batches(fn, batch_format="pyarrow")
+
+
+def read_mbtiles(paths) -> "ray.data.Dataset":
+    """One task per .mbtiles database → (z, x, y, payload) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        zs, xs, ys, ps = [], [], [], []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tiles, _ = parse_mbtiles_bytes(f.read())
+            for z, x, y, payload in tiles:
+                zs.append(z); xs.append(x); ys.append(y); ps.append(payload)
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "payload": pa.array(ps, pa.binary())})
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -197,6 +197,20 @@ def _read_pmtiles(ds, path):
     return read_pmtiles(path)
 
 
+@register("write_mbtiles")
+def _write_mbtiles(ds, out_dir: str, fmt: str = "pbf",
+                   payload_col: str = "mvt"):
+    from .catalog import write_mbtiles
+    return write_mbtiles(ds, out_dir, fmt=fmt, payload_col=payload_col)
+
+
+@register("read_mbtiles")
+def _read_mbtiles(ds, path):
+    from .catalog import read_mbtiles
+    assert ds is None
+    return read_mbtiles(path)
+
+
 @register("write_cog")
 def _write_cog(ds, out_dir: str, tile_size=256, compression: str = "deflate",
                resampling: str = "average"):

@@ -8957,3 +8957,58 @@ SELECT nk AS n_nationkey,
 FROM cells
 GROUP BY nk
 """
+
+
+def vector_mbtiles_roundtrip_q(sf_dir: str):
+    """MBTiles driver on the driver surface (frmts/mbtiles): the
+    customer-derived MVT tile set packed into partitioned .mbtiles
+    sqlite databases (catalog.write_mbtiles — TMS row flip, metadata
+    table), read back through catalog.read_mbtiles, MVT-decoded and
+    measured; identity roundtrip, same mercator oracle."""
+    import tempfile
+
+    from ..core import mvt as MVT
+    from .catalog import read_mbtiles, write_mbtiles
+    from .vectortiles import point_vector_tiles
+
+    Z = 5
+
+    def pts(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        return pa.table({
+            "fid": pa.array(ck, pa.int64()),
+            "lon": pa.array(((ck * 37) % 3600) / 10.0 - 180.0 + 0.05,
+                            pa.float64()),
+            "lat": pa.array(((ck * 91) % 1700) / 10.0 - 85.0 + 0.05,
+                            pa.float64())})
+
+    tiles = point_vector_tiles(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(pts, batch_format="pyarrow"), Z)
+    d = tempfile.mkdtemp(prefix="mbt_")
+    manifest = write_mbtiles(tiles, d, metadata={"name": "customers"})
+    paths = [r["path"] for r in manifest.take_all()]   # bounded: archives
+
+    def measure(b: pa.Table) -> pa.Table:
+        zs, xs, ys, nf, ids, lxs, lys = [], [], [], [], [], [], []
+        for i, blob in enumerate(b.column("payload").to_pylist()):
+            feats = MVT.decode_tile(blob)["points"]["features"]
+            zs.append(b.column("z")[i].as_py())
+            xs.append(b.column("x")[i].as_py())
+            ys.append(b.column("y")[i].as_py())
+            nf.append(len(feats))
+            ids.append(sum(f["id"] for f in feats))
+            lxs.append(sum(int(f["xy"][0, 0]) for f in feats))
+            lys.append(sum(int(f["xy"][0, 1]) for f in feats))
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "n_features": pa.array(nf, pa.int64()),
+                         "id_sum": pa.array(ids, pa.int64()),
+                         "lx_sum": pa.array(lxs, pa.int64()),
+                         "ly_sum": pa.array(lys, pa.int64())})
+
+    return read_mbtiles(paths).map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_MBTILES_ROUNDTRIP = SQL_VECTOR_MVT_TILES

@@ -146,3 +146,37 @@ def test_pmtiles_sink_and_reader(ray_session, tmp_path):
     back = read_pmtiles([r["path"] for r in man]).take_all()
     got = sorted((r["z"], r["x"], r["y"], r["payload"]) for r in back)
     assert got == [(2, 1, 1, b"a"), (2, 3, 2, b"b"), (3, 7, 5, b"c")]
+
+
+# ---------- MBTiles ----------
+
+def test_mbtiles_roundtrip_and_tms_flip():
+    from gdal_ray.pipelines.catalog import mbtiles_bytes, parse_mbtiles_bytes
+    tiles = [(3, 1, 2, b"pay-a"), (0, 0, 0, b"root"), (5, 31, 31, b"edge")]
+    blob = mbtiles_bytes(tiles, metadata={"minzoom": "0"})
+    assert blob[:16] == b"SQLite format 3\x00"
+    out, meta = parse_mbtiles_bytes(blob)
+    assert sorted(out) == sorted(tiles)
+    assert meta["format"] == "pbf" and meta["minzoom"] == "0"
+    # the stored row really is TMS-flipped (spec): z=3, y=2 -> row 5
+    import sqlite3
+    con = sqlite3.connect(":memory:")
+    con.deserialize(blob)
+    assert con.execute("SELECT tile_row FROM tiles WHERE zoom_level=3")\
+        .fetchone()[0] == 5
+
+
+def test_mbtiles_sink_and_reader(ray_session, tmp_path):
+    import ray
+
+    from gdal_ray.pipelines.catalog import read_mbtiles, write_mbtiles
+    tab = pa.table({"z": pa.array([2, 3], pa.int64()),
+                    "x": pa.array([1, 7], pa.int64()),
+                    "y": pa.array([1, 5], pa.int64()),
+                    "mvt": pa.array([b"a", b"b"], pa.binary())})
+    man = write_mbtiles(ray.data.from_arrow(tab), str(tmp_path / "o")) \
+        .take_all()
+    assert sum(r["n_tiles"] for r in man) == 2
+    back = read_mbtiles([r["path"] for r in man]).take_all()
+    assert sorted((r["z"], r["x"], r["y"], r["payload"]) for r in back) \
+        == [(2, 1, 1, b"a"), (3, 7, 5, b"b")]
