@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_pmtiles_roundtrip": R.vector_pmtiles_roundtrip_q,
         "raster_zarr_roundtrip": R.raster_zarr_roundtrip_q,
         "vector_mbtiles_roundtrip": R.vector_mbtiles_roundtrip_q,
+        "vector_gml_roundtrip": R.vector_gml_roundtrip_q,
+        "raster_gpkg_tiles": R.raster_gpkg_tiles_q,
         **_tpch_queries(),
     }
 
@@ -454,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_pmtiles_roundtrip": R.SQL_VECTOR_PMTILES_ROUNDTRIP,
         "raster_zarr_roundtrip": R.SQL_RASTER_ZARR_ROUNDTRIP,
         "vector_mbtiles_roundtrip": R.SQL_VECTOR_MBTILES_ROUNDTRIP,
+        "vector_gml_roundtrip": R.SQL_VECTOR_GML_ROUNDTRIP,
+        "raster_gpkg_tiles": R.SQL_RASTER_GPKG_TILES,
         **_tpch_oracles(),
     }
 

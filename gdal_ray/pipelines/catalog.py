@@ -381,3 +381,141 @@ def read_mbtiles(paths) -> "ray.data.Dataset":
                          "payload": pa.array(ps, pa.binary())})
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def gpkg_tiles_bytes(rows, *, table: str = "tiles",
+                     tile_format: str = "pbf") -> bytes:
+    """(z, x, y XYZ, payload) rows -> a complete GeoPackage TILE pyramid
+    database (OGC 12-128r14 §2.2 — the raster-tiles half of the
+    reference's GPKG driver, ogr/ogrsf_frmts/gpkg/gdalgeopackagedataset):
+    gpkg_contents data_type='tiles', gpkg_tile_matrix_set over the web-
+    mercator extent, one gpkg_tile_matrix row per zoom, tile_row
+    TOP-DOWN (XYZ order — unlike MBTiles' TMS flip)."""
+    import sqlite3
+
+    from ..core import mercator as M
+
+    OS = 20037508.342789244
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA application_id = 1196444487")
+    con.execute("PRAGMA user_version = 10301")
+    con.execute("""CREATE TABLE gpkg_spatial_ref_sys (
+        srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+        organization TEXT NOT NULL,
+        organization_coordsys_id INTEGER NOT NULL,
+        definition TEXT NOT NULL, description TEXT)""")
+    con.execute(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+        ("WGS 84 / Pseudo-Mercator", 3857, "EPSG", 3857,
+         'PROJCS["WGS 84 / Pseudo-Mercator"]'))
+    con.execute("""CREATE TABLE gpkg_contents (
+        table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+        identifier TEXT UNIQUE, description TEXT DEFAULT '',
+        last_change DATETIME NOT NULL,
+        min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+        srs_id INTEGER)""")
+    con.execute(
+        "INSERT INTO gpkg_contents VALUES (?,?,?,?,?,?,?,?,?,?)",
+        (table, "tiles", table, "", "2000-01-01T00:00:00.000Z",
+         -OS, -OS, OS, OS, 3857))
+    con.execute("""CREATE TABLE gpkg_tile_matrix_set (
+        table_name TEXT NOT NULL PRIMARY KEY, srs_id INTEGER NOT NULL,
+        min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL,
+        max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)""")
+    con.execute("INSERT INTO gpkg_tile_matrix_set VALUES (?,?,?,?,?,?)",
+                (table, 3857, -OS, -OS, OS, OS))
+    con.execute("""CREATE TABLE gpkg_tile_matrix (
+        table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL,
+        matrix_width INTEGER NOT NULL, matrix_height INTEGER NOT NULL,
+        tile_width INTEGER NOT NULL, tile_height INTEGER NOT NULL,
+        pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE NOT NULL,
+        CONSTRAINT pk_ttm PRIMARY KEY (table_name, zoom_level))""")
+    zooms = sorted({int(z) for z, *_ in rows})
+    for z in zooms:
+        res = float(M.resolution(z))
+        con.execute("INSERT INTO gpkg_tile_matrix VALUES (?,?,?,?,?,?,?,?)",
+                    (table, z, 1 << z, 1 << z, 256, 256, res, res))
+    con.execute(f"""CREATE TABLE "{table}" (
+        id INTEGER PRIMARY KEY AUTOINCREMENT,
+        zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL,
+        tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL,
+        UNIQUE (zoom_level, tile_column, tile_row))""")
+    con.executemany(
+        f'INSERT INTO "{table}" (zoom_level, tile_column, tile_row, '
+        "tile_data) VALUES (?,?,?,?)",
+        [(int(z), int(x), int(y), __import__("sqlite3").Binary(p))
+         for z, x, y, p in rows])
+    con.commit()
+    return bytes(con.serialize())
+
+
+def parse_gpkg_tiles_bytes(data: bytes, *, table: str | None = None):
+    """GPKG tile-pyramid bytes -> ([(z, x, y, payload)], zoom levels)."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.deserialize(data)
+    if table is None:
+        table = con.execute("SELECT table_name FROM gpkg_contents "
+                            "WHERE data_type='tiles'").fetchone()[0]
+    tiles = [(z, x, y, bytes(p)) for z, x, y, p in
+             con.execute(f'SELECT zoom_level, tile_column, tile_row, '
+                         f'tile_data FROM "{table}"')]
+    zooms = [r[0] for r in con.execute(
+        "SELECT zoom_level FROM gpkg_tile_matrix WHERE table_name=? "
+        "ORDER BY zoom_level", (table,))]
+    return tiles, zooms
+
+
+def write_gpkg_tiles(tiles: "ray.data.Dataset", out_dir: str, *,
+                     table: str = "tiles", tile_format: str = "pbf",
+                     payload_col: str = "mvt") -> "ray.data.Dataset":
+    """GPKG tile-pyramid sink: one .gpkg per block (partitioned-archive
+    shape, content-hash names); returns the manifest Dataset."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_tiles": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        rows = list(zip(b.column("z").to_pylist(),
+                        b.column("x").to_pylist(),
+                        b.column("y").to_pylist(),
+                        b.column(payload_col).to_pylist()))
+        blob = gpkg_tiles_bytes(rows, table=table, tile_format=tile_format)
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.gpkg")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_tiles": pa.array([b.num_rows], pa.int64()),
+                         "n_bytes": pa.array([len(blob)], pa.int64())})
+
+    return tiles.map_batches(fn, batch_format="pyarrow")
+
+
+def read_gpkg_tiles(paths) -> "ray.data.Dataset":
+    """One task per tile-pyramid .gpkg → (z, x, y, payload) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        zs, xs, ys, ps = [], [], [], []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tiles, _ = parse_gpkg_tiles_bytes(f.read())
+            for z, x, y, payload in tiles:
+                zs.append(z); xs.append(x); ys.append(y); ps.append(payload)
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "payload": pa.array(ps, pa.binary())})
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -117,6 +117,13 @@ def _read_geojsonseq(ds, path):
     return read_geojsonseq(path)
 
 
+@register("read_gml")
+def _read_gml(ds, path):
+    from ..sources.vector_formats import read_gml
+    assert ds is None
+    return read_gml(path)
+
+
 @register("read_arrow")
 def _read_arrow(ds, path):
     from ..sources.vector_formats import read_arrow_ipc
@@ -176,6 +183,12 @@ def _write_geojsonseq(ds, out_dir: str, wkb_col: str = "wkb"):
     return write_geojsonseq(ds, out_dir, wkb_col=wkb_col)
 
 
+@register("write_gml")
+def _write_gml(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_gml
+    return write_gml(ds, out_dir, wkb_col=wkb_col)
+
+
 @register("write_arrow")
 def _write_arrow(ds, out_dir: str):
     from ..sources.vector_writers import write_arrow_ipc
@@ -209,6 +222,12 @@ def _read_mbtiles(ds, path):
     from .catalog import read_mbtiles
     assert ds is None
     return read_mbtiles(path)
+
+
+@register("write_gpkg_tiles")
+def _write_gpkg_tiles(ds, out_dir: str, payload_col: str = "mvt"):
+    from .catalog import write_gpkg_tiles
+    return write_gpkg_tiles(ds, out_dir, payload_col=payload_col)
 
 
 @register("write_cog")

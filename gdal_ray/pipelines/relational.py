@@ -9012,3 +9012,114 @@ def vector_mbtiles_roundtrip_q(sf_dir: str):
 
 
 SQL_VECTOR_MBTILES_ROUNDTRIP = SQL_VECTOR_MVT_TILES
+
+
+def vector_gml_roundtrip_q(sf_dir: str):
+    """GML driver on the driver surface (ogr/ogrsf_frmts/gml): the
+    planted dyadic point layer written as a GML 3.2 FeatureCollection
+    and read back through the stdlib-XML parser; identity roundtrip,
+    closed form over nation (same contract as the other format slots)."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).take_all()
+    names, blobs = [], []
+    for r in sorted(x["n_nationkey"] for x in nat):
+        n = int(r)
+        for j in range(3):
+            names.append(f"f{n * 10 + j}")
+            blobs.append(WKB.point(n % 10 + j + 0.25, n // 5 + 0.5))
+    tab = pa.table({"name": pa.array(names, pa.string()),
+                    "wkb": pa.array(blobs, pa.binary())})
+    d = tempfile.mkdtemp(prefix="gml_")
+    p = os.path.join(d, "a.gml")
+    open(p, "wb").write(VW.gml_bytes(tab))
+
+    def measure(b: pa.Table) -> pa.Table:
+        sx = sy = 0
+        for blob in b.column("wkb").to_pylist():
+            x, y = WKB.loads(blob)["xy"]
+            sx += int(np.floor(x * 1e6 + 0.5))
+            sy += int(np.floor(y * 1e6 + 0.5))
+        nlen = sum(len(s) for s in b.column("name").to_pylist())
+        return pa.table({"n_features": pa.array([b.num_rows], pa.int64()),
+                         "name_len_sum": pa.array([nlen], pa.int64()),
+                         "sx_sum": pa.array([sx], pa.int64()),
+                         "sy_sum": pa.array([sy], pa.int64())})
+
+    return VF.read_gml([p]).map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_GML_ROUNDTRIP = """
+WITH feats AS (
+    SELECT n.n_nationkey AS n, j.j AS j
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS j) j
+)
+SELECT COUNT(*) AS n_features,
+       CAST(SUM(LENGTH('f' || CAST(n * 10 + j AS VARCHAR))) AS BIGINT)
+           AS name_len_sum,
+       CAST(SUM((n % 10 + j) * 1000000 + 250000) AS BIGINT) AS sx_sum,
+       CAST(SUM((n // 5) * 1000000 + 500000) AS BIGINT) AS sy_sum
+FROM feats
+"""
+
+
+def raster_gpkg_tiles_q(sf_dir: str):
+    """GPKG tile-pyramid half of the GeoPackage driver on the driver
+    surface (ogr/ogrsf_frmts/gpkg raster side): the customer-derived MVT
+    tile set packed into partitioned GPKG pyramids (top-down tile_row,
+    gpkg_tile_matrix per zoom), read back and MVT-decoded; identity
+    roundtrip, same mercator oracle."""
+    import tempfile
+
+    from ..core import mvt as MVT
+    from .catalog import read_gpkg_tiles, write_gpkg_tiles
+    from .vectortiles import point_vector_tiles
+
+    Z = 5
+
+    def pts(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        return pa.table({
+            "fid": pa.array(ck, pa.int64()),
+            "lon": pa.array(((ck * 37) % 3600) / 10.0 - 180.0 + 0.05,
+                            pa.float64()),
+            "lat": pa.array(((ck * 91) % 1700) / 10.0 - 85.0 + 0.05,
+                            pa.float64())})
+
+    tiles = point_vector_tiles(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(pts, batch_format="pyarrow"), Z)
+    d = tempfile.mkdtemp(prefix="gpkgt_")
+    manifest = write_gpkg_tiles(tiles, d)
+    paths = [r["path"] for r in manifest.take_all()]
+
+    def measure(b: pa.Table) -> pa.Table:
+        zs, xs, ys, nf, ids, lxs, lys = [], [], [], [], [], [], []
+        for i, blob in enumerate(b.column("payload").to_pylist()):
+            feats = MVT.decode_tile(blob)["points"]["features"]
+            zs.append(b.column("z")[i].as_py())
+            xs.append(b.column("x")[i].as_py())
+            ys.append(b.column("y")[i].as_py())
+            nf.append(len(feats))
+            ids.append(sum(f["id"] for f in feats))
+            lxs.append(sum(int(f["xy"][0, 0]) for f in feats))
+            lys.append(sum(int(f["xy"][0, 1]) for f in feats))
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "n_features": pa.array(nf, pa.int64()),
+                         "id_sum": pa.array(ids, pa.int64()),
+                         "lx_sum": pa.array(lxs, pa.int64()),
+                         "ly_sum": pa.array(lys, pa.int64())})
+
+    return read_gpkg_tiles(paths).map_batches(measure,
+                                              batch_format="pyarrow")
+
+
+SQL_RASTER_GPKG_TILES = SQL_VECTOR_MVT_TILES

@@ -862,3 +862,82 @@ def read_geojsonseq(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GML (ogr/ogrsf_frmts/gml) ----------
+
+def _gml_pts(text: str) -> np.ndarray:
+    vals = [float(v) for v in (text or "").split()]
+    return np.asarray(vals, dtype=np.float64).reshape(-1, 2)
+
+
+def parse_gml_bytes(data: bytes) -> pa.Table:
+    """GML 3.2 bytes -> rows (name, wkb): featureMember Point /
+    LineString / Polygon (exterior + interiors); the first non-geometry
+    child element's text is surfaced as ``name`` (simple-property
+    convention)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(data)
+    names, blobs = [], []
+
+    GEOM_TAGS = {"Point", "LineString", "Polygon"}
+
+    def parse_geom(el):
+        t = _strip_ns(el.tag)
+        if t == "Point":
+            for c in el.iter():
+                if _strip_ns(c.tag) in ("pos", "coordinates"):
+                    xy = _gml_pts(c.text.replace(",", " "))
+                    return {"type": "Point", "xy": xy[0]}
+        if t == "LineString":
+            for c in el.iter():
+                if _strip_ns(c.tag) in ("posList", "coordinates"):
+                    return {"type": "LineString",
+                            "xy": _gml_pts(c.text.replace(",", " "))}
+        if t == "Polygon":
+            outer, inner = [], []
+            for bnd in el:
+                b = _strip_ns(bnd.tag)
+                if b in ("exterior", "outerBoundaryIs",
+                         "interior", "innerBoundaryIs"):
+                    for c in bnd.iter():
+                        if _strip_ns(c.tag) in ("posList", "coordinates"):
+                            ring = _gml_pts(c.text.replace(",", " "))
+                            (outer if b in ("exterior", "outerBoundaryIs")
+                             else inner).append(ring)
+            return {"type": "Polygon", "rings": outer + inner}
+        return None
+
+    for fm in root.iter():
+        if _strip_ns(fm.tag) != "featureMember":
+            continue
+        for feat in fm:
+            nm, geom = None, None
+            for c in feat:
+                t = _strip_ns(c.tag)
+                if t in GEOM_TAGS:
+                    geom = parse_geom(c)
+                elif nm is None and c.text and c.text.strip():
+                    nm = c.text
+            if geom is not None:
+                names.append(nm)
+                blobs.append(wkb.dumps(geom))
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "wkb": pa.array(blobs, pa.binary())})
+
+
+def read_gml(paths) -> "ray.data.Dataset":
+    """One task per .gml file → (name, wkb) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_gml_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

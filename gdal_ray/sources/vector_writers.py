@@ -849,3 +849,60 @@ def write_geojsonseq(ds: "ray.data.Dataset", out_dir: str, *,
     """GeoJSONSeq sink: one .geojsonl per block; returns the manifest."""
     return _file_sink(ds, out_dir, ".geojsonl",
                       lambda b: geojsonseq_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- GML (ogr/ogrsf_frmts/gml) ----------
+
+def _gml_poslist(xy: np.ndarray) -> str:
+    xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+    return " ".join(f"{p[0]!r} {p[1]!r}" for p in xy)
+
+
+def gml_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+              layer: str = "layer") -> bytes:
+    """Features -> GML 3.2 FeatureCollection (gml:Point pos /
+    LineString posList / Polygon exterior+interior LinearRings; x y
+    axis order as written, srsDimension 2)."""
+    out = ['<?xml version="1.0" encoding="UTF-8"?>',
+           '<gml:FeatureCollection xmlns:gml='
+           '"http://www.opengis.net/gml/3.2">']
+    names = [c for c in tab.column_names if c != wkb_col]
+    cols = {c: tab.column(c).to_pylist() for c in names}
+    for i, blob in enumerate(tab.column(wkb_col).to_pylist()):
+        if blob is None:
+            continue
+        g = wkb.loads(blob)
+        t = g["type"]
+        if t == "Point":
+            geo = (f"<gml:Point><gml:pos>{_gml_poslist(g['xy'])}"
+                   "</gml:pos></gml:Point>")
+        elif t == "LineString":
+            geo = (f"<gml:LineString><gml:posList>"
+                   f"{_gml_poslist(g['xy'])}</gml:posList>"
+                   "</gml:LineString>")
+        elif t == "Polygon":
+            rr = [f"<gml:exterior><gml:LinearRing><gml:posList>"
+                  f"{_gml_poslist(g['rings'][0])}</gml:posList>"
+                  "</gml:LinearRing></gml:exterior>"]
+            rr += [f"<gml:interior><gml:LinearRing><gml:posList>"
+                   f"{_gml_poslist(r)}</gml:posList>"
+                   "</gml:LinearRing></gml:interior>"
+                   for r in g["rings"][1:]]
+            geo = "<gml:Polygon>" + "".join(rr) + "</gml:Polygon>"
+        else:
+            raise ValueError(f"GML writer does not handle {t}")
+        from xml.sax.saxutils import escape
+        props = "".join(
+            f"<{c}>{escape(str(cols[c][i]))}</{c}>"
+            for c in names if cols[c][i] is not None)
+        out.append(f"<gml:featureMember><{layer}>{props}{geo}"
+                   f"</{layer}></gml:featureMember>")
+    out.append("</gml:FeatureCollection>")
+    return "\n".join(out).encode("utf-8")
+
+
+def write_gml(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GML sink: one .gml per block; returns the manifest Dataset."""
+    return _file_sink(ds, out_dir, ".gml",
+                      lambda b: gml_bytes(b, wkb_col=wkb_col))

@@ -652,3 +652,53 @@ def test_zarr_chunk_parallel_reader(ray_session, tmp_path):
         blk = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(4, 4)
         tot += int(blk[:r["valid_h"], :r["valid_w"]].sum())
     assert tot == int(a.sum())
+
+
+# ---------- GML ----------
+
+def test_gml_roundtrip_with_hole_and_escapes():
+    tab = pa.table({
+        "name": pa.array(["pt & <x>", "ln", "pg"]),
+        "wkb": pa.array([
+            wkb.point(1.25, 2.5),
+            wkb.dumps({"type": "LineString",
+                       "xy": np.array([[0, 0], [1.5, 2]], float)}),
+            wkb.polygon([(0, 0), (4, 0), (4, 4), (0, 0)],
+                        holes=[[(1, 1), (2, 1), (2, 2), (1, 1)]])],
+            pa.binary())})
+    t = VF.parse_gml_bytes(VW.gml_bytes(tab, layer="roads"))
+    assert t.num_rows == 3
+    assert t.column("name").to_pylist() == ["pt & <x>", "ln", "pg"]
+    assert tuple(wkb.loads(t.column("wkb").to_pylist()[0])["xy"]) \
+        == (1.25, 2.5)
+    assert len(wkb.loads(t.column("wkb").to_pylist()[2])["rings"]) == 2
+
+
+def test_gml2_coordinates_form():
+    g2 = (b'<gml:FeatureCollection xmlns:gml='
+          b'"http://www.opengis.net/gml"><gml:featureMember><f>'
+          b'<gml:Point><gml:coordinates>3,4</gml:coordinates></gml:Point>'
+          b'</f></gml:featureMember></gml:FeatureCollection>')
+    t = VF.parse_gml_bytes(g2)
+    assert tuple(wkb.loads(t.column("wkb").to_pylist()[0])["xy"]) \
+        == (3.0, 4.0)
+
+
+# ---------- GPKG tile pyramid ----------
+
+def test_gpkg_tiles_roundtrip_topdown_rows():
+    import sqlite3
+
+    from gdal_ray.pipelines.catalog import (gpkg_tiles_bytes,
+                                            parse_gpkg_tiles_bytes)
+    tiles = [(3, 1, 2, b"pay-a"), (5, 31, 0, b"edge")]
+    blob = gpkg_tiles_bytes(tiles)
+    out, zooms = parse_gpkg_tiles_bytes(blob)
+    assert sorted(out) == sorted(tiles) and zooms == [3, 5]
+    con = sqlite3.connect(":memory:")
+    con.deserialize(blob)
+    # GPKG rows are TOP-DOWN (not TMS): y stays 2 at z=3
+    assert con.execute("SELECT tile_row FROM tiles WHERE zoom_level=3") \
+        .fetchone()[0] == 2
+    assert con.execute("SELECT matrix_width FROM gpkg_tile_matrix "
+                       "WHERE zoom_level=5").fetchone()[0] == 32
