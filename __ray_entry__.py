@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_mbtiles_roundtrip": R.vector_mbtiles_roundtrip_q,
         "vector_gml_roundtrip": R.vector_gml_roundtrip_q,
         "raster_gpkg_tiles": R.raster_gpkg_tiles_q,
+        "q_global_shuffle": R.q_global_shuffle,
         **_tpch_queries(),
     }
 
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_mbtiles_roundtrip": R.SQL_VECTOR_MBTILES_ROUNDTRIP,
         "vector_gml_roundtrip": R.SQL_VECTOR_GML_ROUNDTRIP,
         "raster_gpkg_tiles": R.SQL_RASTER_GPKG_TILES,
+        "q_global_shuffle": R.SQL_Q_GLOBAL_SHUFFLE,
         **_tpch_oracles(),
     }
 

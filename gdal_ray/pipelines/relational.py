@@ -9123,3 +9123,36 @@ def raster_gpkg_tiles_q(sf_dir: str):
 
 
 SQL_RASTER_GPKG_TILES = SQL_VECTOR_MVT_TILES
+
+
+def q_global_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training-data ordering: sort
+    documents by splitmix64(doc_id) — partition-invariant, reproducible
+    (the scale-correct replacement for random_shuffle's block-dependent
+    seed), ONE distributed sort; emitted with the global rank so the
+    oracle pins the exact permutation, not just the membership."""
+    from .dedup import _splitmix
+
+    def key(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("doc_id"), np.int64).astype(np.uint64)
+        hv = _splitmix(k)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "hv_hi": pa.array(
+                             (hv >> np.uint64(1)).astype(np.int64),
+                             pa.int64())})
+
+    # the emitted hv_hi sort key pins the permutation (top-63 bits of
+    # splitmix64 — collision-free unless full hashes collide); limit =
+    # the training head, i.e. the first N docs of the shuffled order
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(key, batch_format="pyarrow").sort("hv_hi").limit(200)
+
+
+def _sql_global_shuffle() -> str:
+    from .sketches import _sm_hugeint_select
+    return (f"WITH s AS ({_sm_hugeint_select('documents', 'doc_id')}) "
+            "SELECT doc_id, CAST(hv // 2 AS BIGINT) AS hv_hi FROM s "
+            "ORDER BY hv_hi LIMIT 200")
+
+
+SQL_Q_GLOBAL_SHUFFLE = _sql_global_shuffle()
