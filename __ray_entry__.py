@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_gml_roundtrip": R.vector_gml_roundtrip_q,
         "raster_gpkg_tiles": R.raster_gpkg_tiles_q,
         "q_global_shuffle": R.q_global_shuffle,
+        "emb_pq": R.emb_pq_q,
         **_tpch_queries(),
     }
 
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_gml_roundtrip": R.SQL_VECTOR_GML_ROUNDTRIP,
         "raster_gpkg_tiles": R.SQL_RASTER_GPKG_TILES,
         "q_global_shuffle": R.SQL_Q_GLOBAL_SHUFFLE,
+        "emb_pq": R.SQL_EMB_PQ,
         **_tpch_oracles(),
     }
 

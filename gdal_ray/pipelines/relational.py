@@ -9156,3 +9156,96 @@ def _sql_global_shuffle() -> str:
 
 
 SQL_Q_GLOBAL_SHUFFLE = _sql_global_shuffle()
+
+
+def emb_pq_q(sf_dir: str):
+    """Product quantization (IVF-PQ's code path) over the embeddings
+    table: the 64-dim vectors split into two 32-dim subspaces, each
+    quantized by the SAME oracle-exact integer Lloyd machinery as
+    emb_kmeans (k=4, 2 iterations per subspace); the output is each
+    vector's (code0, code1) PQ code plus the exact integer quantization
+    error per subspace — the training-data-pipeline embedding-compression
+    operator, replayed in DuckDB by two offset copies of the kmeans CTE
+    chain."""
+    from .ann import kmeans_assign
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def subspace(lo, hi):
+        def fn(b: pa.Table) -> pa.Table:
+            from ..core.arrow_utils import list_column_to_ndarray
+            V = list_column_to_ndarray(b.column("embedding"))
+            return pa.table({
+                "vec_id": b.column("vec_id"),
+                "embedding": pa.array(list(V[:, lo:hi].astype(np.float64)),
+                                      pa.list_(pa.float64()))})
+        return fn
+
+    parts = []
+    for si, (lo, hi) in enumerate(((0, 32), (32, 64))):
+        sub = emb.map_batches(subspace(lo, hi), batch_format="pyarrow")
+        a = kmeans_assign(sub, k=4, iters=2)
+
+        def tag(b: pa.Table, si=si) -> pa.Table:
+            return pa.table({
+                "vec_id": b.column("vec_id"),
+                f"code{si}": b.column("cluster"),
+                f"dist{si}": b.column("dist2")})
+
+        parts.append(a.map_batches(tag, batch_format="pyarrow"))
+
+    return parts[0].join(parts[1], join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("vec_id",), right_on=("vec_id",))
+
+
+def _build_sql_emb_pq(k: int = 4, iters: int = 2,
+                      scale: int = 1 << 20) -> str:
+    """Two offset copies of the emb_kmeans CTE chain (dims [0,32) and
+    [32,64)), joined on vec_id."""
+    def chain(pfx: str, off: int, dim: int) -> list[str]:
+        out = [
+            f"{pfx}v AS (SELECT vec_id, i.i AS d, "
+            f"CAST(floor(embedding[i.i + {off} + 1] * {scale}e0) AS BIGINT)"
+            f" AS q FROM embeddings, generate_series(0, {dim - 1}) i(i))",
+            f"{pfx}init AS (SELECT vec_id, CAST(row_number() OVER "
+            "(ORDER BY vec_id) - 1 AS BIGINT) AS cluster FROM "
+            f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+            f"{pfx}c0 AS (SELECT ii.cluster, v.d, v.q FROM {pfx}init ii "
+            f"JOIN {pfx}v v ON v.vec_id = ii.vec_id)",
+        ]
+        for t in range(iters):
+            out += [
+                f"{pfx}a{t} AS (SELECT vec_id, cluster FROM ("
+                "SELECT v.vec_id, c.cluster, "
+                "SUM((v.q - c.q) * (v.q - c.q)) AS dist "
+                f"FROM {pfx}v v JOIN {pfx}c{t} c ON c.d = v.d "
+                "GROUP BY v.vec_id, c.cluster) "
+                "QUALIFY row_number() OVER (PARTITION BY vec_id "
+                "ORDER BY dist, cluster) = 1)",
+                f"{pfx}s{t} AS (SELECT a.cluster, v.d, SUM(v.q) AS sq, "
+                f"COUNT(*) AS n FROM {pfx}a{t} a JOIN {pfx}v v "
+                "ON v.vec_id = a.vec_id GROUP BY a.cluster, v.d)",
+                f"{pfx}c{t + 1} AS (SELECT c.cluster, c.d, "
+                "CAST(COALESCE(s.sq // s.n, c.q) AS BIGINT) AS q "
+                f"FROM {pfx}c{t} c LEFT JOIN {pfx}s{t} s "
+                "ON s.cluster = c.cluster AND s.d = c.d)",
+            ]
+        out.append(
+            f"{pfx}fin AS (SELECT vec_id, cluster, CAST(dist AS BIGINT) "
+            "AS dist2 FROM (SELECT v.vec_id, c.cluster, "
+            "SUM((v.q - c.q) * (v.q - c.q)) AS dist "
+            f"FROM {pfx}v v JOIN {pfx}c{iters} c ON c.d = v.d "
+            "GROUP BY v.vec_id, c.cluster) "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cluster) = 1)")
+        return out
+
+    ctes = chain("p0", 0, 32) + chain("p1", 32, 32)
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT a.vec_id, a.cluster AS code0, a.dist2 AS dist0, "
+            "b.cluster AS code1, b.dist2 AS dist1 "
+            "FROM p0fin a JOIN p1fin b ON b.vec_id = a.vec_id")
+
+
+SQL_EMB_PQ = _build_sql_emb_pq()
