@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_gpkg_tiles": R.raster_gpkg_tiles_q,
         "q_global_shuffle": R.q_global_shuffle,
         "emb_pq": R.emb_pq_q,
+        "vector_osm_roundtrip": R.vector_osm_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -462,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_gpkg_tiles": R.SQL_RASTER_GPKG_TILES,
         "q_global_shuffle": R.SQL_Q_GLOBAL_SHUFFLE,
         "emb_pq": R.SQL_EMB_PQ,
+        "vector_osm_roundtrip": R.SQL_VECTOR_OSM_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

@@ -124,6 +124,13 @@ def _read_gml(ds, path):
     return read_gml(path)
 
 
+@register("read_osm_pbf")
+def _read_osm_pbf(ds, path):
+    from ..sources.vector_formats import read_osm_pbf
+    assert ds is None
+    return read_osm_pbf(path)
+
+
 @register("read_arrow")
 def _read_arrow(ds, path):
     from ..sources.vector_formats import read_arrow_ipc

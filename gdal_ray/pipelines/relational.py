@@ -9249,3 +9249,79 @@ def _build_sql_emb_pq(k: int = 4, iters: int = 2,
 
 
 SQL_EMB_PQ = _build_sql_emb_pq()
+
+
+def vector_osm_roundtrip_q(sf_dir: str):
+    """OSM PBF driver on the driver surface (ogr/ogrsf_frmts/osm): a
+    planted node+way set (7-decimal coordinates — exact in the format's
+    nano-degree integers) written as a real PBF (DenseNodes delta
+    coding, string table, zlib blob) and read back BLOB-parallel through
+    sources.vector_formats.read_osm_pbf; counts, id sums, snapped
+    coordinate sums, way-ref sums and tag counts are closed forms."""
+    import json as _json
+    import os
+    import tempfile
+
+    from ..core.osmpbf import encode_osm_pbf
+    from ..sources.vector_formats import read_osm_pbf
+
+    nat = sorted(int(r["n_nationkey"]) for r in
+                 _read(sf_dir, "nation", ["n_nationkey"]).take_all())
+    nodes, ways = [], []
+    for n in nat:
+        for j in range(3):
+            nid = n * 10 + j
+            tags = {"ref": str(nid)} if (n + j) % 2 == 0 else {}
+            nodes.append((nid, n % 10 + j * 0.1 + 0.05,
+                          n // 5 + 0.25, tags))
+        ways.append((9000 + n, [n * 10, n * 10 + 1, n * 10 + 2],
+                     {"highway": "x"} if n % 3 == 0 else {}))
+    d = tempfile.mkdtemp(prefix="osm_")
+    p = os.path.join(d, "a.osm.pbf")
+    open(p, "wb").write(encode_osm_pbf(nodes, ways))
+
+    def measure(b: pa.Table) -> pa.Table:
+        kind = b.column("kind").to_pylist()
+        ids = np.asarray(b.column("id"), dtype=np.int64)
+        isn = np.array([k == "node" for k in kind])
+        lon = np.asarray(b.column("lon").fill_null(0.0), np.float64)
+        lat = np.asarray(b.column("lat").fill_null(0.0), np.float64)
+        sx = int(np.floor(lon * 1e6 + 0.5)[isn].sum())
+        sy = int(np.floor(lat * 1e6 + 0.5)[isn].sum())
+        nref = ntags = 0
+        for i in range(b.num_rows):
+            r = b.column("refs")[i].as_py()
+            nref += sum(r) if r else 0
+            ntags += len(_json.loads(b.column("tags")[i].as_py()))
+        return pa.table({
+            "n_nodes": pa.array([int(isn.sum())], pa.int64()),
+            "n_ways": pa.array([int((~isn).sum())], pa.int64()),
+            "node_id_sum": pa.array([int(ids[isn].sum())], pa.int64()),
+            "way_id_sum": pa.array([int(ids[~isn].sum())], pa.int64()),
+            "sx_sum": pa.array([sx], pa.int64()),
+            "sy_sum": pa.array([sy], pa.int64()),
+            "ref_sum": pa.array([nref], pa.int64()),
+            "n_tags": pa.array([ntags], pa.int64())})
+
+    return read_osm_pbf([p]).map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_OSM_ROUNDTRIP = """
+WITH nd AS (
+    SELECT n.n_nationkey AS n, j.j AS j, n.n_nationkey * 10 + j.j AS nid
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS j) j
+)
+SELECT COUNT(*) AS n_nodes,
+       (SELECT COUNT(*) FROM nation) AS n_ways,
+       SUM(nid) AS node_id_sum,
+       (SELECT SUM(9000 + n_nationkey) FROM nation) AS way_id_sum,
+       CAST(SUM((n % 10) * 1000000 + j * 100000 + 50000) AS BIGINT)
+           AS sx_sum,
+       CAST(SUM((n // 5) * 1000000 + 250000) AS BIGINT) AS sy_sum,
+       CAST(SUM(nid) AS BIGINT) AS ref_sum,
+       CAST(SUM(CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END)
+            + (SELECT SUM(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END)
+               FROM nation) AS BIGINT) AS n_tags
+FROM nd
+"""

@@ -941,3 +941,82 @@ def read_gml(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- OSM PBF (ogr/ogrsf_frmts/osm) ----------
+
+def scan_osm_blobs(path: str) -> list[dict]:
+    """Scan the blob framing (headers only — skip payloads) and return
+    byte ranges, one per OSMData blob.  This is the parallelism unit for
+    planet-scale files: each range is an independent decode task."""
+    import struct as _struct
+
+    from ..core.mvt import _read_varint
+
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            hl = f.read(4)
+            if len(hl) < 4:
+                break
+            (hlen,) = _struct.unpack(">i", hl)
+            start = f.tell() - 4
+            bh = f.read(hlen)
+            btype = b""
+            dsize = 0
+            p = 0
+            while p < len(bh):
+                key, p = _read_varint(bh, p)
+                if key >> 3 == 1:
+                    ln, p = _read_varint(bh, p)
+                    btype = bh[p:p + ln]
+                    p += ln
+                elif key >> 3 == 3:
+                    dsize, p = _read_varint(bh, p)
+                else:
+                    ln, p = _read_varint(bh, p)
+                    p += ln
+            f.seek(dsize, 1)
+            if btype == b"OSMData":
+                out.append({"path": path, "offset": start,
+                            "length": 4 + hlen + dsize})
+    return out
+
+
+def read_osm_pbf(paths) -> "ray.data.Dataset":
+    """OSM PBF -> rows (kind, id, lon, lat, refs, tags JSON).  One task
+    per DATA BLOB (not per file): the framing scan is metadata-only, so
+    a single planet file still decodes in parallel."""
+    from ..core.osmpbf import decode_osm_pbf
+
+    if isinstance(paths, str):
+        paths = [paths]
+    items = []
+    for p in paths:
+        items.extend(scan_osm_blobs(p))
+    ds = ray.data.from_items(items)
+
+    def load(b: pa.Table) -> pa.Table:
+        kinds, ids, lons, lats, refs, tags = [], [], [], [], [], []
+        for i in range(b.num_rows):
+            with open(b.column("path")[i].as_py(), "rb") as f:
+                f.seek(b.column("offset")[i].as_py())
+                blob = f.read(b.column("length")[i].as_py())
+            ns, ws = decode_osm_pbf(blob)
+            for nid, lon, lat, t in ns:
+                kinds.append("node"); ids.append(nid)
+                lons.append(lon); lats.append(lat)
+                refs.append(None); tags.append(json.dumps(t, sort_keys=True))
+            for wid, rr, t in ws:
+                kinds.append("way"); ids.append(wid)
+                lons.append(None); lats.append(None)
+                refs.append(list(rr))
+                tags.append(json.dumps(t, sort_keys=True))
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lons, pa.float64()),
+                         "lat": pa.array(lats, pa.float64()),
+                         "refs": pa.array(refs, pa.list_(pa.int64())),
+                         "tags": pa.array(tags, pa.string())})
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -702,3 +702,38 @@ def test_gpkg_tiles_roundtrip_topdown_rows():
         .fetchone()[0] == 2
     assert con.execute("SELECT matrix_width FROM gpkg_tile_matrix "
                        "WHERE zoom_level=5").fetchone()[0] == 32
+
+
+# ---------- OSM PBF ----------
+
+def test_osm_pbf_roundtrip_both_compressions():
+    from gdal_ray.core.osmpbf import decode_osm_pbf, encode_osm_pbf
+    nodes = [(101, 13.25, 52.5, {"amenity": "cafe", "name": "A"}),
+             (102, -0.125, 51.5, {}),
+             (205, 139.75, -35.25, {"highway": "stop"})]
+    ways = [(9001, [101, 102, 205], {"highway": "residential"}),
+            (9002, [205, 101], {})]
+    for comp in (True, False):
+        n2, w2 = decode_osm_pbf(encode_osm_pbf(nodes, ways, compress=comp))
+        assert len(n2) == 3 and len(w2) == 2
+        for (i1, lo1, la1, t1), (i2, lo2, la2, t2) in zip(nodes, n2):
+            assert i1 == i2 and t1 == t2
+            assert abs(lo1 - lo2) < 1e-7 and abs(la1 - la2) < 1e-7
+        assert w2[0] == (9001, [101, 102, 205],
+                         {"highway": "residential"})
+        assert w2[1] == (9002, [205, 101], {})
+
+
+def test_osm_pbf_blob_scan_and_ray_reader(ray_session, tmp_path):
+    from gdal_ray.core.osmpbf import encode_osm_pbf
+    from gdal_ray.sources.vector_formats import read_osm_pbf, scan_osm_blobs
+    nodes = [(i, i * 0.1, -i * 0.1, {}) for i in range(1, 6)]
+    p = tmp_path / "x.osm.pbf"
+    p.write_bytes(encode_osm_pbf(nodes, [(99, [1, 2, 3], {})]))
+    ranges = scan_osm_blobs(str(p))
+    assert len(ranges) == 1          # one data blob (header blob skipped)
+    rows = read_osm_pbf(str(p)).take_all()
+    kinds = sorted(r["kind"] for r in rows)
+    assert kinds.count("node") == 5 and kinds.count("way") == 1
+    way = [r for r in rows if r["kind"] == "way"][0]
+    assert way["refs"] == [1, 2, 3]
