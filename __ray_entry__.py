@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_global_shuffle": R.q_global_shuffle,
         "emb_pq": R.emb_pq_q,
         "vector_osm_roundtrip": R.vector_osm_roundtrip_q,
+        "vector_mif_roundtrip": R.vector_mif_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -464,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "q_global_shuffle": R.SQL_Q_GLOBAL_SHUFFLE,
         "emb_pq": R.SQL_EMB_PQ,
         "vector_osm_roundtrip": R.SQL_VECTOR_OSM_ROUNDTRIP,
+        "vector_mif_roundtrip": R.SQL_VECTOR_MIF_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

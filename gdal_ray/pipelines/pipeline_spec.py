@@ -131,6 +131,13 @@ def _read_osm_pbf(ds, path):
     return read_osm_pbf(path)
 
 
+@register("read_mif")
+def _read_mif(ds, path):
+    from ..sources.vector_formats import read_mif
+    assert ds is None
+    return read_mif(path)
+
+
 @register("read_arrow")
 def _read_arrow(ds, path):
     from ..sources.vector_formats import read_arrow_ipc
@@ -194,6 +201,12 @@ def _write_geojsonseq(ds, out_dir: str, wkb_col: str = "wkb"):
 def _write_gml(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_gml
     return write_gml(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_mif")
+def _write_mif(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_mif
+    return write_mif(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_arrow")

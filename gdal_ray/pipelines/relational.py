@@ -9325,3 +9325,58 @@ SELECT COUNT(*) AS n_nodes,
                FROM nation) AS BIGINT) AS n_tags
 FROM nd
 """
+
+
+def vector_mif_roundtrip_q(sf_dir: str):
+    """MapInfo MIF/MID driver on the driver surface
+    (ogr/ogrsf_frmts/mitab): the planted dyadic point layer with typed
+    attributes written as a MIF/MID pair and read back through the
+    sidecar-aware reader; identity roundtrip, closed form over nation."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    rows = sorted(nat, key=lambda r: int(r["n_nationkey"]))
+    tab = pa.table({
+        "fid": pa.array([int(r["n_nationkey"]) for r in rows], pa.int64()),
+        "name": pa.array([str(r["n_name"]) + ",x" for r in rows],
+                         pa.string()),
+        "wkb": pa.array([WKB.point(int(r["n_nationkey"]) % 10 + 0.25,
+                                   int(r["n_nationkey"]) // 5 + 0.5)
+                         for r in rows], pa.binary())})
+    d = tempfile.mkdtemp(prefix="mif_")
+    pair = VW.mif_bytes(tab)
+    open(os.path.join(d, "a.mif"), "wb").write(pair["mif"])
+    open(os.path.join(d, "a.mid"), "wb").write(pair["mid"])
+
+    def measure(b: pa.Table) -> pa.Table:
+        fid = np.asarray(b.column("fid"), dtype=np.int64)
+        sx = sy = 0
+        for blob in b.column("wkb").to_pylist():
+            x, y = WKB.loads(blob)["xy"]
+            sx += int(np.floor(x * 1e6 + 0.5))
+            sy += int(np.floor(y * 1e6 + 0.5))
+        nlen = sum(len(s) for s in b.column("name").to_pylist())
+        return pa.table({
+            "n_features": pa.array([b.num_rows], pa.int64()),
+            "fid_sum": pa.array([int(fid.sum())], pa.int64()),
+            "name_len_sum": pa.array([nlen], pa.int64()),
+            "sx_sum": pa.array([sx], pa.int64()),
+            "sy_sum": pa.array([sy], pa.int64())})
+
+    return VF.read_mif([os.path.join(d, "a.mif")]) \
+        .map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_MIF_ROUNDTRIP = """
+SELECT COUNT(*) AS n_features,
+       SUM(n_nationkey) AS fid_sum,
+       CAST(SUM(LENGTH(n_name) + 2) AS BIGINT) AS name_len_sum,
+       CAST(SUM((n_nationkey % 10) * 1000000 + 250000) AS BIGINT) AS sx_sum,
+       CAST(SUM((n_nationkey // 5) * 1000000 + 500000) AS BIGINT) AS sy_sum
+FROM nation
+"""

@@ -1020,3 +1020,117 @@ def read_osm_pbf(paths) -> "ray.data.Dataset":
                          "tags": pa.array(tags, pa.string())})
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- MapInfo MIF/MID (ogr/ogrsf_frmts/mitab) ----------
+
+def parse_mif_bytes(mif: bytes, mid: bytes | None = None) -> pa.Table:
+    """MIF (+ MID) bytes -> feature rows (columns…, wkb).  Geometry
+    section: POINT / LINE / PLINE [MULTIPLE] / REGION / NONE; styling
+    clauses (Pen/Brush/Symbol/Smooth) are skipped, like the reference."""
+    import csv as _csv
+    import io
+
+    lines = mif.decode("ascii", errors="replace").splitlines()
+    ncols = 0
+    colnames: list[str] = []
+    coltypes: list[str] = []
+    i = 0
+    while i < len(lines):
+        t = lines[i].strip()
+        tl = t.lower()
+        if tl.startswith("columns"):
+            ncols = int(t.split()[1])
+            for k in range(ncols):
+                i += 1
+                parts = lines[i].strip().split()
+                colnames.append(parts[0])
+                coltypes.append(parts[1].lower())
+        elif tl == "data":
+            i += 1
+            break
+        i += 1
+    geoms: list[bytes | None] = []
+
+    def floats(s: str) -> list[float]:
+        return [float(v) for v in s.replace(",", " ").split()]
+
+    while i < len(lines):
+        t = lines[i].strip()
+        tl = t.lower()
+        if not t or tl.startswith(("pen", "brush", "symbol", "smooth",
+                                   "center")):
+            i += 1
+            continue
+        if tl.startswith("point"):
+            x, y = floats(t[5:])
+            geoms.append(wkb.point(x, y))
+        elif tl.startswith("line "):
+            x1, y1, x2, y2 = floats(t[4:])
+            geoms.append(wkb.dumps({"type": "LineString",
+                                    "xy": np.array([[x1, y1], [x2, y2]])}))
+        elif tl.startswith("pline"):
+            n = int(t.split()[1])
+            pts = []
+            for _ in range(n):
+                i += 1
+                pts.append(floats(lines[i]))
+            geoms.append(wkb.dumps({"type": "LineString",
+                                    "xy": np.asarray(pts,
+                                                     dtype=np.float64)}))
+        elif tl.startswith("region"):
+            nr = int(t.split()[1])
+            rings = []
+            for _ in range(nr):
+                i += 1
+                n = int(lines[i].strip())
+                pts = []
+                for _ in range(n):
+                    i += 1
+                    pts.append(floats(lines[i]))
+                rings.append(np.asarray(pts, dtype=np.float64))
+            geoms.append(wkb.dumps({"type": "Polygon", "rings": rings}))
+        elif tl == "none":
+            geoms.append(None)
+        i += 1
+
+    cols: dict = {}
+    if mid is not None and ncols:
+        rows = list(_csv.reader(io.StringIO(mid.decode("utf-8"),
+                                            newline="")))
+        for ci, (nm, ty) in enumerate(zip(colnames, coltypes)):
+            vals = [r[ci] if ci < len(r) else "" for r in rows]
+            if ty.startswith("integer"):
+                cols[nm] = pa.array(
+                    [None if v == "" else int(v) for v in vals],
+                    pa.int64())
+            elif ty.startswith(("float", "decimal")):
+                cols[nm] = pa.array(
+                    [None if v == "" else float(v) for v in vals],
+                    pa.float64())
+            else:
+                cols[nm] = pa.array(
+                    [None if v == "" else v for v in vals], pa.string())
+    cols["wkb"] = pa.array(geoms, pa.binary())
+    return pa.table(cols)
+
+
+def read_mif(paths) -> "ray.data.Dataset":
+    """One task per .mif (+ sidecar .mid) file → feature rows."""
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                mif = f.read()
+            midp = os.path.splitext(p)[0] + ".mid"
+            mid = open(midp, "rb").read() if os.path.exists(midp) else None
+            tabs.append(parse_mif_bytes(mif, mid))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -906,3 +906,95 @@ def write_gml(ds: "ray.data.Dataset", out_dir: str, *,
     """GML sink: one .gml per block; returns the manifest Dataset."""
     return _file_sink(ds, out_dir, ".gml",
                       lambda b: gml_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- MapInfo MIF/MID (ogr/ogrsf_frmts/mitab) ----------
+
+def mif_bytes(tab: pa.Table, *, wkb_col: str = "wkb"
+              ) -> dict[str, bytes]:
+    """Features -> MapInfo Interchange pair {'mif': …, 'mid': …}:
+    the MIF file carries the header + geometry section (POINT / PLINE /
+    REGION / NONE), the MID file the delimited attribute rows, row-
+    aligned (the reference's mitab MIF driver layout)."""
+    import csv as _csv
+    import io
+
+    from ..core import wkt as _wkt
+
+    names = [c for c in tab.column_names if c != wkb_col]
+    cols = {c: tab.column(c).to_pylist() for c in names}
+
+    def mif_type(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "Integer"
+        if pa.types.is_floating(t):
+            return "Float"
+        return "Char(254)"
+
+    head = ["Version 300", 'Charset "Neutral"', 'Delimiter ","',
+            "Columns " + str(len(names))]
+    for c in names:
+        head.append(f"  {c} {mif_type(tab.schema.field(c).type)}")
+    head.append("Data")
+    head.append("")
+    geo = []
+    for blob in tab.column(wkb_col).to_pylist():
+        if blob is None:
+            geo.append("NONE")
+            continue
+        g = wkb.loads(blob)
+        t = g["type"]
+        if t == "Point":
+            x, y = (float(v) for v in np.asarray(g["xy"]).reshape(2))
+            geo.append(f"POINT {_wkt.format_double(x)} "
+                       f"{_wkt.format_double(y)}")
+        elif t == "LineString":
+            xy = np.asarray(g["xy"], dtype=np.float64)
+            lines = [f"PLINE {len(xy)}"]
+            lines += [f"{_wkt.format_double(p[0])} "
+                      f"{_wkt.format_double(p[1])}" for p in xy]
+            geo.append("\n".join(lines))
+        elif t == "Polygon":
+            lines = [f"REGION {len(g['rings'])}"]
+            for r in g["rings"]:
+                r = np.asarray(r, dtype=np.float64)
+                lines.append(f"  {len(r)}")
+                lines += [f"{_wkt.format_double(p[0])} "
+                          f"{_wkt.format_double(p[1])}" for p in r]
+            geo.append("\n".join(lines))
+        else:
+            raise ValueError(f"MIF writer does not handle {t}")
+    mif = ("\n".join(head) + "\n".join(geo) + "\n").encode("ascii")
+    buf = io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n")
+    for i in range(tab.num_rows):
+        w.writerow(["" if cols[c][i] is None else cols[c][i]
+                    for c in names])
+    return {"mif": mif, "mid": buf.getvalue().encode("utf-8")}
+
+
+def write_mif(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """MIF/MID sink: one .mif + .mid pair per block (content-hash name);
+    returns the manifest Dataset (path, n_features, n_bytes)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_features": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        pair = mif_bytes(b, wkb_col=wkb_col)
+        name = hashlib.md5(pair["mif"] + pair["mid"]).hexdigest()[:16]
+        base = os.path.join(out_dir, f"part-{name}")
+        for ext in ("mif", "mid"):
+            tmp = f"{base}.{ext}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(pair[ext])
+            os.replace(tmp, f"{base}.{ext}")
+        total = len(pair["mif"]) + len(pair["mid"])
+        return pa.table({"path": pa.array([base + ".mif"], pa.string()),
+                         "n_features": pa.array([b.num_rows], pa.int64()),
+                         "n_bytes": pa.array([total], pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -737,3 +737,50 @@ def test_osm_pbf_blob_scan_and_ray_reader(ray_session, tmp_path):
     assert kinds.count("node") == 5 and kinds.count("way") == 1
     way = [r for r in rows if r["kind"] == "way"][0]
     assert way["refs"] == [1, 2, 3]
+
+
+# ---------- MapInfo MIF/MID ----------
+
+def test_mif_mid_roundtrip_all_types():
+    tab = pa.table({
+        "fid": pa.array([1, 2, 3, 4], pa.int64()),
+        "name": pa.array(["a", "b,c", None, "d"]),
+        "score": pa.array([1.5, None, -2.0, 0.25], pa.float64()),
+        "wkb": pa.array([
+            wkb.point(1.25, 2.5),
+            wkb.dumps({"type": "LineString",
+                       "xy": np.array([[0, 0], [1, 2], [3, 4]], float)}),
+            wkb.polygon([(0, 0), (4, 0), (4, 4), (0, 0)],
+                        holes=[[(1, 1), (2, 1), (2, 2), (1, 1)]]),
+            None], pa.binary())})
+    pair = VW.mif_bytes(tab)
+    t2 = VF.parse_mif_bytes(pair["mif"], pair["mid"])
+    assert t2.column("fid").to_pylist() == [1, 2, 3, 4]
+    assert t2.column("name").to_pylist() == ["a", "b,c", None, "d"]
+    assert t2.column("score").to_pylist() == [1.5, None, -2.0, 0.25]
+    assert tuple(wkb.loads(t2.column("wkb").to_pylist()[0])["xy"]) \
+        == (1.25, 2.5)
+    assert len(wkb.loads(t2.column("wkb").to_pylist()[2])["rings"]) == 2
+    assert t2.column("wkb").to_pylist()[3] is None
+
+
+def test_mif_foreign_line_and_styling_skipped():
+    mif = (b"Version 300\nColumns 1\n  a Integer\nData\n\n"
+           b"LINE 0 0 5 5\nPen (1,2,0)\nPOINT 1 2\nSymbol (34,0,12)\n")
+    t = VF.parse_mif_bytes(mif, b"7\n8\n")
+    assert t.num_rows == 2
+    g = wkb.loads(t.column("wkb").to_pylist()[0])
+    np.testing.assert_array_equal(g["xy"], [[0, 0], [5, 5]])
+    assert t.column("a").to_pylist() == [7, 8]
+
+
+def test_mif_sink_and_reader(ray_session, tmp_path):
+    import ray
+    tab = pa.table({"fid": pa.array([1, 2], pa.int64()),
+                    "wkb": pa.array([wkb.point(1.0, 2.0),
+                                     wkb.point(3.0, 4.0)], pa.binary())})
+    man = VW.write_mif(ray.data.from_arrow(tab),
+                       str(tmp_path / "o")).take_all()
+    assert sum(r["n_features"] for r in man) == 2
+    back = VF.read_mif([r["path"] for r in man]).take_all()
+    assert sorted(r["fid"] for r in back) == [1, 2]
