@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq": R.emb_pq_q,
         "vector_osm_roundtrip": R.vector_osm_roundtrip_q,
         "vector_mif_roundtrip": R.vector_mif_roundtrip_q,
+        "vector_dxf_roundtrip": R.vector_dxf_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -466,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq": R.SQL_EMB_PQ,
         "vector_osm_roundtrip": R.SQL_VECTOR_OSM_ROUNDTRIP,
         "vector_mif_roundtrip": R.SQL_VECTOR_MIF_ROUNDTRIP,
+        "vector_dxf_roundtrip": R.SQL_VECTOR_DXF_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

@@ -138,6 +138,13 @@ def _read_mif(ds, path):
     return read_mif(path)
 
 
+@register("read_dxf")
+def _read_dxf(ds, path):
+    from ..sources.vector_formats import read_dxf
+    assert ds is None
+    return read_dxf(path)
+
+
 @register("read_arrow")
 def _read_arrow(ds, path):
     from ..sources.vector_formats import read_arrow_ipc
@@ -207,6 +214,12 @@ def _write_gml(ds, out_dir: str, wkb_col: str = "wkb"):
 def _write_mif(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_mif
     return write_mif(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_dxf")
+def _write_dxf(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_dxf
+    return write_dxf(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_arrow")

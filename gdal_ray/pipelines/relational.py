@@ -9380,3 +9380,62 @@ SELECT COUNT(*) AS n_features,
        CAST(SUM((n_nationkey // 5) * 1000000 + 500000) AS BIGINT) AS sy_sum
 FROM nation
 """
+
+
+def vector_dxf_roundtrip_q(sf_dir: str):
+    """DXF driver on the driver surface (ogr/ogrsf_frmts/dxf): planted
+    per-nation POINT + closed-LWPOLYLINE entities (layer name = nation
+    key) written as ASCII DXF and read back; per-kind counts, snapped
+    coordinate sums and the polygon vertex total are closed forms."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = sorted(int(r["n_nationkey"]) for r in
+                 _read(sf_dir, "nation", ["n_nationkey"]).take_all())
+    layers, blobs = [], []
+    for n in nat:
+        layers.append(f"L{n}")
+        blobs.append(WKB.point(n % 10 + 0.25, n // 5 + 0.5))
+        layers.append(f"L{n}")
+        s = (n % 4) + 1.0
+        blobs.append(WKB.box(float(n), 0.0, n + s, s))
+    tab = pa.table({"layer": pa.array(layers, pa.string()),
+                    "wkb": pa.array(blobs, pa.binary())})
+    d = tempfile.mkdtemp(prefix="dxf_")
+    p = os.path.join(d, "a.dxf")
+    open(p, "wb").write(VW.dxf_bytes(tab, layer_col="layer"))
+
+    def measure(b: pa.Table) -> pa.Table:
+        npts = npoly = 0
+        sx = sy = nvert = 0
+        for blob in b.column("wkb").to_pylist():
+            g = WKB.loads(blob)
+            if g["type"] == "Point":
+                npts += 1
+                sx += int(np.floor(g["xy"][0] * 1e6 + 0.5))
+                sy += int(np.floor(g["xy"][1] * 1e6 + 0.5))
+            else:
+                npoly += 1
+                nvert += len(g["rings"][0])
+        return pa.table({
+            "n_points": pa.array([npts], pa.int64()),
+            "n_polygons": pa.array([npoly], pa.int64()),
+            "sx_sum": pa.array([sx], pa.int64()),
+            "sy_sum": pa.array([sy], pa.int64()),
+            "vert_sum": pa.array([nvert], pa.int64())})
+
+    return VF.read_dxf([p]).map_batches(measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_DXF_ROUNDTRIP = """
+SELECT COUNT(*) AS n_points,
+       COUNT(*) AS n_polygons,
+       CAST(SUM((n_nationkey % 10) * 1000000 + 250000) AS BIGINT) AS sx_sum,
+       CAST(SUM((n_nationkey // 5) * 1000000 + 500000) AS BIGINT) AS sy_sum,
+       CAST(COUNT(*) * 5 AS BIGINT) AS vert_sum
+FROM nation
+"""

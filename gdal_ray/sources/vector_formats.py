@@ -1134,3 +1134,138 @@ def read_mif(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- AutoCAD DXF (ogr/ogrsf_frmts/dxf) ----------
+
+def parse_dxf_bytes(data: bytes) -> pa.Table:
+    """ASCII DXF -> rows (layer, wkb): POINT, LINE, LWPOLYLINE (closed
+    flag 70 -> Polygon ring, open -> LineString), POLYLINE/VERTEX/SEQEND
+    chains.  Group codes are (code, value) line pairs; sections other
+    than ENTITIES are skipped (the reference's reader semantics for
+    geometry extraction)."""
+    lines = data.decode("ascii", errors="replace").splitlines()
+    pairs = [(lines[i].strip(), lines[i + 1].strip())
+             for i in range(0, len(lines) - 1, 2)]
+    layers, blobs = [], []
+    i = 0
+    n = len(pairs)
+
+    def emit(layer, geom):
+        layers.append(layer)
+        blobs.append(wkb.dumps(geom))
+
+    while i < n:
+        code, val = pairs[i]
+        if code != "0":
+            i += 1
+            continue
+        ent = val.upper()
+        i += 1
+        if ent == "POINT":
+            x = y = 0.0
+            layer = "0"
+            while i < n and pairs[i][0] != "0":
+                c, v = pairs[i]
+                if c == "10":
+                    x = float(v)
+                elif c == "20":
+                    y = float(v)
+                elif c == "8":
+                    layer = v
+                i += 1
+            emit(layer, {"type": "Point", "xy": np.array([x, y])})
+        elif ent == "LINE":
+            c10 = c20 = c11 = c21 = 0.0
+            layer = "0"
+            while i < n and pairs[i][0] != "0":
+                c, v = pairs[i]
+                if c == "10":
+                    c10 = float(v)
+                elif c == "20":
+                    c20 = float(v)
+                elif c == "11":
+                    c11 = float(v)
+                elif c == "21":
+                    c21 = float(v)
+                elif c == "8":
+                    layer = v
+                i += 1
+            emit(layer, {"type": "LineString",
+                         "xy": np.array([[c10, c20], [c11, c21]])})
+        elif ent == "LWPOLYLINE":
+            pts = []
+            closed = False
+            layer = "0"
+            cx = None
+            while i < n and pairs[i][0] != "0":
+                c, v = pairs[i]
+                if c == "70":
+                    closed = bool(int(v) & 1)
+                elif c == "8":
+                    layer = v
+                elif c == "10":
+                    cx = float(v)
+                elif c == "20":
+                    pts.append((cx, float(v)))
+                i += 1
+            xy = np.asarray(pts, dtype=np.float64)
+            if closed:
+                ring = np.vstack([xy, xy[:1]])
+                emit(layer, {"type": "Polygon", "rings": [ring]})
+            else:
+                emit(layer, {"type": "LineString", "xy": xy})
+        elif ent == "POLYLINE":
+            layer = "0"
+            closed = False
+            while i < n and pairs[i][0] != "0":
+                c, v = pairs[i]
+                if c == "8":
+                    layer = v
+                elif c == "70":
+                    closed = bool(int(v) & 1)
+                i += 1
+            pts = []
+            while i < n:
+                if pairs[i][0] == "0" and pairs[i][1].upper() == "SEQEND":
+                    while i < n and (pairs[i][0] != "0"
+                                     or pairs[i][1].upper() == "SEQEND"):
+                        i += 1
+                    break
+                if pairs[i][0] == "0" and pairs[i][1].upper() == "VERTEX":
+                    i += 1
+                    x = y = 0.0
+                    while i < n and pairs[i][0] != "0":
+                        c, v = pairs[i]
+                        if c == "10":
+                            x = float(v)
+                        elif c == "20":
+                            y = float(v)
+                        i += 1
+                    pts.append((x, y))
+                else:
+                    i += 1
+            xy = np.asarray(pts, dtype=np.float64)
+            if closed and len(xy):
+                emit(layer, {"type": "Polygon",
+                             "rings": [np.vstack([xy, xy[:1]])]})
+            elif len(xy):
+                emit(layer, {"type": "LineString", "xy": xy})
+    return pa.table({"layer": pa.array(layers, pa.string()),
+                     "wkb": pa.array(blobs, pa.binary())})
+
+
+def read_dxf(paths) -> "ray.data.Dataset":
+    """One task per .dxf file → (layer, wkb) rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_dxf_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -998,3 +998,54 @@ def write_mif(ds: "ray.data.Dataset", out_dir: str, *,
                          "n_bytes": pa.array([total], pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------- AutoCAD DXF (ogr/ogrsf_frmts/dxf) ----------
+
+def dxf_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+              layer_col: str | None = None) -> bytes:
+    """Features -> minimal ASCII DXF (R12-compatible ENTITIES section):
+    Point -> POINT, LineString -> LWPOLYLINE (open), Polygon shell ->
+    LWPOLYLINE (closed flag 70=1; holes are separate closed polylines,
+    the flattening the reference's DXF writer applies)."""
+    from ..core import wkt as _wkt
+
+    fd = _wkt.format_double
+    layers = (tab.column(layer_col).to_pylist()
+              if layer_col and layer_col in tab.column_names
+              else ["0"] * tab.num_rows)
+    out = ["0", "SECTION", "2", "ENTITIES"]
+
+    def lwpolyline(xy, layer, closed):
+        xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+        n = len(xy) - (1 if closed else 0)
+        out.extend(["0", "LWPOLYLINE", "8", str(layer),
+                    "90", str(n), "70", "1" if closed else "0"])
+        for p in xy[:n]:
+            out.extend(["10", fd(p[0]), "20", fd(p[1])])
+
+    for blob, layer in zip(tab.column(wkb_col).to_pylist(), layers):
+        if blob is None:
+            continue
+        g = wkb.loads(blob)
+        t = g["type"]
+        if t == "Point":
+            x, y = (float(v) for v in np.asarray(g["xy"]).reshape(2))
+            out.extend(["0", "POINT", "8", str(layer),
+                        "10", fd(x), "20", fd(y)])
+        elif t == "LineString":
+            lwpolyline(g["xy"], layer, closed=False)
+        elif t == "Polygon":
+            for r in g["rings"]:
+                lwpolyline(r, layer, closed=True)
+        else:
+            raise ValueError(f"DXF writer does not handle {t}")
+    out.extend(["0", "ENDSEC", "0", "EOF"])
+    return ("\n".join(out) + "\n").encode("ascii")
+
+
+def write_dxf(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """DXF sink: one .dxf per block; returns the manifest Dataset."""
+    return _file_sink(ds, out_dir, ".dxf",
+                      lambda b: dxf_bytes(b, wkb_col=wkb_col))

@@ -784,3 +784,40 @@ def test_mif_sink_and_reader(ray_session, tmp_path):
     assert sum(r["n_features"] for r in man) == 2
     back = VF.read_mif([r["path"] for r in man]).take_all()
     assert sorted(r["fid"] for r in back) == [1, 2]
+
+
+# ---------- DXF ----------
+
+def test_dxf_roundtrip_entities():
+    tab = pa.table({
+        "layer": pa.array(["roads", "b", "parks"]),
+        "wkb": pa.array([
+            wkb.point(1.25, 2.5),
+            wkb.dumps({"type": "LineString",
+                       "xy": np.array([[0, 0], [1, 2], [3, 4]], float)}),
+            wkb.polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])],
+            pa.binary())})
+    t = VF.parse_dxf_bytes(VW.dxf_bytes(tab, layer_col="layer"))
+    assert t.column("layer").to_pylist() == ["roads", "b", "parks"]
+    g2 = wkb.loads(t.column("wkb").to_pylist()[2])
+    assert g2["type"] == "Polygon"
+    np.testing.assert_array_equal(
+        g2["rings"][0], [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+
+
+def test_dxf_foreign_line_and_polyline_vertex_seqend():
+    foreign = "\n".join([
+        "0", "SECTION", "2", "ENTITIES",
+        "0", "LINE", "8", "L1", "10", "0", "20", "0",
+        "11", "5", "21", "5",
+        "0", "POLYLINE", "8", "L2", "70", "1",
+        "0", "VERTEX", "10", "0", "20", "0",
+        "0", "VERTEX", "10", "2", "20", "0",
+        "0", "VERTEX", "10", "2", "20", "2",
+        "0", "SEQEND", "0", "ENDSEC", "0", "EOF"]).encode()
+    t = VF.parse_dxf_bytes(foreign)
+    assert t.num_rows == 2
+    ln = wkb.loads(t.column("wkb").to_pylist()[0])
+    np.testing.assert_array_equal(ln["xy"], [[0, 0], [5, 5]])
+    pg = wkb.loads(t.column("wkb").to_pylist()[1])
+    assert pg["type"] == "Polygon" and len(pg["rings"][0]) == 4
