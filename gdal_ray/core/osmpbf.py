@@ -190,6 +190,8 @@ def decode_osm_pbf(data: bytes):
             f, wire = key >> 3, key & 0x7
             if wire == 0:
                 v, p = _read_varint(raw, p)
+                if v >= 1 << 63:
+                    v -= 1 << 64           # proto int64: two's complement
                 if f == 17:
                     gran = v
                 elif f == 19:

@@ -23,6 +23,7 @@ import struct
 import numpy as np
 
 from .hilbert import hilbert_d
+from .mvt import _read_varint, _varint
 
 __all__ = ["encode_pmtiles", "decode_pmtiles", "tile_id"]
 
@@ -65,29 +66,6 @@ def _id_to_zxy(tid: int) -> tuple[int, int, int]:
         t //= 4
         s *= 2
     return z, x, y
-
-
-def _varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def _read_varint(buf, pos):
-    n = shift = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        n |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return n, pos
-        shift += 7
 
 
 def _serialize_dir(entries) -> bytes:
@@ -206,12 +184,20 @@ def decode_pmtiles(data: bytes):
 
     meta = json.loads(unz(data[meta_off:meta_off + meta_len],
                           internal_comp) or b"{}")
+    if leaf_len:
+        raise NotImplementedError(
+            "PMTiles leaf directories not supported (root-only archives "
+            "are what this writer produces; partition large tile sets)")
     entries = _parse_dir(unz(data[root_off:root_off + root_len],
                              internal_comp))
     tiles = []
     for tid, off, ln, rl in entries:
+        if rl == 0:
+            # spec: run_length 0 marks a LEAF-directory pointer
+            raise NotImplementedError(
+                "PMTiles leaf directories not supported")
         payload = unz(data[tile_off + off:tile_off + off + ln], tile_comp)
-        for k in range(max(1, rl)):
+        for k in range(rl):
             tiles.append((*_id_to_zxy(tid + k), payload))
     return tiles, meta
 

@@ -416,8 +416,8 @@ def gpkg_tiles_bytes(rows, *, table: str = "tiles",
         srs_id INTEGER)""")
     con.execute(
         "INSERT INTO gpkg_contents VALUES (?,?,?,?,?,?,?,?,?,?)",
-        (table, "tiles", table, "", "2000-01-01T00:00:00.000Z",
-         -OS, -OS, OS, OS, 3857))
+        (table, "tiles", table, f"format={tile_format}",
+         "2000-01-01T00:00:00.000Z", -OS, -OS, OS, OS, 3857))
     con.execute("""CREATE TABLE gpkg_tile_matrix_set (
         table_name TEXT NOT NULL PRIMARY KEY, srs_id INTEGER NOT NULL,
         min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL,
@@ -443,7 +443,7 @@ def gpkg_tiles_bytes(rows, *, table: str = "tiles",
     con.executemany(
         f'INSERT INTO "{table}" (zoom_level, tile_column, tile_row, '
         "tile_data) VALUES (?,?,?,?)",
-        [(int(z), int(x), int(y), __import__("sqlite3").Binary(p))
+        [(int(z), int(x), int(y), sqlite3.Binary(p))
          for z, x, y, p in rows])
     con.commit()
     return bytes(con.serialize())

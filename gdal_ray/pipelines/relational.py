@@ -8278,50 +8278,11 @@ def vector_mvt_tiles_q(sf_dir: str):
     """MVT driver on the driver surface (ogr/ogrsf_frmts/mvt): customer-
     derived points run the full vectortiles.point_vector_tiles pipeline
     (mercator tile assignment + integer tile-unit quantization + hand-
-    rolled protobuf encode, splitmix-bucketed per-tile groups), then every
-    produced tile blob is DECODED back through core/mvt and measured —
-    per tile the feature count, the id sum and the tile-local coordinate
-    sums must match the closed-form mercator replay."""
-    from ..core import mvt as MVT
-    from .vectortiles import point_vector_tiles
-
-    Z = 5
-
-    def pts(b: pa.Table) -> pa.Table:
-        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
-        return pa.table({
-            "fid": pa.array(ck, pa.int64()),
-            "lon": pa.array(((ck * 37) % 3600) / 10.0 - 180.0 + 0.05,
-                            pa.float64()),
-            "lat": pa.array(((ck * 91) % 1700) / 10.0 - 85.0 + 0.05,
-                            pa.float64())})
-
-    tiles = point_vector_tiles(
-        _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(pts, batch_format="pyarrow"), Z)
-
-    def measure(b: pa.Table) -> pa.Table:
-        zs, xs, ys = [], [], []
-        nf, ids, lxs, lys = [], [], [], []
-        for i, blob in enumerate(b.column("mvt").to_pylist()):
-            layers = MVT.decode_tile(blob)
-            feats = layers["points"]["features"]
-            zs.append(b.column("z")[i].as_py())
-            xs.append(b.column("x")[i].as_py())
-            ys.append(b.column("y")[i].as_py())
-            nf.append(len(feats))
-            ids.append(sum(f["id"] for f in feats))
-            lxs.append(sum(int(f["xy"][0, 0]) for f in feats))
-            lys.append(sum(int(f["xy"][0, 1]) for f in feats))
-        return pa.table({"z": pa.array(zs, pa.int64()),
-                         "x": pa.array(xs, pa.int64()),
-                         "y": pa.array(ys, pa.int64()),
-                         "n_features": pa.array(nf, pa.int64()),
-                         "id_sum": pa.array(ids, pa.int64()),
-                         "lx_sum": pa.array(lxs, pa.int64()),
-                         "ly_sum": pa.array(lys, pa.int64())})
-
-    return tiles.map_batches(measure, batch_format="pyarrow")
+    rolled protobuf encode, splitmix-bucketed per-tile groups), then
+    every produced tile blob is DECODED back through core/mvt and
+    measured against the closed-form mercator replay."""
+    return _mvt_points_tiles(sf_dir).map_batches(
+        _measure_mvt("mvt"), batch_format="pyarrow")
 
 
 SQL_VECTOR_MVT_TILES = """
@@ -8820,21 +8781,10 @@ GROUP BY nk
 """
 
 
-def vector_pmtiles_roundtrip_q(sf_dir: str):
-    """PMTiles v3 driver on the driver surface (ogr/ogrsf_frmts/pmtiles):
-    the customer-derived MVT tile set (same pipeline as vector_mvt_tiles)
-    is packed into partitioned single-file archives
-    (catalog.write_pmtiles — gzip'd varint directories, Hilbert tile ids,
-    content dedup), read back through catalog.read_pmtiles, MVT-decoded
-    and measured; the whole archive roundtrip must be identity, so the
-    oracle is the same mercator replay as vector_mvt_tiles."""
-    import tempfile
-
-    from ..core import mvt as MVT
-    from .catalog import read_pmtiles, write_pmtiles
+def _mvt_points_tiles(sf_dir: str, Z: int = 5):
+    """Shared by the MVT/PMTiles/MBTiles/GPKG-tiles slots: the customer-
+    derived point set through vectortiles.point_vector_tiles."""
     from .vectortiles import point_vector_tiles
-
-    Z = 5
 
     def pts(b: pa.Table) -> pa.Table:
         ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
@@ -8845,17 +8795,18 @@ def vector_pmtiles_roundtrip_q(sf_dir: str):
             "lat": pa.array(((ck * 91) % 1700) / 10.0 - 85.0 + 0.05,
                             pa.float64())})
 
-    tiles = point_vector_tiles(
+    return point_vector_tiles(
         _read(sf_dir, "customer", ["c_custkey"])
         .map_batches(pts, batch_format="pyarrow"), Z)
-    d = tempfile.mkdtemp(prefix="pmt_")
-    manifest = write_pmtiles(tiles, d, tile_type="mvt",
-                             metadata={"name": "customers"})
-    paths = [r["path"] for r in manifest.take_all()]   # bounded: archives
+
+
+def _measure_mvt(payload_col: str):
+    """Decode-and-measure stage shared by the tile-archive slots."""
+    from ..core import mvt as MVT
 
     def measure(b: pa.Table) -> pa.Table:
         zs, xs, ys, nf, ids, lxs, lys = [], [], [], [], [], [], []
-        for i, blob in enumerate(b.column("payload").to_pylist()):
+        for i, blob in enumerate(b.column(payload_col).to_pylist()):
             feats = MVT.decode_tile(blob)["points"]["features"]
             zs.append(b.column("z")[i].as_py())
             xs.append(b.column("x")[i].as_py())
@@ -8872,7 +8823,33 @@ def vector_pmtiles_roundtrip_q(sf_dir: str):
                          "lx_sum": pa.array(lxs, pa.int64()),
                          "ly_sum": pa.array(lys, pa.int64())})
 
-    return read_pmtiles(paths).map_batches(measure, batch_format="pyarrow")
+    return measure
+
+
+def _mvt_archive_roundtrip(sf_dir: str, writer, reader, prefix: str):
+    """Write the shared tile set through `writer`, read back through
+    `reader`, measure (the identity-roundtrip contract all three archive
+    drivers share)."""
+    import tempfile
+
+    tiles = _mvt_points_tiles(sf_dir)
+    d = tempfile.mkdtemp(prefix=prefix)
+    paths = [r["path"] for r in writer(tiles, d).take_all()]  # bounded
+    return reader(paths).map_batches(_measure_mvt("payload"),
+                                     batch_format="pyarrow")
+
+
+def vector_pmtiles_roundtrip_q(sf_dir: str):
+    """PMTiles v3 driver on the driver surface (ogr/ogrsf_frmts/pmtiles):
+    the shared customer MVT tile set packed into partitioned single-file
+    archives (catalog.write_pmtiles — gzip'd varint directories, Hilbert
+    tile ids, content dedup), read back through catalog.read_pmtiles and
+    MVT-decoded; identity roundtrip, same mercator oracle."""
+    from .catalog import read_pmtiles, write_pmtiles
+    return _mvt_archive_roundtrip(
+        sf_dir, lambda t, d: write_pmtiles(t, d, tile_type="mvt",
+                                           metadata={"name": "customers"}),
+        read_pmtiles, "pmt_")
 
 
 # identical tile/feature closed form — the archive roundtrip is identity
@@ -8960,55 +8937,15 @@ GROUP BY nk
 
 
 def vector_mbtiles_roundtrip_q(sf_dir: str):
-    """MBTiles driver on the driver surface (frmts/mbtiles): the
-    customer-derived MVT tile set packed into partitioned .mbtiles
-    sqlite databases (catalog.write_mbtiles — TMS row flip, metadata
-    table), read back through catalog.read_mbtiles, MVT-decoded and
-    measured; identity roundtrip, same mercator oracle."""
-    import tempfile
-
-    from ..core import mvt as MVT
+    """MBTiles driver on the driver surface (frmts/mbtiles): the shared
+    tile set through partitioned .mbtiles sqlite databases
+    (catalog.write_mbtiles — TMS row flip, metadata table) and back;
+    identity roundtrip, same mercator oracle."""
     from .catalog import read_mbtiles, write_mbtiles
-    from .vectortiles import point_vector_tiles
-
-    Z = 5
-
-    def pts(b: pa.Table) -> pa.Table:
-        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
-        return pa.table({
-            "fid": pa.array(ck, pa.int64()),
-            "lon": pa.array(((ck * 37) % 3600) / 10.0 - 180.0 + 0.05,
-                            pa.float64()),
-            "lat": pa.array(((ck * 91) % 1700) / 10.0 - 85.0 + 0.05,
-                            pa.float64())})
-
-    tiles = point_vector_tiles(
-        _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(pts, batch_format="pyarrow"), Z)
-    d = tempfile.mkdtemp(prefix="mbt_")
-    manifest = write_mbtiles(tiles, d, metadata={"name": "customers"})
-    paths = [r["path"] for r in manifest.take_all()]   # bounded: archives
-
-    def measure(b: pa.Table) -> pa.Table:
-        zs, xs, ys, nf, ids, lxs, lys = [], [], [], [], [], [], []
-        for i, blob in enumerate(b.column("payload").to_pylist()):
-            feats = MVT.decode_tile(blob)["points"]["features"]
-            zs.append(b.column("z")[i].as_py())
-            xs.append(b.column("x")[i].as_py())
-            ys.append(b.column("y")[i].as_py())
-            nf.append(len(feats))
-            ids.append(sum(f["id"] for f in feats))
-            lxs.append(sum(int(f["xy"][0, 0]) for f in feats))
-            lys.append(sum(int(f["xy"][0, 1]) for f in feats))
-        return pa.table({"z": pa.array(zs, pa.int64()),
-                         "x": pa.array(xs, pa.int64()),
-                         "y": pa.array(ys, pa.int64()),
-                         "n_features": pa.array(nf, pa.int64()),
-                         "id_sum": pa.array(ids, pa.int64()),
-                         "lx_sum": pa.array(lxs, pa.int64()),
-                         "ly_sum": pa.array(lys, pa.int64())})
-
-    return read_mbtiles(paths).map_batches(measure, batch_format="pyarrow")
+    return _mvt_archive_roundtrip(
+        sf_dir, lambda t, d: write_mbtiles(t, d,
+                                           metadata={"name": "customers"}),
+        read_mbtiles, "mbt_")
 
 
 SQL_VECTOR_MBTILES_ROUNDTRIP = SQL_VECTOR_MVT_TILES
@@ -9071,55 +9008,13 @@ FROM feats
 
 def raster_gpkg_tiles_q(sf_dir: str):
     """GPKG tile-pyramid half of the GeoPackage driver on the driver
-    surface (ogr/ogrsf_frmts/gpkg raster side): the customer-derived MVT
-    tile set packed into partitioned GPKG pyramids (top-down tile_row,
-    gpkg_tile_matrix per zoom), read back and MVT-decoded; identity
-    roundtrip, same mercator oracle."""
-    import tempfile
-
-    from ..core import mvt as MVT
+    surface (ogr/ogrsf_frmts/gpkg raster side): the shared tile set
+    through partitioned GPKG pyramids (top-down tile_row,
+    gpkg_tile_matrix per zoom) and back; identity roundtrip, same
+    mercator oracle."""
     from .catalog import read_gpkg_tiles, write_gpkg_tiles
-    from .vectortiles import point_vector_tiles
-
-    Z = 5
-
-    def pts(b: pa.Table) -> pa.Table:
-        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
-        return pa.table({
-            "fid": pa.array(ck, pa.int64()),
-            "lon": pa.array(((ck * 37) % 3600) / 10.0 - 180.0 + 0.05,
-                            pa.float64()),
-            "lat": pa.array(((ck * 91) % 1700) / 10.0 - 85.0 + 0.05,
-                            pa.float64())})
-
-    tiles = point_vector_tiles(
-        _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(pts, batch_format="pyarrow"), Z)
-    d = tempfile.mkdtemp(prefix="gpkgt_")
-    manifest = write_gpkg_tiles(tiles, d)
-    paths = [r["path"] for r in manifest.take_all()]
-
-    def measure(b: pa.Table) -> pa.Table:
-        zs, xs, ys, nf, ids, lxs, lys = [], [], [], [], [], [], []
-        for i, blob in enumerate(b.column("payload").to_pylist()):
-            feats = MVT.decode_tile(blob)["points"]["features"]
-            zs.append(b.column("z")[i].as_py())
-            xs.append(b.column("x")[i].as_py())
-            ys.append(b.column("y")[i].as_py())
-            nf.append(len(feats))
-            ids.append(sum(f["id"] for f in feats))
-            lxs.append(sum(int(f["xy"][0, 0]) for f in feats))
-            lys.append(sum(int(f["xy"][0, 1]) for f in feats))
-        return pa.table({"z": pa.array(zs, pa.int64()),
-                         "x": pa.array(xs, pa.int64()),
-                         "y": pa.array(ys, pa.int64()),
-                         "n_features": pa.array(nf, pa.int64()),
-                         "id_sum": pa.array(ids, pa.int64()),
-                         "lx_sum": pa.array(lxs, pa.int64()),
-                         "ly_sum": pa.array(lys, pa.int64())})
-
-    return read_gpkg_tiles(paths).map_batches(measure,
-                                              batch_format="pyarrow")
+    return _mvt_archive_roundtrip(sf_dir, write_gpkg_tiles,
+                                  read_gpkg_tiles, "gpkgt_")
 
 
 SQL_RASTER_GPKG_TILES = SQL_VECTOR_MVT_TILES

@@ -909,6 +909,14 @@ def parse_gml_bytes(data: bytes) -> pa.Table:
             return {"type": "Polygon", "rings": outer + inner}
         return None
 
+    def find_geom(el):
+        """First geometry element at any depth — OGR-written GML wraps
+        geometry in a property element (<ogr:geometryProperty>…)."""
+        for c in el.iter():
+            if _strip_ns(c.tag) in GEOM_TAGS:
+                return parse_geom(c)
+        return None
+
     for fm in root.iter():
         if _strip_ns(fm.tag) != "featureMember":
             continue
@@ -918,6 +926,9 @@ def parse_gml_bytes(data: bytes) -> pa.Table:
                 t = _strip_ns(c.tag)
                 if t in GEOM_TAGS:
                     geom = parse_geom(c)
+                elif geom is None and any(
+                        _strip_ns(d.tag) in GEOM_TAGS for d in c.iter()):
+                    geom = find_geom(c)          # property-wrapped
                 elif nm is None and c.text and c.text.strip():
                     nm = c.text
             if geom is not None:
@@ -1035,11 +1046,16 @@ def parse_mif_bytes(mif: bytes, mid: bytes | None = None) -> pa.Table:
     ncols = 0
     colnames: list[str] = []
     coltypes: list[str] = []
+    delimiter = "\t"          # MapInfo default when no Delimiter clause
     i = 0
     while i < len(lines):
         t = lines[i].strip()
         tl = t.lower()
-        if tl.startswith("columns"):
+        if tl.startswith("delimiter"):
+            q = t.split(None, 1)[1].strip().strip('"')
+            if q:
+                delimiter = q[0]
+        elif tl.startswith("columns"):
             ncols = int(t.split()[1])
             for k in range(ncols):
                 i += 1
@@ -1070,14 +1086,34 @@ def parse_mif_bytes(mif: bytes, mid: bytes | None = None) -> pa.Table:
             geoms.append(wkb.dumps({"type": "LineString",
                                     "xy": np.array([[x1, y1], [x2, y2]])}))
         elif tl.startswith("pline"):
-            n = int(t.split()[1])
-            pts = []
-            for _ in range(n):
-                i += 1
-                pts.append(floats(lines[i]))
-            geoms.append(wkb.dumps({"type": "LineString",
-                                    "xy": np.asarray(pts,
-                                                     dtype=np.float64)}))
+            toks = t.split()
+            nsect = 1
+            if len(toks) >= 2 and toks[1].lower() == "multiple":
+                nsect = int(toks[2])
+                counts = []
+            elif len(toks) >= 2:
+                counts = [int(toks[1])]
+            else:
+                i += 1                     # numpts on the next line
+                counts = [int(lines[i].strip())]
+            sections = []
+            for si in range(nsect):
+                if nsect > 1:
+                    i += 1
+                    cnt = int(lines[i].strip())
+                else:
+                    cnt = counts[0]
+                pts = []
+                for _ in range(cnt):
+                    i += 1
+                    pts.append(floats(lines[i]))
+                sections.append(np.asarray(pts, dtype=np.float64))
+            if len(sections) == 1:
+                geoms.append(wkb.dumps({"type": "LineString",
+                                        "xy": sections[0]}))
+            else:
+                geoms.append(wkb.dumps({"type": "MultiLineString",
+                                        "lines": sections}))
         elif tl.startswith("region"):
             nr = int(t.split()[1])
             rings = []
@@ -1097,7 +1133,8 @@ def parse_mif_bytes(mif: bytes, mid: bytes | None = None) -> pa.Table:
     cols: dict = {}
     if mid is not None and ncols:
         rows = list(_csv.reader(io.StringIO(mid.decode("utf-8"),
-                                            newline="")))
+                                            newline=""),
+                                delimiter=delimiter))
         for ci, (nm, ty) in enumerate(zip(colnames, coltypes)):
             vals = [r[ci] if ci < len(r) else "" for r in rows]
             if ty.startswith("integer"):

@@ -1018,7 +1018,10 @@ def dxf_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
 
     def lwpolyline(xy, layer, closed):
         xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
-        n = len(xy) - (1 if closed else 0)
+        # drop the duplicate closing vertex only when the ring actually
+        # repeats it (unclosed producer rings keep every vertex)
+        dup = closed and len(xy) > 1 and bool((xy[0] == xy[-1]).all())
+        n = len(xy) - (1 if dup else 0)
         out.extend(["0", "LWPOLYLINE", "8", str(layer),
                     "90", str(n), "70", "1" if closed else "0"])
         for p in xy[:n]:

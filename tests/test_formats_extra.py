@@ -821,3 +821,79 @@ def test_dxf_foreign_line_and_polyline_vertex_seqend():
     np.testing.assert_array_equal(ln["xy"], [[0, 0], [5, 5]])
     pg = wkb.loads(t.column("wkb").to_pylist()[1])
     assert pg["type"] == "Polygon" and len(pg["rings"][0]) == 4
+
+
+# ---------- second code-review regression pins ----------
+
+def test_pmtiles_leaf_directories_raise():
+    import struct
+
+    from gdal_ray.core.pmtiles import decode_pmtiles, encode_pmtiles
+    blob = bytearray(encode_pmtiles([(3, 1, 2, b"a")]))
+    struct.pack_into("<Q", blob, 48, 10)    # fake leaf_dirs_length
+    with pytest.raises(NotImplementedError):
+        decode_pmtiles(bytes(blob))
+
+
+def test_mif_pline_multiple_and_default_tab_delimiter():
+    mif = (b"Version 300\nColumns 1\n  a Integer\nData\n\n"
+           b"Pline Multiple 2\n2\n0 0\n1 1\n3\n5 5\n6 6\n7 7\n")
+    t = VF.parse_mif_bytes(mif, b"7\n")
+    g = wkb.loads(t.column("wkb").to_pylist()[0])
+    assert g["type"] == "MultiLineString" and len(g["lines"]) == 2
+    # no Delimiter clause -> TAB (MapInfo default)
+    mif2 = (b"Version 300\nColumns 2\n  a Integer\n  b Char(10)\n"
+            b"Data\n\nPOINT 1 2\n")
+    t2 = VF.parse_mif_bytes(mif2, b"7\tx\n")
+    assert t2.column("a").to_pylist() == [7]
+    assert t2.column("b").to_pylist() == ["x"]
+
+
+def test_gml_property_wrapped_geometry():
+    g = (b'<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">'
+         b"<gml:featureMember><f><name>n1</name>"
+         b"<geometryProperty><gml:Point><gml:pos>3 4</gml:pos>"
+         b"</gml:Point></geometryProperty></f></gml:featureMember>"
+         b"</gml:FeatureCollection>")
+    t = VF.parse_gml_bytes(g)
+    assert t.num_rows == 1
+    assert tuple(wkb.loads(t.column("wkb").to_pylist()[0])["xy"]) \
+        == (3.0, 4.0)
+    assert t.column("name").to_pylist() == ["n1"]
+
+
+def test_dxf_unclosed_ring_keeps_all_vertices():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)  # not closed
+    tab = pa.table({"wkb": pa.array(
+        [wkb.dumps({"type": "Polygon", "rings": [ring]})], pa.binary())})
+    g = wkb.loads(VF.parse_dxf_bytes(VW.dxf_bytes(tab))
+                  .column("wkb").to_pylist()[0])
+    np.testing.assert_array_equal(
+        g["rings"][0], [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+
+
+def test_osm_negative_offsets_signed():
+    import zlib as _zlib
+
+    from gdal_ray.core.mvt import _ld, _tag, _varint
+    from gdal_ray.core.osmpbf import decode_osm_pbf, encode_osm_pbf
+    # rewrite the single data blob with lat_offset=-1e9 (-1 degree) and
+    # a compensating +1-degree lat value
+    blob = encode_osm_pbf([(1, 10.0, 21.0, {})], compress=False)
+    nodes, _ = decode_osm_pbf(blob)
+    assert abs(nodes[0][2] - 21.0) < 1e-7
+    # craft a block manually: same node lat 22 deg, lat_offset -1 deg
+    st = _ld(1, _ld(1, b""))
+    import struct as _struct
+    dense = (_ld(1, _varint(2)) +            # id 1 (zigzag 2)
+             _ld(8, _varint((220000000 << 1))) +   # lat val (gran 100)
+             _ld(9, _varint((100000000 << 1))))    # lon 10 deg
+    grp = _ld(2, dense)
+    neg = (-1000000000) & ((1 << 64) - 1)
+    block = st + _ld(2, grp) + _tag(17, 0) + _varint(100) \
+        + _tag(19, 0) + _varint(neg)
+    body = _ld(1, block)
+    bh = _ld(1, b"OSMData") + _tag(3, 0) + _varint(len(body))
+    raw = _struct.pack(">i", len(bh)) + bh + body
+    n2, _ = decode_osm_pbf(raw)
+    assert abs(n2[0][2] - 21.0) < 1e-7      # 22 + (-1) = 21
