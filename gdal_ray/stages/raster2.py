@@ -456,6 +456,35 @@ def cutline_mask(arr: np.ndarray, gt, polygons, *, nodata=0,
     return out
 
 
+def cutline_crop(arr: np.ndarray, gt, polygons, *, nodata=0
+                 ) -> tuple[np.ndarray, tuple]:
+    """gdalwarp ``-cutline … -crop_to_cutline``: mask outside the cutline
+    AND shrink the raster to the cutline's bounding pixel window,
+    returning (cropped array, adjusted geotransform)."""
+    from ..core import wkb as _wkb
+
+    if isinstance(polygons, (bytes, bytearray)):
+        polygons = _wkb.as_polygons(_wkb.loads(bytes(polygons)))
+    elif isinstance(polygons, dict):
+        polygons = _wkb.as_polygons(polygons)
+    masked = cutline_mask(arr, gt, polygons, nodata=nodata)
+    pts = np.vstack([np.asarray(r, dtype=np.float64)
+                     for rings in polygons for r in rings])
+    minx, maxx = float(pts[:, 0].min()), float(pts[:, 0].max())
+    miny, maxy = float(pts[:, 1].min()), float(pts[:, 1].max())
+    h, w = masked.shape[:2]
+    # pixel window covering the cutline bbox (north-up gt)
+    j0 = max(0, int(np.floor((minx - gt[0]) / gt[1])))
+    j1 = min(w, int(np.ceil((maxx - gt[0]) / gt[1])))
+    i0 = max(0, int(np.floor((maxy - gt[3]) / gt[5])))
+    i1 = min(h, int(np.ceil((miny - gt[3]) / gt[5])))
+    j1, i1 = max(j1, j0 + 1), max(i1, i0 + 1)
+    out = masked[i0:i1, j0:j1]
+    gt2 = (gt[0] + j0 * gt[1], gt[1], 0.0,
+           gt[3] + i0 * gt[5], 0.0, gt[5])
+    return out, gt2
+
+
 def cutline(batch: pa.Table, cut_wkt: str, *, nodata: int = 0,
             invert: bool = False, out_fmt: str = "png") -> pa.Table:
     """Batch stage over (image_id, bytes, fmt) rows: apply one WKT cutline

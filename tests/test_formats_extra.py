@@ -897,3 +897,15 @@ def test_osm_negative_offsets_signed():
     raw = _struct.pack(">i", len(bh)) + bh + body
     n2, _ = decode_osm_pbf(raw)
     assert abs(n2[0][2] - 21.0) < 1e-7      # 22 + (-1) = 21
+
+
+def test_cutline_crop_window_and_mask():
+    from gdal_ray.stages.raster2 import cutline_crop, cutline_mask
+    a = np.arange(100, dtype=np.int32).reshape(10, 10) + 1
+    gt = (0, 1, 0, 10, 0, -1)
+    tri = [[np.array([[2.0, 2.0], [6.5, 2.0], [2.0, 6.5], [2.0, 2.0]])]]
+    out, gt2 = cutline_crop(a, gt, tri, nodata=0)
+    assert out.shape == (5, 5)
+    assert gt2 == (2.0, 1, 0.0, 7.0, 0.0, -1)
+    np.testing.assert_array_equal(out, cutline_mask(a, gt, tri,
+                                                    nodata=0)[3:8, 2:7])
