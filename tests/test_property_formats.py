@@ -112,3 +112,77 @@ def test_aaigrid_xyz_any_grid(h, w, seed):
     np.testing.assert_array_equal(a, a2)
     a3, gt3 = decode_xyz(encode_xyz(a))
     np.testing.assert_array_equal(a, a3)
+
+
+_geom_strategy = st.one_of(
+    st.tuples(_coord, _coord).map(
+        lambda p: {"type": "Point", "xy": np.array(p)}),
+    st.lists(st.tuples(_coord, _coord), min_size=2, max_size=8).map(
+        lambda ps: {"type": "LineString",
+                    "xy": np.asarray(ps, dtype=np.float64)}),
+)
+
+
+@SET
+@given(gs=st.lists(_geom_strategy, min_size=1, max_size=8))
+def test_gml_any_features(gs):
+    from gdal_ray.sources import vector_formats as VF
+    from gdal_ray.sources import vector_writers as VW
+    tab = pa.table({"wkb": pa.array([wkb.dumps(g) for g in gs],
+                                    pa.binary())})
+    t2 = VF.parse_gml_bytes(VW.gml_bytes(tab))
+    assert t2.num_rows == len(gs)
+    for blob, g in zip(t2.column("wkb").to_pylist(), gs):
+        g2 = wkb.loads(blob)
+        assert g2["type"] == g["type"]
+        np.testing.assert_array_equal(np.atleast_2d(g2["xy"]),
+                                      np.atleast_2d(g["xy"]))
+
+
+@SET
+@given(gs=st.lists(_geom_strategy, min_size=1, max_size=8))
+def test_dxf_any_features(gs):
+    from gdal_ray.sources import vector_formats as VF
+    from gdal_ray.sources import vector_writers as VW
+    tab = pa.table({"wkb": pa.array([wkb.dumps(g) for g in gs],
+                                    pa.binary())})
+    t2 = VF.parse_dxf_bytes(VW.dxf_bytes(tab))
+    assert t2.num_rows == len(gs)
+    for blob, g in zip(t2.column("wkb").to_pylist(), gs):
+        g2 = wkb.loads(blob)
+        assert g2["type"] == g["type"]
+
+
+@SET
+@given(nodes=st.lists(
+    st.tuples(st.integers(1, 2**40),
+              st.integers(-1799, 1799),
+              st.integers(-849, 849)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0]))
+def test_osm_any_nodes(nodes):
+    from gdal_ray.core.osmpbf import decode_osm_pbf, encode_osm_pbf
+    src = [(i, x / 10.0, y / 10.0, {}) for i, x, y in nodes]
+    n2, _ = decode_osm_pbf(encode_osm_pbf(src))
+    assert [n[0] for n in n2] == [s[0] for s in src]
+    for (_, lo1, la1, _t), (_, lo2, la2, _t2) in zip(src, n2):
+        assert abs(lo1 - lo2) < 1e-7 and abs(la1 - la2) < 1e-7
+
+
+@SET
+@given(tiles=st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 255), st.integers(0, 255),
+              st.binary(min_size=0, max_size=30)),
+    min_size=1, max_size=16))
+def test_pmtiles_any_tiles(tiles):
+    from gdal_ray.core.pmtiles import decode_pmtiles, encode_pmtiles
+    # clamp x/y into the zoom's range and dedupe addresses
+    seen = set()
+    norm = []
+    for z, x, y, p in tiles:
+        x &= (1 << z) - 1 if z else 0
+        y &= (1 << z) - 1 if z else 0
+        if (z, x, y) not in seen:
+            seen.add((z, x, y))
+            norm.append((z, x, y, p))
+    out, _ = decode_pmtiles(encode_pmtiles(norm))
+    assert sorted(out) == sorted(norm)
