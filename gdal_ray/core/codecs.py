@@ -353,6 +353,20 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "xyz":
         from . import aaigrid as _aai
         return _aai.encode_xyz(np.asarray(img))
+    if fmt == "bmp":
+        from . import bmp as _bmp
+        return _bmp.encode_bmp(np.asarray(img))
+    if fmt == "pnm":
+        from . import pnm as _pnm
+        return _pnm.encode_pnm(np.asarray(img))
+    if fmt == "gif":
+        from . import gif as _gif
+        img = np.asarray(img)
+        if img.ndim != 2 or img.dtype != np.uint8:
+            raise ValueError("GIF needs a uint8 index/gray band; use "
+                             "stages.palette for RGB quantization")
+        return _gif.encode_gif(
+            img, np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1))
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -409,6 +423,15 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "xyz":
         from . import aaigrid as _aai
         return _aai.decode_xyz(data)[0]
+    if fmt == "bmp":
+        from . import bmp as _bmp
+        return _bmp.decode_bmp(data)[0]
+    if fmt == "pnm":
+        from . import pnm as _pnm
+        return _pnm.decode_pnm(data)
+    if fmt == "gif":
+        from . import gif as _gif
+        return _gif.decode_gif(data)[0]
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

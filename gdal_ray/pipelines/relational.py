@@ -9334,3 +9334,58 @@ SELECT COUNT(*) AS n_points,
        CAST(COUNT(*) * 5 AS BIGINT) AS vert_sum
 FROM nation
 """
+
+
+def raster_bmp_gif_roundtrip_q(sf_dir: str):
+    """BMP / PNM / GIF drivers on the driver surface (frmts/bmp,
+    frmts/pnm, frmts/gif): per nation three derived 16x16 grids round-trip
+    through each codec — BMP 8-bit paletted (4-byte row padding,
+    bottom-up rows), PNM P5 16-bit (big-endian samples), GIF LZW
+    (variable-width LSB codes over a runs-heavy grid) — and the decoded
+    sums are closed forms over the derivation."""
+    from ..core.bmp import decode_bmp, encode_bmp
+    from ..core.gif import decode_gif, encode_gif
+    from ..core.pnm import decode_pnm, encode_pnm
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        k = np.arange(256, dtype=np.int64)
+        pal7 = np.repeat(np.arange(7, dtype=np.uint8)[:, None], 3, 1)
+        nk, bsum, psum, gsum = [], [], [], []
+        for n in ks:
+            n = int(n)
+            gb = ((n * 31 + k) % 251).astype(np.uint8).reshape(16, 16)
+            a, _ = decode_bmp(encode_bmp(gb))
+            assert np.array_equal(a, gb)
+            g16 = ((n * 17 + k) % 60000).astype(np.uint16).reshape(16, 16)
+            a16 = decode_pnm(encode_pnm(g16))
+            assert a16.dtype == np.uint16 and np.array_equal(a16, g16)
+            gg = ((n * 13 + k) % 7).astype(np.uint8).reshape(16, 16)
+            ag, _ = decode_gif(encode_gif(gg, pal7))
+            assert np.array_equal(ag, gg)
+            nk.append(n)
+            bsum.append(int(a.astype(np.int64).sum()))
+            psum.append(int(a16.astype(np.int64).sum()))
+            gsum.append(int(ag.astype(np.int64).sum()))
+        return pa.table({"n_nationkey": pa.array(nk, pa.int64()),
+                         "bmp_sum": pa.array(bsum, pa.int64()),
+                         "pnm_sum": pa.array(psum, pa.int64()),
+                         "gif_sum": pa.array(gsum, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_BMP_GIF_ROUNDTRIP = """
+WITH cells AS (
+    SELECT n.n_nationkey AS nk, c.k
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS k) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM((nk * 31 + k) % 251) AS BIGINT) AS bmp_sum,
+       CAST(SUM((nk * 17 + k) % 60000) AS BIGINT) AS pnm_sum,
+       CAST(SUM((nk * 13 + k) % 7) AS BIGINT) AS gif_sum
+FROM cells
+GROUP BY nk
+"""
