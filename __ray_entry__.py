@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_mif_roundtrip": R.vector_mif_roundtrip_q,
         "vector_dxf_roundtrip": R.vector_dxf_roundtrip_q,
         "raster_bmp_gif_roundtrip": R.raster_bmp_gif_roundtrip_q,
+        "vector_spatialite_roundtrip": R.vector_spatialite_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -470,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_mif_roundtrip": R.SQL_VECTOR_MIF_ROUNDTRIP,
         "vector_dxf_roundtrip": R.SQL_VECTOR_DXF_ROUNDTRIP,
         "raster_bmp_gif_roundtrip": R.SQL_RASTER_BMP_GIF_ROUNDTRIP,
+        "vector_spatialite_roundtrip": R.SQL_VECTOR_SPATIALITE_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

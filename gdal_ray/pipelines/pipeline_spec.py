@@ -89,6 +89,13 @@ def _read_flatgeobuf(ds, path):
     return read_flatgeobuf(path)
 
 
+@register("read_spatialite")
+def _read_spatialite(ds, path, table=None):
+    from ..sources.vector_formats import read_spatialite
+    assert ds is None
+    return read_spatialite(path, table=table)
+
+
 @register("read_csv")
 def _read_csv(ds, path):
     from ..sources.vector_formats import read_csv
@@ -166,6 +173,14 @@ def _write_gpkg(ds, out_dir: str, table: str = "layer", srs_id=4326,
     from ..sources.vector_writers import write_gpkg
     return write_gpkg(ds, out_dir, table=table, srs_id=int(srs_id),
                       wkb_col=wkb_col)
+
+
+@register("write_spatialite")
+def _write_spatialite(ds, out_dir: str, table: str = "layer", srid=4326,
+                      wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_spatialite
+    return write_spatialite(ds, out_dir, table=table, srid=int(srid),
+                            wkb_col=wkb_col)
 
 
 @register("write_shapefile")

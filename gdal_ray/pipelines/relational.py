@@ -9389,3 +9389,82 @@ SELECT nk AS n_nationkey,
 FROM cells
 GROUP BY nk
 """
+
+
+def vector_spatialite_roundtrip_q(sf_dir: str):
+    """SpatiaLite driver on the driver surface (ogr/ogrsf_frmts/sqlite):
+    planted per-nation POINT + LINESTRING features with typed attributes
+    written as gaia BLOBs into a SpatiaLite database (v4
+    geometry_columns metadata) and read back through the Ray reader;
+    counts, snapped coordinate sums, vertex totals and the attribute sum
+    are closed forms."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    nat = sorted(int(r["n_nationkey"]) for r in
+                 _read(sf_dir, "nation", ["n_nationkey"]).take_all())
+    vals, blobs = [], []
+    for n in nat:
+        vals.append(2 * n)
+        blobs.append(WKB.point(n % 10 + 0.25, n // 5 + 0.5))
+        vals.append(2 * n + 1)
+        npts = n % 3 + 2
+        xy = np.stack([n + 0.5 * np.arange(npts),
+                       0.25 * np.arange(npts)], axis=1)
+        blobs.append(WKB.dumps({"type": "LineString", "xy": xy}))
+    tab = pa.table({"val": pa.array(vals, pa.int64()),
+                    "wkb": pa.array(blobs, pa.binary())})
+    d = tempfile.mkdtemp(prefix="slite_")
+    p = os.path.join(d, "a.sqlite")
+    open(p, "wb").write(VW.spatialite_bytes({"features": tab}))
+
+    def measure(b: pa.Table) -> pa.Table:
+        npts = nlin = 0
+        sx = sy = nvert = lx = 0
+        for blob in b.column("wkb").to_pylist():
+            g = WKB.loads(blob)
+            if g["type"] == "Point":
+                npts += 1
+                sx += int(np.floor(g["xy"][0] * 1e6 + 0.5))
+                sy += int(np.floor(g["xy"][1] * 1e6 + 0.5))
+            else:
+                nlin += 1
+                nvert += len(g["xy"])
+                lx += int(np.floor(g["xy"][:, 0] * 1e6 + 0.5).sum())
+        vsum = int(np.asarray(b.column("val"), dtype=np.int64).sum())
+        return pa.table({
+            "n_points": pa.array([npts], pa.int64()),
+            "n_lines": pa.array([nlin], pa.int64()),
+            "sx_sum": pa.array([sx], pa.int64()),
+            "sy_sum": pa.array([sy], pa.int64()),
+            "vert_sum": pa.array([nvert], pa.int64()),
+            "lx_sum": pa.array([lx], pa.int64()),
+            "attr_sum": pa.array([vsum], pa.int64())})
+
+    return VF.read_spatialite([p]).map_batches(
+        measure, batch_format="pyarrow")
+
+
+SQL_VECTOR_SPATIALITE_ROUNDTRIP = """
+WITH verts AS (
+    SELECT n.n_nationkey AS nk, c.k
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k) c
+    WHERE c.k < n.n_nationkey % 3 + 2
+)
+SELECT (SELECT COUNT(*) FROM nation) AS n_points,
+       (SELECT COUNT(*) FROM nation) AS n_lines,
+       (SELECT CAST(SUM((n_nationkey % 10) * 1000000 + 250000) AS BIGINT)
+        FROM nation) AS sx_sum,
+       (SELECT CAST(SUM((n_nationkey // 5) * 1000000 + 500000) AS BIGINT)
+        FROM nation) AS sy_sum,
+       CAST(COUNT(*) AS BIGINT) AS vert_sum,
+       CAST(SUM(nk * 1000000 + k * 500000) AS BIGINT) AS lx_sum,
+       (SELECT CAST(SUM(4 * n_nationkey + 1) AS BIGINT) FROM nation)
+           AS attr_sum
+FROM verts
+"""

@@ -1306,3 +1306,148 @@ def read_dxf(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- SpatiaLite (ogr/ogrsf_frmts/sqlite) ----------
+
+_GAIA_NAMES = {1: "Point", 2: "LineString", 3: "Polygon", 4: "MultiPoint",
+               5: "MultiLineString", 6: "MultiPolygon",
+               7: "GeometryCollection"}
+
+
+def gaia_to_wkb(blob: bytes | None) -> bytes | None:
+    """SpatiaLite internal BLOB geometry → standard WKB
+    (ogr/ogrsf_frmts/sqlite/ogrsqlitelayer.cpp ``ImportSpatiaLiteGeometry``
+    semantics).  Handles both endiannesses and XY/XYZ/XYM/XYZM classes;
+    the compressed (+1000000) classes raise."""
+    import struct
+
+    from ..core import wkb as WKB
+
+    if blob is None:
+        return None
+    if blob[0] != 0x00 or blob[38] != 0x7C or blob[-1] != 0xFE:
+        raise ValueError("not a SpatiaLite geometry blob")
+    bo = "<" if blob[1] == 0x01 else ">"
+    (cls,) = struct.unpack_from(bo + "i", blob, 39)
+    if cls >= 1000000:
+        raise ValueError("compressed SpatiaLite geometries not supported")
+    zm, base = divmod(cls, 1000)
+    has_z = zm in (1, 3)
+    has_m = zm in (2, 3)
+    ndim = 2 + int(has_z) + int(has_m)
+    dt = np.dtype(bo + "f8")
+    buf = memoryview(blob)
+
+    def read_pts(o, n):
+        arr = np.frombuffer(buf, dt, n * ndim, o).reshape(n, ndim)
+        xy = np.ascontiguousarray(arr[:, :2], dtype=np.float64)
+        z = np.ascontiguousarray(arr[:, 2], np.float64) if has_z else None
+        m = np.ascontiguousarray(arr[:, 2 + int(has_z)], np.float64) \
+            if has_m else None
+        return xy, z, m, o + n * ndim * 8
+
+    def with_zm(d, z, m):
+        if z is not None:
+            d["z"] = z
+        if m is not None:
+            d["m"] = m
+        return d
+
+    def read_body(base: int, off: int):
+        name = _GAIA_NAMES.get(base)
+        if name is None:
+            raise ValueError(f"unknown gaia class {base}")
+        if name == "Point":
+            xy, z, m, off = read_pts(off, 1)
+            return with_zm({"type": name, "xy": xy[0]},
+                           z[0] if z is not None else None,
+                           m[0] if m is not None else None), off
+        if name == "LineString":
+            (n,) = struct.unpack_from(bo + "i", buf, off)
+            xy, z, m, off = read_pts(off + 4, n)
+            return with_zm({"type": name, "xy": xy}, z, m), off
+        if name == "Polygon":
+            (nr,) = struct.unpack_from(bo + "i", buf, off)
+            off += 4
+            rings, zs, ms = [], [], []
+            for _ in range(nr):
+                (n,) = struct.unpack_from(bo + "i", buf, off)
+                xy, z, m, off = read_pts(off + 4, n)
+                rings.append(xy)
+                zs.append(z)
+                ms.append(m)
+            d = {"type": name, "rings": rings}
+            if has_z:
+                d["z"] = zs
+            if has_m:
+                d["m"] = ms
+            return d, off
+        (ng,) = struct.unpack_from(bo + "i", buf, off)
+        off += 4
+        parts = []
+        for _ in range(ng):
+            if buf[off] != 0x69:
+                raise ValueError("gaia collection: missing entity marker")
+            (scls,) = struct.unpack_from(bo + "i", buf, off + 1)
+            g, off = read_body(scls % 1000, off + 5)
+            parts.append(g)
+        if name == "MultiPoint":
+            return {"type": name,
+                    "xy": np.array([p["xy"] for p in parts],
+                                   np.float64).reshape(-1, 2)}, off
+        if name == "MultiLineString":
+            return {"type": name, "lines": [p["xy"] for p in parts]}, off
+        if name == "MultiPolygon":
+            return {"type": name, "polys": [p["rings"] for p in parts]}, off
+        return {"type": name, "geoms": parts}, off
+
+    g, off = read_body(base, 43)
+    if blob[off] != 0xFE:
+        raise ValueError("gaia geometry: bad trailer")
+    return WKB.dumps(g)
+
+
+def read_spatialite(paths, table: str | None = None) -> "ray.data.Dataset":
+    """One task per .sqlite file: feature tables discovered via the
+    SpatiaLite ``geometry_columns`` metadata, gaia BLOBs re-emitted as a
+    standard ``wkb`` column alongside the attributes."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        import sqlite3
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                payload = f.read()
+            con = sqlite3.connect(":memory:")
+            con.deserialize(payload)
+            if table is not None:
+                pairs = [(table, next(con.execute(
+                    "SELECT f_geometry_column FROM geometry_columns "
+                    "WHERE f_table_name=?", (table,)))[0])]
+            else:
+                pairs = list(con.execute(
+                    "SELECT f_table_name, f_geometry_column "
+                    "FROM geometry_columns ORDER BY f_table_name"))
+            for name, gcol in pairs:
+                cur = con.execute(f'SELECT * FROM "{name}"')
+                colnames = [d[0] for d in cur.description]
+                gi = colnames.index(gcol)
+                cols: dict = {c: [] for c in colnames if c != gcol}
+                wkbs = []
+                for row in cur:
+                    for ci, c in enumerate(colnames):
+                        if ci == gi:
+                            wkbs.append(gaia_to_wkb(row[ci]))
+                        else:
+                            cols[c].append(row[ci])
+                t = pa.table({c: pa.array(v) for c, v in cols.items()})
+                tabs.append(t.append_column("wkb",
+                                            pa.array(wkbs, pa.binary())))
+            con.close()
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

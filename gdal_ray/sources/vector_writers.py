@@ -1052,3 +1052,140 @@ def write_dxf(ds: "ray.data.Dataset", out_dir: str, *,
     """DXF sink: one .dxf per block; returns the manifest Dataset."""
     return _file_sink(ds, out_dir, ".dxf",
                       lambda b: dxf_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- SpatiaLite (ogr/ogrsf_frmts/sqlite) ----------
+
+_GAIA_CODES = {"Point": 1, "LineString": 2, "Polygon": 3,
+               "MultiPoint": 4, "MultiLineString": 5, "MultiPolygon": 6,
+               "GeometryCollection": 7}
+
+
+def _gaia_pts(out: list, xy, z=None, m=None):
+    xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+    cols = [xy]
+    if z is not None:
+        cols.append(np.asarray(z, dtype=np.float64).reshape(-1, 1))
+    if m is not None:
+        cols.append(np.asarray(m, dtype=np.float64).reshape(-1, 1))
+    arr = xy if len(cols) == 1 else np.hstack(cols)
+    out.append(np.ascontiguousarray(arr, dtype="<f8").tobytes())
+
+
+def _gaia_body(g: dict, out: list):
+    """Geometry coordinate body, WITHOUT the class int (gaia entities in
+    collections repeat 0x69 + class + body with no per-entity header)."""
+    t = g["type"]
+    if t == "Point":
+        _gaia_pts(out, np.asarray(g["xy"], dtype=np.float64).reshape(1, 2),
+                  g.get("z"), g.get("m"))
+    elif t == "LineString":
+        xy = np.asarray(g["xy"], dtype=np.float64)
+        out.append(struct.pack("<i", len(xy)))
+        _gaia_pts(out, xy, g.get("z"), g.get("m"))
+    elif t == "Polygon":
+        out.append(struct.pack("<i", len(g["rings"])))
+        zs = g.get("z") or [None] * len(g["rings"])
+        ms = g.get("m") or [None] * len(g["rings"])
+        for r, z, m in zip(g["rings"], zs, ms):
+            r = np.asarray(r, dtype=np.float64)
+            out.append(struct.pack("<i", len(r)))
+            _gaia_pts(out, r, z, m)
+    else:
+        if t == "MultiPoint":
+            subs = [{"type": "Point", "xy": p}
+                    for p in np.asarray(g["xy"], np.float64).reshape(-1, 2)]
+        elif t == "MultiLineString":
+            subs = [{"type": "LineString", "xy": ln} for ln in g["lines"]]
+        elif t == "MultiPolygon":
+            subs = [{"type": "Polygon", "rings": r} for r in g["polys"]]
+        elif t == "GeometryCollection":
+            subs = g["geoms"]
+        else:
+            raise ValueError(f"gaia writer does not handle {t}")
+        out.append(struct.pack("<i", len(subs)))
+        for s in subs:
+            zm = 1000 * int("z" in s) + 2000 * int("m" in s)
+            out.append(struct.pack("<Bi", 0x69, _GAIA_CODES[s["type"]] + zm))
+            _gaia_body(s, out)
+
+
+def wkb_to_gaia_blob(data: bytes | None, *, srid: int = 4326) -> bytes | None:
+    """Standard WKB → SpatiaLite internal BLOB geometry (the gaia format
+    the reference reads in ogr/ogrsf_frmts/sqlite/ogrsqlitelayer.cpp):
+    0x00, endian 0x01 (little), SRID int32, MBR 4 doubles, 0x7C, class
+    int (+1000 Z / +2000 M / +3000 ZM), coordinate body, 0xFE."""
+    if data is None:
+        return None
+    g = wkb.loads(data)
+    pts = np.vstack(_all_points(g)) if _all_points(g) else \
+        np.zeros((1, 2), dtype=np.float64)
+    body: list = []
+    _gaia_body(g, body)
+    zm = 1000 * int("z" in g) + 2000 * int("m" in g)
+    return (b"\x00\x01" + struct.pack("<i", srid)
+            + struct.pack("<4d", float(pts[:, 0].min()),
+                          float(pts[:, 1].min()), float(pts[:, 0].max()),
+                          float(pts[:, 1].max()))
+            + b"\x7c" + struct.pack("<i", _GAIA_CODES[g["type"]] + zm)
+            + b"".join(body) + b"\xfe")
+
+
+def spatialite_bytes(tables: dict[str, pa.Table], *, srid: int = 4326,
+                     wkb_col: str = "wkb") -> bytes:
+    """Serialize feature tables into a SpatiaLite database (stdlib
+    sqlite3).  Writes the v4-layout ``geometry_columns`` (integer
+    geometry_type / coord_dimension) and ``spatial_ref_sys`` metadata the
+    reference driver sniffs to detect SpatiaLite
+    (ogr/ogrsf_frmts/sqlite/ogrsqlitedatasource.cpp); geometries are gaia
+    BLOBs.  Readable by ``vector_formats.read_spatialite``."""
+    con = sqlite3.connect(":memory:")
+    con.execute("""CREATE TABLE spatial_ref_sys (
+        srid INTEGER NOT NULL PRIMARY KEY, auth_name TEXT NOT NULL,
+        auth_srid INTEGER NOT NULL, ref_sys_name TEXT NOT NULL DEFAULT '',
+        proj4text TEXT NOT NULL, srtext TEXT NOT NULL DEFAULT '')""")
+    con.execute(
+        "INSERT INTO spatial_ref_sys VALUES (4326,'epsg',4326,'WGS 84',"
+        "'+proj=longlat +datum=WGS84 +no_defs','')")
+    con.execute("""CREATE TABLE geometry_columns (
+        f_table_name TEXT NOT NULL, f_geometry_column TEXT NOT NULL,
+        geometry_type INTEGER NOT NULL, coord_dimension INTEGER NOT NULL,
+        srid INTEGER NOT NULL, spatial_index_enabled INTEGER NOT NULL,
+        CONSTRAINT pk_geom_cols PRIMARY KEY (f_table_name, f_geometry_column))""")
+    for name, tab in tables.items():
+        attr = [c for c in tab.column_names if c not in (wkb_col, "fid")]
+        coldefs = ['"fid" INTEGER PRIMARY KEY', '"geometry" BLOB']
+        for c in attr:
+            coldefs.append(f'"{c}" {_sqlite_type(tab.schema.field(c).type)}')
+        con.execute(f'CREATE TABLE "{name}" ({", ".join(coldefs)})')
+        fids = tab.column("fid").to_pylist() if "fid" in tab.column_names \
+            else list(range(1, tab.num_rows + 1))
+        wkbs = tab.column(wkb_col).to_pylist()
+        cols = {c: tab.column(c).to_pylist() for c in attr}
+        gtypes = set()
+        rows = []
+        for i in range(tab.num_rows):
+            blob = wkb_to_gaia_blob(wkbs[i], srid=srid)
+            if blob is not None:
+                gtypes.add(struct.unpack_from("<i", blob, 39)[0])
+            rows.append((fids[i], blob,
+                         *[_sqlite_value(cols[c][i]) for c in attr]))
+        ph = ",".join("?" * (2 + len(attr)))
+        con.executemany(f'INSERT INTO "{name}" VALUES ({ph})', rows)
+        gt = gtypes.pop() if len(gtypes) == 1 else 0   # 0 = GEOMETRY
+        con.execute("INSERT INTO geometry_columns VALUES (?,?,?,?,?,0)",
+                    (name, "geometry", gt, 3 if gt >= 1000 else 2, srid))
+    con.commit()
+    payload = con.serialize()
+    con.close()
+    return payload
+
+
+def write_spatialite(ds: "ray.data.Dataset", out_dir: str, *,
+                     table: str = "layer", srid: int = 4326,
+                     wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """SpatiaLite sink: one .sqlite per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".sqlite",
+                      lambda b: spatialite_bytes({table: b},
+                                                 srid=srid,
+                                                 wkb_col=wkb_col))
