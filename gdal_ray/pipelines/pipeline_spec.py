@@ -96,6 +96,20 @@ def _read_spatialite(ds, path, table=None):
     return read_spatialite(path, table=table)
 
 
+@register("read_topojson")
+def _read_topojson(ds, path):
+    from ..sources.vector_formats import read_topojson
+    assert ds is None
+    return read_topojson(path)
+
+
+@register("read_georss")
+def _read_georss(ds, path):
+    from ..sources.vector_formats import read_georss
+    assert ds is None
+    return read_georss(path)
+
+
 @register("read_csv")
 def _read_csv(ds, path):
     from ..sources.vector_formats import read_csv
@@ -181,6 +195,13 @@ def _write_spatialite(ds, out_dir: str, table: str = "layer", srid=4326,
     from ..sources.vector_writers import write_spatialite
     return write_spatialite(ds, out_dir, table=table, srid=int(srid),
                             wkb_col=wkb_col)
+
+
+@register("write_georss")
+def _write_georss(ds, out_dir: str, title_col: str = "title",
+                  wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_georss
+    return write_georss(ds, out_dir, title_col=title_col, wkb_col=wkb_col)
 
 
 @register("write_shapefile")

@@ -1451,3 +1451,171 @@ def read_spatialite(paths, table: str | None = None) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- TopoJSON (ogr/ogrsf_frmts/geojson/ogrtopojsonreader.cpp) ----------
+
+def parse_topojson_bytes(data: bytes) -> pa.Table:
+    """TopoJSON Topology → feature rows ``(layer, id, properties…, wkb)``.
+    Quantized topologies (a ``transform`` member) carry delta-encoded
+    integer arcs: positions decode as ``cumsum(arc) * scale + translate``;
+    Point/MultiPoint coordinates are transformed but not delta-encoded
+    (they are single positions).  Negative arc index ``~i`` walks arc
+    ``i`` reversed; consecutive arcs in a ring share their junction
+    vertex, so every arc after the first drops its head.  Read-only,
+    like the reference driver."""
+    doc = json.loads(data)
+    if doc.get("type") != "Topology":
+        raise ValueError("not a TopoJSON Topology")
+    tr = doc.get("transform")
+    if tr:
+        sx, sy = (float(v) for v in tr["scale"])
+        tx, ty = (float(v) for v in tr["translate"])
+
+    arcs = []
+    for arc in doc.get("arcs", []):
+        a = np.asarray(arc, dtype=np.float64).reshape(-1, 2)
+        if tr:
+            a = a.cumsum(axis=0)
+            a = np.stack([a[:, 0] * sx + tx, a[:, 1] * sy + ty], axis=1)
+        arcs.append(a)
+
+    def pos(c):
+        x, y = float(c[0]), float(c[1])
+        return [x * sx + tx, y * sy + ty] if tr else [x, y]
+
+    def arc_line(idxs) -> np.ndarray:
+        pts = []
+        for j, i in enumerate(idxs):
+            i = int(i)
+            a = arcs[i] if i >= 0 else arcs[~i][::-1]
+            pts.append(a if j == 0 else a[1:])
+        return np.vstack(pts)
+
+    def geom(o) -> dict | None:
+        t = o.get("type")
+        if t is None:
+            return None
+        if t == "Point":
+            return {"type": "Point",
+                    "xy": np.asarray(pos(o["coordinates"]), np.float64)}
+        if t == "MultiPoint":
+            return {"type": "MultiPoint",
+                    "xy": np.asarray([pos(c) for c in o["coordinates"]],
+                                     np.float64).reshape(-1, 2)}
+        if t == "LineString":
+            return {"type": "LineString", "xy": arc_line(o["arcs"])}
+        if t == "MultiLineString":
+            return {"type": "MultiLineString",
+                    "lines": [arc_line(ix) for ix in o["arcs"]]}
+        if t == "Polygon":
+            return {"type": "Polygon",
+                    "rings": [arc_line(ix) for ix in o["arcs"]]}
+        if t == "MultiPolygon":
+            return {"type": "MultiPolygon",
+                    "polys": [[arc_line(ix) for ix in rings]
+                              for rings in o["arcs"]]}
+        if t == "GeometryCollection":
+            subs = [geom(s) for s in o.get("geometries", [])]
+            return {"type": "GeometryCollection",
+                    "geoms": [s for s in subs if s is not None]}
+        raise ValueError(f"TopoJSON geometry type {t!r}")
+
+    rows = []           # (layer, id, props, wkb)
+    for name, obj in (doc.get("objects") or {}).items():
+        feats = obj.get("geometries", []) \
+            if obj.get("type") == "GeometryCollection" else [obj]
+        for f in feats:
+            g = geom(f)
+            rows.append((name, f.get("id"), f.get("properties") or {},
+                         None if g is None else wkb.dumps(g)))
+
+    props_keys: list[str] = []
+    for _, _, p, _ in rows:
+        for k in p:
+            if k not in props_keys:
+                props_keys.append(k)
+    out: dict = {"layer": pa.array([r[0] for r in rows], pa.string()),
+                 "id": pa.array([str(r[1]) if r[1] is not None else None
+                                 for r in rows], pa.string())}
+    for k in props_keys:
+        out[k] = pa.array([r[2].get(k) for r in rows])
+    out["wkb"] = pa.array([r[3] for r in rows], pa.binary())
+    return pa.table(out)
+
+
+def read_topojson(paths) -> "ray.data.Dataset":
+    """One task per .topojson file → feature rows (layer, id, props…, wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_topojson_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GeoRSS (ogr/ogrsf_frmts/georss) ----------
+
+def parse_georss_bytes(data: bytes) -> pa.Table:
+    """GeoRSS-Simple in an Atom feed → feature rows ``(title, wkb)``.
+    Simple-encoding coordinates are **lat lon** pairs (the reference
+    swaps to x=lon on read, ogrgeorsslayer.cpp): ``georss:point`` one
+    pair, ``georss:line`` ≥2 pairs, ``georss:polygon`` a closed ring,
+    ``georss:box`` two corners → the envelope polygon."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(data.decode("utf-8"))
+    rows = []
+    for entry in root.iter():
+        if not entry.tag.endswith("}entry") and entry.tag != "entry" \
+                and not entry.tag.endswith("}item") and entry.tag != "item":
+            continue
+        title = entry.findtext("{*}title") or entry.findtext("title")
+        g = None
+        for child in entry:
+            tag = child.tag.rsplit("}", 1)[-1]
+            if tag not in ("point", "line", "polygon", "box"):
+                continue
+            vals = np.asarray([float(v) for v in child.text.split()],
+                              dtype=np.float64).reshape(-1, 2)
+            ll = vals[:, ::-1].copy()               # lat lon -> x=lon y=lat
+            if tag == "point":
+                g = {"type": "Point", "xy": ll[0]}
+            elif tag == "line":
+                g = {"type": "LineString", "xy": ll}
+            elif tag == "polygon":
+                ring = ll if np.array_equal(ll[0], ll[-1]) \
+                    else np.vstack([ll, ll[:1]])
+                g = {"type": "Polygon", "rings": [ring]}
+            else:                                   # box: 2 corners
+                (x0, y0), (x1, y1) = ll[0], ll[1]
+                g = {"type": "Polygon", "rings": [np.asarray(
+                    [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)],
+                    np.float64)]}
+            break
+        rows.append((title, None if g is None else wkb.dumps(g)))
+    return pa.table({
+        "title": pa.array([r[0] for r in rows], pa.string()),
+        "wkb": pa.array([r[1] for r in rows], pa.binary())})
+
+
+def read_georss(paths) -> "ray.data.Dataset":
+    """One task per GeoRSS/Atom file → feature rows (title, wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_georss_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

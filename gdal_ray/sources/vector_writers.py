@@ -1189,3 +1189,57 @@ def write_spatialite(ds: "ray.data.Dataset", out_dir: str, *,
                       lambda b: spatialite_bytes({table: b},
                                                  srid=srid,
                                                  wkb_col=wkb_col))
+
+
+# ---------- GeoRSS (ogr/ogrsf_frmts/georss) ----------
+
+def georss_bytes(tab: pa.Table, *, title_col: str = "title",
+                 wkb_col: str = "wkb") -> bytes:
+    """Feature rows → GeoRSS-Simple Atom feed (the reference's default
+    FORMAT=ATOM GEOMETRY_DIALECT=SIMPLE).  Simple coordinates are written
+    **lat lon** (ogrgeorsslayer.cpp swaps on write); Point/LineString/
+    Polygon(shell-only) map to georss:point/line/polygon."""
+    from xml.sax.saxutils import escape
+
+    from ..core.wkt import format_double as fd
+
+    def pairs(xy) -> str:
+        xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+        return " ".join(f"{fd(p[1])} {fd(p[0])}" for p in xy)   # lat lon
+
+    out = ['<?xml version="1.0" encoding="UTF-8"?>',
+           '<feed xmlns="http://www.w3.org/2005/Atom" '
+           'xmlns:georss="http://www.georss.org/georss">']
+    titles = tab.column(title_col).to_pylist() \
+        if title_col in tab.column_names else [None] * tab.num_rows
+    for blob, title in zip(tab.column(wkb_col).to_pylist(), titles):
+        out.append("<entry>")
+        if title is not None:
+            out.append(f"<title>{escape(str(title))}</title>")
+        if blob is not None:
+            g = wkb.loads(blob)
+            t = g["type"]
+            if t == "Point":
+                out.append(f"<georss:point>{pairs(g['xy'])}</georss:point>")
+            elif t == "LineString":
+                out.append(f"<georss:line>{pairs(g['xy'])}</georss:line>")
+            elif t == "Polygon":
+                if len(g["rings"]) > 1:
+                    raise ValueError("GeoRSS-Simple polygons carry the "
+                                     "exterior ring only")
+                out.append(
+                    f"<georss:polygon>{pairs(g['rings'][0])}</georss:polygon>")
+            else:
+                raise ValueError(f"GeoRSS-Simple does not handle {t}")
+        out.append("</entry>")
+    out.append("</feed>")
+    return "\n".join(out).encode("utf-8")
+
+
+def write_georss(ds: "ray.data.Dataset", out_dir: str, *,
+                 title_col: str = "title",
+                 wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GeoRSS Atom sink: one .xml per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".xml",
+                      lambda b: georss_bytes(b, title_col=title_col,
+                                             wkb_col=wkb_col))
