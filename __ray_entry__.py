@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_dxf_roundtrip": R.vector_dxf_roundtrip_q,
         "raster_bmp_gif_roundtrip": R.raster_bmp_gif_roundtrip_q,
         "vector_spatialite_roundtrip": R.vector_spatialite_roundtrip_q,
+        "raster_dem_formats": R.raster_dem_formats_q,
         **_tpch_queries(),
     }
 
@@ -472,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_dxf_roundtrip": R.SQL_VECTOR_DXF_ROUNDTRIP,
         "raster_bmp_gif_roundtrip": R.SQL_RASTER_BMP_GIF_ROUNDTRIP,
         "vector_spatialite_roundtrip": R.SQL_VECTOR_SPATIALITE_ROUNDTRIP,
+        "raster_dem_formats": R.SQL_RASTER_DEM_FORMATS,
         **_tpch_oracles(),
     }
 

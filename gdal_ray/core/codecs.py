@@ -367,6 +367,27 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
                              "stages.palette for RGB quantization")
         return _gif.encode_gif(
             img, np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1))
+    if fmt == "srtmhgt":
+        from . import demgrids as _dg
+        return _dg.encode_srtmhgt(np.asarray(img))
+    if fmt == "dted":
+        from . import demgrids as _dg
+        return _dg.encode_dted(np.asarray(img))
+    if fmt == "gsag":
+        from . import demgrids as _dg
+        return _dg.encode_gsag(np.asarray(img))
+    if fmt == "gsbg":
+        from . import demgrids as _dg
+        return _dg.encode_gsbg(np.asarray(img))
+    if fmt == "gs7bg":
+        from . import demgrids as _dg
+        return _dg.encode_gs7bg(np.asarray(img))
+    if fmt == "zmap":
+        from . import demgrids as _dg
+        return _dg.encode_zmap(np.asarray(img))
+    if fmt == "tga":
+        from . import tga as _tga
+        return _tga.encode_tga(np.asarray(img), rle=bw)
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -432,6 +453,27 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "gif":
         from . import gif as _gif
         return _gif.decode_gif(data)[0]
+    if fmt == "srtmhgt":
+        from . import demgrids as _dg
+        return _dg.decode_srtmhgt(data)[0]
+    if fmt == "dted":
+        from . import demgrids as _dg
+        return _dg.decode_dted(data)[0]
+    if fmt == "gsag":
+        from . import demgrids as _dg
+        return _dg.decode_gsag(data)[0]
+    if fmt == "gsbg":
+        from . import demgrids as _dg
+        return _dg.decode_gsbg(data)[0]
+    if fmt == "gs7bg":
+        from . import demgrids as _dg
+        return _dg.decode_gs7bg(data)[0]
+    if fmt == "zmap":
+        from . import demgrids as _dg
+        return _dg.decode_zmap(data)[0]
+    if fmt == "tga":
+        from . import tga as _tga
+        return _tga.decode_tga(data)[0]
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

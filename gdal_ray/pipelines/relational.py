@@ -9468,3 +9468,72 @@ SELECT (SELECT COUNT(*) FROM nation) AS n_points,
            AS attr_sum
 FROM verts
 """
+
+
+def raster_dem_formats_q(sf_dir: str):
+    """DEM-grid + TGA drivers on the driver surface (frmts/srtmhgt,
+    frmts/dted, frmts/gsg, frmts/zmap, frmts/tga): per nation six derived
+    16x16 grids round-trip through each codec — SRTMHGT raw big-endian
+    int16, DTED signed-magnitude column records with additive checksums,
+    Surfer 6 ASCII (DSAA) + Surfer 7 binary (DSRB tags), ZMap column-major
+    text, TGA RLE — and the decoded sums are closed forms over the
+    derivation."""
+    from ..core import demgrids as DG
+    from ..core import tga as TGA
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        k = np.arange(256, dtype=np.int64)
+        out = {"n_nationkey": [], "hgt_sum": [], "dted_sum": [],
+               "gsag_sum": [], "gs7bg_sum": [], "zmap_sum": [],
+               "tga_sum": []}
+        for n in ks:
+            n = int(n)
+            g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
+            a, _, _ = DG.decode_srtmhgt(DG.encode_srtmhgt(g))
+            assert np.array_equal(a, g)
+            out["hgt_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 17 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
+            a, _, _ = DG.decode_dted(DG.encode_dted(g))
+            assert np.array_equal(a, g)
+            out["dted_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 11 + k) % 499).astype(np.float64).reshape(16, 16)
+            a, _, _ = DG.decode_gsag(DG.encode_gsag(g))
+            assert np.array_equal(a, g)
+            out["gsag_sum"].append(int(a.sum()))
+            g = ((n * 13 + k) % 997).astype(np.float64).reshape(16, 16)
+            a, _, _ = DG.decode_gs7bg(DG.encode_gs7bg(g))
+            assert np.array_equal(a, g)
+            out["gs7bg_sum"].append(int(a.sum()))
+            g = ((n * 7 + k) % 199).astype(np.float64).reshape(16, 16)
+            a, _, _ = DG.decode_zmap(DG.encode_zmap(g))
+            assert np.array_equal(a, g)
+            out["zmap_sum"].append(int(a.sum()))
+            g = ((n * 3 + k) % 251).astype(np.uint8).reshape(16, 16)
+            a, _ = TGA.decode_tga(TGA.encode_tga(g, rle=True))
+            assert np.array_equal(a, g)
+            out["tga_sum"].append(int(a.astype(np.int64).sum()))
+            out["n_nationkey"].append(n)
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in out.items()})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_DEM_FORMATS = """
+WITH cells AS (
+    SELECT n.n_nationkey AS nk, c.k
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS k) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM((nk * 31 + k) % 2001 - 1000) AS BIGINT) AS hgt_sum,
+       CAST(SUM((nk * 17 + k) % 2001 - 1000) AS BIGINT) AS dted_sum,
+       CAST(SUM((nk * 11 + k) % 499) AS BIGINT) AS gsag_sum,
+       CAST(SUM((nk * 13 + k) % 997) AS BIGINT) AS gs7bg_sum,
+       CAST(SUM((nk * 7 + k) % 199) AS BIGINT) AS zmap_sum,
+       CAST(SUM((nk * 3 + k) % 251) AS BIGINT) AS tga_sum
+FROM cells
+GROUP BY nk
+"""
