@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_bmp_gif_roundtrip": R.raster_bmp_gif_roundtrip_q,
         "vector_spatialite_roundtrip": R.vector_spatialite_roundtrip_q,
         "raster_dem_formats": R.raster_dem_formats_q,
+        "vector_xlsx_gtfs_jsonfg": R.vector_xlsx_gtfs_jsonfg_q,
         **_tpch_queries(),
     }
 
@@ -474,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_bmp_gif_roundtrip": R.SQL_RASTER_BMP_GIF_ROUNDTRIP,
         "vector_spatialite_roundtrip": R.SQL_VECTOR_SPATIALITE_ROUNDTRIP,
         "raster_dem_formats": R.SQL_RASTER_DEM_FORMATS,
+        "vector_xlsx_gtfs_jsonfg": R.SQL_VECTOR_XLSX_GTFS_JSONFG,
         **_tpch_oracles(),
     }
 

@@ -110,6 +110,27 @@ def _read_georss(ds, path):
     return read_georss(path)
 
 
+@register("read_xlsx")
+def _read_xlsx(ds, path, sheet=None):
+    from ..sources.vector_formats import read_xlsx
+    assert ds is None
+    return read_xlsx(path, sheet=sheet)
+
+
+@register("read_gtfs")
+def _read_gtfs(ds, path, table: str = "stops"):
+    from ..sources.vector_formats import read_gtfs
+    assert ds is None
+    return read_gtfs(path, table=table)
+
+
+@register("read_jsonfg")
+def _read_jsonfg(ds, path):
+    from ..sources.vector_formats import read_jsonfg
+    assert ds is None
+    return read_jsonfg(path)
+
+
 @register("read_csv")
 def _read_csv(ds, path):
     from ..sources.vector_formats import read_csv
@@ -202,6 +223,18 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
                   wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_georss
     return write_georss(ds, out_dir, title_col=title_col, wkb_col=wkb_col)
+
+
+@register("write_xlsx")
+def _write_xlsx(ds, out_dir: str, sheet: str = "Sheet1"):
+    from ..sources.vector_writers import write_xlsx
+    return write_xlsx(ds, out_dir, sheet=sheet)
+
+
+@register("write_jsonfg")
+def _write_jsonfg(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_jsonfg
+    return write_jsonfg(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_shapefile")

@@ -9537,3 +9537,98 @@ SELECT nk AS n_nationkey,
 FROM cells
 GROUP BY nk
 """
+
+
+def vector_xlsx_gtfs_jsonfg_q(sf_dir: str):
+    """XLSX / GTFS / JSON-FG drivers on the driver surface
+    (ogr/ogrsf_frmts/{xlsx,gtfs,jsonfg}): per nation, planted typed
+    attributes round-trip through an OOXML spreadsheet, a synthetic GTFS
+    stops feed (written as RFC 4180 text, read through the feed reader),
+    and a JSON-FG FeatureCollection (time instants + WGS84 geometry).
+    Decoded sums are closed forms; quarter coordinates snap exactly at
+    *100."""
+    import os
+    import tempfile
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        names = ["n" * (int(n) % 5 + 1) for n in ks]
+        # XLSX roundtrip
+        tab = pa.table({
+            "name": pa.array(names),
+            "val": pa.array([3 * int(n) + 7 for n in ks], pa.int64()),
+            "score": pa.array([int(n) % 13 + 0.25 for n in ks],
+                              pa.float64())})
+        back = VF.parse_xlsx_bytes(VW.xlsx_bytes(tab))
+        xlsx_val = np.asarray(back.column("val"), dtype=np.int64)
+        xlsx_namelen = np.array([len(s) for s in
+                                 back.column("name").to_pylist()],
+                                dtype=np.int64)
+        xlsx_score4 = (np.asarray(back.column("score"), np.float64) * 4) \
+            .round().astype(np.int64)
+        # GTFS stops roundtrip (one feed per batch)
+        with tempfile.TemporaryDirectory() as td:
+            lines = ["stop_id,stop_name,stop_lat,stop_lon"]
+            for n in ks:
+                n = int(n)
+                lines.append(f"{n},s{n},{n % 10 + 0.5},{n // 5 + 0.25}")
+            with open(os.path.join(td, "stops.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            st = VF.gtfs_table(td, "stops")
+        order = np.argsort(np.asarray(st.column("stop_id"), np.int64))
+        pts = [WKB.loads(v) for v in st.column("wkb").to_pylist()]
+        gx = np.array([p["xy"][0] for p in pts])[order]
+        gy = np.array([p["xy"][1] for p in pts])[order]
+        gtfs_sx = (gx * 100).round().astype(np.int64)
+        gtfs_sy = (gy * 100).round().astype(np.int64)
+        # JSON-FG roundtrip
+        fg = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "time_start": pa.array([f"2024-01-{int(n) % 28 + 1:02d}"
+                                    for n in ks]),
+            "time_end": pa.array([f"2024-01-{int(n) % 28 + 1:02d}"
+                                  for n in ks]),
+            "wkb": pa.array([WKB.point(int(n) % 7 + 0.5,
+                                       int(n) % 3 + 0.25) for n in ks],
+                            pa.binary())})
+        fb = VF.parse_jsonfg_bytes(VW.jsonfg_bytes(fg))
+        fgo = np.argsort(np.asarray(fb.column("k"), np.int64))
+        fpts = [WKB.loads(v) for v in fb.column("wkb").to_pylist()]
+        fx = np.array([p["xy"][0] for p in fpts])[fgo]
+        fy = np.array([p["xy"][1] for p in fpts])[fgo]
+        fday = np.array([int(s[8:10]) for s in
+                         fb.column("time_start").to_pylist()],
+                        dtype=np.int64)[fgo]
+        return pa.table({
+            "n_nationkey": pa.array(ks, pa.int64()),
+            "xlsx_val": pa.array(xlsx_val, pa.int64()),
+            "xlsx_namelen": pa.array(xlsx_namelen, pa.int64()),
+            "xlsx_score4": pa.array(xlsx_score4, pa.int64()),
+            "gtfs_sx": pa.array(gtfs_sx, pa.int64()),
+            "gtfs_sy": pa.array(gtfs_sy, pa.int64()),
+            "fg_x2": pa.array((fx * 100).round().astype(np.int64),
+                              pa.int64()),
+            "fg_y4": pa.array((fy * 100).round().astype(np.int64),
+                              pa.int64()),
+            "fg_day": pa.array(fday, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_VECTOR_XLSX_GTFS_JSONFG = """
+SELECT n_nationkey,
+       CAST(3 * n_nationkey + 7 AS BIGINT) AS xlsx_val,
+       CAST(n_nationkey % 5 + 1 AS BIGINT) AS xlsx_namelen,
+       CAST((n_nationkey % 13) * 4 + 1 AS BIGINT) AS xlsx_score4,
+       CAST((n_nationkey // 5) * 100 + 25 AS BIGINT) AS gtfs_sx,
+       CAST((n_nationkey % 10) * 100 + 50 AS BIGINT) AS gtfs_sy,
+       CAST((n_nationkey % 7) * 100 + 50 AS BIGINT) AS fg_x2,
+       CAST((n_nationkey % 3) * 100 + 25 AS BIGINT) AS fg_y4,
+       CAST(n_nationkey % 28 + 1 AS BIGINT) AS fg_day
+FROM nation
+"""

@@ -1619,3 +1619,270 @@ def read_georss(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- XLSX (ogr/ogrsf_frmts/xlsx) ----------
+
+def _col_letter_to_idx(ref: str) -> int:
+    """'A1' / 'BC12' -> 0-based column index."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - 64)
+    return n - 1
+
+
+def parse_xlsx_bytes(data: bytes, *, sheet: str | None = None) -> pa.Table:
+    """OOXML spreadsheet bytes -> Arrow table (one sheet; the reference
+    exposes each sheet as a layer, ogr/ogrsf_frmts/xlsx).  The first row
+    names the fields (the driver's HEADERS=AUTO when row 1 is all text);
+    cells may be shared strings (``t="s"``), inline strings
+    (``t="inlineStr"``), formula strings (``t="str"``), booleans or
+    numbers.  Column types are autodetected like the CSV driver: all-int
+    -> int64, all-numeric -> float64, else string."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rns = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships}")
+
+    # workbook sheet name -> r:id -> worksheet part path
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        r.get("Id"): r.get("Target")
+        for r in rels.iter("{http://schemas.openxmlformats.org/package/2006/"
+                           "relationships}Relationship")}
+    sheets = []
+    for sh in wb.iter(f"{ns}sheet"):
+        target = rid_to_target.get(sh.get(f"{rns}id"), "")
+        if not target.startswith("/"):
+            target = "xl/" + target
+        else:
+            target = target.lstrip("/")
+        sheets.append((sh.get("name"), target))
+    if not sheets:
+        raise ValueError("XLSX: no sheets in workbook")
+    if sheet is not None:
+        targets = [t for n, t in sheets if n == sheet]
+        if not targets:
+            raise ValueError(f"XLSX: no sheet named {sheet!r}")
+        target = targets[0]
+    else:
+        target = sheets[0][1]
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in sst.iter(f"{ns}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+
+    ws = ET.fromstring(zf.read(target))
+    rows: list[dict[int, object]] = []
+    for row in ws.iter(f"{ns}row"):
+        cells: dict[int, object] = {}
+        auto_ci = 0
+        for c in row.iter(f"{ns}c"):
+            ref = c.get("r")
+            ci = _col_letter_to_idx(ref) if ref else auto_ci
+            auto_ci = ci + 1
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find(f"{ns}is")
+                v = "".join(tt.text or "" for tt in is_el.iter(f"{ns}t")) \
+                    if is_el is not None else None
+            else:
+                vel = c.find(f"{ns}v")
+                if vel is None or vel.text is None:
+                    v = None
+                elif t == "s":
+                    v = shared[int(vel.text)]
+                elif t == "b":
+                    v = bool(int(vel.text))
+                elif t == "str":
+                    v = vel.text
+                else:                                   # numeric
+                    f = float(vel.text)
+                    v = int(f) if f.is_integer() else f
+            if v is not None:
+                cells[ci] = v
+        rows.append(cells)
+    if not rows:
+        return pa.table({})
+    ncol = max(max(r.keys(), default=-1) for r in rows) + 1
+    header = [str(rows[0].get(i, f"Field{i + 1}")) for i in range(ncol)]
+    body = rows[1:]
+    out: dict = {}
+    for ci, name in enumerate(header):
+        vals = [r.get(ci) for r in body]
+        nonnull = [v for v in vals if v is not None]
+        if nonnull and all(isinstance(v, bool) for v in nonnull):
+            arr = pa.array(vals, pa.bool_())
+        elif nonnull and all(isinstance(v, int) and not isinstance(v, bool)
+                             for v in nonnull):
+            arr = pa.array(vals, pa.int64())
+        elif nonnull and all(isinstance(v, (int, float))
+                             and not isinstance(v, bool) for v in nonnull):
+            arr = pa.array([None if v is None else float(v) for v in vals],
+                           pa.float64())
+        else:
+            arr = pa.array([None if v is None else str(v) for v in vals],
+                           pa.string())
+        out[name] = arr
+    return pa.table(out)
+
+
+def read_xlsx(paths, *, sheet: str | None = None) -> "ray.data.Dataset":
+    """One task per .xlsx file → typed attribute rows (first sheet or
+    ``sheet``)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_xlsx_bytes(f.read(), sheet=sheet))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GTFS (ogr/ogrsf_frmts/gtfs/ogrgtfsdriver.cpp) ----------
+
+def _gtfs_member_bytes(path: str, member: str) -> bytes | None:
+    """Fetch ``member``.txt from a GTFS directory or .zip archive."""
+    import os
+    import zipfile
+    if path.lower().endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            name = member + ".txt"
+            if name not in zf.namelist():
+                return None
+            return zf.read(name)
+    p = os.path.join(path, member + ".txt")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return f.read()
+
+
+def gtfs_table(path: str, table: str = "stops") -> pa.Table:
+    """One GTFS feed (directory or .zip) -> one layer table.  Per the
+    reference driver: ``stops`` rows carry POINT(stop_lon stop_lat) wkb,
+    ``shapes`` rows POINT(shape_pt_lon shape_pt_lat), and the synthetic
+    ``shapes_geom`` layer aggregates each shape_id's points into a
+    LINESTRING ordered by shape_pt_sequence."""
+    if table == "shapes_geom":
+        raw = _gtfs_member_bytes(path, "shapes")
+        if raw is None:
+            raise ValueError("GTFS: no shapes.txt in feed")
+        t = parse_csv_bytes(raw)
+        sid = np.asarray(t.column("shape_id").cast(pa.string()))
+        seq = np.asarray(t.column("shape_pt_sequence"), dtype=np.int64)
+        lon = np.asarray(t.column("shape_pt_lon"), dtype=np.float64)
+        lat = np.asarray(t.column("shape_pt_lat"), dtype=np.float64)
+        order = np.lexsort((seq, sid))
+        sid, lon, lat = sid[order], lon[order], lat[order]
+        ids, starts = np.unique(sid, return_index=True)
+        bounds = np.append(starts, len(sid))
+        blobs = []
+        for i in range(len(ids)):
+            xy = np.stack([lon[bounds[i]:bounds[i + 1]],
+                           lat[bounds[i]:bounds[i + 1]]], axis=1)
+            blobs.append(wkb.dumps({"type": "LineString", "xy": xy}))
+        return pa.table({"shape_id": pa.array(ids.tolist(), pa.string()),
+                         "wkb": pa.array(blobs, pa.binary())})
+    raw = _gtfs_member_bytes(path, table)
+    if raw is None:
+        raise ValueError(f"GTFS: no {table}.txt in feed")
+    t = parse_csv_bytes(raw)
+    latc, lonc = {"stops": ("stop_lat", "stop_lon"),
+                  "shapes": ("shape_pt_lat", "shape_pt_lon")}.get(
+                      table, (None, None))
+    if latc and latc in t.column_names and lonc in t.column_names:
+        lat = np.asarray(t.column(latc), dtype=np.float64)
+        lon = np.asarray(t.column(lonc), dtype=np.float64)
+        blobs = [wkb.point(float(x), float(y)) for x, y in zip(lon, lat)]
+        t = t.append_column("wkb", pa.array(blobs, pa.binary()))
+    return t
+
+
+def read_gtfs(paths, *, table: str = "stops") -> "ray.data.Dataset":
+    """One task per GTFS feed (directory or .zip) → one layer's rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = [gtfs_table(p, table) for p in b.column("path").to_pylist()]
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- JSON-FG (ogr/ogrsf_frmts/jsonfg) ----------
+
+def parse_jsonfg_bytes(data: bytes) -> pa.Table:
+    """OGC Features & Geometries JSON -> feature rows.  Geometry comes
+    from ``place`` when non-null (the feature's native-CRS geometry),
+    else from ``geometry`` (the WGS84 fallback) — the reference reader's
+    precedence.  Feature ``time`` instants/intervals surface as string
+    columns ``time_start``/``time_end``."""
+    doc = json.loads(data)
+    feats = doc["features"] if doc.get("type") == "FeatureCollection" \
+        else [doc]
+    props_keys: list[str] = []
+    for f in feats:
+        for k in (f.get("properties") or {}):
+            if k not in props_keys:
+                props_keys.append(k)
+    cols: dict = {k: [] for k in props_keys}
+    wkbs, t0s, t1s = [], [], []
+    for f in feats:
+        p = f.get("properties") or {}
+        for k in props_keys:
+            cols[k].append(p.get(k))
+        g = f.get("place") or f.get("geometry")
+        wkbs.append(None if g is None
+                    else wkb.dumps(_geojson_geom_to_parsed(g)))
+        t = f.get("time") or {}
+        if "date" in t:
+            t0s.append(t["date"])
+            t1s.append(t["date"])
+        elif "timestamp" in t:
+            t0s.append(t["timestamp"])
+            t1s.append(t["timestamp"])
+        elif "interval" in t:
+            iv = t["interval"]
+            t0s.append(None if iv[0] == ".." else iv[0])
+            t1s.append(None if iv[1] == ".." else iv[1])
+        else:
+            t0s.append(None)
+            t1s.append(None)
+    out = {k: pa.array(v) for k, v in cols.items()}
+    out["time_start"] = pa.array(t0s, pa.string())
+    out["time_end"] = pa.array(t1s, pa.string())
+    out["wkb"] = pa.array(wkbs, pa.binary())
+    return pa.table(out)
+
+
+def read_jsonfg(paths) -> "ray.data.Dataset":
+    """One task per .json JSON-FG file → feature rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_jsonfg_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

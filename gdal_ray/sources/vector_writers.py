@@ -1243,3 +1243,155 @@ def write_georss(ds: "ray.data.Dataset", out_dir: str, *,
     return _file_sink(ds, out_dir, ".xml",
                       lambda b: georss_bytes(b, title_col=title_col,
                                              wkb_col=wkb_col))
+
+
+# ---------- XLSX (ogr/ogrsf_frmts/xlsx) ----------
+
+def _xlsx_col_letter(ci: int) -> str:
+    s = ""
+    ci += 1
+    while ci:
+        ci, r = divmod(ci - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def xlsx_bytes(tab: pa.Table, *, sheet: str = "Sheet1") -> bytes:
+    """Attribute table -> OOXML spreadsheet bytes (one sheet, row 1 =
+    field names).  Strings are written as inline strings (``inlineStr``,
+    valid OOXML that needs no sharedStrings part), numbers/booleans as
+    native cells; the zip timestamps are fixed so identical tables give
+    identical bytes."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    names = list(tab.column_names)
+    cols = {c: tab.column(c).to_pylist() for c in names}
+
+    def cell(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            from ..core.wkt import format_double as fd
+            num = str(v) if isinstance(v, int) else fd(float(v))
+            return f'<c r="{ref}"><v>{num}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f'{escape(str(v))}</t></is></c>')
+
+    rows_xml = []
+    hdr = "".join(cell(f"{_xlsx_col_letter(ci)}1", n)
+                  for ci, n in enumerate(names))
+    rows_xml.append(f'<row r="1">{hdr}</row>')
+    for ri in range(tab.num_rows):
+        body = "".join(cell(f"{_xlsx_col_letter(ci)}{ri + 2}", cols[n][ri])
+                       for ci, n in enumerate(names))
+        rows_xml.append(f'<row r="{ri + 2}">{body}</row>')
+    ws = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<worksheet xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main"><sheetData>'
+          + "".join(rows_xml) + "</sheetData></worksheet>")
+    wb = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats'
+          '.org/officeDocument/2006/relationships"><sheets>'
+          f'<sheet name="{escape(sheet)}" sheetId="1" r:id="rId1"/>'
+          '</sheets></workbook>')
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<Relationships xmlns="http://schemas.openxmlformats.org/'
+               'package/2006/relationships">'
+               '<Relationship Id="rId1" Type="http://schemas.openxml'
+               'formats.org/officeDocument/2006/relationships/worksheet" '
+               'Target="worksheets/sheet1.xml"/></Relationships>')
+    root_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                 '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                 'package/2006/relationships">'
+                 '<Relationship Id="rId1" Type="http://schemas.openxml'
+                 'formats.org/officeDocument/2006/relationships/office'
+                 'Document" Target="xl/workbook.xml"/></Relationships>')
+    ctypes = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              '<Types xmlns="http://schemas.openxmlformats.org/package/'
+              '2006/content-types">'
+              '<Default Extension="rels" ContentType="application/vnd.'
+              'openxmlformats-package.relationships+xml"/>'
+              '<Default Extension="xml" ContentType="application/xml"/>'
+              '<Override PartName="/xl/workbook.xml" ContentType='
+              '"application/vnd.openxmlformats-officedocument.'
+              'spreadsheetml.sheet.main+xml"/>'
+              '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+              '"application/vnd.openxmlformats-officedocument.'
+              'spreadsheetml.worksheet+xml"/></Types>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, payload in (("[Content_Types].xml", ctypes),
+                              ("_rels/.rels", root_rels),
+                              ("xl/workbook.xml", wb),
+                              ("xl/_rels/workbook.xml.rels", wb_rels),
+                              ("xl/worksheets/sheet1.xml", ws)):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, payload)
+    return buf.getvalue()
+
+
+def write_xlsx(ds: "ray.data.Dataset", out_dir: str, *,
+               sheet: str = "Sheet1") -> "ray.data.Dataset":
+    """XLSX sink: one .xlsx per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".xlsx",
+                      lambda b: xlsx_bytes(b, sheet=sheet))
+
+
+# ---------- JSON-FG (ogr/ogrsf_frmts/jsonfg) ----------
+
+def jsonfg_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+                 time_start_col: str = "time_start",
+                 time_end_col: str = "time_end") -> bytes:
+    """Feature rows -> OGC JSON-FG FeatureCollection: core conformance,
+    WGS84 geometry in ``geometry`` with ``place: null`` (the reference
+    writer's layout when no non-WGS84 CRS is set), feature ``time`` from
+    the ``time_start``/``time_end`` string columns (equal -> timestamp or
+    date instant, else interval)."""
+    from ..sources.vector_formats import parse_jsonfg_bytes  # noqa: F401
+    names = [c for c in tab.column_names
+             if c not in (wkb_col, time_start_col, time_end_col)]
+    cols = {c: tab.column(c).to_pylist() for c in names}
+    wkbs = tab.column(wkb_col).to_pylist() \
+        if wkb_col in tab.column_names else [None] * tab.num_rows
+    t0s = tab.column(time_start_col).to_pylist() \
+        if time_start_col in tab.column_names else [None] * tab.num_rows
+    t1s = tab.column(time_end_col).to_pylist() \
+        if time_end_col in tab.column_names else [None] * tab.num_rows
+    feats = []
+    for i in range(tab.num_rows):
+        t0, t1 = t0s[i], t1s[i]
+        if t0 is None and t1 is None:
+            time = None
+        elif t0 == t1:
+            key = "date" if t0 is not None and len(t0) == 10 \
+                else "timestamp"
+            time = {key: t0}
+        else:
+            time = {"interval": [t0 if t0 is not None else "..",
+                                 t1 if t1 is not None else ".."]}
+        feats.append({
+            "type": "Feature",
+            "properties": {c: cols[c][i] for c in names},
+            "time": time,
+            "place": None,
+            "geometry": None if wkbs[i] is None
+            else geom_to_geojson(wkb.loads(wkbs[i]))})
+    doc = {"type": "FeatureCollection",
+           "conformsTo": ["http://www.opengis.net/spec/json-fg-1/0.2/"
+                          "conf/core"],
+           "features": feats}
+    return json.dumps(doc, default=str, separators=(",", ":")).encode()
+
+
+def write_jsonfg(ds: "ray.data.Dataset", out_dir: str, *,
+                 wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """JSON-FG sink: one FeatureCollection per block; returns the
+    manifest."""
+    return _file_sink(ds, out_dir, ".json",
+                      lambda b: jsonfg_bytes(b, wkb_col=wkb_col))
