@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_spatialite_roundtrip": R.vector_spatialite_roundtrip_q,
         "raster_dem_formats": R.raster_dem_formats_q,
         "vector_xlsx_gtfs_jsonfg": R.vector_xlsx_gtfs_jsonfg_q,
+        "vector_geoparquet_roundtrip": R.vector_geoparquet_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -476,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_spatialite_roundtrip": R.SQL_VECTOR_SPATIALITE_ROUNDTRIP,
         "raster_dem_formats": R.SQL_RASTER_DEM_FORMATS,
         "vector_xlsx_gtfs_jsonfg": R.SQL_VECTOR_XLSX_GTFS_JSONFG,
+        "vector_geoparquet_roundtrip": R.SQL_VECTOR_GEOPARQUET_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

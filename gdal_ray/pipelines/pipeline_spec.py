@@ -110,6 +110,13 @@ def _read_georss(ds, path):
     return read_georss(path)
 
 
+@register("read_geoparquet")
+def _read_geoparquet(ds, path):
+    from ..sources.vector_formats import read_geoparquet
+    assert ds is None
+    return read_geoparquet(path)
+
+
 @register("read_xlsx")
 def _read_xlsx(ds, path, sheet=None):
     from ..sources.vector_formats import read_xlsx
@@ -223,6 +230,12 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
                   wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_georss
     return write_georss(ds, out_dir, title_col=title_col, wkb_col=wkb_col)
+
+
+@register("write_geoparquet")
+def _write_geoparquet(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_geoparquet
+    return write_geoparquet(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_xlsx")

@@ -9632,3 +9632,55 @@ SELECT n_nationkey,
        CAST(n_nationkey % 28 + 1 AS BIGINT) AS fg_day
 FROM nation
 """
+
+
+def vector_geoparquet_roundtrip_q(sf_dir: str):
+    """GeoParquet driver on the driver surface (ogr/ogrsf_frmts/parquet):
+    planted per-nation POINT features round-trip through GeoParquet bytes
+    (``geo`` file metadata verified: WKB encoding, bbox); snapped
+    coordinate sums and the bbox corners are closed forms."""
+    import ray as _ray
+
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    # nation is a bounded 25-row dim table — materialize ONCE so the
+    # file-level geo metadata (bbox over the whole layer) is global, not
+    # per-batch (the same take_all exception the spatialite slot uses).
+    ks = sorted(int(r["n_nationkey"]) for r in
+                _read(sf_dir, "nation", ["n_nationkey"]).take_all())
+    tab = pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "wkb": pa.array([WKB.point(n % 10 + 0.25, n // 5 + 0.5)
+                         for n in ks], pa.binary())})
+    blob = VW.geoparquet_bytes(tab)
+    geo = VF.geoparquet_meta(blob)
+    assert geo["columns"]["wkb"]["encoding"] == "WKB"
+    back = VF.parse_geoparquet_bytes(blob)
+    order = np.argsort(np.asarray(back.column("k"), np.int64))
+    pts = [WKB.loads(v) for v in back.column("wkb").to_pylist()]
+    x = np.array([p["xy"][0] for p in pts])[order]
+    y = np.array([p["xy"][1] for p in pts])[order]
+    bb = geo["columns"]["wkb"]["bbox"]
+    out = pa.table({
+        "n_nationkey": pa.array(ks, pa.int64()),
+        "x4": pa.array((x * 4).round().astype(np.int64), pa.int64()),
+        "y2": pa.array((y * 2).round().astype(np.int64), pa.int64()),
+        "bb_x4": pa.array(np.full(len(ks), int(round(bb[0] * 4)),
+                                  np.int64)),
+        "bb_y2": pa.array(np.full(len(ks), int(round(bb[3] * 2)),
+                                  np.int64))})
+    return _ray.data.from_arrow(out)
+
+
+SQL_VECTOR_GEOPARQUET_ROUNDTRIP = """
+SELECT n_nationkey,
+       CAST((n_nationkey % 10) * 4 + 1 AS BIGINT) AS x4,
+       CAST((n_nationkey // 5) * 2 + 1 AS BIGINT) AS y2,
+       (SELECT CAST(MIN((m.n_nationkey % 10) * 4 + 1) AS BIGINT)
+        FROM nation m) AS bb_x4,
+       (SELECT CAST(MAX((m.n_nationkey // 5) * 2 + 1) AS BIGINT)
+        FROM nation m) AS bb_y2
+FROM nation
+"""

@@ -1886,3 +1886,56 @@ def read_jsonfg(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GeoParquet (ogr/ogrsf_frmts/parquet/ogrparquetlayer.cpp) ----------
+
+def geoparquet_meta(data: bytes) -> dict:
+    """Parquet bytes -> parsed ``geo`` file-metadata dict (raises when
+    the file carries none — plain parquet is read via read_parquet)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(io.BytesIO(data)).metadata or {}
+    if b"geo" not in meta:
+        raise ValueError("not a GeoParquet file (no 'geo' file metadata)")
+    return json.loads(meta[b"geo"])
+
+
+def parse_geoparquet_bytes(data: bytes) -> pa.Table:
+    """GeoParquet bytes -> feature table with the primary geometry column
+    normalized to binary ``wkb`` (the engine-wide convention).  Only the
+    WKB encoding is accepted — the reference likewise rejects unknown
+    encodings (ogrparquetlayer.cpp)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    geo = geoparquet_meta(data)
+    prim = geo.get("primary_column")
+    enc = geo.get("columns", {}).get(prim, {}).get("encoding")
+    if enc != "WKB":
+        raise ValueError(f"GeoParquet encoding {enc!r} not supported "
+                         "(WKB only)")
+    tab = pq.read_table(io.BytesIO(data))
+    if prim != "wkb":
+        tab = tab.rename_columns(
+            ["wkb" if c == prim else c for c in tab.column_names])
+    return tab.replace_schema_metadata(None)
+
+
+def read_geoparquet(paths) -> "ray.data.Dataset":
+    """One task per .parquet file → feature rows (attributes…, wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_geoparquet_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -1395,3 +1395,71 @@ def write_jsonfg(ds: "ray.data.Dataset", out_dir: str, *,
     manifest."""
     return _file_sink(ds, out_dir, ".json",
                       lambda b: jsonfg_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- GeoParquet (ogr/ogrsf_frmts/parquet/ogrparquetwriterlayer.cpp) --
+
+def _geom_bbox(g) -> tuple[float, float, float, float]:
+    t = g["type"]
+    if t == "Point":
+        x, y = (float(v) for v in np.asarray(g["xy"]).reshape(-1)[:2])
+        return x, y, x, y
+    if t in ("LineString", "MultiPoint"):
+        xy = np.asarray(g["xy"], dtype=np.float64).reshape(-1, 2)
+        return (float(xy[:, 0].min()), float(xy[:, 1].min()),
+                float(xy[:, 0].max()), float(xy[:, 1].max()))
+    if t == "Polygon":
+        sub = [np.asarray(r, dtype=np.float64) for r in g["rings"][:1]]
+    elif t == "MultiLineString":
+        sub = [np.asarray(l, dtype=np.float64) for l in g["lines"]]
+    elif t == "MultiPolygon":
+        sub = [np.asarray(p[0], dtype=np.float64) for p in g["polys"]]
+    else:                                       # GeometryCollection
+        bs = np.asarray([_geom_bbox(s) for s in g["geoms"]], np.float64)
+        return (float(bs[:, 0].min()), float(bs[:, 1].min()),
+                float(bs[:, 2].max()), float(bs[:, 3].max()))
+    xs = np.concatenate([a[:, 0] for a in sub])
+    ys = np.concatenate([a[:, 1] for a in sub])
+    return (float(xs.min()), float(ys.min()),
+            float(xs.max()), float(ys.max()))
+
+
+def geoparquet_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
+    """Feature table -> GeoParquet 1.1 bytes: standard parquet whose
+    file metadata carries the ``geo`` JSON (primary_column, WKB encoding,
+    per-file geometry_types + bbox) — the layout the reference's Parquet
+    writer emits (ogrparquetwriterdataset.cpp GetGeoMetadata)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    gtypes: set[str] = set()
+    minx = miny = float("inf")
+    maxx = maxy = float("-inf")
+    for blob in tab.column(wkb_col).to_pylist():
+        if blob is None:
+            continue
+        g = wkb.loads(blob)
+        gtypes.add(g["type"] + (" Z" if g.get("z") is not None else ""))
+        x0, y0, x1, y1 = _geom_bbox(g)
+        minx, miny = min(minx, x0), min(miny, y0)
+        maxx, maxy = max(maxx, x1), max(maxy, y1)
+    col_meta: dict = {"encoding": "WKB",
+                      "geometry_types": sorted(gtypes)}
+    if minx <= maxx:
+        col_meta["bbox"] = [minx, miny, maxx, maxy]
+    geo = {"version": "1.1.0", "primary_column": wkb_col,
+           "columns": {wkb_col: col_meta}}
+    meta = dict(tab.schema.metadata or {})
+    meta[b"geo"] = json.dumps(geo, separators=(",", ":")).encode()
+    buf = io.BytesIO()
+    pq.write_table(tab.replace_schema_metadata(meta), buf)
+    return buf.getvalue()
+
+
+def write_geoparquet(ds: "ray.data.Dataset", out_dir: str, *,
+                     wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GeoParquet sink: one .parquet per block with ``geo`` file
+    metadata; returns the manifest."""
+    return _file_sink(ds, out_dir, ".parquet",
+                      lambda b: geoparquet_bytes(b, wkb_col=wkb_col))
