@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_dem_formats": R.raster_dem_formats_q,
         "vector_xlsx_gtfs_jsonfg": R.vector_xlsx_gtfs_jsonfg_q,
         "vector_geoparquet_roundtrip": R.vector_geoparquet_roundtrip_q,
+        "raster_rawgrid_formats": R.raster_rawgrid_formats_q,
         **_tpch_queries(),
     }
 
@@ -478,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_dem_formats": R.SQL_RASTER_DEM_FORMATS,
         "vector_xlsx_gtfs_jsonfg": R.SQL_VECTOR_XLSX_GTFS_JSONFG,
         "vector_geoparquet_roundtrip": R.SQL_VECTOR_GEOPARQUET_ROUNDTRIP,
+        "raster_rawgrid_formats": R.SQL_RASTER_RAWGRID_FORMATS,
         **_tpch_oracles(),
     }
 

@@ -388,6 +388,12 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "tga":
         from . import tga as _tga
         return _tga.encode_tga(np.asarray(img), rle=bw)
+    if fmt == "bt":
+        from . import rawgrids as _rg
+        return _rg.encode_bt(np.asarray(img))
+    if fmt == "gtx":
+        from . import rawgrids as _rg
+        return _rg.encode_gtx(np.asarray(img))
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -474,6 +480,12 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "tga":
         from . import tga as _tga
         return _tga.decode_tga(data)[0]
+    if fmt == "bt":
+        from . import rawgrids as _rg
+        return _rg.decode_bt(data)[0]
+    if fmt == "gtx":
+        from . import rawgrids as _rg
+        return _rg.decode_gtx(data)[0]
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

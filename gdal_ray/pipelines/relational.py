@@ -9684,3 +9684,64 @@ SELECT n_nationkey,
         FROM nation m) AS bb_y2
 FROM nation
 """
+
+
+def raster_rawgrid_formats_q(sf_dir: str):
+    """Raw-binary grid drivers on the driver surface (frmts/raw/{bt,gtx,
+    ehdr}, frmts/idrisi, frmts/ers): per nation five derived 16x16 grids
+    round-trip — BT column-major south-first, GTX big-endian south-up
+    rows, EHdr BIL with cell-center ULXMAP, Idrisi RST + .rdc metadata,
+    ERS tagged header + BIL — and the decoded sums are closed forms."""
+    from ..core import rawgrids as RG
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        k = np.arange(256, dtype=np.int64)
+        out = {"n_nationkey": [], "bt_sum": [], "gtx_sum": [],
+               "ehdr_sum": [], "rst_sum": [], "ers_sum": []}
+        for n in ks:
+            n = int(n)
+            g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
+            a, _, _ = RG.decode_bt(RG.encode_bt(g))
+            assert np.array_equal(a, g)
+            out["bt_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 17 + k) % 997).astype(np.float32).reshape(16, 16)
+            a, _, _ = RG.decode_gtx(RG.encode_gtx(g))
+            assert np.array_equal(a, g)
+            out["gtx_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 13 + k) % 251).astype(np.uint8).reshape(16, 16)
+            a, _, _ = RG.decode_ehdr(*RG.encode_ehdr(g))
+            assert np.array_equal(a, g)
+            out["ehdr_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 11 + k) % 30000 - 15000).astype(np.int16) \
+                .reshape(16, 16)
+            a, _, _ = RG.decode_idrisi(*RG.encode_idrisi(g))
+            assert np.array_equal(a, g)
+            out["rst_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 7 + k) % 499).astype(np.uint16).reshape(16, 16)
+            a, _, _ = RG.decode_ers(*RG.encode_ers(g))
+            assert np.array_equal(a, g)
+            out["ers_sum"].append(int(a.astype(np.int64).sum()))
+            out["n_nationkey"].append(n)
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in out.items()})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_RASTER_RAWGRID_FORMATS = """
+WITH cells AS (
+    SELECT n.n_nationkey AS nk, c.k
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS k) c
+)
+SELECT nk AS n_nationkey,
+       CAST(SUM((nk * 31 + k) % 2001 - 1000) AS BIGINT) AS bt_sum,
+       CAST(SUM((nk * 17 + k) % 997) AS BIGINT) AS gtx_sum,
+       CAST(SUM((nk * 13 + k) % 251) AS BIGINT) AS ehdr_sum,
+       CAST(SUM((nk * 11 + k) % 30000 - 15000) AS BIGINT) AS rst_sum,
+       CAST(SUM((nk * 7 + k) % 499) AS BIGINT) AS ers_sum
+FROM cells
+GROUP BY nk
+"""
