@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_xlsx_gtfs_jsonfg": R.vector_xlsx_gtfs_jsonfg_q,
         "vector_geoparquet_roundtrip": R.vector_geoparquet_roundtrip_q,
         "raster_rawgrid_formats": R.raster_rawgrid_formats_q,
+        "text_bpe_pairs": R.text_bpe_pairs_q,
+        "q_source_cap": R.q_source_cap,
         **_tpch_queries(),
     }
 
@@ -480,6 +482,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_xlsx_gtfs_jsonfg": R.SQL_VECTOR_XLSX_GTFS_JSONFG,
         "vector_geoparquet_roundtrip": R.SQL_VECTOR_GEOPARQUET_ROUNDTRIP,
         "raster_rawgrid_formats": R.SQL_RASTER_RAWGRID_FORMATS,
+        "text_bpe_pairs": R.SQL_TEXT_BPE_PAIRS,
+        "q_source_cap": R._sql_source_cap(),
         **_tpch_oracles(),
     }
 

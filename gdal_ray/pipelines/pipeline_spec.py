@@ -558,6 +558,11 @@ def _register_trainingdata():
                          rate_den=int(rate_den))
     _REGISTRY["sequence_pack"] = lambda ds, capacity=512: \
         TX.sequence_pack(ds, capacity=int(capacity))
+    _REGISTRY["bpe_pair_counts"] = lambda ds, top_k=32: \
+        TX.bpe_pair_counts(ds, top_k=int(top_k))
+    _REGISTRY["source_cap"] = lambda ds, key_col="source", id_col="doc_id", \
+        cap=50: TX.source_cap(ds, key_col=key_col, id_col=id_col,
+                              cap=int(cap))
     _REGISTRY["langid"] = _batch_stage(TX.detect_language)
     _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)

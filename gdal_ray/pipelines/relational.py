@@ -9745,3 +9745,83 @@ SELECT nk AS n_nationkey,
 FROM cells
 GROUP BY nk
 """
+
+
+def text_bpe_pairs_q(sf_dir: str, top_k: int = 32):
+    """Distributed BPE merge-candidate counting (the first step of
+    byte-pair-encoding tokenizer training, Sennrich et al. 2016): count
+    every ADJACENT byte pair over the real corpus and rank the top merge
+    candidates.  Scale shape in ``text.bpe_pair_counts``: one bincount
+    partial per batch over a single concatenated byte buffer (doc
+    boundaries masked), bounded <=65536-key measured-size merge.  Corpus
+    is pure ASCII so DuckDB ord() replays byte values exactly."""
+    from .text import bpe_pair_counts
+    return bpe_pair_counts(_read(sf_dir, "documents", ["text"]),
+                           top_k=top_k)
+
+
+SQL_TEXT_BPE_PAIRS = """
+WITH chars AS (
+    SELECT doc_id AS doc, i.i AS i,
+           CAST(ord(substr(text, i.i + 1, 1)) AS BIGINT) AS b
+    FROM documents, generate_series(0, 2047) i(i)
+    WHERE i.i < length(text)
+), pairs AS (
+    SELECT doc, b * 256 + lead(b, 1) OVER w AS p
+    FROM chars
+    WINDOW w AS (PARTITION BY doc ORDER BY i)
+    QUALIFY lead(b, 1) OVER w IS NOT NULL
+), cnts AS (
+    SELECT p, COUNT(*) AS n FROM pairs GROUP BY p
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, p) AS BIGINT) AS rank,
+       CAST(p AS BIGINT) AS pair_key,
+       CAST(p // 256 AS BIGINT) AS c1,
+       CAST(p % 256 AS BIGINT) AS c2,
+       CAST(n AS BIGINT) AS cnt
+FROM cnts
+ORDER BY n DESC, p
+LIMIT 32
+"""
+
+
+def q_source_cap(sf_dir: str, cap: int = 50):
+    """Per-source document rate limiting (the Common-Crawl-style
+    per-domain cap): keep at most ``cap`` docs per source, ranked by
+    splitmix64(doc_id) — deterministic, partition-invariant, RNG-free.
+    Shuffle shape in ``text.source_cap``: per-batch combiner keeps each
+    batch's per-source best-``cap`` (exact — a global survivor is a batch
+    survivor), then a measured-size grouped finish per source key."""
+    from .text import source_cap
+    return source_cap(_read(sf_dir, "documents", ["doc_id", "source"]),
+                      cap=cap)
+
+
+def hash_source(s: str) -> int:
+    """Deterministic int64 key for a source string: base-257 polynomial
+    over the ASCII bytes in int64 wraparound (process-salt-free; the
+    corpus source names are short ASCII)."""
+    h = np.int64(0)
+    with np.errstate(over="ignore"):
+        for ch in s.encode("utf-8"):
+            h = h * np.int64(257) + np.int64(ch)
+    return int(h)
+
+
+def _sql_source_cap(cap: int = 50) -> str:
+    from .sketches import _sm_hugeint_select
+    inner = _sm_hugeint_select(
+        "(SELECT doc_id, source FROM documents)", "doc_id")
+    # hv is splitmix64 as HUGEINT in [0, 2^64); numpy's int64 view wraps —
+    # ORDER BY the SIGNED value: hv - 2^64 when >= 2^63
+    return (f"WITH s AS ({inner}) "
+            "SELECT source, doc_id, "
+            "CAST(row_number() OVER (PARTITION BY source ORDER BY "
+            "CASE WHEN hv >= 9223372036854775808::HUGEINT "
+            "THEN hv - 18446744073709551616::HUGEINT ELSE hv END, doc_id) "
+            "AS BIGINT) AS rk "
+            "FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY "
+            "CASE WHEN hv >= 9223372036854775808::HUGEINT "
+            "THEN hv - 18446744073709551616::HUGEINT ELSE hv END, doc_id) "
+            f"<= {cap}")

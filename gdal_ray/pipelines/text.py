@@ -784,3 +784,91 @@ def importance_weights(docs: "object", *, id_col: str = "doc_id",
         import ray.data as _rd
         return _rd.from_arrow(finish(agg))
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    top_k: int = 32) -> "ray.data.Dataset":
+    """Adjacent byte-pair frequency counting (BPE tokenizer training's
+    merge-candidate step): one bincount partial per batch over a single
+    concatenated byte buffer (doc boundaries masked), bounded <=65536-key
+    merge, top-k by count.  The pipeline-stage form of
+    ``relational.text_bpe_pairs_q``."""
+    import ray as _ray
+
+    from .shuffle_utils import grouped_sum_int64
+
+    def partial(b: pa.Table) -> pa.Table:
+        bufs = [t.encode("utf-8") for t in b.column(text_col).to_pylist()]
+        lens = np.array([len(x) for x in bufs], dtype=np.int64)
+        if lens.sum() < 2:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        cat = np.frombuffer(b"".join(bufs), np.uint8).astype(np.int64)
+        pairs = cat[:-1] * 256 + cat[1:]
+        valid = np.ones(len(cat) - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]
+        valid[np.clip(ends - 1, 0, len(valid) - 1)] = False
+        cnt = np.bincount(pairs[valid], minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"pair": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    merged = grouped_sum_int64(
+        ds.map_batches(partial, batch_format="pyarrow"), "pair", "cnt")
+    if not isinstance(merged, pa.Table):
+        merged = pa.concat_tables(
+            list(merged.iter_batches(batch_format="pyarrow")))
+    p = np.asarray(merged.column("pair"), np.int64)
+    c = np.asarray(merged.column("cnt"), np.int64)
+    order = np.lexsort((p, -c))[:top_k]
+    p, c = p[order], c[order]
+    return _ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, len(p) + 1), pa.int64()),
+        "pair_key": pa.array(p, pa.int64()),
+        "c1": pa.array(p // 256, pa.int64()),
+        "c2": pa.array(p % 256, pa.int64()),
+        "cnt": pa.array(c, pa.int64())}))
+
+
+def source_cap(ds: "ray.data.Dataset", *, key_col: str = "source",
+               id_col: str = "doc_id", cap: int = 50) -> "ray.data.Dataset":
+    """Per-source rate limiting: keep at most ``cap`` rows per source,
+    ranked by splitmix64(id) — deterministic, RNG-free.  Batch combiner
+    keeps per-batch survivors only, then a measured-size grouped finish.
+    The pipeline-stage form of ``relational.q_source_cap``."""
+    from .dedup import _splitmix
+    from .relational import hash_source
+    from .shuffle_utils import grouped_map_groups
+
+    def combine(b: pa.Table) -> pa.Table:
+        did = np.asarray(b.column(id_col), np.int64)
+        hv = _splitmix(did.astype(np.uint64)).astype(np.int64)
+        src = np.asarray(b.column(key_col).cast(pa.string()))
+        skey = np.array([hash_source(s) for s in src], dtype=np.int64)
+        order = np.lexsort((did, hv, skey))
+        ss = skey[order]
+        newk = np.empty(ss.size, bool)
+        if ss.size:
+            newk[0] = True
+            newk[1:] = ss[1:] != ss[:-1]
+        starts = np.flatnonzero(newk)
+        rank = np.arange(ss.size) - np.repeat(
+            starts, np.diff(np.append(starts, ss.size)))
+        keep = order[rank < cap]
+        out = b.take(pa.array(keep, pa.int64()))
+        return out.append_column(
+            "skey", pa.array(skey[keep], pa.int64())).append_column(
+            "hv", pa.array(hv[keep], pa.int64()))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        hv = np.asarray(g.column("hv"), np.int64)
+        did = np.asarray(g.column(id_col), np.int64)
+        order = np.lexsort((did, hv))[:cap]
+        out = g.take(pa.array(order, pa.int64()))
+        rk = pa.array(np.arange(1, out.num_rows + 1), pa.int64())
+        return pa.table({key_col: out.column(key_col),
+                         id_col: out.column(id_col),
+                         "rk": rk})
+
+    return grouped_map_groups(
+        ds.map_batches(combine, batch_format="pyarrow"), "skey", per_group)
