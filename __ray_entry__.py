@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_rawgrid_formats": R.raster_rawgrid_formats_q,
         "text_bpe_pairs": R.text_bpe_pairs_q,
         "q_source_cap": R.q_source_cap,
+        "text_unigram_logprob": R.text_unigram_logprob_q,
         **_tpch_queries(),
     }
 
@@ -484,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_rawgrid_formats": R.SQL_RASTER_RAWGRID_FORMATS,
         "text_bpe_pairs": R.SQL_TEXT_BPE_PAIRS,
         "q_source_cap": R._sql_source_cap(),
+        "text_unigram_logprob": R.SQL_TEXT_UNIGRAM_LOGPROB,
         **_tpch_oracles(),
     }
 

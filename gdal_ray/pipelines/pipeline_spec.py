@@ -563,6 +563,9 @@ def _register_trainingdata():
     _REGISTRY["source_cap"] = lambda ds, key_col="source", id_col="doc_id", \
         cap=50: TX.source_cap(ds, key_col=key_col, id_col=id_col,
                               cap=int(cap))
+    _REGISTRY["unigram_logprob"] = lambda ds, text_col="text", \
+        id_col="doc_id": TX.unigram_logprob(ds, text_col=text_col,
+                                            id_col=id_col)
     _REGISTRY["langid"] = _batch_stage(TX.detect_language)
     _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)

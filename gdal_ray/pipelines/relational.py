@@ -9825,3 +9825,36 @@ def _sql_source_cap(cap: int = 50) -> str:
             "CASE WHEN hv >= 9223372036854775808::HUGEINT "
             "THEN hv - 18446744073709551616::HUGEINT ELSE hv END, doc_id) "
             f"<= {cap}")
+
+
+def text_unigram_logprob_q(sf_dir: str):
+    """Unigram LM scoring on the driver surface (the CCNet/KenLM
+    perplexity-filter analog): global char-frequency pass + broadcast
+    256-entry quantized log-prob table + per-doc integer score — see
+    ``text.unigram_logprob`` for the scale shape and the exact-replay
+    quantization contract."""
+    from .text import unigram_logprob
+    return unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_UNIGRAM_LOGPROB = """
+WITH chars AS (
+    SELECT doc_id AS doc, CAST(ord(substr(text, i.i + 1, 1)) AS BIGINT) AS b
+    FROM documents, generate_series(0, 2047) i(i)
+    WHERE i.i < length(text)
+), freq AS (
+    SELECT b, COUNT(*) AS cnt FROM chars GROUP BY b
+), tot AS (
+    SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq
+), logq AS (
+    SELECT b, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1048576e0)
+                   AS BIGINT) AS lq
+    FROM freq, tot
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS nch,
+       COALESCE((SELECT CAST(SUM(lq) AS BIGINT)
+                 FROM chars c JOIN logq l ON c.b = l.b
+                 WHERE c.doc = d.doc_id), 0) AS lp_q
+FROM documents d
+"""

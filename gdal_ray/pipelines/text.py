@@ -872,3 +872,55 @@ def source_cap(ds: "ray.data.Dataset", *, key_col: str = "source",
 
     return grouped_map_groups(
         ds.map_batches(combine, batch_format="pyarrow"), "skey", per_group)
+
+
+def unigram_logprob(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Unigram language-model scoring (the KenLM-perplexity-filter
+    analog, CCNet-style): pass 1 aggregates GLOBAL character frequencies
+    (one 256-bin bincount partial per batch, bounded-key merge); the
+    256-entry quantized log-prob table broadcasts to pass 2, which sums
+    ``floor(ln(cnt/total) * 2^20)`` per document — per-char flooring
+    BEFORE the sum keeps the integer score order-free, so the score is
+    exactly replayable (ln is libm on both engines)."""
+    from .shuffle_utils import grouped_sum_int64
+
+    def freq_partial(b: pa.Table) -> pa.Table:
+        bufs = [t.encode("utf-8") for t in b.column(text_col).to_pylist()]
+        if not bufs:
+            return pa.table({"ch": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        cat = np.frombuffer(b"".join(bufs), np.uint8)
+        cnt = np.bincount(cat, minlength=256)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"ch": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    merged = grouped_sum_int64(
+        ds.map_batches(freq_partial, batch_format="pyarrow"), "ch", "cnt")
+    if not isinstance(merged, pa.Table):          # bounded: <=256 keys
+        merged = pa.concat_tables(
+            list(merged.iter_batches(batch_format="pyarrow")))
+    counts = np.zeros(256, dtype=np.int64)
+    counts[np.asarray(merged.column("ch"), np.int64)] = \
+        np.asarray(merged.column("cnt"), np.int64)
+    total = float(counts.sum())
+    logq = np.full(256, np.iinfo(np.int64).min, dtype=np.int64)
+    pos = counts > 0
+    logq[pos] = np.floor(np.log(counts[pos] / total) * 1048576.0) \
+        .astype(np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), np.int64)
+        texts = b.column(text_col).to_pylist()
+        lp = np.empty(len(texts), dtype=np.int64)
+        nch = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            a = np.frombuffer(t.encode("utf-8"), np.uint8)
+            nch[i] = len(a)
+            lp[i] = int(logq[a].sum()) if len(a) else 0
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "nch": pa.array(nch, pa.int64()),
+                         "lp_q": pa.array(lp, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
