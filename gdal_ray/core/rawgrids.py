@@ -347,3 +347,228 @@ def decode_ers(ers: bytes, raw: bytes):
         cube = cube[0]
     nodata = float(kv["nullcellvalue"]) if "nullcellvalue" in kv else None
     return cube, (x0, dx, 0.0, y0, 0.0, -dy), nodata
+
+
+# ---------- NTv2 datum-shift grid (frmts/raw/ntv2dataset.cpp) ----------
+
+def _ntv2_rec(key: str, payload: bytes) -> bytes:
+    return key.encode("ascii").ljust(8)[:8] + payload
+
+
+def encode_ntv2(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1)) -> bytes:
+    """(rows, cols, 4) float32 grid (row 0 = north, col 0 = west, bands
+    lat-shift/lon-shift/lat-err/lon-err in arc-seconds) -> one-subgrid
+    NTv2 .gsb bytes.  The FILE layout is flipped in both axes (first
+    record = SOUTH-EAST corner, scanlines east->west, rows south->north,
+    longitudes positive WEST) — this codec converts from/to the
+    conventional orientation, like the reference driver."""
+    arr = np.asarray(arr, dtype=np.float32)
+    if arr.ndim != 3 or arr.shape[2] != 4:
+        raise ValueError("NTv2 grids are (rows, cols, 4) float32")
+    nrows, ncols, _ = arr.shape
+    # conventional gt (degrees, east-positive) -> NTv2 seconds west-pos
+    lat_inc = -gt[5] * 3600.0
+    lon_inc = gt[1] * 3600.0
+    n_lat = (gt[3] + gt[5] * 0.5) * 3600.0            # north sample center
+    s_lat = n_lat - (nrows - 1) * lat_inc
+    w_long = -(gt[0] + gt[1] * 0.5) * 3600.0          # positive west
+    e_long = w_long - (ncols - 1) * lon_inc
+    hdr = b"".join([
+        _ntv2_rec("NUM_OREC", struct.pack("<i4x", 11)),
+        _ntv2_rec("NUM_SREC", struct.pack("<i4x", 11)),
+        _ntv2_rec("NUM_FILE", struct.pack("<i4x", 1)),
+        _ntv2_rec("GS_TYPE", b"SECONDS "),
+        _ntv2_rec("VERSION", b"NTv2.0  "),
+        _ntv2_rec("SYSTEM_F", b"SRC     "),
+        _ntv2_rec("SYSTEM_T", b"DST     "),
+        _ntv2_rec("MAJOR_F", struct.pack("<d", 6378137.0)),
+        _ntv2_rec("MINOR_F", struct.pack("<d", 6356752.314)),
+        _ntv2_rec("MAJOR_T", struct.pack("<d", 6378137.0)),
+        _ntv2_rec("MINOR_T", struct.pack("<d", 6356752.314)),
+        _ntv2_rec("SUB_NAME", b"GRID0   "),
+        _ntv2_rec("PARENT", b"NONE    "),
+        _ntv2_rec("CREATED", b"        "),
+        _ntv2_rec("UPDATED", b"        "),
+        _ntv2_rec("S_LAT", struct.pack("<d", s_lat)),
+        _ntv2_rec("N_LAT", struct.pack("<d", n_lat)),
+        _ntv2_rec("E_LONG", struct.pack("<d", e_long)),
+        _ntv2_rec("W_LONG", struct.pack("<d", w_long)),
+        _ntv2_rec("LAT_INC", struct.pack("<d", lat_inc)),
+        _ntv2_rec("LONG_INC", struct.pack("<d", lon_inc)),
+        _ntv2_rec("GS_COUNT", struct.pack("<i4x", nrows * ncols)),
+    ])
+    flipped = arr[::-1, ::-1, :]                       # SE-first, e->w
+    return hdr + np.ascontiguousarray(flipped).astype("<f4").tobytes()
+
+
+def decode_ntv2(data: bytes):
+    """One-subgrid NTv2 .gsb -> ((rows, cols, 4) float32 row0=north
+    col0=west, geotransform in degrees east-positive, None)."""
+    if data[:8].rstrip() != b"NUM_OREC":
+        raise ValueError("NTv2: missing NUM_OREC header")
+    n_orec, = struct.unpack_from("<i", data, 8)
+    kv: dict[str, bytes] = {}
+    pos = 0
+    for _ in range(n_orec):
+        kv[data[pos:pos + 8].rstrip().decode()] = data[pos + 8:pos + 16]
+        pos += 16
+    n_srec, = struct.unpack_from("<i", kv["NUM_SREC"], 0)
+    for _ in range(n_srec):
+        kv[data[pos:pos + 8].rstrip().decode()] = data[pos + 8:pos + 16]
+        pos += 16
+    s_lat, = struct.unpack("<d", kv["S_LAT"])
+    n_lat, = struct.unpack("<d", kv["N_LAT"])
+    e_long, = struct.unpack("<d", kv["E_LONG"])
+    w_long, = struct.unpack("<d", kv["W_LONG"])
+    lat_inc, = struct.unpack("<d", kv["LAT_INC"])
+    lon_inc, = struct.unpack("<d", kv["LONG_INC"])
+    count, = struct.unpack_from("<i", kv["GS_COUNT"], 0)
+    nrows = int(round((n_lat - s_lat) / lat_inc)) + 1
+    ncols = int(round((w_long - e_long) / lon_inc)) + 1
+    if nrows * ncols != count:
+        raise ValueError("NTv2: GS_COUNT does not match extents")
+    arr = np.frombuffer(data, dtype="<f4", count=count * 4,
+                        offset=pos).reshape(nrows, ncols, 4)
+    arr = np.ascontiguousarray(arr[::-1, ::-1, :]).astype(np.float32)
+    px = lon_inc / 3600.0
+    py = lat_inc / 3600.0
+    gt = (-w_long / 3600.0 - px / 2.0, px, 0.0,
+          n_lat / 3600.0 + py / 2.0, 0.0, -py)
+    return arr, gt, None
+
+
+# ---------- Erdas LAN/GIS (frmts/raw/landataset.cpp) ----------
+
+def encode_lan(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1)) -> bytes:
+    """(bands, rows, cols) or 2-D uint8/int16 grid (row 0 = north) ->
+    Erdas 7.x HEAD74 .lan bytes: 128-byte header (UL pixel CENTER in
+    float32), BIL-interleaved data."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    nb, nrows, ncols = arr.shape
+    if arr.dtype == np.uint8:
+        ptype = 0
+    elif arr.dtype == np.int16:
+        ptype = 2
+    else:
+        raise ValueError("LAN stores uint8 or int16")
+    hdr = bytearray(128)
+    hdr[0:6] = b"HEAD74"
+    struct.pack_into("<h", hdr, 6, ptype)
+    struct.pack_into("<h", hdr, 8, nb)
+    struct.pack_into("<i", hdr, 16, ncols)
+    struct.pack_into("<i", hdr, 20, nrows)
+    struct.pack_into("<h", hdr, 88, 0)                 # LAT coordinate sys
+    struct.pack_into("<f", hdr, 112, gt[0] + gt[1] / 2.0)
+    struct.pack_into("<f", hdr, 116, gt[3] + gt[5] / 2.0)
+    struct.pack_into("<f", hdr, 120, gt[1])
+    struct.pack_into("<f", hdr, 124, -gt[5])
+    bil = np.ascontiguousarray(arr.transpose(1, 0, 2)).astype(
+        arr.dtype.newbyteorder("<"))
+    return bytes(hdr) + bil.tobytes()
+
+
+def decode_lan(data: bytes):
+    if data[:6] not in (b"HEAD74", b"HEADER"):
+        raise ValueError("LAN: missing HEAD74/HEADER signature")
+    ptype, = struct.unpack_from("<h", data, 6)
+    nb, = struct.unpack_from("<h", data, 8)
+    if data[:6] == b"HEAD74":
+        ncols, = struct.unpack_from("<i", data, 16)
+        nrows, = struct.unpack_from("<i", data, 20)
+    else:
+        ncols = int(struct.unpack_from("<f", data, 16)[0])
+        nrows = int(struct.unpack_from("<f", data, 20)[0])
+    if ptype == 0:
+        dt = np.dtype("u1")
+    elif ptype == 2:
+        dt = np.dtype("<i2")
+    else:
+        raise ValueError(f"LAN: unsupported pixel type {ptype}")
+    ulx, = struct.unpack_from("<f", data, 112)
+    uly, = struct.unpack_from("<f", data, 116)
+    dx, = struct.unpack_from("<f", data, 120)
+    dy, = struct.unpack_from("<f", data, 124)
+    flat = np.frombuffer(data, dtype=dt, count=nb * nrows * ncols,
+                         offset=128)
+    cube = flat.reshape(nrows, nb, ncols).transpose(1, 0, 2)
+    cube = np.ascontiguousarray(cube).astype(dt.newbyteorder("="))
+    if nb == 1:
+        cube = cube[0]
+    gt = (ulx - dx * 0.5, float(dx), 0.0, uly + dy * 0.5, 0.0, -float(dy))
+    return cube, gt, None
+
+
+# ---------- RRaster / R raster package (frmts/raw/rrasterdataset.cpp) ----
+
+_RR_DT = {"INT1U": "u1", "INT2S": "<i2", "INT4S": "<i4",
+          "FLT4S": "<f4", "FLT8S": "<f8", "LOG1S": "u1"}
+_RR_DT_INV = {np.dtype(np.uint8): "INT1U", np.dtype(np.int16): "INT2S",
+              np.dtype(np.int32): "INT4S", np.dtype(np.float32): "FLT4S",
+              np.dtype(np.float64): "FLT8S"}
+
+
+def encode_rraster(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1),
+                   nodata=None) -> tuple[bytes, bytes]:
+    """(bands, rows, cols) or 2-D grid -> (.grd INI text, .gri raw
+    bytes).  BIL band order, little-endian, row-major top-down — the
+    reference writer's layout."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    nb, nrows, ncols = arr.shape
+    dtname = _RR_DT_INV.get(arr.dtype)
+    if dtname is None:
+        raise ValueError(f"RRaster: unsupported dtype {arr.dtype}")
+    grd = (
+        "[general]\n"
+        "creator=gdal_ray\n"
+        "created=2000-01-01 00:00:00\n"
+        "[georeference]\n"
+        f"nrows={nrows}\n"
+        f"ncols={ncols}\n"
+        f"xmin={_num(gt[0])}\n"
+        f"ymin={_num(gt[3] + gt[5] * nrows)}\n"
+        f"xmax={_num(gt[0] + gt[1] * ncols)}\n"
+        f"ymax={_num(gt[3])}\n"
+        "[data]\n"
+        f"datatype={dtname}\n"
+        "byteorder=little\n"
+        f"nbands={nb}\n"
+        "bandorder=BIL\n"
+        + ("" if nodata is None else f"nodatavalue={_num(nodata)}\n")
+        + "[description]\nlayername=layer\n")
+    bil = np.ascontiguousarray(arr.transpose(1, 0, 2)).astype(
+        arr.dtype.newbyteorder("<")).tobytes()
+    return grd.encode("ascii"), bil
+
+
+def decode_rraster(grd: bytes, gri: bytes):
+    kv: dict[str, str] = {}
+    for line in grd.decode("ascii", errors="replace").splitlines():
+        if "=" in line and not line.startswith("["):
+            k, _, v = line.partition("=")
+            kv[k.strip().lower()] = v.strip()
+    nrows, ncols = int(kv["nrows"]), int(kv["ncols"])
+    nb = int(kv.get("nbands", "1"))
+    dt = np.dtype(_RR_DT[kv["datatype"].upper()])
+    if kv.get("byteorder", "little").lower() == "big":
+        dt = dt.newbyteorder(">")
+    xmin, xmax = float(kv["xmin"]), float(kv["xmax"])
+    ymin, ymax = float(kv["ymin"]), float(kv["ymax"])
+    order = kv.get("bandorder", "BIL").upper()
+    flat = np.frombuffer(gri, dtype=dt, count=nb * nrows * ncols)
+    if order == "BIL":
+        cube = flat.reshape(nrows, nb, ncols).transpose(1, 0, 2)
+    elif order == "BIP":
+        cube = flat.reshape(nrows, ncols, nb).transpose(2, 0, 1)
+    else:
+        cube = flat.reshape(nb, nrows, ncols)
+    cube = np.ascontiguousarray(cube).astype(dt.newbyteorder("="))
+    if nb == 1:
+        cube = cube[0]
+    gt = (xmin, (xmax - xmin) / ncols, 0.0,
+          ymax, 0.0, -(ymax - ymin) / nrows)
+    nodata = float(kv["nodatavalue"]) if "nodatavalue" in kv else None
+    return cube, gt, nodata

@@ -9688,17 +9688,20 @@ FROM nation
 
 def raster_rawgrid_formats_q(sf_dir: str):
     """Raw-binary grid drivers on the driver surface (frmts/raw/{bt,gtx,
-    ehdr}, frmts/idrisi, frmts/ers): per nation five derived 16x16 grids
-    round-trip — BT column-major south-first, GTX big-endian south-up
-    rows, EHdr BIL with cell-center ULXMAP, Idrisi RST + .rdc metadata,
-    ERS tagged header + BIL — and the decoded sums are closed forms."""
+    ehdr,ntv2,lan,rraster}, frmts/idrisi, frmts/ers): per nation eight
+    derived grids round-trip — BT column-major south-first, GTX
+    big-endian south-up rows, EHdr BIL with cell-center ULXMAP, Idrisi
+    RST + .rdc metadata, ERS tagged header + BIL, NTv2 double-flipped
+    subgrid records, Erdas LAN HEAD74 BIL, RRaster .grd/.gri — and the
+    decoded sums are closed forms."""
     from ..core import rawgrids as RG
 
     def run(b: pa.Table) -> pa.Table:
         ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
         k = np.arange(256, dtype=np.int64)
         out = {"n_nationkey": [], "bt_sum": [], "gtx_sum": [],
-               "ehdr_sum": [], "rst_sum": [], "ers_sum": []}
+               "ehdr_sum": [], "rst_sum": [], "ers_sum": [],
+               "ntv2_sum": [], "lan_sum": [], "rr_sum": []}
         for n in ks:
             n = int(n)
             g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
@@ -9722,6 +9725,21 @@ def raster_rawgrid_formats_q(sf_dir: str):
             a, _, _ = RG.decode_ers(*RG.encode_ers(g))
             assert np.array_equal(a, g)
             out["ers_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 23 + k) % 199 - 99).astype(np.float32) \
+                .reshape(8, 8, 4)
+            a, _, _ = RG.decode_ntv2(RG.encode_ntv2(
+                g, gt=(-72.0, 0.25, 0.0, 46.0, 0.0, -0.125)))
+            assert np.array_equal(a, g)
+            out["ntv2_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 29 + k) % 251).astype(np.uint8).reshape(16, 16)
+            a, _, _ = RG.decode_lan(RG.encode_lan(g))
+            assert np.array_equal(a, g)
+            out["lan_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 19 + k) % 1009 - 500).astype(np.int32) \
+                .reshape(16, 16)
+            a, _, _ = RG.decode_rraster(*RG.encode_rraster(g))
+            assert np.array_equal(a, g)
+            out["rr_sum"].append(int(a.astype(np.int64).sum()))
             out["n_nationkey"].append(n)
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in out.items()})
@@ -9741,7 +9759,10 @@ SELECT nk AS n_nationkey,
        CAST(SUM((nk * 17 + k) % 997) AS BIGINT) AS gtx_sum,
        CAST(SUM((nk * 13 + k) % 251) AS BIGINT) AS ehdr_sum,
        CAST(SUM((nk * 11 + k) % 30000 - 15000) AS BIGINT) AS rst_sum,
-       CAST(SUM((nk * 7 + k) % 499) AS BIGINT) AS ers_sum
+       CAST(SUM((nk * 7 + k) % 499) AS BIGINT) AS ers_sum,
+       CAST(SUM((nk * 23 + k) % 199 - 99) AS BIGINT) AS ntv2_sum,
+       CAST(SUM((nk * 29 + k) % 251) AS BIGINT) AS lan_sum,
+       CAST(SUM((nk * 19 + k) % 1009 - 500) AS BIGINT) AS rr_sum
 FROM cells
 GROUP BY nk
 """

@@ -1,0 +1,109 @@
+"""NTv2 / LAN / RRaster codec tests (frmts/raw/{ntv2,lan,rraster})."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdal_ray.core import rawgrids as RG
+
+GT_DEG = (-72.0, 0.25, 0.0, 46.0, 0.0, -0.125)
+
+
+def _shift_grid(ny=5, nx=7, seed=2):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(size=(ny, nx, 4)) * 3).astype(np.float32)
+
+
+# ---------- NTv2 ----------
+
+def test_ntv2_roundtrip_orientation_and_gt():
+    a = _shift_grid()
+    blob = RG.encode_ntv2(a, gt=GT_DEG)
+    back, gt, _ = RG.decode_ntv2(blob)
+    assert np.array_equal(back, a)
+    np.testing.assert_allclose(gt, GT_DEG, atol=1e-12)
+
+
+def test_ntv2_file_layout_se_first():
+    """First data record in the FILE is the SOUTH-EAST sample."""
+    a = np.zeros((2, 3, 4), np.float32)
+    a[1, 2, 0] = 42.0                      # south-east lat-shift
+    blob = RG.encode_ntv2(a, gt=GT_DEG)
+    # header: 11 + 11 records of 16 bytes
+    v, = struct.unpack_from("<f", blob, 22 * 16)
+    assert v == 42.0
+
+
+def test_ntv2_count_mismatch_raises():
+    a = _shift_grid(3, 3)
+    blob = bytearray(RG.encode_ntv2(a, gt=GT_DEG))
+    # corrupt GS_COUNT (record index 21, payload at +8)
+    struct.pack_into("<i", blob, 21 * 16 + 8, 5)
+    with pytest.raises(ValueError, match="GS_COUNT"):
+        RG.decode_ntv2(bytes(blob))
+
+
+def test_ntv2_rejects_wrong_shape():
+    with pytest.raises(ValueError):
+        RG.encode_ntv2(np.zeros((4, 4), np.float32))
+
+
+# ---------- LAN ----------
+
+@pytest.mark.parametrize("dt,nb", [(np.uint8, 1), (np.uint8, 3),
+                                   (np.int16, 2)])
+def test_lan_roundtrip(dt, nb):
+    rng = np.random.default_rng(7)
+    cube = rng.integers(0, 120, size=(nb, 6, 9)).astype(dt)
+    arr = cube[0] if nb == 1 else cube
+    gt = (500000.0, 30.0, 0.0, 4100000.0, 0.0, -30.0)
+    back, bgt, _ = RG.decode_lan(RG.encode_lan(arr, gt=gt))
+    assert np.array_equal(back, arr)
+    # float32 header coords: compare at float32 precision
+    np.testing.assert_allclose(bgt, gt, rtol=1e-6)
+
+
+def test_lan_header_fields():
+    a = np.zeros((3, 4), np.uint8)
+    blob = RG.encode_lan(a)
+    assert blob[:6] == b"HEAD74"
+    assert struct.unpack_from("<i", blob, 16)[0] == 4   # ncols
+    assert struct.unpack_from("<i", blob, 20)[0] == 3   # nrows
+    with pytest.raises(ValueError):
+        RG.decode_lan(b"BOGUS!" + blob[6:])
+
+
+# ---------- RRaster ----------
+
+@pytest.mark.parametrize("dt", [np.uint8, np.int16, np.int32, np.float32,
+                                np.float64])
+def test_rraster_roundtrip_dtypes(dt):
+    rng = np.random.default_rng(5)
+    a = rng.integers(-100, 100, size=(5, 8)).astype(dt)
+    gt = (10.0, 0.5, 0.0, 20.0, 0.0, -0.25)
+    grd, gri = RG.encode_rraster(a, gt=gt, nodata=-9999)
+    back, bgt, nodata = RG.decode_rraster(grd, gri)
+    assert back.dtype == dt and np.array_equal(back, a)
+    np.testing.assert_allclose(bgt, gt)
+    assert nodata == -9999.0
+    assert b"[georeference]" in grd and b"bandorder=BIL" in grd
+
+
+def test_rraster_multiband_bil():
+    rng = np.random.default_rng(6)
+    cube = rng.integers(0, 255, size=(3, 4, 6)).astype(np.uint8)
+    grd, gri = RG.encode_rraster(cube)
+    back, _, _ = RG.decode_rraster(grd, gri)
+    assert np.array_equal(back, cube)
+    flat = np.frombuffer(gri, np.uint8)
+    np.testing.assert_array_equal(flat[:6], cube[0, 0])   # BIL row0 band0
+    np.testing.assert_array_equal(flat[6:12], cube[1, 0])
+
+
+def test_rraster_bsq_read():
+    cube = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    grd, _ = RG.encode_rraster(cube)
+    grd = grd.replace(b"bandorder=BIL", b"bandorder=BSQ")
+    back, _, _ = RG.decode_rraster(grd, cube.tobytes())
+    assert np.array_equal(back, cube)
