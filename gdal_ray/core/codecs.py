@@ -394,6 +394,9 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "gtx":
         from . import rawgrids as _rg
         return _rg.encode_gtx(np.asarray(img))
+    if fmt == "usgsdem":
+        from . import rawgrids as _rg
+        return _rg.encode_usgsdem(np.asarray(img))
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -486,6 +489,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "gtx":
         from . import rawgrids as _rg
         return _rg.decode_gtx(data)[0]
+    if fmt == "usgsdem":
+        from . import rawgrids as _rg
+        return _rg.decode_usgsdem(data)[0]
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

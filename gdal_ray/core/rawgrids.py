@@ -572,3 +572,148 @@ def decode_rraster(grd: bytes, gri: bytes):
           ymax, 0.0, -(ymax - ymin) / nrows)
     nodata = float(kv["nodatavalue"]) if "nodatavalue" in kv else None
     return cube, gt, nodata
+
+
+# ---------- USGS DEM (frmts/usgsdem/usgsdemdataset.cpp) ----------
+
+_USGSDEM_NODATA = -32767
+
+
+def _d24(v: float) -> str:
+    """Fortran D-exponent 24-char float field."""
+    return f"{v:24.15E}".replace("E", "D")
+
+
+def encode_usgsdem(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1)) -> bytes:
+    """2-D int16 grid (row 0 = north, geographic degrees) -> USGS DEM
+    ASCII bytes (new format, 1024-byte logical records): Type A record
+    with the reference-read fields at their fixed offsets (coord system
+    @156, units @528, SW/NW/NE/SE corners in ARC-SECONDS @546, spatial
+    resolutions @816, profile count @858, datum @890), then one Type B
+    profile per column running SOUTH->NORTH, each padded to the next
+    1024-byte boundary (usgsdemdataset.cpp IReadBlock's tokenizer +
+    boundary-seek contract)."""
+    arr = np.asarray(arr, dtype=np.int16)
+    nrows, ncols = arr.shape
+    dx_s = gt[1] * 3600.0
+    dy_s = -gt[5] * 3600.0
+    # sample-center extents in arc-seconds
+    w = (gt[0] + gt[1] / 2.0) * 3600.0
+    e = w + (ncols - 1) * dx_s
+    n = (gt[3] + gt[5] / 2.0) * 3600.0
+    s = n - (nrows - 1) * dy_s
+
+    a = bytearray(b" " * 1024)
+
+    def put(off: int, text: str):
+        a[off:off + len(text)] = text.encode("ascii")
+
+    put(0, "gdal_ray generated USGS DEM")
+    put(150, f"{1:6d}")                    # DEM level
+    put(156, f"{0:6d}")                    # coord system 0 = geographic
+    put(162, f"{0:6d}")                    # zone
+    put(528, f"{3:6d}")                    # ground units: arc-seconds
+    put(534, f"{2:6d}")                    # vertical units: meters
+    # corners are SAMPLE CENTERS (usgsdemdataset.cpp:828 subtracts the
+    # half-pixel itself)
+    corners = [(w, s), (w, n), (e, n), (e, s)]
+    off = 546
+    for cx, cy in corners:                 # SW, NW, NE, SE
+        put(off, _d24(cx))
+        put(off + 24, _d24(cy))
+        off += 48
+    put(738, _d24(float(arr.min())))
+    put(762, _d24(float(arr.max())))
+    put(816, f"{dx_s:12.6E}".replace("E", "D"))
+    put(828, f"{dy_s:12.6E}".replace("E", "D"))
+    put(840, f"{1.0:12.6E}".replace("E", "D"))
+    put(852, f"{1:6d}")                    # rows of profiles
+    put(858, f"{ncols:6d}")                # cols of profiles
+    put(876, "2000")                       # compilation year
+    put(890, " 3")                         # horizontal datum: WGS84
+    out = [bytes(a)]
+    for i in range(ncols):
+        col = arr[::-1, i]                 # south -> north
+        head = (f"{1:6d}{i + 1:6d}{nrows:6d}{1:6d}"
+                f"{_d24(w + i * dx_s)}{_d24(s)}{_d24(0.0)}"
+                f"{_d24(float(col.min()))}{_d24(float(col.max()))}")
+        body = "".join(f"{int(v):6d}" for v in col)
+        rec = (head + body).encode("ascii")
+        pad = (-len(rec)) % 1024
+        out.append(rec + b" " * pad)
+    return b"".join(out)
+
+
+def decode_usgsdem(data: bytes):
+    """USGS DEM ASCII bytes -> (int16 array row 0 = north, geotransform
+    in degrees, nodata).  Geographic (arc-second) coordinate system
+    only — the planar/UTM variants raise."""
+    text = data.decode("ascii", errors="replace")
+
+    def read_int(off: int) -> int:
+        return int(text[off:off + 6])
+
+    def read_d(off: int, width: int) -> float:
+        return float(text[off:off + width].replace("D", "E")
+                     .replace("d", "e"))
+
+    coordsys = read_int(156)
+    if coordsys != 0:
+        raise NotImplementedError(
+            "USGS DEM: only the geographic (arc-second) coordinate "
+            "system variant is implemented; planar/UTM files need the "
+            "reference driver's projection branch "
+            "(usgsdemdataset.cpp:756)")
+    corners = [(read_d(546 + 48 * i, 24), read_d(546 + 48 * i + 24, 24))
+               for i in range(4)]
+    minx = min(corners[0][0], corners[1][0])
+    maxy = max(corners[1][1], corners[2][1])
+    dx_s = read_d(816, 12)
+    dy_s = read_d(828, 12)
+    vres = read_d(840, 12)
+    ncols = read_int(858)
+
+    # profile region: whitespace tokens, boundary-padded per profile
+    pos = 1024
+    arr = None
+    nrows = 0
+    for i in range(ncols):
+        end = text.find(" ", pos)
+        toks_needed = 9
+        # tokenize incrementally: ints/doubles separated by spaces
+        seg_end = pos
+        toks = []
+        p = pos
+        while len(toks) < toks_needed:
+            while p < len(text) and text[p].isspace():
+                p += 1
+            q = p
+            while q < len(text) and not text[q].isspace():
+                q += 1
+            toks.append(text[p:q])
+            p = q
+        npts = int(toks[2])
+        ystart = float(toks[5].replace("D", "E"))
+        offset = float(toks[6].replace("D", "E"))
+        if arr is None:
+            nrows = npts
+            arr = np.full((nrows, ncols), _USGSDEM_NODATA, dtype=np.int16)
+        vals = np.empty(npts, dtype=np.int64)
+        for j in range(npts):
+            # sign starts a NEW token: fixed 6-char fields abut when the
+            # value fills the field ("  2515-32767"), exactly like the
+            # reference's integer tokenizer (USGSDEMReadIntFromBuffer)
+            while p < len(text) and text[p].isspace():
+                p += 1
+            q = p + 1 if text[p] in "+-" else p
+            while q < len(text) and text[q].isdigit():
+                q += 1
+            vals[j] = int(text[p:q])
+            p = q
+        ok = vals != _USGSDEM_NODATA
+        col = np.where(ok, (vals * vres + offset), _USGSDEM_NODATA)
+        arr[:, i] = col[::-1].astype(np.int16)         # south->north flip
+        pos = ((p + 1023) // 1024) * 1024              # next boundary
+    gt = (minx / 3600.0 - dx_s / 7200.0, dx_s / 3600.0, 0.0,
+          maxy / 3600.0 + dy_s / 7200.0, 0.0, -dy_s / 3600.0)
+    return arr, gt, float(_USGSDEM_NODATA)

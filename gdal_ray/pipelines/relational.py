@@ -9701,7 +9701,8 @@ def raster_rawgrid_formats_q(sf_dir: str):
         k = np.arange(256, dtype=np.int64)
         out = {"n_nationkey": [], "bt_sum": [], "gtx_sum": [],
                "ehdr_sum": [], "rst_sum": [], "ers_sum": [],
-               "ntv2_sum": [], "lan_sum": [], "rr_sum": []}
+               "ntv2_sum": [], "lan_sum": [], "rr_sum": [],
+               "dem_sum": []}
         for n in ks:
             n = int(n)
             g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
@@ -9740,6 +9741,12 @@ def raster_rawgrid_formats_q(sf_dir: str):
             a, _, _ = RG.decode_rraster(*RG.encode_rraster(g))
             assert np.array_equal(a, g)
             out["rr_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 37 + k) % 2001 - 1000).astype(np.int16) \
+                .reshape(16, 16)
+            a, _, _ = RG.decode_usgsdem(RG.encode_usgsdem(
+                g, gt=(-106.0, 1 / 1200, 0.0, 40.0, 0.0, -1 / 1200)))
+            assert np.array_equal(a, g)
+            out["dem_sum"].append(int(a.astype(np.int64).sum()))
             out["n_nationkey"].append(n)
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in out.items()})
@@ -9762,7 +9769,8 @@ SELECT nk AS n_nationkey,
        CAST(SUM((nk * 7 + k) % 499) AS BIGINT) AS ers_sum,
        CAST(SUM((nk * 23 + k) % 199 - 99) AS BIGINT) AS ntv2_sum,
        CAST(SUM((nk * 29 + k) % 251) AS BIGINT) AS lan_sum,
-       CAST(SUM((nk * 19 + k) % 1009 - 500) AS BIGINT) AS rr_sum
+       CAST(SUM((nk * 19 + k) % 1009 - 500) AS BIGINT) AS rr_sum,
+       CAST(SUM((nk * 37 + k) % 2001 - 1000) AS BIGINT) AS dem_sum
 FROM cells
 GROUP BY nk
 """

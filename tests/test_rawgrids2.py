@@ -107,3 +107,37 @@ def test_rraster_bsq_read():
     grd = grd.replace(b"bandorder=BIL", b"bandorder=BSQ")
     back, _, _ = RG.decode_rraster(grd, cube.tobytes())
     assert np.array_equal(back, cube)
+
+
+# ---------- USGS DEM ----------
+
+def test_usgsdem_roundtrip():
+    rng = np.random.default_rng(11)
+    a = rng.integers(-400, 3000, size=(21, 17)).astype(np.int16)
+    a[3, 4] = -32767                                 # nodata survives
+    gt = (-106.0, 1.0 / 1200, 0.0, 40.0, 0.0, -1.0 / 1200)
+    blob = RG.encode_usgsdem(a, gt=gt)
+    assert len(blob) % 1024 == 0
+    back, bgt, nodata = RG.decode_usgsdem(blob)
+    assert np.array_equal(back, a)
+    np.testing.assert_allclose(bgt, gt, atol=1e-12)
+    assert nodata == -32767.0
+
+
+def test_usgsdem_a_record_fields():
+    a = np.zeros((4, 3), np.int16)
+    blob = RG.encode_usgsdem(a)
+    text = blob[:1024].decode()
+    assert int(text[156:162]) == 0                   # geographic
+    assert int(text[858:864]) == 3                   # profile count
+    assert "D+" in text[546:570] or "D-" in text[546:570] or \
+        "D" in text[546:570]                         # D-exponent corners
+
+
+def test_usgsdem_rejects_utm():
+    a = np.zeros((2, 2), np.int16)
+    blob = bytearray(RG.encode_usgsdem(a))
+    blob[156:162] = b"     1"                        # claim UTM
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        RG.decode_usgsdem(bytes(blob))
