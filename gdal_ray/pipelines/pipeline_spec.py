@@ -110,6 +110,13 @@ def _read_georss(ds, path):
     return read_georss(path)
 
 
+@register("read_raster_files")
+def _read_raster_files(ds, path, fmt=None):
+    from ..sources.raster_files import read_raster_files
+    assert ds is None
+    return read_raster_files(path, fmt=fmt)
+
+
 @register("read_geoparquet")
 def _read_geoparquet(ds, path):
     from ..sources.vector_formats import read_geoparquet
