@@ -124,6 +124,13 @@ def _read_geoparquet(ds, path):
     return read_geoparquet(path)
 
 
+@register("read_ods")
+def _read_ods(ds, path, sheet=None):
+    from ..sources.vector_formats import read_ods
+    assert ds is None
+    return read_ods(path, sheet=sheet)
+
+
 @register("read_xlsx")
 def _read_xlsx(ds, path, sheet=None):
     from ..sources.vector_formats import read_xlsx
@@ -243,6 +250,12 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
 def _write_geoparquet(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_geoparquet
     return write_geoparquet(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_ods")
+def _write_ods(ds, out_dir: str, sheet: str = "Sheet1"):
+    from ..sources.vector_writers import write_ods
+    return write_ods(ds, out_dir, sheet=sheet)
 
 
 @register("write_xlsx")

@@ -9540,8 +9540,8 @@ GROUP BY nk
 
 
 def vector_xlsx_gtfs_jsonfg_q(sf_dir: str):
-    """XLSX / GTFS / JSON-FG drivers on the driver surface
-    (ogr/ogrsf_frmts/{xlsx,gtfs,jsonfg}): per nation, planted typed
+    """XLSX / ODS / GTFS / JSON-FG drivers on the driver surface
+    (ogr/ogrsf_frmts/{xlsx,ods,gtfs,jsonfg}): per nation, planted typed
     attributes round-trip through an OOXML spreadsheet, a synthetic GTFS
     stops feed (written as RFC 4180 text, read through the feed reader),
     and a JSON-FG FeatureCollection (time instants + WGS84 geometry).
@@ -9564,6 +9564,10 @@ def vector_xlsx_gtfs_jsonfg_q(sf_dir: str):
             "score": pa.array([int(n) % 13 + 0.25 for n in ks],
                               pa.float64())})
         back = VF.parse_xlsx_bytes(VW.xlsx_bytes(tab))
+        oback = VF.parse_ods_bytes(VW.ods_bytes(tab))
+        ods_val = np.asarray(oback.column("val"), dtype=np.int64)
+        ods_score4 = (np.asarray(oback.column("score"), np.float64) * 4) \
+            .round().astype(np.int64)
         xlsx_val = np.asarray(back.column("val"), dtype=np.int64)
         xlsx_namelen = np.array([len(s) for s in
                                  back.column("name").to_pylist()],
@@ -9608,6 +9612,8 @@ def vector_xlsx_gtfs_jsonfg_q(sf_dir: str):
             "xlsx_val": pa.array(xlsx_val, pa.int64()),
             "xlsx_namelen": pa.array(xlsx_namelen, pa.int64()),
             "xlsx_score4": pa.array(xlsx_score4, pa.int64()),
+            "ods_val": pa.array(ods_val, pa.int64()),
+            "ods_score4": pa.array(ods_score4, pa.int64()),
             "gtfs_sx": pa.array(gtfs_sx, pa.int64()),
             "gtfs_sy": pa.array(gtfs_sy, pa.int64()),
             "fg_x2": pa.array((fx * 100).round().astype(np.int64),
@@ -9625,6 +9631,8 @@ SELECT n_nationkey,
        CAST(3 * n_nationkey + 7 AS BIGINT) AS xlsx_val,
        CAST(n_nationkey % 5 + 1 AS BIGINT) AS xlsx_namelen,
        CAST((n_nationkey % 13) * 4 + 1 AS BIGINT) AS xlsx_score4,
+       CAST(3 * n_nationkey + 7 AS BIGINT) AS ods_val,
+       CAST((n_nationkey % 13) * 4 + 1 AS BIGINT) AS ods_score4,
        CAST((n_nationkey // 5) * 100 + 25 AS BIGINT) AS gtfs_sx,
        CAST((n_nationkey % 10) * 100 + 50 AS BIGINT) AS gtfs_sy,
        CAST((n_nationkey % 7) * 100 + 50 AS BIGINT) AS fg_x2,

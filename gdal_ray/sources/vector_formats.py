@@ -1939,3 +1939,90 @@ def read_geoparquet(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- ODS (ogr/ogrsf_frmts/ods) ----------
+
+def parse_ods_bytes(data: bytes, *, sheet: str | None = None) -> pa.Table:
+    """OpenDocument spreadsheet bytes -> Arrow table (first sheet or
+    ``sheet``; row 1 = field names).  Handles float/boolean/string value
+    types, ``table:number-columns-repeated`` run-length cells and
+    trailing empty-cell padding — the shapes the reference reader
+    normalizes (ogr/ogrsf_frmts/ods)."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    T = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+    O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    root = ET.fromstring(zf.read("content.xml"))
+    tables = list(root.iter(f"{T}table"))
+    if not tables:
+        raise ValueError("ODS: no sheets in content.xml")
+    if sheet is not None:
+        tables = [t for t in tables if t.get(f"{T}name") == sheet]
+        if not tables:
+            raise ValueError(f"ODS: no sheet named {sheet!r}")
+    rows: list[list] = []
+    for row in tables[0].iter(f"{T}table-row"):
+        vals: list = []
+        for c in row:
+            if not c.tag.endswith("table-cell"):
+                continue
+            rep = int(c.get(f"{T}number-columns-repeated", "1"))
+            vt = c.get(f"{O}value-type")
+            if vt == "float":
+                raw = float(c.get(f"{O}value"))
+                v = int(raw) if raw.is_integer() else raw
+            elif vt == "boolean":
+                v = c.get(f"{O}boolean-value") == "true"
+            elif vt is None and len(c) == 0:
+                v = None
+            else:
+                v = "".join(c.itertext()) or None
+            vals.extend([v] * min(rep, 4096))
+        rows.append(vals)
+    while rows and all(v is None for v in rows[-1]):
+        rows.pop()
+    if not rows:
+        return pa.table({})
+    ncol = max(len(r) for r in rows)
+    header = [str(rows[0][i]) if i < len(rows[0]) and rows[0][i] is not None
+              else f"Field{i + 1}" for i in range(ncol)]
+    body = [r + [None] * (ncol - len(r)) for r in rows[1:]]
+    out: dict = {}
+    for ci, name in enumerate(header):
+        vals = [r[ci] for r in body]
+        nonnull = [v for v in vals if v is not None]
+        if nonnull and all(isinstance(v, bool) for v in nonnull):
+            arr = pa.array(vals, pa.bool_())
+        elif nonnull and all(isinstance(v, int) and not isinstance(v, bool)
+                             for v in nonnull):
+            arr = pa.array(vals, pa.int64())
+        elif nonnull and all(isinstance(v, (int, float))
+                             and not isinstance(v, bool) for v in nonnull):
+            arr = pa.array([None if v is None else float(v) for v in vals],
+                           pa.float64())
+        else:
+            arr = pa.array([None if v is None else str(v) for v in vals],
+                           pa.string())
+        out[name] = arr
+    return pa.table(out)
+
+
+def read_ods(paths, *, sheet: str | None = None) -> "ray.data.Dataset":
+    """One task per .ods file → typed attribute rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_ods_bytes(f.read(), sheet=sheet))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

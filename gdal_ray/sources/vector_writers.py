@@ -1463,3 +1463,81 @@ def write_geoparquet(ds: "ray.data.Dataset", out_dir: str, *,
     metadata; returns the manifest."""
     return _file_sink(ds, out_dir, ".parquet",
                       lambda b: geoparquet_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- ODS (ogr/ogrsf_frmts/ods) ----------
+
+_ODS_NS = ('xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+           'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+           'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"')
+
+
+def ods_bytes(tab: pa.Table, *, sheet: str = "Sheet1") -> bytes:
+    """Attribute table -> OpenDocument spreadsheet bytes (one sheet,
+    row 1 = field names).  The ``mimetype`` member is written FIRST and
+    STORED (uncompressed), as the OpenDocument package spec requires;
+    zip timestamps are fixed for deterministic bytes."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from ..core.wkt import format_double as fd
+
+    def cell(v) -> str:
+        if v is None:
+            return "<table:table-cell/>"
+        if isinstance(v, bool):
+            b = "true" if v else "false"
+            return (f'<table:table-cell office:value-type="boolean" '
+                    f'office:boolean-value="{b}">'
+                    f"<text:p>{b}</text:p></table:table-cell>")
+        if isinstance(v, (int, float)):
+            num = str(v) if isinstance(v, int) else fd(float(v))
+            return (f'<table:table-cell office:value-type="float" '
+                    f'office:value="{num}">'
+                    f"<text:p>{escape(num)}</text:p></table:table-cell>")
+        return (f'<table:table-cell office:value-type="string">'
+                f"<text:p>{escape(str(v))}</text:p></table:table-cell>")
+
+    names = list(tab.column_names)
+    cols = {c: tab.column(c).to_pylist() for c in names}
+    rows = ["<table:table-row>"
+            + "".join(cell(n) for n in names) + "</table:table-row>"]
+    for ri in range(tab.num_rows):
+        rows.append("<table:table-row>"
+                    + "".join(cell(cols[n][ri]) for n in names)
+                    + "</table:table-row>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content {_ODS_NS} office:version="1.2">'
+        '<office:body><office:spreadsheet>'
+        f'<table:table table:name="{escape(sheet)}">'
+        + "".join(rows) +
+        '</table:table></office:spreadsheet></office:body>'
+        '</office:document-content>')
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0" manifest:version="1.2">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type='
+        '"application/vnd.oasis.opendocument.spreadsheet"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, "application/vnd.oasis.opendocument.spreadsheet")
+        for name, payload in (("content.xml", content),
+                              ("META-INF/manifest.xml", manifest)):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, payload)
+    return buf.getvalue()
+
+
+def write_ods(ds: "ray.data.Dataset", out_dir: str, *,
+              sheet: str = "Sheet1") -> "ray.data.Dataset":
+    """ODS sink: one .ods per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".ods",
+                      lambda b: ods_bytes(b, sheet=sheet))
