@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_pairs": R.text_bpe_pairs_q,
         "q_source_cap": R.q_source_cap,
         "text_unigram_logprob": R.text_unigram_logprob_q,
+        "vector_gmt_roundtrip": R.vector_gmt_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -486,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_pairs": R.SQL_TEXT_BPE_PAIRS,
         "q_source_cap": R._sql_source_cap(),
         "text_unigram_logprob": R.SQL_TEXT_UNIGRAM_LOGPROB,
+        "vector_gmt_roundtrip": R.SQL_VECTOR_GMT_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

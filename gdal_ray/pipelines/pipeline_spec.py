@@ -124,6 +124,13 @@ def _read_geoparquet(ds, path):
     return read_geoparquet(path)
 
 
+@register("read_gmt")
+def _read_gmt(ds, path):
+    from ..sources.vector_formats import read_gmt
+    assert ds is None
+    return read_gmt(path)
+
+
 @register("read_ods")
 def _read_ods(ds, path, sheet=None):
     from ..sources.vector_formats import read_ods
@@ -250,6 +257,12 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
 def _write_geoparquet(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_geoparquet
     return write_geoparquet(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_gmt")
+def _write_gmt(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_gmt
+    return write_gmt(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_ods")

@@ -9895,3 +9895,46 @@ SELECT d.doc_id,
                  WHERE c.doc = d.doc_id), 0) AS lp_q
 FROM documents d
 """
+
+
+def vector_gmt_roundtrip_q(sf_dir: str):
+    """GMT ASCII driver on the driver surface (ogr/ogrsf_frmts/gmt):
+    per-nation planted POINT features with typed attributes round-trip
+    through the @VGMT1.0 text layout; snapped coordinate sums and the
+    attribute sum are closed forms."""
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        tab = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "name": pa.array(["n|a\"m" * (int(n) % 3 + 1) for n in ks]),
+            "wkb": pa.array([WKB.point(int(n) % 10 + 0.25,
+                                       int(n) // 5 + 0.5) for n in ks],
+                            pa.binary())})
+        back = VF.parse_gmt_bytes(VW.gmt_bytes(tab))
+        order = np.argsort(np.asarray(back.column("k"), np.int64))
+        pts = [WKB.loads(v) for v in back.column("wkb").to_pylist()]
+        x = np.array([p["xy"][0] for p in pts])[order]
+        y = np.array([p["xy"][1] for p in pts])[order]
+        nlen = np.array([len(s) for s in back.column("name").to_pylist()],
+                        dtype=np.int64)[order]
+        return pa.table({
+            "n_nationkey": pa.array(ks, pa.int64()),
+            "x4": pa.array((x * 4).round().astype(np.int64), pa.int64()),
+            "y2": pa.array((y * 2).round().astype(np.int64), pa.int64()),
+            "name_len": pa.array(nlen, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_VECTOR_GMT_ROUNDTRIP = """
+SELECT n_nationkey,
+       CAST((n_nationkey % 10) * 4 + 1 AS BIGINT) AS x4,
+       CAST((n_nationkey // 5) * 2 + 1 AS BIGINT) AS y2,
+       CAST(5 * (n_nationkey % 3 + 1) AS BIGINT) AS name_len
+FROM nation
+"""

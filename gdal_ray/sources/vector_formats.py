@@ -2026,3 +2026,157 @@ def read_ods(paths, *, sheet: str | None = None) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- GMT ASCII (ogr/ogrsf_frmts/gmt/ogrgmtlayer.cpp) ----------
+
+def _gmt_split_d(line: str) -> list:
+    """Split a '# @D' record on | honoring double-quoted strings."""
+    vals, cur, q = [], [], False
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if q:
+            if ch == '"':
+                if i + 1 < len(line) and line[i + 1] == '"':
+                    cur.append('"')
+                    i += 1
+                else:
+                    q = False
+            else:
+                cur.append(ch)
+        elif ch == '"':
+            q = True
+        elif ch == "|":
+            vals.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    vals.append("".join(cur))
+    return vals
+
+
+def parse_gmt_bytes(data: bytes) -> pa.Table:
+    """OGR GMT ASCII -> feature rows (attributes…, wkb).  Feature
+    boundaries follow the writer contract: a new ``# @D`` record starts
+    a new feature; ``>`` separates segments within it; ``@P``/``@H``
+    mark polygon shells/holes."""
+    gtype = None
+    names: list[str] = []
+    types: list[str] = []
+    feats: list[tuple[list, list]] = []   # (dvals, segments)
+    seg: list = None
+    seg_role = "P"
+    cur = None                             # (dvals, [(role, coords)])
+
+    def close_seg():
+        nonlocal seg
+        if cur is not None and seg:
+            cur[1].append((seg_role, np.asarray(seg, np.float64)))
+        seg = []
+
+    for raw in data.decode("ascii", errors="replace").splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("#"):
+            body = line[1:].strip()
+            if body.startswith("@VGMT"):
+                for tok in body.split():
+                    if tok.startswith("@G"):
+                        gtype = tok[2:]
+            elif body.startswith("@G"):
+                gtype = body[2:].split()[0]
+            elif body.startswith("@N"):
+                names = body[2:].split("|")
+            elif body.startswith("@T"):
+                types = body[2:].split("|")
+            elif body.startswith("@D"):
+                close_seg()
+                if cur is not None:
+                    feats.append(cur)
+                cur = (_gmt_split_d(body[2:]), [])
+                seg_role = "P"
+            elif body.startswith("@P"):
+                close_seg()
+                seg_role = "P"
+            elif body.startswith("@H"):
+                close_seg()
+                seg_role = "H"
+            continue
+        if line.startswith(">"):
+            close_seg()
+            seg_role = "P"
+            continue
+        parts = line.split()
+        if seg is None:
+            seg = []
+        if cur is None:
+            cur = ([], [])
+        seg.append((float(parts[0]), float(parts[1])))
+    close_seg()
+    if cur is not None:
+        feats.append(cur)
+
+    def build(segs) -> bytes | None:
+        if not segs:
+            return None
+        if gtype == "POINT":
+            return wkb.dumps({"type": "Point", "xy": segs[0][1][0]})
+        if gtype == "LINESTRING":
+            return wkb.dumps({"type": "LineString", "xy": segs[0][1]})
+        if gtype == "MULTIPOINT":
+            return wkb.dumps({"type": "MultiPoint", "xy": segs[0][1]})
+        if gtype == "MULTILINESTRING":
+            return wkb.dumps({"type": "MultiLineString",
+                              "lines": [s[1] for s in segs]})
+        if gtype == "POLYGON":
+            return wkb.dumps({"type": "Polygon",
+                              "rings": [s[1] for s in segs]})
+        if gtype == "MULTIPOLYGON":
+            polys, curp = [], None
+            for role, xy in segs:
+                if role == "P":
+                    if curp is not None:
+                        polys.append(curp)
+                    curp = [xy]
+                else:
+                    curp.append(xy)
+            if curp is not None:
+                polys.append(curp)
+            return wkb.dumps({"type": "MultiPolygon", "polys": polys})
+        raise ValueError(f"GMT geometry type {gtype!r}")
+
+    out: dict = {}
+    for ci, name in enumerate(names):
+        t = types[ci] if ci < len(types) else "string"
+        raw_vals = [f[0][ci] if ci < len(f[0]) else "" for f in feats]
+        if t == "integer":
+            out[name] = pa.array(
+                [None if v == "" else int(v) for v in raw_vals], pa.int64())
+        elif t == "double":
+            out[name] = pa.array(
+                [None if v == "" else float(v) for v in raw_vals],
+                pa.float64())
+        else:
+            out[name] = pa.array(
+                [None if v == "" else v for v in raw_vals], pa.string())
+    out["wkb"] = pa.array([build(f[1]) for f in feats], pa.binary())
+    return pa.table(out)
+
+
+def read_gmt(paths) -> "ray.data.Dataset":
+    """One task per .gmt file → feature rows (attributes…, wkb)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_gmt_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -1541,3 +1541,98 @@ def write_ods(ds: "ray.data.Dataset", out_dir: str, *,
     """ODS sink: one .ods per block; returns the manifest."""
     return _file_sink(ds, out_dir, ".ods",
                       lambda b: ods_bytes(b, sheet=sheet))
+
+
+# ---------- GMT ASCII (ogr/ogrsf_frmts/gmt/ogrgmtlayer.cpp) ----------
+
+_GMT_GEOM = {"Point": "POINT", "LineString": "LINESTRING",
+             "Polygon": "POLYGON", "MultiPoint": "MULTIPOINT",
+             "MultiLineString": "MULTILINESTRING",
+             "MultiPolygon": "MULTIPOLYGON"}
+
+
+def gmt_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
+    """Feature rows -> OGR GMT ASCII: ``# @VGMT1.0 @G<TYPE>`` header,
+    ``@N``/``@T`` field declarations, ``>`` segment separators with
+    ``# @D`` attribute records, ``@P``/``@H`` shell/hole markers
+    (ogrgmtlayer.cpp WriteFeature layout).  One geometry class per file,
+    like the reference."""
+    from ..core.wkt import format_double as fd
+
+    names = [c for c in tab.column_names if c != wkb_col]
+    cols = {c: tab.column(c).to_pylist() for c in names}
+    wkbs = tab.column(wkb_col).to_pylist()
+    gtypes = {wkb.loads(v)["type"] for v in wkbs if v is not None}
+    if len(gtypes) != 1:
+        raise ValueError("GMT files carry ONE geometry class; got "
+                         f"{sorted(gtypes)}")
+    gtype = gtypes.pop()
+    if gtype not in _GMT_GEOM:
+        raise ValueError(f"GMT cannot store {gtype}")
+
+    types = []
+    for c in names:
+        t = tab.schema.field(c).type
+        types.append("integer" if pa.types.is_integer(t)
+                     else "double" if pa.types.is_floating(t)
+                     else "string")
+    out = [f"# @VGMT1.0 @G{_GMT_GEOM[gtype]}"]
+    if names:
+        out.append("# @N" + "|".join(names))
+        out.append("# @T" + "|".join(types))
+    out.append("# FEATURE_DATA")
+
+    def coords(xy):
+        xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+        return [f"{fd(x)} {fd(y)}" for x, y in xy]
+
+    def dval(c, i):
+        v = cols[c][i]
+        if v is None:
+            return ""
+        if isinstance(v, str):
+            return '"' + v.replace('"', '""') + '"'
+        if isinstance(v, float):
+            return fd(v)
+        return str(v)
+
+    for i, blob in enumerate(wkbs):
+        if gtype != "Point":
+            out.append(">")
+        if names:
+            out.append("# @D" + "|".join(dval(c, i) for c in names))
+        if blob is None:
+            continue
+        g = wkb.loads(blob)
+        if gtype == "Point":
+            out.extend(coords(g["xy"]))
+        elif gtype in ("LineString", "MultiPoint"):
+            out.extend(coords(g["xy"]))
+        elif gtype == "Polygon":
+            for ri, r in enumerate(g["rings"]):
+                if ri:
+                    out.append(">")
+                out.append("# @P" if ri == 0 else "# @H")
+                out.extend(coords(r))
+        elif gtype == "MultiLineString":
+            for li, ln in enumerate(g["lines"]):
+                if li:
+                    out.append(">")
+                out.extend(coords(ln))
+        else:                                        # MultiPolygon
+            first = True
+            for rings in g["polys"]:
+                for ri, r in enumerate(rings):
+                    if not first:
+                        out.append(">")
+                    first = False
+                    out.append("# @P" if ri == 0 else "# @H")
+                    out.extend(coords(r))
+    return ("\n".join(out) + "\n").encode("ascii")
+
+
+def write_gmt(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """GMT ASCII sink: one .gmt per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".gmt",
+                      lambda b: gmt_bytes(b, wkb_col=wkb_col))
