@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_cap": R.q_source_cap,
         "text_unigram_logprob": R.text_unigram_logprob_q,
         "vector_gmt_roundtrip": R.vector_gmt_roundtrip_q,
+        "text_bpe_train": R.text_bpe_train_q,
         **_tpch_queries(),
     }
 
@@ -488,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "q_source_cap": R._sql_source_cap(),
         "text_unigram_logprob": R.SQL_TEXT_UNIGRAM_LOGPROB,
         "vector_gmt_roundtrip": R.SQL_VECTOR_GMT_ROUNDTRIP,
+        "text_bpe_train": R.SQL_TEXT_BPE_TRAIN,
         **_tpch_oracles(),
     }
 

@@ -9938,3 +9938,72 @@ SELECT n_nationkey,
        CAST(5 * (n_nationkey % 3 + 1) AS BIGINT) AS name_len
 FROM nation
 """
+
+
+def text_bpe_train_q(sf_dir: str):
+    """Iterative BPE training on the driver surface (2 merge rounds over
+    the real corpus — see ``text.bpe_train`` for the per-round
+    distributed shape).  The DuckDB oracle replays BOTH rounds exactly:
+    round-1 argmax, then the greedy leftmost-first APPLY as window
+    arithmetic (runs of equal-pair matches keep even positions — the
+    parity-of-(i - last run start) rule), then the round-2 recount."""
+    import ray as _ray
+
+    from .text import bpe_train
+    tab = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=2)
+    return _ray.data.from_arrow(tab)
+
+
+SQL_TEXT_BPE_TRAIN = """
+WITH chars AS (
+    SELECT doc_id AS doc, i.i AS i,
+           CAST(ord(substr(text, i.i + 1, 1)) AS BIGINT) AS t
+    FROM documents, generate_series(0, 2047) i(i)
+    WHERE i.i < length(text)
+), p1 AS (
+    SELECT t * 65536 + lead(t, 1) OVER w AS p
+    FROM chars WINDOW w AS (PARTITION BY doc ORDER BY i)
+    QUALIFY lead(t, 1) OVER w IS NOT NULL
+), best1 AS (
+    SELECT p // 65536 AS a1, p % 65536 AS b1, COUNT(*) AS n1
+    FROM p1 GROUP BY p ORDER BY COUNT(*) DESC, p LIMIT 1
+), marked AS (
+    SELECT c.doc, c.i, c.t,
+           (c.t = b.a1 AND lead(c.t, 1) OVER w = b.b1) AS m
+    FROM chars c CROSS JOIN best1 b
+    WINDOW w AS (PARTITION BY c.doc ORDER BY c.i)
+), runs AS (
+    SELECT doc, i, t, m,
+           (m AND NOT COALESCE(lag(m, 1) OVER w, FALSE)) AS run_start
+    FROM marked WINDOW w AS (PARTITION BY doc ORDER BY i)
+), kept AS (
+    SELECT doc, i, t, m,
+           (m AND ((i - MAX(CASE WHEN run_start THEN i END)
+                    OVER (PARTITION BY doc ORDER BY i)) % 2 = 0)) AS keep
+    FROM runs
+), surviv AS (
+    SELECT doc, i, CASE WHEN keep THEN 256 ELSE t END AS t
+    FROM kept
+    QUALIFY NOT COALESCE(lag(keep, 1)
+                         OVER (PARTITION BY doc ORDER BY i), FALSE)
+), seq2 AS (
+    SELECT doc,
+           row_number() OVER (PARTITION BY doc ORDER BY i) - 1 AS j, t
+    FROM surviv
+), p2 AS (
+    SELECT t * 65536 + lead(t, 1) OVER w AS p
+    FROM seq2 WINDOW w AS (PARTITION BY doc ORDER BY j)
+    QUALIFY lead(t, 1) OVER w IS NOT NULL
+), best2 AS (
+    SELECT p // 65536 AS a2, p % 65536 AS b2, COUNT(*) AS n2
+    FROM p2 GROUP BY p ORDER BY COUNT(*) DESC, p LIMIT 1
+)
+SELECT CAST(1 AS BIGINT) AS rank, CAST(a1 AS BIGINT) AS tok_a,
+       CAST(b1 AS BIGINT) AS tok_b, CAST(256 AS BIGINT) AS new_id,
+       CAST(n1 AS BIGINT) AS cnt
+FROM best1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(a2 AS BIGINT), CAST(b2 AS BIGINT),
+       CAST(257 AS BIGINT), CAST(n2 AS BIGINT)
+FROM best2
+"""

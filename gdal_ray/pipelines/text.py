@@ -924,3 +924,96 @@ def unigram_logprob(ds: "ray.data.Dataset", *, text_col: str = "text",
                          "lp_q": pa.array(lp, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _bpe_apply(tokens: np.ndarray, starts: np.ndarray,
+               merges: list) -> tuple[np.ndarray, np.ndarray]:
+    """Apply ranked BPE merges to a concatenated token array with doc
+    boundaries.  Greedy leftmost-first non-overlapping matching, one
+    vectorized pass per merge: non-equal pairs cannot overlap; equal-pair
+    runs (aaaa) take even positions within each run — exactly the
+    sequential greedy outcome."""
+    seg = np.zeros(len(tokens), dtype=np.int64)
+    seg[starts[1:-1]] = 1                       # starts excludes 0/end
+    seg = np.cumsum(seg)
+    for (a, b), new_id in merges:
+        if len(tokens) < 2:
+            break
+        m = (tokens[:-1] == a) & (tokens[1:] == b) & (seg[:-1] == seg[1:])
+        if a == b:
+            run_start = m & ~np.concatenate([[False], m[:-1]])
+            run_id = np.cumsum(run_start)
+            pos_in_run = np.arange(len(m)) - \
+                np.maximum.accumulate(np.where(run_start,
+                                               np.arange(len(m)), -1))
+            m = m & ((pos_in_run & 1) == 0)
+        idx = np.flatnonzero(m)
+        if len(idx) == 0:
+            continue
+        tokens = tokens.copy()
+        tokens[idx] = new_id
+        keep = np.ones(len(tokens), dtype=bool)
+        keep[idx + 1] = False
+        tokens = tokens[keep]
+        seg = seg[keep]
+    return tokens, seg
+
+
+def bpe_train(ds: "ray.data.Dataset", *, n_merges: int = 3,
+              text_col: str = "text") -> "pa.Table":
+    """Iterative BPE tokenizer training (Sennrich et al. 2016) over the
+    corpus: ``n_merges`` rounds, each ONE distributed pass — apply the
+    merges learned so far (broadcast via closure; tiny), count adjacent
+    token pairs (one packed-key bincount per batch, doc-boundary
+    masked), merge the bounded pair domain, pick the global argmax
+    (ties -> smallest packed key).  Returns the ranked merge table
+    (rank, tok_a, tok_b, new_id, cnt).  Re-tokenizes from bytes each
+    round (k small; stateless map_batches keeps the scale shape)."""
+    from .shuffle_utils import grouped_sum_int64
+
+    V = 65536                                    # pair packing base
+    merges: list = []
+    counts: list = []
+
+    for r in range(n_merges):
+        cur = list(merges)
+
+        def partial(b: pa.Table, _cur=cur) -> pa.Table:
+            bufs = [t.encode("utf-8")
+                    for t in b.column(text_col).to_pylist()]
+            lens = np.array([len(x) for x in bufs], dtype=np.int64)
+            if lens.sum() < 2:
+                return pa.table({"pair": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            cat = np.frombuffer(b"".join(bufs), np.uint8).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)])
+            toks, seg = _bpe_apply(cat, starts, _cur)
+            if len(toks) < 2:
+                return pa.table({"pair": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            ok = seg[:-1] == seg[1:]
+            pairs = toks[:-1][ok] * V + toks[1:][ok]
+            uniq, cnt = np.unique(pairs, return_counts=True)
+            return pa.table({"pair": pa.array(uniq, pa.int64()),
+                             "cnt": pa.array(cnt, pa.int64())})
+
+        merged = grouped_sum_int64(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "pair", "cnt")
+        if not isinstance(merged, pa.Table):
+            merged = pa.concat_tables(
+                list(merged.iter_batches(batch_format="pyarrow")))
+        p = np.asarray(merged.column("pair"), np.int64)
+        c = np.asarray(merged.column("cnt"), np.int64)
+        if len(p) == 0:
+            break
+        best = np.lexsort((p, -c))[0]
+        merges.append(((int(p[best]) // V, int(p[best]) % V), 256 + r))
+        counts.append(int(c[best]))
+
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(merges) + 1), pa.int64()),
+        "tok_a": pa.array([m[0][0] for m in merges], pa.int64()),
+        "tok_b": pa.array([m[0][1] for m in merges], pa.int64()),
+        "new_id": pa.array([m[1] for m in merges], pa.int64()),
+        "cnt": pa.array(counts, pa.int64())})

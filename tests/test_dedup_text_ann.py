@@ -865,3 +865,69 @@ def test_pca_top_component_matches_numpy(ray_session):
     top = V[:, -1]
     cos = abs(np.dot(v, top) / (np.linalg.norm(v) * np.linalg.norm(top)))
     assert cos > 0.999, cos
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed BPE training == a sequential pure-Python reference
+    (greedy leftmost-first apply, most-frequent-pair-smallest-key pick),
+    including equal-pair runs (aaaa) and cross-doc boundary masking."""
+    import ray
+
+    import pyarrow as pa
+    from gdal_ray.pipelines.text import bpe_train
+
+    docs = ["aaaa banana band", "banana anna", "aa aa b", "x"]
+    tab = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+
+    def ref_bpe(texts, k):
+        seqs = [list(t.encode()) for t in texts]
+        merges = []
+        for r in range(k):
+            cnt = {}
+            for s in seqs:
+                for i in range(len(s) - 1):
+                    cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + 1
+            if not cnt:
+                break
+            best = min(cnt, key=lambda p: (-cnt[p], p[0] * 65536 + p[1]))
+            merges.append((best, 256 + r, cnt[best]))
+            out = []
+            for s in seqs:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        ns.append(256 + r)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                out.append(ns)
+            seqs = out
+        return merges
+
+    for k in (1, 3, 5):
+        got = bpe_train(ray.data.from_arrow(tab), n_merges=k)
+        exp = ref_bpe(docs, k)
+        assert got.num_rows == len(exp)
+        for i, (pair, new_id, c) in enumerate(exp):
+            assert got.column("tok_a")[i].as_py() == pair[0]
+            assert got.column("tok_b")[i].as_py() == pair[1]
+            assert got.column("new_id")[i].as_py() == new_id
+            assert got.column("cnt")[i].as_py() == c
+
+
+def test_bpe_apply_equal_pair_runs():
+    import numpy as np
+    from gdal_ray.pipelines.text import _bpe_apply
+
+    # "aaaaa" with merge (a,a)->Z: greedy leftmost gives Z Z a
+    t = np.array([97] * 5, dtype=np.int64)
+    starts = np.array([0, 5])
+    toks, _ = _bpe_apply(t, starts, [((97, 97), 300)])
+    assert toks.tolist() == [300, 300, 97]
+    # boundary between docs is never merged
+    t = np.array([97, 97, 97, 97], dtype=np.int64)
+    starts = np.array([0, 2, 4])
+    toks, _ = _bpe_apply(t, starts, [((97, 97), 300)])
+    assert toks.tolist() == [300, 300]
