@@ -369,7 +369,15 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
             img, np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1))
     if fmt == "srtmhgt":
         from . import demgrids as _dg
-        return _dg.encode_srtmhgt(np.asarray(img))
+        img = np.asarray(img)
+        if img.dtype == np.float32:
+            raise ValueError("float32 SRTM tiles are the '.hgts' variant "
+                             "— use fmt='hgts' (raw sizes alone are "
+                             "ambiguous: N^2 float32 == (2N)^2 uint8)")
+        return _dg.encode_srtmhgt(img)
+    if fmt == "hgts":
+        from . import demgrids as _dg
+        return _dg.encode_srtmhgt(np.asarray(img, dtype=np.float32))
     if fmt == "dted":
         from . import demgrids as _dg
         return _dg.encode_dted(np.asarray(img))
@@ -465,6 +473,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "srtmhgt":
         from . import demgrids as _dg
         return _dg.decode_srtmhgt(data)[0]
+    if fmt == "hgts":
+        from . import demgrids as _dg
+        return _dg.decode_srtmhgt(data, "N00E000.hgts")[0]
     if fmt == "dted":
         from . import demgrids as _dg
         return _dg.decode_dted(data)[0]

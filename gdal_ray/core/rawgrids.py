@@ -138,6 +138,8 @@ def encode_ehdr(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1),
         arr = arr[None, :, :]
     nb, nrows, ncols = arr.shape
     nbits = arr.dtype.itemsize * 8
+    if (nbits, _ehdr_pixeltype(arr.dtype)) not in _EHDR_DT:
+        raise ValueError(f"EHdr: unsupported dtype {arr.dtype}")
     lay = layout.upper()
     hdr = [f"NROWS          {nrows}",
            f"NCOLS          {ncols}",
@@ -177,7 +179,11 @@ def decode_ehdr(hdr: bytes, raw: bytes):
     nb = int(kv.get("NBANDS", "1"))
     nbits = int(kv.get("NBITS", "8"))
     ptype = kv.get("PIXELTYPE", "UNSIGNEDINT").upper()
-    dt = np.dtype(_EHDR_DT.get((nbits, ptype)))
+    code = _EHDR_DT.get((nbits, ptype))
+    if code is None:
+        raise ValueError(f"EHdr: unsupported NBITS={nbits} "
+                         f"PIXELTYPE={ptype}")
+    dt = np.dtype(code)
     dt = dt.newbyteorder(">" if kv.get("BYTEORDER", "I").upper()
                          in ("M", "MSBFIRST") else "<")
     dx = float(kv.get("XDIM", kv.get("CELLSIZE", "1")))
@@ -678,7 +684,6 @@ def decode_usgsdem(data: bytes):
     arr = None
     nrows = 0
     for i in range(ncols):
-        end = text.find(" ", pos)
         toks_needed = 9
         # tokenize incrementally: ints/doubles separated by spaces
         seg_end = pos

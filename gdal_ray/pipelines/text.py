@@ -806,8 +806,12 @@ def bpe_pair_counts(ds: "ray.data.Dataset", *, text_col: str = "text",
         cat = np.frombuffer(b"".join(bufs), np.uint8).astype(np.int64)
         pairs = cat[:-1] * 256 + cat[1:]
         valid = np.ones(len(cat) - 1, dtype=bool)
-        ends = np.cumsum(lens)[:-1]
-        valid[np.clip(ends - 1, 0, len(valid) - 1)] = False
+        # position i crosses a boundary iff i+1 is an interior doc
+        # start; empty first/last docs put start-1 out of [0, n-2] and
+        # must be DROPPED, not clipped onto a real pair
+        cross = np.cumsum(lens)[:-1] - 1
+        cross = cross[(cross >= 0) & (cross < len(valid))]
+        valid[cross] = False
         cnt = np.bincount(pairs[valid], minlength=65536)
         nz = np.flatnonzero(cnt)
         return pa.table({"pair": pa.array(nz, pa.int64()),
@@ -934,7 +938,11 @@ def _bpe_apply(tokens: np.ndarray, starts: np.ndarray,
     runs (aaaa) take even positions within each run — exactly the
     sequential greedy outcome."""
     seg = np.zeros(len(tokens), dtype=np.int64)
-    seg[starts[1:-1]] = 1                       # starts excludes 0/end
+    # interior doc starts; empty trailing docs produce starts == len
+    # (out of range) and empty interior docs produce duplicates — both
+    # are safe to drop/collapse (a single transition point suffices)
+    interior = starts[1:-1]
+    seg[interior[interior < len(tokens)]] = 1
     seg = np.cumsum(seg)
     for (a, b), new_id in merges:
         if len(tokens) < 2:

@@ -1621,6 +1621,21 @@ def read_georss(paths) -> "ray.data.Dataset":
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
+def _uniquify_names(names: list[str]) -> list[str]:
+    """Duplicate field names -> a, a_1, a_2 … (the CSV driver rule);
+    dict-keyed column builds would silently drop duplicates otherwise."""
+    seen: dict = {}
+    out = []
+    for nm in names:
+        if nm in seen:
+            seen[nm] += 1
+            out.append(f"{nm}_{seen[nm]}")
+        else:
+            seen[nm] = 0
+            out.append(nm)
+    return out
+
+
 # ---------- XLSX (ogr/ogrsf_frmts/xlsx) ----------
 
 def _col_letter_to_idx(ref: str) -> int:
@@ -1714,7 +1729,8 @@ def parse_xlsx_bytes(data: bytes, *, sheet: str | None = None) -> pa.Table:
     if not rows:
         return pa.table({})
     ncol = max(max(r.keys(), default=-1) for r in rows) + 1
-    header = [str(rows[0].get(i, f"Field{i + 1}")) for i in range(ncol)]
+    header = _uniquify_names(
+        [str(rows[0].get(i, f"Field{i + 1}")) for i in range(ncol)])
     body = rows[1:]
     out: dict = {}
     for ci, name in enumerate(header):
@@ -1982,15 +1998,26 @@ def parse_ods_bytes(data: bytes, *, sheet: str | None = None) -> pa.Table:
                 v = None
             else:
                 v = "".join(c.itertext()) or None
-            vals.extend([v] * min(rep, 4096))
-        rows.append(vals)
+            if v is not None and rep > 65536:
+                raise ValueError("ODS: number-columns-repeated run of "
+                                 f"{rep} non-empty cells not supported")
+            vals.append((v, rep))
+        # drop LibreOffice's trailing repeated-empty padding before
+        # expanding (a 1-column sheet otherwise explodes to 16k fields)
+        while vals and vals[-1][0] is None:
+            vals.pop()
+        flat: list = []
+        for v, rep in vals:
+            flat.extend([v] * rep)
+        rows.append(flat)
     while rows and all(v is None for v in rows[-1]):
         rows.pop()
     if not rows:
         return pa.table({})
     ncol = max(len(r) for r in rows)
-    header = [str(rows[0][i]) if i < len(rows[0]) and rows[0][i] is not None
-              else f"Field{i + 1}" for i in range(ncol)]
+    header = _uniquify_names(
+        [str(rows[0][i]) if i < len(rows[0]) and rows[0][i] is not None
+         else f"Field{i + 1}" for i in range(ncol)])
     body = [r + [None] * (ncol - len(r)) for r in rows[1:]]
     out: dict = {}
     for ci, name in enumerate(header):
@@ -2149,7 +2176,7 @@ def parse_gmt_bytes(data: bytes) -> pa.Table:
         raise ValueError(f"GMT geometry type {gtype!r}")
 
     out: dict = {}
-    for ci, name in enumerate(names):
+    for ci, name in enumerate(_uniquify_names(names)):
         t = types[ci] if ci < len(types) else "string"
         raw_vals = [f[0][ci] if ci < len(f[0]) else "" for f in feats]
         if t == "integer":

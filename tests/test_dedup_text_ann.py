@@ -931,3 +931,22 @@ def test_bpe_apply_equal_pair_runs():
     starts = np.array([0, 2, 4])
     toks, _ = _bpe_apply(t, starts, [((97, 97), 300)])
     assert toks.tolist() == [300, 300]
+
+
+def test_bpe_ops_empty_documents(ray_session):
+    """Empty first/last docs must neither crash _bpe_apply nor corrupt
+    bpe_pair_counts' boundary mask (review findings: clip remapped
+    out-of-range boundaries ONTO real pairs)."""
+    import ray
+
+    import pyarrow as pa
+    from gdal_ray.pipelines.text import bpe_pair_counts, bpe_train
+
+    tab = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(["", "abc", "abc", ""])})
+    t = bpe_pair_counts(ray.data.from_arrow(tab)).to_pandas()
+    got = {(int(r.c1), int(r.c2)): int(r.cnt) for r in t.itertuples()}
+    # both (a,b) and (b,c) appear twice — nothing masked away
+    assert got[(97, 98)] == 2 and got[(98, 99)] == 2
+    m = bpe_train(ray.data.from_arrow(tab), n_merges=1)
+    assert m.num_rows == 1 and m.column("cnt")[0].as_py() == 2

@@ -88,3 +88,36 @@ def test_ods_sink_readback(tmp_path, ray_session):
                        str(tmp_path / "ods")).to_pandas()
     back = VF.read_ods(sorted(man["path"])).to_pandas()
     assert sorted(back["count"].dropna()) == [-7, 3, 12]
+
+
+def test_ods_trailing_repeated_empty_padding():
+    """LibreOffice pads rows with number-columns-repeated empty cells;
+    a 1-column sheet must NOT explode into thousands of FieldN
+    columns."""
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        '<office:body><office:spreadsheet><table:table table:name="s">'
+        '<table:table-row>'
+        '<table:table-cell office:value-type="string">'
+        '<text:p>only</text:p></table:table-cell>'
+        '<table:table-cell table:number-columns-repeated="16383"/>'
+        '</table:table-row>'
+        '<table:table-row>'
+        '<table:table-cell office:value-type="float" office:value="5">'
+        '<text:p>5</text:p></table:table-cell>'
+        '<table:table-cell table:number-columns-repeated="16383"/>'
+        '</table:table-row>'
+        '</table:table></office:spreadsheet></office:body>'
+        '</office:document-content>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype",
+                    "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+    t = VF.parse_ods_bytes(buf.getvalue())
+    assert t.column_names == ["only"]
+    assert t.column("only").to_pylist() == [5]

@@ -22,8 +22,8 @@ def test_identify_by_magic():
         "bt": RG.encode_bt(a.astype(np.int16)),
         "lan": RG.encode_lan(a),
         "tiff": codecs.encode(a, "tiff"),
-        "dted": DG.encode_dted(((np.arange(1296) % 100)
-                                .astype(np.int16)).reshape(36, 36)),
+        "dted": DG.encode_dted(((np.arange(961) % 100)
+                                .astype(np.int16)).reshape(31, 31)),
         "pnm": codecs.encode(a, "pnm"),
         "webp": codecs.encode(np.dstack([a, a, a]), "webp"),
     }

@@ -223,3 +223,22 @@ def test_jsonfg_sink_readback(tmp_path, ray_session):
                           str(tmp_path / "fg")).to_pandas()
     back = VF.read_jsonfg(sorted(man["path"])).to_pandas()
     assert sorted(back["name"]) == ["a", "b", "c"]
+
+
+def test_xlsx_duplicate_headers_uniquified():
+    blob = VW.xlsx_bytes(pa.table({"a": pa.array([1]),
+                                   "b": pa.array([2])}))
+    # hand-edit the header cells to collide
+    import io
+    zin = zipfile.ZipFile(io.BytesIO(blob))
+    ws = zin.read("xl/worksheets/sheet1.xml").decode()
+    ws = ws.replace(">b<", ">a<")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zout:
+        for n in zin.namelist():
+            zout.writestr(n, ws if n == "xl/worksheets/sheet1.xml"
+                          else zin.read(n))
+    t = VF.parse_xlsx_bytes(buf.getvalue())
+    assert t.column_names == ["a", "a_1"]
+    assert t.column("a").to_pylist() == [1]
+    assert t.column("a_1").to_pylist() == [2]
