@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_logprob": R.text_unigram_logprob_q,
         "vector_gmt_roundtrip": R.vector_gmt_roundtrip_q,
         "text_bpe_train": R.text_bpe_train_q,
+        "vector_dgn_roundtrip": R.vector_dgn_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -490,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": R.SQL_TEXT_UNIGRAM_LOGPROB,
         "vector_gmt_roundtrip": R.SQL_VECTOR_GMT_ROUNDTRIP,
         "text_bpe_train": R.SQL_TEXT_BPE_TRAIN,
+        "vector_dgn_roundtrip": R.SQL_VECTOR_DGN_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

@@ -124,6 +124,13 @@ def _read_geoparquet(ds, path):
     return read_geoparquet(path)
 
 
+@register("read_dgn")
+def _read_dgn(ds, path):
+    from ..sources.vector_formats import read_dgn
+    assert ds is None
+    return read_dgn(path)
+
+
 @register("read_gmt")
 def _read_gmt(ds, path):
     from ..sources.vector_formats import read_gmt
@@ -257,6 +264,12 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
 def _write_geoparquet(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_geoparquet
     return write_geoparquet(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_dgn")
+def _write_dgn(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_dgn
+    return write_dgn(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_gmt")

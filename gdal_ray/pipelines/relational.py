@@ -10007,3 +10007,66 @@ SELECT CAST(2 AS BIGINT), CAST(a2 AS BIGINT), CAST(b2 AS BIGINT),
        CAST(257 AS BIGINT), CAST(n2 AS BIGINT)
 FROM best2
 """
+
+
+def vector_dgn_roundtrip_q(sf_dir: str):
+    """DGN v7 driver on the driver surface (ogr/ogrsf_frmts/dgn):
+    per-nation planted POINT + 3-vertex LINE_STRING elements round-trip
+    through the ISFF element stream (TCB units, word-swapped int32 UORs,
+    VAX origin doubles); quarter coordinates snap exactly at the 1e-4
+    master-unit resolution, so sums are closed forms."""
+    from ..core import wkb as WKB
+    from ..sources import vector_formats as VF
+    from ..sources import vector_writers as VW
+
+    def run(b: pa.Table) -> pa.Table:
+        import os
+        import tempfile
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        blobs, levels = [], []
+        for n in ks:
+            n = int(n)
+            blobs.append(WKB.point(n % 10 + 0.25, n // 5 + 0.5))
+            levels.append(n % 63)
+            xy = np.array([(n % 7, 0.0), (n % 7 + 1, 0.25),
+                           (n % 7 + 2, 0.5)], np.float64)
+            blobs.append(WKB.dumps({"type": "LineString", "xy": xy}))
+            levels.append((n + 1) % 63)
+        tab = pa.table({"level": pa.array(levels, pa.int64()),
+                        "wkb": pa.array(blobs, pa.binary())})
+        payload = VW.dgn_bytes(tab)
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "b.dgn")
+            with open(p, "wb") as f:
+                f.write(payload)
+            from ..core.dgn import decode_dgn
+            rows, skipped = decode_dgn(open(p, "rb").read())
+        assert not skipped
+        pts = [WKB.loads(w) for _, _, w in rows]
+        px4, lx4, lvl = [], [], []
+        for i, n in enumerate(ks):
+            g0 = pts[2 * i]
+            g1 = pts[2 * i + 1]
+            assert g0["type"] == "Point"
+            assert g1["type"] == "LineString"
+            px4.append(int(round((g0["xy"][0] + g0["xy"][1]) * 4)))
+            lx4.append(int(round(g1["xy"].sum() * 4)))
+            lvl.append(rows[2 * i][1])
+        return pa.table({
+            "n_nationkey": pa.array(ks, pa.int64()),
+            "pt_sum4": pa.array(px4, pa.int64()),
+            "line_sum4": pa.array(lx4, pa.int64()),
+            "level": pa.array(lvl, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_VECTOR_DGN_ROUNDTRIP = """
+SELECT n_nationkey,
+       CAST((n_nationkey % 10) * 4 + 1 + (n_nationkey // 5) * 4 + 2
+            AS BIGINT) AS pt_sum4,
+       CAST(3 * (n_nationkey % 7) * 4 + 12 + 3 AS BIGINT) AS line_sum4,
+       CAST(n_nationkey % 63 AS BIGINT) AS level
+FROM nation
+"""

@@ -2207,3 +2207,30 @@ def read_gmt(paths) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- DGN v7 (ogr/ogrsf_frmts/dgn) ----------
+
+def read_dgn(paths) -> "ray.data.Dataset":
+    """One task per .dgn file → rows (element_type, level, wkb).
+    Unhandled element types are skipped, like the reference's OGR
+    layer's convertible-type filter (see core/dgn.py)."""
+    from ..core.dgn import decode_dgn
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        et, lv, blobs = [], [], []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                rows, _ = decode_dgn(f.read())
+            for t, l, w in rows:
+                et.append(t)
+                lv.append(l)
+                blobs.append(w)
+        return pa.table({"element_type": pa.array(et, pa.int64()),
+                         "level": pa.array(lv, pa.int64()),
+                         "wkb": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -1636,3 +1636,27 @@ def write_gmt(ds: "ray.data.Dataset", out_dir: str, *,
     """GMT ASCII sink: one .gmt per block; returns the manifest."""
     return _file_sink(ds, out_dir, ".gmt",
                       lambda b: gmt_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- DGN v7 (ogr/ogrsf_frmts/dgn) ----------
+
+def dgn_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+              level_col: str = "level") -> bytes:
+    """Feature rows -> DGN v7 2-D bytes (see core/dgn.py for the element
+    subset and the no-seed-file TCB construction)."""
+    from ..core.dgn import encode_dgn
+    geoms = [wkb.loads(v) for v in tab.column(wkb_col).to_pylist()
+             if v is not None]
+    levels = None
+    if level_col in tab.column_names:
+        levels = [int(v) for v, w in
+                  zip(tab.column(level_col).to_pylist(),
+                      tab.column(wkb_col).to_pylist()) if w is not None]
+    return encode_dgn(geoms, levels=levels)
+
+
+def write_dgn(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """DGN sink: one .dgn per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".dgn",
+                      lambda b: dgn_bytes(b, wkb_col=wkb_col))
