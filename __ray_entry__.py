@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_gmt_roundtrip": R.vector_gmt_roundtrip_q,
         "text_bpe_train": R.text_bpe_train_q,
         "vector_dgn_roundtrip": R.vector_dgn_roundtrip_q,
+        "vector_s57_roundtrip": R.vector_s57_roundtrip_q,
         **_tpch_queries(),
     }
 
@@ -492,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_gmt_roundtrip": R.SQL_VECTOR_GMT_ROUNDTRIP,
         "text_bpe_train": R.SQL_TEXT_BPE_TRAIN,
         "vector_dgn_roundtrip": R.SQL_VECTOR_DGN_ROUNDTRIP,
+        "vector_s57_roundtrip": R.SQL_VECTOR_S57_ROUNDTRIP,
         **_tpch_oracles(),
     }
 

@@ -124,6 +124,13 @@ def _read_geoparquet(ds, path):
     return read_geoparquet(path)
 
 
+@register("read_s57")
+def _read_s57(ds, path):
+    from ..sources.vector_formats import read_s57
+    assert ds is None
+    return read_s57(path)
+
+
 @register("read_dgn")
 def _read_dgn(ds, path):
     from ..sources.vector_formats import read_dgn
@@ -264,6 +271,12 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
 def _write_geoparquet(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_geoparquet
     return write_geoparquet(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_s57")
+def _write_s57(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_s57
+    return write_s57(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_dgn")

@@ -10070,3 +10070,56 @@ SELECT n_nationkey,
        CAST(n_nationkey % 63 AS BIGINT) AS level
 FROM nation
 """
+
+
+def vector_s57_roundtrip_q(sf_dir: str):
+    """S-57 driver on the driver surface (ogr/ogrsf_frmts/s57 +
+    frmts/iso8211): per-nation planted point + edge features round-trip
+    through the ISO 8211 record stream (binary subfields, repeating
+    SG2D/FSPT, COMF=1e7 coordinate scaling); quarter coordinates snap
+    exactly, so sums are closed forms."""
+    from ..core import wkb as WKB
+    from ..core.s57 import decode_s57, encode_s57
+
+    def run(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("n_nationkey"), dtype=np.int64)
+        feats = []
+        for n in ks:
+            n = int(n)
+            feats.append({"objl": 2 * n, "attrs": {95: str(n)},
+                          "geom": {"type": "Point",
+                                   "xy": np.array([n % 10 + 0.25,
+                                                   n // 5 + 0.5])}})
+            xy = np.array([(n % 7, 0.0), (n % 7 + 0.5, 0.25)], np.float64)
+            feats.append({"objl": 2 * n + 1, "attrs": {},
+                          "geom": {"type": "LineString", "xy": xy}})
+        back = decode_s57(encode_s57(feats))
+        pts = [WKB.loads(f["wkb"]) for f in back]
+        px4, lx4, objl_sum, attr_sum = [], [], [], []
+        for i, n in enumerate(ks):
+            g0, g1 = pts[2 * i], pts[2 * i + 1]
+            assert g0["type"] == "Point" and g1["type"] == "LineString"
+            px4.append(int(round((g0["xy"][0] + g0["xy"][1]) * 4)))
+            lx4.append(int(round(g1["xy"].sum() * 4)))
+            objl_sum.append(back[2 * i]["objl"] + back[2 * i + 1]["objl"])
+            attr_sum.append(int(back[2 * i]["attrs"][95]))
+        return pa.table({
+            "n_nationkey": pa.array(ks, pa.int64()),
+            "pt_sum4": pa.array(px4, pa.int64()),
+            "line_sum4": pa.array(lx4, pa.int64()),
+            "objl_sum": pa.array(objl_sum, pa.int64()),
+            "attr_val": pa.array(attr_sum, pa.int64())})
+
+    return _read(sf_dir, "nation", ["n_nationkey"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_VECTOR_S57_ROUNDTRIP = """
+SELECT n_nationkey,
+       CAST((n_nationkey % 10) * 4 + 1 + (n_nationkey // 5) * 4 + 2
+            AS BIGINT) AS pt_sum4,
+       CAST(2 * (n_nationkey % 7) * 4 + 2 + 1 AS BIGINT) AS line_sum4,
+       CAST(4 * n_nationkey + 1 AS BIGINT) AS objl_sum,
+       CAST(n_nationkey AS BIGINT) AS attr_val
+FROM nation
+"""

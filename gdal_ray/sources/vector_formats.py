@@ -2234,3 +2234,35 @@ def read_dgn(paths) -> "ray.data.Dataset":
                          "wkb": pa.array(blobs, pa.binary())})
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- S-57 (ogr/ogrsf_frmts/s57 + frmts/iso8211) ----------
+
+def read_s57(paths) -> "ray.data.Dataset":
+    """One task per .000 base cell → feature rows (rcid, objl, prim,
+    wkb).  ATTF attributes surface as a JSON string column keyed by
+    the raw ATTL codes (see core/s57.py for the subset contract)."""
+    from ..core.s57 import decode_s57
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        rc, ob, pr, at, blobs = [], [], [], [], []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                for feat in decode_s57(f.read()):
+                    rc.append(feat["rcid"])
+                    ob.append(feat["objl"])
+                    pr.append(feat["prim"])
+                    at.append(json.dumps(
+                        {str(k): v for k, v in feat["attrs"].items()},
+                        sort_keys=True))
+                    blobs.append(feat["wkb"])
+        return pa.table({"rcid": pa.array(rc, pa.int64()),
+                         "objl": pa.array(ob, pa.int64()),
+                         "prim": pa.array(pr, pa.int64()),
+                         "attrs": pa.array(at, pa.string()),
+                         "wkb": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

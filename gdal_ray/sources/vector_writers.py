@@ -1660,3 +1660,28 @@ def write_dgn(ds: "ray.data.Dataset", out_dir: str, *,
     """DGN sink: one .dgn per block; returns the manifest."""
     return _file_sink(ds, out_dir, ".dgn",
                       lambda b: dgn_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- S-57 (ogr/ogrsf_frmts/s57 + frmts/iso8211) ----------
+
+def s57_bytes(tab: pa.Table, *, wkb_col: str = "wkb",
+              objl_col: str = "objl") -> bytes:
+    """Feature rows -> S-57 base-cell bytes (Point/LineString subset,
+    core/s57.py)."""
+    from ..core.s57 import encode_s57
+    objls = tab.column(objl_col).to_pylist() \
+        if objl_col in tab.column_names else [0] * tab.num_rows
+    feats = []
+    for blob, objl in zip(tab.column(wkb_col).to_pylist(), objls):
+        if blob is None:
+            continue
+        feats.append({"objl": int(objl or 0), "attrs": {},
+                      "geom": wkb.loads(blob)})
+    return encode_s57(feats)
+
+
+def write_s57(ds: "ray.data.Dataset", out_dir: str, *,
+              wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """S-57 sink: one .000 base cell per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".000",
+                      lambda b: s57_bytes(b, wkb_col=wkb_col))
