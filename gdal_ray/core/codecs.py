@@ -405,6 +405,12 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "usgsdem":
         from . import rawgrids as _rg
         return _rg.encode_usgsdem(np.asarray(img))
+    if fmt == "pds":
+        from . import pds as _pds
+        return _pds.encode_pds(np.asarray(img))
+    if fmt == "lcp":
+        from . import rawgrids as _rg
+        return _rg.encode_lcp(np.asarray(img))
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -503,6 +509,12 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "usgsdem":
         from . import rawgrids as _rg
         return _rg.decode_usgsdem(data)[0]
+    if fmt == "pds":
+        from . import pds as _pds
+        return _pds.decode_pds(data)[0]
+    if fmt == "lcp":
+        from . import rawgrids as _rg
+        return _rg.decode_lcp(data)[0]
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

@@ -722,3 +722,60 @@ def decode_usgsdem(data: bytes):
     gt = (minx / 3600.0 - dx_s / 7200.0, dx_s / 3600.0, 0.0,
           maxy / 3600.0 + dy_s / 7200.0, 0.0, -dy_s / 3600.0)
     return arr, gt, float(_USGSDEM_NODATA)
+
+
+# ---------- FARSITE LCP landscape (frmts/raw/lcpdataset.cpp) ----------
+
+_LCP_HEADER_SIZE = 7316
+_LCP_BANDS = {5: (False, False), 7: (False, True),
+              8: (True, False), 10: (True, True)}
+
+
+def encode_lcp(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1)) -> bytes:
+    """(bands, rows, cols) int16 cube (5/7/8/10 bands — the FARSITE
+    ground/crown-fuel schemas) -> .lcp bytes: 7316-byte header (crown/
+    ground flags @0/@4, dims @4164, extents/cell size doubles @4172+),
+    BIP-interleaved int16 data."""
+    arr = np.asarray(arr, dtype=np.int16)
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    nb, nrows, ncols = arr.shape
+    if nb not in _LCP_BANDS:
+        raise ValueError("LCP holds 5/7/8/10 bands (ground/crown-fuel "
+                         "schemas)")
+    crown, ground = _LCP_BANDS[nb]
+    hdr = bytearray(_LCP_HEADER_SIZE)
+    struct.pack_into("<i", hdr, 0, 21 if crown else 20)
+    struct.pack_into("<i", hdr, 4, 21 if ground else 20)
+    struct.pack_into("<i", hdr, 8, 0)                  # latitude
+    struct.pack_into("<i", hdr, 4164, ncols)
+    struct.pack_into("<i", hdr, 4168, nrows)
+    east = gt[0] + gt[1] * ncols
+    struct.pack_into("<d", hdr, 4172, east)
+    struct.pack_into("<d", hdr, 4180, gt[0])           # west
+    struct.pack_into("<d", hdr, 4188, gt[3])           # north
+    struct.pack_into("<d", hdr, 4196, gt[3] + gt[5] * nrows)  # south
+    struct.pack_into("<d", hdr, 4208, gt[1])           # cell x
+    struct.pack_into("<d", hdr, 4216, -gt[5])          # cell y
+    bip = np.ascontiguousarray(arr.transpose(1, 2, 0)).astype("<i2")
+    return bytes(hdr) + bip.tobytes()
+
+
+def decode_lcp(data: bytes):
+    crown = struct.unpack_from("<i", data, 0)[0] == 21
+    ground = struct.unpack_from("<i", data, 4)[0] == 21
+    nb = {(False, False): 5, (False, True): 7,
+          (True, False): 8, (True, True): 10}[(crown, ground)]
+    ncols, = struct.unpack_from("<i", data, 4164)
+    nrows, = struct.unpack_from("<i", data, 4168)
+    east, = struct.unpack_from("<d", data, 4172)
+    west, = struct.unpack_from("<d", data, 4180)
+    north, = struct.unpack_from("<d", data, 4188)
+    south, = struct.unpack_from("<d", data, 4196)
+    flat = np.frombuffer(data, dtype="<i2", count=nb * nrows * ncols,
+                         offset=_LCP_HEADER_SIZE)
+    cube = np.ascontiguousarray(
+        flat.reshape(nrows, ncols, nb).transpose(2, 0, 1)).astype(np.int16)
+    gt = (west, (east - west) / ncols, 0.0,
+          north, 0.0, -(north - south) / nrows)
+    return cube, gt, None

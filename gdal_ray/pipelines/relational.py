@@ -9710,7 +9710,7 @@ def raster_rawgrid_formats_q(sf_dir: str):
         out = {"n_nationkey": [], "bt_sum": [], "gtx_sum": [],
                "ehdr_sum": [], "rst_sum": [], "ers_sum": [],
                "ntv2_sum": [], "lan_sum": [], "rr_sum": [],
-               "dem_sum": []}
+               "dem_sum": [], "lcp_sum": [], "pds_sum": []}
         for n in ks:
             n = int(n)
             g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
@@ -9755,6 +9755,16 @@ def raster_rawgrid_formats_q(sf_dir: str):
                 g, gt=(-106.0, 1 / 1200, 0.0, 40.0, 0.0, -1 / 1200)))
             assert np.array_equal(a, g)
             out["dem_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 41 + np.arange(320, dtype=np.int64)) % 2001
+                 - 1000).astype(np.int16).reshape(5, 8, 8)
+            a, _, _ = RG.decode_lcp(RG.encode_lcp(g))
+            assert np.array_equal(a, g)
+            out["lcp_sum"].append(int(a.astype(np.int64).sum()))
+            from ..core import pds as PDSC
+            g = ((n * 43 + k) % 251).astype(np.uint8).reshape(16, 16)
+            a, _, _ = PDSC.decode_pds(PDSC.encode_pds(g))
+            assert np.array_equal(a, g)
+            out["pds_sum"].append(int(a.astype(np.int64).sum()))
             out["n_nationkey"].append(n)
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in out.items()})
@@ -9768,19 +9778,28 @@ WITH cells AS (
     SELECT n.n_nationkey AS nk, c.k
     FROM nation n
     CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS k) c
+), lcp AS (
+    SELECT n.n_nationkey AS nk,
+           CAST(SUM((n.n_nationkey * 41 + c.k) % 2001 - 1000) AS BIGINT)
+               AS lcp_sum
+    FROM nation n
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 319)) AS k) c
+    GROUP BY n.n_nationkey
 )
-SELECT nk AS n_nationkey,
-       CAST(SUM((nk * 31 + k) % 2001 - 1000) AS BIGINT) AS bt_sum,
-       CAST(SUM((nk * 17 + k) % 997) AS BIGINT) AS gtx_sum,
-       CAST(SUM((nk * 13 + k) % 251) AS BIGINT) AS ehdr_sum,
-       CAST(SUM((nk * 11 + k) % 30000 - 15000) AS BIGINT) AS rst_sum,
-       CAST(SUM((nk * 7 + k) % 499) AS BIGINT) AS ers_sum,
-       CAST(SUM((nk * 23 + k) % 199 - 99) AS BIGINT) AS ntv2_sum,
-       CAST(SUM((nk * 29 + k) % 251) AS BIGINT) AS lan_sum,
-       CAST(SUM((nk * 19 + k) % 1009 - 500) AS BIGINT) AS rr_sum,
-       CAST(SUM((nk * 37 + k) % 2001 - 1000) AS BIGINT) AS dem_sum
-FROM cells
-GROUP BY nk
+SELECT cells.nk AS n_nationkey,
+       CAST(SUM((cells.nk * 31 + k) % 2001 - 1000) AS BIGINT) AS bt_sum,
+       CAST(SUM((cells.nk * 17 + k) % 997) AS BIGINT) AS gtx_sum,
+       CAST(SUM((cells.nk * 13 + k) % 251) AS BIGINT) AS ehdr_sum,
+       CAST(SUM((cells.nk * 11 + k) % 30000 - 15000) AS BIGINT) AS rst_sum,
+       CAST(SUM((cells.nk * 7 + k) % 499) AS BIGINT) AS ers_sum,
+       CAST(SUM((cells.nk * 23 + k) % 199 - 99) AS BIGINT) AS ntv2_sum,
+       CAST(SUM((cells.nk * 29 + k) % 251) AS BIGINT) AS lan_sum,
+       CAST(SUM((cells.nk * 19 + k) % 1009 - 500) AS BIGINT) AS rr_sum,
+       CAST(SUM((cells.nk * 37 + k) % 2001 - 1000) AS BIGINT) AS dem_sum,
+       CAST(SUM((cells.nk * 43 + k) % 251) AS BIGINT) AS pds_sum,
+       MIN(lcp.lcp_sum) AS lcp_sum
+FROM cells JOIN lcp ON lcp.nk = cells.nk
+GROUP BY cells.nk
 """
 
 

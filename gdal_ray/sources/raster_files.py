@@ -39,6 +39,7 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"II+\x00", "tiff"),          # BigTIFF
     (b"MM\x00+", "tiff"),
     (b"UHL", "dted"),
+    (b"PDS_VERSION_ID", "pds"),
     (b"P5", "pnm"), (b"P6", "pnm"), (b"P2", "pnm"), (b"P3", "pnm"),
 ]
 
@@ -49,6 +50,7 @@ _EXT_FMT = {
     ".tga": "tga", ".gtx": "gtx", ".dem": "usgsdem",
     ".zmap": "zmap", ".zycor": "zmap",
     ".webp": "webp",
+    ".lcp": "lcp", ".img": "pds",
     ".bil": "ehdr", ".sdat": "saga", ".rst": "idrisi", ".gri": "rraster",
 }
 
@@ -108,6 +110,11 @@ def _decode_with_gt(data: bytes, fmt: str, path: str):
         return RG.decode_lan(data)
     if fmt == "ntv2":
         return RG.decode_ntv2(data)
+    if fmt == "lcp":
+        return RG.decode_lcp(data)
+    if fmt == "pds":
+        from ..core import pds as PDSC
+        return PDSC.decode_pds(data)
     if fmt == "aaigrid":
         return AAI.decode_aaigrid(data)
     if fmt == "xyz":
@@ -149,7 +156,8 @@ def read_raster_files(paths, *, fmt: str | None = None) -> "ray.data.Dataset":
             out["fmt"].append(f_)
             if arr.ndim == 2:
                 hh, ww = arr.shape
-            elif f_ in ("ehdr", "saga", "idrisi", "rraster", "lan"):
+            elif f_ in ("ehdr", "saga", "idrisi", "rraster", "lan",
+                        "lcp", "pds"):
                 hh, ww = arr.shape[1], arr.shape[2]   # (bands, rows, cols)
             else:
                 hh, ww = arr.shape[0], arr.shape[1]   # (rows, cols, ch)
