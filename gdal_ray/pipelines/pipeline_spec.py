@@ -672,6 +672,9 @@ def _register_trainingdata():
     _REGISTRY["image_features"] = lambda ds, on_error="raise", batch_size=32: \
         ds.map_batches(MM.ImageFeatureStage(on_error=on_error),
                        batch_format="pyarrow", batch_size=int(batch_size))
+    _REGISTRY["phash"] = lambda ds, batch_size=32: ds.map_batches(
+        MM.perceptual_hash, batch_format="pyarrow",
+        batch_size=int(batch_size))
     _REGISTRY["audio_decode"] = lambda ds, batch_size=32: \
         ds.map_batches(MM.AudioDecodeStage(),
                        batch_format="pyarrow", batch_size=int(batch_size))

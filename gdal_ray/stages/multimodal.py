@@ -228,3 +228,54 @@ class VideoFrameSampleStage:
             "t_seconds": pa.array(ts, pa.float64()),
             "frame_png": pa.array(pngs, pa.binary()),
         })
+
+
+# ---------- perceptual hash (DCT pHash) ----------
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (computed once per process)."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        m[0] *= 1.0 / np.sqrt(2)
+        _DCT32 = m * np.sqrt(2.0 / n)
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """Classic DCT perceptual hash: 32x32 area-average luminance ->
+    2-D DCT-II -> top-left 8x8 coefficients excluding DC -> bits =
+    coefficient > median.  Returns a signed int64 (two's complement of
+    the 64-bit hash; bit 63 is the last coefficient)."""
+    from ..core.resample import resize
+    g = img if img.ndim == 2 else \
+        np.dot(img[:, :, :3].astype(np.float64), [0.299, 0.587, 0.114])
+    small = resize(np.asarray(g, np.float64), 32, 32, method="average")
+    m = _dct_matrix(32)
+    coef = m @ small @ m.T
+    block = coef[:8, :8].ravel()[1:]          # 63 ACs, DC dropped
+    med = np.median(block)
+    bits = np.concatenate([block > med, [False]])   # pad to 64
+    h = int((bits.astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum())
+    return h - (1 << 63) if h >= (1 << 63) else h
+
+
+def perceptual_hash(batch: pa.Table, *, bytes_col: str = "bytes",
+                    fmt_col: str = "fmt",
+                    id_col: str = "image_id") -> pa.Table:
+    """Decode each payload and emit its 64-bit DCT pHash — feeds the
+    hamming-bucket near-dup machinery (`dedup_phash`) with hashes
+    computed from REAL pixels instead of a precomputed column."""
+    bts = batch.column(bytes_col).to_pylist()
+    fmts = batch.column(fmt_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    hashes = []
+    for b, f in zip(bts, fmts):
+        hashes.append(phash64(codecs.decode(b, f)))
+    return pa.table({id_col: pa.array(ids),
+                     "phash": pa.array(hashes, pa.int64())})
