@@ -411,6 +411,12 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "lcp":
         from . import rawgrids as _rg
         return _rg.encode_lcp(np.asarray(img))
+    if fmt == "bsb":
+        from . import bsb as _bsb
+        img = np.asarray(img)
+        return _bsb.encode_bsb(
+            img, np.repeat(np.arange(1, 128, dtype=np.uint8)[:, None],
+                           3, 1))
     if fmt in _LOSSY_MAGIC:
         return _lossy_encode(img, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -515,6 +521,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "lcp":
         from . import rawgrids as _rg
         return _rg.decode_lcp(data)[0]
+    if fmt == "bsb":
+        from . import bsb as _bsb
+        return _bsb.decode_bsb(data)[0]
     if fmt in _LOSSY_MAGIC:
         return _lossy_decode(data, fmt)
     raise ValueError(f"unknown fmt {fmt!r}")

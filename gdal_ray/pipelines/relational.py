@@ -9710,7 +9710,8 @@ def raster_rawgrid_formats_q(sf_dir: str):
         out = {"n_nationkey": [], "bt_sum": [], "gtx_sum": [],
                "ehdr_sum": [], "rst_sum": [], "ers_sum": [],
                "ntv2_sum": [], "lan_sum": [], "rr_sum": [],
-               "dem_sum": [], "lcp_sum": [], "pds_sum": []}
+               "dem_sum": [], "lcp_sum": [], "pds_sum": [],
+               "bsb_sum": []}
         for n in ks:
             n = int(n)
             g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
@@ -9765,6 +9766,12 @@ def raster_rawgrid_formats_q(sf_dir: str):
             a, _, _ = PDSC.decode_pds(PDSC.encode_pds(g))
             assert np.array_equal(a, g)
             out["pds_sum"].append(int(a.astype(np.int64).sum()))
+            from ..core import bsb as BSBC
+            g = ((n * 47 + k) % 113).astype(np.uint8).reshape(16, 16)
+            pal = np.repeat(np.arange(113, dtype=np.uint8)[:, None], 3, 1)
+            a, _ = BSBC.decode_bsb(BSBC.encode_bsb(g, pal))
+            assert np.array_equal(a, g)
+            out["bsb_sum"].append(int(a.astype(np.int64).sum()))
             out["n_nationkey"].append(n)
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in out.items()})
@@ -9797,6 +9804,7 @@ SELECT cells.nk AS n_nationkey,
        CAST(SUM((cells.nk * 19 + k) % 1009 - 500) AS BIGINT) AS rr_sum,
        CAST(SUM((cells.nk * 37 + k) % 2001 - 1000) AS BIGINT) AS dem_sum,
        CAST(SUM((cells.nk * 43 + k) % 251) AS BIGINT) AS pds_sum,
+       CAST(SUM((cells.nk * 47 + k) % 113) AS BIGINT) AS bsb_sum,
        MIN(lcp.lcp_sum) AS lcp_sum
 FROM cells JOIN lcp ON lcp.nk = cells.nk
 GROUP BY cells.nk

@@ -40,6 +40,7 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"MM\x00+", "tiff"),
     (b"UHL", "dted"),
     (b"PDS_VERSION_ID", "pds"),
+    (b"!", "bsb"), (b"VER/", "bsb"), (b"BSB/", "bsb"), (b"NOS/", "bsb"),
     (b"P5", "pnm"), (b"P6", "pnm"), (b"P2", "pnm"), (b"P3", "pnm"),
 ]
 
@@ -77,7 +78,7 @@ def identify_raster(data: bytes, filename: str = "") -> str:
         if data[:9].lower().startswith(b"[general]") or b"ncols=" in data[:512]:
             return "rraster"
         raise ValueError("unidentified .grd variant")
-    if data[:1] in (b"!", b"@"):
+    if data[:1] == b"@":
         return "zmap"
     raise ValueError(f"{filename or 'payload'}: not recognized as a "
                      "supported raster format")
