@@ -123,10 +123,11 @@ def encode_dted(arr: np.ndarray, *, ll_lat: int = 0, ll_lon: int = 0) \
     uhl[0:4] = b"UHL1"
     uhl[4:12] = _dms(ll_lon, False).encode()
     uhl[12:20] = _dms(ll_lat, True).encode()
-    if nx < 2 or ny < 2 or 36000 % (nx - 1) or 36000 % (ny - 1):
+    if nx < 5 or ny < 5 or 36000 % (nx - 1) or 36000 % (ny - 1):
         raise ValueError("DTED: grid spacing must be a whole number of "
                          "tenths of arc-seconds over a 1-degree cell "
-                         "(36000 % (n-1) == 0)")
+                         "fitting the 4-char UHL interval field "
+                         "(36000 % (n-1) == 0 and n >= 5)")
     uhl[20:24] = b"%04d" % (36000 // (nx - 1))
     uhl[24:28] = b"%04d" % (36000 // (ny - 1))
     uhl[28:32] = b"NA  "

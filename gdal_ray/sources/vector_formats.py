@@ -1721,8 +1721,14 @@ def parse_xlsx_bytes(data: bytes, *, sheet: str | None = None) -> pa.Table:
                 elif t == "str":
                     v = vel.text
                 else:                                   # numeric
-                    f = float(vel.text)
-                    v = int(f) if f.is_integer() else f
+                    t_ = vel.text.strip()
+                    # integral tokens parse as int (a float round-trip
+                    # would silently lose precision past 2^53)
+                    if t_.lstrip("+-").isdigit():
+                        v = int(t_)
+                    else:
+                        f = float(t_)
+                        v = int(f) if f.is_integer() else f
             if v is not None:
                 cells[ci] = v
         rows.append(cells)
@@ -1990,8 +1996,12 @@ def parse_ods_bytes(data: bytes, *, sheet: str | None = None) -> pa.Table:
             rep = int(c.get(f"{T}number-columns-repeated", "1"))
             vt = c.get(f"{O}value-type")
             if vt == "float":
-                raw = float(c.get(f"{O}value"))
-                v = int(raw) if raw.is_integer() else raw
+                t_ = c.get(f"{O}value").strip()
+                if t_.lstrip("+-").isdigit():
+                    v = int(t_)             # exact past 2^53
+                else:
+                    raw = float(t_)
+                    v = int(raw) if raw.is_integer() else raw
             elif vt == "boolean":
                 v = c.get(f"{O}boolean-value") == "true"
             elif vt is None and len(c) == 0:
@@ -2103,7 +2113,7 @@ def parse_gmt_bytes(data: bytes) -> pa.Table:
             cur[1].append((seg_role, np.asarray(seg, np.float64)))
         seg = []
 
-    for raw in data.decode("ascii", errors="replace").splitlines():
+    for raw in data.decode("utf-8", errors="replace").splitlines():
         line = raw.strip()
         if not line:
             continue

@@ -1245,6 +1245,20 @@ def write_georss(ds: "ray.data.Dataset", out_dir: str, *,
                                              wkb_col=wkb_col))
 
 
+def _xml_text(s: str) -> str:
+    """XML-escape a cell/attribute string.  Bare CR must travel as
+    &#xD; (XML 1.0 line-ending normalization folds literal \r to \n on
+    parse); control characters outside tab/LF/CR are UNREPRESENTABLE in
+    XML 1.0 and raise rather than silently corrupting the document."""
+    from xml.sax.saxutils import escape
+    for ch in s:
+        o = ord(ch)
+        if o < 0x20 and ch not in "\t\n\r":
+            raise ValueError(f"control character {o:#x} cannot be "
+                             "represented in XML 1.0 text")
+    return escape(s).replace("\r", "&#xD;")
+
+
 # ---------- XLSX (ogr/ogrsf_frmts/xlsx) ----------
 
 def _xlsx_col_letter(ci: int) -> str:
@@ -1279,7 +1293,7 @@ def xlsx_bytes(tab: pa.Table, *, sheet: str = "Sheet1") -> bytes:
             num = str(v) if isinstance(v, int) else fd(float(v))
             return f'<c r="{ref}"><v>{num}</v></c>'
         return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                f'{escape(str(v))}</t></is></c>')
+                f'{_xml_text(str(v))}</t></is></c>')
 
     rows_xml = []
     hdr = "".join(cell(f"{_xlsx_col_letter(ci)}1", n)
@@ -1497,7 +1511,7 @@ def ods_bytes(tab: pa.Table, *, sheet: str = "Sheet1") -> bytes:
                     f'office:value="{num}">'
                     f"<text:p>{escape(num)}</text:p></table:table-cell>")
         return (f'<table:table-cell office:value-type="string">'
-                f"<text:p>{escape(str(v))}</text:p></table:table-cell>")
+                f"<text:p>{_xml_text(str(v))}</text:p></table:table-cell>")
 
     names = list(tab.column_names)
     cols = {c: tab.column(c).to_pylist() for c in names}
@@ -1591,6 +1605,10 @@ def gmt_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
         if v is None:
             return ""
         if isinstance(v, str):
+            if "\n" in v or "\r" in v:
+                raise ValueError("GMT @D records are line-framed; "
+                                 "newlines in attribute values cannot "
+                                 "be represented")
             return '"' + v.replace('"', '""') + '"'
         if isinstance(v, float):
             return fd(v)
@@ -1628,7 +1646,7 @@ def gmt_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
                     first = False
                     out.append("# @P" if ri == 0 else "# @H")
                     out.extend(coords(r))
-    return ("\n".join(out) + "\n").encode("ascii")
+    return ("\n".join(out) + "\n").encode("utf-8")
 
 
 def write_gmt(ds: "ray.data.Dataset", out_dir: str, *,
