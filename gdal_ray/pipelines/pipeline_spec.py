@@ -444,6 +444,8 @@ def _materialize(ds):
 
 @register("select")
 def _select(ds, columns):
+    if isinstance(columns, str):
+        columns = [c.strip() for c in columns.split(",") if c.strip()]
     return ds.select_columns(list(columns))
 
 

@@ -176,3 +176,18 @@ def test_connected_components_and_tfidf_stages(tmp_path, ray_session):
     top = {r["doc_id"]: r["token"] for r in rows}
     # 'aa' appears only in doc 1 (tf=2, df=1); 'cc' only in doc 2
     assert top == {1: "aa", 2: "cc"}
+
+
+def test_select_stage_accepts_comma_string(ray_session):
+    """The one-liner CLI passes columns as a comma-joined string —
+    list("a,b") would explode into characters (found driving the CLI)."""
+    import pyarrow as pa
+    import ray
+
+    from gdal_ray.pipelines.pipeline_spec import _REGISTRY
+
+    ds = ray.data.from_arrow(pa.table({"a": [1], "b": [2], "c": [3]}))
+    out = _REGISTRY["select"](ds, columns="a, c")
+    assert out.schema().names == ["a", "c"]
+    out = _REGISTRY["select"](ds, columns=["b"])
+    assert out.schema().names == ["b"]
