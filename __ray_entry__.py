@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_train": R.text_bpe_train_q,
         "vector_dgn_roundtrip": R.vector_dgn_roundtrip_q,
         "vector_s57_roundtrip": R.vector_s57_roundtrip_q,
+        "q_temperature_mix": R.q_temperature_mix,
         **_tpch_queries(),
     }
 
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_train": R.SQL_TEXT_BPE_TRAIN,
         "vector_dgn_roundtrip": R.SQL_VECTOR_DGN_ROUNDTRIP,
         "vector_s57_roundtrip": R.SQL_VECTOR_S57_ROUNDTRIP,
+        "q_temperature_mix": R._sql_temperature_mix(),
         **_tpch_oracles(),
     }
 

@@ -630,6 +630,9 @@ def _register_trainingdata():
     _REGISTRY["bpe_train"] = lambda ds, n_merges=3, text_col="text": \
         __import__("ray").data.from_arrow(
             TX.bpe_train(ds, n_merges=int(n_merges), text_col=text_col))
+    _REGISTRY["temperature_mix"] = lambda ds, alpha=0.5, \
+        key_col="source", id_col="doc_id": TX.temperature_mix(
+            ds, alpha=float(alpha), key_col=key_col, id_col=id_col)
     _REGISTRY["langid"] = _batch_stage(TX.detect_language)
     _REGISTRY["text_quality"] = _batch_stage(TX.quality_score)
     _REGISTRY["token_count"] = _batch_stage(TX.token_count)

@@ -10150,3 +10150,31 @@ SELECT n_nationkey,
        CAST(n_nationkey AS BIGINT) AS attr_val
 FROM nation
 """
+
+
+def q_temperature_mix(sf_dir: str, alpha: float = 0.5):
+    """Temperature-based data-mixture sampling on the driver surface —
+    see ``text.temperature_mix`` for the two-pass shape and the
+    exact-replay threshold contract."""
+    from .text import temperature_mix
+    return temperature_mix(
+        _read(sf_dir, "documents", ["doc_id", "source"]), alpha=alpha)
+
+
+def _sql_temperature_mix(alpha: float = 0.5) -> str:
+    from .sketches import _sm_hugeint_select
+    inner = _sm_hugeint_select(
+        "(SELECT doc_id, source FROM documents)", "doc_id")
+    return f"""
+WITH s AS ({inner}), cnt AS (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), mn AS (SELECT MIN(n) AS nmin FROM cnt), thr AS (
+    SELECT source,
+           CAST(floor(power(CAST(n AS DOUBLE) / nmin, ({alpha!r} - 1e0))
+                      * 9007199254740992e0) AS HUGEINT) * 2048 AS t
+    FROM cnt, mn
+)
+SELECT s.doc_id, s.source
+FROM s JOIN thr ON thr.source = s.source
+WHERE s.hv < thr.t
+"""

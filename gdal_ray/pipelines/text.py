@@ -1025,3 +1025,61 @@ def bpe_train(ds: "ray.data.Dataset", *, n_merges: int = 3,
         "tok_b": pa.array([m[0][1] for m in merges], pa.int64()),
         "new_id": pa.array([m[1] for m in merges], pa.int64()),
         "cnt": pa.array(counts, pa.int64())})
+
+
+def temperature_mix(ds: "ray.data.Dataset", *, alpha: float = 0.5,
+                    key_col: str = "source",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Temperature-based source mixing (the multilingual/data-mixture
+    sampler, e.g. mC4/XLM-R: sample source s with probability
+    proportional to n_s^alpha).  Per-doc keep rate r_s =
+    (n_s/n_min)^(alpha-1), so the smallest source keeps everything and
+    large sources are downweighted.  Two passes: a bounded
+    per-source count (groupby over the small source domain, driver
+    fold), then ONE stateless filter with deterministic
+    splitmix64(doc_id) thresholds — RNG-free, partition-invariant, and
+    exactly replayable (the n_s/n_min division and libm pow produce
+    bit-identical doubles in DuckDB; the threshold is floored to 2^53
+    then rescaled, one fixed float chain)."""
+    from .dedup import _splitmix
+    from .relational import hash_source
+
+    counts: dict[int, int] = {}
+    src_of_key: dict[int, str] = {}
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column(key_col).cast(pa.string()))
+        keys = np.array([hash_source(s) for s in src], dtype=np.int64)
+        uniq, c = np.unique(keys, return_counts=True)
+        first = {int(k): s for k, s in zip(keys, src)}
+        return pa.table({
+            "skey": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(c, pa.int64()),
+            "sname": pa.array([first[int(k)] for k in uniq], pa.string())})
+
+    for b in ds.map_batches(cnt_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):      # bounded domain
+        for k, c, s in zip(b.column("skey").to_pylist(),
+                           b.column("cnt").to_pylist(),
+                           b.column("sname").to_pylist()):
+            counts[k] = counts.get(k, 0) + c
+            src_of_key[k] = s
+    if not counts:
+        return ds.limit(0)
+    nmin = min(counts.values())
+    thr: dict[int, int] = {}
+    for k, n in counts.items():
+        r = (n / nmin) ** (alpha - 1.0)       # one fixed float chain
+        thr[k] = int(np.floor(r * 9007199254740992.0)) * 2048
+
+    def keep(b: pa.Table) -> pa.Table:
+        did = np.asarray(b.column(id_col), np.int64)
+        hv = _splitmix(did.astype(np.uint64))
+        src = np.asarray(b.column(key_col).cast(pa.string()))
+        keys = np.array([hash_source(s) for s in src], dtype=np.int64)
+        t = np.array([thr[int(k)] for k in keys], dtype=object)
+        mask = np.array([int(h) < int(tt) for h, tt in zip(hv, t)],
+                        dtype=bool)           # t can be exactly 2^64
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
