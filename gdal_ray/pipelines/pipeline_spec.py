@@ -566,6 +566,20 @@ def _register_raster():
         lambda b: R2.blend(b, opacity=float(opacity)),
         batch_format="pyarrow")
     _REGISTRY["raster_update"] = _batch_stage(R2.raster_update)
+    _REGISTRY["edit_geotransform"] = lambda ds, gt=None, offset=None, \
+        scale=None, nodata="keep": ds.map_batches(
+            lambda b: R2.edit_geotransform(
+                b,
+                gt=None if gt is None else [float(v) for v in
+                                            (gt.split(",") if
+                                             isinstance(gt, str) else gt)],
+                offset=None if offset is None else
+                [float(v) for v in (offset.split(",") if
+                                    isinstance(offset, str) else offset)],
+                scale=None if scale is None else
+                [float(v) for v in (scale.split(",") if
+                                    isinstance(scale, str) else scale)],
+                nodata=nodata), batch_format="pyarrow")
     _REGISTRY["compare"] = _batch_stage(R2.compare_images)
     _REGISTRY["equalize"] = _batch_stage(R2.equalize)
     from ..stages import vector as V2

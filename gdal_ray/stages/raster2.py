@@ -549,3 +549,51 @@ def equalize(batch: pa.Table, out_fmt: str = "png") -> pa.Table:
         ids.append(batch.column("image_id")[i].as_py())
     return pa.table({"image_id": ids, "bytes": pa.array(outs, pa.binary()),
                      "fmt": [out_fmt] * len(ids)})
+
+
+def edit_geotransform(batch: "pa.Table", *, gt=None, offset=None,
+                      scale=None, nodata="keep") -> "pa.Table":
+    """gdal_edit.py analog (apps/gdal_edit.py): rewrite georeferencing
+    metadata WITHOUT touching pixels — set an explicit geotransform,
+    or shift (``offset=(dx, dy)``) / rescale (``scale=(sx, sy)``) the
+    existing one; ``nodata`` replaces the nodata value when not
+    'keep'."""
+    import pyarrow as pa
+
+    gts = batch.column("geotransform").to_pylist()
+    out = []
+    for g in gts:
+        g = list(gt) if gt is not None else list(g)
+        if offset is not None:
+            g[0] += float(offset[0])
+            g[3] += float(offset[1])
+        if scale is not None:
+            g[1] *= float(scale[0])
+            g[5] *= float(scale[1])
+        out.append([float(v) for v in g])
+    cols = {c: batch.column(c) for c in batch.column_names}
+    cols["geotransform"] = pa.array(out, pa.list_(pa.float64()))
+    if nodata != "keep" and "nodata" in batch.column_names:
+        cols["nodata"] = pa.array(
+            [None if nodata is None else float(nodata)] * batch.num_rows,
+            pa.float64())
+    return pa.table(cols)
+
+
+def gcps_to_affine(gcps) -> tuple:
+    """gdalmove/gdal_translate -a_* analog: least-squares order-1
+    (affine) fit of GCPs -> geotransform (alg/gdaltransformer.cpp
+    GDALGCPTransform order 1).  ``gcps`` rows are (pixel, line, x, y)."""
+    import numpy as np
+
+    from ..core.gcp import GCPPolynomialTransform
+    g = np.asarray(gcps, dtype=np.float64).reshape(-1, 4)
+    if len(g) < 3:
+        raise ValueError("affine fit needs >= 3 GCPs")
+    t = GCPPolynomialTransform(g, order=1)
+    # evaluate the fitted polynomial at pixel-space basis points
+    px = np.array([0.0, 1.0, 0.0])
+    ln = np.array([0.0, 0.0, 1.0])
+    X, Y = t.forward(px, ln)
+    return (float(X[0]), float(X[1] - X[0]), float(X[2] - X[0]),
+            float(Y[0]), float(Y[1] - Y[0]), float(Y[2] - Y[0]))

@@ -71,3 +71,39 @@ def test_read_raster_files_mixed_formats(tmp_path, ray_session):
     assert rows["p"].fmt == "png" and rows["p"].w == 8
     # payloads are the ORIGINAL bytes (zero re-encode)
     assert bytes(rows["t"].bytes)[:10] == b"binterr1.3"
+
+
+def test_edit_geotransform_stage():
+    import pyarrow as pa
+
+    from gdal_ray.stages.raster2 import edit_geotransform
+
+    b = pa.table({"image_id": pa.array(["a"]),
+                  "geotransform": pa.array([[10.0, 1.0, 0.0, 20.0,
+                                             0.0, -1.0]],
+                                           pa.list_(pa.float64())),
+                  "nodata": pa.array([0.0], pa.float64())})
+    out = edit_geotransform(b, offset=(5, -2), scale=(2, 3), nodata=-9999)
+    gt = out.column("geotransform")[0].as_py()
+    assert gt == [15.0, 2.0, 0.0, 18.0, 0.0, -3.0]
+    assert out.column("nodata")[0].as_py() == -9999.0
+    out2 = edit_geotransform(b, gt=(0, 1, 0, 0, 0, -1))
+    assert out2.column("geotransform")[0].as_py() == [0, 1, 0, 0, 0, -1]
+
+
+def test_gcps_to_affine_exact_and_lsq():
+    import numpy as np
+
+    from gdal_ray.stages.raster2 import gcps_to_affine
+
+    true_gt = (500000.0, 30.0, 1.5, 4100000.0, -0.5, -30.0)
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0, 100, 12)
+    ln = rng.uniform(0, 80, 12)
+    x = true_gt[0] + true_gt[1] * px + true_gt[2] * ln
+    y = true_gt[3] + true_gt[4] * px + true_gt[5] * ln
+    fit = gcps_to_affine(np.stack([px, ln, x, y], axis=1))
+    np.testing.assert_allclose(fit, true_gt, rtol=1e-9)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 3"):
+        gcps_to_affine([[0, 0, 0, 0], [1, 0, 1, 0]])
