@@ -411,6 +411,9 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "lcp":
         from . import rawgrids as _rg
         return _rg.encode_lcp(np.asarray(img))
+    if fmt == "terragen":
+        from . import rawgrids as _rg
+        return _rg.encode_terragen(np.asarray(img))
     if fmt == "bsb":
         from . import bsb as _bsb
         img = np.asarray(img)
@@ -521,6 +524,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "lcp":
         from . import rawgrids as _rg
         return _rg.decode_lcp(data)[0]
+    if fmt == "terragen":
+        from . import rawgrids as _rg
+        return _rg.decode_terragen(data)[0]
     if fmt == "bsb":
         from . import bsb as _bsb
         return _bsb.decode_bsb(data)[0]

@@ -779,3 +779,79 @@ def decode_lcp(data: bytes):
     gt = (west, (east - west) / ncols, 0.0,
           north, 0.0, -(north - south) / nrows)
     return cube, gt, None
+
+
+# ---------- Terragen TER (frmts/terragen/terragendataset.cpp) ----------
+
+_TER_MAGIC = b"TERRAGENTERRAIN "
+
+
+def encode_terragen(arr: np.ndarray, *, scal: float = 30.0,
+                    height_scale: int = 256,
+                    base_height: int = 0) -> bytes:
+    """2-D int16 elevation samples (row 0 = north) -> Terragen .ter
+    bytes: 16-byte magic, SIZE/XPTS/YPTS/SCAL chunks, ALTW (height
+    scale + base height + int16 samples stored BOTTOM-UP, the format's
+    y-up convention).  Meters = (base + sample*hs/65536) * SCAL."""
+    arr = np.asarray(arr, dtype=np.int16)
+    nrows, ncols = arr.shape
+    out = bytearray(_TER_MAGIC)
+    out += b"SIZE" + struct.pack("<Hxx", min(ncols, nrows) - 1)
+    out += b"XPTS" + struct.pack("<Hxx", ncols)
+    out += b"YPTS" + struct.pack("<Hxx", nrows)
+    out += b"SCAL" + struct.pack("<3f", scal, scal, scal)
+    out += b"ALTW" + struct.pack("<hh", height_scale, base_height)
+    out += arr[::-1, :].astype("<i2").tobytes()
+    out += b"EOF "
+    return bytes(out)
+
+
+def decode_terragen(data: bytes):
+    """Terragen .ter bytes -> (int16 samples row 0 = north,
+    geotransform (SCAL spacing, origin 0), (height_scale, base_height,
+    scal) conversion factors)."""
+    if data[:16] != _TER_MAGIC:
+        raise ValueError("Terragen: missing TERRAGENTERRAIN magic")
+    pos = 16
+    nsize = xpts = ypts = None
+    scal = 30.0
+    hs = base = 0
+    arr = None
+    while pos + 4 <= len(data):
+        tag = data[pos:pos + 4]
+        pos += 4
+        if tag == b"SIZE":
+            nsize, = struct.unpack_from("<H", data, pos)
+            pos += 4
+            if xpts is None:
+                xpts = ypts = nsize + 1
+        elif tag in (b"XPTS", b"YPTS"):
+            v, = struct.unpack_from("<H", data, pos)
+            pos += 4
+            if tag == b"XPTS":
+                xpts = v
+            else:
+                ypts = v
+        elif tag == b"SCAL":
+            scal = struct.unpack_from("<3f", data, pos)[1]
+            pos += 12
+        elif tag == b"CRAD":
+            pos += 4
+        elif tag == b"CRVM":
+            pos += 4
+        elif tag == b"ALTW":
+            hs, base = struct.unpack_from("<hh", data, pos)
+            pos += 4
+            n = xpts * ypts
+            arr = np.frombuffer(data, dtype="<i2", count=n,
+                                offset=pos).reshape(ypts, xpts)[::-1, :]
+            arr = np.ascontiguousarray(arr).astype(np.int16)
+            pos += 2 * n
+        elif tag == b"EOF ":
+            break
+        else:
+            raise ValueError(f"Terragen: unknown chunk {tag!r}")
+    if arr is None:
+        raise ValueError("Terragen: no ALTW elevation chunk")
+    gt = (0.0, float(scal), 0.0, ypts * float(scal), 0.0, -float(scal))
+    return arr, gt, (hs, base, float(scal))

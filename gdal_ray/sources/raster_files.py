@@ -40,6 +40,7 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"MM\x00+", "tiff"),
     (b"UHL", "dted"),
     (b"PDS_VERSION_ID", "pds"),
+    (b"TERRAGENTERRAIN ", "terragen"),
     (b"!", "bsb"), (b"VER/", "bsb"), (b"BSB/", "bsb"), (b"NOS/", "bsb"),
     (b"P5", "pnm"), (b"P6", "pnm"), (b"P2", "pnm"), (b"P3", "pnm"),
 ]
@@ -113,6 +114,9 @@ def _decode_with_gt(data: bytes, fmt: str, path: str):
         return RG.decode_ntv2(data)
     if fmt == "lcp":
         return RG.decode_lcp(data)
+    if fmt == "terragen":
+        a, gt, _ = RG.decode_terragen(data)
+        return a, gt, None
     if fmt == "pds":
         from ..core import pds as PDSC
         return PDSC.decode_pds(data)

@@ -141,3 +141,26 @@ def test_usgsdem_rejects_utm():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         RG.decode_usgsdem(bytes(blob))
+
+
+# ---------- Terragen ----------
+
+def test_terragen_roundtrip():
+    rng = np.random.default_rng(13)
+    a = rng.integers(-2000, 8000, (9, 14)).astype(np.int16)
+    blob = RG.encode_terragen(a, scal=25.0, height_scale=512,
+                              base_height=-3)
+    assert blob[:16] == b"TERRAGENTERRAIN "
+    back, gt, (hs, base, scal) = RG.decode_terragen(blob)
+    assert np.array_equal(back, a)
+    assert (hs, base, scal) == (512, -3, 25.0)
+    np.testing.assert_allclose(gt, (0, 25, 0, 9 * 25, 0, -25))
+    # bottom-up storage: first sample after ALTW header is the SW cell
+    altw = blob.index(b"ALTW") + 8
+    assert np.frombuffer(blob, "<i2", 1, altw)[0] == a[-1, 0]
+
+
+def test_terragen_rejects_foreign():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="magic"):
+        RG.decode_terragen(b"NOTTERRAGEN" + b"\0" * 30)
