@@ -414,6 +414,12 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "terragen":
         from . import rawgrids as _rg
         return _rg.encode_terragen(np.asarray(img))
+    if fmt == "kro":
+        from . import rawgrids as _rg
+        return _rg.encode_kro(np.asarray(img))
+    if fmt == "fits":
+        from . import rawgrids as _rg
+        return _rg.encode_fits(np.asarray(img))
     if fmt == "bsb":
         from . import bsb as _bsb
         img = np.asarray(img)
@@ -527,6 +533,12 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "terragen":
         from . import rawgrids as _rg
         return _rg.decode_terragen(data)[0]
+    if fmt == "kro":
+        from . import rawgrids as _rg
+        return _rg.decode_kro(data)[0]
+    if fmt == "fits":
+        from . import rawgrids as _rg
+        return _rg.decode_fits(data)[0]
     if fmt == "bsb":
         from . import bsb as _bsb
         return _bsb.decode_bsb(data)[0]

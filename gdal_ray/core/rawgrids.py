@@ -855,3 +855,109 @@ def decode_terragen(data: bytes):
         raise ValueError("Terragen: no ALTW elevation chunk")
     gt = (0.0, float(scal), 0.0, ypts * float(scal), 0.0, -float(scal))
     return arr, gt, (hs, base, float(scal))
+
+
+# ---------- KRO (frmts/raw/krodataset.cpp) ----------
+
+_KRO_DT = {8: "u1", 16: ">u2", 32: ">f4"}
+
+
+def encode_kro(arr: np.ndarray) -> bytes:
+    """(rows, cols[, comps]) uint8/uint16/float32 -> Autopano .kro:
+    'KRO\\x01' + big-endian w/h/depth/ncomp + pixel-interleaved
+    big-endian samples."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    depth = {np.dtype(np.uint8): 8, np.dtype(np.uint16): 16,
+             np.dtype(np.float32): 32}.get(arr.dtype)
+    if depth is None:
+        raise ValueError("KRO stores uint8/uint16/float32")
+    hdr = b"KRO\x01" + struct.pack(">3i", w, h, depth) + \
+        struct.pack(">i", nc)
+    return hdr + np.ascontiguousarray(arr).astype(
+        _KRO_DT[depth]).tobytes()
+
+
+def decode_kro(data: bytes):
+    if data[:4] != b"KRO\x01":
+        raise ValueError("KRO: missing KRO\\x01 magic")
+    w, h, depth, nc = struct.unpack_from(">4i", data, 4)
+    dt = np.dtype(_KRO_DT[depth])
+    arr = np.frombuffer(data, dtype=dt, count=w * h * nc,
+                        offset=20).reshape(h, w, nc)
+    arr = np.ascontiguousarray(arr).astype(dt.newbyteorder("="))
+    if nc == 1:
+        arr = arr[:, :, 0]
+    return arr, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), None
+
+
+# ---------- FITS (frmts/fits) ----------
+
+_FITS_DT = {8: "u1", 16: ">i2", 32: ">i4", -32: ">f4", -64: ">f8"}
+_FITS_DT_INV = {np.dtype(np.uint8): 8, np.dtype(np.int16): 16,
+                np.dtype(np.int32): 32, np.dtype(np.float32): -32,
+                np.dtype(np.float64): -64}
+
+
+def _fits_card(key: str, value: str) -> bytes:
+    return f"{key:<8}= {value:>20}".ljust(80).encode("ascii")
+
+
+def encode_fits(arr: np.ndarray) -> bytes:
+    """2-D array (row 0 = north) -> FITS bytes: 2880-byte header unit
+    (SIMPLE/BITPIX/NAXIS cards), big-endian data stored BOTTOM-UP (the
+    FITS axis-2-increases-upward convention), 2880-padded."""
+    arr = np.asarray(arr)
+    bitpix = _FITS_DT_INV.get(arr.dtype)
+    if bitpix is None:
+        raise ValueError(f"FITS: unsupported dtype {arr.dtype}")
+    nrows, ncols = arr.shape
+    cards = [_fits_card("SIMPLE", "T"),
+             _fits_card("BITPIX", str(bitpix)),
+             _fits_card("NAXIS", "2"),
+             _fits_card("NAXIS1", str(ncols)),
+             _fits_card("NAXIS2", str(nrows)),
+             b"END".ljust(80)]
+    hdr = b"".join(cards)
+    hdr += b" " * (-len(hdr) % 2880)
+    body = arr[::-1, :].astype(_FITS_DT[bitpix]).tobytes()
+    body += b"\0" * (-len(body) % 2880)
+    return hdr + body
+
+
+def decode_fits(data: bytes):
+    """FITS bytes -> (array row 0 = north, identity geotransform,
+    BLANK-or-None).  BSCALE/BZERO are applied when present."""
+    if not data.startswith(b"SIMPLE  ="):
+        raise ValueError("FITS: missing SIMPLE card")
+    kv: dict[str, str] = {}
+    pos = 0
+    while pos + 80 <= len(data):
+        card = data[pos:pos + 80].decode("ascii", errors="replace")
+        pos += 80
+        key = card[:8].strip()
+        if key == "END":
+            pos = ((pos + 2879) // 2880) * 2880
+            break
+        if "=" in card:
+            kv[key] = card.split("=", 1)[1].split("/")[0].strip()
+    bitpix = int(kv["BITPIX"])
+    naxis = int(kv.get("NAXIS", "2"))
+    if naxis != 2:
+        raise NotImplementedError(
+            "FITS subset: 2-D image HDUs only (cube/table extensions "
+            "need the full HDU walker)")
+    ncols = int(kv["NAXIS1"])
+    nrows = int(kv["NAXIS2"])
+    dt = np.dtype(_FITS_DT[bitpix])
+    arr = np.frombuffer(data, dtype=dt, count=nrows * ncols,
+                        offset=pos).reshape(nrows, ncols)[::-1, :]
+    arr = np.ascontiguousarray(arr).astype(dt.newbyteorder("="))
+    bscale = float(kv.get("BSCALE", "1"))
+    bzero = float(kv.get("BZERO", "0"))
+    if bscale != 1.0 or bzero != 0.0:
+        arr = arr * bscale + bzero
+    blank = float(kv["BLANK"]) if "BLANK" in kv else None
+    return arr, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), blank

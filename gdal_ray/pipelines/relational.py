@@ -9711,7 +9711,8 @@ def raster_rawgrid_formats_q(sf_dir: str):
                "ehdr_sum": [], "rst_sum": [], "ers_sum": [],
                "ntv2_sum": [], "lan_sum": [], "rr_sum": [],
                "dem_sum": [], "lcp_sum": [], "pds_sum": [],
-               "bsb_sum": [], "ter_sum": []}
+               "bsb_sum": [], "ter_sum": [], "kro_sum": [],
+               "fits_sum": []}
         for n in ks:
             n = int(n)
             g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
@@ -9777,6 +9778,15 @@ def raster_rawgrid_formats_q(sf_dir: str):
             a, _, _ = RG.decode_terragen(RG.encode_terragen(g))
             assert np.array_equal(a, g)
             out["ter_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 59 + k) % 251).astype(np.uint8).reshape(16, 16)
+            a, _, _ = RG.decode_kro(RG.encode_kro(g))
+            assert np.array_equal(a, g)
+            out["kro_sum"].append(int(a.astype(np.int64).sum()))
+            g = ((n * 61 + k) % 2001 - 1000).astype(np.int16) \
+                .reshape(16, 16)
+            a, _, _ = RG.decode_fits(RG.encode_fits(g))
+            assert np.array_equal(a, g)
+            out["fits_sum"].append(int(a.astype(np.int64).sum()))
             out["n_nationkey"].append(n)
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in out.items()})
@@ -9811,6 +9821,8 @@ SELECT cells.nk AS n_nationkey,
        CAST(SUM((cells.nk * 43 + k) % 251) AS BIGINT) AS pds_sum,
        CAST(SUM((cells.nk * 47 + k) % 113) AS BIGINT) AS bsb_sum,
        CAST(SUM((cells.nk * 53 + k) % 2001 - 1000) AS BIGINT) AS ter_sum,
+       CAST(SUM((cells.nk * 59 + k) % 251) AS BIGINT) AS kro_sum,
+       CAST(SUM((cells.nk * 61 + k) % 2001 - 1000) AS BIGINT) AS fits_sum,
        MIN(lcp.lcp_sum) AS lcp_sum
 FROM cells JOIN lcp ON lcp.nk = cells.nk
 GROUP BY cells.nk

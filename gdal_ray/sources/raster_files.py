@@ -41,6 +41,8 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"UHL", "dted"),
     (b"PDS_VERSION_ID", "pds"),
     (b"TERRAGENTERRAIN ", "terragen"),
+    (b"KRO\x01", "kro"),
+    (b"SIMPLE  =", "fits"),
     (b"!", "bsb"), (b"VER/", "bsb"), (b"BSB/", "bsb"), (b"NOS/", "bsb"),
     (b"P5", "pnm"), (b"P6", "pnm"), (b"P2", "pnm"), (b"P3", "pnm"),
 ]
@@ -117,6 +119,10 @@ def _decode_with_gt(data: bytes, fmt: str, path: str):
     if fmt == "terragen":
         a, gt, _ = RG.decode_terragen(data)
         return a, gt, None
+    if fmt == "kro":
+        return RG.decode_kro(data)
+    if fmt == "fits":
+        return RG.decode_fits(data)
     if fmt == "pds":
         from ..core import pds as PDSC
         return PDSC.decode_pds(data)

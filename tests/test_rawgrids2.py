@@ -164,3 +164,51 @@ def test_terragen_rejects_foreign():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="magic"):
         RG.decode_terragen(b"NOTTERRAGEN" + b"\0" * 30)
+
+
+# ---------- KRO + FITS ----------
+
+def test_kro_roundtrip():
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 255, (5, 7, 3)).astype(np.uint8)
+    back, _, _ = RG.decode_kro(RG.encode_kro(rgb))
+    assert np.array_equal(back, rgb)
+    g16 = rng.integers(0, 60000, (4, 6)).astype(np.uint16)
+    back, _, _ = RG.decode_kro(RG.encode_kro(g16))
+    assert back.dtype == np.uint16 and np.array_equal(back, g16)
+    f = rng.normal(size=(3, 3)).astype(np.float32)
+    back, _, _ = RG.decode_kro(RG.encode_kro(f))
+    assert np.array_equal(back, f)
+    blob = RG.encode_kro(rgb)
+    assert blob[:4] == b"KRO\x01"
+    import struct
+    assert struct.unpack_from(">4i", blob, 4) == (7, 5, 8, 3)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.int16, np.int32,
+                                np.float32, np.float64])
+def test_fits_roundtrip(dt):
+    rng = np.random.default_rng(19)
+    a = rng.integers(-100, 100, (6, 9)).astype(dt)
+    blob = RG.encode_fits(a)
+    assert len(blob) % 2880 == 0
+    assert blob.startswith(b"SIMPLE  =")
+    back, _, blank = RG.decode_fits(blob)
+    assert back.dtype == dt and np.array_equal(back, a)
+    assert blank is None
+
+
+def test_fits_bottom_up_and_bscale():
+    a = np.arange(6, dtype=np.int16).reshape(2, 3)
+    blob = RG.encode_fits(a)
+    # first data sample (offset 2880) is the BOTTOM-left cell
+    assert np.frombuffer(blob, ">i2", 1, 2880)[0] == a[-1, 0]
+    # splice BSCALE/BZERO cards before END
+    hdr = blob[:2880]
+    end_at = hdr.index(b"END")
+    cards = (f"{'BSCALE':<8}= {'2.0':>20}".ljust(80)
+             + f"{'BZERO':<8}= {'10.0':>20}".ljust(80)).encode()
+    newhdr = (hdr[:end_at] + cards + b"END".ljust(80))
+    newhdr += b" " * (-len(newhdr) % 2880)
+    back, _, _ = RG.decode_fits(newhdr + blob[2880:])
+    np.testing.assert_allclose(back, a * 2.0 + 10.0)
