@@ -420,6 +420,9 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "fits":
         from . import rawgrids as _rg
         return _rg.encode_fits(np.asarray(img))
+    if fmt == "gxf":
+        from . import rawgrids as _rg
+        return _rg.encode_gxf(np.asarray(img))
     if fmt == "bsb":
         from . import bsb as _bsb
         img = np.asarray(img)
@@ -539,6 +542,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "fits":
         from . import rawgrids as _rg
         return _rg.decode_fits(data)[0]
+    if fmt == "gxf":
+        from . import rawgrids as _rg
+        return _rg.decode_gxf(data)[0]
     if fmt == "bsb":
         from . import bsb as _bsb
         return _bsb.decode_bsb(data)[0]

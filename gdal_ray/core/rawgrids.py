@@ -961,3 +961,65 @@ def decode_fits(data: bytes):
         arr = arr * bscale + bzero
     blank = float(kv["BLANK"]) if "BLANK" in kv else None
     return arr, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), blank
+
+
+# ---------- GXF / Geosoft ASCII grid (frmts/gxf/gxfopen.c) ----------
+
+def encode_gxf(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1),
+               nodata: float = -1e12) -> bytes:
+    """2-D float grid (row 0 = north) -> GXF text: #KEY blocks then
+    #GRID with whitespace values, default SENSE 1 (first scanline =
+    BOTTOM row, left to right — gxfopen.c GXFS_LL_RIGHT); #XORIGIN/
+    #YORIGIN are the bottom-left SAMPLE position (pixel-is-point)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    nrows, ncols = arr.shape
+    xo = gt[0] + gt[1] / 2.0
+    yo = gt[3] + gt[5] * (nrows - 0.5)
+    hdr = (f"#TITLE\ngdal_ray grid\n"
+           f"#POINTS\n{ncols}\n#ROWS\n{nrows}\n"
+           f"#PTSEPARATION\n{_num(gt[1])}\n"
+           f"#RWSEPARATION\n{_num(-gt[5])}\n"
+           f"#XORIGIN\n{_num(xo)}\n#YORIGIN\n{_num(yo)}\n"
+           f"#DUMMY\n{_num(nodata)}\n#SENSE\n1\n#GRID\n")
+    lines = [" ".join(_num(v) for v in row) for row in arr[::-1, :]]
+    return (hdr + "\n".join(lines) + "\n").encode("ascii")
+
+
+def decode_gxf(data: bytes):
+    text = data.decode("ascii", errors="replace")
+    lines = text.splitlines()
+    i = 0
+    kv: dict[str, str] = {}
+    grid_vals: list[str] = []
+    while i < len(lines):
+        ln = lines[i].strip()
+        if ln.upper().startswith("#GRID"):
+            grid_vals = " ".join(lines[i + 1:]).split()
+            break
+        if ln.startswith("#"):
+            key = ln[1:5].upper()
+            if i + 1 < len(lines):
+                kv[key] = lines[i + 1].strip()
+            i += 2
+        else:
+            i += 1
+    if not grid_vals:
+        raise ValueError("GXF: missing #GRID section")
+    ncols = int(kv["POIN"])
+    nrows = int(kv["ROWS"])
+    dx = float(kv.get("PTSE", "1"))
+    dy = float(kv.get("RWSE", "1"))
+    xo = float(kv.get("XORI", "0"))
+    yo = float(kv.get("YORI", "0"))
+    sense = int(kv.get("SENS", "1"))
+    if sense != 1:
+        raise NotImplementedError(
+            "GXF subset: SENSE 1 (LL, row-oriented) only — the mirrored/"
+            "column-oriented orderings need gxfopen.c's sense matrix")
+    vals = np.array(grid_vals[:nrows * ncols], np.float64)
+    if len(vals) != nrows * ncols:
+        raise ValueError("GXF: truncated #GRID data")
+    arr = vals.reshape(nrows, ncols)[::-1, :].copy()
+    nodata = float(kv.get("DUMM", "-1e12"))
+    gtr = (xo - dx / 2.0, dx, 0.0, yo + dy * (nrows - 0.5), 0.0, -dy)
+    return arr, gtr, nodata

@@ -212,3 +212,28 @@ def test_fits_bottom_up_and_bscale():
     newhdr += b" " * (-len(newhdr) % 2880)
     back, _, _ = RG.decode_fits(newhdr + blob[2880:])
     np.testing.assert_allclose(back, a * 2.0 + 10.0)
+
+
+# ---------- GXF ----------
+
+def test_gxf_roundtrip():
+    gt = (500000.0, 30.0, 0.0, 4100000.0, 0.0, -30.0)
+    rng = np.random.default_rng(23)
+    a = rng.integers(-500, 4000, (5, 8)).astype(np.float64) / 4
+    blob = RG.encode_gxf(a, gt=gt, nodata=-9999.0)
+    assert blob.startswith(b"#TITLE")
+    back, bgt, nodata = RG.decode_gxf(blob)
+    np.testing.assert_allclose(back, a)
+    np.testing.assert_allclose(bgt, gt)
+    assert nodata == -9999.0
+    # SENSE 1: first #GRID line is the BOTTOM row
+    grid = blob.split(b"#GRID\n")[1].splitlines()[0].split()
+    assert float(grid[0]) == a[-1, 0]
+
+
+def test_gxf_foreign_sense_raises():
+    blob = RG.encode_gxf(np.zeros((2, 2)))
+    blob = blob.replace(b"#SENSE\n1\n", b"#SENSE\n-2\n")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="SENSE"):
+        RG.decode_gxf(blob)
