@@ -124,6 +124,13 @@ def _read_geoparquet(ds, path):
     return read_geoparquet(path)
 
 
+@register("read_vdv")
+def _read_vdv(ds, path, table=None):
+    from ..sources.vector_formats import read_vdv
+    assert ds is None
+    return read_vdv(path, table=table)
+
+
 @register("read_s57")
 def _read_s57(ds, path):
     from ..sources.vector_formats import read_s57
@@ -271,6 +278,12 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
 def _write_geoparquet(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_geoparquet
     return write_geoparquet(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_vdv")
+def _write_vdv(ds, out_dir: str, table: str = "layer"):
+    from ..sources.vector_writers import write_vdv
+    return write_vdv(ds, out_dir, table=table)
 
 
 @register("write_s57")

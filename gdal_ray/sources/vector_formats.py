@@ -2276,3 +2276,92 @@ def read_s57(paths) -> "ray.data.Dataset":
                          "wkb": pa.array(blobs, pa.binary())})
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- VDV-452 (ogr/ogrsf_frmts/vdv) ----------
+
+def parse_vdv_bytes(data: bytes, *, table: str | None = None) -> pa.Table:
+    """VDV-452 text -> typed attribute table (first tbl or ``table``).
+    Types from the frm line (num[w.0] -> int64, num[w.d>0] -> float64,
+    char -> string); 'NULL' tokens are nulls; quoted values unescape
+    doubled quotes."""
+    text = data.decode("latin-1")
+    cur = None
+    names: list[str] = []
+    frm: list[str] = []
+    rows: list[list] = []
+    found = False
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line.startswith("tbl;"):
+            name = line[4:].strip()
+            if found:
+                break                           # finished wanted table
+            cur = name
+            if table is None or name == table:
+                found = True
+            names, frm, rows = [], [], []
+        elif not found:
+            continue
+        elif line.startswith("atr;"):
+            names = [t.strip() for t in line[4:].split(";")]
+        elif line.startswith("frm;"):
+            frm = [t.strip() for t in line[4:].split(";")]
+        elif line.startswith("rec;"):
+            # quote-aware split: ';' inside double-quoted values stays
+            toks, cur, q = [], [], False
+            for ch in line[4:]:
+                if ch == '"':
+                    q = not q
+                    cur.append(ch)
+                elif ch == ";" and not q:
+                    toks.append("".join(cur).strip())
+                    cur = []
+                else:
+                    cur.append(ch)
+            toks.append("".join(cur).strip())
+            vals = []
+            for t in toks:
+                if t == "NULL" or t == "":
+                    vals.append(None)
+                elif len(t) >= 2 and t[0] == '"' and t[-1] == '"':
+                    vals.append(t[1:-1].replace('""', '"'))
+                else:
+                    vals.append(t)
+            rows.append(vals)
+        elif line.startswith("end;"):
+            if found:
+                break
+    if not found:
+        raise ValueError(f"VDV: no table {table!r}" if table
+                         else "VDV: no tbl; section")
+    out: dict = {}
+    for ci, name in enumerate(_uniquify_names(names)):
+        f = frm[ci] if ci < len(frm) else "char[80]"
+        vals = [r[ci] if ci < len(r) else None for r in rows]
+        if f.startswith("num[") and f.rstrip("]").endswith(".0"):
+            out[name] = pa.array(
+                [None if v is None else int(v) for v in vals], pa.int64())
+        elif f.startswith("num["):
+            out[name] = pa.array(
+                [None if v is None else float(v) for v in vals],
+                pa.float64())
+        else:
+            out[name] = pa.array(vals, pa.string())
+    return pa.table(out)
+
+
+def read_vdv(paths, *, table: str | None = None) -> "ray.data.Dataset":
+    """One task per .x10 VDV file → typed attribute rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_vdv_bytes(f.read(), table=table))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

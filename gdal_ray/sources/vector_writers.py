@@ -1703,3 +1703,59 @@ def write_s57(ds: "ray.data.Dataset", out_dir: str, *,
     """S-57 sink: one .000 base cell per block; returns the manifest."""
     return _file_sink(ds, out_dir, ".000",
                       lambda b: s57_bytes(b, wkb_col=wkb_col))
+
+
+# ---------- VDV-452 (ogr/ogrsf_frmts/vdv) ----------
+
+def vdv_bytes(tab: pa.Table, *, table: str = "layer") -> bytes:
+    """Attribute table -> VDV-452 text: tbl/atr/frm/rec/end/eof framing,
+    semicolon separators, NULL for nulls, double-quote escaping
+    (ogrvdvdatasource.cpp writer layout).  Attribute-only, like the
+    reference's non-geometry VDV layers."""
+    def esc(s: str) -> str:
+        if "\n" in s or "\r" in s:
+            raise ValueError("VDV records are line-framed; newlines in "
+                             "values cannot be represented")
+        return '"' + s.replace('"', '""') + '"'
+
+    names = list(tab.column_names)
+    frm = []
+    for c in names:
+        t = tab.schema.field(c).type
+        if pa.types.is_integer(t):
+            frm.append("num[10.0]")
+        elif pa.types.is_floating(t):
+            frm.append("num[20.5]")
+        else:
+            frm.append("char[80]")
+    out = ["mod; DD; MM; 1", "chs; ISO8859-1",
+           f"tbl; {table}",
+           "atr; " + "; ".join(names),
+           "frm; " + "; ".join(frm)]
+    cols = {c: tab.column(c).to_pylist() for c in names}
+    from ..core.wkt import format_double as fd
+    for i in range(tab.num_rows):
+        vals = []
+        for c in names:
+            v = cols[c][i]
+            if v is None:
+                vals.append("NULL")
+            elif isinstance(v, bool):
+                vals.append(str(int(v)))
+            elif isinstance(v, float):
+                vals.append(fd(v))
+            elif isinstance(v, int):
+                vals.append(str(v))
+            else:
+                vals.append(esc(str(v)))
+        out.append("rec; " + "; ".join(vals))
+    out.append(f"end; {tab.num_rows}")
+    out.append("eof; 1")
+    return ("\n".join(out) + "\n").encode("latin-1")
+
+
+def write_vdv(ds: "ray.data.Dataset", out_dir: str, *,
+              table: str = "layer") -> "ray.data.Dataset":
+    """VDV-452 sink: one .x10 per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".x10",
+                      lambda b: vdv_bytes(b, table=table))
