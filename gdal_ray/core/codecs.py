@@ -423,6 +423,9 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "gxf":
         from . import rawgrids as _rg
         return _rg.encode_gxf(np.asarray(img))
+    if fmt == "sigdem":
+        from . import rawgrids as _rg
+        return _rg.encode_sigdem(np.asarray(img))
     if fmt == "bsb":
         from . import bsb as _bsb
         img = np.asarray(img)
@@ -545,6 +548,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "gxf":
         from . import rawgrids as _rg
         return _rg.decode_gxf(data)[0]
+    if fmt == "sigdem":
+        from . import rawgrids as _rg
+        return _rg.decode_sigdem(data)[0]
     if fmt == "bsb":
         from . import bsb as _bsb
         return _bsb.decode_bsb(data)[0]

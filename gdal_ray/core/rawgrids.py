@@ -1023,3 +1023,53 @@ def decode_gxf(data: bytes):
     nodata = float(kv.get("DUMM", "-1e12"))
     gtr = (xo - dx / 2.0, dx, 0.0, yo + dy * (nrows - 0.5), 0.0, -dy)
     return arr, gtr, nodata
+
+
+# ---------- SIGDEM (frmts/sigdem/sigdemdataset.cpp) ----------
+
+_SIGDEM_NODATA = -0x80000000
+
+
+def encode_sigdem(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1),
+                  scale_z: float = 1000.0) -> bytes:
+    """2-D float grid (row 0 = north; NaN = nodata) -> SIGDEM bytes:
+    132-byte big-endian header ('SIGDEM' + offsets/scales/extents/dims),
+    int32 big-endian samples (value = offsetZ + n/scaleZ) stored
+    BOTTOM-UP (sigdemdataset.cpp row indexing)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    nrows, ncols = arr.shape
+    ok = ~np.isnan(arr)
+    vals = np.where(ok, np.rint(arr * scale_z), _SIGDEM_NODATA)
+    if (np.abs(vals[ok]) >= 2**31).any():
+        raise ValueError("SIGDEM: value exceeds int32 at this z-scale")
+    zmin = float(arr[ok].min()) if ok.any() else 0.0
+    zmax = float(arr[ok].max()) if ok.any() else 0.0
+    minx = gt[0]
+    maxy = gt[3]
+    miny = gt[3] + gt[5] * nrows
+    maxx = gt[0] + gt[1] * ncols
+    hdr = (b"SIGDEM" + struct.pack(">hi", 1, 0)
+           + struct.pack(">6d", 0.0, 1.0, 0.0, 1.0, 0.0, scale_z)
+           + struct.pack(">6d", minx, miny, zmin, maxx, maxy, zmax)
+           + struct.pack(">2i", ncols, nrows)
+           + struct.pack(">2d", gt[1], -gt[5]))
+    body = vals[::-1, :].astype(">i4").tobytes()
+    return hdr + body
+
+
+def decode_sigdem(data: bytes):
+    if data[:6] != b"SIGDEM":
+        raise ValueError("SIGDEM: missing SIGDEM magic")
+    off_z, scale_z = struct.unpack_from(">d", data, 44)[0], \
+        struct.unpack_from(">d", data, 52)[0]
+    minx, miny = struct.unpack_from(">2d", data, 60)
+    maxy, = struct.unpack_from(">d", data, 92)
+    ncols, nrows = struct.unpack_from(">2i", data, 108)
+    xdim, ydim = struct.unpack_from(">2d", data, 116)
+    raw = np.frombuffer(data, dtype=">i4", count=nrows * ncols,
+                        offset=132).reshape(nrows, ncols)[::-1, :]
+    raw = np.ascontiguousarray(raw).astype(np.int64)
+    arr = np.where(raw == _SIGDEM_NODATA, np.nan,
+                   off_z + raw / scale_z)
+    gt = (minx, xdim, 0.0, maxy, 0.0, -ydim)
+    return arr, gt, float("nan")

@@ -44,6 +44,7 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"KRO\x01", "kro"),
     (b"SIMPLE  =", "fits"),
     (b"#TITLE", "gxf"),
+    (b"SIGDEM", "sigdem"),
     (b"!", "bsb"), (b"VER/", "bsb"), (b"BSB/", "bsb"), (b"NOS/", "bsb"),
     (b"P5", "pnm"), (b"P6", "pnm"), (b"P2", "pnm"), (b"P3", "pnm"),
 ]
@@ -126,6 +127,8 @@ def _decode_with_gt(data: bytes, fmt: str, path: str):
         return RG.decode_fits(data)
     if fmt == "gxf":
         return RG.decode_gxf(data)
+    if fmt == "sigdem":
+        return RG.decode_sigdem(data)
     if fmt == "pds":
         from ..core import pds as PDSC
         return PDSC.decode_pds(data)

@@ -237,3 +237,22 @@ def test_gxf_foreign_sense_raises():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="SENSE"):
         RG.decode_gxf(blob)
+
+
+# ---------- SIGDEM ----------
+
+def test_sigdem_roundtrip_with_nodata():
+    gt = (500000.0, 30.0, 0.0, 4100000.0, 0.0, -30.0)
+    rng = np.random.default_rng(29)
+    a = rng.integers(-4000, 8000, (6, 9)).astype(np.float64) / 8
+    a[2, 3] = np.nan
+    blob = RG.encode_sigdem(a, gt=gt, scale_z=1024.0)  # dyadic: exact
+    assert blob[:6] == b"SIGDEM"
+    back, bgt, _ = RG.decode_sigdem(blob)
+    np.testing.assert_array_equal(np.isnan(back), np.isnan(a))
+    np.testing.assert_allclose(back[~np.isnan(a)], a[~np.isnan(a)])
+    np.testing.assert_allclose(bgt, gt)
+    # bottom-up: first sample after the 132-byte header is the SW cell
+    import struct
+    v, = struct.unpack_from(">i", blob, 132)
+    assert v == int(round(a[-1, 0] * 1024))
