@@ -426,6 +426,9 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "sigdem":
         from . import rawgrids as _rg
         return _rg.encode_sigdem(np.asarray(img))
+    if fmt == "jdem":
+        from . import rawgrids as _rg
+        return _rg.encode_jdem(np.asarray(img))
     if fmt == "bsb":
         from . import bsb as _bsb
         img = np.asarray(img)
@@ -551,6 +554,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "sigdem":
         from . import rawgrids as _rg
         return _rg.decode_sigdem(data)[0]
+    if fmt == "jdem":
+        from . import rawgrids as _rg
+        return _rg.decode_jdem(data)[0]
     if fmt == "bsb":
         from . import bsb as _bsb
         return _bsb.decode_bsb(data)[0]

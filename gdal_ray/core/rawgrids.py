@@ -1073,3 +1073,78 @@ def decode_sigdem(data: bytes):
                    off_z + raw / scale_z)
     gt = (minx, xdim, 0.0, maxy, 0.0, -ydim)
     return arr, gt, float("nan")
+
+
+# ---------- JDEM / Japanese DEM (frmts/jdem/jdemdataset.cpp) ----------
+
+def _jdem_angle(deg: float) -> str:
+    """decimal degrees -> DDDMMSS 7-char field (first-quadrant only,
+    like the format)."""
+    total = int(round(deg * 3600))
+    d, rem = divmod(total, 3600)
+    m, s = divmod(rem, 60)
+    return f"{d * 10000 + m * 100 + s:07d}"
+
+
+def encode_jdem(arr: np.ndarray, *, gt=(130.0, 1.0 / 3600, 0.0, 40.0,
+                                        0.0, -1.0 / 3600),
+                meshcode: str = "503545") -> bytes:
+    """2-D float grid in meters (row 0 = north; 0.1 m resolution) ->
+    JDEM .mem bytes: 1011-byte text header (mesh code, dims @23/26,
+    corner DDDMMSS angles @29+), then per-row records 'meshcode(6) +
+    row(3) + %5d decimeters * ncols'.  Corner angles quantize to whole
+    arc-seconds — pass second-aligned geotransforms for exact
+    roundtrips."""
+    arr = np.asarray(arr, dtype=np.float64)
+    nrows, ncols = arr.shape
+    dm = np.rint(arr * 10).astype(np.int64)
+    if (dm > 99999).any() or (dm < -9999).any():
+        raise ValueError("JDEM: height exceeds the 5-char field")
+    ll_lat = gt[3] + gt[5] * nrows
+    ll_lon = gt[0]
+    ur_lat = gt[3]
+    ur_lon = gt[0] + gt[1] * ncols
+    hdr = bytearray(b" " * 1011)
+    hdr[0:6] = meshcode.encode("ascii")
+    hdr[23:26] = b"%03d" % ncols
+    hdr[26:29] = b"%03d" % nrows
+    hdr[29:36] = _jdem_angle(ll_lat).encode("ascii")
+    hdr[36:43] = _jdem_angle(ll_lon).encode("ascii")
+    hdr[43:50] = _jdem_angle(ur_lat).encode("ascii")
+    hdr[50:57] = _jdem_angle(ur_lon).encode("ascii")
+    out = [bytes(hdr)]
+    for r in range(nrows):
+        rec = meshcode.encode("ascii") + b"%03d" % (r + 1)
+        rec += b"".join(b"%5d" % int(v) for v in dm[r])
+        out.append(rec)
+    return b"".join(out)
+
+
+def decode_jdem(data: bytes):
+    hdr = data[:1011]
+
+    def angle(off: int) -> float:
+        n = int(hdr[off:off + 7])
+        return n // 10000 + (n // 100) % 100 / 60.0 + n % 100 / 3600.0
+
+    ncols = int(hdr[23:26])
+    nrows = int(hdr[26:29])
+    ll_lat = angle(29)
+    ll_lon = angle(36)
+    ur_lat = angle(43)
+    ur_lon = angle(50)
+    meshcode = hdr[0:6]
+    rec_size = 9 + 5 * ncols
+    arr = np.empty((nrows, ncols), dtype=np.float64)
+    for r in range(nrows):
+        rec = data[1011 + r * rec_size: 1011 + (r + 1) * rec_size]
+        if rec[:6] != meshcode:
+            raise ValueError(f"JDEM: scanline {r} corrupt (mesh code "
+                             "mismatch — binary transfer?)")
+        row = np.frombuffer(rec[9:], dtype="S1").reshape(ncols, 5)
+        vals = np.array([int(bytes(row[i]).decode()) for i in
+                         range(ncols)], dtype=np.int64)
+        arr[r] = vals / 10.0        # divide: 3*0.1 != 3/10 in IEEE
+    gt = (ll_lon, (ur_lon - ll_lon) / ncols, 0.0,
+          ur_lat, 0.0, -(ur_lat - ll_lat) / nrows)
+    return arr, gt, None

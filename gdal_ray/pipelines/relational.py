@@ -9712,7 +9712,8 @@ def raster_rawgrid_formats_q(sf_dir: str):
                "ntv2_sum": [], "lan_sum": [], "rr_sum": [],
                "dem_sum": [], "lcp_sum": [], "pds_sum": [],
                "bsb_sum": [], "ter_sum": [], "kro_sum": [],
-               "fits_sum": [], "gxf_sum": [], "sig_sum": []}
+               "fits_sum": [], "gxf_sum": [], "sig_sum": [],
+               "jdem_sum": []}
         for n in ks:
             n = int(n)
             g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
@@ -9795,6 +9796,11 @@ def raster_rawgrid_formats_q(sf_dir: str):
             a, _, _ = RG.decode_sigdem(RG.encode_sigdem(g, scale_z=1.0))
             assert np.array_equal(a, g)
             out["sig_sum"].append(int(a.sum()))
+            g = ((n * 73 + k) % 5000 - 2000).astype(np.float64) \
+                .reshape(16, 16) / 10.0
+            a, _, _ = RG.decode_jdem(RG.encode_jdem(g))
+            assert np.array_equal(a, g)
+            out["jdem_sum"].append(int(round(a.sum() * 10)))
             out["n_nationkey"].append(n)
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in out.items()})
@@ -9833,6 +9839,7 @@ SELECT cells.nk AS n_nationkey,
        CAST(SUM((cells.nk * 61 + k) % 2001 - 1000) AS BIGINT) AS fits_sum,
        CAST(SUM((cells.nk * 67 + k) % 499) AS BIGINT) AS gxf_sum,
        CAST(SUM((cells.nk * 71 + k) % 997) AS BIGINT) AS sig_sum,
+       CAST(SUM((cells.nk * 73 + k) % 5000 - 2000) AS BIGINT) AS jdem_sum,
        MIN(lcp.lcp_sum) AS lcp_sum
 FROM cells JOIN lcp ON lcp.nk = cells.nk
 GROUP BY cells.nk

@@ -56,7 +56,8 @@ _EXT_FMT = {
     ".tga": "tga", ".gtx": "gtx", ".dem": "usgsdem",
     ".zmap": "zmap", ".zycor": "zmap",
     ".webp": "webp",
-    ".lcp": "lcp", ".img": "pds",
+    ".lcp": "lcp", ".img": "pds", ".mem": "jdem", ".kro": "kro",
+    ".ter": "terragen", ".fits": "fits", ".gxf": "gxf",
     ".bil": "ehdr", ".sdat": "saga", ".rst": "idrisi", ".gri": "rraster",
 }
 
@@ -129,6 +130,8 @@ def _decode_with_gt(data: bytes, fmt: str, path: str):
         return RG.decode_gxf(data)
     if fmt == "sigdem":
         return RG.decode_sigdem(data)
+    if fmt == "jdem":
+        return RG.decode_jdem(data)
     if fmt == "pds":
         from ..core import pds as PDSC
         return PDSC.decode_pds(data)

@@ -256,3 +256,25 @@ def test_sigdem_roundtrip_with_nodata():
     import struct
     v, = struct.unpack_from(">i", blob, 132)
     assert v == int(round(a[-1, 0] * 1024))
+
+
+# ---------- JDEM ----------
+
+def test_jdem_roundtrip():
+    rng = np.random.default_rng(31)
+    a = rng.integers(-999, 9999, (5, 8)).astype(np.float64) / 10
+    gt = (135.0, 2.0 / 3600, 0.0, 36.0, 0.0, -1.0 / 3600)  # sec-aligned
+    blob = RG.encode_jdem(a, gt=gt)
+    assert len(blob) == 1011 + 5 * (9 + 5 * 8)
+    back, bgt, _ = RG.decode_jdem(blob)
+    np.testing.assert_allclose(back, a)
+    np.testing.assert_allclose(bgt, gt, atol=1e-12)
+
+
+def test_jdem_detects_ascii_corruption():
+    a = np.zeros((2, 3), np.float64)
+    blob = bytearray(RG.encode_jdem(a))
+    blob[1011] ^= 0x01                      # corrupt row 0 mesh code
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mesh code"):
+        RG.decode_jdem(bytes(blob))
