@@ -124,6 +124,13 @@ def _read_geoparquet(ds, path):
     return read_geoparquet(path)
 
 
+@register("read_wasp")
+def _read_wasp(ds, path):
+    from ..sources.vector_formats import read_wasp
+    assert ds is None
+    return read_wasp(path)
+
+
 @register("read_vdv")
 def _read_vdv(ds, path, table=None):
     from ..sources.vector_formats import read_vdv
@@ -278,6 +285,12 @@ def _write_georss(ds, out_dir: str, title_col: str = "title",
 def _write_geoparquet(ds, out_dir: str, wkb_col: str = "wkb"):
     from ..sources.vector_writers import write_geoparquet
     return write_geoparquet(ds, out_dir, wkb_col=wkb_col)
+
+
+@register("write_wasp")
+def _write_wasp(ds, out_dir: str, wkb_col: str = "wkb"):
+    from ..sources.vector_writers import write_wasp
+    return write_wasp(ds, out_dir, wkb_col=wkb_col)
 
 
 @register("write_vdv")

@@ -2365,3 +2365,71 @@ def read_vdv(paths, *, table: str | None = None) -> "ray.data.Dataset":
         return pa.concat_tables(tabs, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------- WAsP .map (ogr/ogrsf_frmts/wasp) ----------
+
+def parse_wasp_bytes(data: bytes) -> pa.Table:
+    """WAsP .map text -> LineString feature rows.  4 header lines are
+    skipped; each feature line carries 1 (elevation) or 2 (roughness)
+    field values then the pair count; coordinates may wrap across
+    lines (ogrwasplayer.cpp token reader).  The layout is detected by
+    whole-stream consistency (elevation tried first); genuinely
+    ambiguous files — a roughness stream whose frames also happen to
+    parse as elevation — need the reference's explicit open option."""
+    toks_lines = data.decode("ascii", errors="replace").splitlines()[4:]
+    toks = " ".join(toks_lines).split()
+
+    def parse_with(nf: int):
+        """Try a field count; valid only if the WHOLE token stream
+        parses into consistent (fields, count, pairs) frames."""
+        pos = 0
+        out: list[tuple[list, np.ndarray]] = []
+        while pos < len(toks):
+            if pos + nf >= len(toks):
+                return None
+            n = float(toks[pos + nf])
+            if n != int(n) or not (0 <= n < 1e6):
+                return None
+            npairs = int(n)
+            need = pos + nf + 1 + 2 * npairs
+            if need > len(toks):
+                return None
+            vals = [float(toks[pos + i]) for i in range(nf)]
+            xy = np.array(toks[pos + nf + 1:need],
+                          np.float64).reshape(npairs, 2)
+            out.append((vals, xy))
+            pos = need
+        return out
+
+    feats = parse_with(1)
+    nfields = 1
+    if feats is None:
+        feats = parse_with(2)
+        nfields = 2
+    if feats is None:
+        raise ValueError("WAsP: cannot detect field layout")
+    cols: dict = {}
+    fnames = ["z"] if nfields == 1 else ["z_left", "z_right"]
+    for fi, fn in enumerate(fnames):
+        cols[fn] = pa.array([f[0][fi] for f in feats], pa.float64())
+    cols["wkb"] = pa.array(
+        [wkb.dumps({"type": "LineString", "xy": f[1]}) for f in feats],
+        pa.binary())
+    return pa.table(cols)
+
+
+def read_wasp(paths) -> "ray.data.Dataset":
+    """One task per .map file → LineString feature rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def load(b: pa.Table) -> pa.Table:
+        tabs = []
+        for p in b.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tabs.append(parse_wasp_bytes(f.read()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -1759,3 +1759,44 @@ def write_vdv(ds: "ray.data.Dataset", out_dir: str, *,
     """VDV-452 sink: one .x10 per block; returns the manifest."""
     return _file_sink(ds, out_dir, ".x10",
                       lambda b: vdv_bytes(b, table=table))
+
+
+# ---------- WAsP .map (ogr/ogrsf_frmts/wasp) ----------
+
+def wasp_bytes(tab: pa.Table, *, wkb_col: str = "wkb") -> bytes:
+    """LineString features -> WAsP .map text: 4 header lines, then per
+    feature '<z>|<z_left> <z_right> <npairs>' followed by the
+    coordinate pairs (ogrwasplayer.cpp WriteElevation/WriteRoughness).
+    Elevation layout when a ``z`` column exists; roughness-change
+    layout when ``z_left``/``z_right`` exist."""
+    from ..core.wkt import format_double as fd
+
+    names = tab.column_names
+    if "z" in names:
+        fields = ["z"]
+    elif "z_left" in names and "z_right" in names:
+        fields = ["z_left", "z_right"]
+    else:
+        raise ValueError("WAsP needs a 'z' column (elevation) or "
+                         "'z_left'+'z_right' (roughness change)")
+    cols = {c: tab.column(c).to_pylist() for c in fields}
+    out = ["+ gdal_ray WAsP export", "+ projection 0", "+ 1.0 0.0 1.0 0.0",
+           "+ 0.0 0.0"]
+    for i, blob in enumerate(tab.column(wkb_col).to_pylist()):
+        if blob is None:
+            continue
+        g = wkb.loads(blob)
+        if g["type"] != "LineString":
+            raise ValueError("WAsP stores LineString features")
+        xy = np.asarray(g["xy"], np.float64)
+        head = " ".join(fd(float(cols[f][i])) for f in fields)
+        out.append(f"{head} {len(xy)}")
+        out.append(" ".join(f"{fd(x)} {fd(y)}" for x, y in xy))
+    return ("\n".join(out) + "\n").encode("ascii")
+
+
+def write_wasp(ds: "ray.data.Dataset", out_dir: str, *,
+               wkb_col: str = "wkb") -> "ray.data.Dataset":
+    """WAsP sink: one .map per block; returns the manifest."""
+    return _file_sink(ds, out_dir, ".map",
+                      lambda b: wasp_bytes(b, wkb_col=wkb_col))
