@@ -429,6 +429,9 @@ def encode(img: np.ndarray, fmt: str, *, profile: str = "cpu") -> bytes:
     if fmt == "jdem":
         from . import rawgrids as _rg
         return _rg.encode_jdem(np.asarray(img))
+    if fmt == "ngsgeoid":
+        from . import rawgrids as _rg
+        return _rg.encode_ngsgeoid(np.asarray(img))
     if fmt == "bsb":
         from . import bsb as _bsb
         img = np.asarray(img)
@@ -557,6 +560,9 @@ def _decode_impl(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "jdem":
         from . import rawgrids as _rg
         return _rg.decode_jdem(data)[0]
+    if fmt == "ngsgeoid":
+        from . import rawgrids as _rg
+        return _rg.decode_ngsgeoid(data)[0]
     if fmt == "bsb":
         from . import bsb as _bsb
         return _bsb.decode_bsb(data)[0]

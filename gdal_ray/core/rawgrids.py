@@ -1148,3 +1148,39 @@ def decode_jdem(data: bytes):
     gt = (ll_lon, (ur_lon - ll_lon) / ncols, 0.0,
           ur_lat, 0.0, -(ur_lat - ll_lat) / nrows)
     return arr, gt, None
+
+
+# ---------- NGS GEOID .bin (frmts/ngsgeoid/ngsgeoiddataset.cpp) ----------
+
+def encode_ngsgeoid(arr: np.ndarray, *, gt=(0, 1, 0, 0, 0, -1)) -> bytes:
+    """2-D float32 geoid-height grid (row 0 = north) -> NGS .bin:
+    little-endian SLAT/WLON/DLAT/DLON doubles (south-west SAMPLE
+    position, pixel-is-point), NLAT/NLON/IKIND=1 int32, float32 rows
+    stored SOUTH to NORTH."""
+    arr = np.asarray(arr, dtype=np.float32)
+    nrows, ncols = arr.shape
+    dlat, dlon = -gt[5], gt[1]
+    slat = gt[3] + gt[5] * (nrows - 0.5)
+    wlon = gt[0] + dlon / 2.0
+    hdr = struct.pack("<4d3i", slat, wlon, dlat, dlon, nrows, ncols, 1)
+    return hdr + arr[::-1, :].astype("<f4").tobytes()
+
+
+def decode_ngsgeoid(data: bytes):
+    ik_le, = struct.unpack_from("<i", data, 40)
+    ik_be, = struct.unpack_from(">i", data, 40)
+    if ik_le == 1:
+        end = "<"
+    elif ik_be == 1:
+        end = ">"
+    else:
+        raise ValueError("NGSGEOID: IKIND marker != 1 in either "
+                         "byte order")
+    slat, wlon, dlat, dlon = struct.unpack_from(end + "4d", data, 0)
+    nlat, nlon = struct.unpack_from(end + "2i", data, 32)
+    arr = np.frombuffer(data, dtype=end + "f4", count=nlat * nlon,
+                        offset=44).reshape(nlat, nlon)[::-1, :]
+    arr = np.ascontiguousarray(arr).astype(np.float32)
+    gt = (wlon - dlon / 2.0, dlon, 0.0,
+          slat + nlat * dlat - dlat / 2.0, 0.0, -dlat)
+    return arr, gt, None

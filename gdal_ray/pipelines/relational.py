@@ -9713,7 +9713,7 @@ def raster_rawgrid_formats_q(sf_dir: str):
                "dem_sum": [], "lcp_sum": [], "pds_sum": [],
                "bsb_sum": [], "ter_sum": [], "kro_sum": [],
                "fits_sum": [], "gxf_sum": [], "sig_sum": [],
-               "jdem_sum": []}
+               "jdem_sum": [], "geoid_sum": []}
         for n in ks:
             n = int(n)
             g = ((n * 31 + k) % 2001 - 1000).astype(np.int16).reshape(16, 16)
@@ -9801,6 +9801,11 @@ def raster_rawgrid_formats_q(sf_dir: str):
             a, _, _ = RG.decode_jdem(RG.encode_jdem(g))
             assert np.array_equal(a, g)
             out["jdem_sum"].append(int(round(a.sum() * 10)))
+            g = ((n * 79 + k) % 256 - 128).astype(np.float32) \
+                .reshape(16, 16)
+            a, _, _ = RG.decode_ngsgeoid(RG.encode_ngsgeoid(g))
+            assert np.array_equal(a, g)
+            out["geoid_sum"].append(int(a.astype(np.int64).sum()))
             out["n_nationkey"].append(n)
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in out.items()})
@@ -9840,6 +9845,7 @@ SELECT cells.nk AS n_nationkey,
        CAST(SUM((cells.nk * 67 + k) % 499) AS BIGINT) AS gxf_sum,
        CAST(SUM((cells.nk * 71 + k) % 997) AS BIGINT) AS sig_sum,
        CAST(SUM((cells.nk * 73 + k) % 5000 - 2000) AS BIGINT) AS jdem_sum,
+       CAST(SUM((cells.nk * 79 + k) % 256 - 128) AS BIGINT) AS geoid_sum,
        MIN(lcp.lcp_sum) AS lcp_sum
 FROM cells JOIN lcp ON lcp.nk = cells.nk
 GROUP BY cells.nk

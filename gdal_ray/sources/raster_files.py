@@ -132,6 +132,8 @@ def _decode_with_gt(data: bytes, fmt: str, path: str):
         return RG.decode_sigdem(data)
     if fmt == "jdem":
         return RG.decode_jdem(data)
+    if fmt == "ngsgeoid":
+        return RG.decode_ngsgeoid(data)
     if fmt == "pds":
         from ..core import pds as PDSC
         return PDSC.decode_pds(data)

@@ -278,3 +278,26 @@ def test_jdem_detects_ascii_corruption():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mesh code"):
         RG.decode_jdem(bytes(blob))
+
+
+# ---------- NGSGEOID ----------
+
+def test_ngsgeoid_roundtrip_and_endianness():
+    rng = np.random.default_rng(37)
+    a = (rng.normal(size=(6, 9)) * 30).astype(np.float32)
+    gt = (-100.0, 1.0 / 60, 0.0, 42.0, 0.0, -1.0 / 60)
+    blob = RG.encode_ngsgeoid(a, gt=gt)
+    back, bgt, _ = RG.decode_ngsgeoid(blob)
+    assert np.array_equal(back, a)
+    np.testing.assert_allclose(bgt, gt, atol=1e-12)
+    # south-first storage
+    import struct
+    v, = struct.unpack_from("<f", blob, 44)
+    assert v == a[-1, 0]
+    # big-endian variant reads via the IKIND marker
+    be = struct.pack(">4d3i", *struct.unpack_from("<4d3i", blob, 0)) \
+        + a[::-1, :].astype(">f4").tobytes()
+    back2, _, _ = RG.decode_ngsgeoid(be)
+    assert np.array_equal(back2, a)
+    with pytest.raises(ValueError, match="IKIND"):
+        RG.decode_ngsgeoid(b"\0" * 64)
